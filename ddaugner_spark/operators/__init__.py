@@ -1,0 +1,27 @@
+from . import (
+    mentions,
+    sentences,
+    scoring,
+    triples,
+    linking,
+    canonical,
+    dedup,
+    similarity,
+    textstats,
+    augment,
+    multimodal,
+)
+
+__all__ = [
+    "mentions",
+    "sentences",
+    "scoring",
+    "triples",
+    "linking",
+    "canonical",
+    "dedup",
+    "similarity",
+    "textstats",
+    "augment",
+    "multimodal",
+]

@@ -1,0 +1,228 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Not in the reference (it deduplicates nothing); these are the
+first-class corpus-hygiene operators a 100 TB Common-Crawl pipeline needs
+before NER/triple extraction.  All hashes are md5-based so the DuckDB
+oracle computes bit-identical values.
+
+Operators:
+
+* exact dedup          — hash-groupBy on md5(text);
+* MinHash + LSH        — k-token shingles → P md5-keyed "permutation"
+                         minima (min over *hex strings* is a valid random
+                         permutation proxy because md5 is uniform over the
+                         hex alphabet) → B bands of R rows → band-bucket
+                         self-join → exact Jaccard verification;
+* SimHash              — 16-bit signs of per-token md5 hex digits;
+* n-gram Jaccard       — exact pairwise verification used by LSH.
+
+Scale notes: exact dedup is one hash-agg with map-side combine.  MinHash
+signatures are built with a single groupBy(doc, perm) over exploded
+shingles (shuffle volume = docs × P rows after partial agg, not the
+shingle volume).  The LSH self-join is keyed on band hash — only
+colliding buckets materialize candidate pairs, and bucket sizes are
+bounded because a band collision already implies high similarity; AQE
+skew-join covers adversarial buckets (e.g. boilerplate pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+
+
+def with_dup_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministically enlarge the corpus with known duplicates so dedup
+    operators have non-trivial output on the driver's all-distinct
+    synthetic table: doc_id % 20 == 0 → exact copy (id + 1_000_000);
+    doc_id % 20 == 10 → near copy with the last 3 tokens dropped
+    (id + 2_000_000)."""
+    toks = F.split(F.col("text"), " ")
+    exact = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+    )
+    near = docs.filter(F.col("doc_id") % 20 == 10).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(exact).unionByName(near)
+
+
+def exact_duplicates(corpus: DataFrame) -> DataFrame:
+    """(text_hash, n_dups, canonical_id) for groups with >1 member."""
+    return (
+        corpus.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(corpus: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " ")
+    )
+    return (
+        corpus.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, perms: int = config.MINHASH_PERMS) -> DataFrame:
+    """(doc_id, mh_0..mh_{P-1}) signature table.
+
+    Permutation j's hash of a shingle is md5(j || '|' || shingle); the
+    signature element is the minimum hex string.  One groupBy(doc_id) with
+    P conditional-min aggregates — a single shuffle of (doc, perm-min)
+    partials."""
+    perm = F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("perm")
+    hashed = sh.select(
+        "doc_id",
+        "shingle",
+        perm,
+    ).withColumn(
+        "h", F.md5(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("shingle")))
+    )
+    aggs = [
+        F.min(F.when(F.col("perm") == j, F.col("h"))).alias(f"mh_{j}")
+        for j in range(perms)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(
+    sigs: DataFrame,
+    bands: int = config.LSH_BANDS,
+    perms: int = config.MINHASH_PERMS,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash): bands of R = perms/bands rows."""
+    rows = perms // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
+def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """Distinct (a, b) a<b pairs sharing any band bucket."""
+    left = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("a"))
+    right = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    sh: DataFrame,
+    threshold: float = config.JACCARD_THRESHOLD,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs: (a, b, jaccard ≥ threshold)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "a").join(sh_b, ["b", "shingle"]).groupBy("a", "b").agg(
+            F.count("*").alias("n_inter")
+        )
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                ndigits,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def minhash_near_duplicates(corpus: DataFrame) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
+    verified (a, b, jaccard)."""
+    sh = shingles(corpus)
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(lsh_bands(sigs))
+    return jaccard_verify(cands, sh)
+
+
+def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, fingerprint) — bit j is 1 iff the sum over distinct tokens
+    of ±1 (hex digit j of md5(token) ≥ '8') is positive."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.substring(F.col("h"), j + 1, 1).isin(list("89abcdef")), 1
+                ).otherwise(-1)
+            )
+            > 0,
+            F.lit("1"),
+        )
+        .otherwise(F.lit("0"))
+        .alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
+    return per_doc.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(bits)]).alias("fingerprint")
+    )
+
+
+def simhash_near_duplicates(corpus: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """(a, b, hamming) pairs with hamming ≤ max_hamming, blocked on the
+    first bits/2 bits (a pair within distance ≤ bits/2-blocks differing in
+    0 of the prefix collides — standard simhash prefix blocking)."""
+    fp = simhash_fingerprints(corpus, bits)
+    half = bits // 2
+    a = fp.select(
+        F.col("doc_id").alias("a"),
+        F.col("fingerprint").alias("fa"),
+        F.substring("fingerprint", 1, half).alias("blk"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("b"),
+        F.col("fingerprint").alias("fb"),
+        F.substring("fingerprint", 1, half).alias("blk"),
+    )
+    hamming = sum(
+        (F.substring("fa", j + 1, 1) != F.substring("fb", j + 1, 1)).cast("int")
+        for j in range(bits)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,57 @@
+"""Entity-link scoring against a broadcast dictionary, skew-safe (J6).
+
+north_star: "broadcast-dictionary entity-link scoring with a salted-key
+shuffle for head-entity skew … two-phase salted aggregation and
+AQE-driven partition coalescing".
+
+The reference's analogue is the dictionary membership pass of
+fix_ner.py:224-233 plus per-name weighting from the gazetteer samplers
+(resources/*.py); the per-mention score here is
+``weight / (1 + sent_id)`` — a deterministic position-discounted prior.
+
+Skew design: web-scale corpora have hub surfaces ("Wikipedia",
+"Facebook") whose mention counts dwarf the median key by 4-6 orders of
+magnitude.  A plain ``groupBy(surface)`` sends every hub mention to one
+reducer.  Two-phase salting bounds any single reducer's input to
+``total/SALT_BUCKETS``:
+
+  phase 1: groupBy(surface, salt = pmod(hash(doc_id, start_idx), S))
+           → partial (count, sum) — map-side combine already shrinks this;
+  phase 2: groupBy(surface) over ≤S partials per key.
+
+The dictionary side is always ``F.broadcast`` (no shuffle), and AQE
+coalesces the post-aggregation partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import config
+
+
+def link_scores(
+    mentions: DataFrame,
+    gazetteer: DataFrame,
+    salt_buckets: int = config.SALT_BUCKETS,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(entity, class, n_mentions, total_score) per linked entity."""
+    scored = mentions.join(
+        F.broadcast(gazetteer), mentions.surface == gazetteer.name, "inner"
+    ).select(
+        F.col("surface").alias("entity"),
+        F.col("class"),
+        (F.col("weight") / (F.lit(1.0) + F.col("sent_id"))).alias("score"),
+        F.pmod(
+            F.hash(F.col("doc_id"), F.col("start_idx")), F.lit(salt_buckets)
+        ).alias("salt"),
+    )
+    partial = scored.groupBy("entity", "class", "salt").agg(
+        F.count("*").alias("pn"), F.sum("score").alias("ps")
+    )
+    return partial.groupBy("entity", "class").agg(
+        F.sum("pn").alias("n_mentions"),
+        F.round(F.sum("ps"), ndigits).alias("total_score"),
+    )
