@@ -1,38 +1,781 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG pipeline (pages → mentions → triples →
+canonicalized triples) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one pair per implemented operator from
+SURVEY.md §2 (+ the training-data-pipeline operators).  Every Spark query
+is implemented in :mod:`ddaugner_spark.operators`; every oracle is ANSI
+SQL over the same parquet views, with the dictionary world inlined from
+``ddaugner_spark.config`` so both sides stay in lockstep.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ddaugner_spark import config
+from ddaugner_spark.config import sql_str_list
+from ddaugner_spark.sources import gazetteer_df, synthesize_pages, extract_text
+from ddaugner_spark.operators import (
+    augment,
+    canonical,
+    dedup,
+    linking,
+    mentions,
+    scoring,
+    sentences,
+    similarity,
+    textstats,
+    triples,
+)
+
+QUERY_IDS = [0, 1, 2, 3, 4]  # ANN query vectors
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ======================================================================
+# entry
+# ======================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic pages → byte-identical extract → mention
+    detection → SVO triples → CC-canonicalized triples."""
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    pages = synthesize_pages(docs)
+    extracted = pages.select("doc_id", extract_text(F.col("html")).alias("text"))
+    t = triples.triples_df(extracted)
+    m = mentions.mentions_df(extracted)
+    comps = canonical.connected_components(canonical.co_mention_edges(m))
+    return canonical.canonicalize_triples(t, comps).select(
+        "doc_id", "sent_id", "subj_canon", "pred", "obj_canon", "subj", "obj"
+    )
+
+
+# ======================================================================
+# Spark queries
+# ======================================================================
+
+def q_tokenize(spark, sf):
+    d = mentions.with_tokens(_docs(spark, sf))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+    )
+
+
+def q_sentences(spark, sf):
+    return sentences.sentences_df(_docs(spark, sf))
+
+
+def q_context_windows(spark, sf):
+    return sentences.context_windows(sentences.sentences_df(_docs(spark, sf)), k=1)
+
+
+def q_mentions(spark, sf):
+    return mentions.mentions_df(_docs(spark, sf))
+
+
+def q_mention_class_ratios(spark, sf):
+    return scoring.class_counts(mentions.mentions_df(_docs(spark, sf)))
+
+
+def q_tag_frequencies(spark, sf):
+    return scoring.tag_frequencies(mentions.with_bio(_docs(spark, sf)))
+
+
+def q_ner_score(spark, sf):
+    d = _docs(spark, sf)
+    return scoring.entity_set_score(
+        mentions.naive_mentions_df(d), mentions.mentions_df(d)
+    )
+
+
+def q_majority_voting(spark, sf):
+    d = _docs(spark, sf)
+    return scoring.majority_voting_table(
+        mentions.mentions_df(d), sentences.tokens_long(d)
+    )
+
+
+def q_triples(spark, sf):
+    return triples.triples_df(_docs(spark, sf))
+
+
+def q_entity_link(spark, sf):
+    return linking.link_scores(
+        mentions.mentions_df(_docs(spark, sf)), gazetteer_df(spark)
+    )
+
+
+def q_canonical_cc(spark, sf):
+    m = mentions.mentions_df(_docs(spark, sf))
+    return canonical.connected_components(canonical.co_mention_edges(m))
+
+
+def q_gazetteer_inject(spark, sf):
+    return augment.inject_gazetteer(_docs(spark, sf))
+
+
+def q_augment_replace(spark, sf):
+    out = augment.augment_replace(_docs(spark, sf))
+    return out.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
+
+
+def q_text_extract(spark, sf):
+    pages = synthesize_pages(_docs(spark, sf))
+    ext = extract_text(F.col("html"))
+    return pages.select(
+        "doc_id",
+        (ext == F.col("text")).alias("ok"),
+        F.md5(ext).alias("content_hash"),
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
+def q_minhash_lsh(spark, sf):
+    return dedup.minhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
+def q_simhash(spark, sf):
+    return dedup.simhash_fingerprints(_docs(spark, sf))
+
+
+def q_ann_topk(spark, sf):
+    return similarity.brute_force_topk(_emb(spark, sf), QUERY_IDS)
+
+
+def q_ann_ivf(spark, sf):
+    return similarity.ivf_topk(_emb(spark, sf), QUERY_IDS)
+
+
+def q_cosine_threshold(spark, sf):
+    return similarity.threshold_pairs(_emb(spark, sf), QUERY_IDS)
+
+
+def q_quality(spark, sf):
+    return textstats.quality_features(_docs(spark, sf))
+
+
+def q_langid(spark, sf):
+    return textstats.langid_predictions(_docs(spark, sf))
+
+
+def q_token_counts(spark, sf):
+    return textstats.token_counts(_docs(spark, sf))
+
+
+def q_fingerprints(spark, sf):
+    return textstats.fingerprints(_docs(spark, sf))
+
+
+def q_tpch_pricing(spark, sf):
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top_parts(spark, sf):
+    from pyspark.sql import Window
+
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_events_window(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_events_sessions(spark, sf):
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast preserves the
+    # wall-clock value and matches the oracle's epoch_us on naive timestamps
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        e.withColumn("is_new", (gap > 1800 * 1_000_000).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.coalesce(F.sum("is_new"), F.lit(0))).alias("n_sessions"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_tokenize": q_tokenize,
+        "q_sentences": q_sentences,
+        "q_context_windows": q_context_windows,
+        "q_mentions": q_mentions,
+        "q_mention_class_ratios": q_mention_class_ratios,
+        "q_tag_frequencies": q_tag_frequencies,
+        "q_ner_score": q_ner_score,
+        "q_majority_voting": q_majority_voting,
+        "q_triples": q_triples,
+        "q_entity_link": q_entity_link,
+        "q_canonical_cc": q_canonical_cc,
+        "q_gazetteer_inject": q_gazetteer_inject,
+        "q_augment_replace": q_augment_replace,
+        "q_text_extract": q_text_extract,
+        "q_dedup_exact": q_dedup_exact,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash": q_simhash,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_cosine_threshold": q_cosine_threshold,
+        "q_quality": q_quality,
+        "q_langid": q_langid,
+        "q_token_counts": q_token_counts,
+        "q_fingerprints": q_fingerprints,
+        "q_tpch_pricing": q_tpch_pricing,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_top_parts": q_top_parts,
+        "q_events_window": q_events_window,
+        "q_events_sessions": q_events_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================================
+# DuckDB oracles
+# ======================================================================
+
+_ORG = sql_str_list(config.ORG_BIGRAMS)
+_PER = sql_str_list(config.PER_WORDS)
+_LOC = sql_str_list(config.LOC_WORDS)
+_UNI = sql_str_list(config.PER_WORDS + config.LOC_WORDS)
+_PREDW = sql_str_list(config.PRED_WORDS)
+_STOP = sql_str_list(config.STOPWORDS)
+_TERM = config.SENT_TERM
+_GAP = config.TRIPLE_MAX_GAP
+_POOL = "[" + sql_str_list(config.INJECT_NAMES) + "]"
+_NPOOL = len(config.INJECT_NAMES)
+_GAZ_VALUES = ", ".join(
+    f"('{n}', '{c}', {w})" for n, c, w in config.GAZETTEER
+)
+_QIDS = ", ".join(str(i) for i in QUERY_IDS)
+
+_TOKS = """
+toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok, len(t) AS n
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+       unnest(range(1, len(t) + 1)) AS u(i)
+)"""
+
+_SENTID = f"""
+sentid AS (
+  SELECT doc_id, pos,
+         coalesce(sum(CASE WHEN tok = '{_TERM}' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+  FROM toks
+)"""
+
+_MENT = f"""
+big AS (
+  SELECT a.doc_id, a.pos AS start_idx, a.pos + 1 AS end_idx,
+         a.tok || ' ' || b.tok AS surface, 'ORG' AS tag
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok || ' ' || b.tok IN ({_ORG})
+),
+covered AS (
+  SELECT doc_id, start_idx AS pos FROM big
+  UNION ALL SELECT doc_id, end_idx FROM big
+),
+uni AS (
+  SELECT t.doc_id, t.pos AS start_idx, t.pos AS end_idx, t.tok AS surface,
+         CASE WHEN t.tok IN ({_PER}) THEN 'PER' ELSE 'LOC' END AS tag
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE t.tok IN ({_UNI}) AND c.pos IS NULL
+),
+ment AS (SELECT * FROM big UNION ALL SELECT * FROM uni),
+mentsent AS (
+  SELECT m.doc_id, s.sent_id, m.start_idx, m.end_idx, m.surface, m.tag
+  FROM ment m JOIN sentid s ON m.doc_id = s.doc_id AND m.start_idx = s.pos
+)"""
+
+_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(t[1:greatest(len(t) - 3, 1)], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE doc_id % 20 = 10
+)"""
+
+_HTML_PRE = "<html><head><title>"
+_HTML_MID = "</title></head><body><p>"
+_HTML_POST = "</p></body></html>"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q_tokenize"] = """
+      SELECT doc_id, len(t) AS n_tokens, t[1] AS first_tok, t[len(t)] AS last_tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     """
-    return {}
+
+    o["q_sentences"] = f"""
+      WITH {_TOKS}, {_SENTID}
+      SELECT t.doc_id, s.sent_id, count(*) AS n_toks,
+             arg_min(t.tok, t.pos) AS first_tok, arg_max(t.tok, t.pos) AS last_tok
+      FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+      GROUP BY t.doc_id, s.sent_id
+    """
+
+    o["q_context_windows"] = f"""
+      WITH {_TOKS}, {_SENTID},
+      sents AS (
+        SELECT t.doc_id, s.sent_id, count(*) AS n_toks,
+               arg_min(t.tok, t.pos) AS first_tok, arg_max(t.tok, t.pos) AS last_tok
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+        GROUP BY t.doc_id, s.sent_id
+      )
+      SELECT doc_id, sent_id, n_toks, first_tok, last_tok,
+             coalesce(lag(n_toks) OVER w, 0) AS left_1_n,
+             coalesce(lead(n_toks) OVER w, 0) AS right_1_n
+      FROM sents
+      WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)
+    """
+
+    o["q_mentions"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}
+      SELECT * FROM mentsent
+    """
+
+    o["q_mention_class_ratios"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}
+      SELECT tag, count(*) AS n,
+             round(count(*)::DOUBLE / sum(count(*)) OVER (), 6) AS ratio
+      FROM ment GROUP BY tag
+    """
+
+    o["q_tag_frequencies"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      tagpos AS (
+        SELECT doc_id, start_idx AS pos, 'B-' || tag AS tag FROM ment
+        UNION ALL
+        SELECT doc_id, end_idx, 'I-' || tag FROM ment WHERE end_idx > start_idx
+      ),
+      fulltags AS (
+        SELECT t.doc_id, t.pos, coalesce(tp.tag, 'O') AS tag
+        FROM toks t LEFT JOIN tagpos tp ON t.doc_id = tp.doc_id AND t.pos = tp.pos
+      ),
+      counts AS (SELECT tag, count(*) AS n FROM fulltags GROUP BY tag)
+      SELECT tag, n,
+             round(n::DOUBLE / sum(n) OVER (), 6) AS freq,
+             round(max(n) OVER ()::DOUBLE / n, 6) AS weight
+      FROM counts
+    """
+
+    o["q_ner_score"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      naive AS (
+        SELECT t.doc_id, s.sent_id, t.pos AS start_idx, t.pos AS end_idx,
+               CASE WHEN t.tok IN ({_PER}) THEN 'PER' ELSE 'LOC' END AS tag
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+        WHERE t.tok IN ({_UNI})
+      ),
+      matched AS (
+        SELECT count(*) AS n_match
+        FROM naive p JOIN mentsent g
+          ON p.doc_id = g.doc_id AND p.sent_id = g.sent_id
+         AND p.start_idx = g.start_idx AND p.end_idx = g.end_idx AND p.tag = g.tag
+      ),
+      np AS (SELECT count(*) AS n_pred FROM naive),
+      ng AS (SELECT count(*) AS n_gold FROM mentsent)
+      SELECT n_pred, n_gold, n_match,
+             round(n_match::DOUBLE / n_pred, 4) AS precision,
+             round(n_match::DOUBLE / n_gold, 4) AS recall,
+             round(2 * (n_match::DOUBLE / n_pred) * (n_match::DOUBLE / n_gold)
+                   / ((n_match::DOUBLE / n_pred) + (n_match::DOUBLE / n_gold)), 4) AS f1
+      FROM np, ng, matched
+    """
+
+    o["q_majority_voting"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      ent AS (
+        SELECT surface, count(*) AS n_entity FROM ment
+        WHERE start_idx = end_idx GROUP BY surface
+      ),
+      occ AS (
+        SELECT e.surface, count(*) AS n_occ
+        FROM toks t JOIN ent e ON t.tok = e.surface GROUP BY e.surface
+      )
+      SELECT e.surface, e.n_entity, o.n_occ - e.n_entity AS n_o,
+             CASE WHEN e.n_entity > o.n_occ - e.n_entity
+                  THEN 'ENTITY' ELSE 'O' END AS majority
+      FROM ent e JOIN occ o ON e.surface = o.surface
+    """
+
+    o["q_triples"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
+      SELECT s.doc_id, s.sent_id,
+             s.surface AS subj, s.tag AS subj_tag,
+             arg_min(p.tok, p.pos) AS pred,
+             o.surface AS obj, o.tag AS obj_tag,
+             s.start_idx AS subj_start, o.start_idx AS obj_start
+      FROM mentsent s
+      JOIN mentsent o
+        ON s.doc_id = o.doc_id AND s.sent_id = o.sent_id
+       AND o.start_idx > s.end_idx + 1
+       AND o.start_idx <= s.end_idx + 1 + {_GAP}
+      JOIN preds p
+        ON p.doc_id = s.doc_id AND p.pos > s.end_idx AND p.pos < o.start_idx
+      GROUP BY s.doc_id, s.sent_id, s.surface, s.tag, o.surface, o.tag,
+               s.start_idx, o.start_idx
+    """
+
+    o["q_entity_link"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      gaz(name, class, weight) AS (VALUES {_GAZ_VALUES})
+      SELECT m.surface AS entity, g.class,
+             count(*) AS n_mentions,
+             round(sum(g.weight / (1.0 + m.sent_id)), 4) AS total_score
+      FROM mentsent m JOIN gaz g ON m.surface = g.name
+      GROUP BY m.surface, g.class
+    """
+
+    o["q_canonical_cc"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach(src, dst) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+      )
+      SELECT src AS entity, min(dst) AS component FROM reach GROUP BY src
+    """
+
+    o["q_gazetteer_inject"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per_pos AS (SELECT doc_id, start_idx AS pos FROM ment WHERE tag = 'PER'),
+      newtoks AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN p.pos IS NOT NULL
+                    THEN ({_POOL})[((t.doc_id * 7 + t.pos * 31) % {_NPOOL}) + 1]
+                    ELSE t.tok END AS tok,
+               CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END AS replaced
+        FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
+      )
+      SELECT doc_id, sum(replaced) AS n_replaced,
+             string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM newtoks GROUP BY doc_id
+    """
+
+    o["q_augment_replace"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per_pos AS (SELECT doc_id, start_idx AS pos FROM ment WHERE tag = 'PER'),
+      newtoks AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN p.pos IS NOT NULL
+                    THEN ({_POOL})[((t.doc_id * 7 + t.pos * 31) % {_NPOOL}) + 1]
+                    ELSE t.tok END AS tok
+        FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
+      ),
+      injected AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+        FROM newtoks GROUP BY doc_id
+      )
+      SELECT d.doc_id, (d.doc_id % 100) < 50 AS augmented,
+             md5(CASE WHEN (d.doc_id % 100) < 50 THEN i.new_text ELSE d.text END) AS text_hash
+      FROM documents d JOIN injected i ON d.doc_id = i.doc_id
+    """
+
+    o["q_text_extract"] = f"""
+      WITH pages AS (
+        SELECT doc_id, text,
+               '{_HTML_PRE}' || source || ' ' || doc_id::VARCHAR ||
+               '{_HTML_MID}' || text || '{_HTML_POST}' AS h
+        FROM documents
+      ),
+      ext AS (
+        SELECT doc_id, text,
+               substr(h, strpos(h, '{_HTML_MID}') + {len(_HTML_MID)},
+                      strpos(h, '{_HTML_POST}')
+                      - (strpos(h, '{_HTML_MID}') + {len(_HTML_MID)})) AS extracted
+        FROM pages
+      )
+      SELECT doc_id, extracted = text AS ok, md5(extracted) AS content_hash FROM ext
+    """
+
+    o["q_dedup_exact"] = f"""
+      WITH {_CORPUS}
+      SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+      FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """
+
+    k = config.SHINGLE_K
+    o["q_minhash_lsh"] = f"""
+      WITH {_CORPUS},
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM ct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      mh AS (
+        SELECT doc_id, p, min(md5(p::VARCHAR || '|' || shingle)) AS h
+        FROM sh, unnest(range(0, {config.MINHASH_PERMS})) AS v(p)
+        GROUP BY doc_id, p
+      ),
+      bands AS (
+        SELECT doc_id, p // 2 AS band_id,
+               md5(string_agg(h, '|' ORDER BY p)) AS band_hash
+        FROM mh GROUP BY doc_id, p // 2
+      ),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.a, c.b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.a
+        JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b
+      )
+      SELECT i.a, i.b,
+             round(i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter), 4) AS jaccard
+      FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+      WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) >= {config.JACCARD_THRESHOLD}
+    """
+
+    o["q_simhash"] = """
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      ),
+      bitsum AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN substr(md5(tok), j + 1, 1) IN
+                        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        FROM dt, unnest(range(0, 16)) AS u(j)
+        GROUP BY doc_id, j
+      )
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS fingerprint
+      FROM bitsum GROUP BY doc_id
+    """
+
+    _ann_core = f"""
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({_QIDS})),
+      pairs AS (
+        SELECT q.qid, v.vec_id, q.qe, v.embedding AS ve
+        FROM q, embeddings v WHERE v.vec_id != q.qid
+      ),
+      dots AS (
+        SELECT qid, vec_id,
+               sum(qe[i]::DOUBLE * ve[i]::DOUBLE) AS dot,
+               sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS qn,
+               sum(ve[i]::DOUBLE * ve[i]::DOUBLE) AS vn
+        FROM pairs, unnest(range(1, len(qe) + 1)) AS u(i)
+        GROUP BY qid, vec_id
+      ),
+      scored AS (SELECT qid, vec_id, dot / (sqrt(qn) * sqrt(vn)) AS raw FROM dots)
+    """
+
+    o["q_ann_topk"] = f"""
+      WITH {_ann_core}
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rank,
+             round(raw, 4) AS score
+      FROM scored
+      QUALIFY rank <= {config.ANN_TOP_K}
+    """
+
+    cell = lambda col: " || ".join(  # noqa: E731
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(config.IVF_SIGN_DIMS)
+    )
+    o["q_ann_ivf"] = f"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe, {cell('embedding')} AS qcell
+                 FROM embeddings WHERE vec_id IN ({_QIDS})),
+      pairs AS (
+        SELECT q.qid, v.vec_id, q.qe, v.embedding AS ve
+        FROM q JOIN embeddings v
+          ON {cell('v.embedding')} = q.qcell AND v.vec_id != q.qid
+      ),
+      dots AS (
+        SELECT qid, vec_id,
+               sum(qe[i]::DOUBLE * ve[i]::DOUBLE) AS dot,
+               sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS qn,
+               sum(ve[i]::DOUBLE * ve[i]::DOUBLE) AS vn
+        FROM pairs, unnest(range(1, len(qe) + 1)) AS u(i)
+        GROUP BY qid, vec_id
+      ),
+      scored AS (SELECT qid, vec_id, dot / (sqrt(qn) * sqrt(vn)) AS raw FROM dots)
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rank,
+             round(raw, 4) AS score
+      FROM scored
+      QUALIFY rank <= {config.ANN_TOP_K}
+    """
+
+    o["q_cosine_threshold"] = f"""
+      WITH {_ann_core}
+      SELECT qid AS query_id, vec_id, round(raw, 4) AS score
+      FROM scored WHERE raw >= {config.COSINE_THRESHOLD}
+    """
+
+    o["q_quality"] = f"""
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_distinct(t)) AS n_distinct,
+             round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
+             round(len(list_filter(t, x -> x IN ({_STOP})))::DOUBLE / len(t), 4) AS stop_ratio,
+             round((length(text) - (len(t) - 1))::DOUBLE / len(t), 4) AS avg_word_len
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    """
+
+    o["q_langid"] = """
+      WITH bg AS (
+        SELECT doc_id, lang, substr(text, i, 2) AS bigram
+        FROM documents, unnest(range(1, length(text))) AS u(i)
+      ),
+      profile AS (SELECT lang AS p_lang, bigram, count(*) AS votes FROM bg GROUP BY 1, 2),
+      docbg AS (SELECT doc_id, lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT d.doc_id, d.lang, p.p_lang, sum(d.n * p.votes) AS score
+        FROM docbg d JOIN profile p ON d.bigram = p.bigram
+        GROUP BY d.doc_id, d.lang, p.p_lang
+      )
+      SELECT doc_id, lang, p_lang AS pred_lang
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, p_lang) AS rn
+            FROM scored)
+      WHERE rn = 1
+    """
+
+    o["q_token_counts"] = """
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS ws_tokens,
+             length(text) AS n_chars,
+             greatest(1, ceil(length(text)::DOUBLE / 4))::BIGINT AS bpe_estimate
+      FROM documents
+    """
+
+    o["q_fingerprints"] = """
+      SELECT doc_id, md5(text) AS content_hash,
+             t[1] || '|' || t[len(t)] || '|' ||
+             floor(log2(length(text)::DOUBLE))::BIGINT::VARCHAR AS locality_key
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    """
+
+    o["q_tpch_pricing"] = """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """
+
+    o["q_revenue_by_nation"] = """
+      SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    """
+
+    o["q_top_parts"] = """
+      SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice, rn
+      FROM (SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+      WHERE rn <= 3
+    """
+
+    o["q_events_window"] = """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    """
+
+    o["q_events_sessions"] = """
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+      )
+      SELECT user_id, count(*) AS n_events,
+             1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0) AS n_sessions
+      FROM g GROUP BY user_id
+    """
+
+    return o

@@ -63,7 +63,7 @@ LSH_BANDS = 4          # 4 bands x 2 rows
 JACCARD_THRESHOLD = 0.5
 
 # --- similarity search --------------------------------------------------
-COSINE_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.25  # synthetic 64-dim embeddings: max pairwise cosine ≈ 0.4
 ANN_TOP_K = 10
 IVF_SIGN_DIMS = 4      # coarse cell = sign bits of first 4 dims
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import config
-from .mentions import with_bio, _tok
+from .mentions import with_bio, _tok, _covered
 
 
 def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFrame:
@@ -42,9 +42,9 @@ def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFram
     seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    is_per = lambda i: F.array_contains(F.col("uni_hits"), i) & _tok(i).isin(  # noqa: E731
-        config.PER_WORDS
-    )
+    # O(1) per-position predicate (see mentions._is_big_start: lambda
+    # bodies must not reference computed array columns)
+    is_per = lambda i: _tok(i).isin(config.PER_WORDS) & ~_covered(i, n)  # noqa: E731
     pool_arr = F.array(*[F.lit(p) for p in pool])
     repl = lambda i: F.element_at(  # noqa: E731
         pool_arr,

@@ -60,13 +60,33 @@ def sent_id_at(pos: Column) -> Column:
     ).cast("long")
 
 
+def _is_big_start(i: Column) -> Column:
+    """O(1) predicate: a gazetteer bigram starts at position i.
+
+    Because ORG_BIGRAMS' first-word and second-word sets are disjoint
+    (config.py invariant), bigram matches can never overlap — so
+    "position claimed by a bigram" reduces to "a bigram starts at i or at
+    i-1", with no materialized position set.  This keeps every per-position
+    check O(1); Catalyst does NOT common-subexpression-eliminate inside
+    lambda functions, so referencing a computed array column from within a
+    ``transform`` lambda re-evaluates the whole array per element (O(n³)
+    per doc — measured 100×+ slowdown before this formulation)."""
+    return (i >= 0) & _bigram(i).isin(config.ORG_BIGRAMS)
+
+
+def _covered(i: Column, n: Column) -> Column:
+    at_i = (i <= n - 2) & _is_big_start(i)
+    at_prev = (i >= 1) & _is_big_start(i - F.lit(1))
+    return at_i | at_prev
+
+
 def with_bio(docs: DataFrame) -> DataFrame:
     """Adds ``tokens``, match-position arrays and a full per-doc BIO
-    ``tags`` array.  All narrow expressions.
+    ``tags`` array.  All narrow expressions, O(n) per document.
 
     Columns added: tokens, n_tokens, big_starts (0-based start positions
-    of bigram gazetteer hits), covered (positions claimed by bigrams),
-    uni_hits (unigram hit positions after longest-match suppression), tags.
+    of bigram gazetteer hits), uni_hits (unigram hit positions after
+    longest-match suppression), tags.
     """
     df = with_tokens(docs)
     n = F.col("n_tokens")
@@ -78,37 +98,23 @@ def with_bio(docs: DataFrame) -> DataFrame:
         F.array().cast("array<int>")
     )
 
-    df = df.withColumn(
-        "big_starts", F.filter(seq2, lambda i: _bigram(i).isin(config.ORG_BIGRAMS))
-    )
-    df = df.withColumn(
-        "covered",
-        F.flatten(
-            F.transform(F.col("big_starts"), lambda i: F.array(i, i + F.lit(1)))
-        ),
-    )
+    df = df.withColumn("big_starts", F.filter(seq2, _is_big_start))
     uni_words = config.PER_WORDS + config.LOC_WORDS
     df = df.withColumn(
         "uni_hits",
-        F.filter(
-            seq1,
-            lambda i: _tok(i).isin(uni_words)
-            & ~F.array_contains(F.col("covered"), i),
-        ),
+        F.filter(seq1, lambda i: _tok(i).isin(uni_words) & ~_covered(i, n)),
     )
     df = df.withColumn(
         "tags",
         F.transform(
             seq1,
-            lambda i: F.when(F.array_contains(F.col("big_starts"), i), F.lit("B-ORG"))
-            .when(F.array_contains(F.col("covered"), i), F.lit("I-ORG"))
+            lambda i: F.when((i <= n - 2) & _is_big_start(i), F.lit("B-ORG"))
+            .when((i >= 1) & _is_big_start(i - F.lit(1)), F.lit("I-ORG"))
             .when(
-                F.array_contains(F.col("uni_hits"), i) & _tok(i).isin(config.PER_WORDS),
-                F.lit("B-PER"),
+                _tok(i).isin(config.PER_WORDS) & ~_covered(i, n), F.lit("B-PER")
             )
             .when(
-                F.array_contains(F.col("uni_hits"), i) & _tok(i).isin(config.LOC_WORDS),
-                F.lit("B-LOC"),
+                _tok(i).isin(config.LOC_WORDS) & ~_covered(i, n), F.lit("B-LOC")
             )
             .otherwise(F.lit("O")),
         ),

@@ -1,0 +1,98 @@
+"""Structured-Streaming front-end.
+
+The reference is fully batch (SURVEY.md §2.11); the engine is
+batch-first but stream-ready: the same narrow mention-detection
+expressions run unchanged under ``readStream`` because they are stateless
+per row.  ``Trigger.AvailableNow`` turns a parquet/Iceberg table into an
+incremental catch-up run with checkpointed progress — the streaming
+counterpart of the per-partition manifest resume in plans/pipeline.py.
+
+* ``incremental_event_counts`` — watermarked windowed aggregation over the
+  driver's ``events`` table (late data tolerated up to the watermark);
+* ``incremental_mentions`` — the KG mention stage as a streaming map
+  (stateless ⇒ append mode, no state store).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import mentions
+
+
+def _read_stream(spark: SparkSession, path: str, schema):
+    """File-stream source for either a directory or a single parquet file
+    (the file source requires ``basePath`` to be a directory)."""
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        # the file-stream source only accepts directories: stream the
+        # parent dir restricted to this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def incremental_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Run a watermarked windowed count over the events parquet dir to
+    completion (AvailableNow) and return the result as a batch DataFrame
+    read back from the sink."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = _read_stream(spark, events_dir, schema)
+    # watermarks require TIMESTAMP (LTZ); the table stores NTZ and the
+    # session TZ is pinned UTC, so the cast preserves wall-clock values
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_event_counts")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM incr_event_counts")
+
+
+def incremental_mentions(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> int:
+    """Stream the documents table through the (stateless) mention detector
+    into a parquet sink with exactly-once file semantics; returns rows
+    written.  Re-running with the same checkpoint is a no-op — the
+    streaming analogue of manifest-based resume."""
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+    m = mentions.mentions_df(stream)
+    q = (
+        m.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()

@@ -1,0 +1,42 @@
+"""Structured-Streaming front-end: AvailableNow incremental runs."""
+
+import pyspark.sql.functions as F
+
+from ddaugner_spark.streaming import incremental_event_counts, incremental_mentions
+from ddaugner_spark.operators import mentions
+
+
+def test_incremental_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Append-mode semantics: a window emits only once the watermark has
+    passed its end, so the streaming result must equal the batch result
+    restricted to windows closed at (max_ts - watermark); the last open
+    windows stay in state — exactly the late-data contract."""
+    out = incremental_event_counts(
+        spark, f"{sf_dir}/events.parquet", str(tmp_path / "ckpt"),
+        window="10 minutes", watermark="30 minutes",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .filter(
+            F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES")
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert want and got == want
+
+
+def test_incremental_mentions_idempotent(spark, sf_dir, tmp_path):
+    ckpt, out = str(tmp_path / "ck2"), str(tmp_path / "m_out")
+    n1 = incremental_mentions(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    batch = mentions.mentions_df(spark.read.parquet(f"{sf_dir}/documents.parquet")).count()
+    assert n1 == batch
+    # second run with same checkpoint: no new input → same row count
+    n2 = incremental_mentions(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    assert n2 == n1
