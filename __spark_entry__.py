@@ -30,9 +30,11 @@ from ddaugner_spark.operators import (
     dedup,
     linking,
     mentions,
+    overlap,
     scoring,
     sentences,
     similarity,
+    tagging,
     textstats,
     triples,
 )
@@ -92,6 +94,12 @@ def q_mentions(spark, sf):
     return mentions.mentions_df(_docs(spark, sf))
 
 
+def q_mentions_udf(spark, sf):
+    """Arrow-batched tagging path (M1) — must equal the codegen path, so
+    it shares q_mentions' oracle."""
+    return tagging.mentions_udf(_docs(spark, sf))
+
+
 def q_mention_class_ratios(spark, sf):
     return scoring.class_counts(mentions.mentions_df(_docs(spark, sf)))
 
@@ -136,6 +144,35 @@ def q_gazetteer_inject(spark, sf):
 def q_augment_replace(spark, sf):
     out = augment.augment_replace(_docs(spark, sf))
     return out.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
+
+
+def q_augment_standard(spark, sf):
+    out = augment.augment_standard(_docs(spark, sf))
+    return out.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
+
+
+def q_balance_upsample(spark, sf):
+    """R8/A7 — not SQL-expressible (driver-side linear solve): the driver
+    records a rows-only check; the ratio-restoration law is pytest-pinned
+    (tests/test_augment.py)."""
+    corpus, _ = augment.balance_upsample(_docs(spark, sf))
+    return corpus.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
+
+
+def q_overlap(spark, sf):
+    target = gazetteer_df(spark).select("name")
+    vocab = (
+        mentions.with_tokens(_docs(spark, sf))
+        .select(F.explode("tokens").alias("name"))
+        .distinct()
+    )
+    return overlap.overlap_subsets(target, vocab)
+
+
+def q_context_features(spark, sf):
+    return sentences.context_features(_docs(spark, sf), k=1).select(
+        "doc_id", "sent_id", "n_ctx", "n_center"
+    )
 
 
 def q_text_extract(spark, sf):
@@ -266,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentences": q_sentences,
         "q_context_windows": q_context_windows,
         "q_mentions": q_mentions,
+        "q_mentions_udf": q_mentions_udf,
         "q_mention_class_ratios": q_mention_class_ratios,
         "q_tag_frequencies": q_tag_frequencies,
         "q_ner_score": q_ner_score,
@@ -275,6 +313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_cc": q_canonical_cc,
         "q_gazetteer_inject": q_gazetteer_inject,
         "q_augment_replace": q_augment_replace,
+        "q_augment_standard": q_augment_standard,
+        "q_balance_upsample": q_balance_upsample,
+        "q_overlap": q_overlap,
+        "q_context_features": q_context_features,
         "q_text_extract": q_text_extract,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
@@ -404,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT}
       SELECT * FROM mentsent
     """
+    o["q_mentions_udf"] = o["q_mentions"]
 
     o["q_mention_class_ratios"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT}
@@ -548,6 +591,74 @@ def oracle_sql() -> dict[str, str]:
       SELECT d.doc_id, (d.doc_id % 100) < 50 AS augmented,
              md5(CASE WHEN (d.doc_id % 100) < 50 THEN i.new_text ELSE d.text END) AS text_hash
       FROM documents d JOIN injected i ON d.doc_id = i.doc_id
+    """
+
+    o["q_augment_standard"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per_pos AS (SELECT doc_id, start_idx AS pos FROM ment WHERE tag = 'PER'),
+      newtoks AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN p.pos IS NOT NULL
+                    THEN ({_POOL})[((t.doc_id * 7 + t.pos * 31) % {_NPOOL}) + 1]
+                    ELSE t.tok END AS tok
+        FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
+      ),
+      injected AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+        FROM newtoks GROUP BY doc_id
+      )
+      SELECT doc_id, false AS augmented, md5(text) AS text_hash FROM documents
+      UNION ALL
+      SELECT d.doc_id + 5000000, true, md5(i.new_text)
+      FROM documents d JOIN injected i ON d.doc_id = i.doc_id
+      WHERE d.doc_id % 100 < 20
+    """
+
+    o["q_overlap"] = f"""
+      WITH gaz(name) AS (VALUES {", ".join(f"('{n}')" for n, _, _ in config.GAZETTEER)}),
+      vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS name FROM documents
+      ),
+      exact AS (SELECT g.name FROM gaz g JOIN vocab v ON g.name = v.name),
+      rest AS (SELECT name FROM gaz EXCEPT SELECT name FROM exact),
+      tsub AS (
+        SELECT r.name, s.sub
+        FROM rest r,
+             unnest(list_distinct(string_split(r.name, ' ') ||
+                    list_transform(string_split(r.name, ' '), w -> substr(w, 1, 3)))) AS s(sub)
+        WHERE s.sub NOT IN ({_STOP})
+      ),
+      osub AS (
+        SELECT DISTINCT s.sub
+        FROM vocab v,
+             unnest(list_distinct(string_split(v.name, ' ') ||
+                    list_transform(string_split(v.name, ' '), w -> substr(w, 1, 3)))) AS s(sub)
+        WHERE s.sub NOT IN ({_STOP})
+      ),
+      part AS (SELECT DISTINCT t.name FROM tsub t JOIN osub o ON t.sub = o.sub),
+      nt AS (SELECT count(*) AS n_target FROM gaz),
+      ne AS (SELECT count(*) AS n_exact FROM exact),
+      np AS (SELECT count(*) AS n_partial FROM part)
+      SELECT n_target, n_exact, n_partial,
+             n_target - n_exact - n_partial AS n_new,
+             round(n_exact::DOUBLE / n_target, 4) AS exact_ratio,
+             round(n_partial::DOUBLE / n_target, 4) AS partial_ratio,
+             round((n_target - n_exact - n_partial)::DOUBLE / n_target, 4) AS new_ratio
+      FROM nt, ne, np
+    """
+
+    o["q_context_features"] = f"""
+      WITH {_TOKS}, {_SENTID},
+      sents AS (
+        SELECT t.doc_id, s.sent_id, count(*) AS n
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+        GROUP BY t.doc_id, s.sent_id
+      )
+      SELECT doc_id, sent_id,
+             coalesce(lag(n) OVER w, 0) + n + coalesce(lead(n) OVER w, 0) AS n_ctx,
+             n AS n_center
+      FROM sents
+      WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)
     """
 
     o["q_text_extract"] = f"""

@@ -10,6 +10,7 @@ from . import (
     textstats,
     augment,
     multimodal,
+    tagging,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "textstats",
     "augment",
     "multimodal",
+    "tagging",
 ]

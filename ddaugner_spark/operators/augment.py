@@ -71,6 +71,103 @@ def capitalization_augment(docs: DataFrame) -> DataFrame:
     )
 
 
+def augment_standard(docs: DataFrame, freq: float = 0.2, modulus: int = 100) -> DataFrame:
+    """_augment 'standard' (conll.py:16-57): append newly-created
+    augmented examples until |new| ≥ |corpus|·freq, keeping originals.
+
+    The reference rejection-samples random sentences (unseeded random,
+    conll.py:47); deterministically: docs with pmod(doc_id, modulus) <
+    modulus·freq contribute one injected copy with id offset 5_000_000.
+    Returns the union corpus with an ``augmented`` flag."""
+    k = int(modulus * freq)
+    selected = docs.filter(F.pmod(F.col("doc_id"), F.lit(modulus)) < k)
+    new = inject_gazetteer(selected).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.col("new_text").alias("text"),
+        F.lit(True).alias("augmented"),
+    )
+    return docs.select(
+        "doc_id", "text", F.lit(False).alias("augmented")
+    ).unionByName(new)
+
+
+def balance_upsample(docs: DataFrame, modulus: int = 100, freq: float = 0.2):
+    """_augment_balance (conll.py:60-175): after standard augmentation,
+    upsample mentions of under-represented classes so post-augmentation
+    class ratios return to the pre-augmentation ratios.
+
+    The reference solves a c×c linear system with scipy
+    (conll.py:149-154); here the same solve runs driver-side with numpy
+    over two tiny aggregates (c ≤ 4 classes) — the only driver-side math
+    in the engine, on O(c) data.  Upsampling duplicates augmented docs
+    containing the deficit class (weighted resample join,
+    conll.py:163-174 analogue).  Returns (corpus, per-class diagnostics).
+    """
+    import numpy as np
+
+    from .mentions import mentions_df
+
+    aug = augment_standard(docs, freq=freq, modulus=modulus)
+
+    pre = {
+        r["tag"]: r["n"]
+        for r in mentions_df(docs).groupBy("tag").agg(F.count("*").alias("n")).collect()
+    }
+    post = {
+        r["tag"]: r["n"]
+        for r in mentions_df(aug).groupBy("tag").agg(F.count("*").alias("n")).collect()
+    }
+    classes = sorted(pre)
+    c = len(classes)
+    pre_total = sum(pre.values())
+    post_counts = np.array([post.get(t, 0) for t in classes], dtype=float)
+    ratios = np.array([pre[t] / pre_total for t in classes])
+    # solve for additions n_i ≥ 0 with (post_i + n_i) / (T + Σn) = ratio_i
+    # (conll.py:83-116 derivation): (I - ratios·1ᵀ)·n = ratio·T - post
+    T = post_counts.sum()
+    A = np.eye(c) - np.outer(ratios, np.ones(c))
+    b = ratios * T - post_counts
+    # the system is rank c-1 (ratios sum to 1); pin the largest class to 0
+    # additions, as the reference masks out majority classes (conll.py:163)
+    pin = int(np.argmax(post_counts - ratios * T))
+    A[pin, :] = 0.0
+    A[pin, pin] = 1.0
+    b[pin] = 0.0
+    additions = np.maximum(np.linalg.solve(A, b), 0.0)
+    plan = {t: int(round(n)) for t, n in zip(classes, additions)}
+
+    # upsample: duplicate docs (prefix by doc_id, cumulative mention count
+    # ≤ plan) so each deficit class gains ≈ its planned additions
+    from pyspark.sql import Window
+
+    corpus = aug
+    offset = 20_000_000
+    m_aug = mentions_df(aug)
+    for t, need in plan.items():
+        if need <= 0:
+            continue
+        per_doc = (
+            m_aug.filter(F.col("tag") == t)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        chosen = per_doc.withColumn("cum", F.sum("cnt").over(w)).filter(
+            F.col("cum") - F.col("cnt") < need
+        )
+        dup = (
+            corpus.join(chosen.select("doc_id"), "doc_id")
+            .select(
+                (F.col("doc_id") + offset).alias("doc_id"),
+                "text",
+                F.lit(True).alias("augmented"),
+            )
+        )
+        corpus = corpus.unionByName(dup)
+        offset += 10_000_000
+    return corpus, {"pre": pre, "post": post, "additions": plan}
+
+
 def augment_replace(docs: DataFrame, ratio: float = 0.5, modulus: int = 100) -> DataFrame:
     """_augment_replace (conll.py:178-236): overwrite a deterministic
     ``ratio`` of rows with their injected version, keep the rest.

@@ -56,6 +56,45 @@ def sentences_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def context_features(docs: DataFrame, k: int = 1, id_col: str = "doc_id") -> DataFrame:
+    """M2 featurization shape (datas.py:228-283): per sentence, the
+    concatenation left_ctx ++ center ++ right_ctx with a 0/1 center mask.
+
+    Returns (doc_id, sent_id, ctx_tokens array<string>, center_mask
+    array<int>, n_ctx, n_center).  ``None`` neighbors at document edges
+    contribute empty context (datas.py:47-49 padding)."""
+    toks = tokens_long(docs, id_col)
+    sent_toks = toks.groupBy("doc_id", "sent_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("pt")
+    ).select(
+        "doc_id", "sent_id", F.transform("pt", lambda x: x["tok"]).alias("stoks")
+    )
+    w = Window.partitionBy("doc_id").orderBy("sent_id")
+    empty = F.array().cast("array<string>")
+    # ±k neighbors each contribute their full token list, nearest-last on
+    # the left / nearest-first on the right (datas.py:254-271 concat order)
+    left = F.concat(
+        *[F.coalesce(F.lag("stoks", d).over(w), empty) for d in range(k, 0, -1)]
+    )
+    right = F.concat(
+        *[F.coalesce(F.lead("stoks", d).over(w), empty) for d in range(1, k + 1)]
+    )
+    out = sent_toks.select(
+        "doc_id",
+        "sent_id",
+        F.concat(left, F.col("stoks"), right).alias("ctx_tokens"),
+        F.concat(
+            F.transform(left, lambda _: F.lit(0)),
+            F.transform(F.col("stoks"), lambda _: F.lit(1)),
+            F.transform(right, lambda _: F.lit(0)),
+        ).alias("center_mask"),
+    )
+    return out.withColumn("n_ctx", F.size("ctx_tokens").cast("long")).withColumn(
+        "n_center",
+        F.size(F.filter("center_mask", lambda m: m == 1)).cast("long"),
+    )
+
+
 def context_windows(sentences: DataFrame, k: int = 1) -> DataFrame:
     """Attach neighbor-sentence sizes as context (W1, k=±1 by default).
 
