@@ -115,6 +115,32 @@ def q_ner_score(spark, sf):
     )
 
 
+def q_prediction_errors(spark, sf):
+    d = _docs(spark, sf)
+    return scoring.prediction_errors(
+        mentions.naive_mentions_df(d), mentions.mentions_df(d)
+    )
+
+
+def q_per_lang_scores(spark, sf):
+    d = _docs(spark, sf)
+    langs = d.select("doc_id", "lang")
+    pred = mentions.naive_mentions_df(d).join(langs, "doc_id")
+    gold = mentions.mentions_df(d).join(langs, "doc_id")
+    return scoring.per_group_scores(pred, gold, "lang")
+
+
+def q_mention_setops(spark, sf):
+    d = _docs(spark, sf)
+    return scoring.mention_set_ops(
+        mentions.naive_mentions_df(d), mentions.mentions_df(d)
+    )
+
+
+def q_capitalization(spark, sf):
+    return augment.capitalization_augment(_docs(spark, sf))
+
+
 def q_majority_voting(spark, sf):
     d = _docs(spark, sf)
     return scoring.majority_voting_table(
@@ -308,6 +334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tag_frequencies": q_tag_frequencies,
         "q_ner_score": q_ner_score,
         "q_majority_voting": q_majority_voting,
+        "q_prediction_errors": q_prediction_errors,
+        "q_per_lang_scores": q_per_lang_scores,
+        "q_mention_setops": q_mention_setops,
+        "q_capitalization": q_capitalization,
         "q_triples": q_triples,
         "q_entity_link": q_entity_link,
         "q_canonical_cc": q_canonical_cc,
@@ -495,6 +525,67 @@ def oracle_sql() -> dict[str, str]:
              round(2 * (n_match::DOUBLE / n_pred) * (n_match::DOUBLE / n_gold)
                    / ((n_match::DOUBLE / n_pred) + (n_match::DOUBLE / n_gold)), 4) AS f1
       FROM np, ng, matched
+    """
+
+    _NAIVE = f"""
+      naive AS (
+        SELECT t.doc_id, s.sent_id, t.pos AS start_idx, t.pos AS end_idx,
+               t.tok AS surface,
+               CASE WHEN t.tok IN ({_PER}) THEN 'PER' ELSE 'LOC' END AS tag
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+        WHERE t.tok IN ({_UNI})
+      )"""
+
+    o["q_prediction_errors"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE}
+      SELECT p.surface, 'false_positive' AS kind, count(*) AS n
+      FROM naive p LEFT JOIN mentsent g
+        ON p.doc_id = g.doc_id AND p.sent_id = g.sent_id
+       AND p.start_idx = g.start_idx AND p.end_idx = g.end_idx AND p.tag = g.tag
+      WHERE g.doc_id IS NULL GROUP BY p.surface
+      UNION ALL
+      SELECT g.surface, 'false_negative' AS kind, count(*) AS n
+      FROM mentsent g LEFT JOIN naive p
+        ON p.doc_id = g.doc_id AND p.sent_id = g.sent_id
+       AND p.start_idx = g.start_idx AND p.end_idx = g.end_idx AND p.tag = g.tag
+      WHERE p.doc_id IS NULL GROUP BY g.surface
+    """
+
+    o["q_per_lang_scores"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE},
+      pl AS (SELECT n.*, d.lang FROM naive n JOIN documents d ON n.doc_id = d.doc_id),
+      gl AS (SELECT m.*, d.lang FROM mentsent m JOIN documents d ON m.doc_id = d.doc_id),
+      np AS (SELECT lang, count(*) AS n_pred FROM pl GROUP BY lang),
+      ng AS (SELECT lang, count(*) AS n_gold FROM gl GROUP BY lang),
+      nm AS (
+        SELECT p.lang, count(*) AS n_match
+        FROM pl p JOIN gl g
+          ON p.doc_id = g.doc_id AND p.sent_id = g.sent_id
+         AND p.start_idx = g.start_idx AND p.end_idx = g.end_idx AND p.tag = g.tag
+        GROUP BY p.lang
+      )
+      SELECT np.lang, n_pred, n_gold, coalesce(n_match, 0) AS n_match,
+             round(coalesce(n_match, 0)::DOUBLE / n_pred, 4) AS precision,
+             round(coalesce(n_match, 0)::DOUBLE / n_gold, 4) AS recall,
+             round(2 * (coalesce(n_match,0)::DOUBLE / n_pred) * (coalesce(n_match,0)::DOUBLE / n_gold)
+                   / ((coalesce(n_match,0)::DOUBLE / n_pred) + (coalesce(n_match,0)::DOUBLE / n_gold)), 4) AS f1
+      FROM np JOIN ng USING (lang) LEFT JOIN nm USING (lang)
+    """
+
+    o["q_mention_setops"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE},
+      ka AS (SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, tag FROM naive),
+      kb AS (SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, tag FROM mentsent)
+      SELECT *, 'both' AS membership FROM (SELECT * FROM ka INTERSECT SELECT * FROM kb)
+      UNION ALL
+      SELECT *, 'only_a' FROM (SELECT * FROM ka EXCEPT SELECT * FROM kb)
+      UNION ALL
+      SELECT *, 'only_b' FROM (SELECT * FROM kb EXCEPT SELECT * FROM ka)
+    """
+
+    o["q_capitalization"] = """
+      SELECT doc_id, upper(text) AS new_text, upper(text) != text AS changed
+      FROM documents
     """
 
     o["q_majority_voting"] = f"""

@@ -101,6 +101,67 @@ def class_counts(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
     )
 
 
+def prediction_errors(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """A6 (ner_utils.py:7-39): histogram of error surfaces.
+    false_positives: predicted spans not in gold; false_negatives: gold
+    spans not predicted; counted per ``" ".join(tokens)`` surface.
+    Returns (surface, kind, n)."""
+    fp = (
+        pred.join(gold, on=SPAN_KEY, how="left_anti")
+        .groupBy("surface")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("false_positive"))
+    )
+    fn = (
+        gold.join(pred, on=SPAN_KEY, how="left_anti")
+        .groupBy("surface")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("false_negative"))
+    )
+    return fp.unionByName(fn).select("surface", "kind", "n")
+
+
+def per_group_scores(
+    pred: DataFrame, gold: DataFrame, group_col: str, ndigits: int = 4
+) -> DataFrame:
+    """A9 (extract_metrics.py:61-95 / original_vs_fixed_ner.py:31-43):
+    per-group (book/lang/…) entity-level P/R/F1, computed with a single
+    grouped aggregation instead of a Python loop over groups."""
+    p = pred.select(group_col, *SPAN_KEY).distinct()
+    g = gold.select(group_col, *SPAN_KEY).distinct()
+    matched = p.join(g, on=[group_col] + SPAN_KEY, how="inner")
+
+    np_ = p.groupBy(group_col).agg(F.count("*").alias("n_pred"))
+    ng = g.groupBy(group_col).agg(F.count("*").alias("n_gold"))
+    nm = matched.groupBy(group_col).agg(F.count("*").alias("n_match"))
+    j = np_.join(ng, group_col, "full").join(nm, group_col, "full").fillna(
+        0, subset=["n_pred", "n_gold", "n_match"]
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_match") / F.col("n_pred"))
+    rec = F.when(F.col("n_gold") > 0, F.col("n_match") / F.col("n_gold"))
+    return j.select(
+        group_col,
+        "n_pred",
+        "n_gold",
+        "n_match",
+        F.round(prec, ndigits).alias("precision"),
+        F.round(rec, ndigits).alias("recall"),
+        F.round(F.when((prec + rec) > 0, 2 * prec * rec / (prec + rec)), ndigits).alias("f1"),
+    )
+
+
+def mention_set_ops(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A10/U2/U3 (tes_specific_errors.py:57-83): entity-set algebra over
+    two mention tables.  Returns (doc_id, sent_id, start_idx, end_idx,
+    tag, membership) with membership ∈ {both, only_a, only_b}."""
+    ka = a.select(*SPAN_KEY).distinct()
+    kb = b.select(*SPAN_KEY).distinct()
+    both = ka.intersect(kb).withColumn("membership", F.lit("both"))
+    only_a = ka.exceptAll(kb).withColumn("membership", F.lit("only_a"))
+    only_b = kb.exceptAll(ka).withColumn("membership", F.lit("only_b"))
+    return both.unionByName(only_a).unionByName(only_b)
+
+
 def majority_voting_table(mentions: DataFrame, tokens_long: DataFrame) -> DataFrame:
     """Corpus-level majority voting (utils.py:81-108 lifted to a groupBy):
     for each mention surface, count occurrences tagged as entities vs its
