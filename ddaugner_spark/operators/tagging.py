@@ -144,6 +144,48 @@ def mentions_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return docs.select(F.col(id_col), F.col("text")).mapInPandas(run, MENTION_SCHEMA)
 
 
+TAGGED_MENTION_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sent_id", LongType()),
+        StructField("start_idx", LongType()),
+        StructField("end_idx", LongType()),
+        StructField("surface", StringType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+
+def mentions_from_tagged(tagged: DataFrame) -> DataFrame:
+    """Decode mention spans from an already-tagged sentence table
+    (doc_id, sent_id, tokens array, tags array) — the consumption path
+    for model-produced BIO tags (W3 at corpus scale).
+
+    Runs the pure kernel (utils.py:111-166 semantics, including
+    inconsistent I- starts) inside an Arrow batch pass; start/end are
+    sentence-local token positions, matching the reference's
+    per-sentence NEREntity convention (utils.py:19-22)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in TAGGED_MENTION_SCHEMA.fields}
+            for doc_id, sent_id, toks, tags in zip(
+                pdf["doc_id"], pdf["sent_id"], pdf["tokens"], pdf["tags"]
+            ):
+                for e in entities_from_bio_tags(list(toks), list(tags)):
+                    out["doc_id"].append(int(doc_id))
+                    out["sent_id"].append(int(sent_id))
+                    out["start_idx"].append(e.start_idx)
+                    out["end_idx"].append(e.end_idx)
+                    out["surface"].append(e.surface)
+                    out["tag"].append(e.tag)
+            yield pd.DataFrame(out)
+
+    return tagged.select("doc_id", "sent_id", "tokens", "tags").mapInPandas(
+        run, TAGGED_MENTION_SCHEMA
+    )
+
+
 def merge_tag_sources(model_tagged: DataFrame, dict_tagged: DataFrame) -> DataFrame:
     """Merge model tags with dictionary tags per position: dictionary
     evidence wins where it says non-'O' (fix_ner.py rule precedence);

@@ -58,17 +58,12 @@ def preds_by_sentence(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def triples_df(
-    docs: DataFrame, id_col: str = "doc_id", mentions_table: DataFrame | None = None
+def triples_from_mentions(
+    m: DataFrame, preds_by_sent: DataFrame, max_gap: int = config.TRIPLE_MAX_GAP
 ) -> DataFrame:
-    """(doc_id, sent_id, subj, subj_tag, pred, obj, obj_tag,
-    subj_start, obj_start) triple rows.
-
-    ``mentions_table``: pass an already-materialized mention DataFrame
-    (e.g. the checkpointed output of the pipeline's mention stage) to
-    avoid recomputing the narrow mention pass for each join side — at
-    100 TB that halves the scan work of this stage."""
-    m = mentions_table if mentions_table is not None else mentions_df(docs, id_col)
+    """The join core: mention self-join + per-sentence predicate lookup.
+    ``m``: mention rows (doc_id, sent_id, start_idx, end_idx, surface,
+    tag); ``preds_by_sent``: (doc_id, sent_id, preds array<struct<pos,tok>>)."""
     subj = m.alias("s")
     obj = m.alias("o")
 
@@ -78,7 +73,7 @@ def triples_df(
             F.col("s.doc_id") == F.col("o.doc_id"),
             F.col("s.sent_id") == F.col("o.sent_id"),
             F.col("o.start_idx") > F.col("s.end_idx") + 1,
-            F.col("o.start_idx") <= F.col("s.end_idx") + 1 + config.TRIPLE_MAX_GAP,
+            F.col("o.start_idx") <= F.col("s.end_idx") + 1 + max_gap,
         ],
     ).select(
         F.col("s.doc_id").alias("doc_id"),
@@ -92,7 +87,7 @@ def triples_df(
         F.col("o.start_idx").alias("obj_start"),
     )
 
-    joined = pairs.join(preds_by_sentence(docs, id_col), ["doc_id", "sent_id"])
+    joined = pairs.join(preds_by_sent, ["doc_id", "sent_id"])
     first_pred = F.array_min(
         F.filter(
             F.col("preds"),
@@ -114,3 +109,55 @@ def triples_df(
             "obj_start",
         )
     )
+
+
+def triples_df(
+    docs: DataFrame, id_col: str = "doc_id", mentions_table: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, sent_id, subj, subj_tag, pred, obj, obj_tag,
+    subj_start, obj_start) triple rows over raw documents.
+
+    ``mentions_table``: pass an already-materialized mention DataFrame
+    (e.g. the checkpointed output of the pipeline's mention stage) to
+    avoid recomputing the narrow mention pass for each join side — at
+    100 TB that halves the scan work of this stage."""
+    m = mentions_table if mentions_table is not None else mentions_df(docs, id_col)
+    return triples_from_mentions(m, preds_by_sentence(docs, id_col))
+
+
+def triples_from_tagged(
+    tagged: DataFrame,
+    pred_words: list[str],
+    max_gap: int = config.TRIPLE_MAX_GAP,
+) -> DataFrame:
+    """Triples over an already-tagged sentence table (doc_id, sent_id,
+    tokens, tags) — the model-output path: mention spans decoded with
+    reference BIO semantics, predicates looked up in ``pred_words``.
+    Positions are sentence-local."""
+    from .tagging import mentions_from_tagged
+
+    m = mentions_from_tagged(tagged)
+    n = F.size("tokens")
+    seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hits = F.filter(
+        seq1,
+        lambda i: F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int")).isin(
+            pred_words
+        ),
+    )
+    preds = tagged.select(
+        "doc_id",
+        "sent_id",
+        F.sort_array(
+            F.transform(
+                hits,
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int")).alias("tok"),
+                ),
+            )
+        ).alias("preds"),
+    )
+    return triples_from_mentions(m, preds, max_gap)

@@ -41,9 +41,12 @@ def read_conll(
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
-    # the reference does f.read().strip() (conll.py:272) — python strip
-    # removes newlines too, Spark's trim() only spaces, hence the regexp
-    stripped = F.regexp_replace(F.col("value"), r"^\s+|\s+$", "")
+    # the reference reads with python universal newlines + .strip()
+    # (conll.py:272): normalize CRLF (the in-repo corpora are CRLF) and
+    # strip all leading/trailing whitespace (Spark's trim() only spaces)
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col("value"), "\r\n?", "\n"), r"^\s+|\s+$", ""
+    )
     sents = raw.select(
         "file",
         F.posexplode(F.split(stripped, "\n\n")).alias("sent_id", "sent"),
@@ -83,7 +86,14 @@ def read_tag_only(spark: SparkSession, path_glob: str) -> DataFrame:
     raw = spark.read.text(path_glob, wholetext=True).select(
         F.regexp_extract(F.input_file_name(), r"([^/]+?)\.conll", 1).alias("book"),
         F.posexplode(
-            F.split(F.regexp_replace(F.col("value"), r"^\s+|\s+$", ""), "\n")
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("value"), "\r\n?", "\n"),
+                    r"^\s+|\s+$",
+                    "",
+                ),
+                "\n",
+            )
         ).alias("pos", "tag"),
     )
     return raw.select("book", F.col("pos").cast("long"), F.trim(F.col("tag")).alias("tag"))
