@@ -141,6 +141,13 @@ def q_capitalization(spark, sf):
     return augment.capitalization_augment(_docs(spark, sf))
 
 
+def q_error_spans(spark, sf):
+    d = _docs(spark, sf)
+    pred = mentions.with_naive_bio(d).select("doc_id", "tokens", "tags")
+    gold = mentions.with_bio(d).select("doc_id", "tokens", "tags")
+    return scoring.disagreement_spans(pred, gold)
+
+
 def q_majority_voting(spark, sf):
     d = _docs(spark, sf)
     return scoring.majority_voting_table(
@@ -338,6 +345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_per_lang_scores": q_per_lang_scores,
         "q_mention_setops": q_mention_setops,
         "q_capitalization": q_capitalization,
+        "q_error_spans": q_error_spans,
         "q_triples": q_triples,
         "q_entity_link": q_entity_link,
         "q_canonical_cc": q_canonical_cc,
@@ -586,6 +594,38 @@ def oracle_sql() -> dict[str, str]:
     o["q_capitalization"] = """
       SELECT doc_id, upper(text) AS new_text, upper(text) != text AS changed
       FROM documents
+    """
+
+    o["q_error_spans"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      tagpos AS (
+        SELECT doc_id, start_idx AS pos, 'B-' || tag AS tag FROM ment
+        UNION ALL
+        SELECT doc_id, end_idx, 'I-' || tag FROM ment WHERE end_idx > start_idx
+      ),
+      flags AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN (CASE WHEN t.tok IN ({_PER}) THEN 'B-PER'
+                               WHEN t.tok IN ({_LOC}) THEN 'B-LOC'
+                               ELSE 'O' END)
+                    != coalesce(tp.tag, 'O') THEN 1 ELSE 0 END AS neq
+        FROM toks t LEFT JOIN tagpos tp ON t.doc_id = tp.doc_id AND t.pos = tp.pos
+      ),
+      starts AS (
+        SELECT doc_id, pos, neq,
+               CASE WHEN neq = 1 AND coalesce(lag(neq) OVER w, 0) = 0
+                    THEN 1 ELSE 0 END AS is_start
+        FROM flags
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ),
+      runs AS (
+        SELECT doc_id, pos, neq,
+               sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        FROM starts
+      )
+      SELECT doc_id, min(pos) AS span_start, max(pos) AS span_end,
+             count(*) AS n_positions
+      FROM runs WHERE neq = 1 GROUP BY doc_id, run_id
     """
 
     o["q_majority_voting"] = f"""

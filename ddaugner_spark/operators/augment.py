@@ -168,6 +168,18 @@ def balance_upsample(docs: DataFrame, modulus: int = 100, freq: float = 0.2):
     return corpus, {"pre": pre, "post": post, "additions": plan}
 
 
+#: R9 (aug.py:276-285): name → augmentation strategy registry; the
+#: config-driven extension surface (add a callable taking a documents
+#: DataFrame and returning the augmented corpus).
+AUGMENTERS = {
+    "gazetteer_inject": inject_gazetteer,
+    "capitalization": capitalization_augment,
+    "standard": augment_standard,
+    "balance_upsample": lambda docs: balance_upsample(docs)[0],
+    "replace": lambda docs: augment_replace(docs),  # late-bound, defined below
+}
+
+
 def augment_replace(docs: DataFrame, ratio: float = 0.5, modulus: int = 100) -> DataFrame:
     """_augment_replace (conll.py:178-236): overwrite a deterministic
     ``ratio`` of rows with their injected version, keep the rest.

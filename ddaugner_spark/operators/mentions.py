@@ -122,6 +122,25 @@ def with_bio(docs: DataFrame) -> DataFrame:
     return df
 
 
+def with_naive_bio(docs: DataFrame) -> DataFrame:
+    """Unigram-only BIO tags with no longest-match suppression — the
+    'raw model output' stand-in used by the scoring/error-span demos."""
+    df = with_tokens(docs)
+    n = F.col("n_tokens")
+    seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(
+        "tags",
+        F.transform(
+            seq1,
+            lambda i: F.when(_tok(i).isin(config.PER_WORDS), F.lit("B-PER"))
+            .when(_tok(i).isin(config.LOC_WORDS), F.lit("B-LOC"))
+            .otherwise(F.lit("O")),
+        ),
+    )
+
+
 def mentions_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sent_id, start_idx, end_idx, surface, tag) mention rows.
 

@@ -162,6 +162,48 @@ def mention_set_ops(a: DataFrame, b: DataFrame) -> DataFrame:
     return both.unionByName(only_a).unionByName(only_b)
 
 
+def disagreement_spans(tagged_pred: DataFrame, tagged_gold: DataFrame) -> DataFrame:
+    """W4 (fix_ner.py:274-293): contiguous runs where predicted tags
+    differ from gold, closed when the next position agrees.
+
+    Inputs: two (doc_id, tokens, tags) tables (tags aligned per doc).
+    Returns (doc_id, span_start, span_end, n_positions) — the error-span
+    table the reference's interactive fixer iterates over.
+
+    Corpus formulation: per-position disagreement flag → run-id window
+    (a new run starts at each disagreeing position whose predecessor
+    agrees) → per-run min/max."""
+    from pyspark.sql import Window
+
+    joined = tagged_pred.select(
+        "doc_id", F.col("tags").alias("pred_tags")
+    ).join(tagged_gold.select("doc_id", F.col("tags").alias("gold_tags")), "doc_id")
+    pos = joined.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with("pred_tags", "gold_tags", lambda p, g: (p != g).cast("int"))
+        ).alias("pos", "neq"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = pos.withColumn(
+        "is_start",
+        (
+            (F.col("neq") == 1)
+            & (F.coalesce(F.lag("neq").over(w), F.lit(0)) == 0)
+        ).cast("long"),
+    ).withColumn("run_id", F.sum("is_start").over(w))
+    return (
+        runs.filter(F.col("neq") == 1)
+        .groupBy("doc_id", "run_id")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("pos").cast("long").alias("span_end"),
+            F.count("*").alias("n_positions"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_positions")
+    )
+
+
 def majority_voting_table(mentions: DataFrame, tokens_long: DataFrame) -> DataFrame:
     """Corpus-level majority voting (utils.py:81-108 lifted to a groupBy):
     for each mention surface, count occurrences tagged as entities vs its

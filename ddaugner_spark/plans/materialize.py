@@ -1,0 +1,60 @@
+"""Partitioned materialization with an Iceberg-first, parquet-fallback
+path.
+
+north_star materializes to "partitioned Iceberg triple tables" with
+partition transforms like ``days(warc_ts)`` + ``bucket(url)``.  The
+Iceberg runtime jar is not in this sandbox image, so the Iceberg branch
+is attempted and gated: if the catalog/`writeTo` path is unavailable the
+same data lands as dynamic-partition-overwrite parquet with identical
+partition columns — preserving the per-partition resume unit.  On a real
+cluster, add
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog
+
+and `materialize(df, "kg.db.triples", ...)` takes the Iceberg branch
+unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+
+
+def iceberg_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def materialize(
+    df: DataFrame,
+    target: str,
+    partition_cols: List[str],
+    mode: str = "overwrite",
+    table: Optional[str] = None,
+) -> str:
+    """Write ``df`` partitioned by ``partition_cols``.
+
+    If ``table`` names an Iceberg table and the runtime is present, use
+    ``writeTo(table).partitionedBy(...)``; otherwise parquet at
+    ``target`` with the same partition columns and dynamic partition
+    overwrite (idempotent per-partition rewrites → safe resume).
+    Returns the branch taken ('iceberg' | 'parquet')."""
+    spark = df.sparkSession
+    if table and iceberg_available(spark):
+        from pyspark.sql.functions import col
+
+        writer = df.writeTo(table).partitionedBy(*[col(c) for c in partition_cols])
+        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+        return "iceberg"
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
+    return "parquet"
