@@ -80,6 +80,40 @@ def read_conll(
     )
 
 
+def conll_export(
+    sentences: DataFrame, path: str, pred_col: Optional[str] = None
+) -> None:
+    """S6 sink (ner_utils.py:42-65): write ``token gold [pred]`` lines,
+    blank line between sentences.
+
+    ``sentences``: (doc_id, sent_id, tokens, tags[, <pred_col>]).  Each
+    sentence renders as newline-joined 2-or-3-column lines; sentences are
+    joined with a blank separator per doc and written as one text part
+    per partition (the reference writes one file per corpus; at scale
+    the per-partition sharding is what you want)."""
+    cols = [F.col("tokens"), F.col("tags")]
+    if pred_col:
+        cols.append(F.col(pred_col))
+    line_arrays = F.zip_with(
+        cols[0],
+        cols[1],
+        lambda t, g: F.concat_ws(" ", t, g),
+    )
+    if pred_col:
+        line_arrays = F.zip_with(
+            line_arrays, cols[2], lambda l, p: F.concat_ws(" ", l, p)
+        )
+    rendered = sentences.select(
+        "doc_id", "sent_id", F.array_join(line_arrays, "\n").alias("block")
+    )
+    (
+        rendered.orderBy("doc_id", "sent_id")
+        .select(F.col("block").alias("value"))
+        .write.mode("overwrite")
+        .text(path, lineSep="\n\n")
+    )
+
+
 def read_tag_only(spark: SparkSession, path_glob: str) -> DataFrame:
     """(book, pos, tag) rows from tag-only .conll files (one tag per
     line), preserving line order via a per-file posexplode."""

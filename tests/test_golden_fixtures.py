@@ -75,3 +75,18 @@ def test_conll_keep_only_classes(spark, tmp_path):
     p.write_text("John B-PER\nParis B-LOC\n")
     df = read_conll(spark, str(p), keep_only_classes={"PER"})
     assert df.first()["tags"] == ["B-PER", "O"]
+
+
+def test_conll_export_roundtrip(spark, tmp_path):
+    """S6: export then re-read reproduces tokens and tags."""
+    from ddaugner_spark.sources.conll import conll_export
+
+    p = tmp_path / "src.txt"
+    p.write_text("John B-PER\nruns O\n\nParis B-LOC\nis O\nnice O\n")
+    df = read_conll(spark, str(p))
+    out = str(tmp_path / "exported")
+    conll_export(df, out)
+    back = read_conll(spark, out + "/*.txt")
+    a = {(r["sent_id"], tuple(r["tokens"]), tuple(r["tags"])) for r in df.collect()}
+    b = {(r["sent_id"], tuple(r["tokens"]), tuple(r["tags"])) for r in back.collect()}
+    assert {x[1:] for x in a} == {x[1:] for x in b}
