@@ -302,6 +302,27 @@ def q_top_parts(spark, sf):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rollup_revenue(spark, sf):
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+def q_pivot_events(spark, sf):
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, subset=EVENT_TYPES)
+    )
+
+
 def q_events_window(spark, sf):
     e = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -369,6 +390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_pricing": q_tpch_pricing,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_top_parts": q_top_parts,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
         "q_events_sessions": q_events_sessions,
     }
@@ -1000,6 +1023,22 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY p_retailprice DESC, p_partkey) AS rn
             FROM part)
       WHERE rn <= 3
+    """
+
+    o["q_rollup_revenue"] = """
+      SELECT o_orderpriority, o_orderstatus,
+             round(sum(o_totalprice), 2) AS revenue, count(*) AS n
+      FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+
+    o["q_pivot_events"] = """
+      SELECT date_trunc('day', ts) AS day,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+      FROM events GROUP BY 1
     """
 
     o["q_events_window"] = """

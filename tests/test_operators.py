@@ -147,3 +147,14 @@ def test_extract_text_byte_identical(spark, docs):
         F.col("ext") != F.col("text")
     )
     assert bad.count() == 0
+
+
+def test_linking_plan_has_two_phase_salt(spark, docs):
+    """The physical plan must contain the salted pre-aggregation: two
+    Exchange+HashAggregate pairs with the gazetteer broadcast (never
+    shuffled) below them."""
+    m = mentions.mentions_df(docs)
+    plan = linking.link_scores(m, gazetteer_df(spark))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "salt" in plan
