@@ -111,6 +111,13 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
         q[f"kg_{name}"] = s["sec"]
         thr[f"{name}_per_sec"] = round(s["rows"] / max(s["sec"], 1e-9), 1)
 
+    # compute-only mention throughput (no sink) — the apples-to-apples
+    # number against the single-process reference-shaped baseline, which
+    # also writes nothing
+    t0 = time.time()
+    n_m = mentions.mentions_df(docs).count()
+    thr["mentions_compute_only_per_sec"] = round(n_m / (time.time() - t0), 1)
+
     t0 = time.time()
     m = mentions.mentions_df(amplified_docs(spark, sf_dir, 1))
     canonical.connected_components(canonical.co_mention_edges(m)).count()
@@ -214,7 +221,7 @@ def scaling_measurement(sf_dir: str) -> dict:
     }
 
 
-def write_baseline_md(q, thr, scaling, total):
+def write_baseline_md(q, thr, scaling, total, reference=None):
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH/BASELINE.md — measured numbers (local sandbox)",
@@ -239,6 +246,18 @@ def write_baseline_md(q, thr, scaling, total):
         f"- **scaling efficiency: {scaling['efficiency']}** (target ≥ 0.8 per BASELINE.json"
         " would correspond to executor-level scaling; local cores share one JVM/memory bus)",
         "",
+        "## vs single-node reference-shaped baseline (same corpus + kernels, pure Python loop)",
+        "",
+        f"- {json.dumps(reference) if reference else 'n/a'}",
+        (
+            f"- engine compute-only mention throughput: {thr.get('mentions_compute_only_per_sec')} /s"
+            f" — {round(thr.get('mentions_compute_only_per_sec', 0) / max(reference.get('mentions_per_sec', 1), 1), 1)}×"
+            " the single-process rate (the reference shape writes no output;"
+            " the engine's I/O-inclusive stage numbers above include the parquet checkpoint)"
+            if reference
+            else ""
+        ),
+        "",
     ]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write("\n".join(lines))
@@ -254,9 +273,14 @@ def main():
     total = time.time() - t0
     spark.stop()
 
+    # single-node reference-shaped baseline on the same corpus + semantics
+    from tools.reference_baseline import measure as ref_measure
+
+    reference = ref_measure(SF_DIR, AMPLIFY)
+
     scaling = scaling_measurement(SF_DIR) if do_scaling else {}
     if scaling:
-        write_baseline_md(q, thr, scaling, total)
+        write_baseline_md(q, thr, scaling, total, reference)
 
     print(
         json.dumps(
@@ -267,6 +291,7 @@ def main():
                 "queries": q,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "throughput": thr,
+                "reference_single_node": reference,
                 "scaling": scaling,
                 "amplify": AMPLIFY,
             }
