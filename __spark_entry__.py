@@ -230,6 +230,10 @@ def q_simhash(spark, sf):
     return dedup.simhash_fingerprints(_docs(spark, sf))
 
 
+def q_simhash_pairs(spark, sf):
+    return dedup.simhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
 def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(_emb(spark, sf), QUERY_IDS)
 
@@ -380,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_simhash_pairs": q_simhash_pairs,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_cosine_threshold": q_cosine_threshold,
@@ -891,6 +896,38 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS fingerprint
       FROM bitsum GROUP BY doc_id
+    """
+
+    hamming_sql = " + ".join(
+        f"(CASE WHEN substr(fa, {j + 1}, 1) != substr(fb, {j + 1}, 1) THEN 1 ELSE 0 END)"
+        for j in range(16)
+    )
+    o["q_simhash_pairs"] = f"""
+      WITH {_CORPUS},
+      dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+      ),
+      bitsum AS (
+        SELECT doc_id, j,
+               sum(CASE WHEN substr(md5(tok), j + 1, 1) IN
+                        ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+        FROM dt, unnest(range(0, 16)) AS u(j)
+        GROUP BY doc_id, j
+      ),
+      fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS f
+        FROM bitsum GROUP BY doc_id
+      ),
+      pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, l.f AS fa, r.f AS fb
+        FROM fp l JOIN fp r
+          ON substr(l.f, 1, 8) = substr(r.f, 1, 8) AND l.doc_id < r.doc_id
+      )
+      SELECT * FROM (
+        SELECT a, b, ({hamming_sql}) AS hamming FROM pairs
+      ) WHERE hamming <= 3
     """
 
     _ann_core = f"""

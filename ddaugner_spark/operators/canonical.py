@@ -60,23 +60,44 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
     for _ in range(max_iter):
+        # (1) hash-min: pull the minimum neighbor label
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+        stepped = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+            (F.col("nbr_label") < F.col("label")).alias("changed"),
+        )
+        # (2) pointer jumping: label(v) ← label(label(v)).  Min-propagation
+        # alone needs O(diameter) rounds (a length-L chain takes L
+        # iterations); the jump halves label-chain length each round,
+        # giving O(log n) convergence on path-like graphs — the standard
+        # hash-min + path-compression hybrid.
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            stepped.join(parent, stepped.label == F.col("p_node"), "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("new_label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+                (
+                    F.col("changed")
+                    | (F.col("p_label") < F.col("label"))
+                ).alias("changed"),
             )
         ).localCheckpoint(eager=True)
-        n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
+        n_changed = jumped.filter(F.col("changed")).count()
+        labels = jumped.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
 

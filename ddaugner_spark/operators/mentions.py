@@ -42,10 +42,16 @@ def _bigram(i: Column) -> Column:
 
 
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokenization — matches the oracle's ``string_split``."""
-    return docs.withColumn("tokens", F.split(F.col(text_col), " ")).withColumn(
-        "n_tokens", F.size("tokens")
-    )
+    """Whitespace tokenization — matches the oracle's ``string_split``.
+
+    Null-safe: real crawls carry null/empty text rows; they tokenize to
+    an empty array (and therefore produce no mentions) instead of
+    poisoning downstream array expressions with nulls."""
+    toks = F.when(
+        F.col(text_col).isNull() | (F.col(text_col) == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.col(text_col), " "))
+    return docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
 
 
 def sent_id_at(pos: Column) -> Column:

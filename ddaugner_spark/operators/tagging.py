@@ -102,7 +102,8 @@ def tagged_docs_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = load_model()  # once per task, amortized over all batches
         for pdf in batches:
-            token_lists = [t.split(" ") for t in pdf["text"]]
+            # null/empty-safe, consistent with mentions.with_tokens
+            token_lists = [t.split(" ") if t else [] for t in pdf["text"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -124,7 +125,7 @@ def mentions_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             out = {k.name: [] for k in MENTION_SCHEMA.fields}
             for doc_id, text in zip(pdf[id_col], pdf["text"]):
-                toks = text.split(" ")
+                toks = text.split(" ") if text else []
                 tags = model.tag_tokens(toks)
                 # sentence ids: running terminator count (datas.py:303-313)
                 sent_ids, c = [], 0

@@ -158,3 +158,40 @@ def test_linking_plan_has_two_phase_salt(spark, docs):
     assert plan.count("Exchange") >= 2
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "salt" in plan
+
+
+def test_messy_web_input_robustness(spark):
+    """Real crawls carry null/empty/single-token text — no operator may
+    throw or emit phantom mentions."""
+    from ddaugner_spark.operators import tagging
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "the"),
+            (4, "hash"),
+            (5, "hash join"),
+            (6, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["surface"], r["tag"]) for r in mentions.mentions_df(df).collect()}
+    assert got == {(4, "hash", "PER"), (5, "hash join", "ORG")}
+    udf = {(r["doc_id"], r["surface"], r["tag"]) for r in tagging.mentions_udf(df).collect()}
+    assert udf == got
+    # triples / sentences / dedup over the same mess
+    assert triples.triples_df(df).count() == 0
+    assert sentences.sentences_df(df).filter("doc_id = 1").count() == 0
+    dedup.shingles(df.fillna({"text": ""})).count()  # no throw
+
+
+def test_connected_components_long_chain(spark):
+    """A 400-node path must converge well under max_iter — pointer
+    jumping gives O(log n) rounds where pure hash-min needs O(n)."""
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(400)], "a string, b string"
+    )
+    got = canonical.connected_components(edges, max_iter=15)
+    comps = {r["component"] for r in got.collect()}
+    assert comps == {"n0000"}
