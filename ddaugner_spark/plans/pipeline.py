@@ -126,7 +126,15 @@ class KGPipeline:
             F.col("obj").alias("obj_surface"),
         )
 
-    def run(self, pages: DataFrame, resume: bool = True) -> RunReport:
+    def run(
+        self, pages: DataFrame, resume: bool = True, max_concurrent: int = 1
+    ) -> RunReport:
+        """Process every unfinished partition; with ``max_concurrent`` > 1
+        partitions run as concurrent Spark jobs from driver threads (the
+        Spark scheduler interleaves their stages — on a large cluster this
+        keeps executors busy while a small partition's driver-side CC loop
+        iterates).  Each partition remains an independent, idempotent unit
+        of restart."""
         report = RunReport()
         done = set(self.finished_partitions()) if resume else set()
 
@@ -134,12 +142,33 @@ class KGPipeline:
             r[0]
             for r in pages.select(self.partition_col).distinct().orderBy(self.partition_col).collect()
         ]
+        todo = []
         for part in parts:
             if str(part) in done:
                 report.skipped_partitions.append(str(part))
-                continue
-            ppages = pages.filter(F.col(self.partition_col) == part)
-            stages = self._run_partition(part, ppages)
+            else:
+                todo.append(part)
+
+        if max_concurrent <= 1:
+            results = [
+                (part, self._run_partition(part, pages.filter(F.col(self.partition_col) == part)))
+                for part in todo
+            ]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+                futs = {
+                    part: pool.submit(
+                        self._run_partition,
+                        part,
+                        pages.filter(F.col(self.partition_col) == part),
+                    )
+                    for part in todo
+                }
+            results = [(part, fut.result()) for part, fut in futs.items()]
+
+        for part, stages in results:
             report.stages.extend(stages)
             report.partitions.append(str(part))
         with open(os.path.join(self.out_dir, "_run_report.json"), "w") as fh:

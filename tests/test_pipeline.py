@@ -77,3 +77,20 @@ def test_materialize_fallback(spark, docs, tmp_path):
     one = docs.limit(50).filter("lang = 'en'")
     materialize(one, out, ["lang"])
     assert spark.read.parquet(out).filter("lang = 'en'").count() == one.count()
+
+
+def test_pipeline_concurrent_partitions(spark, docs, tmp_path):
+    """max_concurrent > 1 must produce the identical triple set and the
+    same lineage manifests as the serial run."""
+    from ddaugner_spark.plans.pipeline import KGPipeline
+
+    pages = synthesize_pages(docs.limit(150))
+    serial_dir, conc_dir = str(tmp_path / "ser"), str(tmp_path / "conc")
+    KGPipeline(spark, serial_dir).run(pages, resume=False, max_concurrent=1)
+    KGPipeline(spark, conc_dir).run(pages, resume=False, max_concurrent=3)
+    a = {tuple(r) for r in spark.read.parquet(serial_dir + "/lang=*").collect()}
+    b = {tuple(r) for r in spark.read.parquet(conc_dir + "/lang=*").collect()}
+    assert a == b and a
+    assert sorted(os.listdir(os.path.join(serial_dir, "_lineage"))) == sorted(
+        os.listdir(os.path.join(conc_dir, "_lineage"))
+    )
