@@ -77,11 +77,54 @@ class KGPipeline:
     """pages → extract → mentions → triples → link scores → components →
     canonical triples, materialized per partition with lineage."""
 
-    def __init__(self, spark: SparkSession, out_dir: str, partition_col: str = "lang"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        partition_col: str = "lang",
+        use_model: bool = False,
+    ):
+        """``use_model``: detect mentions by merging batched model tags
+        (Arrow iterator UDF, operators/tagging.py) with the dictionary
+        tags — the production wiring of north_star's "batched BIO tagging
+        with gazetteer injection"; dictionary evidence wins on conflict
+        (fix_ner.py precedence).  With the sandbox's deterministic stub
+        model the output is identical to the dictionary-only path
+        (pytest-pinned), so correctness transfers when a real model drops
+        in."""
         self.spark = spark
         self.out_dir = out_dir
         self.partition_col = partition_col
+        self.use_model = use_model
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+
+    def _detect_mentions(self, docs: DataFrame) -> DataFrame:
+        if not self.use_model:
+            return mentions.mentions_df(docs)
+        from ..operators import tagging
+
+        model_tagged = tagging.tagged_docs_udf(docs)
+        dict_tagged = mentions.with_bio(docs).select("doc_id", "tokens", "tags")
+        merged = tagging.merge_tag_sources(model_tagged, dict_tagged)
+        m = tagging.mentions_from_tagged(
+            merged.withColumn("sent_id", F.lit(0))
+        )
+        # mentions_from_tagged emits sentence-local positions relative to
+        # the whole doc here (sent_id 0): recover true sentence ids from
+        # terminator counts, matching mentions_df's convention
+        toks = mentions.with_tokens(docs).select("doc_id", "tokens")
+        return (
+            m.drop("sent_id")
+            .join(toks, "doc_id")
+            .select(
+                "doc_id",
+                mentions.sent_id_at(F.col("start_idx")).alias("sent_id"),
+                "start_idx",
+                "end_idx",
+                "surface",
+                "tag",
+            )
+        )
 
     # -- lineage ----------------------------------------------------------
     def _manifest_path(self, part: str) -> str:
@@ -189,7 +232,7 @@ class KGPipeline:
         m_dir = os.path.join(
             self.out_dir, "_mentions", f"{self.partition_col}={part}"
         )
-        mentions.mentions_df(docs).write.mode("overwrite").parquet(m_dir)
+        self._detect_mentions(docs).write.mode("overwrite").parquet(m_dir)
         m = self.spark.read.parquet(m_dir)
         n_mentions = m.count()
         stages.append(

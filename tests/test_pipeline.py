@@ -94,3 +94,17 @@ def test_pipeline_concurrent_partitions(spark, docs, tmp_path):
     assert sorted(os.listdir(os.path.join(serial_dir, "_lineage"))) == sorted(
         os.listdir(os.path.join(conc_dir, "_lineage"))
     )
+
+
+def test_model_path_pipeline_identical(spark, docs, tmp_path):
+    """use_model=True (Arrow model tags merged with dictionary tags) must
+    emit the identical triple set with the deterministic stub model."""
+    from ddaugner_spark.plans.pipeline import KGPipeline
+
+    pages = synthesize_pages(docs.limit(100))
+    a_dir, b_dir = str(tmp_path / "dict"), str(tmp_path / "model")
+    KGPipeline(spark, a_dir).run(pages, resume=False)
+    KGPipeline(spark, b_dir, use_model=True).run(pages, resume=False)
+    a = {tuple(r) for r in spark.read.parquet(a_dir + "/lang=*").collect()}
+    b = {tuple(r) for r in spark.read.parquet(b_dir + "/lang=*").collect()}
+    assert a == b and a

@@ -40,3 +40,30 @@ def test_incremental_mentions_idempotent(spark, sf_dir, tmp_path):
     # second run with same checkpoint: no new input → same row count
     n2 = incremental_mentions(spark, f"{sf_dir}/documents.parquet", ckpt, out)
     assert n2 == n1
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer == batch lag/cumsum sessionizer."""
+    from pyspark.sql import Window
+    from ddaugner_spark.streaming.stateful import streaming_user_sessions
+
+    got = {
+        (r["user_id"], r["n_events"], r["n_sessions"])
+        for r in streaming_user_sessions(
+            spark, f"{sf_dir}/events.parquet", str(tmp_path / "ck")
+        ).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    batch = (
+        e.withColumn("is_new", (gap > 1800 * 1_000_000).cast("long"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.lit(1) + F.coalesce(F.sum("is_new"), F.lit(0))).alias("n_sessions"),
+        )
+    )
+    want = {(r["user_id"], r["n_events"], r["n_sessions"]) for r in batch.collect()}
+    assert got == want
