@@ -195,3 +195,15 @@ def test_connected_components_long_chain(spark):
     got = canonical.connected_components(edges, max_iter=15)
     comps = {r["component"] for r in got.collect()}
     assert comps == {"n0000"}
+
+
+def test_salted_distinct_exact(spark, docs):
+    """Salted distinct-count == plain distinct-count (disjointness of
+    hash-salt buckets makes the partial sums exact)."""
+    m = mentions.mentions_df(docs)
+    naive = {
+        (r["surface"], r["n_docs"])
+        for r in m.groupBy("surface").agg(F.countDistinct("doc_id").alias("n_docs")).collect()
+    }
+    salted = {tuple(r) for r in linking.distinct_docs_per_entity(m).collect()}
+    assert salted == naive
