@@ -165,6 +165,12 @@ def q_entity_link(spark, sf):
     )
 
 
+def q_entity_docs(spark, sf):
+    """Skew-safe distinct-doc counts per entity (two-phase salted
+    distinct; exact by salt-bucket disjointness)."""
+    return linking.distinct_docs_per_entity(mentions.mentions_df(_docs(spark, sf)))
+
+
 def q_canonical_cc(spark, sf):
     m = mentions.mentions_df(_docs(spark, sf))
     return canonical.connected_components(canonical.co_mention_edges(m))
@@ -373,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_spans": q_error_spans,
         "q_triples": q_triples,
         "q_entity_link": q_entity_link,
+        "q_entity_docs": q_entity_docs,
         "q_canonical_cc": q_canonical_cc,
         "q_gazetteer_inject": q_gazetteer_inject,
         "q_augment_replace": q_augment_replace,
@@ -699,6 +706,12 @@ def oracle_sql() -> dict[str, str]:
              round(sum(g.weight / (1.0 + m.sent_id)), 4) AS total_score
       FROM mentsent m JOIN gaz g ON m.surface = g.name
       GROUP BY m.surface, g.class
+    """
+
+    o["q_entity_docs"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}
+      SELECT surface, count(DISTINCT doc_id) AS n_docs
+      FROM ment GROUP BY surface
     """
 
     o["q_canonical_cc"] = f"""
