@@ -95,7 +95,7 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
     out["link_scores"] = {"rows": n_mentions, "sec": round(time.time() - t0, 3)}
 
     t0 = time.time()
-    n_triples = triples.triples_df(extracted, mentions_table=m).count()
+    n_triples = triples.triples_df(extracted).count()
     out["triples"] = {"rows": n_triples, "sec": round(time.time() - t0, 3)}
     return out
 
@@ -199,7 +199,7 @@ def scaling_measurement(sf_dir: str) -> dict:
             m = spark.read.parquet(mdir)
             n = m.count()
             n += linking.link_scores(m, gazetteer_df(spark)).count()
-            n += triples.triples_df(extracted, mentions_table=m).count()
+            n += triples.triples_df(extracted).count()
             wall = time.time() - t0
             shutil.rmtree(mdir, ignore_errors=True)
             if best is None or wall < best[0]:

@@ -248,7 +248,9 @@ class KGPipeline:
         )
 
         t0 = time.time()
-        t = triples.triples_df(docs, mentions_table=m)
+        # map-only strategy: measured faster than the join even against
+        # the already-materialized mention table (zero shuffle)
+        t = triples.triples_df(docs)
         comps = canonical.connected_components(canonical.co_mention_edges(m))
         out = canonical.canonicalize_triples(t, comps).select(
             "doc_id",
