@@ -121,8 +121,26 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(bands_df: DataFrame) -> DataFrame:
-    """Distinct (a, b) a<b pairs sharing any band bucket."""
+def lsh_candidate_pairs(
+    bands_df: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Distinct (a, b) a<b pairs sharing any band bucket.
+
+    ``max_bucket_size``: at web scale, boilerplate pages (error pages,
+    parked domains) collapse into giant LSH buckets whose self-join is
+    quadratic.  Buckets above the cap are dropped — standard LSH
+    hygiene: a bucket with 10⁵ members is boilerplate, and its members
+    are still caught by exact dedup upstream.  ``log()`` the drop count
+    at the call site when enabled (no silent truncation)."""
+    if max_bucket_size is not None:
+        sizes = bands_df.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("bucket_n")
+        )
+        bands_df = (
+            bands_df.join(sizes, ["band_id", "band_hash"])
+            .filter(F.col("bucket_n") <= max_bucket_size)
+            .drop("bucket_n")
+        )
     left = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("a"))
     right = bands_df.select("band_id", "band_hash", F.col("doc_id").alias("b"))
     return (
