@@ -101,7 +101,14 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
 
 
 def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
-    docs = amplified_docs(spark, sf_dir, AMPLIFY)
+    # materialize the amplified corpus once so stage timings measure the
+    # operators over a real multi-split scan, not the amplification shuffle
+    import shutil as _sh
+
+    corpus_dir = "/tmp/ddaugner_headline_corpus"
+    _sh.rmtree(corpus_dir, ignore_errors=True)
+    amplified_docs(spark, sf_dir, AMPLIFY).write.parquet(corpus_dir)
+    docs = spark.read.parquet(corpus_dir)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q: dict[str, float] = {}
     thr: dict[str, float] = {}
