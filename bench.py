@@ -280,13 +280,21 @@ def main():
     total = time.time() - t0
     spark.stop()
 
-    # single-node reference-shaped baseline on the same corpus + semantics
-    from tools.reference_baseline import measure as ref_measure
+    # auxiliary measurements must never kill the bench record
+    try:
+        from tools.reference_baseline import measure as ref_measure
 
-    reference = ref_measure(SF_DIR, AMPLIFY)
+        reference = ref_measure(SF_DIR, AMPLIFY)
+    except Exception as ex:  # pragma: no cover
+        reference = {"error": str(ex)[:200]}
 
-    scaling = scaling_measurement(SF_DIR) if do_scaling else {}
-    if scaling:
+    scaling = {}
+    if do_scaling:
+        try:
+            scaling = scaling_measurement(SF_DIR)
+        except Exception as ex:  # pragma: no cover
+            scaling = {"error": str(ex)[:200]}
+    if scaling and "error" not in scaling and "error" not in reference:
         write_baseline_md(q, thr, scaling, total, reference)
 
     print(
