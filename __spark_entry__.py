@@ -240,6 +240,19 @@ def q_simhash_pairs(spark, sf):
     return dedup.simhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_doc_embeddings(spark, sf):
+    from ddaugner_spark.operators import embedding
+
+    e = embedding.hashed_doc_embeddings(_docs(spark, sf))
+    return e.select("doc_id", "v_0", "v_1", "v_2", "v_3", "norm_sq")
+
+
+def q_embed_near_dups(spark, sf):
+    from ddaugner_spark.operators import embedding
+
+    return embedding.embedding_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
 def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(_emb(spark, sf), QUERY_IDS)
 
@@ -392,6 +405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
+        "q_doc_embeddings": q_doc_embeddings,
+        "q_embed_near_dups": q_embed_near_dups,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_cosine_threshold": q_cosine_threshold,
@@ -942,6 +957,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, ({hamming_sql}) AS hamming FROM pairs
       ) WHERE hamming <= 3
     """
+
+    dims = 16
+    vsum = lambda j: (  # noqa: E731
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+    )
+    vcols = ", ".join(f"{vsum(j)} AS v_{j}" for j in range(dims))
+    normsq = " + ".join(f"v_{j} * v_{j}" for j in range(dims))
+
+    o["q_doc_embeddings"] = f"""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      ),
+      emb AS (SELECT doc_id, {vcols} FROM dt GROUP BY doc_id)
+      SELECT doc_id, v_0, v_1, v_2, v_3, ({normsq}) AS norm_sq FROM emb
+    """
+
+    blk = " || ".join(
+        f"(CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END)" for j in range(6)
+    )
+    dot = " + ".join(f"l.v_{j} * r.v_{j}" for j in range(dims))
+    o["q_embed_near_dups"] = f"""
+      WITH {_CORPUS},
+      dt AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
+      ),
+      emb AS (SELECT doc_id, {vcols} FROM dt GROUP BY doc_id),
+      emb2 AS (SELECT *, ({normsq}) AS norm_sq, {blk} AS blk FROM emb)
+      SELECT * FROM (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               round(({dot})::DOUBLE / (sqrt(l.norm_sq::DOUBLE) * sqrt(r.norm_sq::DOUBLE)), 4) AS cos,
+               ({dot})::DOUBLE / (sqrt(l.norm_sq::DOUBLE) * sqrt(r.norm_sq::DOUBLE)) AS rawcos
+        FROM emb2 l JOIN emb2 r ON l.blk = r.blk AND l.doc_id < r.doc_id
+      ) WHERE rawcos >= 0.95
+    """
+    # note: Spark filters on the unrounded cosine too; drop the helper col
+    o["q_embed_near_dups"] = o["q_embed_near_dups"].replace(
+        "SELECT * FROM (", "SELECT a, b, cos FROM ("
+    )
 
     _ann_core = f"""
       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN ({_QIDS})),
