@@ -261,6 +261,10 @@ def q_ann_ivf(spark, sf):
     return similarity.ivf_topk(_emb(spark, sf), QUERY_IDS)
 
 
+def q_ann_multiprobe(spark, sf):
+    return similarity.ivf_multiprobe_topk(_emb(spark, sf), QUERY_IDS)
+
+
 def q_cosine_threshold(spark, sf):
     return similarity.threshold_pairs(_emb(spark, sf), QUERY_IDS)
 
@@ -409,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dups": q_embed_near_dups,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_multiprobe": q_ann_multiprobe,
         "q_cosine_threshold": q_cosine_threshold,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -1036,6 +1041,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.qid, v.vec_id, q.qe, v.embedding AS ve
         FROM q JOIN embeddings v
           ON {cell('v.embedding')} = q.qcell AND v.vec_id != q.qid
+      ),
+      dots AS (
+        SELECT qid, vec_id,
+               sum(qe[i]::DOUBLE * ve[i]::DOUBLE) AS dot,
+               sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS qn,
+               sum(ve[i]::DOUBLE * ve[i]::DOUBLE) AS vn
+        FROM pairs, unnest(range(1, len(qe) + 1)) AS u(i)
+        GROUP BY qid, vec_id
+      ),
+      scored AS (SELECT qid, vec_id, dot / (sqrt(qn) * sqrt(vn)) AS raw FROM dots)
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rank,
+             round(raw, 4) AS score
+      FROM scored
+      QUALIFY rank <= {config.ANN_TOP_K}
+    """
+
+    cell_ham = " + ".join(
+        f"(CASE WHEN substr(qcell, {i + 1}, 1) != substr(vcell, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(config.IVF_SIGN_DIMS)
+    )
+    o["q_ann_multiprobe"] = f"""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe, {cell('embedding')} AS qcell
+                 FROM embeddings WHERE vec_id IN ({_QIDS})),
+      v AS (SELECT vec_id, embedding AS ve, {cell('embedding')} AS vcell FROM embeddings),
+      pairs AS (
+        SELECT q.qid, v.vec_id, q.qe, v.ve
+        FROM q JOIN v ON ({cell_ham}) <= 1 AND v.vec_id != q.qid
       ),
       dots AS (
         SELECT qid, vec_id,

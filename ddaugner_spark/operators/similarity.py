@@ -131,6 +131,55 @@ def ivf_topk(
     )
 
 
+def ivf_multiprobe_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = config.ANN_TOP_K,
+    dims: int = config.IVF_SIGN_DIMS,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Multi-probe IVF: candidates come from the query's cell plus all
+    cells at Hamming distance 1 (dims+1 probes) — the standard recall
+    knob for sign-quantized IVF; brute-force recall is recovered as
+    probes → 2^dims.  The candidate join stays an equi-ish join on cell
+    ids; the probe fan-out multiplies only the tiny broadcast query side."""
+    cells = embeddings.withColumn("cell", sign_cell(F.col("embedding"), dims))
+    q0 = cells.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cell").alias("q_cell"),
+    )
+    # explode each query into its probe cells: the cell itself + 1-bit flips
+    def flip(col, j):
+        bit = F.substring(col, j + 1, 1)
+        flipped = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring(col, 1, j), flipped, F.substring(col, j + 2, dims - j - 1)
+        )
+
+    probes = F.array(F.col("q_cell"), *[flip(F.col("q_cell"), j) for j in range(dims)])
+    q = F.broadcast(q0.withColumn("probe", F.explode(probes)))
+    pairs = cells.join(q, cells.cell == q.probe).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("raw_score", ndigits).alias("score"),
+        )
+    )
+
+
 def threshold_pairs(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -1,3 +1,11 @@
-from .incremental import incremental_event_counts, incremental_mentions
+from .incremental import (
+    incremental_event_counts,
+    incremental_mentions,
+    incremental_triples,
+)
 
-__all__ = ["incremental_event_counts", "incremental_mentions"]
+__all__ = [
+    "incremental_event_counts",
+    "incremental_mentions",
+    "incremental_triples",
+]

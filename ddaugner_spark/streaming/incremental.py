@@ -73,6 +73,34 @@ def incremental_event_counts(
     return spark.sql("SELECT * FROM incr_event_counts")
 
 
+def incremental_triples(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> int:
+    """Stream documents through the full map-only triple extractor into a
+    parquet sink via ``foreachBatch`` — incremental KG construction: new
+    page batches append their triples exactly once (checkpointed source
+    offsets make re-runs no-ops).  Returns total triples materialized."""
+    from ..operators import triples as triples_mod
+
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+
+    def process(batch_df, epoch_id):
+        triples_mod.triples_df(batch_df).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()
+
+
 def incremental_mentions(
     spark: SparkSession,
     documents_dir: str,

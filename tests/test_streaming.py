@@ -67,3 +67,19 @@ def test_stateful_sessions_match_batch(spark, sf_dir, tmp_path):
     )
     want = {(r["user_id"], r["n_events"], r["n_sessions"]) for r in batch.collect()}
     assert got == want
+
+
+def test_incremental_triples_match_batch(spark, sf_dir, tmp_path):
+    """foreachBatch triple sink == batch triple extraction, and re-running
+    with the same checkpoint appends nothing."""
+    from ddaugner_spark.streaming import incremental_triples
+    from ddaugner_spark.operators import triples
+
+    ckpt, out = str(tmp_path / "ck3"), str(tmp_path / "t_out")
+    n1 = incremental_triples(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    batch = triples.triples_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    want = {tuple(r) for r in batch.collect()}
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert n1 == len(want) and got == want
+    n2 = incremental_triples(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    assert n2 == n1
