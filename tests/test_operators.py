@@ -207,3 +207,8 @@ def test_salted_distinct_exact(spark, docs):
     }
     salted = {tuple(r) for r in linking.distinct_docs_per_entity(m).collect()}
     assert salted == naive
+
+
+def test_connected_components_empty(spark):
+    edges = spark.createDataFrame([], "a string, b string")
+    assert canonical.connected_components(edges).count() == 0
