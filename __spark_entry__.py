@@ -332,6 +332,44 @@ def q_top_parts(spark, sf):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: 3-way join + filter + agg + top-k."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    j = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue",
+                F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def q_ngram_match(spark, sf):
+    """J1 in its plain join-visible form: bigram gazetteer hit counts."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return (
+        m.filter(F.col("tag") == "ORG")
+        .groupBy(F.col("surface").alias("ngram"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_rollup_revenue(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     return (
@@ -422,6 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_pricing": q_tpch_pricing,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_top_parts": q_top_parts,
+        "q_shipping_priority": q_shipping_priority,
+        "q_ngram_match": q_ngram_match,
         "q_rollup_revenue": q_rollup_revenue,
         "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
@@ -1162,6 +1202,27 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY p_retailprice DESC, p_partkey) AS rn
             FROM part)
       WHERE rn <= 3
+    """
+
+    o["q_shipping_priority"] = """
+      SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, rn
+      FROM (
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC,
+                                  o_orderkey) AS rn
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      ) WHERE rn <= 10
+    """
+
+    o["q_ngram_match"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}
+      SELECT surface AS ngram, count(*) AS n
+      FROM ment WHERE tag = 'ORG' GROUP BY surface
     """
 
     o["q_rollup_revenue"] = """
