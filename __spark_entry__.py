@@ -500,7 +500,7 @@ sentid AS (
   SELECT doc_id, pos,
          coalesce(sum(CASE WHEN tok = '{_TERM}' THEN 1 ELSE 0 END)
              OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS sent_id
   FROM toks
 )"""
 
@@ -801,7 +801,7 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END AS replaced
         FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
       )
-      SELECT doc_id, sum(replaced) AS n_replaced,
+      SELECT doc_id, sum(replaced)::BIGINT AS n_replaced,
              string_agg(tok, ' ' ORDER BY pos) AS new_text
       FROM newtoks GROUP BY doc_id
     """
@@ -1006,7 +1006,7 @@ def oracle_sql() -> dict[str, str]:
     dims = 16
     vsum = lambda j: (  # noqa: E731
         f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)"
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)::BIGINT"
     )
     vcols = ", ".join(f"{vsum(j)} AS v_{j}" for j in range(dims))
     normsq = " + ".join(f"v_{j} * v_{j}" for j in range(dims))
@@ -1017,7 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       ),
       emb AS (SELECT doc_id, {vcols} FROM dt GROUP BY doc_id)
-      SELECT doc_id, v_0, v_1, v_2, v_3, ({normsq}) AS norm_sq FROM emb
+      SELECT doc_id, v_0, v_1, v_2, v_3, ({normsq})::BIGINT AS norm_sq FROM emb
     """
 
     blk = " || ".join(
@@ -1233,11 +1233,11 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_pivot_events"] = """
       SELECT date_trunc('day', ts) AS day,
-             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
       FROM events GROUP BY 1
     """
 
@@ -1255,7 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events
       )
       SELECT user_id, count(*) AS n_events,
-             1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0) AS n_sessions
+             (1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0))::BIGINT AS n_sessions
       FROM g GROUP BY user_id
     """
 

@@ -2,6 +2,13 @@
 entry on Spark and its oracle_sql() on DuckDB at a given sf, compare
 row count, column names, and an order-insensitive value multiset.
 
+The multiset is TYPE-TAGGED: an int-typed 5 and a float-typed 5.0 do
+NOT compare equal. The driver's hash is representation-sensitive (the
+round-1 DuckDB HUGEINT failures proved it: values matched, the driver
+hash did not), so a loose `5 == 5.0` comparison here hides exactly the
+class of bug the driver flags. DuckDB returns HUGEINT columns (SUM over
+integers) as float64/object in pandas; cast to ::BIGINT in the oracle.
+
 Usage: python tools/parity_check.py [sf_dir] [query ...]
 """
 
@@ -13,25 +20,31 @@ import sys
 sys.path.insert(0, ".")
 
 import duckdb
+import numpy as np
+
+
+def _tagged(v):
+    """(type_tag, canonical_value) — bool before int (bool is an int subclass)."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", "nan" if math.isnan(f) else round(f, 6))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return ("l", tuple(_tagged(x) for x in v))
+    return ("s", str(v))
 
 
 def normalize(rows, cols):
     out = []
     for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 6)
-            elif hasattr(v, "isoformat"):
-                v = v.isoformat()
-            elif isinstance(v, bool):
-                v = bool(v)
-            vals.append((c, v))
-        out.append(tuple(vals))
+        out.append(tuple((c, _tagged(r[c])) for c in cols))
     return sorted(out)
 
 
