@@ -77,8 +77,10 @@ def q_tokenize(spark, sf):
     return d.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.element_at("tokens", 1).alias("first_tok"),
-        F.element_at("tokens", -1).alias("last_tok"),
+        # try_: ANSI element_at throws on the empty token array of a
+        # null/empty-text row; these become NULL, matching the oracle
+        F.try_element_at("tokens", F.lit(1)).alias("first_tok"),
+        F.try_element_at("tokens", F.lit(-1)).alias("last_tok"),
     )
 
 
@@ -491,7 +493,8 @@ _QIDS = ", ".join(str(i) for i in QUERY_IDS)
 _TOKS = """
 toks AS (
   SELECT doc_id, i - 1 AS pos, t[i] AS tok, len(t) AS n
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND text != '') s,
        unnest(range(1, len(t) + 1)) AS u(i)
 )"""
 
@@ -547,9 +550,14 @@ _HTML_POST = "</p></body></html>"
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
+    # null/empty text tokenizes to an empty array on the Spark side
+    # (mentions.with_tokens): n_tokens = 0, first/last NULL.
     o["q_tokenize"] = """
-      SELECT doc_id, len(t) AS n_tokens, t[1] AS first_tok, t[len(t)] AS last_tok
-      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR text = '' THEN 0 ELSE len(t) END AS n_tokens,
+             CASE WHEN text IS NULL OR text = '' THEN NULL ELSE t[1] END AS first_tok,
+             CASE WHEN text IS NULL OR text = '' THEN NULL ELSE t[len(t)] END AS last_tok
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
     """
 
     o["q_sentences"] = f"""
@@ -1140,7 +1148,8 @@ def oracle_sql() -> dict[str, str]:
              round(len(list_distinct(t))::DOUBLE / len(t), 4) AS distinct_ratio,
              round(len(list_filter(t, x -> x IN ({_STOP})))::DOUBLE / len(t), 4) AS stop_ratio,
              round((length(text) - (len(t) - 1))::DOUBLE / len(t), 4) AS avg_word_len
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, coalesce(text, '') AS text,
+                   string_split(coalesce(text, ''), ' ') AS t FROM documents)
     """
 
     o["q_langid"] = """
@@ -1164,9 +1173,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_token_counts"] = """
       SELECT doc_id,
-             len(string_split(text, ' ')) AS ws_tokens,
-             length(text) AS n_chars,
-             greatest(1, ceil(length(text)::DOUBLE / 4))::BIGINT AS bpe_estimate
+             len(string_split(coalesce(text, ''), ' ')) AS ws_tokens,
+             length(coalesce(text, '')) AS n_chars,
+             greatest(1, ceil(length(coalesce(text, ''))::DOUBLE / 4))::BIGINT AS bpe_estimate
       FROM documents
     """
 
@@ -1174,7 +1183,8 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, md5(text) AS content_hash,
              t[1] || '|' || t[len(t)] || '|' ||
              floor(log2(length(text)::DOUBLE))::BIGINT::VARCHAR AS locality_key
-      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL AND text != '')
     """
 
     o["q_tpch_pricing"] = """

@@ -170,14 +170,14 @@ def jaccard_verify(
         inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "n_a"), "a")
         .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "n_b"), "b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                ndigits,
-            ),
+            "jaccard_raw",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+        # Filter on the UNROUNDED ratio (matching the DuckDB oracle and the
+        # other threshold operators); round only for output. Filtering on the
+        # rounded value admits raw values in [threshold-5e-5, threshold).
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("a", "b", F.round(F.col("jaccard_raw"), ndigits).alias("jaccard"))
     )
     return out
 

@@ -24,6 +24,9 @@ from .. import config
 
 
 def quality_features(docs: DataFrame, ndigits: int = 4) -> DataFrame:
+    # NULL text is an empty doc, not a NULL-stats doc (keeps the stat
+    # columns non-nullable ints; split('', ' ') == [''] on both engines)
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(config.STOPWORDS)))
@@ -83,7 +86,9 @@ def langid_predictions(docs: DataFrame) -> DataFrame:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, n_chars, bpe_estimate): whitespace token count
-    plus the standard chars/4 BPE-subword estimate."""
+    plus the standard chars/4 BPE-subword estimate. NULL text counts as
+    an empty doc (see quality_features)."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     toks = F.split(F.col("text"), " ")
     return docs.select(
         "doc_id",
@@ -95,7 +100,12 @@ def token_counts(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, content_hash, locality_key): md5 content hash + coarse
-    locality key (first token | last token | log2 length bucket)."""
+    locality key (first token | last token | log2 length bucket).
+
+    Content fingerprints are undefined for null/empty docs (log2(0),
+    md5(NULL)); such rows are filtered on both the Spark and oracle
+    sides — a real crawl dedups them via the exact-hash path instead."""
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     toks = F.split(F.col("text"), " ")
     bucket = F.floor(F.log2(F.length("text").cast("double"))).cast("long")
     return docs.select(

@@ -80,16 +80,27 @@ def incremental_triples(
     out_dir: str,
 ) -> int:
     """Stream documents through the full map-only triple extractor into a
-    parquet sink via ``foreachBatch`` — incremental KG construction: new
-    page batches append their triples exactly once (checkpointed source
-    offsets make re-runs no-ops).  Returns total triples materialized."""
+    parquet sink via ``foreachBatch`` — incremental KG construction.
+
+    foreachBatch alone is only at-least-once: a crash between the sink
+    write and the checkpoint offset commit replays the batch on restart.
+    The write is made idempotent by keying each micro-batch to its own
+    ``epoch_id=N`` directory and OVERWRITING it — a replayed epoch
+    rewrites identical bytes instead of appending duplicates, restoring
+    end-to-end exactly-once.  Returns total triples materialized."""
+    import os
+
     from ..operators import triples as triples_mod
 
     schema = spark.read.parquet(documents_dir).schema
     stream = _read_stream(spark, documents_dir, schema)
 
     def process(batch_df, epoch_id):
-        triples_mod.triples_df(batch_df).write.mode("append").parquet(out_dir)
+        (
+            triples_mod.triples_df(batch_df)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch_id={epoch_id}"))
+        )
 
     q = (
         stream.writeStream.foreachBatch(process)

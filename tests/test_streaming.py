@@ -79,7 +79,24 @@ def test_incremental_triples_match_batch(spark, sf_dir, tmp_path):
     n1 = incremental_triples(spark, f"{sf_dir}/documents.parquet", ckpt, out)
     batch = triples.triples_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     want = {tuple(r) for r in batch.collect()}
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # the sink is laid out as epoch_id=N partition dirs (idempotent replay)
+    got = {tuple(r) for r in spark.read.parquet(out).drop("epoch_id").collect()}
     assert n1 == len(want) and got == want
     n2 = incremental_triples(spark, f"{sf_dir}/documents.parquet", ckpt, out)
     assert n2 == n1
+
+
+def test_incremental_triples_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A crash between sink write and offset commit replays the epoch;
+    the per-epoch overwrite layout must produce identical bytes, not
+    appended duplicates (at-least-once → exactly-once)."""
+    from ddaugner_spark.operators import triples
+
+    out = str(tmp_path / "t_out_replay")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = triples.triples_df(docs)
+    # simulate foreachBatch running epoch 0, then the same epoch replayed
+    t.write.mode("overwrite").parquet(f"{out}/epoch_id=0")
+    t.write.mode("overwrite").parquet(f"{out}/epoch_id=0")
+    got = spark.read.parquet(out).drop("epoch_id")
+    assert got.count() == t.count()
