@@ -193,8 +193,9 @@ def q_augment_standard(spark, sf):
 
 
 def q_balance_upsample(spark, sf):
-    """R8/A7 — not SQL-expressible (driver-side linear solve): the driver
-    records a rows-only check; the ratio-restoration law is pytest-pinned
+    """R8/A7 — the driver-side solve is closed-form (augment.py), so the
+    chosen doc multiset IS SQL-expressible and oracle-checked; the
+    ratio-restoration law is additionally pytest-pinned
     (tests/test_augment.py)."""
     corpus, _ = augment.balance_upsample(_docs(spark, sf))
     return corpus.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
@@ -507,28 +508,150 @@ sentid AS (
   FROM toks
 )"""
 
+# every gazetteer entry with its token length, for the general n=5..1 match
+_GAZN = ", ".join(
+    f"('{s}', '{c}', {len(s.split(' '))})" for s, c, _w in config.GAZETTEER
+)
+
+# The general dictionary pass (fix_ner.py:195-215) mirrored in SQL:
+# candidate windows (all levels) -> list_reduce fold in the exact pass
+# order (n DESC, start ASC) applying a window iff it covers >=1 'O'
+# position and OVERWRITING the whole window -> BIO-run decode.  The fold
+# is seeded by prepending an initial all-'O' element (DuckDB list_reduce
+# has no init argument).  ``dtags`` (per-position final tags) is exposed
+# for the tag-frequency / error-span oracles — reconstructing tags from
+# ment spans is NOT equivalent when an overwrite beheads an earlier run
+# (the remnant I-X positions keep their old class inside the new span).
 _MENT = f"""
-big AS (
-  SELECT a.doc_id, a.pos AS start_idx, a.pos + 1 AS end_idx,
-         a.tok || ' ' || b.tok AS surface, 'ORG' AS tag
-  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  WHERE a.tok || ' ' || b.tok IN ({_ORG})
+gazn AS (SELECT * FROM (VALUES {{GAZN}}) g(surface, tag, n)),
+tl AS (
+  SELECT doc_id, t, len(t) AS nt
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND text != '')
 ),
-covered AS (
-  SELECT doc_id, start_idx AS pos FROM big
-  UNION ALL SELECT doc_id, end_idx FROM big
+gcands AS (
+  SELECT tl.doc_id, u.i - 1 AS start, g.n, g.tag
+  FROM tl, gazn g, unnest(range(1, tl.nt - g.n + 2)) u(i)
+  WHERE array_to_string(tl.t[u.i : u.i + g.n - 1], ' ') = g.surface
 ),
-uni AS (
-  SELECT t.doc_id, t.pos AS start_idx, t.pos AS end_idx, t.tok AS surface,
-         CASE WHEN t.tok IN ({_PER}) THEN 'PER' ELSE 'LOC' END AS tag
-  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
-  WHERE t.tok IN ({_UNI}) AND c.pos IS NULL
+gclist AS (
+  SELECT doc_id,
+         list(struct_pack(s := start, n := n, g := tag)
+              ORDER BY n DESC, start ASC) AS cl
+  FROM gcands GROUP BY doc_id
 ),
-ment AS (SELECT * FROM big UNION ALL SELECT * FROM uni),
+fold0 AS (
+  SELECT tl.doc_id, list_transform(tl.t, x -> 'O') AS tags,
+         coalesce(c.cl, []) AS rem
+  FROM tl LEFT JOIN gclist c USING (doc_id)
+),
+folded AS (
+  WITH RECURSIVE f AS (
+    SELECT doc_id, tags, rem FROM fold0
+    UNION ALL
+    SELECT doc_id,
+      CASE WHEN len(list_filter(tags[rem[1].s + 1 : rem[1].s + rem[1].n],
+                                x -> x = 'O')) > 0
+           THEN list_transform(tags, (x, i) ->
+                CASE WHEN i - 1 >= rem[1].s AND i - 1 < rem[1].s + rem[1].n
+                     THEN CASE WHEN i - 1 = rem[1].s THEN 'B-' || rem[1].g
+                               ELSE 'I-' || rem[1].g END
+                     ELSE x END)
+           ELSE tags END AS tags,
+      rem[2:] AS rem
+    FROM f WHERE len(rem) > 0
+  )
+  SELECT doc_id, tags FROM f WHERE len(rem) = 0
+),
+dtags AS (
+  SELECT doc_id, i - 1 AS pos, tags[i] AS tag
+  FROM folded, unnest(range(1, len(tags) + 1)) AS u(i)
+),
+segs AS (
+  SELECT doc_id, pos, tag,
+         sum(CASE WHEN tag NOT LIKE 'I-%' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM dtags
+),
+ment0 AS (
+  SELECT doc_id, min(pos)::BIGINT AS start_idx, max(pos)::BIGINT AS end_idx,
+         substr(arg_min(tag, pos), 3) AS tag
+  FROM segs
+  GROUP BY doc_id, seg
+  HAVING arg_min(tag, pos) LIKE 'B-%'
+),
+ment AS (
+  SELECT m.doc_id, m.start_idx, m.end_idx,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS surface, m.tag
+  FROM ment0 m JOIN toks t
+    ON t.doc_id = m.doc_id AND t.pos BETWEEN m.start_idx AND m.end_idx
+  GROUP BY m.doc_id, m.start_idx, m.end_idx, m.tag
+),
 mentsent AS (
   SELECT m.doc_id, s.sent_id, m.start_idx, m.end_idx, m.surface, m.tag
   FROM ment m JOIN sentid s ON m.doc_id = s.doc_id AND m.start_idx = s.pos
+)""".replace("{GAZN}", _GAZN)
+
+def _fold_ment_sql(src: str, p: str) -> str:
+    """Slim variant of the _MENT fold over an arbitrary corpus CTE ``src``
+    (doc_id, text), CTE names prefixed with ``p``; ends at ``{p}ment``
+    (doc_id, start_idx, end_idx, tag) — no surfaces/sent ids (enough for
+    the count-based balance oracle).  Requires ``gazn`` in scope."""
+    return f"""
+{p}tl AS (
+  SELECT doc_id, t, len(t) AS nt
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src}
+        WHERE text IS NOT NULL AND text != '')
+),
+{p}gcands AS (
+  SELECT l.doc_id, u.i - 1 AS start, g.n, g.tag
+  FROM {p}tl l, gazn g, unnest(range(1, l.nt - g.n + 2)) u(i)
+  WHERE array_to_string(l.t[u.i : u.i + g.n - 1], ' ') = g.surface
+),
+{p}gclist AS (
+  SELECT doc_id,
+         list(struct_pack(s := start, n := n, g := tag)
+              ORDER BY n DESC, start ASC) AS cl
+  FROM {p}gcands GROUP BY doc_id
+),
+{p}fold0 AS (
+  SELECT l.doc_id, list_transform(l.t, x -> 'O') AS tags,
+         coalesce(c.cl, []) AS rem
+  FROM {p}tl l LEFT JOIN {p}gclist c USING (doc_id)
+),
+{p}folded AS (
+  WITH RECURSIVE f AS (
+    SELECT doc_id, tags, rem FROM {p}fold0
+    UNION ALL
+    SELECT doc_id,
+      CASE WHEN len(list_filter(tags[rem[1].s + 1 : rem[1].s + rem[1].n],
+                                x -> x = 'O')) > 0
+           THEN list_transform(tags, (x, i) ->
+                CASE WHEN i - 1 >= rem[1].s AND i - 1 < rem[1].s + rem[1].n
+                     THEN CASE WHEN i - 1 = rem[1].s THEN 'B-' || rem[1].g
+                               ELSE 'I-' || rem[1].g END
+                     ELSE x END)
+           ELSE tags END AS tags,
+      rem[2:] AS rem
+    FROM f WHERE len(rem) > 0
+  )
+  SELECT doc_id, tags FROM f WHERE len(rem) = 0
+),
+{p}segs AS (
+  SELECT doc_id, pos, tag,
+         sum(CASE WHEN tag NOT LIKE 'I-%' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM (SELECT doc_id, i - 1 AS pos, tags[i] AS tag
+        FROM {p}folded, unnest(range(1, len(tags) + 1)) AS u(i))
+),
+{p}ment AS (
+  SELECT doc_id, min(pos)::BIGINT AS start_idx, max(pos)::BIGINT AS end_idx,
+         substr(arg_min(tag, pos), 3) AS tag
+  FROM {p}segs
+  GROUP BY doc_id, seg
+  HAVING arg_min(tag, pos) LIKE 'B-%'
 )"""
+
 
 _CORPUS = """
 corpus AS (
@@ -598,16 +721,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_tag_frequencies"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT},
-      tagpos AS (
-        SELECT doc_id, start_idx AS pos, 'B-' || tag AS tag FROM ment
-        UNION ALL
-        SELECT doc_id, end_idx, 'I-' || tag FROM ment WHERE end_idx > start_idx
-      ),
-      fulltags AS (
-        SELECT t.doc_id, t.pos, coalesce(tp.tag, 'O') AS tag
-        FROM toks t LEFT JOIN tagpos tp ON t.doc_id = tp.doc_id AND t.pos = tp.pos
-      ),
-      counts AS (SELECT tag, count(*) AS n FROM fulltags GROUP BY tag)
+      counts AS (SELECT tag, count(*) AS n FROM dtags GROUP BY tag)
       SELECT tag, n,
              round(n::DOUBLE / sum(n) OVER (), 6) AS freq,
              round(max(n) OVER ()::DOUBLE / n, 6) AS weight
@@ -701,18 +815,13 @@ def oracle_sql() -> dict[str, str]:
 
     o["q_error_spans"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT},
-      tagpos AS (
-        SELECT doc_id, start_idx AS pos, 'B-' || tag AS tag FROM ment
-        UNION ALL
-        SELECT doc_id, end_idx, 'I-' || tag FROM ment WHERE end_idx > start_idx
-      ),
       flags AS (
         SELECT t.doc_id, t.pos,
                CASE WHEN (CASE WHEN t.tok IN ({_PER}) THEN 'B-PER'
                                WHEN t.tok IN ({_LOC}) THEN 'B-LOC'
                                ELSE 'O' END)
-                    != coalesce(tp.tag, 'O') THEN 1 ELSE 0 END AS neq
-        FROM toks t LEFT JOIN tagpos tp ON t.doc_id = tp.doc_id AND t.pos = tp.pos
+                    != d.tag THEN 1 ELSE 0 END AS neq
+        FROM toks t JOIN dtags d ON t.doc_id = d.doc_id AND t.pos = d.pos
       ),
       starts AS (
         SELECT doc_id, pos, neq,
@@ -852,6 +961,71 @@ def oracle_sql() -> dict[str, str]:
       SELECT d.doc_id + 5000000, true, md5(i.new_text)
       FROM documents d JOIN injected i ON d.doc_id = i.doc_id
       WHERE d.doc_id % 100 < 20
+    """
+
+    # balance_upsample's linear solve is closed-form (see
+    # operators/augment.py): with the most-surplus class pinned to 0,
+    # T + Σn = post_pin / ratio_pin, so need_i = ratio_i·post_pin/ratio_pin
+    # − post_i (clipped, floor(x+0.5)).  The oracle runs the identical
+    # arithmetic over the same aug corpus, then the same prefix-by-doc_id
+    # selection and per-class id offsets.
+    o["q_balance_upsample"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per_pos AS (SELECT doc_id, start_idx AS pos FROM ment WHERE tag = 'PER'),
+      newtoks AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN p.pos IS NOT NULL
+                    THEN ({_POOL})[((t.doc_id * 7 + t.pos * 31) % {_NPOOL}) + 1]
+                    ELSE t.tok END AS tok
+        FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
+      ),
+      injected AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+        FROM newtoks GROUP BY doc_id
+      ),
+      augc AS (
+        SELECT doc_id, text, false AS augmented FROM documents
+        UNION ALL
+        SELECT d.doc_id + 5000000, i.new_text, true
+        FROM documents d JOIN injected i ON d.doc_id = i.doc_id
+        WHERE d.doc_id % 100 < 20
+      ),
+      {_fold_ment_sql('augc', 'a')},
+      pre AS (SELECT tag, count(*) AS n FROM ment GROUP BY tag),
+      post AS (SELECT tag, count(*) AS n FROM ament GROUP BY tag),
+      r AS (SELECT tag, n::DOUBLE / (SELECT sum(n) FROM pre) AS ratio FROM pre),
+      tt AS (SELECT sum(n)::DOUBLE AS T FROM post),
+      pinq AS (
+        SELECT r.tag, r.ratio, coalesce(p.n, 0) AS n
+        FROM r LEFT JOIN post p USING (tag), tt
+        ORDER BY coalesce(p.n, 0) - r.ratio * tt.T DESC, r.tag ASC LIMIT 1
+      ),
+      plan AS (
+        SELECT r.tag,
+          CASE WHEN r.tag = (SELECT tag FROM pinq) THEN 0
+               ELSE floor(greatest(r.ratio * (SELECT n FROM pinq)::DOUBLE
+                                   / (SELECT ratio FROM pinq)
+                                   - coalesce(p.n, 0), 0.0) + 0.5)::BIGINT
+          END AS need
+        FROM r LEFT JOIN post p USING (tag)
+      ),
+      perdoc AS (SELECT tag, doc_id, count(*) AS cnt FROM ament GROUP BY tag, doc_id),
+      cumq AS (SELECT tag, doc_id, cnt,
+                      sum(cnt) OVER (PARTITION BY tag ORDER BY doc_id) AS cum
+               FROM perdoc),
+      chosen AS (
+        SELECT c.tag, c.doc_id FROM cumq c JOIN plan p USING (tag)
+        WHERE p.need > 0 AND c.cum - c.cnt < p.need
+      ),
+      offs AS (
+        SELECT tag,
+               20000000 + 10000000 * (row_number() OVER (ORDER BY tag) - 1) AS off
+        FROM plan WHERE need > 0
+      )
+      SELECT doc_id, augmented, md5(text) AS text_hash FROM augc
+      UNION ALL
+      SELECT c.doc_id + o.off, true, md5(a.text)
+      FROM chosen c JOIN offs o USING (tag) JOIN augc a ON a.doc_id = c.doc_id
     """
 
     o["q_overlap"] = f"""

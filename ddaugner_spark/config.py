@@ -7,18 +7,26 @@ need a gazetteer that is a *pure function of nothing* — declared literally
 here and inlined identically into the oracle SQL — over the driver's fixed
 30-word synthetic vocabulary (TESTDATA.md).
 
-Dictionary design constraints (so longest-match-first is well-defined and
-SQL-expressible):
+Dictionary invariants (checked by tests/test_config_invariants):
 
-* ``ORG_BIGRAMS`` first-words {hash, table, sort} and second-words
-  {join, scan, merge} are disjoint ⇒ no two bigram matches can ever
-  overlap each other; greedy leftmost-longest reduces to "bigrams win,
-  then unigrams on uncovered positions" — exactly the n-desc pass of
-  fix_ner.py:195-215 without a sequential scan.
-* ``hash`` appears in both ``PER_WORDS`` and as a bigram first-word, so
-  the longest-match precedence is genuinely exercised.
+* surfaces are unique across the whole gazetteer (so the greedy pass
+  order (n desc, start asc) is a total order on candidates);
 * ``SENT_TERM`` ('the') appears in no dictionary entry, so mention spans
-  never straddle a sentence boundary.
+  never straddle a sentence boundary;
+* no ``PRED_WORDS`` token appears in any entry, so a predicate token is
+  never part of a mention;
+* PER entries are unigram-only (the augmentation oracle replaces single
+  tokens at PER starts — aug.py:17-37 semantics).
+
+Matching semantics (fix_ner.py:195-215, faithfully): windows of length
+n = 5..1 are scanned left-to-right per n; a window whose surface is in
+the dictionary and that covers AT LEAST ONE still-'O' position is
+retagged ``B-X I-X…`` — overwriting any previously-written tags in the
+window.  Overlapping same-length matches therefore BOTH apply (the later
+overwrites the earlier's tail), exactly as the reference's ``fix()``
+list assignment does.  Spans are then decoded from the final BIO array
+with the reference decoder (utils.py:111-166: any ``I-`` extends an open
+run, regardless of class).
 """
 
 from __future__ import annotations
@@ -32,13 +40,42 @@ ORG_BIGRAMS = ["hash join", "sort merge", "table scan"]
 PER_WORDS = ["spark", "customer", "hash"]
 LOC_WORDS = ["stream", "window"]
 
+#: multi-token (n = 3..5) entries — fix_ner.py:201 matches names of up to
+#: 5 tokens; these deliberately overlap the bigrams/unigrams above to
+#: exercise every longest-match / overwrite path:
+#: * "fast hash join" / "hash join big" extend the "hash join" bigram on
+#:   either side (trigram wins where it matches);
+#: * "row column sort" vs "column sort stream": same-length overlapping
+#:   matches — the left applies first, the right overwrites its tail;
+#: * "value slow hash data" / "hash data row slow slow" contain 'hash'
+#:   (a PER unigram) — cross-level suppression.
+ORG_NGRAMS = [
+    "fast hash join",
+    "hash join big",
+    "row column sort",
+    "column sort stream",
+    "value slow hash data",
+    "hash data row slow slow",
+]
+LOC_NGRAMS = ["stream table hash"]
+
 #: (surface, class, weight) — weight plays the role of the reference's
 #: per-name sampling weight / link-score prior (resources/*.py samplers).
 GAZETTEER = (
     [(s, "ORG", round(0.5 + 0.1 * i, 2)) for i, s in enumerate(ORG_BIGRAMS)]
     + [(s, "PER", round(0.9 + 0.05 * i, 2)) for i, s in enumerate(PER_WORDS)]
     + [(s, "LOC", round(0.3 + 0.2 * i, 2)) for i, s in enumerate(LOC_WORDS)]
+    + [(s, "ORG", round(0.4 + 0.05 * i, 2)) for i, s in enumerate(ORG_NGRAMS)]
+    + [(s, "LOC", round(0.35 + 0.05 * i, 2)) for i, s in enumerate(LOC_NGRAMS)]
 )
+
+#: surface -> class for all entries, and per-length buckets (n desc) —
+#: the shape both the column-native matcher and the Arrow tagger consume.
+GAZ_CLASS = {s: c for s, c, _w in GAZETTEER}
+GAZ_LEVELS: dict[int, list[tuple[str, str]]] = {}
+for _s, _c, _w in GAZETTEER:
+    GAZ_LEVELS.setdefault(len(_s.split(" ")), []).append((_s, _c))
+GAZ_LEVELS = dict(sorted(GAZ_LEVELS.items(), reverse=True))
 
 #: replacement pool for gazetteer injection (aug.py:94-146 semantics,
 #: deterministic index instead of unseeded random.choice — SURVEY.md §4.3)

@@ -27,14 +27,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import config
-from .mentions import with_bio, _tok, _covered
+from .mentions import with_bio
 
 
 def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFrame:
-    """Replace every unigram PER token with a deterministic pool name.
+    """Replace every token tagged ``B-PER`` by the general gazetteer fold
+    with a deterministic pool name (PER entries are unigram-only by config
+    invariant, so B-PER positions are exactly the PER mentions).
 
-    Returns (doc_id, n_replaced, new_text).  Multi-token ORG mentions are
-    left intact (class-restricted augmentation, aug.py:100-106: a
+    Returns (doc_id, n_replaced, new_text).  Multi-token ORG/LOC mentions
+    are left intact (class-restricted augmentation, aug.py:100-106: a
     LabelWiseNERAugmenter only touches its own class)."""
     pool = pool or config.INJECT_NAMES
     df = with_bio(docs)
@@ -42,18 +44,29 @@ def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFram
     seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    # O(1) per-position predicate (see mentions._is_big_start: lambda
-    # bodies must not reference computed array columns)
-    is_per = lambda i: _tok(i).isin(config.PER_WORDS) & ~_covered(i, n)  # noqa: E731
-    pool_arr = F.array(*[F.lit(p) for p in pool])
-    repl = lambda i: F.element_at(  # noqa: E731
-        pool_arr,
-        (
-            F.pmod(F.col("doc_id") * 7 + i.cast("long") * 31, F.lit(len(pool))) + 1
-        ).cast("int"),
+    # zip tags with positions ONCE so the tag fold is not re-evaluated per
+    # element (no CSE inside lambda bodies — CLAUDE.md hard rule)
+    arr = F.zip_with(
+        F.col("tags"), seq1, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
     )
-    new_tokens = F.transform(seq1, lambda i: F.when(is_per(i), repl(i)).otherwise(_tok(i)))
-    n_replaced = F.size(F.filter(seq1, is_per))
+    pool_arr = F.array(*[F.lit(p) for p in pool])
+    new_tokens = F.transform(
+        arr,
+        lambda x: F.when(
+            x["t"] == "B-PER",
+            F.element_at(
+                pool_arr,
+                (
+                    F.pmod(
+                        F.col("doc_id") * 7 + x["i"].cast("long") * 31,
+                        F.lit(len(pool)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ).otherwise(F.element_at(F.col("tokens"), (x["i"] + F.lit(1)).cast("int"))),
+    )
+    n_replaced = F.size(F.filter(F.col("tags"), lambda t: t == "B-PER"))
     return df.select(
         "doc_id",
         n_replaced.cast("long").alias("n_replaced"),
@@ -78,7 +91,13 @@ def augment_standard(docs: DataFrame, freq: float = 0.2, modulus: int = 100) -> 
     The reference rejection-samples random sentences (unseeded random,
     conll.py:47); deterministically: docs with pmod(doc_id, modulus) <
     modulus·freq contribute one injected copy with id offset 5_000_000.
-    Returns the union corpus with an ``augmented`` flag."""
+    Returns the union corpus with an ``augmented`` flag.
+
+    COMPOSITION NOTE: materialize this output (parquet round-trip) before
+    running mention detection over it — the mention fold's window lambdas
+    would otherwise re-evaluate the whole injection expression per window
+    (no CSE inside lambda bodies; balance_upsample does this internally).
+    """
     k = int(modulus * freq)
     selected = docs.filter(F.pmod(F.col("doc_id"), F.lit(modulus)) < k)
     new = inject_gazetteer(selected).select(
@@ -91,7 +110,9 @@ def augment_standard(docs: DataFrame, freq: float = 0.2, modulus: int = 100) -> 
     ).unionByName(new)
 
 
-def balance_upsample(docs: DataFrame, modulus: int = 100, freq: float = 0.2):
+def balance_upsample(
+    docs: DataFrame, modulus: int = 100, freq: float = 0.2, stage_dir: str | None = None
+):
     """_augment_balance (conll.py:60-175): after standard augmentation,
     upsample mentions of under-represented classes so post-augmentation
     class ratios return to the pre-augmentation ratios.
@@ -102,58 +123,107 @@ def balance_upsample(docs: DataFrame, modulus: int = 100, freq: float = 0.2):
     in the engine, on O(c) data.  Upsampling duplicates augmented docs
     containing the deficit class (weighted resample join,
     conll.py:163-174 analogue).  Returns (corpus, per-class diagnostics).
+
+    The augmented corpus is MATERIALIZED via a parquet round-trip before
+    mention detection re-runs over it: composing the mention fold directly
+    over the injection expression re-evaluates the whole injection per
+    candidate window (no CSE inside lambda bodies — CLAUDE.md), and the
+    corpus is read three times (post counts + per-class upsampling).
     """
-    import numpy as np
+    import math
+    import tempfile
 
     from .mentions import mentions_df
 
     aug = augment_standard(docs, freq=freq, modulus=modulus)
+    stage_dir = stage_dir or tempfile.mkdtemp(prefix="ddaugner_balance_")
+    aug.write.mode("overwrite").parquet(f"{stage_dir}/aug")
+    aug = docs.sparkSession.read.parquet(f"{stage_dir}/aug")
 
     pre = {
         r["tag"]: r["n"]
         for r in mentions_df(docs).groupBy("tag").agg(F.count("*").alias("n")).collect()
     }
+    m_aug_df = mentions_df(aug)
+    m_aug_df.write.mode("overwrite").parquet(f"{stage_dir}/m_aug")
+    m_aug_df = docs.sparkSession.read.parquet(f"{stage_dir}/m_aug")
     post = {
         r["tag"]: r["n"]
-        for r in mentions_df(aug).groupBy("tag").agg(F.count("*").alias("n")).collect()
+        for r in m_aug_df.groupBy("tag").agg(F.count("*").alias("n")).collect()
     }
     classes = sorted(pre)
-    c = len(classes)
     pre_total = sum(pre.values())
-    post_counts = np.array([post.get(t, 0) for t in classes], dtype=float)
-    ratios = np.array([pre[t] / pre_total for t in classes])
+    ratios = {t: pre[t] / pre_total for t in classes}
     # solve for additions n_i ≥ 0 with (post_i + n_i) / (T + Σn) = ratio_i
-    # (conll.py:83-116 derivation): (I - ratios·1ᵀ)·n = ratio·T - post
-    T = post_counts.sum()
-    A = np.eye(c) - np.outer(ratios, np.ones(c))
-    b = ratios * T - post_counts
-    # the system is rank c-1 (ratios sum to 1); pin the largest class to 0
-    # additions, as the reference masks out majority classes (conll.py:163)
-    pin = int(np.argmax(post_counts - ratios * T))
-    A[pin, :] = 0.0
-    A[pin, pin] = 1.0
-    b[pin] = 0.0
-    additions = np.maximum(np.linalg.solve(A, b), 0.0)
-    plan = {t: int(round(n)) for t, n in zip(classes, additions)}
+    # (conll.py:83-116 derivation): (I - ratios·1ᵀ)·n = ratio·T - post.
+    # The system is rank c-1 (ratios sum to 1); pin the most-surplus class
+    # to 0 additions (the reference masks out majority classes,
+    # conll.py:163).  With the pin the solution is CLOSED-FORM
+    # (T + Σn = post_pin / ratio_pin, verified equal to the numpy solve):
+    #   n_i = ratio_i · post_pin / ratio_pin − post_i   (clipped at 0)
+    # — closed form so the DuckDB oracle can run the identical arithmetic.
+    T = sum(post.get(t, 0) for t in classes)
+    pin, best = None, None
+    for t in classes:  # argmax, first on ties (np.argmax semantics)
+        d = post.get(t, 0) - ratios[t] * T
+        if best is None or d > best:
+            pin, best = t, d
+    plan = {
+        t: 0
+        if t == pin
+        else int(
+            math.floor(
+                max(ratios[t] * post.get(pin, 0) / ratios[pin] - post.get(t, 0), 0.0)
+                + 0.5
+            )
+        )
+        for t in classes
+    }
 
     # upsample: duplicate docs (prefix by doc_id, cumulative mention count
-    # ≤ plan) so each deficit class gains ≈ its planned additions
+    # ≤ plan) so each deficit class gains ≈ its planned additions.
+    # The running sum is two-phase: an unpartitioned Window.orderBy is a
+    # single-task global sort at corpus scale, so the cumsum is computed
+    # within doc_id-range buckets and offset by the (tiny, broadcast)
+    # per-bucket totals — same result, parallel plan.
     from pyspark.sql import Window
 
     corpus = aug
     offset = 20_000_000
-    m_aug = mentions_df(aug)
+    bucket_w = 1000  # doc_id-range bucket width
     for t, need in plan.items():
         if need <= 0:
             continue
         per_doc = (
-            m_aug.filter(F.col("tag") == t)
+            m_aug_df.filter(F.col("tag") == t)
             .groupBy("doc_id")
             .agg(F.count("*").alias("cnt"))
+            .withColumn("b", F.floor(F.col("doc_id") / bucket_w))
         )
-        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-        chosen = per_doc.withColumn("cum", F.sum("cnt").over(w)).filter(
-            F.col("cum") - F.col("cnt") < need
+        bucket_base = (
+            per_doc.groupBy("b")
+            .agg(F.sum("cnt").alias("btot"))
+            .withColumn(
+                "base",
+                F.coalesce(
+                    F.sum("btot").over(
+                        Window.orderBy("b").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("b", "base")
+        )
+        wb = Window.partitionBy("b").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        chosen = (
+            per_doc.withColumn("cum_b", F.sum("cnt").over(wb))
+            .join(F.broadcast(bucket_base), "b")
+            .withColumn("cum", F.col("cum_b") + F.col("base"))
+            .filter(F.col("cum") - F.col("cnt") < need)
         )
         dup = (
             corpus.join(chosen.select("doc_id"), "doc_id")

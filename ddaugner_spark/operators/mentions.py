@@ -2,26 +2,33 @@
 
 Reference semantics being lifted (SURVEY.md J1/W2/W3/P1):
 
-* n-gram gazetteer window match, longest-n-first —
-  /root/reference/fix_ner.py:195-215 (``windowed`` n=5..1 over tokens,
-  retag ``B-PER I-PER*`` on dictionary hit);
+* n-gram gazetteer window match, n = 5..1, left-to-right —
+  /root/reference/fix_ner.py:195-215: a window whose surface is in the
+  dictionary and that covers ≥1 still-'O' position is retagged
+  ``B-X I-X…``, OVERWRITING previously-written tags in the window (the
+  reference's ``fix()`` is a plain list assignment);
 * BIO-run decoding into entity spans —
-  /root/reference/ddaugner/utils.py:111-166;
+  /root/reference/ddaugner/utils.py:111-166 (any ``I-`` extends an open
+  run regardless of class — quirk preserved);
 * sentence ids from running terminator counts —
   /root/reference/ddaugner/datas/datas.py:303-313.
 
 Scale design: everything here is **narrow** — per-row array expressions
-(``filter``/``transform``/``sequence`` higher-order functions) that stay
+(``filter``/``transform``/``aggregate`` higher-order functions) that stay
 inside whole-stage codegen.  There is *no shuffle and no Python* in mention
 detection: a 100 TB pages scan streams through map-only stages, and the
 gazetteer never leaves the closure (it is inlined as literal arrays — the
 broadcast-join formulation in :mod:`.linking` is used when the dictionary
 is too big to inline, with ``F.broadcast`` keeping it off the shuffle).
 
-Longest-match-first is implemented as: bigram matches claim their
-positions; unigram matches apply only on unclaimed positions.  With the
-dictionary invariants documented in ``config.py`` (bigram first/second
-word sets disjoint) this equals the reference's greedy n-desc scan.
+The reference's sequential window scan is an ``F.aggregate`` fold over
+the candidate array sorted by (n desc, start asc) — the exact pass order
+of fix_ner.py's nested loops.  Candidates are sparse (dictionary hits
+only), so the fold is O(c) steps of O(n_tokens) work per document.
+Complexity note: per-doc work is O(c·n); tagging is intended to run on
+sentence-bounded rows at crawl scale (re-segment with
+operators/sentences.py first — the reference also tags per sentence), so
+the quadratic-ish terms stay trivially small.
 """
 
 from __future__ import annotations
@@ -66,66 +73,249 @@ def sent_id_at(pos: Column) -> Column:
     ).cast("long")
 
 
-def _is_big_start(i: Column) -> Column:
-    """O(1) predicate: a gazetteer bigram starts at position i.
-
-    Because ORG_BIGRAMS' first-word and second-word sets are disjoint
-    (config.py invariant), bigram matches can never overlap — so
-    "position claimed by a bigram" reduces to "a bigram starts at i or at
-    i-1", with no materialized position set.  This keeps every per-position
-    check O(1); Catalyst does NOT common-subexpression-eliminate inside
-    lambda functions, so referencing a computed array column from within a
-    ``transform`` lambda re-evaluates the whole array per element (O(n³)
-    per doc — measured 100×+ slowdown before this formulation)."""
-    return (i >= 0) & _bigram(i).isin(config.ORG_BIGRAMS)
+def _ngram_at(i: Column, n: int) -> Column:
+    """Surface of the n-token window starting at 0-based position i."""
+    return F.array_join(F.slice(F.col("tokens"), (i + F.lit(1)).cast("int"), n), " ")
 
 
-def _covered(i: Column, n: Column) -> Column:
-    at_i = (i <= n - 2) & _is_big_start(i)
-    at_prev = (i >= 1) & _is_big_start(i - F.lit(1))
-    return at_i | at_prev
+def _seq(n: Column, lvl: int) -> Column:
+    """[0 .. n_tokens - lvl] window start positions (empty when too short)."""
+    return F.when(n >= lvl, F.sequence(F.lit(0), (n - lvl).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _candidates() -> Column:
+    """array<struct<start int, n int, tag string>> — every gazetteer window
+    hit, all levels.  One `filter` per dictionary length bucket; the
+    gazetteer is inlined as literal arrays (broadcast-join variant:
+    operators/linking.py)."""
+    n = F.col("n_tokens")
+
+    def _hit_filter(lvl: int, surfaces: list[str]):
+        # short-circuit: cheap first-token membership before the O(lvl)
+        # slice+join (most positions fail on the first token)
+        firsts = sorted({s.split(" ")[0] for s in surfaces})
+        if lvl == 1:
+            return lambda i: _tok(i).isin(firsts)
+        return lambda i: _tok(i).isin(firsts) & _ngram_at(i, lvl).isin(surfaces)
+
+    def _mk_struct(lvl: int, entries: list[tuple[str, str]]):
+        classes = sorted({c for _s, c in entries})
+
+        def mk(i):
+            tag = None
+            for c in classes:
+                c_surfs = [s for s, cc in entries if cc == c]
+                cond = _ngram_at(i, lvl).isin(c_surfs)
+                tag = F.when(cond, F.lit(c)) if tag is None else tag.when(cond, F.lit(c))
+            return F.struct(
+                i.cast("int").alias("start"), F.lit(lvl).alias("n"), tag.alias("tag")
+            )
+
+        return mk
+
+    per_level = []
+    for lvl, entries in config.GAZ_LEVELS.items():
+        surfaces = [s for s, _c in entries]
+        hits = F.filter(_seq(n, lvl), _hit_filter(lvl, surfaces))
+        per_level.append(F.transform(hits, _mk_struct(lvl, entries)))
+    return per_level[0] if len(per_level) == 1 else F.concat(*per_level)
+
+
+def _sorted_candidates() -> Column:
+    """Candidates in the reference's pass order: n desc, then start asc
+    (fix_ner.py:201 outer loop 5..1, inner loop left-to-right).
+
+    No sort is needed: GAZ_LEVELS iterates n descending and ``filter``
+    preserves position order within a level, so the concatenated array is
+    already in pass order (pinned by test_candidates_are_in_pass_order).
+    A comparator array_sort here measurably slowed the whole stage
+    (interpreted per-comparison lambdas)."""
+    return _candidates()
+
+
+def _fold_tags(cands: Column | None = None) -> Column:
+    """Final BIO tags array: fold the (pass-ordered) candidates over an
+    all-'O' array, applying a window iff it covers ≥1 'O'
+    (fix_ner.py:205-213's ``any(tag == "O")`` guard), overwriting the
+    whole window on apply.  ``cands`` may be a lambda variable (let-bound
+    candidate array) — defaults to the inline candidate expression."""
+    n = F.col("n_tokens")
+    init = F.transform(_seq(n, 1), lambda i: F.lit("O"))
+
+    def merge(acc, c):
+        covered = F.slice(acc, c["start"] + F.lit(1), c["n"])
+        applies = F.exists(covered, lambda t: t == F.lit("O"))
+        rewritten = F.transform(
+            acc,
+            lambda t, i: F.when(
+                (i >= c["start"]) & (i < c["start"] + c["n"]),
+                F.when(i == c["start"], F.concat(F.lit("B-"), c["tag"])).otherwise(
+                    F.concat(F.lit("I-"), c["tag"])
+                ),
+            ).otherwise(t),
+        )
+        return F.when(applies, rewritten).otherwise(acc)
+
+    return F.aggregate(
+        _sorted_candidates() if cands is None else cands, init, merge
+    )
+
+
+def _fast_spans(cands: Column) -> Column:
+    """Span array when no two candidates overlap: every window applies
+    and IS a span — no fold, no decode.  Same struct type as
+    _decode_spans' output."""
+    return F.transform(
+        cands,
+        lambda c: F.struct(
+            c["start"].cast("long").alias("start_idx"),
+            (c["start"] + c["n"] - 1).cast("long").alias("end_idx"),
+            F.array_join(
+                F.slice(F.col("tokens"), (c["start"] + 1).cast("int"), c["n"]), " "
+            ).alias("surface"),
+            c["tag"].alias("tag"),
+        ),
+    )
+
+
+def _has_overlap(cands: Column) -> Column:
+    """Any two distinct candidate windows intersect (O(c²), c = dictionary
+    hits per doc — sparse)."""
+    return F.exists(
+        cands,
+        lambda a: F.exists(
+            cands,
+            lambda b: ((b["start"] != a["start"]) | (b["n"] != a["n"]))
+            & (b["start"] <= a["start"] + a["n"] - 1)
+            & (a["start"] <= b["start"] + b["n"] - 1),
+        ),
+    )
+
+
+def spans_expr() -> Column:
+    """array<struct<start_idx, end_idx, surface, tag>> mention spans.
+
+    The candidate array is LET-BOUND (single-element-array transform) so
+    it is evaluated once per row; the common no-overlap case takes the
+    direct candidates→spans path, and only rows with overlapping windows
+    run the sequential fold + BIO decode (CaseWhen evaluates one branch
+    per row).  Measured ~4× over always-folding at sf0.1."""
+    z = F.array(F.struct(_sorted_candidates().alias("cs")))
+    return F.element_at(
+        F.transform(
+            z,
+            lambda zz: F.when(
+                _has_overlap(zz["cs"]), _decode_spans(_fold_tags(zz["cs"]))
+            ).otherwise(_fast_spans(zz["cs"])),
+        ),
+        1,
+    )
+
+
+def _decode_spans(tags: Column) -> Column:
+    """array<struct<start_idx long, end_idx long, surface string,
+    tag string>> — BIO-run decoding with the reference decoder semantics
+    (utils.py:111-166): any ``I-`` extends an open run (class from the
+    opening tag); an orphan ``I-`` opens a run (resolve_inconsistencies).
+
+    Single fold over (tag, position) pairs; ``tags`` is consumed exactly
+    once (zip_with) so the tag fold is not re-evaluated per element."""
+    n = F.col("n_tokens")
+    pairs = F.zip_with(
+        tags,
+        _seq(n, 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    span = F.struct(
+        F.lit(None).cast("long").alias("start_idx"),
+        F.lit(None).cast("long").alias("end_idx"),
+        F.lit(None).cast("string").alias("tag"),
+    )
+    init = F.struct(
+        F.array().cast(
+            "array<struct<start_idx:bigint,end_idx:bigint,tag:string>>"
+        ).alias("spans"),
+        F.lit(None).cast("string").alias("cur_tag"),
+        F.lit(-1).cast("long").alias("cur_start"),
+    )
+
+    def merge(acc, x):
+        is_i = x["t"].startswith("I-")
+        is_b = x["t"].startswith("B-")
+        closing = acc["cur_tag"].isNotNull() & ~is_i
+        closed = F.when(
+            closing,
+            F.concat(
+                acc["spans"],
+                F.array(
+                    F.struct(
+                        acc["cur_start"].alias("start_idx"),
+                        (x["i"].cast("long") - 1).alias("end_idx"),
+                        acc["cur_tag"].alias("tag"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["spans"])
+        open_after = F.when(is_b | (is_i & acc["cur_tag"].isNull()), x["t"].substr(F.lit(3), F.length(x["t"]))).otherwise(
+            F.when(is_i, acc["cur_tag"]).otherwise(F.lit(None).cast("string"))
+        )
+        start_after = F.when(
+            is_b | (is_i & acc["cur_tag"].isNull()), x["i"].cast("long")
+        ).otherwise(F.when(is_i, acc["cur_start"]).otherwise(F.lit(-1).cast("long")))
+        return F.struct(
+            closed.alias("spans"),
+            open_after.alias("cur_tag"),
+            start_after.alias("cur_start"),
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["cur_tag"].isNotNull(),
+            F.concat(
+                acc["spans"],
+                F.array(
+                    F.struct(
+                        acc["cur_start"].alias("start_idx"),
+                        (n.cast("long") - 1).alias("end_idx"),
+                        acc["cur_tag"].alias("tag"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["spans"])
+
+    spans = F.aggregate(pairs, init, merge, finish)
+    return F.transform(
+        spans,
+        lambda s: F.struct(
+            s["start_idx"].alias("start_idx"),
+            s["end_idx"].alias("end_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("tokens"),
+                    (s["start_idx"] + 1).cast("int"),
+                    (s["end_idx"] - s["start_idx"] + 1).cast("int"),
+                ),
+                " ",
+            ).alias("surface"),
+            s["tag"].alias("tag"),
+        ),
+    )
 
 
 def with_bio(docs: DataFrame) -> DataFrame:
-    """Adds ``tokens``, match-position arrays and a full per-doc BIO
-    ``tags`` array.  All narrow expressions, O(n) per document.
+    """Adds ``tokens``, ``n_tokens`` and the final BIO ``tags`` array
+    (general n = 5..1 gazetteer matching with the reference's overwrite
+    semantics).  All narrow expressions.
 
-    Columns added: tokens, n_tokens, big_starts (0-based start positions
-    of bigram gazetteer hits), uni_hits (unigram hit positions after
-    longest-match suppression), tags.
-    """
-    df = with_tokens(docs)
-    n = F.col("n_tokens")
-
-    seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    seq2 = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-
-    df = df.withColumn("big_starts", F.filter(seq2, _is_big_start))
-    uni_words = config.PER_WORDS + config.LOC_WORDS
-    df = df.withColumn(
-        "uni_hits",
-        F.filter(seq1, lambda i: _tok(i).isin(uni_words) & ~_covered(i, n)),
-    )
-    df = df.withColumn(
-        "tags",
-        F.transform(
-            seq1,
-            lambda i: F.when((i <= n - 2) & _is_big_start(i), F.lit("B-ORG"))
-            .when((i >= 1) & _is_big_start(i - F.lit(1)), F.lit("I-ORG"))
-            .when(
-                _tok(i).isin(config.PER_WORDS) & ~_covered(i, n), F.lit("B-PER")
-            )
-            .when(
-                _tok(i).isin(config.LOC_WORDS) & ~_covered(i, n), F.lit("B-LOC")
-            )
-            .otherwise(F.lit("O")),
-        ),
-    )
-    return df
+    Deliberately does NOT also attach the decoded span array: carrying
+    the fold through a chain of named columns defeats Catalyst's
+    project-collapse/pruning around Generate and re-evaluates the fold
+    ~4× (measured 11.7s vs 2.7s at sf0.1) — span consumers build
+    ``_decode_spans(_fold_tags())`` inline instead (mentions_df,
+    triples_map_only)."""
+    return with_tokens(docs).withColumn("tags", _fold_tags())
 
 
 def with_naive_bio(docs: DataFrame) -> DataFrame:
@@ -153,31 +343,11 @@ def mentions_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     ``end_idx`` inclusive (reference convention utils.py:19-22);
     ``start_idx``/``end_idx`` are document-level 0-based token positions.
     """
-    df = with_bio(docs)
-    m_big = F.transform(
-        F.col("big_starts"),
-        lambda i: F.struct(
-            i.cast("long").alias("start_idx"),
-            (i + F.lit(1)).cast("long").alias("end_idx"),
-            _bigram(i).alias("surface"),
-            F.lit("ORG").alias("tag"),
-        ),
-    )
-    m_uni = F.transform(
-        F.col("uni_hits"),
-        lambda i: F.struct(
-            i.cast("long").alias("start_idx"),
-            i.cast("long").alias("end_idx"),
-            _tok(i).alias("surface"),
-            F.when(_tok(i).isin(config.PER_WORDS), F.lit("PER"))
-            .otherwise(F.lit("LOC"))
-            .alias("tag"),
-        ),
-    )
+    df = with_tokens(docs)
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
         F.col("tokens"),
-        F.explode(F.concat(m_big, m_uni)).alias("m"),
+        F.explode(spans_expr()).alias("m"),
     )
     return exploded.select(
         "doc_id",

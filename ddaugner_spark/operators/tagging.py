@@ -48,24 +48,23 @@ class DictTaggerModel:
     """
 
     def __init__(self):
-        self.bigrams = {tuple(b.split(" ")) for b in config.ORG_BIGRAMS}
-        self.per = set(config.PER_WORDS)
-        self.loc = set(config.LOC_WORDS)
+        # length-bucketed surface -> class maps, longest level first
+        self.levels = [
+            (lvl, {s: c for s, c in entries})
+            for lvl, entries in config.GAZ_LEVELS.items()
+        ]
 
     def tag_tokens(self, toks: List[str]) -> List[str]:
+        """The reference's windowed pass verbatim (fix_ner.py:195-215):
+        for n = 5..1, left-to-right, retag a dictionary window covering
+        ≥1 'O' position as B-X I-X…, overwriting previous tags."""
         n = len(toks)
         tags = ["O"] * n
-        i = 0
-        while i < n:
-            if i + 1 < n and (toks[i], toks[i + 1]) in self.bigrams:
-                tags[i], tags[i + 1] = "B-ORG", "I-ORG"
-                i += 2
-                continue
-            if toks[i] in self.per:
-                tags[i] = "B-PER"
-            elif toks[i] in self.loc:
-                tags[i] = "B-LOC"
-            i += 1
+        for lvl, entries in self.levels:
+            for i in range(n - lvl + 1):
+                cls = entries.get(" ".join(toks[i : i + lvl]))
+                if cls is not None and any(t == "O" for t in tags[i : i + lvl]):
+                    tags[i : i + lvl] = [f"B-{cls}"] + [f"I-{cls}"] * (lvl - 1)
         return tags
 
     def tag_batch(self, token_lists: List[List[str]]) -> List[List[str]]:

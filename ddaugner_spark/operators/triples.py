@@ -118,77 +118,77 @@ def triples_map_only(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the join formulation at bench scale, and no exchange at all at
     100 TB).
 
-    Complexity bound: O(m² · n) per doc with m = mentions and n = tokens
-    (nested lambdas re-evaluate the small mention array per outer element
-    — the no-CSE-in-lambdas rule).  Natural web text has bounded mention
-    density so this is effectively linear; for adversarial all-dictionary
-    documents prefer :func:`triples_from_mentions` over a materialized
-    mention table."""
+    Complexity bound: O(m² · n) per doc with m = mentions and n = tokens.
+    The mention array (which now embeds the general gazetteer fold) is
+    LET-BOUND via a single-element-array ``transform`` so the nested pair
+    lambdas reference a lambda variable instead of re-evaluating the fold
+    per outer element (the no-CSE-in-lambdas rule).  Natural web text has
+    bounded mention density so this is effectively linear; for
+    adversarial all-dictionary documents prefer
+    :func:`triples_from_mentions` over a materialized mention table."""
     from .. import config as _c
-    from .mentions import with_bio, _tok, sent_id_at
+    from .mentions import _tok, sent_id_at, spans_expr, with_tokens
 
-    df = with_bio(docs)
+    df = with_tokens(docs)
     n = F.col("n_tokens")
     seq1 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
 
-    m_big = F.transform(
-        F.col("big_starts"),
-        lambda i: F.struct(
-            i.cast("long").alias("start_idx"),
-            (i + F.lit(1)).cast("long").alias("end_idx"),
-            F.concat(_tok(i), F.lit(" "), _tok(i + F.lit(1))).alias("surface"),
-            F.lit("ORG").alias("tag"),
-            sent_id_at(i).alias("sent_id"),
-        ),
-    )
-    m_uni = F.transform(
-        F.col("uni_hits"),
-        lambda i: F.struct(
-            i.cast("long").alias("start_idx"),
-            i.cast("long").alias("end_idx"),
-            _tok(i).alias("surface"),
-            F.when(_tok(i).isin(_c.PER_WORDS), F.lit("PER"))
-            .otherwise(F.lit("LOC"))
-            .alias("tag"),
-            sent_id_at(i).alias("sent_id"),
+    # decoded spans (general n=5..1 gazetteer fold) + per-mention sent_id;
+    # built INLINE, not via named columns (see mentions.with_bio note)
+    m_all = F.transform(
+        spans_expr(),
+        lambda m: F.struct(
+            m["start_idx"].alias("start_idx"),
+            m["end_idx"].alias("end_idx"),
+            m["surface"].alias("surface"),
+            m["tag"].alias("tag"),
+            sent_id_at(m["start_idx"]).alias("sent_id"),
         ),
     )
     preds = F.transform(
         F.filter(seq1, lambda i: _tok(i).isin(_c.PRED_WORDS)),
         lambda i: F.struct(i.cast("long").alias("pos"), _tok(i).alias("tok")),
     )
-    df = df.withColumn("ments", F.concat(m_big, m_uni)).withColumn("predArr", preds)
-
-    pair = F.flatten(
-        F.transform(
-            F.col("ments"),
-            lambda s: F.transform(
-                F.filter(
-                    F.col("ments"),
-                    lambda o: (o["start_idx"] > s["end_idx"] + 1)
-                    & (o["start_idx"] <= s["end_idx"] + 1 + _c.TRIPLE_MAX_GAP)
-                    & (o["sent_id"] == s["sent_id"]),
+    # let-binding: evaluate (ments, preds) ONCE per row, bind to z
+    def pair_expr(z):
+        ments, pred_arr = z["ms"], z["ps"]
+        return F.flatten(
+            F.transform(
+                ments,
+                lambda s: F.transform(
+                    F.filter(
+                        ments,
+                        lambda o: (o["start_idx"] > s["end_idx"] + 1)
+                        & (o["start_idx"] <= s["end_idx"] + 1 + _c.TRIPLE_MAX_GAP)
+                        & (o["sent_id"] == s["sent_id"]),
+                    ),
+                    lambda o: F.struct(
+                        s["sent_id"].alias("sent_id"),
+                        s["surface"].alias("subj"),
+                        s["tag"].alias("subj_tag"),
+                        F.array_min(
+                            F.filter(
+                                pred_arr,
+                                lambda p: (p["pos"] > s["end_idx"])
+                                & (p["pos"] < o["start_idx"]),
+                            )
+                        )["tok"].alias("pred"),
+                        o["surface"].alias("obj"),
+                        o["tag"].alias("obj_tag"),
+                        s["start_idx"].alias("subj_start"),
+                        o["start_idx"].alias("obj_start"),
+                    ),
                 ),
-                lambda o: F.struct(
-                    s["sent_id"].alias("sent_id"),
-                    s["surface"].alias("subj"),
-                    s["tag"].alias("subj_tag"),
-                    F.array_min(
-                        F.filter(
-                            F.col("predArr"),
-                            lambda p: (p["pos"] > s["end_idx"])
-                            & (p["pos"] < o["start_idx"]),
-                        )
-                    )["tok"].alias("pred"),
-                    o["surface"].alias("obj"),
-                    o["tag"].alias("obj_tag"),
-                    s["start_idx"].alias("subj_start"),
-                    o["start_idx"].alias("obj_start"),
-                ),
-            ),
+            )
         )
+
+    pair = F.element_at(
+        F.transform(
+            F.array(F.struct(m_all.alias("ms"), preds.alias("ps"))), pair_expr
+        ),
+        1,
     )
     out = df.select(F.col(id_col).alias("doc_id"), F.explode(pair).alias("t")).filter(
         F.col("t.pred").isNotNull()

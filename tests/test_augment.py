@@ -42,8 +42,19 @@ def test_balance_restores_ratios(spark, docs):
     }
     pre_total = sum(pre.values())
 
-    plain = augment.augment_standard(small, freq=0.3)
+    # materialize compositions before re-running mention detection over
+    # them (CLAUDE.md: parquet round-trips between stages; the mention
+    # fold re-evaluates an unmaterialized injection expression per window)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ddaugner_test_balance_")
+    augment.augment_standard(small, freq=0.3).write.mode("overwrite").parquet(
+        f"{d}/plain"
+    )
+    plain = spark.read.parquet(f"{d}/plain")
     corpus, diag = augment.balance_upsample(small, freq=0.3)
+    corpus.write.mode("overwrite").parquet(f"{d}/bal")
+    corpus = spark.read.parquet(f"{d}/bal")
 
     def ratios(df):
         rows = mentions.mentions_df(df).groupBy("tag").agg(F.count("*").alias("n")).collect()
