@@ -201,6 +201,20 @@ def q_balance_upsample(spark, sf):
     return corpus.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
 
 
+def q_augment_compositional(spark, sf):
+    """R4 — gazetteer injection drawing compositional Elder-Scrolls-form
+    names (10 forms, reference probability ladder) instead of the flat
+    pool."""
+    from ddaugner_spark.functions import elder_scrolls_name
+
+    return augment.inject_gazetteer(_docs(spark, sf), name_fn=elder_scrolls_name)
+
+
+def q_augment_labelwise(spark, sf):
+    """R1/R3 exact single-entity replacement (aug.py:17-74 semantics)."""
+    return augment.augment_labelwise(_docs(spark, sf))
+
+
 def q_overlap(spark, sf):
     target = gazetteer_df(spark).select("name")
     vocab = (
@@ -266,6 +280,13 @@ def q_ann_ivf(spark, sf):
 
 def q_ann_multiprobe(spark, sf):
     return similarity.ivf_multiprobe_topk(_emb(spark, sf), QUERY_IDS)
+
+
+def q_ann_ivf_kmeans(spark, sf):
+    """Data-adaptive IVF: deterministic k-means coarse quantizer (64
+    cells, nprobe=4) — the 100 TB-shaped index (sign-cells cap at 2^dims
+    fixed cells regardless of data)."""
+    return similarity.ivf_kmeans_topk(_emb(spark, sf), QUERY_IDS)
 
 
 def q_cosine_threshold(spark, sf):
@@ -443,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_augment_replace": q_augment_replace,
         "q_augment_standard": q_augment_standard,
         "q_balance_upsample": q_balance_upsample,
+        "q_augment_labelwise": q_augment_labelwise,
+        "q_augment_compositional": q_augment_compositional,
         "q_overlap": q_overlap,
         "q_context_features": q_context_features,
         "q_text_extract": q_text_extract,
@@ -455,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_multiprobe": q_ann_multiprobe,
+        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
         "q_cosine_threshold": q_cosine_threshold,
         "q_quality": q_quality,
         "q_langid": q_langid,
@@ -591,6 +615,94 @@ mentsent AS (
   SELECT m.doc_id, s.sent_id, m.start_idx, m.end_idx, m.surface, m.tag
   FROM ment m JOIN sentid s ON m.doc_id = s.doc_id AND m.start_idx = s.pos
 )""".replace("{GAZN}", _GAZN)
+
+def _kmeans_ivf_sql(
+    qids: str, n_cells: int = 64, iters: int = 3, dim: int = 64,
+    nprobe: int = 4, k: int = 10,
+) -> str:
+    """DuckDB replay of similarity.ivf_kmeans_topk: identical init (the
+    n_cells lowest vec_ids), identical fixed Lloyd iterations with
+    centroids rounded to 6 digits and assignment distances to 8 (so JVM
+    vs DuckDB float-sum order lives below the rounding), identical
+    nprobe probing and exact cosine re-rank."""
+    d2 = (
+        "round(list_aggregate(list_transform(range(1, {dim1}), "
+        "d -> (e.embedding[d]::DOUBLE - c.cv[d]) * "
+        "(e.embedding[d]::DOUBLE - c.cv[d])), 'sum'), 8)"
+    ).format(dim1=dim + 1)
+    parts = [f"""
+e AS (SELECT vec_id, embedding FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(range(1, {dim + 1}),
+                        d -> round(embedding[d]::DOUBLE, 6)) AS cv
+  FROM (SELECT * FROM e ORDER BY vec_id LIMIT {n_cells})
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM e, c{i - 1} c
+  ) WHERE rn = 1
+),
+u{i} AS (
+  SELECT a.cell, t.d, round(avg(e.embedding[t.d]::DOUBLE), 6) AS v
+  FROM a{i} a JOIN e USING (vec_id), unnest(range(1, {dim + 1})) t(d)
+  GROUP BY a.cell, t.d
+),
+c{i} AS (
+  SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN (
+    SELECT cell, list(v ORDER BY d) AS cv FROM u{i} GROUP BY cell
+  ) n USING (cell)
+)""")
+    parts.append(f"""
+corpus_cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM e, c{iters} c
+  ) WHERE rn = 1
+),
+qa AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS q_emb, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2} ASC, c.cell ASC) AS rn
+    FROM e, c{iters} c WHERE e.vec_id IN ({qids})
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT qa.query_id, qa.q_emb, e.vec_id, e.embedding
+  FROM qa JOIN corpus_cells cc USING (cell) JOIN e ON e.vec_id = cc.vec_id
+  WHERE e.vec_id != qa.query_id
+),
+sc AS (
+  SELECT query_id, vec_id,
+         list_aggregate(list_transform(range(1, {dim + 1}),
+           d -> q_emb[d]::DOUBLE * embedding[d]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, {dim + 1}),
+              d -> q_emb[d]::DOUBLE * q_emb[d]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, {dim + 1}),
+              d -> embedding[d]::DOUBLE * embedding[d]::DOUBLE), 'sum')))
+         AS raw_score
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, raw_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_score DESC, vec_id ASC) AS rank
+  FROM sc
+)""")
+    return ",".join(parts) + f"""
+SELECT query_id, vec_id, rank::BIGINT AS rank, round(raw_score, 4) AS score
+FROM ranked WHERE rank <= {k}
+"""
+
 
 def _fold_ment_sql(src: str, p: str) -> str:
     """Slim variant of the _MENT fold over an arbitrary corpus CTE ``src``
@@ -963,6 +1075,83 @@ def oracle_sql() -> dict[str, str]:
       WHERE d.doc_id % 100 < 20
     """
 
+    # Elder-Scrolls compositional names: the engine's integer ladder
+    # replayed verbatim from the same module constants
+    from ddaugner_spark.functions.samplers import (
+        ELDER_SCROLLS_PARTS as _ESP,
+        ES_FORMS as _ESF,
+        _ES_ORDER as _ESO,
+        _KNUTH as _ESK,
+        _MULT as _ESM,
+        _OFF as _ESOFF,
+    )
+
+    def _es_pick_sql(seed: str, p: str) -> str:
+        vals = "[" + sql_str_list(_ESP[p]) + "]"
+        return f"({vals})[(({seed}) * {_ESM[p]} + {_ESOFF[p]}) % {len(_ESP[p])} + 1]"
+
+    def _es_name_sql(seed: str) -> str:
+        branches = []
+        for thr, form in _ESF:
+            picks = ", ".join(
+                _es_pick_sql(seed, p) for p, has in zip(_ESO, form) if has
+            )
+            branches.append(
+                f"WHEN (({seed}) * {_ESK}) % 100 < {thr} THEN concat_ws(' ', {picks})"
+            )
+        return "CASE " + " ".join(branches) + " END"
+
+    o["q_augment_compositional"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per_pos AS (SELECT doc_id, start_idx AS pos FROM ment WHERE tag = 'PER'),
+      newtoks AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN p.pos IS NOT NULL
+                    THEN {_es_name_sql("t.doc_id * 7 + t.pos * 31")}
+                    ELSE t.tok END AS tok,
+               CASE WHEN p.pos IS NOT NULL THEN 1 ELSE 0 END AS replaced
+        FROM toks t LEFT JOIN per_pos p ON t.doc_id = p.doc_id AND t.pos = p.pos
+      )
+      SELECT doc_id, sum(replaced)::BIGINT AS n_replaced,
+             string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM newtoks GROUP BY doc_id
+    """
+
+    o["q_augment_labelwise"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      perm AS (SELECT * FROM mentsent WHERE tag = 'PER'),
+      ranked AS (
+        SELECT doc_id, sent_id, start_idx, surface,
+               row_number() OVER (PARTITION BY doc_id, sent_id
+                                  ORDER BY start_idx) - 1 AS k,
+               count(*) OVER (PARTITION BY doc_id, sent_id) AS n_ent
+        FROM perm
+      ),
+      chosen AS (
+        SELECT doc_id, sent_id, surface AS old_surface,
+               ({_POOL})[((doc_id * 7 + sent_id * 31) % {_NPOOL}) + 1] AS new_surface
+        FROM ranked WHERE k = (doc_id * 7 + sent_id * 31) % n_ent
+      ),
+      tls AS (
+        SELECT t.doc_id, s.sent_id, t.pos, t.tok
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+      ),
+      occ AS (SELECT doc_id, sent_id, start_idx AS pos, surface FROM perm),
+      j AS (
+        SELECT tls.doc_id, tls.sent_id, c.old_surface, c.new_surface, tls.pos,
+               CASE WHEN o.surface = c.old_surface THEN c.new_surface
+                    ELSE tls.tok END AS tok,
+               CASE WHEN o.surface = c.old_surface THEN 1 ELSE 0 END AS rep
+        FROM tls JOIN chosen c USING (doc_id, sent_id)
+        LEFT JOIN occ o ON o.doc_id = tls.doc_id AND o.sent_id = tls.sent_id
+                       AND o.pos = tls.pos
+      )
+      SELECT doc_id, sent_id, old_surface, new_surface,
+             sum(rep)::BIGINT AS n_replaced,
+             string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM j GROUP BY doc_id, sent_id, old_surface, new_surface
+    """
+
     # balance_upsample's linear solve is closed-form (see
     # operators/augment.py): with the most-surplus class pinned to 0,
     # T + Σn = post_pin / ratio_pin, so need_i = ratio_i·post_pin/ratio_pin
@@ -1176,9 +1365,11 @@ def oracle_sql() -> dict[str, str]:
         FROM bitsum GROUP BY doc_id
       ),
       pairs AS (
+        -- ALL close pairs (no blocking): the oracle is the exhaustive
+        -- reference proving the engine's 4-band pigeonhole blocking is
+        -- lossless for hamming <= 3
         SELECT l.doc_id AS a, r.doc_id AS b, l.f AS fa, r.f AS fb
-        FROM fp l JOIN fp r
-          ON substr(l.f, 1, 8) = substr(r.f, 1, 8) AND l.doc_id < r.doc_id
+        FROM fp l JOIN fp r ON l.doc_id < r.doc_id
       )
       SELECT * FROM (
         SELECT a, b, ({hamming_sql}) AS hamming FROM pairs
@@ -1202,8 +1393,12 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id, v_0, v_1, v_2, v_3, ({normsq})::BIGINT AS norm_sq FROM emb
     """
 
-    blk = " || ".join(
-        f"(CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END)" for j in range(6)
+    signs = " || ".join(
+        f"(CASE WHEN v_{j} > 0 THEN '1' ELSE '0' END)" for j in range(dims)
+    )
+    band_match = " OR ".join(
+        f"substr(l.sg, {k * 4 + 1}, 4) = substr(r.sg, {k * 4 + 1}, 4)"
+        for k in range(4)
     )
     dot = " + ".join(f"l.v_{j} * r.v_{j}" for j in range(dims))
     o["q_embed_near_dups"] = f"""
@@ -1213,12 +1408,13 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus)
       ),
       emb AS (SELECT doc_id, {vcols} FROM dt GROUP BY doc_id),
-      emb2 AS (SELECT *, ({normsq}) AS norm_sq, {blk} AS blk FROM emb)
+      emb2 AS (SELECT *, ({normsq}) AS norm_sq, {signs} AS sg FROM emb)
       SELECT * FROM (
         SELECT l.doc_id AS a, r.doc_id AS b,
                round(({dot})::DOUBLE / (sqrt(l.norm_sq::DOUBLE) * sqrt(r.norm_sq::DOUBLE)), 4) AS cos,
                ({dot})::DOUBLE / (sqrt(l.norm_sq::DOUBLE) * sqrt(r.norm_sq::DOUBLE)) AS rawcos
-        FROM emb2 l JOIN emb2 r ON l.blk = r.blk AND l.doc_id < r.doc_id
+        FROM emb2 l JOIN emb2 r
+          ON l.doc_id < r.doc_id AND ({band_match})
       ) WHERE rawcos >= 0.95
     """
     # note: Spark filters on the unrounded cosine too; drop the helper col
@@ -1279,6 +1475,10 @@ def oracle_sql() -> dict[str, str]:
       FROM scored
       QUALIFY rank <= {config.ANN_TOP_K}
     """
+
+    o["q_ann_ivf_kmeans"] = "WITH " + _kmeans_ivf_sql(
+        _QIDS, n_cells=64, iters=3, dim=64, nprobe=24, k=config.ANN_TOP_K
+    )
 
     cell_ham = " + ".join(
         f"(CASE WHEN substr(qcell, {i + 1}, 1) != substr(vcell, {i + 1}, 1) THEN 1 ELSE 0 END)"

@@ -1,0 +1,10 @@
+"""Column-level function library (no DataFrame plumbing)."""
+
+from .samplers import (  # noqa: F401
+    ELDER_SCROLLS_PARTS,
+    FRENCH_PARTS,
+    elder_scrolls_name,
+    elder_scrolls_name_py,
+    french_name,
+    french_name_py,
+)

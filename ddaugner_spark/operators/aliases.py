@@ -1,0 +1,178 @@
+"""Character alias expansion + false-positive PER demotion (J2 complete).
+
+Reference semantics being lifted:
+
+* alias expansion — /root/reference/fix_ner.py:55-68: for every
+  character full name, every ordered sub-combination of its space-split
+  components of size 0..len-1 is an alias, KEPT only if it is non-empty,
+  does not start with a lowercase character, and is not (lowercased) a
+  title; the final alias set is full names ∪ kept components;
+* unknown-PER demotion — fix_ner.py:224-233: a PER entity whose surface
+  is not in the (expanded) character set and is not a title is retagged
+  ``O`` (the engine applies the fix deterministically where the
+  reference asks interactively);
+* lowercase-PER demotion — fix_ner.py:235-250: any window of
+  all-lowercase tokens tagged ``B-PER I-PER…`` is retagged ``O``.
+
+Scale design: alias expansion is a narrow per-name array expression
+(2^k bitmask subsets over k ≤ ~6 name components); the expanded alias
+table is tiny and BROADCAST to the demotion join.  Demotion itself is a
+map-only tags rewrite (decode spans → rewrite positions), with the span
+array let-bound so nothing is re-evaluated per position.
+
+The title set mirrors the reference's ``nameparser.config.titles.TITLES
+| {monsieur, mr, mr., mrs, mrs., m.}``; nameparser is not in this
+container, so a documented subset covering every title that appears in
+the reference's books ships here and the full set is used when
+nameparser is importable (swap point, same pattern as the BERT stub).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fallback title set (lowercased). Swap point: the reference uses the
+#: full nameparser TITLES; we import it when available.
+_FALLBACK_TITLES = {
+    "mr", "mr.", "mrs", "mrs.", "ms", "ms.", "miss", "master", "sir",
+    "madam", "madame", "monsieur", "m.", "dr", "dr.", "doctor", "prof",
+    "prof.", "professor", "lord", "lady", "duke", "duchess", "king",
+    "queen", "prince", "princess", "count", "countess", "baron",
+    "baroness", "captain", "capt", "capt.", "colonel", "col", "col.",
+    "major", "general", "gen", "gen.", "lieutenant", "lt", "lt.",
+    "sergeant", "sgt", "sgt.", "father", "mother", "brother", "sister",
+    "uncle", "aunt", "reverend", "rev", "rev.", "saint", "st", "st.",
+    "don", "dona", "señor", "señora", "herr", "frau", "fraulein",
+}
+
+
+def title_set() -> set[str]:
+    try:  # pragma: no cover - container lacks nameparser
+        from nameparser.config.titles import TITLES
+
+        base = set(TITLES)
+    except ImportError:
+        base = set(_FALLBACK_TITLES)
+    return base | {"monsieur", "mr", "mr.", "mrs", "mrs.", "m."}
+
+
+def expand_character_aliases(characters: DataFrame, name_col: str = "name") -> DataFrame:
+    """(group cols…, alias) — the fix_ner.py:55-68 expansion as narrow
+    array expressions: bitmask-enumerate ordered component subsets, keep
+    capitalized non-title ones, union the full name.
+
+    ``characters`` carries one full character name per row plus any
+    grouping columns (e.g. ``book``); all non-name columns pass through.
+    """
+    titles = sorted(title_set())
+    comps = F.split(F.col(name_col), " ")
+    k = F.size(comps)
+    # masks 1 .. 2^k-1; the all-ones mask regenerates the full name,
+    # which the union below adds anyway (distinct dedups).  pow-based
+    # arithmetic: shiftleft/shiftright only take literal ints in pyspark.
+    n_masks = F.pow(F.lit(2.0), k.cast("double")).cast("int") - 1
+    masks = F.when(k >= 1, F.sequence(F.lit(1), n_masks)).otherwise(
+        F.array().cast("array<int>")
+    )
+    idx = F.zip_with(
+        comps,
+        F.sequence(F.lit(0), k - 1),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+
+    def subset(m: Column) -> Column:
+        def bit_set(z):
+            return (
+                F.pmod(
+                    (m.cast("double") / F.pow(F.lit(2.0), z["i"].cast("double")))
+                    .cast("int"),
+                    F.lit(2),
+                )
+                == 1
+            )
+
+        return F.array_join(
+            F.transform(F.filter(idx, bit_set), lambda z: z["c"]), " "
+        )
+
+    pass_cols = [c for c in characters.columns if c != name_col]
+    expanded = characters.select(
+        *pass_cols, F.explode(F.transform(masks, subset)).alias("alias")
+    ).filter(
+        (F.col("alias") != "")
+        & (F.substring("alias", 1, 1) != F.lower(F.substring("alias", 1, 1)))
+        & ~F.lower(F.col("alias")).isin(titles)
+    )
+    full = characters.select(*pass_cols, F.col(name_col).alias("alias"))
+    return expanded.unionByName(full).distinct()
+
+
+def demote_unknown_per(
+    tagged: DataFrame,
+    aliases: DataFrame,
+    group_col: str = "book",
+) -> DataFrame:
+    """Rewrite ``tags`` so that (a) PER entities whose surface is neither
+    a known alias nor a title and (b) all-lowercase PER runs become
+    ``O`` (fix_ner.py:224-250, the deterministic fix path).
+
+    ``tagged``: (group_col, doc_id, tokens, tags); ``aliases``:
+    (group_col, alias).  The per-group alias set is collected to an array
+    column and BROADCAST — at KG scale the character/alias dictionary is
+    dimension-sized while the tagged corpus is the fact side."""
+    from .mentions import _decode_spans
+
+    titles = sorted(title_set())
+    alias_arr = aliases.groupBy(group_col).agg(
+        F.collect_set("alias").alias("_aliases")
+    )
+    df = tagged.join(F.broadcast(alias_arr), group_col, "left").withColumn(
+        "_aliases", F.coalesce(F.col("_aliases"), F.array().cast("array<string>"))
+    )
+
+    spans = _decode_spans(F.col("tags"), n=F.size("tags"))
+
+    def lower_run(s: Column) -> Column:
+        toks = F.slice(
+            F.col("tokens"),
+            (s["start_idx"] + 1).cast("int"),
+            (s["end_idx"] - s["start_idx"] + 1).cast("int"),
+        )
+        return ~F.exists(toks, lambda t: t != F.lower(t))
+
+    demoted = F.filter(
+        spans,
+        lambda s: (s["tag"] == "PER")
+        & (
+            (
+                ~F.array_contains(F.col("_aliases"), s["surface"])
+                & ~F.lower(s["surface"]).isin(titles)
+            )
+            | lower_run(s)
+        ),
+    )
+    # let-bind the demoted span array; rewrite covered positions to O
+    z = F.array(F.struct(demoted.alias("ds")))
+    new_tags = F.element_at(
+        F.transform(
+            z,
+            lambda zz: F.zip_with(
+                F.col("tags"),
+                F.sequence(F.lit(0), F.size("tags") - 1),
+                lambda t, i: F.when(
+                    F.exists(
+                        zz["ds"],
+                        lambda s: (i >= s["start_idx"]) & (i <= s["end_idx"]),
+                    ),
+                    F.lit("O"),
+                ).otherwise(t),
+            ),
+        ),
+        1,
+    )
+    out = df.withColumn(
+        "tags",
+        F.when(F.size("tags") > 0, new_tags).otherwise(F.col("tags")),
+    )
+    return out.drop("_aliases")

@@ -30,14 +30,23 @@ from .. import config
 from .mentions import with_bio
 
 
-def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFrame:
+def inject_gazetteer(
+    docs: DataFrame,
+    pool: list[str] | None = None,
+    name_fn=None,
+) -> DataFrame:
     """Replace every token tagged ``B-PER`` by the general gazetteer fold
     with a deterministic pool name (PER entries are unigram-only by config
     invariant, so B-PER positions are exactly the PER mentions).
 
     Returns (doc_id, n_replaced, new_text).  Multi-token ORG/LOC mentions
     are left intact (class-restricted augmentation, aug.py:100-106: a
-    LabelWiseNERAugmenter only touches its own class)."""
+    LabelWiseNERAugmenter only touches its own class).
+
+    ``name_fn(seed: Column) -> Column`` overrides the flat pool with a
+    compositional sampler (functions/samplers.py — Elder-Scrolls /
+    French form composition, R4); seed = doc_id·7 + pos·31, so the draw
+    is a pure function of row identity either way."""
     pool = pool or config.INJECT_NAMES
     df = with_bio(docs)
     n = F.col("n_tokens")
@@ -50,20 +59,18 @@ def inject_gazetteer(docs: DataFrame, pool: list[str] | None = None) -> DataFram
         F.col("tags"), seq1, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
     )
     pool_arr = F.array(*[F.lit(p) for p in pool])
+
+    def default_name(seed):
+        return F.element_at(
+            pool_arr, (F.pmod(seed, F.lit(len(pool))) + 1).cast("int")
+        )
+
+    name_fn = name_fn or default_name
     new_tokens = F.transform(
         arr,
         lambda x: F.when(
             x["t"] == "B-PER",
-            F.element_at(
-                pool_arr,
-                (
-                    F.pmod(
-                        F.col("doc_id") * 7 + x["i"].cast("long") * 31,
-                        F.lit(len(pool)),
-                    )
-                    + 1
-                ).cast("int"),
-            ),
+            name_fn(F.col("doc_id") * 7 + x["i"].cast("long") * 31),
         ).otherwise(F.element_at(F.col("tokens"), (x["i"] + F.lit(1)).cast("int"))),
     )
     n_replaced = F.size(F.filter(F.col("tags"), lambda t: t == "B-PER"))
@@ -236,6 +243,93 @@ def balance_upsample(
         corpus = corpus.unionByName(dup)
         offset += 10_000_000
     return corpus, {"pre": pre, "post": post, "additions": plan}
+
+
+def augment_labelwise(
+    docs: DataFrame,
+    entity_type: str = "PER",
+    pool: list[str] | None = None,
+) -> DataFrame:
+    """R1/R3 with the reference's EXACT single-entity semantics
+    (ddaugner/datas/aug.py:17-37 → 40-74): per sentence, pick ONE entity
+    of ``entity_type`` and replace ALL of that entity's occurrences in
+    the sentence; sentences without such an entity are skipped (the
+    reference returns None).
+
+    Deterministic draws (SURVEY §4.3): the picked entity is the
+    ``pmod(doc_id·7 + sent_id·31, n_entities)``-th B-start in sentence
+    order (stands in for aug.py:31 random.choice), and the replacement
+    name is ``pool[pmod(doc_id·7 + sent_id·31, |pool|)]``.
+
+    Returns (doc_id, sent_id, old_surface, new_surface, n_replaced,
+    new_text) — sentence rows, as the reference's NERSentence→NERSentence
+    augmenters produce.  Shuffle profile: one window + one aggregation,
+    both keyed by (doc_id, sent_id) so AQE coalesces them into the same
+    exchange; mentions come from the map-only detector."""
+    from pyspark.sql import Window
+
+    from .mentions import mentions_df
+    from .sentences import tokens_long
+
+    pool = pool or config.INJECT_NAMES
+    m = mentions_df(docs).filter(F.col("tag") == entity_type)
+    w = Window.partitionBy("doc_id", "sent_id").orderBy("start_idx")
+    ranked = m.withColumn("k", F.row_number().over(w) - 1).withColumn(
+        "n_ent", F.count("*").over(Window.partitionBy("doc_id", "sent_id"))
+    )
+    pick = F.pmod(F.col("doc_id") * 7 + F.col("sent_id") * 31, F.col("n_ent"))
+    chosen = ranked.filter(F.col("k") == pick).select(
+        "doc_id",
+        "sent_id",
+        F.col("surface").alias("old_surface"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in pool]),
+            (
+                F.pmod(
+                    F.col("doc_id") * 7 + F.col("sent_id") * 31, F.lit(len(pool))
+                )
+                + 1
+            ).cast("int"),
+        ).alias("new_surface"),
+    )
+    # occurrence = a mention of the SAME surface+type in the sentence
+    # (search_ner_pattern matches (token, tag) pairs, aug.py:50-55)
+    occ = m.select(
+        "doc_id", "sent_id", F.col("start_idx").alias("pos"), "surface"
+    )
+    tl = tokens_long(docs).join(chosen, ["doc_id", "sent_id"])
+    tl = tl.join(
+        occ.withColumnRenamed("surface", "occ_surface"),
+        ["doc_id", "sent_id", "pos"],
+        "left",
+    )
+    replaced = (F.col("occ_surface") == F.col("old_surface")).cast("long")
+    out = tl.groupBy("doc_id", "sent_id", "old_surface", "new_surface").agg(
+        F.sum(F.coalesce(replaced, F.lit(0))).alias("n_replaced"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("pos").alias("pos"),
+                            F.when(
+                                F.coalesce(
+                                    F.col("occ_surface") == F.col("old_surface"),
+                                    F.lit(False),
+                                ),
+                                F.col("new_surface"),
+                            )
+                            .otherwise(F.col("tok"))
+                            .alias("tok"),
+                        )
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return out
 
 
 #: R9 (aug.py:276-285): name → augmentation strategy registry; the

@@ -218,29 +218,59 @@ def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def simhash_near_duplicates(corpus: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
-    """(a, b, hamming) pairs with hamming ≤ max_hamming, blocked on the
-    first bits/2 bits (a pair within distance ≤ bits/2-blocks differing in
-    0 of the prefix collides — standard simhash prefix blocking)."""
+    """(a, b, hamming) pairs with hamming ≤ max_hamming via PIGEONHOLE
+    banding: the fingerprint is split into ``max_hamming + 1`` disjoint
+    bands, and any pair within distance ≤ max_hamming must agree EXACTLY
+    on at least one band (the Manku/Charikar multi-table scheme) — the
+    blocking is lossless, unlike prefix blocking (a fixed 8-bit prefix
+    both misses pairs that differ in the prefix — a recall bug — and
+    caps the corpus at 256 buckets, each an intra-bucket quadratic
+    self-join at scale).  Bands give 2^w buckets per table and shrink
+    with corpus growth by raising ``bits``; the verify step is exact
+    hamming on candidates only."""
     fp = simhash_fingerprints(corpus, bits)
-    half = bits // 2
-    a = fp.select(
-        F.col("doc_id").alias("a"),
-        F.col("fingerprint").alias("fa"),
-        F.substring("fingerprint", 1, half).alias("blk"),
+    return simhash_pairs_from_fingerprints(fp, max_hamming, bits)
+
+
+def simhash_pairs_from_fingerprints(
+    fp: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """Banded pair search over a (doc_id, fingerprint) table — split out
+    so recall can be tested on fabricated fingerprints."""
+    n_bands = max_hamming + 1
+    w = bits // n_bands
+    band_structs = [
+        F.struct(
+            F.lit(k).alias("band_id"),
+            F.substring(
+                "fingerprint", k * w + 1, (bits - k * w) if k == n_bands - 1 else w
+            ).alias("bkey"),
+        )
+        for k in range(n_bands)
+    ]
+    banded = fp.select(
+        "doc_id", "fingerprint", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "fingerprint", "bk.band_id", "bk.bkey")
+    a = banded.select(
+        F.col("doc_id").alias("a"), F.col("fingerprint").alias("fa"),
+        "band_id", "bkey",
     )
-    b = fp.select(
-        F.col("doc_id").alias("b"),
-        F.col("fingerprint").alias("fb"),
-        F.substring("fingerprint", 1, half).alias("blk"),
+    b = banded.select(
+        F.col("doc_id").alias("b"), F.col("fingerprint").alias("fb"),
+        "band_id", "bkey",
+    )
+    cands = (
+        a.join(b, ["band_id", "bkey"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "fa", "fb")
+        .distinct()  # a close pair can collide in several bands
     )
     hamming = sum(
         (F.substring("fa", j + 1, 1) != F.substring("fb", j + 1, 1)).cast("int")
         for j in range(bits)
     )
     return (
-        a.join(b, "blk")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("hamming", hamming)
+        cands.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )

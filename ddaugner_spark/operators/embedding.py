@@ -14,9 +14,14 @@ Properties that matter for the engine:
 * pure column expressions — the featurizer is map-only and the swap
   point for a real encoder is a mapInPandas batch (same schema).
 
-Pair search blocks candidates on the simhash-style sign pattern of the
-leading dimensions (exact equality — no recall loss for near-identical
-docs) and verifies with exact cosine over the integer vectors.
+Pair search uses BANDED sign-LSH (random-hyperplane LSH with
+OR-amplification): the full sign vector is split into ``N_BANDS``
+disjoint bands and candidates are pairs agreeing exactly on ≥1 band,
+then verified with exact cosine over the integer vectors.  A single
+fixed 6-bit prefix (round 1) capped the corpus at 64 buckets — an
+intra-bucket quadratic self-join at scale; banding keeps per-bucket
+populations shrinkable (raise ``dims``/band width with corpus size) and
+its recall is the standard 1-(1-s^r)^b curve instead of one prefix roll.
 """
 
 from __future__ import annotations
@@ -25,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EMBED_DIMS = 16
-BLOCK_DIMS = 6
+N_BANDS = 4
 
 
 def hashed_doc_embeddings(docs: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
@@ -49,11 +54,14 @@ def hashed_doc_embeddings(docs: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
     return out.withColumn("norm_sq", norm_sq.cast("long"))
 
 
-def _block_key(dims: int = BLOCK_DIMS) -> Column:
+def _band_key(band: int, dims: int, n_bands: int) -> Column:
+    w = dims // n_bands
+    lo = band * w
+    hi = dims if band == n_bands - 1 else lo + w
     return F.concat(
         *[
             F.when(F.col(f"v_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(dims)
+            for j in range(lo, hi)
         ]
     )
 
@@ -62,27 +70,49 @@ def embedding_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.95,
     dims: int = EMBED_DIMS,
+    n_bands: int = N_BANDS,
     ndigits: int = 4,
 ) -> DataFrame:
-    """(a, b, cos) pairs with cosine ≥ threshold, blocked on the sign
-    pattern of the first BLOCK_DIMS dimensions."""
-    emb = hashed_doc_embeddings(docs, dims).withColumn("blk", _block_key())
-    a = emb.select(
-        F.col("blk"),
+    """(a, b, cos) pairs with cosine ≥ threshold; candidates = pairs whose
+    sign vectors agree exactly on ≥1 of ``n_bands`` disjoint bands
+    (random-hyperplane LSH, OR-amplified), verified with exact cosine."""
+    emb = hashed_doc_embeddings(docs, dims)
+    bands = emb.select(
+        "doc_id",
+        "norm_sq",
+        *[F.col(f"v_{j}") for j in range(dims)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        _band_key(k, dims, n_bands).alias("bkey"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "norm_sq", *[f"v_{j}" for j in range(dims)], "bk.band_id", "bk.bkey")
+    a = bands.select(
+        "band_id",
+        "bkey",
         F.col("doc_id").alias("a"),
         F.col("norm_sq").alias("na"),
         *[F.col(f"v_{j}").alias(f"a_{j}") for j in range(dims)],
     )
-    b = emb.select(
-        F.col("blk"),
+    b = bands.select(
+        "band_id",
+        "bkey",
         F.col("doc_id").alias("b"),
         F.col("norm_sq").alias("nb"),
         *[F.col(f"v_{j}").alias(f"b_{j}") for j in range(dims)],
     )
     dot = sum(F.col(f"a_{j}") * F.col(f"b_{j}") for j in range(dims))
     return (
-        a.join(b, "blk")
+        a.join(b, ["band_id", "bkey"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "na", "nb", *[f"a_{j}" for j in range(dims)], *[f"b_{j}" for j in range(dims)])
+        .distinct()  # a close pair can collide in several bands
         .withColumn(
             "cos",
             dot.cast("double")

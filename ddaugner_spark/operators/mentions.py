@@ -92,13 +92,33 @@ def _candidates() -> Column:
     operators/linking.py)."""
     n = F.col("n_tokens")
 
-    def _hit_filter(lvl: int, surfaces: list[str]):
-        # short-circuit: cheap first-token membership before the O(lvl)
-        # slice+join (most positions fail on the first token)
-        firsts = sorted({s.split(" ")[0] for s in surfaces})
+    def _entry_match(i: Column, words: list[str]) -> Column:
+        """Window == entry, as pure element_at equality — NO slice/join
+        allocation per checked position (the interpreted HOF evaluator
+        allocates per expression node; string building per window was the
+        dominant allocation source and capped 8→32-core scaling at ~0.73;
+        elementwise compares are allocation-free).  Positions come from
+        _seq(n, lvl) so every element_at index is in range (ANSI-safe)."""
+        cond = _tok(i) == words[0]
+        for j, w in enumerate(words[1:], start=1):
+            cond = cond & (_tok(i + F.lit(j)) == w)
+        return cond
+
+    def _hit_filter(lvl: int, entries: list[tuple[str, str]]):
+        firsts = sorted({s.split(" ")[0] for s, _c in entries})
         if lvl == 1:
             return lambda i: _tok(i).isin(firsts)
-        return lambda i: _tok(i).isin(firsts) & _ngram_at(i, lvl).isin(surfaces)
+        split = [s.split(" ") for s, _c in entries]
+
+        def f(i):
+            cond = None
+            for words in split:
+                m = _entry_match(i, words)
+                cond = m if cond is None else cond | m
+            # first-token prefilter short-circuits the per-entry compares
+            return _tok(i).isin(firsts) & cond
+
+        return f
 
     def _mk_struct(lvl: int, entries: list[tuple[str, str]]):
         classes = sorted({c for _s, c in entries})
@@ -106,8 +126,11 @@ def _candidates() -> Column:
         def mk(i):
             tag = None
             for c in classes:
-                c_surfs = [s for s, cc in entries if cc == c]
-                cond = _ngram_at(i, lvl).isin(c_surfs)
+                c_entries = [s.split(" ") for s, cc in entries if cc == c]
+                cond = None
+                for words in c_entries:
+                    m = _entry_match(i, words)
+                    cond = m if cond is None else cond | m
                 tag = F.when(cond, F.lit(c)) if tag is None else tag.when(cond, F.lit(c))
             return F.struct(
                 i.cast("int").alias("start"), F.lit(lvl).alias("n"), tag.alias("tag")
@@ -117,8 +140,7 @@ def _candidates() -> Column:
 
     per_level = []
     for lvl, entries in config.GAZ_LEVELS.items():
-        surfaces = [s for s, _c in entries]
-        hits = F.filter(_seq(n, lvl), _hit_filter(lvl, surfaces))
+        hits = F.filter(_seq(n, lvl), _hit_filter(lvl, entries))
         per_level.append(F.transform(hits, _mk_struct(lvl, entries)))
     return per_level[0] if len(per_level) == 1 else F.concat(*per_level)
 
@@ -214,15 +236,18 @@ def spans_expr() -> Column:
     )
 
 
-def _decode_spans(tags: Column) -> Column:
+def _decode_spans(tags: Column, n: Column | None = None) -> Column:
     """array<struct<start_idx long, end_idx long, surface string,
     tag string>> — BIO-run decoding with the reference decoder semantics
     (utils.py:111-166): any ``I-`` extends an open run (class from the
     opening tag); an orphan ``I-`` opens a run (resolve_inconsistencies).
 
     Single fold over (tag, position) pairs; ``tags`` is consumed exactly
-    once (zip_with) so the tag fold is not re-evaluated per element."""
-    n = F.col("n_tokens")
+    once (zip_with) so the tag fold is not re-evaluated per element.
+    ``n`` is the token count; defaults to the ``n_tokens`` column (pass
+    e.g. ``F.size("tags")`` when decoding a plain tagged table)."""
+    if n is None:
+        n = F.col("n_tokens")
     pairs = F.zip_with(
         tags,
         _seq(n, 1),

@@ -180,6 +180,158 @@ def ivf_multiprobe_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 64,
+    iters: int = 3,
+    dim: int = 64,
+    ndigits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer.
+
+    Real IVF needs data-adaptive centroids (sign-cells cap out at 2^dims
+    fixed cells); this is the standard k-means coarse quantizer with
+    every source of nondeterminism engineered out so the DuckDB oracle
+    can replay it exactly:
+
+    * init = the ``n_cells`` lowest vec_ids' vectors (row identity, no
+      RNG — SURVEY §4.3);
+    * FIXED iteration count (no convergence test);
+    * centroid components rounded to ``ndigits`` after every update, and
+      assignment distances rounded to 8 digits with a cell-id tiebreak —
+      float-sum order differences (partial aggregation, DuckDB vs JVM)
+      live below both roundings;
+    * empty cells keep their previous centroid.
+
+    The driver loop runs ``iters`` tiny jobs; per iteration the corpus
+    does one map-only assignment (centroids broadcast as literals) and
+    one groupBy(cell) with map-side partial aggregation — the exact shape
+    that scales to 10^12 vectors."""
+    spark = embeddings.sparkSession
+    init_rows = (
+        embeddings.orderBy("vec_id").limit(n_cells).select("vec_id", "embedding").collect()
+    )
+    cents = [
+        (i, [round(float(x), ndigits) for x in r["embedding"]])
+        for i, r in enumerate(init_rows)
+    ]
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(c, v) for c, v in cents], "cell int, centroid array<double>"
+        )
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("centroid"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            8,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
+        assigned = (
+            embeddings.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "embedding", "cell", dist.alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        upd = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.element_at("embedding", d + 1).cast("double")), ndigits).alias(
+                    f"v{d}"
+                )
+                for d in range(dim)
+            ]
+        )
+        new = {r["cell"]: [r[f"v{d}"] for d in range(dim)] for r in upd.collect()}
+        cents = [(c, new.get(c, v)) for c, v in cents]
+    return cents
+
+
+def _nearest_cells(emb: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """array<int> of the nprobe nearest centroid ids — pure literal
+    arithmetic, map-only (no join for the assignment)."""
+    cent_lit = F.array(
+        *[
+            F.struct(F.lit(c).alias("cell"), F.array(*[F.lit(x) for x in v]).alias("cv"))
+            for c, v in cents
+        ]
+    )
+    scored = F.transform(
+        cent_lit,
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        emb, s["cv"], lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                8,
+            ).alias("dist"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    ordered = F.array_sort(scored)  # struct order: dist asc, then cell asc
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = config.ANN_TOP_K,
+    n_cells: int = 64,
+    nprobe: int = 24,
+    iters: int = 3,
+    dim: int = 64,
+    ndigits: int = 4,
+) -> DataFrame:
+    """IVF with k-means centroids: corpus vectors map-only-assigned to
+    their nearest cell (centroids inlined as literals — nothing joins),
+    queries probe their ``nprobe`` nearest cells, exact cosine re-ranks
+    the candidates.  The candidate join is an equi-join on cell id.
+
+    nprobe default: the driver's synthetic embeddings are UNCLUSTERED
+    (near-random), so recall ≈ fraction of cells probed (measured 4/64
+    probes → 0.56 recall@10, 24/64 → 0.96); real encoder embeddings
+    cluster and reach the same recall at small nprobe.  The mechanics
+    being exercised — map-only literal-centroid assignment, probe
+    explode, cell equi-join — are the 10^12-vector shape either way."""
+    cents = kmeans_centroids(embeddings, n_cells=n_cells, iters=iters, dim=dim)
+    corpus = embeddings.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col("embedding"), cents, 1), 1)
+    )
+    q = F.broadcast(
+        embeddings.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(_nearest_cells(F.col("embedding"), cents, nprobe)).alias("cell"),
+        )
+    )
+    pairs = corpus.join(q, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("raw_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("raw_score", ndigits).alias("score"),
+        )
+    )
+
+
 def threshold_pairs(
     embeddings: DataFrame,
     query_ids: list[int],

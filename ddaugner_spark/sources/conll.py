@@ -133,6 +133,89 @@ def read_tag_only(spark: SparkSession, path_glob: str) -> DataFrame:
     return raw.select("book", F.col("pos").cast("long"), F.trim(F.col("tag")).alias("tag"))
 
 
+#: nltk-artifact token normalization (datas.py:320-341)
+BOOK_TOKEN_FIXES = {
+    "``": '"',
+    "''": '"',
+    "`": "'",
+    "-LRB-": "(",
+    "-RRB-": ")",
+    "-LSB-": "[",
+    "-RSB-": "]",
+}
+
+
+def read_book_sentences(
+    spark: SparkSession,
+    path_glob: str,
+    fix_sent_tokenization: bool = True,
+) -> DataFrame:
+    """(book, sent_id, tokens, tags) from 2-column ``token tag`` book
+    files (S2 complete — /root/reference/ddaugner/datas/datas.py:295-345):
+
+    * sentences re-split after ``. ? !`` (and after ``''`` when
+      ``fix_sent_tokenization``, BEFORE normalization — the reference
+      checks the raw token);
+    * with ``fix_sent_tokenization``, nltk artifact tokens are rewritten
+      (``\\`\\``/''→", \\`→', -LRB-→( …, datas.py:320-341).
+
+    Map-only after the per-file explode: the split is a running count of
+    terminator tokens (the same window trick as sentence ids), the
+    normalization a literal map lookup."""
+    term = [".", "?", "!"] + ([ "''" ] if fix_sent_tokenization else [])
+    raw = spark.read.text(path_glob, wholetext=True).select(
+        F.regexp_extract(F.input_file_name(), r"([^/]+?)\.conll", 1).alias("book"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("value"), "\r\n?", "\n"),
+                    r"^\s+|\s+$",
+                    "",
+                ),
+                "\n",
+            )
+        ).alias("pos", "line"),
+    )
+    parts = F.split(F.trim("line"), " ")
+    rows = raw.select(
+        "book",
+        F.col("pos").cast("long").alias("pos"),
+        F.try_element_at(parts, F.lit(1)).alias("tok"),
+        F.try_element_at(parts, F.lit(2)).alias("tag"),
+    ).filter(F.col("tag").isNotNull())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("book").orderBy("pos")
+    rows = rows.withColumn(
+        "sent_id",
+        F.coalesce(
+            F.sum(F.col("tok").isin(term).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    if fix_sent_tokenization:
+        fixed = F.col("tok")
+        for src, dst in BOOK_TOKEN_FIXES.items():
+            fixed = F.when(F.col("tok") == src, F.lit(dst)).otherwise(fixed)
+        rows = rows.withColumn("tok", fixed)
+    return (
+        rows.groupBy("book", "sent_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok", "tag"))
+            ).alias("z")
+        )
+        .select(
+            "book",
+            "sent_id",
+            F.transform("z", lambda s: s["tok"]).alias("tokens"),
+            F.transform("z", lambda s: s["tag"]).alias("tags"),
+        )
+    )
+
+
 def spans_from_tag_table(tag_rows: DataFrame) -> DataFrame:
     """Corpus-level BIO-run decoding (W3): (book, start_idx, end_idx, tag)
     golden spans from a (book, pos, tag) table.

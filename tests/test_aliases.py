@@ -1,0 +1,132 @@
+"""Character alias expansion + PER demotion (J2 complete), tested
+differentially against a direct Python port of the reference loops
+(/root/reference/fix_ner.py:55-68, 224-250) on the reference's OWN
+``.characters`` and ``.conll`` book files.
+"""
+
+import glob
+import itertools
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddaugner_spark.kernels import entities_from_bio_tags
+from ddaugner_spark.operators import aliases as A
+
+REF_NER = "/root/reference/ner"
+BOOKS = sorted(
+    os.path.splitext(os.path.basename(p))[0]
+    for p in glob.glob(f"{REF_NER}/old/*.characters")
+)[:5]
+
+pytestmark = pytest.mark.skipif(not BOOKS, reason="reference books absent")
+
+
+def _read_characters(book):
+    path = f"{REF_NER}/old/{book}.characters"
+    with open(path) as f:
+        return set(f.read().split("\n"))
+
+
+def _read_conll(book):
+    toks, tags = [], []
+    with open(f"{REF_NER}/old/{book}.conll") as f:
+        for line in f:
+            parts = line.split(" ")
+            if len(parts) >= 2:
+                toks.append(parts[0])
+                tags.append(parts[1].strip())
+    return toks, tags
+
+
+def _expand_py(book_characters, titles):
+    """Direct port of fix_ner.py:55-68."""
+    name_components = set()
+    for character in book_characters:
+        for i in range(len(character.split(" "))):
+            for comb in itertools.combinations(character.split(" "), i):
+                comp = " ".join(comb)
+                if (
+                    comp != ""
+                    and not comp[0].islower()
+                    and comp.lower() not in titles
+                ):
+                    name_components.add(comp)
+    return book_characters | name_components
+
+
+@pytest.mark.parametrize("book", BOOKS)
+def test_alias_expansion_matches_reference_port(spark, book):
+    chars = sorted(c for c in _read_characters(book) if c)
+    titles = A.title_set()
+    want = _expand_py(set(chars), titles)
+
+    df = spark.createDataFrame([(book, c) for c in chars], "book string, name string")
+    got = {
+        r["alias"] for r in A.expand_character_aliases(df).collect()
+    }
+    # the reference's full-name union includes '' when the characters
+    # file has a trailing empty line; we filtered those inputs, so
+    # compare the non-empty sets
+    assert got == {w for w in want if w}
+
+
+def _demote_py(toks, tags, characters, titles):
+    """Direct port of fix_ner.py:224-250 (deterministic fix path)."""
+    new = list(tags)
+    for e in entities_from_bio_tags(toks, tags):
+        if e.tag != "PER":
+            continue
+        mention = " ".join(e.tokens)
+        if mention not in characters and mention.lower() not in titles:
+            new[e.start_idx : e.end_idx + 1] = ["O"] * (e.end_idx - e.start_idx + 1)
+    # all-lowercase PER windows (checked on the ORIGINAL tags, like the
+    # reference's second pass over its running tag state — our operator
+    # evaluates both rules on the input tags, then rewrites once)
+    for e in entities_from_bio_tags(toks, tags):
+        if e.tag == "PER" and all(t == t.lower() for t in e.tokens):
+            new[e.start_idx : e.end_idx + 1] = ["O"] * (e.end_idx - e.start_idx + 1)
+    return new
+
+
+@pytest.mark.parametrize("book", BOOKS[:3])
+def test_demotion_matches_reference_port(spark, book):
+    toks, tags = _read_conll(book)
+    # use a 3000-token slice so the spark row stays small
+    toks, tags = toks[:3000], tags[:3000]
+    titles = A.title_set()
+    chars = _expand_py({c for c in _read_characters(book) if c}, titles)
+
+    want = _demote_py(toks, tags, chars, titles)
+
+    tagged = spark.createDataFrame(
+        [(book, 0, toks, tags)],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    adf = spark.createDataFrame(
+        [(book, a) for a in sorted(chars) if a],
+        "book string, alias string",
+    )
+    got = A.demote_unknown_per(tagged, adf).select("tags").collect()[0]["tags"]
+    assert got == want
+
+
+def test_demotion_rules_unit(spark):
+    """Hand-built sentence: unknown PER demoted, known PER kept, title
+    kept, lowercase PER run demoted."""
+    toks = ["Winston", "Smith", "likes", "mr", "unknownguy", "Nobody"]
+    tags = ["B-PER", "I-PER", "O", "B-PER", "B-PER", "B-PER"]
+    tagged = spark.createDataFrame(
+        [("b", 0, toks, tags)],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    adf = spark.createDataFrame(
+        [("b", "Winston Smith"), ("b", "Winston"), ("b", "Smith")],
+        "book string, alias string",
+    )
+    got = A.demote_unknown_per(tagged, adf).collect()[0]["tags"]
+    # "mr" is a title -> kept by rule 1 but demoted by the lowercase rule;
+    # "unknownguy" lowercase + unknown -> O; "Nobody" capitalized but
+    # unknown -> O
+    assert got == ["B-PER", "I-PER", "O", "O", "O", "O"]
