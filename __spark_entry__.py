@@ -201,6 +201,54 @@ def q_balance_upsample(spark, sf):
     return corpus.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
 
 
+def q_alias_expansion(spark, sf):
+    """J2a — character alias sub-combination expansion
+    (fix_ner.py:55-68) over the config character list."""
+    from ddaugner_spark.operators import aliases as A
+
+    ch = spark.createDataFrame([(c,) for c in config.CHARACTERS], "name string")
+    return A.expand_character_aliases(ch).select("alias")
+
+
+def q_demote_per(spark, sf):
+    """J2b — unknown-PER demotion (fix_ner.py:224-233) over the corpus:
+    positions whose tag flips to O because the surface is not a known
+    character alias (the lowercase rule is book-tested; this vocabulary
+    is all-lowercase)."""
+    from ddaugner_spark.operators import aliases as A
+
+    d = _docs(spark, sf)
+    tagged = mentions.with_bio(d).select(
+        F.lit("all").alias("book"), "doc_id", "tokens", "tags"
+    )
+    ch = spark.createDataFrame(
+        [("all", c) for c in config.CHARACTERS], "book string, name string"
+    )
+    adf = A.expand_character_aliases(ch).select(
+        "book", F.col("alias")
+    )
+    new = A.demote_unknown_per(tagged, adf, lowercase_rule=False).select(
+        "doc_id", F.col("tags").alias("new_tags")
+    )
+    old = mentions.with_bio(d).select("doc_id", F.col("tags").alias("old_tags"))
+    z = old.join(new, "doc_id").select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                "old_tags",
+                "new_tags",
+                lambda o, n2: F.struct(o.alias("old_tag"), n2.alias("new_tag")),
+            )
+        ).alias("pos", "t"),
+    )
+    return z.filter(F.col("t.old_tag") != F.col("t.new_tag")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("t.old_tag").alias("old_tag"),
+        F.col("t.new_tag").alias("new_tag"),
+    )
+
+
 def q_augment_compositional(spark, sf):
     """R4 — gazetteer injection drawing compositional Elder-Scrolls-form
     names (10 forms, reference probability ladder) instead of the flat
@@ -394,6 +442,51 @@ def q_ngram_match(spark, sf):
     )
 
 
+def q_order_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
+    late-shipping line, counted per priority (left_semi keeps the probe
+    side un-duplicated; Catalyst plans a broadcast/shuffled semi join)."""
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li.select("l_orderkey").distinct(),
+               o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_parts_no_returns(spark, sf):
+    """TPC-H Q16 shape: anti-join + COUNT(DISTINCT) — parts never shipped
+    by a flagged supplier set, with distinct supplier counts per brand."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf}/part.parquet")
+    flagged = (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 45))
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        p.join(flagged, p.p_partkey == flagged.l_partkey, "left_anti")
+        .join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+def q_cube_sales(spark, sf):
+    """CUBE over (returnflag, linestatus) — all grouping-set combinations
+    (the rollup twin already covers hierarchical sets)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_rollup_revenue(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     return (
@@ -466,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_balance_upsample": q_balance_upsample,
         "q_augment_labelwise": q_augment_labelwise,
         "q_augment_compositional": q_augment_compositional,
+        "q_alias_expansion": q_alias_expansion,
+        "q_demote_per": q_demote_per,
         "q_overlap": q_overlap,
         "q_context_features": q_context_features,
         "q_text_extract": q_text_extract,
@@ -490,6 +585,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": q_shipping_priority,
         "q_ngram_match": q_ngram_match,
         "q_rollup_revenue": q_rollup_revenue,
+        "q_order_priority": q_order_priority,
+        "q_parts_no_returns": q_parts_no_returns,
+        "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
         "q_events_sessions": q_events_sessions,
@@ -1075,6 +1173,48 @@ def oracle_sql() -> dict[str, str]:
       WHERE d.doc_id % 100 < 20
     """
 
+    from ddaugner_spark.operators.aliases import title_set
+
+    _TITLES = sql_str_list(sorted(title_set()))
+    _CHARS = ", ".join(f"('{c}')" for c in config.CHARACTERS)
+    _ALIAS_CTES = f"""
+      ch AS (SELECT * FROM (VALUES {_CHARS}) t(name)),
+      chparts AS (SELECT name, string_split(name, ' ') AS c,
+                         len(string_split(name, ' ')) AS k FROM ch),
+      chsub AS (
+        SELECT p.name, mm.m, string_agg(p.c[ii.i], ' ' ORDER BY ii.i) AS alias
+        FROM chparts p, unnest(range(1, (2 ** p.k)::BIGINT)) AS mm(m),
+             unnest(range(1, p.k + 1)) AS ii(i)
+        WHERE (mm.m // (2 ** (ii.i - 1))::BIGINT) % 2 = 1
+        GROUP BY p.name, mm.m
+      ),
+      chalias AS (
+        SELECT DISTINCT alias FROM chsub
+        WHERE alias != ''
+          AND substr(alias, 1, 1) != lower(substr(alias, 1, 1))
+          AND lower(alias) NOT IN ({_TITLES})
+        UNION
+        SELECT name FROM ch
+      )"""
+
+    o["q_alias_expansion"] = f"""
+      WITH {_ALIAS_CTES}
+      SELECT alias FROM chalias
+    """
+
+    o["q_demote_per"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_ALIAS_CTES},
+      dem AS (
+        SELECT m.doc_id, m.start_idx, m.end_idx
+        FROM ment m LEFT JOIN chalias k ON m.surface = k.alias
+        WHERE m.tag = 'PER' AND k.alias IS NULL
+          AND lower(m.surface) NOT IN ({_TITLES})
+      )
+      SELECT d.doc_id, dt.pos, dt.tag AS old_tag, 'O' AS new_tag
+      FROM dem d JOIN dtags dt
+        ON dt.doc_id = d.doc_id AND dt.pos BETWEEN d.start_idx AND d.end_idx
+    """
+
     # Elder-Scrolls compositional names: the engine's integer ladder
     # replayed verbatim from the same module constants
     from ddaugner_spark.functions.samplers import (
@@ -1613,6 +1753,30 @@ def oracle_sql() -> dict[str, str]:
       SELECT o_orderpriority, o_orderstatus,
              round(sum(o_totalprice), 2) AS revenue, count(*) AS n
       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+
+    o["q_order_priority"] = """
+      SELECT o_orderpriority, count(*) AS n_orders
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      GROUP BY o_orderpriority
+    """
+
+    o["q_parts_no_returns"] = """
+      SELECT p_brand, count(DISTINCT l_suppkey) AS n_suppliers,
+             count(*) AS n_lines
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem r
+                        WHERE r.l_partkey = p.p_partkey
+                          AND r.l_returnflag = 'R' AND r.l_quantity > 45)
+      GROUP BY p_brand
+    """
+
+    o["q_cube_sales"] = """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """
 
     o["q_pivot_events"] = """

@@ -81,6 +81,21 @@ GAZ_LEVELS = dict(sorted(GAZ_LEVELS.items(), reverse=True))
 #: deterministic index instead of unseeded random.choice — SURVEY.md §4.3)
 INJECT_NAMES = ["flink", "presto", "trino", "druid", "impala"]
 
+#: synthetic character list for the alias-expansion / PER-demotion
+#: queries (fix_ner.py's ``.characters`` files stand-in).  Mixed shapes:
+#: multi-word (sub-combination expansion), title-prefixed (title filter),
+#: lowercase components (capitalization filter).  'spark' and 'customer'
+#: (PER unigrams) appear as name components so demotion interacts with
+#: real corpus mentions: 'hash' deliberately does NOT, so unigram 'hash'
+#: PER mentions get demoted.
+CHARACTERS = [
+    "Spark Streamer",
+    "Mr Customer",
+    "Old Window Keeper",
+    "spark",
+    "customer",
+]
+
 # --- triple extraction --------------------------------------------------
 #: predicate vocabulary: tokens allowed to act as the relation between two
 #: mentions in the same sentence.  None of these appear in any gazetteer

@@ -112,10 +112,16 @@ def demote_unknown_per(
     tagged: DataFrame,
     aliases: DataFrame,
     group_col: str = "book",
+    lowercase_rule: bool = True,
 ) -> DataFrame:
     """Rewrite ``tags`` so that (a) PER entities whose surface is neither
-    a known alias nor a title and (b) all-lowercase PER runs become
-    ``O`` (fix_ner.py:224-250, the deterministic fix path).
+    a known alias nor a title and (b, when ``lowercase_rule``)
+    all-lowercase PER runs become ``O`` (fix_ner.py:224-250, the
+    deterministic fix path).  ``lowercase_rule=False`` applies only the
+    unknown-character rule — useful for corpora whose whole vocabulary is
+    lowercase (the synthetic tables), where rule (b) would demote
+    everything; rule (b) itself is pinned on the reference's real books
+    in tests/test_aliases.py.
 
     ``tagged``: (group_col, doc_id, tokens, tags); ``aliases``:
     (group_col, alias).  The per-group alias set is collected to an array
@@ -141,17 +147,15 @@ def demote_unknown_per(
         )
         return ~F.exists(toks, lambda t: t != F.lower(t))
 
-    demoted = F.filter(
-        spans,
-        lambda s: (s["tag"] == "PER")
-        & (
-            (
-                ~F.array_contains(F.col("_aliases"), s["surface"])
-                & ~F.lower(s["surface"]).isin(titles)
-            )
-            | lower_run(s)
-        ),
-    )
+    def demote_cond(s):
+        unknown = ~F.array_contains(F.col("_aliases"), s["surface"]) & ~F.lower(
+            s["surface"]
+        ).isin(titles)
+        if lowercase_rule:
+            return (s["tag"] == "PER") & (unknown | lower_run(s))
+        return (s["tag"] == "PER") & unknown
+
+    demoted = F.filter(spans, demote_cond)
     # let-bind the demoted span array; rewrite covered positions to O
     z = F.array(F.struct(demoted.alias("ds")))
     new_tags = F.element_at(

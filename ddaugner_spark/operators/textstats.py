@@ -65,7 +65,13 @@ def langid_predictions(docs: DataFrame) -> DataFrame:
     distinct bigrams; broadcast).  Vote(doc, lang) = Σ over the doc's
     bigrams of profile count.  pred = argmax by (votes desc, lang asc).
     On the synthetic corpus text is independent of lang, so this measures
-    the *operator*, not model accuracy."""
+    the *operator*, not model accuracy.
+
+    Scale shape: the per-char explode is map-only and BOTH groupBys run
+    hash partial aggregation before their exchange, so shuffled volume
+    is distinct (lang, bigram) rows for the profile and (doc × langs)
+    rows for the votes — NOT ~len(text) rows per doc.  The exploded rows
+    exist only transiently inside the map task."""
     bg = char_bigrams(docs)
     profile = bg.groupBy(F.col("lang").alias("p_lang"), "bigram").agg(
         F.count("*").alias("votes")
