@@ -263,6 +263,24 @@ def q_augment_labelwise(spark, sf):
     return augment.augment_labelwise(_docs(spark, sf))
 
 
+def q_wordpiece(spark, sf):
+    """F12 — real greedy WordPiece over the distinct corpus vocabulary
+    (column-native fold; kernel twin in kernels/wordpiece.py)."""
+    from ddaugner_spark.functions import wordpiece_pieces
+
+    words = (
+        mentions.with_tokens(_docs(spark, sf))
+        .select(F.explode("tokens").alias("word"))
+        .distinct()
+    )
+    pieces = wordpiece_pieces(F.col("word"))
+    return words.select(
+        "word",
+        F.array_join(pieces, " ").alias("pieces"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+    )
+
+
 def q_overlap(spark, sf):
     target = gazetteer_df(spark).select("name")
     vocab = (
@@ -561,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_augment_compositional": q_augment_compositional,
         "q_alias_expansion": q_alias_expansion,
         "q_demote_per": q_demote_per,
+        "q_wordpiece": q_wordpiece,
         "q_overlap": q_overlap,
         "q_context_features": q_context_features,
         "q_text_extract": q_text_extract,
@@ -800,6 +819,41 @@ ranked AS (
 SELECT query_id, vec_id, rank::BIGINT AS rank, round(raw_score, 4) AS score
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _wordpiece_sql(words_cte: str) -> str:
+    """Recursive-CTE replay of the greedy WordPiece fold
+    (kernels/wordpiece.py) over a ``{words_cte}(word)`` CTE; ends in
+    ``wp (word, pieces)``."""
+    sv = sql_str_list(config.WORDPIECE_START)
+    cv = sql_str_list(config.WORDPIECE_CONT)
+    branches = []
+    for L in range(config.WORDPIECE_MAX, 0, -1):
+        branches.append(
+            f"WHEN pos + {L} - 1 <= length(word) AND "
+            f"(CASE WHEN pos = 1 THEN substr(word, pos::INT, {L}) IN ({sv}) "
+            f"ELSE substr(word, pos::INT, {L}) IN ({cv}) END) "
+            f"THEN substr(word, pos::INT, {L})"
+        )
+    best = "CASE " + " ".join(branches) + " END"
+    return f"""
+wp AS (
+  WITH RECURSIVE r AS (
+    SELECT word, 1::BIGINT AS pos, []::VARCHAR[] AS pieces, false AS failed
+    FROM {words_cte}
+    UNION ALL
+    SELECT word,
+           CASE WHEN best IS NULL THEN length(word)::BIGINT + 1
+                ELSE pos + length(best) END,
+           CASE WHEN best IS NULL THEN ['[UNK]']
+                ELSE list_append(pieces,
+                     CASE WHEN pos = 1 THEN best ELSE '##' || best END) END,
+           best IS NULL
+    FROM (SELECT *, {best} AS best
+          FROM r WHERE pos <= length(word) AND NOT failed)
+  )
+  SELECT word, pieces FROM r WHERE failed OR pos > length(word)
+)"""
 
 
 def _fold_ment_sql(src: str, p: str) -> str:
@@ -1357,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
       FROM chosen c JOIN offs o USING (tag) JOIN augc a ON a.doc_id = c.doc_id
     """
 
+    o["q_wordpiece"] = f"""
+      WITH vwords AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents
+        WHERE text IS NOT NULL AND text != ''
+      ),
+      {_wordpiece_sql("vwords")}
+      SELECT word, array_to_string(pieces, ' ') AS pieces,
+             len(pieces)::BIGINT AS n_pieces
+      FROM wp
+    """
+
     o["q_overlap"] = f"""
       WITH gaz(name) AS (VALUES {", ".join(f"('{n}')" for n, _, _ in config.GAZETTEER)}),
       vocab AS (
@@ -1364,18 +1429,24 @@ def oracle_sql() -> dict[str, str]:
       ),
       exact AS (SELECT g.name FROM gaz g JOIN vocab v ON g.name = v.name),
       rest AS (SELECT name FROM gaz EXCEPT SELECT name FROM exact),
+      allwords AS (
+        SELECT DISTINCT unnest(string_split(name, ' ')) AS word FROM gaz
+        UNION SELECT DISTINCT name FROM vocab
+      ),
+      {_wordpiece_sql("allwords")},
       tsub AS (
-        SELECT r.name, s.sub
-        FROM rest r,
-             unnest(list_distinct(string_split(r.name, ' ') ||
-                    list_transform(string_split(r.name, ' '), w -> substr(w, 1, 3)))) AS s(sub)
+        SELECT DISTINCT r.name, s.sub
+        FROM rest r
+        CROSS JOIN unnest(string_split(r.name, ' ')) AS w(word)
+        JOIN wp ON wp.word = w.word
+        CROSS JOIN unnest(wp.pieces) AS s(sub)
         WHERE s.sub NOT IN ({_STOP})
       ),
       osub AS (
         SELECT DISTINCT s.sub
-        FROM vocab v,
-             unnest(list_distinct(string_split(v.name, ' ') ||
-                    list_transform(string_split(v.name, ' '), w -> substr(w, 1, 3)))) AS s(sub)
+        FROM vocab v
+        JOIN wp ON wp.word = v.name
+        CROSS JOIN unnest(wp.pieces) AS s(sub)
         WHERE s.sub NOT IN ({_STOP})
       ),
       part AS (SELECT DISTINCT t.name FROM tsub t JOIN osub o ON t.sub = o.sub),

@@ -108,6 +108,39 @@ TRIPLE_MAX_GAP = 5
 # --- quality / text-stats -----------------------------------------------
 STOPWORDS = ["the", "a"]
 
+# --- wordpiece (F12/J5) ---------------------------------------------------
+#: engine-owned WordPiece vocabulary (swap point: a real BERT vocab.txt
+#: splits into start pieces and '##' continuation pieces the same way).
+#: All 26 letters appear in both sets, so no lowercase word ever hits
+#: [UNK]; multi-char merges make the greedy longest-match non-trivial
+#: (e.g. 'stream' → ['str','##eam'], 'window' → ['wind','##ow']).
+WORDPIECE_MAX = 6
+_WP_LETTERS = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+WORDPIECE_START = sorted(
+    set(
+        _WP_LETTERS
+        + [
+            "ha", "hash", "jo", "join", "str", "spark", "sort", "table",
+            "scan", "merge", "cust", "qu", "query", "val", "value", "vec",
+            "gr", "group", "ord", "order", "fil", "filter", "bat", "batch",
+            "col", "column", "li", "line", "key", "row", "data", "slow",
+            "fast", "small", "big", "agg", "dup", "part", "the", "wind",
+            "stre",
+        ]
+    )
+)
+WORDPIECE_CONT = sorted(
+    set(
+        _WP_LETTERS
+        + [
+            "er", "ue", "ery", "omer", "tor", "oup", "der", "ter", "ch",
+            "umn", "ne", "ey", "ow", "ta", "st", "all", "ig", "gg", "up",
+            "rk", "in", "eam", "sh", "oin", "an", "ge", "ble", "dow",
+            "ream", "lue", "ast", "ine", "ata", "low",
+        ]
+    )
+)
+
 # --- dedup --------------------------------------------------------------
 SHINGLE_K = 3          # token shingles for minhash / jaccard
 MINHASH_PERMS = 8      # md5-keyed "permutations"

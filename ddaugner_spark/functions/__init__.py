@@ -1,5 +1,6 @@
 """Column-level function library (no DataFrame plumbing)."""
 
+from .wordpiece import wordpiece_pieces  # noqa: F401
 from .samplers import (  # noqa: F401
     ELDER_SCROLLS_PARTS,
     FRENCH_PARTS,

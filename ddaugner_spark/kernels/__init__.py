@@ -1,3 +1,4 @@
+from .wordpiece import wordpiece_tokenize
 from .bio import (
     Entity,
     entities_from_bio_tags,
@@ -8,6 +9,7 @@ from .bio import (
 )
 
 __all__ = [
+    "wordpiece_tokenize",
     "Entity",
     "entities_from_bio_tags",
     "entities_to_bio_tags",

@@ -4,11 +4,10 @@ Reference semantics (/root/reference/lexical_overlap.py):
 
 * ``exact_match`` — set intersection of two name sets (:19-23);
 * ``wp_partial_match`` — two names partially match when they share any
-  wordpiece, excluding titles/stopwords (:53-78).  The BERT wordpiece
-  tokenizer is not in this container; the subword function here is the
-  name's space-separated words plus 3-char prefixes — the *join shape*
-  (explode subwords both sides → inner join → semi back to names) is the
-  part that matters at scale, and it is identical;
+  wordpiece, excluding titles/stopwords (:53-78).  Wordpieces come from
+  the engine's REAL greedy WordPiece tokenizer
+  (functions/wordpiece.py — HF algorithm over the engine-owned vocab;
+  a real BERT vocab.txt drops into config.WORDPIECE_*);
 * ``overlap_subsets`` ratios: |exact|/|target|, |partial|/|target|,
   |new|/|target| (:81-93).
 
@@ -25,9 +24,12 @@ from .. import config
 
 
 def _subwords(col):
+    from ..functions import wordpiece_pieces
+
     words = F.split(col, " ")
-    prefixes = F.transform(words, lambda w: F.substring(w, 1, 3))
-    return F.array_distinct(F.concat(words, prefixes))
+    return F.array_distinct(
+        F.flatten(F.transform(words, lambda w: wordpiece_pieces(w)))
+    )
 
 
 def _filtered_subwords(col):
