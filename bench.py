@@ -186,8 +186,11 @@ def scaling_measurement(sf_dir: str) -> dict:
       (4 / 1.19 ≈ 3.36× ⇒ max recordable efficiency ≈ 0.84) alongside;
     * legs are INTERLEAVED (2, 8, 2, 8, …) over ``reps`` rounds, min per
       leg, so a contended window cannot hit only one leg;
-    * amplification ×16 headline = ×320 keeps every leg compute-bound
-      (small legs run minutes; fixed job overheads < 2%);
+    * amplification ×16 headline = ×320: the 8-core leg must run ≥70 s —
+      at ×160 its ~40 s wall varied ±25% between reps (GC/compaction
+      windows) and one noisy official run recorded 0.78 for operators
+      that measure 0.92 when compute-bound;
+    * the short (8-core) leg gets a third rep — it carries the variance;
     * 8 MB input splits: ≥16 task waves per leg so stragglers amortize
       (with 1-wave legs the tail task distorts either leg by ~10%);
     * each leg re-warms codegen with a tiny run before its timed reps."""
@@ -206,10 +209,12 @@ def scaling_measurement(sf_dir: str) -> dict:
     lo_cpus, hi_cpus = 2, 8
     legs = [lo_cpus, hi_cpus, CPUS]
     best: dict[int, tuple[float, int]] = {}
-    for _rep in range(reps):
+    for _rep in range(reps + 1):
         for cpus in legs:
             if cpus == CPUS and _rep > 0:
                 continue  # secondary leg: one rep is enough
+            if cpus == lo_cpus and _rep >= reps:
+                continue  # extra rep only for the noisier short leg
             spark = get_spark(
                 app_name=f"bench_scale_{cpus}_r{_rep}",
                 master=f"local[{cpus}]",

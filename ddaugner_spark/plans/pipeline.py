@@ -83,6 +83,7 @@ class KGPipeline:
         out_dir: str,
         partition_col: str = "lang",
         use_model: bool = False,
+        dedup_pages: bool = False,
     ):
         """``use_model``: detect mentions by merging batched model tags
         (Arrow iterator UDF, operators/tagging.py) with the dictionary
@@ -96,6 +97,10 @@ class KGPipeline:
         self.out_dir = out_dir
         self.partition_col = partition_col
         self.use_model = use_model
+        #: crawl-dedup pre-stage: drop exact-duplicate pages (md5(text),
+        #: keep the lowest doc_id) before tagging — the order a real
+        #: training-data pipeline runs (dedup → tag → extract → link)
+        self.dedup_pages = dedup_pages
         os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
 
     def _detect_mentions(self, docs: DataFrame) -> DataFrame:
@@ -224,6 +229,22 @@ class KGPipeline:
         t0 = time.time()
         docs = ppages.select("doc_id", extract_text(F.col("html")).alias("text"))
         n_pages = docs.count()
+
+        if self.dedup_pages:
+            keep = (
+                docs.groupBy(F.md5("text").alias("h"))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            docs = docs.join(keep, "doc_id", "left_semi")
+            n_kept = docs.count()
+            stages.append(
+                StageMetrics(
+                    "dedup_pages", n_pages, n_kept, int((time.time() - t0) * 1000)
+                )
+            )
+            n_pages = n_kept
+            t0 = time.time()
 
         # the mention stage IS the per-partition checkpoint: a compact
         # parquet table downstream stages (linking, CC, triples) reuse,

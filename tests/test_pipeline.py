@@ -108,3 +108,37 @@ def test_model_path_pipeline_identical(spark, docs, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(a_dir + "/lang=*").collect()}
     b = {tuple(r) for r in spark.read.parquet(b_dir + "/lang=*").collect()}
     assert a == b and a
+
+
+def test_pipeline_dedup_stage(spark, docs, tmp_path):
+    """dedup_pages pre-stage drops exact duplicates (keep min doc_id)
+    before tagging; planted duplicate pages disappear from every
+    downstream count and the stage metric records the drop."""
+    from ddaugner_spark.plans.pipeline import KGPipeline
+    from ddaugner_spark.sources.pages import synthesize_pages
+    import pyspark.sql.functions as F
+
+    base = docs.limit(40)
+    dups = base.limit(10).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pages = synthesize_pages(base.unionByName(dups))
+
+    rep = KGPipeline(spark, str(tmp_path / "kg"), dedup_pages=True).run(
+        pages, resume=False
+    )
+    ded = [s for s in rep.stages if s.stage == "dedup_pages"]
+    assert ded and sum(s.rows_in - s.rows_out for s in ded) == 10
+    # downstream mention counts equal the run WITHOUT the duplicates
+    rep2 = KGPipeline(spark, str(tmp_path / "kg2")).run(
+        synthesize_pages(base), resume=False
+    )
+    m1 = {s.stage: s.rows_out for s in rep.stages if s.stage == "mentions"}
+    # compare total mention rows across partitions
+    t1 = sum(s.rows_out for s in rep.stages if s.stage == "mentions")
+    t2 = sum(s.rows_out for s in rep2.stages if s.stage == "mentions")
+    assert t1 == t2, (t1, t2, m1)
