@@ -77,6 +77,65 @@ def decode_features(pages: DataFrame, fake: bool = True) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+def resize_features(
+    features: DataFrame, target_dim: int = 2, fake: bool = True
+) -> DataFrame:
+    """Feature 'resize' plumbing: (url, feature[d]) → (url, feature[t]).
+
+    The fake kernel mean-pools equal blocks (deterministic); a real
+    image resize (PIL/opencv bilinear over pixel arrays) drops into the
+    same batch signature.  Arrow batches end-to-end, no per-row Python."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires image libraries not present in this container"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"url": [], "feature": []}
+            for url, feat in zip(pdf["url"], pdf["feature"]):
+                v = list(feat)
+                block = max(1, len(v) // target_dim)
+                pooled = [
+                    sum(v[i * block : (i + 1) * block])
+                    / max(len(v[i * block : (i + 1) * block]), 1)
+                    for i in range(target_dim)
+                ]
+                out["url"].append(url)
+                out["feature"].append(pooled)
+            yield pd.DataFrame(out)
+
+    return features.select("url", "feature").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def with_media_metadata(pages: DataFrame) -> DataFrame:
+    """Typed metadata for opaque payloads: struct(modality, width,
+    height, duration_ms) derived deterministically from the payload
+    bytes (a real pipeline reads container headers; the TYPES and the
+    dimension-join shape are what the engine exercises)."""
+    n = F.length(F.col("html"))
+    modality = (
+        F.when(F.pmod(n, F.lit(3)) == 0, F.lit("image"))
+        .when(F.pmod(n, F.lit(3)) == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    meta = F.struct(
+        modality.alias("modality"),
+        (F.pmod(n, F.lit(640)) + 16).cast("int").alias("width"),
+        (F.pmod(n, F.lit(480)) + 16).cast("int").alias("height"),
+        (n * 10).cast("long").alias("duration_ms"),
+    )
+    return pages.withColumn("media_meta", meta)
+
+
 def frame_sample_plan(pages: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' shape demo on opaque payloads: emit one row per
     sampled offset — pure column expressions (sequence + explode), the

@@ -1,11 +1,13 @@
 from .incremental import (
     incremental_event_counts,
+    incremental_link_scores,
     incremental_mentions,
     incremental_triples,
 )
 
 __all__ = [
     "incremental_event_counts",
+    "incremental_link_scores",
     "incremental_mentions",
     "incremental_triples",
 ]

@@ -112,6 +112,51 @@ def incremental_triples(
     return spark.read.parquet(out_dir).count()
 
 
+def incremental_link_scores(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Stream documents through mention detection + broadcast-gazetteer
+    link scoring into per-epoch idempotent parquet (the same
+    exactly-once layout as incremental_triples).  Per micro-batch the
+    salted link aggregation runs over only the NEW pages' mentions; the
+    final table is re-aggregable (sum of partials per entity) — the
+    standard incremental-rollup contract.  Returns the merged
+    (name, tag, total_score, n_mentions) aggregate across all epochs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators import linking, mentions as mentions_mod
+    from ..sources.gazetteer import gazetteer_df
+
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+
+    def process(batch_df, epoch_id):
+        m = mentions_mod.mentions_df(batch_df)
+        ls = linking.link_scores(m, gazetteer_df(batch_df.sparkSession))
+        (
+            ls.write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch_id={epoch_id}"))
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out_dir).drop("epoch_id")
+    return partials.groupBy("entity", "class").agg(
+        F.sum("n_mentions").alias("n_mentions"),
+        F.round(F.sum("total_score"), 4).alias("total_score"),
+    )
+
+
 def incremental_mentions(
     spark: SparkSession,
     documents_dir: str,

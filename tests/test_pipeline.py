@@ -142,3 +142,32 @@ def test_pipeline_dedup_stage(spark, docs, tmp_path):
     t1 = sum(s.rows_out for s in rep.stages if s.stage == "mentions")
     t2 = sum(s.rows_out for s in rep2.stages if s.stage == "mentions")
     assert t1 == t2, (t1, t2, m1)
+
+
+def test_multimodal_resize_and_metadata(spark, docs):
+    """resize mean-pools features to the target dim (Arrow batch path);
+    typed media metadata carries the modality/dimension struct."""
+    from ddaugner_spark.operators import multimodal
+    import pytest
+
+    pages = synthesize_pages(docs.limit(15))
+    feat = multimodal.decode_features(pages)
+    small = multimodal.resize_features(feat, target_dim=2)
+    rows = {r["url"]: list(r["feature"]) for r in small.collect()}
+    big = {r["url"]: list(r["feature"]) for r in feat.collect()}
+    assert len(rows) == 15
+    for url, v in big.items():
+        block = len(v) // 2
+        want = [sum(v[:block]) / block, sum(v[block : 2 * block]) / block]
+        got = rows[url]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got, want)), url
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_features(feat, fake=False)
+
+    meta = multimodal.with_media_metadata(pages).select("url", "media_meta").collect()
+    assert all(
+        r["media_meta"]["modality"] in ("image", "audio", "video")
+        and r["media_meta"]["width"] >= 16
+        and r["media_meta"]["duration_ms"] > 0
+        for r in meta
+    )

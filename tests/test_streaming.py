@@ -100,3 +100,31 @@ def test_incremental_triples_replay_is_idempotent(spark, sf_dir, tmp_path):
     t.write.mode("overwrite").parquet(f"{out}/epoch_id=0")
     got = spark.read.parquet(out).drop("epoch_id")
     assert got.count() == t.count()
+
+
+def test_incremental_link_scores_match_batch(spark, sf_dir, tmp_path):
+    """Streaming per-epoch link partials re-aggregate to the batch
+    link_scores result (incremental-rollup contract), and a checkpointed
+    re-run adds nothing."""
+    from ddaugner_spark.streaming import incremental_link_scores
+    from ddaugner_spark.operators import linking, mentions
+    from ddaugner_spark.sources.gazetteer import gazetteer_df
+
+    ckpt, out = str(tmp_path / "ck_ls"), str(tmp_path / "ls_out")
+    got = incremental_link_scores(
+        spark, f"{sf_dir}/documents.parquet", ckpt, out
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = linking.link_scores(mentions.mentions_df(docs), gazetteer_df(spark))
+    g = {(r["entity"], r["class"]): (r["n_mentions"], r["total_score"]) for r in got.collect()}
+    w = {(r["entity"], r["class"]): (r["n_mentions"], r["total_score"]) for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k][0] == w[k][0], k
+        # per-epoch rounding: partial sums rounded to 4 digits before the
+        # final merge — equal to the batch number within 1e-3
+        assert abs(g[k][1] - w[k][1]) < 1e-3, (k, g[k], w[k])
+
+    got2 = incremental_link_scores(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    g2 = {(r["entity"], r["class"]): (r["n_mentions"], r["total_score"]) for r in got2.collect()}
+    assert g2 == g
