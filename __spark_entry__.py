@@ -505,6 +505,32 @@ def q_cube_sales(spark, sf):
     )
 
 
+def q_asof_events(spark, sf):
+    """AS-OF join (engine addition; Spark has none natively): each
+    'click' event enriched with the user's most recent 'view' at or
+    before it — the union+window formulation, one shuffle, no join."""
+    from ddaugner_spark.operators.temporal import asof_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("click_value")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.round("value", 4).alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, key="user_id", ts="ts",
+        right_cols=["view_value"], tiebreak="event_id",
+    )
+    # the gate compares the INNER as-of (a NULL double renders as pandas
+    # NaN on the DuckDB side vs None on the Spark side — representation,
+    # not value); LEFT semantics are pytest-pinned (test_asof_join)
+    return out.filter(F.col("asof_ts").isNotNull()).select(
+        "user_id", "ts", "event_id", "click_value", "asof_ts",
+        F.col("asof_view_value").alias("view_value"),
+    )
+
+
 def q_rollup_revenue(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     return (
@@ -605,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_match": q_ngram_match,
         "q_rollup_revenue": q_rollup_revenue,
         "q_order_priority": q_order_priority,
+        "q_asof_events": q_asof_events,
         "q_parts_no_returns": q_parts_no_returns,
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
@@ -1824,6 +1851,25 @@ def oracle_sql() -> dict[str, str]:
       SELECT o_orderpriority, o_orderstatus,
              round(sum(o_totalprice), 2) AS revenue, count(*) AS n
       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+
+    # DuckDB has a NATIVE ASOF JOIN — the perfect oracle for the
+    # engine's union+window formulation.  Right side deduped to one row
+    # per (user_id, ts) by max event_id, matching the engine's tiebreak.
+    o["q_asof_events"] = """
+      WITH clicks AS (
+        SELECT user_id, ts, event_id, round(value, 4) AS click_value
+        FROM events WHERE event_type = 'click'
+      ),
+      views AS (
+        SELECT user_id, ts, max_by(round(value, 4), event_id) AS view_value
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id, ts
+      )
+      SELECT c.user_id, c.ts, c.event_id, c.click_value,
+             v.ts AS asof_ts, v.view_value
+      FROM clicks c ASOF JOIN views v
+        ON c.user_id = v.user_id AND c.ts >= v.ts
     """
 
     o["q_order_priority"] = """

@@ -1,0 +1,88 @@
+"""Temporal joins the engine adds beyond the reference: AS-OF join.
+
+Spark has no native as-of join (pandas-on-Spark's merge_asof shuffles
+through Python); the scalable DataFrame idiom is the UNION + WINDOW
+formulation used here:
+
+    tag right rows 0 and left rows 1 → union → one window partitioned by
+    the key, ordered by (ts, tag) → ``last(right_value, ignorenulls)``
+    over unbounded-preceding rows carries the most recent right row
+    forward → keep left rows.
+
+One wide stage over the combined stream (the window — no join operator
+at all, pytest-pinned) plus the right side's own per-(key, ts) dedup
+aggregate; no row explosion — the classic log-enrichment shape (match
+each event to the latest state/quote at or before it).  Ties: right rows are deduplicated to one row per
+(key, ts) with ``max_by(·, tiebreak)`` so the match is deterministic;
+at equal timestamps the right row sorts first (tag 0 < 1), giving
+``<=`` as-of semantics — exactly DuckDB's ASOF JOIN, which the oracle
+(q_asof_events) uses natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Enrich each ``left`` row with the latest ``right`` row of the same
+    ``key`` at or before its ``ts``.
+
+    Output: all left columns + ``asof_ts`` + ``asof_<c>`` for each of
+    ``right_cols`` (NULL when no right row precedes — LEFT as-of
+    semantics).  ``tiebreak`` picks one right row per (key, ts)
+    deterministically (max wins)."""
+    left_types = dict(left.dtypes)
+    other = [c for c in left.columns if c not in (key, ts)]
+
+    r_agg = right.groupBy(key, ts).agg(
+        *[F.max_by(c, tiebreak).alias(c) for c in right_cols]
+    )
+    r_types = dict(r_agg.dtypes)
+
+    r1 = r_agg.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left_types[c]).alias(c) for c in other],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    l1 = left.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in other],
+        *[F.lit(None).cast(r_types[c]).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r1.unionByName(l1).select(
+        "*",
+        F.last(F.when(F.col("_tag") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+        *[
+            F.last(F.when(F.col("_tag") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        key,
+        ts,
+        *other,
+        "asof_ts",
+        *[F.col(f"asof_{c}") for c in right_cols],
+    )

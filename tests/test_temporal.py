@@ -1,0 +1,62 @@
+"""AS-OF join (operators/temporal.py): union+window formulation vs a
+hand-built expectation, including LEFT semantics (unmatched rows keep
+NULLs), the <= boundary (equal timestamps match), and the (key, ts)
+tiebreak."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from ddaugner_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), 100, 1.0),   # after v1
+            (1, _ts("2024-01-01T00:20:00"), 101, 2.0),   # equal ts to v2 -> matches v2
+            (1, _ts("2024-01-01T00:05:00"), 102, 3.0),   # before any view -> NULL
+            (2, _ts("2024-01-01T09:00:00"), 103, 4.0),   # other key, no views -> NULL
+        ],
+        "user_id long, ts timestamp, event_id long, click_value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:08:00"), 10, 11.0),   # v1
+            (1, _ts("2024-01-01T00:20:00"), 11, 22.0),   # v2a (tiebreak loser)
+            (1, _ts("2024-01-01T00:20:00"), 12, 33.0),   # v2b (max event_id wins)
+        ],
+        "user_id long, ts timestamp, event_id long, view_value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_view_value"])
+        for r in asof_join(
+            left, right, key="user_id", ts="ts",
+            right_cols=["view_value"], tiebreak="event_id",
+        ).collect()
+    }
+    assert out[100] == (_ts("2024-01-01T00:08:00"), 11.0)
+    assert out[101] == (_ts("2024-01-01T00:20:00"), 33.0)  # <= boundary + tiebreak
+    assert out[102] == (None, None)                        # LEFT semantics
+    assert out[103] == (None, None)
+    assert len(out) == 4
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The formulation must plan exactly one exchange (the window) — no
+    join operator at all."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:10:00"), 1, 1.0)],
+        "user_id long, ts timestamp, event_id long, click_value double",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:08:00"), 2, 9.0)],
+        "user_id long, ts timestamp, event_id long, view_value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", ["view_value"], "event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
