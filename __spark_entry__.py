@@ -531,6 +531,32 @@ def q_asof_events(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    """Interval/range join (engine addition): every event within ±15 min
+    of a same-user 'purchase' — bucketed equi-join, not a theta cross
+    product."""
+    from ddaugner_spark.operators.temporal import range_join
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    others = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("other_id"),
+        F.col("event_type").alias("other_type"),
+    )
+    return range_join(
+        purchases, others, key="user_id", ts="ts", delta_seconds=900,
+        left_cols=["purchase_id"], right_cols=["other_id", "other_type"],
+    ).select(
+        "user_id",
+        F.col("l_purchase_id").alias("purchase_id"),
+        F.col("r_other_id").alias("other_id"),
+        F.col("r_other_type").alias("other_type"),
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
 def q_rollup_revenue(spark, sf):
     o = spark.read.parquet(f"{sf}/orders.parquet")
     return (
@@ -632,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_order_priority": q_order_priority,
         "q_asof_events": q_asof_events,
+        "q_range_join": q_range_join,
         "q_parts_no_returns": q_parts_no_returns,
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
@@ -1870,6 +1897,21 @@ def oracle_sql() -> dict[str, str]:
              v.ts AS asof_ts, v.view_value
       FROM clicks c ASOF JOIN views v
         ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    # inequality join: DuckDB's IEJoin evaluates the range predicate
+    # natively — the oracle for the engine's bucketed equi-join
+    o["q_range_join"] = """
+      WITH p AS (SELECT user_id, ts, event_id AS purchase_id
+                 FROM events WHERE event_type = 'purchase'),
+      o2 AS (SELECT user_id, ts, event_id AS other_id,
+                    event_type AS other_type
+             FROM events WHERE event_type != 'purchase')
+      SELECT p.user_id, p.purchase_id, o2.other_id, o2.other_type,
+             round((epoch_us(o2.ts) - epoch_us(p.ts)) / 1000000.0, 6)
+               AS gap_seconds
+      FROM p JOIN o2 ON p.user_id = o2.user_id
+        AND abs(epoch_us(p.ts) - epoch_us(o2.ts)) <= 900 * 1000000
     """
 
     o["q_order_priority"] = """

@@ -25,6 +25,54 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    delta_seconds: int,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> DataFrame:
+    """All (left, right) pairs of the same ``key`` with
+    ``|left.ts − right.ts| ≤ delta_seconds`` — as a BUCKETED EQUI-JOIN:
+    timestamps bucket to ⌊epoch/Δ⌋, the left side fans out to buckets
+    {b−1, b, b+1}, the join runs on (key, bucket) and the exact range
+    predicate filters after.  A naive theta-join is a per-key cross
+    product (quadratic in hub keys); bucketing bounds each task's
+    candidates to ±1 bucket — the standard interval-join shape Spark
+    lacks natively (Flink's interval join, DuckDB's IEJoin, which the
+    oracle uses)."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    delta_us = delta_seconds * 1_000_000
+    l = left.select(
+        F.col(key),
+        us.alias("_lus"),
+        F.explode(
+            F.array(*[F.lit(o) for o in (-1, 0, 1)])
+        ).alias("_off"),
+        *[F.col(c).alias(f"l_{c}") for c in left_cols],
+    ).withColumn("_bucket", F.floor(F.col("_lus") / delta_us) + F.col("_off"))
+    r = right.select(
+        F.col(key),
+        us.alias("_rus"),
+        *[F.col(c).alias(f"r_{c}") for c in right_cols],
+    ).withColumn("_bucket", F.floor(F.col("_rus") / delta_us))
+    return (
+        l.join(r, [key, "_bucket"])
+        .filter(F.abs(F.col("_lus") - F.col("_rus")) <= delta_us)
+        .select(
+            key,
+            *[f"l_{c}" for c in left_cols],
+            *[f"r_{c}" for c in right_cols],
+            # exact in float64: microsecond epochs ≪ 2^53
+            ((F.col("_rus") - F.col("_lus")) / 1_000_000.0).alias("gap_seconds"),
+        )
+        # no dedup needed: each right row has exactly ONE bucket, so a
+        # pair matches at most one of the left row's three fan-out buckets
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

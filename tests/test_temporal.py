@@ -60,3 +60,44 @@ def test_asof_single_shuffle_plan(spark):
     out = asof_join(left, right, "user_id", "ts", ["view_value"], "event_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_range_join_bucketing_complete(spark):
+    """Bucketed range join == brute-force filter on hand-built data,
+    including pairs whose gap straddles a bucket boundary (the fan-out's
+    reason to exist) and exact-boundary gaps (<=)."""
+    from ddaugner_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    # delta = 60s buckets; gaps: 0, 59, 60 (boundary), 61 (out),
+    # 119 straddling two buckets, plus another key
+    left = spark.createDataFrame(
+        [(1, base, 100), (2, base, 200)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    rows = [
+        (1, base, 10),
+        (1, base + dt.timedelta(seconds=59), 11),
+        (1, base + dt.timedelta(seconds=60), 12),
+        (1, base + dt.timedelta(seconds=61), 13),
+        (1, base - dt.timedelta(seconds=59), 14),
+        (1, base - dt.timedelta(seconds=61), 15),
+        (2, base + dt.timedelta(seconds=30), 16),
+    ]
+    right = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+    out = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"]): r["gap_seconds"]
+        for r in range_join(
+            left, right, key="user_id", ts="ts", delta_seconds=60,
+            left_cols=["event_id"], right_cols=["event_id"],
+        ).collect()
+    }
+    want = {}
+    for uid, ts, rid in rows:
+        for luid, lts, lid in [(1, base, 100), (2, base, 200)]:
+            if uid == luid and abs((ts - lts).total_seconds()) <= 60:
+                want[(luid, lid, rid)] = (ts - lts).total_seconds()
+    assert out == want
+    assert (1, 100, 12) in out and (1, 100, 13) not in out
