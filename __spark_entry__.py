@@ -531,6 +531,26 @@ def q_asof_events(spark, sf):
     )
 
 
+def q_hypertable_rollup(spark, sf):
+    """Hypertable continuous aggregate: the DAY rollup is derived by
+    re-aggregating the HOURLY rollup (never rescanning raw events) —
+    the oracle aggregates raw directly, proving re-aggregability."""
+    from ddaugner_spark.operators.temporal import coarsen_rollup, hypertable_rollup
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    hourly = hypertable_rollup(e, "ts", "value", 3600, ["event_type"])
+    daily = coarsen_rollup(hourly, 86400, ["event_type"])
+    return daily.select(
+        "bucket_ts",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("total_value"),
+        # avg derives from the ROUNDED total (the materialized column) so
+        # both engines divide identical inputs — no float-order hazard
+        F.round(F.round("sum_v", 4) / F.col("n"), 6).alias("avg_value"),
+    )
+
+
 def q_range_join(spark, sf):
     """Interval/range join (engine addition): every event within ±15 min
     of a same-user 'purchase' — bucketed equi-join, not a theta cross
@@ -659,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_order_priority": q_order_priority,
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
+        "q_hypertable_rollup": q_hypertable_rollup,
         "q_parts_no_returns": q_parts_no_returns,
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
@@ -1897,6 +1918,14 @@ def oracle_sql() -> dict[str, str]:
              v.ts AS asof_ts, v.view_value
       FROM clicks c ASOF JOIN views v
         ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    o["q_hypertable_rollup"] = """
+      SELECT date_trunc('day', ts) AS bucket_ts,
+             event_type, count(*) AS n,
+             round(sum(value), 4) AS total_value,
+             round(round(sum(value), 4) / count(*), 6) AS avg_value
+      FROM events GROUP BY 1, 2
     """
 
     # inequality join: DuckDB's IEJoin evaluates the range predicate

@@ -25,6 +25,44 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def time_bucket(ts, seconds: int):
+    """Arbitrary-width time bucket (TimescaleDB ``time_bucket`` shape):
+    the bucket's start timestamp."""
+    us = seconds * 1_000_000
+    return F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / us) * us).cast("long")
+    )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts: str,
+    value: str,
+    bucket_seconds: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """Continuous-aggregate base table: (bucket_ts, group…, n, sum_v).
+
+    Only DECOMPOSABLE aggregates (count/sum/min/max) are materialized, so
+    coarser granularities derive by RE-AGGREGATING this table instead of
+    rescanning raw events — the hypertable/continuous-aggregate contract
+    (avg = sum/n at read time).  At 10^12 rows the base rollup is the
+    only full scan; every dashboard granularity is a rollup-of-rollup."""
+    return events.groupBy(
+        time_bucket(ts, bucket_seconds).alias("bucket_ts"), *group_cols
+    ).agg(F.count("*").alias("n"), F.sum(value).alias("sum_v"))
+
+
+def coarsen_rollup(
+    rollup: DataFrame, bucket_seconds: int, group_cols: list[str]
+) -> DataFrame:
+    """Derive a coarser continuous aggregate from a finer one (pure
+    re-aggregation — never touches raw events)."""
+    return rollup.groupBy(
+        time_bucket("bucket_ts", bucket_seconds).alias("bucket_ts"), *group_cols
+    ).agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -101,3 +101,27 @@ def test_range_join_bucketing_complete(spark):
                 want[(luid, lid, rid)] = (ts - lts).total_seconds()
     assert out == want
     assert (1, 100, 12) in out and (1, 100, 13) not in out
+
+
+def test_hypertable_reaggregation_property(spark, sf_dir):
+    """day-from-hourly == day-from-raw (count/sum are decomposable); the
+    continuous-aggregate contract that lets every coarser granularity
+    derive without rescanning raw events."""
+    import pyspark.sql.functions as F
+    from ddaugner_spark.operators.temporal import (
+        coarsen_rollup,
+        hypertable_rollup,
+        time_bucket,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = hypertable_rollup(e, "ts", "value", 3600, ["event_type"])
+    via_hourly = {
+        (r["bucket_ts"], r["event_type"]): (r["n"], round(r["sum_v"], 4))
+        for r in coarsen_rollup(hourly, 86400, ["event_type"]).collect()
+    }
+    direct = {
+        (r["bucket_ts"], r["event_type"]): (r["n"], round(r["sum_v"], 4))
+        for r in hypertable_rollup(e, "ts", "value", 86400, ["event_type"]).collect()
+    }
+    assert via_hourly == direct and direct
