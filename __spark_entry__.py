@@ -531,6 +531,16 @@ def q_asof_events(spark, sf):
     )
 
 
+def q_kmv_distinct(spark, sf):
+    """KMV bottom-k distinct-count sketch (engine addition): distinct
+    users per event type, estimated from the 64 smallest md5 hashes —
+    deterministic, mergeable, oracle-replayable bit-for-bit."""
+    from ddaugner_spark.operators.sketches import kmv_sketch
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return kmv_sketch(e.select("event_type", "user_id"), "event_type", "user_id", k=64)
+
+
 def q_hypertable_rollup(spark, sf):
     """Hypertable continuous aggregate: the DAY rollup is derived by
     re-aggregating the HOURLY rollup (never rescanning raw events) —
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
         "q_hypertable_rollup": q_hypertable_rollup,
+        "q_kmv_distinct": q_kmv_distinct,
         "q_parts_no_returns": q_parts_no_returns,
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
@@ -1918,6 +1929,29 @@ def oracle_sql() -> dict[str, str]:
              v.ts AS asof_ts, v.view_value
       FROM clicks c ASOF JOIN views v
         ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    o["q_kmv_distinct"] = """
+      WITH h AS (
+        SELECT DISTINCT event_type,
+               substr(md5(user_id::VARCHAR), 1, 12) AS hx
+        FROM events
+      ),
+      r AS (
+        SELECT event_type, hx,
+               row_number() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM h
+      ),
+      kept AS (SELECT * FROM r WHERE rn <= 64)
+      SELECT event_type,
+             CASE WHEN max(nd) < 64 THEN least(max(nd), 64)::DOUBLE
+                  ELSE round(63.0 /
+                       (('0x' || max(CASE WHEN rn = 64 THEN hx END))::UBIGINT::DOUBLE
+                        / 281474976710656.0), 2)
+             END AS n_distinct_est,
+             least(max(nd), 64)::BIGINT AS n_kept
+      FROM kept GROUP BY event_type
     """
 
     o["q_hypertable_rollup"] = """
