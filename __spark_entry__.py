@@ -350,9 +350,9 @@ def q_ann_multiprobe(spark, sf):
 
 def q_ann_ivf_kmeans(spark, sf):
     """Data-adaptive IVF: deterministic k-means coarse quantizer (64
-    cells, nprobe=4) — the 100 TB-shaped index (sign-cells cap at 2^dims
-    fixed cells regardless of data)."""
-    return similarity.ivf_kmeans_topk(_emb(spark, sf), QUERY_IDS)
+    cells, nprobe=24) — the 100 TB-shaped index (sign-cells cap at
+    2^dims fixed cells regardless of data)."""
+    return similarity.ivf_kmeans_topk(_emb(spark, sf), QUERY_IDS, nprobe=24)
 
 
 def q_cosine_threshold(spark, sf):
@@ -522,12 +522,16 @@ def q_asof_events(spark, sf):
         clicks, views, key="user_id", ts="ts",
         right_cols=["view_value"], tiebreak="event_id",
     )
-    # the gate compares the INNER as-of (a NULL double renders as pandas
+    # full LEFT contract checked: unmatched rows keep their NULLs, which
+    # both sides coalesce to sentinels (a NULL double renders as pandas
     # NaN on the DuckDB side vs None on the Spark side — representation,
-    # not value); LEFT semantics are pytest-pinned (test_asof_join)
-    return out.filter(F.col("asof_ts").isNotNull()).select(
-        "user_id", "ts", "event_id", "click_value", "asof_ts",
-        F.col("asof_view_value").alias("view_value"),
+    # not value — so the hash needs a common rendering)
+    return out.select(
+        "user_id", "ts", "event_id", "click_value",
+        F.coalesce(
+            F.col("asof_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp")
+        ).alias("asof_ts"),
+        F.coalesce(F.col("asof_view_value"), F.lit(-999999.0)).alias("view_value"),
     )
 
 
@@ -1331,7 +1335,9 @@ def oracle_sql() -> dict[str, str]:
       chalias AS (
         SELECT DISTINCT alias FROM chsub
         WHERE alias != ''
-          AND substr(alias, 1, 1) != lower(substr(alias, 1, 1))
+          -- reference's `not alias[0].islower()`: uppercase OR uncased
+          AND (substr(alias, 1, 1) != lower(substr(alias, 1, 1))
+               OR substr(alias, 1, 1) = upper(substr(alias, 1, 1)))
           AND lower(alias) NOT IN ({_TITLES})
         UNION
         SELECT name FROM ch
@@ -1926,8 +1932,9 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY user_id, ts
       )
       SELECT c.user_id, c.ts, c.event_id, c.click_value,
-             v.ts AS asof_ts, v.view_value
-      FROM clicks c ASOF JOIN views v
+             coalesce(v.ts, TIMESTAMP '1970-01-01') AS asof_ts,
+             coalesce(v.view_value, -999999.0) AS view_value
+      FROM clicks c ASOF LEFT JOIN views v
         ON c.user_id = v.user_id AND c.ts >= v.ts
     """
 

@@ -72,7 +72,10 @@ def expand_character_aliases(characters: DataFrame, name_col: str = "name") -> D
     # which the union below adds anyway (distinct dedups).  pow-based
     # arithmetic: shiftleft/shiftright only take literal ints in pyspark.
     n_masks = F.pow(F.lit(2.0), k.cast("double")).cast("int") - 1
-    masks = F.when(k >= 1, F.sequence(F.lit(1), n_masks)).otherwise(
+    # cap k: a pathological 50-component "name" would enumerate 2^50
+    # subsets; real character names are ≤ ~6 components, so ≤ 12 is a
+    # pure safety guard (the full name itself is still unioned below)
+    masks = F.when((k >= 1) & (k <= 12), F.sequence(F.lit(1), n_masks)).otherwise(
         F.array().cast("array<int>")
     )
     idx = F.zip_with(
@@ -99,9 +102,13 @@ def expand_character_aliases(characters: DataFrame, name_col: str = "name") -> D
     pass_cols = [c for c in characters.columns if c != name_col]
     expanded = characters.select(
         *pass_cols, F.explode(F.transform(masks, subset)).alias("alias")
-    ).filter(
+    )
+    # keep = reference's `not alias[0].islower()`: uppercase OR uncased
+    # (digits/punctuation are KEPT — lower(c)==c alone would drop them)
+    first = F.substring("alias", 1, 1)
+    expanded = expanded.filter(
         (F.col("alias") != "")
-        & (F.substring("alias", 1, 1) != F.lower(F.substring("alias", 1, 1)))
+        & ((first != F.lower(first)) | (first == F.upper(first)))
         & ~F.lower(F.col("alias")).isin(titles)
     )
     full = characters.select(*pass_cols, F.col(name_col).alias("alias"))
@@ -122,6 +129,18 @@ def demote_unknown_per(
     lowercase (the synthetic tables), where rule (b) would demote
     everything; rule (b) itself is pinned on the reference's real books
     in tests/test_aliases.py.
+
+    DELIBERATE DEVIATION (span-level lowercase rule): the reference's
+    windowed pass (fix_ner.py:235-250) slides 5..1-token windows over the
+    flat book token stream and can PARTIALLY demote a mixed-case span
+    whose leading tokens are lowercase (leaving orphan I-PER tags) or
+    swallow adjacent all-lowercase spans across sentence boundaries.
+    This engine applies the rule per decoded span — a span is demoted
+    only when ALL its tokens are lowercase — which never produces orphan
+    I-PER tags and never crosses row boundaries.  On the reference's own
+    books the two agree (pinned in tests/test_aliases.py); they differ
+    only on mixed-case spans with lowercase B-PER heads, where the
+    span-level rule is the safer (non-mutilating) choice.
 
     ``tagged``: (group_col, doc_id, tokens, tags); ``aliases``:
     (group_col, alias).  The per-group alias set is collected to an array

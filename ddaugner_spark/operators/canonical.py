@@ -52,17 +52,33 @@ def co_mention_edges(mentions: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, stage_dir: str | None = None
+    edges: DataFrame,
+    max_iter: int = 25,
+    stage_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(entity, component) with component = min entity id reachable.
 
     Node ids are strings; min is lexicographic, deterministic.
-    ``stage_dir`` holds the per-iteration parquet checkpoints (lineage
-    truncation + fault-tolerant restart point); a temp dir by default.
+    ``stage_dir`` holds the parquet checkpoints (lineage truncation +
+    fault-tolerant restart point); a temp dir by default.  NOTE: the
+    returned DataFrame is lazily BACKED by the final checkpoint under
+    ``stage_dir`` — when ``stage_dir`` is None the backing temp dir is
+    left on disk for the lifetime of the result; pass an explicit
+    ``stage_dir`` to control that lifetime (the pipeline does).
+
+    Lineage only needs truncation often enough to keep the optimizer
+    happy (the plan roughly 4×'s per iteration from the two joins), not
+    every round — materializing every ``checkpoint_every``-th iteration
+    recovers most of the per-iteration parquet cost while keeping the
+    A/B-dir crash safety.  Convergence is checked only at checkpoints,
+    so up to ``checkpoint_every − 1`` extra (idempotent, fixed-point)
+    iterations may run — label output is identical.
     """
     spark = edges.sparkSession
     own_dir = stage_dir is None
     stage_dir = stage_dir or tempfile.mkdtemp(prefix="ddaugner_cc_")
+    checkpoint_every = max(1, checkpoint_every)
 
     def _roundtrip(df: DataFrame, name: str) -> DataFrame:
         df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
@@ -77,8 +93,18 @@ def connected_components(
         .withColumn("label", F.col("node")),
         "labels_init",
     )
+    if max_iter < 1:
+        # zero iterations: every node is its own component
+        return labels.select(
+            F.col("node").alias("entity"), F.col("label").alias("component")
+        )
 
-    for _it in range(max_iter):
+    final_name = "labels_init"
+    n_ckpt = 0
+    # `changed` accumulates (OR) across the iterations since the last
+    # checkpoint; evaluated only when we materialize.
+    changed_any = F.lit(False)
+    for _it in range(1, max_iter + 1):
         # (1) hash-min: pull the minimum neighbor label
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -92,7 +118,7 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
-            (F.col("nbr_label") < F.col("label")).alias("changed"),
+            (changed_any | (F.col("nbr_label") < F.col("label"))).alias("changed"),
         )
         # (2) pointer jumping: label(v) ← label(label(v)).  Min-propagation
         # alone needs O(diameter) rounds (a length-L chain takes L
@@ -115,19 +141,32 @@ def connected_components(
                 ).alias("changed"),
             )
         )
-        # alternate A/B dirs so a crashed write never clobbers the last
-        # good checkpoint (restartable at the iteration granularity)
-        jumped = _roundtrip(jumped, f"labels_{_it % 2}")
-        n_changed = jumped.filter(F.col("changed")).count()
-        labels = jumped.select("node", F.col("new_label").alias("label"))
-        if n_changed == 0:
-            break
+        if _it % checkpoint_every == 0 or _it == max_iter:
+            # alternate A/B dirs so a crashed write never clobbers the
+            # last good checkpoint (restartable at checkpoint granularity)
+            final_name = f"labels_{n_ckpt % 2}"
+            jumped = _roundtrip(jumped, final_name)
+            n_ckpt += 1
+            n_changed = jumped.filter(F.col("changed")).count()
+            labels = jumped.select("node", F.col("new_label").alias("label"))
+            changed_any = F.lit(False)
+            if n_changed == 0:
+                break
+        else:
+            # carry `changed` forward lazily inside the label table; the
+            # next iteration ORs into it and the next checkpoint counts it
+            labels = jumped.select(
+                "node", F.col("new_label").alias("label"), "changed"
+            )
+            changed_any = F.col("changed")
 
     # drop the intermediates that don't back the returned DataFrame
-    # (the final labels_{_it % 2} checkpoint stays — it IS the result)
+    # (the final checkpoint stays — it IS the result)
     if own_dir:
-        for name in ("sym", "labels_init", f"labels_{(_it + 1) % 2}"):
-            shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+        keep = {final_name}
+        for name in ("sym", "labels_init", "labels_0", "labels_1"):
+            if name not in keep:
+                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
     return labels.select(
         F.col("node").alias("entity"), F.col("label").alias("component")
     )

@@ -85,11 +85,13 @@ def _seq(n: Column, lvl: int) -> Column:
     )
 
 
-def _candidates() -> Column:
+def _candidates(levels: dict[int, list[tuple[str, str]]] | None = None) -> Column:
     """array<struct<start int, n int, tag string>> — every gazetteer window
     hit, all levels.  One `filter` per dictionary length bucket; the
-    gazetteer is inlined as literal arrays (broadcast-join variant:
-    operators/linking.py)."""
+    gazetteer is inlined as literal arrays (broadcast-join variant for
+    dictionaries too large to inline: operators/bigdict.py)."""
+    if levels is None:
+        levels = config.GAZ_LEVELS
     n = F.col("n_tokens")
 
     def _entry_match(i: Column, words: list[str]) -> Column:
@@ -139,22 +141,25 @@ def _candidates() -> Column:
         return mk
 
     per_level = []
-    for lvl, entries in config.GAZ_LEVELS.items():
+    for lvl, entries in sorted(levels.items(), reverse=True):
         hits = F.filter(_seq(n, lvl), _hit_filter(lvl, entries))
         per_level.append(F.transform(hits, _mk_struct(lvl, entries)))
     return per_level[0] if len(per_level) == 1 else F.concat(*per_level)
 
 
-def _sorted_candidates() -> Column:
+def _sorted_candidates(
+    levels: dict[int, list[tuple[str, str]]] | None = None
+) -> Column:
     """Candidates in the reference's pass order: n desc, then start asc
     (fix_ner.py:201 outer loop 5..1, inner loop left-to-right).
 
-    No sort is needed: GAZ_LEVELS iterates n descending and ``filter``
-    preserves position order within a level, so the concatenated array is
-    already in pass order (pinned by test_candidates_are_in_pass_order).
-    A comparator array_sort here measurably slowed the whole stage
-    (interpreted per-comparison lambdas)."""
-    return _candidates()
+    No sort is needed: the levels dict iterates n descending and
+    ``filter`` preserves position order within a level, so the
+    concatenated array is already in pass order (pinned by
+    test_candidates_are_in_pass_order).  A comparator array_sort here
+    measurably slowed the whole stage (interpreted per-comparison
+    lambdas)."""
+    return _candidates(levels)
 
 
 def _fold_tags(cands: Column | None = None) -> Column:
@@ -216,7 +221,7 @@ def _has_overlap(cands: Column) -> Column:
     )
 
 
-def spans_expr() -> Column:
+def spans_expr(levels: dict[int, list[tuple[str, str]]] | None = None) -> Column:
     """array<struct<start_idx, end_idx, surface, tag>> mention spans.
 
     The candidate array is LET-BOUND (single-element-array transform) so
@@ -224,7 +229,7 @@ def spans_expr() -> Column:
     direct candidates→spans path, and only rows with overlapping windows
     run the sequential fold + BIO decode (CaseWhen evaluates one branch
     per row).  Measured ~4× over always-folding at sf0.1."""
-    z = F.array(F.struct(_sorted_candidates().alias("cs")))
+    z = F.array(F.struct(_sorted_candidates(levels).alias("cs")))
     return F.element_at(
         F.transform(
             z,
@@ -362,7 +367,11 @@ def with_naive_bio(docs: DataFrame) -> DataFrame:
     )
 
 
-def mentions_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def mentions_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    levels: dict[int, list[tuple[str, str]]] | None = None,
+) -> DataFrame:
     """(doc_id, sent_id, start_idx, end_idx, surface, tag) mention rows.
 
     ``end_idx`` inclusive (reference convention utils.py:19-22);
@@ -372,7 +381,7 @@ def mentions_df(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     exploded = df.select(
         F.col(id_col).alias("doc_id"),
         F.col("tokens"),
-        F.explode(spans_expr()).alias("m"),
+        F.explode(spans_expr(levels)).alias("m"),
     )
     return exploded.select(
         "doc_id",

@@ -11,18 +11,20 @@ Estimator (Bar-Yossef et al.): with h ~ U[0,1) per distinct value,
 the group has < k distinct values.  Error ~ 1/√k.
 
 Scale shape: a true sketch must keep only k values per group on the map
-side.  ``kmv_sketch`` runs the partial step as an Arrow batch pass (one
-bottom-k heap per group per partition → at most partitions·groups·k
-rows reach the exchange), then merges bottom-k sets with
-``sort_array``/``slice`` — the same partial/final split a native UDAF
-would have.  Sketches MERGE (union of bottom-k is the bottom-k of the
-union), pytest-pinned.
+side.  The hash itself is computed JVM-side (``F.md5`` over the value
+cast to string — identical bytes to DuckDB's ``md5(v::VARCHAR)``), so
+the Arrow partial is pure vectorized pandas: per batch, dedup + sort +
+``groupby(...).head(k)`` keeps a bounded ≤ groups·k running state — no
+per-row Python, no Python hashing (the round-2 per-row heap loop was
+the one Python-speed hot spot flagged at 100 TB).  At most
+partitions·groups·k rows reach the exchange; bottom-k sets then merge
+with ``sort_array``/``slice`` — the same partial/final split a native
+UDAF would have.  Sketches MERGE (union of bottom-k is the bottom-k of
+the union), pytest-pinned.
 """
 
 from __future__ import annotations
 
-import hashlib
-import heapq
 from typing import Iterator
 
 import pandas as pd
@@ -52,32 +54,38 @@ def kmv_sketch(
     """(group, n_distinct_est, n_kept): KMV distinct-count sketch."""
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        heaps: dict[str, list] = {}  # group -> max-heap of negated hashes
-        seen: dict[str, set] = {}
+        state: pd.DataFrame | None = None
         for pdf in batches:
-            for g, v in zip(pdf[group_col], pdf[value_col]):
-                h = hashlib.md5(str(v).encode()).hexdigest()[:_HEX_DIGITS]
-                s = seen.setdefault(g, set())
-                if h in s:
-                    continue
-                heap = heaps.setdefault(g, [])
-                if len(heap) < k:
-                    heapq.heappush(heap, _neg(h))
-                    s.add(h)
-                elif h < _pos(heap[0]):
-                    dropped = heapq.heapreplace(heap, _neg(h))
-                    s.discard(_pos(dropped))
-                    s.add(h)
-        yield pd.DataFrame(
-            {
-                group_col: list(heaps),
-                "mins": [sorted(_pos(x) for x in heap) for heap in heaps.values()],
-            }
+            pdf = pdf.drop_duplicates()
+            state = (
+                pdf
+                if state is None
+                else pd.concat((state, pdf), ignore_index=True).drop_duplicates()
+            )
+            # bounded running state: bottom-k hashes per group
+            state = (
+                state.sort_values([group_col, "_h"], kind="mergesort")
+                .groupby(group_col, sort=False)
+                .head(k)
+            )
+        if state is None or state.empty:
+            yield pd.DataFrame({group_col: pd.Series(dtype=object), "mins": []})
+            return
+        agg = (
+            state.sort_values([group_col, "_h"], kind="mergesort")
+            .groupby(group_col, sort=False)["_h"]
+            .agg(list)
+            .reset_index()
         )
+        yield pd.DataFrame({group_col: agg[group_col], "mins": agg["_h"]})
 
-    partials = df.select(
-        F.col(group_col).cast("string").alias(group_col), F.col(value_col)
-    ).mapInPandas(partial, _partial_schema(group_col))
+    hashed = df.select(
+        F.col(group_col).cast("string").alias(group_col),
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, _HEX_DIGITS).alias(
+            "_h"
+        ),
+    )
+    partials = hashed.mapInPandas(partial, _partial_schema(group_col))
 
     merged = partials.groupBy(group_col).agg(
         F.slice(
@@ -99,11 +107,3 @@ def kmv_sketch(
         est.alias("n_distinct_est"),
         n_kept.cast("long").alias("n_kept"),
     )
-
-
-def _neg(h: str) -> str:
-    """Invert hex string order so heapq's min-heap acts as a max-heap."""
-    return "".join("%x" % (15 - int(c, 16)) for c in h)
-
-
-_pos = _neg  # involution

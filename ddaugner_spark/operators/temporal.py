@@ -153,22 +153,24 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ONE struct per right row, carried atomically: ts and every value
+    # column always come from the SAME matched right row, even when that
+    # row holds NULL values (per-column last(…, ignorenulls) would skip a
+    # NULL and splice in an older row's value — DuckDB ASOF returns the
+    # matched row's NULL, and so do we).
+    right_struct = F.struct(
+        F.col(ts).alias("_ts"), *[F.col(f"_r_{c}").alias(c) for c in right_cols]
+    )
     carried = r1.unionByName(l1).select(
         "*",
-        F.last(F.when(F.col("_tag") == 0, F.col(ts)), ignorenulls=True)
+        F.last(F.when(F.col("_tag") == 0, right_struct), ignorenulls=True)
         .over(w)
-        .alias("asof_ts"),
-        *[
-            F.last(F.when(F.col("_tag") == 0, F.col(f"_r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        .alias("_asof"),
     )
     return carried.filter(F.col("_tag") == 1).select(
         key,
         ts,
         *other,
-        "asof_ts",
-        *[F.col(f"asof_{c}") for c in right_cols],
+        F.col("_asof._ts").alias("asof_ts"),
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )

@@ -130,3 +130,19 @@ def test_demotion_rules_unit(spark):
     # "unknownguy" lowercase + unknown -> O; "Nobody" capitalized but
     # unknown -> O
     assert got == ["B-PER", "I-PER", "O", "O", "O", "O"]
+
+
+def test_alias_expansion_keeps_uncased_and_caps_components(spark):
+    """Reference keep-rule is `not alias[0].islower()`: digit-initial
+    components are KEPT (uncased ≠ lowercase); and a pathological
+    many-component name must not enumerate 2^k subsets (k>12 guard) —
+    its full name still passes through."""
+    big = " ".join(f"W{i}" for i in range(20))
+    ch = spark.createDataFrame(
+        [("4th Lord Baratheon",), (big,)], "name string"
+    )
+    aliases = {r["alias"] for r in A.expand_character_aliases(ch).collect()}
+    assert "4th" in aliases           # digit-initial kept (islower() is False)
+    assert "4th Baratheon" in aliases
+    assert big in aliases             # full name survives the k>12 guard
+    assert len(aliases) < 2**13       # no 2^20 blowup

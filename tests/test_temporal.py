@@ -125,3 +125,25 @@ def test_hypertable_reaggregation_property(spark, sf_dir):
         for r in hypertable_rollup(e, "ts", "value", 86400, ["event_type"]).collect()
     }
     assert via_hourly == direct and direct
+
+
+def test_asof_null_right_value_from_matched_row(spark):
+    """The matched right row's NULL must be returned as-is — not spliced
+    with an older row's non-NULL value (DuckDB ASOF semantics; was a
+    latent per-column last(ignorenulls) bug, ADVICE r2)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:30:00"), 100, 1.0)],
+        "user_id long, ts timestamp, event_id long, click_value double",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), 10, 11.0),  # older, non-NULL
+            (1, _ts("2024-01-01T00:20:00"), 11, None),  # matched row, NULL value
+        ],
+        "user_id long, ts timestamp, event_id long, view_value double",
+    )
+    row = asof_join(
+        left, right, "user_id", "ts", ["view_value"], "event_id"
+    ).collect()[0]
+    assert row["asof_ts"] == _ts("2024-01-01T00:20:00")
+    assert row["asof_view_value"] is None  # NOT 11.0
