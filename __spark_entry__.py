@@ -102,6 +102,20 @@ def q_mentions_udf(spark, sf):
     return tagging.mentions_udf(_docs(spark, sf))
 
 
+def q_mentions_bigdict(spark, sf):
+    """Broadcast-join detector for dictionaries too large to inline
+    (J1 at reference scale — conll_entities.py:7-26 is 3.5k names):
+    windows prefiltered by the dictionary's first-token InSet, broadcast
+    hash join on surface, hits-only shuffle, same overwrite semantics.
+    Must equal the inline matcher, so it shares q_mentions' oracle."""
+    from ddaugner_spark.operators.bigdict import mentions_bigdict_df
+
+    gaz = spark.createDataFrame(
+        [(s, c) for s, c, _w in config.GAZETTEER], "surface string, tag string"
+    )
+    return mentions_bigdict_df(_docs(spark, sf), gaz)
+
+
 def q_mention_class_ratios(spark, sf):
     return scoring.class_counts(mentions.mentions_df(_docs(spark, sf)))
 
@@ -643,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sentences": q_sentences,
         "q_context_windows": q_context_windows,
         "q_mentions": q_mentions,
+        "q_mentions_bigdict": q_mentions_bigdict,
         "q_mentions_udf": q_mentions_udf,
         "q_mention_class_ratios": q_mention_class_ratios,
         "q_tag_frequencies": q_tag_frequencies,
@@ -1065,6 +1080,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT * FROM mentsent
     """
     o["q_mentions_udf"] = o["q_mentions"]
+    o["q_mentions_bigdict"] = o["q_mentions"]
 
     o["q_mention_class_ratios"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT}
