@@ -330,24 +330,31 @@ def q_minhash_lsh(spark, sf):
 
 
 def q_simhash(spark, sf):
-    return dedup.simhash_fingerprints(_docs(spark, sf))
+    # bits=16 is the ORACLE configuration (the SQL twin unrolls 16
+    # digit tests); the operator default is the scale-safe 64
+    return dedup.simhash_fingerprints(_docs(spark, sf), bits=16)
 
 
 def q_simhash_pairs(spark, sf):
-    return dedup.simhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+    return dedup.simhash_near_duplicates(
+        dedup.with_dup_corpus(_docs(spark, sf)), max_hamming=3, bits=16
+    )
 
 
 def q_doc_embeddings(spark, sf):
     from ddaugner_spark.operators import embedding
 
-    e = embedding.hashed_doc_embeddings(_docs(spark, sf))
+    # dims=16 is the ORACLE configuration; the operator default is 64
+    e = embedding.hashed_doc_embeddings(_docs(spark, sf), dims=16)
     return e.select("doc_id", "v_0", "v_1", "v_2", "v_3", "norm_sq")
 
 
 def q_embed_near_dups(spark, sf):
     from ddaugner_spark.operators import embedding
 
-    return embedding.embedding_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
+    return embedding.embedding_near_duplicates(
+        dedup.with_dup_corpus(_docs(spark, sf)), dims=16, n_bands=4
+    )
 
 
 def q_ann_topk(spark, sf):

@@ -191,17 +191,33 @@ def minhash_near_duplicates(corpus: DataFrame) -> DataFrame:
     return jaccard_verify(cands, sh)
 
 
-def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
+def simhash_fingerprints(corpus: DataFrame, bits: int = 64) -> DataFrame:
     """(doc_id, fingerprint) — bit j is 1 iff the sum over distinct tokens
-    of ±1 (hex digit j of md5(token) ≥ '8') is positive."""
+    of ±1 (hex digit j of a keyed md5 of the token ≥ '8') is positive.
+
+    One md5 yields 32 hex digits, so bit positions ≥ 32 draw from
+    md5('<k>|' || token) for k = j // 32 — still bit-reproducible in the
+    DuckDB oracle.  Default is the SCALE-SAFE 64 bits (4 × 16-bit bands
+    → 65,536 buckets per pigeonhole table); the 16-bit configuration
+    survives only inside the oracle queries, whose SQL twins are written
+    for it."""
     toks = corpus.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
+    )
+    n_hashes = (bits + 31) // 32
+    for k in range(n_hashes):
+        col = F.md5(F.col("tok")) if k == 0 else F.md5(
+            F.concat(F.lit(f"{k}|"), F.col("tok"))
+        )
+        toks = toks.withColumn(f"h{k}", col)
     bit_aggs = [
         F.when(
             F.sum(
                 F.when(
-                    F.substring(F.col("h"), j + 1, 1).isin(list("89abcdef")), 1
+                    F.substring(F.col(f"h{j // 32}"), j % 32 + 1, 1).isin(
+                        list("89abcdef")
+                    ),
+                    1,
                 ).otherwise(-1)
             )
             > 0,
@@ -217,7 +233,7 @@ def simhash_fingerprints(corpus: DataFrame, bits: int = 16) -> DataFrame:
     )
 
 
-def simhash_near_duplicates(corpus: DataFrame, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+def simhash_near_duplicates(corpus: DataFrame, max_hamming: int = 3, bits: int = 64) -> DataFrame:
     """(a, b, hamming) pairs with hamming ≤ max_hamming via PIGEONHOLE
     banding: the fingerprint is split into ``max_hamming + 1`` disjoint
     bands, and any pair within distance ≤ max_hamming must agree EXACTLY
@@ -233,7 +249,7 @@ def simhash_near_duplicates(corpus: DataFrame, max_hamming: int = 3, bits: int =
 
 
 def simhash_pairs_from_fingerprints(
-    fp: DataFrame, max_hamming: int = 3, bits: int = 16
+    fp: DataFrame, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
     """Banded pair search over a (doc_id, fingerprint) table — split out
     so recall can be tested on fabricated fingerprints."""

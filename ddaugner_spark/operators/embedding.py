@@ -29,20 +29,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-EMBED_DIMS = 16
-N_BANDS = 4
+#: SCALE-SAFE defaults: 64 sign dims split into 8 disjoint 8-bit bands.
+#: At a 0.95-cosine threshold the per-hyperplane agreement probability
+#: is ~0.9, so 8-bit bands hit ~0.43 each and 8 OR'd bands give ~0.99
+#: recall with 256 buckets per band; corpus growth scales by ADDING
+#: bands/dims (more tables), not by widening bands past the threshold's
+#: operating point.  The 16/4 configuration survives only inside the
+#: oracle queries, whose SQL twins are written for it.
+EMBED_DIMS = 64
+N_BANDS = 8
 
 
 def hashed_doc_embeddings(docs: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
     """(doc_id, v_0..v_{dims-1} int, norm_sq long) — signed-count hashed
-    embedding over distinct tokens."""
+    embedding over distinct tokens.  One md5 yields 32 hex digits;
+    dimensions ≥ 32 draw from md5('<k>|' || token), k = j // 32 (same
+    keyed-hash extension as simhash — oracle-reproducible)."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
+    )
+    for k in range((dims + 31) // 32):
+        col = F.md5(F.col("tok")) if k == 0 else F.md5(
+            F.concat(F.lit(f"{k}|"), F.col("tok"))
+        )
+        toks = toks.withColumn(f"h{k}", col)
     aggs = [
         F.sum(
             F.when(
-                F.substring(F.col("h"), j + 1, 1).isin(list("89abcdef")), 1
+                F.substring(F.col(f"h{j // 32}"), j % 32 + 1, 1).isin(
+                    list("89abcdef")
+                ),
+                1,
             ).otherwise(-1)
         )
         .cast("long")

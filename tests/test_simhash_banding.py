@@ -52,7 +52,7 @@ def test_exhaustive_recall_random(spark):
     assert got == want
 
 
-@pytest.mark.parametrize("bits,max_h", [(16, 3), (16, 1), (12, 2)])
+@pytest.mark.parametrize("bits,max_h", [(16, 3), (16, 1), (12, 2), (64, 3)])
 def test_banding_lossless_parametrized(spark, bits, max_h):
     rng = random.Random(bits * 10 + max_h)
     base = "".join(rng.choice("01") for _ in range(bits))
@@ -72,3 +72,33 @@ def test_banding_lossless_parametrized(spark, bits, max_h):
             if h <= max_h:
                 want.add((i, j, h))
     assert got == want
+
+
+def test_default_64bit_fingerprints_and_recall(spark):
+    """Scale-safe defaults: 64-bit fingerprints (4 x 16-bit band keys),
+    extended keyed-hash digits beyond position 32, and lossless banding
+    for a planted near-dup under the DEFAULT parameters."""
+    from ddaugner_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_duplicates,
+        with_dup_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon w{i} zeta eta theta iota kappa") for i in range(8)],
+        "doc_id long, text string",
+    )
+    fp = simhash_fingerprints(docs)  # default bits
+    rows = fp.collect()
+    assert all(len(r["fingerprint"]) == 64 for r in rows)
+    assert len({r["fingerprint"] for r in rows}) > 1  # upper bits vary
+    # an exact duplicate (hamming 0) must surface under the defaults
+    # end-to-end (64-bit fingerprints through 4x16-bit banded search)
+    pairs = simhash_near_duplicates(with_dup_corpus(
+        spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+    ))
+    got = {(r["a"], r["b"], r["hamming"]) for r in pairs.collect()}
+    assert (0, 1000000, 0) in got
