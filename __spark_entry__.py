@@ -116,6 +116,70 @@ def q_mentions_bigdict(spark, sf):
     return mentions_bigdict_df(_docs(spark, sf), gaz)
 
 
+def q_mention_embeddings(spark, sf):
+    """Per-MENTION pooled embeddings from the Arrow tagger path
+    (predict.py:108-134 at mention granularity): deterministic ±1
+    per-wordpiece hidden states summed over the mention's wordpieces,
+    emitted as integer sums + count (mean = sum/n at read time) so the
+    DuckDB oracle replays bit-exactly through the recursive WordPiece
+    CTE."""
+    from ddaugner_spark.operators.tagging import mention_embeddings_udf
+
+    return mention_embeddings_udf(_docs(spark, sf))
+
+
+def q_mention_ann(spark, sf):
+    """ANN over MENTION embeddings (the north-star mention→ANN hook):
+    top-3 cosine neighbors of every PER-tagged surface among all
+    distinct mention surfaces — broadcast query side × data side nested
+    loop (the exactness-baseline shape of q_ann_topk), integer dot
+    products, deterministic (cos desc, surface asc) ties."""
+    from pyspark.sql import Window
+    from ddaugner_spark.operators.tagging import EMB_DIMS, mention_embeddings_udf
+
+    sd = [f"s_{d}" for d in range(EMB_DIMS)]
+    e = (
+        mention_embeddings_udf(_docs(spark, sf))
+        .select("surface", "tag", *sd)
+        .distinct()
+    )
+    norm = sum(F.col(d) * F.col(d) for d in sd)
+    e = e.withColumn("norm_sq", norm).filter(F.col("norm_sq") > 0)
+    q = e.filter(F.col("tag") == "PER").select(
+        F.col("surface").alias("q_surface"),
+        F.col("norm_sq").alias("q_norm"),
+        *[F.col(d).alias(f"q{d}") for d in sd],
+    )
+    dot = sum(F.col(f"q{d}") * F.col(d) for d in sd)
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("surface") != F.col("q_surface"))
+        .withColumn(
+            "cos",
+            dot.cast("double")
+            / (
+                F.sqrt(F.col("q_norm").cast("double"))
+                * F.sqrt(F.col("norm_sq").cast("double"))
+            ),
+        )
+    )
+    w = Window.partitionBy("q_surface").orderBy(
+        F.col("cos").desc(), F.col("surface").asc(), F.col("tag").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "q_surface",
+            F.col("surface").alias("n_surface"),
+            F.col("tag").alias("n_tag"),
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
 def q_mention_class_ratios(spark, sf):
     return scoring.class_counts(mentions.mentions_df(_docs(spark, sf)))
 
@@ -665,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_context_windows": q_context_windows,
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
+        "q_mention_embeddings": q_mention_embeddings,
+        "q_mention_ann": q_mention_ann,
         "q_mentions_udf": q_mentions_udf,
         "q_mention_class_ratios": q_mention_class_ratios,
         "q_tag_frequencies": q_tag_frequencies,
@@ -1088,6 +1154,75 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q_mentions_udf"] = o["q_mentions"]
     o["q_mentions_bigdict"] = o["q_mentions"]
+
+    # deterministic per-wordpiece hidden-state dims: ±1 by md5 hex digit
+    _emb_sums = ",\n             ".join(
+        f"sum(CASE WHEN substr(md5(piece), {d + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)::BIGINT AS s_{d}"
+        for d in range(8)
+    )
+    _MENT_WP = f"""
+      mtok AS (
+        SELECT m.doc_id, m.start_idx, m.end_idx, m.surface, m.tag, w.word
+        FROM ment m CROSS JOIN unnest(string_split(m.surface, ' ')) AS w(word)
+      ),
+      mwords AS (SELECT DISTINCT word FROM mtok),
+      {_wordpiece_sql("mwords")}"""
+
+    o["q_mention_embeddings"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {_MENT_WP},
+      mp AS (
+        SELECT t.doc_id, t.start_idx, t.end_idx, t.surface, t.tag, p.piece
+        FROM mtok t JOIN wp ON wp.word = t.word
+        CROSS JOIN unnest(wp.pieces) AS p(piece)
+      )
+      SELECT doc_id, start_idx, end_idx, surface, tag,
+             count(*)::BIGINT AS n_wp,
+             {_emb_sums}
+      FROM mp
+      GROUP BY doc_id, start_idx, end_idx, surface, tag
+    """
+
+    _dot = " + ".join(f"q.q{d} * d.s_{d}" for d in range(8))
+    _norm = " + ".join(f"s_{d} * s_{d}" for d in range(8))
+    _qcols = ", ".join(f"s_{d} AS q{d}" for d in range(8))
+    o["q_mention_ann"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {_MENT_WP},
+      surfs AS (SELECT DISTINCT surface, tag FROM ment),
+      stok AS (
+        SELECT s.surface, s.tag, w.word
+        FROM surfs s CROSS JOIN unnest(string_split(s.surface, ' ')) AS w(word)
+      ),
+      sp AS (
+        SELECT t.surface, t.tag, p.piece
+        FROM stok t JOIN wp ON wp.word = t.word
+        CROSS JOIN unnest(wp.pieces) AS p(piece)
+      ),
+      semb AS (
+        SELECT surface, tag,
+               {_emb_sums}
+        FROM sp GROUP BY surface, tag
+      ),
+      sn AS (SELECT *, ({_norm})::BIGINT AS norm_sq FROM semb WHERE ({_norm}) > 0),
+      q AS (SELECT surface AS q_surface, norm_sq AS q_norm, {_qcols}
+            FROM sn WHERE tag = 'PER'),
+      pairs AS (
+        SELECT q.q_surface, d.surface AS n_surface, d.tag AS n_tag,
+               ({_dot})::DOUBLE
+               / (sqrt(q.q_norm::DOUBLE) * sqrt(d.norm_sq::DOUBLE)) AS cos
+        FROM q, sn d WHERE d.surface != q.q_surface
+      ),
+      rk AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_surface ORDER BY cos DESC, n_surface ASC, n_tag ASC
+        ) AS rank FROM pairs
+      )
+      SELECT q_surface, n_surface, n_tag, rank::BIGINT AS rank,
+             round(cos, 4) AS cos
+      FROM rk WHERE rank <= 3
+    """
 
     o["q_mention_class_ratios"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT}

@@ -1,4 +1,9 @@
 from .wordpiece import wordpiece_tokenize
+from .alignment import (
+    align_wordpiece_predictions,
+    featurize_with_context,
+    pool_token_embeddings,
+)
 from .bio import (
     Entity,
     entities_from_bio_tags,
@@ -10,6 +15,9 @@ from .bio import (
 
 __all__ = [
     "wordpiece_tokenize",
+    "align_wordpiece_predictions",
+    "featurize_with_context",
+    "pool_token_embeddings",
     "Entity",
     "entities_from_bio_tags",
     "entities_to_bio_tags",

@@ -27,7 +27,8 @@ as a per-position ``coalesce`` where 'O' yields to the other source.
 
 from __future__ import annotations
 
-from typing import Iterator, List
+import hashlib
+from typing import Iterator, List, Optional
 
 import pandas as pd
 
@@ -36,7 +37,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 from .. import config
-from ..kernels import entities_from_bio_tags
+from ..kernels import (
+    align_wordpiece_predictions,
+    entities_from_bio_tags,
+    featurize_with_context,
+    wordpiece_tokenize,
+)
+
+#: label space of the token-classification head (id2label analogue —
+#: the reference's model.config.id2label, predict.py:102)
+_CLASSES = sorted({c for entries in config.GAZ_LEVELS.values() for _s, c in entries})
+ID2LABEL = ["O"] + [f"{b}-{c}" for c in _CLASSES for b in ("B", "I")]
+LABEL2ID = {l: i for i, l in enumerate(ID2LABEL)}
 
 
 class DictTaggerModel:
@@ -71,8 +83,85 @@ class DictTaggerModel:
         return [self.tag_tokens(t) for t in token_lists]
 
 
-def load_model() -> DictTaggerModel:
-    return DictTaggerModel()
+class WordpieceTaggerModel:
+    """The FULL predict.py post-processing stack with only the BERT
+    forward stubbed: featurize (context concat + token-level labels
+    mask + wordpiece tokenization + 512 truncation, datas.py:228-283) →
+    per-wordpiece logits → argmax → ``token_to_word`` alignment with
+    special-token skip, context mask, and last-wordpiece-wins overwrite
+    (predict.py:77-106).
+
+    ``forward`` is the one synthetic piece: for each wordpiece of a
+    token whose dictionary tag is T, NON-final wordpieces get a DECOY
+    label ((id+1) mod |labels|) and only the FINAL wordpiece gets T —
+    so the ascending-j overwrite semantics of predict.py are load-
+    bearing (keeping any non-last wordpiece's argmax yields wrong token
+    tags, pinned in tests/test_tagging_alignment.py).  Special tokens
+    get a non-'O' logit too, so the word-id-None skip is load-bearing
+    as well."""
+
+    def __init__(self, max_length: Optional[int] = 512):
+        self.dict_model = DictTaggerModel()
+        self.max_length = max_length
+
+    def forward(self, pieces, word_ids, token_tags):
+        """Synthetic logits (the BERT-forward swap point — everything
+        around this is the real post-processing)."""
+        n = len(ID2LABEL)
+        logits = []
+        for j, wi in enumerate(word_ids):
+            row = [0.0] * n
+            if wi is None:
+                # special tokens "predict" a non-O label; alignment must skip
+                row[1 % n] = 1.0
+            else:
+                is_last = j + 1 >= len(word_ids) or word_ids[j + 1] != wi
+                tid = LABEL2ID[token_tags[wi]]
+                row[tid if is_last else (tid + 1) % n] = 1.0
+            logits.append(row)
+        return logits
+
+    def tag_sentence(
+        self,
+        sent_tokens: List[str],
+        left_tokens: List[str] | None = None,
+        right_tokens: List[str] | None = None,
+    ) -> List[str]:
+        left = left_tokens or []
+        right = right_tokens or []
+        words = left + list(sent_tokens) + right
+        token_tags = self.dict_model.tag_tokens(words)
+        pieces, word_ids, mask = featurize_with_context(
+            left, sent_tokens, right, max_length=self.max_length
+        )
+        logits = self.forward(pieces, word_ids, token_tags)
+        wp_tags = [
+            ID2LABEL[max(range(len(row)), key=row.__getitem__)] for row in logits
+        ]
+        return align_wordpiece_predictions(word_ids, mask, wp_tags)
+
+    def tag_batch(self, token_lists: List[List[str]]) -> List[List[str]]:
+        return [self.tag_sentence(t) for t in token_lists]
+
+
+def load_model() -> WordpieceTaggerModel:
+    """Tagging model for the Arrow paths: docs are tagged as one
+    'sentence' with no context and NO truncation (the reference tags
+    per sentence where 512 applies; doc-level truncation would silently
+    drop tail mentions — the 512 path is exercised by the sentence-level
+    tests instead)."""
+    return WordpieceTaggerModel(max_length=None)
+
+
+#: deterministic per-wordpiece 'last hidden state' stand-in: dim d is
+#: ±1 by hex digit d of md5(rendered piece) — reproducible in SQL, same
+#: convention as the hashed doc embeddings (operators/embedding.py)
+EMB_DIMS = 8
+
+
+def wordpiece_hidden_state(piece: str, dims: int = EMB_DIMS) -> List[float]:
+    h = hashlib.md5(piece.encode()).hexdigest()
+    return [1.0 if h[d] in "89abcdef" else -1.0 for d in range(dims)]
 
 
 TAGGED_SCHEMA = StructType(
@@ -125,7 +214,7 @@ def mentions_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = {k.name: [] for k in MENTION_SCHEMA.fields}
             for doc_id, text in zip(pdf[id_col], pdf["text"]):
                 toks = text.split(" ") if text else []
-                tags = model.tag_tokens(toks)
+                tags = model.tag_sentence(toks)
                 # sentence ids: running terminator count (datas.py:303-313)
                 sent_ids, c = [], 0
                 for t in toks:
@@ -184,6 +273,78 @@ def mentions_from_tagged(tagged: DataFrame) -> DataFrame:
     return tagged.select("doc_id", "sent_id", "tokens", "tags").mapInPandas(
         run, TAGGED_MENTION_SCHEMA
     )
+
+
+def _mention_emb_schema(dims: int) -> StructType:
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("start_idx", LongType()),
+            StructField("end_idx", LongType()),
+            StructField("surface", StringType()),
+            StructField("tag", StringType()),
+            StructField("n_wp", LongType()),
+        ]
+        + [StructField(f"s_{d}", LongType()) for d in range(dims)]
+    )
+
+
+def mention_embeddings_udf(
+    docs: DataFrame, id_col: str = "doc_id", dims: int = EMB_DIMS
+) -> DataFrame:
+    """Per-MENTION pooled embeddings from the tagger path — the
+    predict.py:108-134 analogue at mention granularity: tag the doc
+    through the full wordpiece stack, decode mentions, and pool the
+    deterministic per-wordpiece hidden states over every wordpiece of
+    the mention's tokens.
+
+    Emitted as INTEGER sums (s_0..s_{dims−1}) plus the wordpiece count
+    ``n_wp`` — the mean is sum/n at read time (the same decomposable-
+    aggregate contract as the hypertable rollup), which keeps the DuckDB
+    oracle bit-exact and lets downstream cosine search run on integer
+    dot products like operators/embedding.py.  (The reference's
+    per-TOKEN mean pooling is kept faithfully in
+    kernels.pool_token_embeddings, pytest-pinned; mention-level pooling
+    is an engine addition — mentions are what the ANN/linking stack
+    joins on.)"""
+    schema = _mention_emb_schema(dims)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = load_model()
+        hs_cache: dict[str, List[float]] = {}
+
+        def hs(piece: str) -> List[float]:
+            v = hs_cache.get(piece)
+            if v is None:
+                v = wordpiece_hidden_state(piece, dims)
+                hs_cache[piece] = v
+            return v
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for doc_id, text in zip(pdf[id_col], pdf["text"]):
+                toks = text.split(" ") if text else []
+                tags = model.tag_sentence(toks)
+                for e in entities_from_bio_tags(toks, tags):
+                    sums = [0] * dims
+                    n_wp = 0
+                    for tok in toks[e.start_idx : e.end_idx + 1]:
+                        for p in wordpiece_tokenize(tok):
+                            v = hs(p)
+                            for d in range(dims):
+                                sums[d] += int(v[d])
+                            n_wp += 1
+                    out["doc_id"].append(int(doc_id))
+                    out["start_idx"].append(e.start_idx)
+                    out["end_idx"].append(e.end_idx)
+                    out["surface"].append(e.surface)
+                    out["tag"].append(e.tag)
+                    out["n_wp"].append(n_wp)
+                    for d in range(dims):
+                        out[f"s_{d}"].append(sums[d])
+            yield pd.DataFrame(out)
+
+    return docs.select(F.col(id_col), F.col("text")).mapInPandas(run, schema)
 
 
 def merge_tag_sources(model_tagged: DataFrame, dict_tagged: DataFrame) -> DataFrame:

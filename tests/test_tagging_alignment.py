@@ -1,0 +1,149 @@
+"""Wordpiece→token alignment (kernels/alignment.py + the upgraded Arrow
+tagger): the hard half of M1 — predict.py:77-134 and datas.py:228-283
+semantics over synthetic per-wordpiece logits, with only the BERT
+forward stubbed."""
+
+import random
+
+from ddaugner_spark import config
+from ddaugner_spark.kernels import (
+    align_wordpiece_predictions,
+    featurize_with_context,
+    pool_token_embeddings,
+    wordpiece_tokenize,
+)
+from ddaugner_spark.operators.tagging import (
+    ID2LABEL,
+    LABEL2ID,
+    DictTaggerModel,
+    WordpieceTaggerModel,
+    wordpiece_hidden_state,
+)
+
+
+def test_featurize_shape_and_mask():
+    left, sent, right = ["big", "data"], ["hash", "join", "slow"], ["row"]
+    pieces, word_ids, mask = featurize_with_context(left, sent, right)
+    assert pieces[0] == "[CLS]" and pieces[-1] == "[SEP]"
+    assert word_ids[0] is None and word_ids[-1] is None
+    assert mask == [0, 0, 1, 1, 1, 0]
+    # every non-special wordpiece maps to a token, in order
+    ids = [w for w in word_ids if w is not None]
+    assert ids == sorted(ids) and set(ids) == set(range(6))
+    # wordpieces of 'hash' (token 2) reassemble to the word
+    ps = [p for p, w in zip(pieces, word_ids) if w == 2]
+    assert "".join(p.removeprefix("##") for p in ps) == "hash"
+
+
+def test_truncation_keeps_sep_and_defaults_tail_to_O():
+    """datas.py truncation=True max_length: trailing wordpieces drop,
+    [SEP] stays, and truncated-away SENTENCE tokens keep default 'O'
+    (predict.py:88)."""
+    sent = ["spark"] * 300  # each 'spark' is one wordpiece
+    pieces, word_ids, mask = featurize_with_context([], sent, [], max_length=64)
+    assert len(pieces) == 64 and pieces[-1] == "[SEP]" and word_ids[-1] is None
+    wp_tags = ["B-PER"] * len(pieces)
+    out = align_wordpiece_predictions(word_ids, mask, wp_tags)
+    assert len(out) == 300
+    assert out[:62] == ["B-PER"] * 62  # 62 survive ([CLS]+62+[SEP])
+    assert out[62:] == ["O"] * 238     # truncated tail defaults to O
+
+
+def test_context_tokens_are_masked_out():
+    """Context wordpieces carry predictions too, but only SENTENCE
+    tokens come back (tokens_labels_mask, datas.py:265-272)."""
+    pieces, word_ids, mask = featurize_with_context(
+        ["spark"], ["hash", "join"], ["window"]
+    )
+    wp_tags = ["B-LOC"] * len(pieces)
+    out = align_wordpiece_predictions(word_ids, mask, wp_tags)
+    assert out == ["B-LOC", "B-LOC"]  # exactly the 2 sentence tokens
+
+
+def test_last_wordpiece_wins():
+    """predict.py's ascending-j overwrite: the LAST wordpiece of a
+    token determines its tag."""
+    pieces, word_ids, mask = featurize_with_context([], ["stream"], [])
+    k = len([w for w in word_ids if w is not None])
+    assert k >= 2  # 'stream' is a multi-piece word
+    # garbage on every piece except the last, which says B-LOC
+    wp_tags = ["O"] + ["B-ORG"] * (k - 1) + ["B-LOC"] + ["O"]
+    out = align_wordpiece_predictions(word_ids, mask, wp_tags)
+    assert out == ["B-LOC"]
+
+
+def test_model_decoy_logits_require_correct_alignment():
+    """The synthetic forward puts DECOY labels on non-final wordpieces;
+    only the faithful alignment recovers the dictionary tags."""
+    m = WordpieceTaggerModel(max_length=None)
+    toks = "fast hash join the stream window spark".split(" ")
+    assert m.tag_sentence(toks) == m.dict_model.tag_tokens(toks)
+    # a broken 'first wordpiece wins' alignment would NOT match:
+    pieces, word_ids, mask = featurize_with_context([], toks, [])
+    token_tags = m.dict_model.tag_tokens(toks)
+    logits = m.forward(pieces, word_ids, token_tags)
+    wp_tags = [ID2LABEL[max(range(len(r)), key=r.__getitem__)] for r in logits]
+    first_wins = ["O"] * len(toks)
+    seen = set()
+    for j, w in enumerate(word_ids):
+        if w is None or w in seen:
+            continue
+        seen.add(w)
+        first_wins[w] = wp_tags[j]
+    assert first_wins != token_tags  # the decoys are real
+
+
+def test_scrambled_wordpiece_splits_property():
+    """PROPERTY (VERDICT r2 #4): however a token is split into
+    wordpieces, alignment maps the per-wordpiece stream back to the
+    same token tags (only the final piece's tag matters per token)."""
+    rng = random.Random(config.SEED)
+    m = DictTaggerModel()
+    for trial in range(25):
+        n = rng.randint(1, 12)
+        vocab = ["hash", "join", "spark", "stream", "the", "big", "row", "window"]
+        toks = [rng.choice(vocab) for _ in range(n)]
+        token_tags = m.tag_tokens(toks)
+        # scramble: random piece count per token, random piece strings
+        word_ids = [None]
+        wp_tags = ["O"]
+        for wi, t in enumerate(toks):
+            k = rng.randint(1, 4)
+            for p in range(k):
+                word_ids.append(wi)
+                # non-final pieces carry garbage tags
+                wp_tags.append(
+                    token_tags[wi] if p == k - 1 else rng.choice(ID2LABEL)
+                )
+        word_ids.append(None)
+        wp_tags.append("B-PER")
+        out = align_wordpiece_predictions(word_ids, [1] * n, wp_tags)
+        assert out == token_tags, (toks, out, token_tags)
+
+
+def test_pool_token_embeddings_mean_per_token():
+    """predict.py:108-134: token embedding = mean over its wordpieces of
+    the hidden states — differential vs a direct computation."""
+    sent = ["stream", "hash"]
+    pieces, word_ids, mask = featurize_with_context(["spark"], sent, [])
+    hs = [wordpiece_hidden_state(p, 4) for p in pieces]
+    pooled = pool_token_embeddings(word_ids, mask, hs)
+    assert len(pooled) == 2
+    for wi_local, tok in enumerate(sent):
+        ps = wordpiece_tokenize(tok)
+        want = [
+            sum(wordpiece_hidden_state(p, 4)[d] for p in ps) / len(ps)
+            for d in range(4)
+        ]
+        assert pooled[wi_local] == want
+    # truncated-away tokens pool to None
+    pieces, word_ids, mask = featurize_with_context([], ["spark"] * 100, [], max_length=10)
+    hs = [wordpiece_hidden_state(p, 4) for p in pieces]
+    pooled = pool_token_embeddings(word_ids, mask, hs)
+    assert pooled[0] is not None and pooled[-1] is None
+
+
+def test_label_space_roundtrip():
+    assert ID2LABEL[0] == "O"
+    assert all(LABEL2ID[l] == i for i, l in enumerate(ID2LABEL))
+    assert {l[2:] for l in ID2LABEL if l != "O"} == {"ORG", "PER", "LOC"}
