@@ -130,17 +130,21 @@ def demote_unknown_per(
     everything; rule (b) itself is pinned on the reference's real books
     in tests/test_aliases.py.
 
-    DELIBERATE DEVIATION (span-level lowercase rule): the reference's
-    windowed pass (fix_ner.py:235-250) slides 5..1-token windows over the
-    flat book token stream and can PARTIALLY demote a mixed-case span
-    whose leading tokens are lowercase (leaving orphan I-PER tags) or
-    swallow adjacent all-lowercase spans across sentence boundaries.
-    This engine applies the rule per decoded span — a span is demoted
-    only when ALL its tokens are lowercase — which never produces orphan
-    I-PER tags and never crosses row boundaries.  On the reference's own
-    books the two agree (pinned in tests/test_aliases.py); they differ
-    only on mixed-case spans with lowercase B-PER heads, where the
-    span-level rule is the safer (non-mutilating) choice.
+    The lowercase rule is the reference's EXACT windowed pass
+    (fix_ner.py:235-250): windows of length 5..1, left-to-right per
+    length, demote when every window token ``islower()`` (cased and
+    lowercase — digits/punctuation do NOT qualify), the first CURRENT
+    tag is ``B-PER`` and the remaining CURRENT tags end with ``PER``;
+    demotion mutates the running tag state, so a mixed-case span whose
+    head tokens are lowercase is PARTIALLY demoted (orphan ``I-PER``
+    tags survive, exactly as in the reference).  Implemented as a fold
+    over sparse candidates: only positions that are lowercase AND
+    ``B-PER`` after rule (a) can ever head a window, so the candidate
+    array is span-sized, not token-sized.  Row-boundary note: the
+    reference slides windows over the flat book token stream; the
+    engine applies the pass per row (rows are sentences/documents) —
+    windows never cross rows, which differs only for PER runs that
+    straddle a row boundary.
 
     ``tagged``: (group_col, doc_id, tokens, tags); ``aliases``:
     (group_col, alias).  The per-group alias set is collected to an array
@@ -158,26 +162,16 @@ def demote_unknown_per(
 
     spans = _decode_spans(F.col("tags"), n=F.size("tags"))
 
-    def lower_run(s: Column) -> Column:
-        toks = F.slice(
-            F.col("tokens"),
-            (s["start_idx"] + 1).cast("int"),
-            (s["end_idx"] - s["start_idx"] + 1).cast("int"),
-        )
-        return ~F.exists(toks, lambda t: t != F.lower(t))
-
     def demote_cond(s):
         unknown = ~F.array_contains(F.col("_aliases"), s["surface"]) & ~F.lower(
             s["surface"]
         ).isin(titles)
-        if lowercase_rule:
-            return (s["tag"] == "PER") & (unknown | lower_run(s))
         return (s["tag"] == "PER") & unknown
 
     demoted = F.filter(spans, demote_cond)
     # let-bind the demoted span array; rewrite covered positions to O
     z = F.array(F.struct(demoted.alias("ds")))
-    new_tags = F.element_at(
+    tags1 = F.element_at(
         F.transform(
             z,
             lambda zz: F.zip_with(
@@ -194,8 +188,85 @@ def demote_unknown_per(
         ),
         1,
     )
+    new_tags = (
+        _lowercase_windowed_pass(tags1) if lowercase_rule else tags1
+    )
     out = df.withColumn(
         "tags",
         F.when(F.size("tags") > 0, new_tags).otherwise(F.col("tags")),
     )
     return out.drop("_aliases")
+
+
+def _tok_at(p: Column) -> Column:
+    return F.element_at(F.col("tokens"), (p + F.lit(1)).cast("int"))
+
+
+def _is_lower_tok(p: Column) -> Column:
+    """Python ``str.islower()``: has cased chars, all lowercase —
+    i.e. equals its lowercase form AND differs from its uppercase form
+    (digits/punctuation-only tokens are NOT lowercase)."""
+    t = _tok_at(p)
+    return (t == F.lower(t)) & (t != F.upper(t))
+
+
+def _lowercase_windowed_pass(tags_in: Column, max_w: int = 5) -> Column:
+    """fix_ner.py:235-250 verbatim as a sparse fold: for window length
+    i = max_w..1, left-to-right, demote windows of all-``islower()``
+    tokens whose CURRENT tags are ``B-PER`` then ``*PER`` — mutating the
+    running tag state.  Candidates are prebuilt only at positions that
+    are lowercase and B-PER in the input state (demotion never creates
+    a B-PER, so no other position can ever head a window); head/rest
+    conditions are re-checked against the accumulator at apply time."""
+    n = F.size(F.col("tokens"))
+
+    def build_and_fold(tg):
+        starts = F.filter(
+            F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda j: (F.element_at(tg, (j + 1).cast("int")) == "B-PER")
+            & _is_lower_tok(j),
+        )
+        # single-arg closures only: pyspark passes (element, index) to
+        # any 2-parameter lambda, so a bound `i=i` default would receive
+        # the index Column — use factories instead
+        def _mk_cond(i):
+            def cond(j):
+                c = j <= n - i
+                for k in range(1, i):
+                    c = c & _is_lower_tok(j + F.lit(k))
+                return c
+
+            return cond
+
+        def _mk_struct(i):
+            return lambda j: F.struct(F.lit(i).alias("i"), j.cast("int").alias("j"))
+
+        per_i = []
+        for i in range(max_w, 0, -1):
+            per_i.append(
+                F.transform(F.filter(starts, _mk_cond(i)), _mk_struct(i))
+            )
+        cands = F.concat(*per_i)
+
+        def merge(acc, c):
+            head_ok = F.element_at(acc, (c["j"] + 1).cast("int")) == "B-PER"
+            rest_ok = F.forall(
+                F.slice(acc, (c["j"] + 2).cast("int"), (c["i"] - 1).cast("int")),
+                lambda t: t.endswith("PER"),
+            )
+            rewritten = F.transform(
+                acc,
+                lambda t, p: F.when(
+                    (p >= c["j"]) & (p < c["j"] + c["i"]), F.lit("O")
+                ).otherwise(t),
+            )
+            return F.when(head_ok & rest_ok, rewritten).otherwise(acc)
+
+        return F.aggregate(cands, tg, merge)
+
+    # let-bind the (computed) input tag array so the fold, the starts
+    # filter, and every candidate check read it without re-evaluation
+    z = F.array(F.struct(tags_in.alias("tg")))
+    return F.element_at(F.transform(z, lambda zz: build_and_fold(zz["tg"])), 1)

@@ -73,7 +73,10 @@ def test_alias_expansion_matches_reference_port(spark, book):
 
 
 def _demote_py(toks, tags, characters, titles):
-    """Direct port of fix_ner.py:224-250 (deterministic fix path)."""
+    """Direct port of fix_ner.py:224-250 (deterministic fix path):
+    rule 1 over the precomputed entity list, then the WINDOWED
+    all-lowercase pass (5..1, left-to-right, mutating the running tag
+    state — partial demotion of mixed-case spans included)."""
     new = list(tags)
     for e in entities_from_bio_tags(toks, tags):
         if e.tag != "PER":
@@ -81,12 +84,16 @@ def _demote_py(toks, tags, characters, titles):
         mention = " ".join(e.tokens)
         if mention not in characters and mention.lower() not in titles:
             new[e.start_idx : e.end_idx + 1] = ["O"] * (e.end_idx - e.start_idx + 1)
-    # all-lowercase PER windows (checked on the ORIGINAL tags, like the
-    # reference's second pass over its running tag state — our operator
-    # evaluates both rules on the input tags, then rewrites once)
-    for e in entities_from_bio_tags(toks, tags):
-        if e.tag == "PER" and all(t == t.lower() for t in e.tokens):
-            new[e.start_idx : e.end_idx + 1] = ["O"] * (e.end_idx - e.start_idx + 1)
+    for i in range(5, 0, -1):
+        for j in range(len(toks) - i + 1):
+            tw = toks[j : j + i]
+            gw = new[j : j + i]
+            if (
+                all(t.islower() for t in tw)
+                and gw[0] == "B-PER"
+                and all(g.endswith("PER") for g in gw[1:])
+            ):
+                new[j : j + i] = ["O"] * i
     return new
 
 
@@ -130,6 +137,48 @@ def test_demotion_rules_unit(spark):
     # "unknownguy" lowercase + unknown -> O; "Nobody" capitalized but
     # unknown -> O
     assert got == ["B-PER", "I-PER", "O", "O", "O", "O"]
+
+
+def test_windowed_lowercase_partial_demotion(spark):
+    """Reference fidelity: a KNOWN mixed-case span whose head token is
+    lowercase gets PARTIALLY demoted by the windowed pass (orphan I-PER
+    survives, fix_ner.py:235-250); digit tokens are not islower()."""
+    toks = ["de", "Villefort", "and", "agent", "007", "Bond"]
+    tags = ["B-PER", "I-PER", "O", "B-PER", "I-PER", "I-PER"]
+    chars = {"de Villefort", "agent 007 Bond"}
+    titles = A.title_set()
+    want = _demote_py(toks, tags, chars, titles)
+    assert want == ["O", "I-PER", "O", "O", "I-PER", "I-PER"]  # partial x2
+
+    tagged = spark.createDataFrame(
+        [("b", 0, toks, tags)],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    adf = spark.createDataFrame(
+        [("b", a) for a in sorted(chars)], "book string, alias string"
+    )
+    got = A.demote_unknown_per(tagged, adf).collect()[0]["tags"]
+    assert got == want
+
+
+def test_windowed_lowercase_merges_adjacent_spans(spark):
+    """A 5-window headed at a lowercase B-PER swallows an adjacent
+    all-lowercase span (tags[1:] only need to END with PER)."""
+    toks = ["one", "two", "three", "four", "five"]
+    tags = ["B-PER", "I-PER", "B-PER", "I-PER", "I-PER"]
+    chars = {"one two", "three four five"}  # both known -> rule 1 keeps
+    want = _demote_py(toks, tags, chars, A.title_set())
+    assert want == ["O"] * 5  # one i=5 window demotes everything
+
+    tagged = spark.createDataFrame(
+        [("b", 0, toks, tags)],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    adf = spark.createDataFrame(
+        [("b", a) for a in sorted(chars)], "book string, alias string"
+    )
+    got = A.demote_unknown_per(tagged, adf).collect()[0]["tags"]
+    assert got == want
 
 
 def test_alias_expansion_keeps_uncased_and_caps_components(spark):
