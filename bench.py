@@ -250,8 +250,9 @@ def scaling_measurement(sf_dir: str) -> dict:
     raw: dict[int, list[float]] = {c: [] for c in legs}
     for _rep in range(reps + 1):
         for cpus in legs:
-            if cpus == CPUS and _rep > 0:
-                continue  # secondary leg: one rep is enough
+            if cpus == CPUS and _rep > 1:
+                continue  # secondary leg: two reps (min) — it is short
+                # and a single rep proved fragile to residual box load
             if cpus == lo_cpus and _rep >= reps:
                 continue  # extra rep only for the noisier short leg
             spark = get_spark(

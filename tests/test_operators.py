@@ -212,3 +212,35 @@ def test_salted_distinct_exact(spark, docs):
 def test_connected_components_empty(spark):
     edges = spark.createDataFrame([], "a string, b string")
     assert canonical.connected_components(edges).count() == 0
+
+
+def test_connected_components_edge_cases(spark, tmp_path):
+    """max_iter=0 returns singleton components (no NameError, ADVICE r2);
+    explicit stage_dir is honored; checkpoint_every>1 yields identical
+    labels to the default."""
+    from ddaugner_spark.operators.canonical import connected_components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "a string, b string"
+    )
+    zero = {
+        (r["entity"], r["component"])
+        for r in connected_components(e, max_iter=0).collect()
+    }
+    assert zero == {(n, n) for n in ["a", "b", "c", "x", "y"]}
+
+    d1 = str(tmp_path / "cc1")
+    d3 = str(tmp_path / "cc3")
+    full = {
+        (r["entity"], r["component"])
+        for r in connected_components(e, stage_dir=d1).collect()
+    }
+    k3 = {
+        (r["entity"], r["component"])
+        for r in connected_components(e, stage_dir=d3, checkpoint_every=3).collect()
+    }
+    assert full == k3 == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
+    import os
+    assert os.path.isdir(d1)  # caller-owned dir left intact

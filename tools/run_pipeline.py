@@ -15,7 +15,12 @@ non-zero if any partition failed to produce a manifest.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# direct `python tools/run_pipeline.py` puts tools/ (not the repo root)
+# on sys.path; under spark-submit the --py-files zip provides the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
