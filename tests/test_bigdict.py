@@ -150,3 +150,38 @@ def test_detect_mentions_autoselect(spark, sf_dir):
     gdf = spark.createDataFrame(entries, "surface string, tag string")
     forced_big = _collect(detect_mentions(docs, gdf, inline_threshold=1))
     assert small == forced_big == _collect(mentions_df(docs))
+
+
+def test_bigdict_randomized_differential(spark):
+    """Seeded fuzz: random corpora + random overlapping dictionaries,
+    inline matcher vs broadcast path must agree exactly (spans, tags,
+    surfaces, sentence ids) — including adversarial overlap chains and
+    terminator tokens inside entities."""
+    import random
+
+    from ddaugner_spark.operators.bigdict import _levels
+    from ddaugner_spark.operators.mentions import mentions_df as inline_df
+
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", config.SENT_TERM]
+    for seed in range(4):
+        rng = random.Random(1000 + seed)
+        # dictionary: random 1..5-gram surfaces over the tiny vocab so
+        # overlaps/fragments are dense; unique surfaces, one tag each
+        entries = {}
+        while len(entries) < 25:
+            n = rng.randint(1, 5)
+            s = " ".join(rng.choice(vocab) for _ in range(n))
+            entries.setdefault(s, rng.choice(["PER", "LOC", "ORG"]))
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+            for i in range(30)
+        ]
+        ddf = spark.createDataFrame(docs, "doc_id long, text string")
+        gdf = spark.createDataFrame(
+            list(entries.items()), "surface string, tag string"
+        )
+        got_big = _collect(mentions_bigdict_df(ddf, gdf))
+        got_inline = _collect(
+            inline_df(ddf, levels=_levels(sorted(entries.items())))
+        )
+        assert got_big == got_inline, f"seed {seed} diverged"
