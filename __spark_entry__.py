@@ -703,6 +703,49 @@ def q_events_window(spark, sf):
     )
 
 
+def q_stream_event_counts(spark, sf):
+    """Structured Streaming run INSIDE the correctness gate: the
+    AvailableNow watermarked windowed aggregation runs to completion
+    (fresh checkpoint) and its emitted result is compared against the
+    batch SQL twin — append mode emits exactly the windows closed by
+    the final watermark (window_end ≤ max ts − 30 min); the trailing
+    open windows stay in state, which the oracle replicates."""
+    import tempfile
+
+    from ddaugner_spark.streaming import incremental_event_counts
+
+    ck = tempfile.mkdtemp(prefix="q_stream_ck_")
+    out = incremental_event_counts(
+        spark, f"{sf}/events.parquet", ck, window="10 minutes", watermark="30 minutes"
+    )
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "total_value",
+    )
+
+
+def q_stream_sessions(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState) run
+    to completion inside the correctness gate: per-user session counts
+    with the 30-minute gap rule — shares the batch sessionization
+    oracle (equal-timestamp ordering cannot change either count).
+    Note: the driver's events table is a single parquet file, so the
+    AvailableNow run sees each user's stamps in one sorted batch."""
+    import tempfile
+
+    from ddaugner_spark.streaming.stateful import streaming_user_sessions
+
+    ck = tempfile.mkdtemp(prefix="q_stream_sess_ck_")
+    out = streaming_user_sessions(spark, f"{sf}/events.parquet", ck)
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+    )
+
+
 def q_events_sessions(spark, sf):
     from pyspark.sql import Window
 
@@ -788,6 +831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
         "q_events_sessions": q_events_sessions,
+        "q_stream_event_counts": q_stream_event_counts,
+        "q_stream_sessions": q_stream_sessions,
     }
 
 
@@ -2182,6 +2227,24 @@ def oracle_sql() -> dict[str, str]:
       FROM events GROUP BY 1, 2
     """
 
+    # streaming append-mode contract: emitted windows are exactly those
+    # the final watermark closed (end <= max ts - 30 min); DuckDB
+    # time_bucket aligns 10-minute buckets to the same origin as Spark's
+    # tumbling windows (both are whole-minute multiples from epoch)
+    o["q_stream_event_counts"] = """
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      agg AS (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               event_type,
+               count(*)::BIGINT AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+      )
+      SELECT window_start, event_type, n, total_value
+      FROM agg, mx
+      WHERE window_start + INTERVAL '10 minutes' <= m - INTERVAL '30 minutes'
+    """
+
     o["q_events_sessions"] = """
       WITH g AS (
         SELECT user_id,
@@ -2193,5 +2256,6 @@ def oracle_sql() -> dict[str, str]:
              (1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0))::BIGINT AS n_sessions
       FROM g GROUP BY user_id
     """
+    o["q_stream_sessions"] = o["q_events_sessions"]
 
     return o
