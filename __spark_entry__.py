@@ -385,6 +385,58 @@ def q_text_extract(spark, sf):
     )
 
 
+def q_media_metadata(spark, sf):
+    """Typed metadata over opaque binary payloads (multimodal column
+    plumbing): modality/width/height/duration derived deterministically
+    from the payload bytes — the dimension-join shape a real container-
+    header reader drops into."""
+    from ddaugner_spark.operators import multimodal
+
+    pages = synthesize_pages(_docs(spark, sf))
+    out = multimodal.with_media_metadata(pages)
+    return out.select(
+        "url",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.width").cast("long").alias("width"),
+        F.col("media_meta.height").cast("long").alias("height"),
+        F.col("media_meta.duration_ms").alias("duration_ms"),
+    )
+
+
+def q_media_decode(spark, sf):
+    """Binary decode/featurize plumbing through the Arrow batch path
+    (mapInPandas): payload sha256 + leading-bytes feature vector — the
+    deterministic fake kernel whose batch signature a real codec drops
+    into; the oracle replays it from the reconstructed payload."""
+    from ddaugner_spark.operators import multimodal
+
+    pages = synthesize_pages(_docs(spark, sf))
+    out = multimodal.decode_features(pages)
+    return out.select(
+        "url",
+        "n_bytes",
+        "payload_sha",
+        # float32 features rounded to 5 digits: every k/255 value rounds
+        # identically in float32 and float64 at 5 digits (checked for
+        # all 256 byte values; 3 of them diverge at 6)
+        F.transform("feature", lambda x: F.round(x.cast("double"), 5)).alias(
+            "feature"
+        ),
+    )
+
+
+def q_frame_plan(spark, sf):
+    """Frame-sampling shape over opaque payloads: one row per sampled
+    byte offset (sequence + explode, pure column expressions)."""
+    from ddaugner_spark.operators import multimodal
+
+    pages = synthesize_pages(_docs(spark, sf))
+    return multimodal.frame_sample_plan(pages).select(
+        "url", F.col("frame_offset").cast("long").alias("frame_offset")
+    )
+
+
 def q_dedup_exact(spark, sf):
     return dedup.exact_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
 
@@ -833,6 +885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": q_events_sessions,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
+        "q_media_metadata": q_media_metadata,
+        "q_media_decode": q_media_decode,
+        "q_frame_plan": q_frame_plan,
     }
 
 
@@ -1785,6 +1840,43 @@ def oracle_sql() -> dict[str, str]:
         FROM pages
       )
       SELECT doc_id, extracted = text AS ok, md5(extracted) AS content_hash FROM ext
+    """
+
+    _PAGES_CTE = f"""
+      pages AS (
+        SELECT doc_id, text,
+               'https://' || source || '.example.com/doc/' || doc_id::VARCHAR AS url,
+               '{_HTML_PRE}' || source || ' ' || doc_id::VARCHAR ||
+               '{_HTML_MID}' || text || '{_HTML_POST}' AS h
+        FROM documents
+      )"""
+
+    o["q_media_metadata"] = f"""
+      WITH {_PAGES_CTE}
+      SELECT url, length(h)::BIGINT AS n_bytes,
+             CASE WHEN length(h) % 3 = 0 THEN 'image'
+                  WHEN length(h) % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             (length(h) % 640 + 16)::BIGINT AS width,
+             (length(h) % 480 + 16)::BIGINT AS height,
+             (length(h) * 10)::BIGINT AS duration_ms
+      FROM pages
+    """
+
+    _feat = ", ".join(
+        f"round(ord(substr(h, {i}, 1)) / 255.0, 5)" for i in range(1, 5)
+    )
+    o["q_media_decode"] = f"""
+      WITH {_PAGES_CTE}
+      SELECT url, length(h)::BIGINT AS n_bytes, sha256(h) AS payload_sha,
+             [{_feat}] AS feature
+      FROM pages
+    """
+
+    o["q_frame_plan"] = f"""
+      WITH {_PAGES_CTE}
+      SELECT url, u.o::BIGINT AS frame_offset
+      FROM pages, unnest(range(0, length(h), 64)) u(o)
     """
 
     o["q_dedup_exact"] = f"""

@@ -48,7 +48,7 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out = {"url": [], "n_bytes": [], "payload_sha": [], "feature": []}
     for url, payload in zip(pdf["url"], pdf["html"]):
-        b = bytes(payload)
+        b = bytes(payload) if payload is not None else b""
         out["url"].append(url)
         out["n_bytes"].append(len(b))
         out["payload_sha"].append(hashlib.sha256(b).hexdigest())
