@@ -798,6 +798,45 @@ def q_stream_sessions(spark, sf):
     )
 
 
+def q_stream_triples(spark, sf):
+    """foreachBatch incremental KG-triple sink run to completion: per-
+    epoch exactly-once overwrite directories, read back and compared to
+    the batch extractor (shares q_triples' oracle — epoch partitioning
+    of a map-only extractor cannot change the union)."""
+    import tempfile
+
+    from ddaugner_spark.streaming import incremental_triples
+
+    ck = tempfile.mkdtemp(prefix="q_stream_tri_ck_")
+    out = tempfile.mkdtemp(prefix="q_stream_tri_out_")
+    incremental_triples(spark, f"{sf}/documents.parquet", ck, out)
+    return spark.read.parquet(out).select(
+        "doc_id", "sent_id", "subj", "subj_tag", "pred", "obj", "obj_tag",
+        "subj_start", "obj_start",
+    )
+
+
+def q_stream_link_scores(spark, sf):
+    """foreachBatch incremental link-score rollup: per-epoch partial
+    aggregates merged by re-aggregation (the incremental-rollup
+    contract); equals the batch q_entity_link output and shares its
+    oracle (the driver's documents table is one file → one epoch, so
+    per-epoch rounding is exact)."""
+    import tempfile
+
+    from ddaugner_spark.streaming import incremental_link_scores
+
+    ck = tempfile.mkdtemp(prefix="q_stream_ls_ck_")
+    out = tempfile.mkdtemp(prefix="q_stream_ls_out_")
+    merged = incremental_link_scores(spark, f"{sf}/documents.parquet", ck, out)
+    return merged.select(
+        "entity",
+        "class",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        "total_score",
+    )
+
+
 def q_events_sessions(spark, sf):
     from pyspark.sql import Window
 
@@ -885,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessions": q_events_sessions,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
+        "q_stream_triples": q_stream_triples,
+        "q_stream_link_scores": q_stream_link_scores,
         "q_media_metadata": q_media_metadata,
         "q_media_decode": q_media_decode,
         "q_frame_plan": q_frame_plan,
@@ -2349,5 +2390,7 @@ def oracle_sql() -> dict[str, str]:
       FROM g GROUP BY user_id
     """
     o["q_stream_sessions"] = o["q_events_sessions"]
+    o["q_stream_triples"] = o["q_triples"]
+    o["q_stream_link_scores"] = o["q_entity_link"]
 
     return o
