@@ -816,6 +816,23 @@ def q_stream_triples(spark, sf):
     )
 
 
+def q_stream_mentions(spark, sf):
+    """The stateless mention detector under readStream: the same
+    narrow expressions run unchanged as a streaming map into an
+    exactly-once parquet file sink; the materialized result shares
+    q_mentions' oracle."""
+    import tempfile
+
+    from ddaugner_spark.streaming import incremental_mentions
+
+    ck = tempfile.mkdtemp(prefix="q_stream_m_ck_")
+    out = tempfile.mkdtemp(prefix="q_stream_m_out_")
+    incremental_mentions(spark, f"{sf}/documents.parquet", ck, out)
+    return spark.read.parquet(out).select(
+        "doc_id", "sent_id", "start_idx", "end_idx", "surface", "tag"
+    )
+
+
 def q_stream_link_scores(spark, sf):
     """foreachBatch incremental link-score rollup: per-epoch partial
     aggregates merged by re-aggregation (the incremental-rollup
@@ -925,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
+        "q_stream_mentions": q_stream_mentions,
         "q_stream_link_scores": q_stream_link_scores,
         "q_media_metadata": q_media_metadata,
         "q_media_decode": q_media_decode,
@@ -2391,6 +2409,7 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q_stream_sessions"] = o["q_events_sessions"]
     o["q_stream_triples"] = o["q_triples"]
+    o["q_stream_mentions"] = o["q_mentions"]
     o["q_stream_link_scores"] = o["q_entity_link"]
 
     return o
