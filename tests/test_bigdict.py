@@ -185,3 +185,23 @@ def test_bigdict_randomized_differential(spark):
             inline_df(ddf, levels=_levels(sorted(entries.items())))
         )
         assert got_big == got_inline, f"seed {seed} diverged"
+
+
+def test_bigdict_plan_shape(spark):
+    """Scale property pinned: the corpus side reaches the dictionary
+    via a BroadcastHashJoin, and the only non-broadcast exchanges are
+    the dimension's own dedup and the hits-only groupBy — the corpus is
+    never shuffled (no Exchange between the scan and the join)."""
+    docs = spark.createDataFrame(
+        [(1, "hash join the spark")], "doc_id long, text string"
+    )
+    gaz = spark.createDataFrame(
+        [(s, c) for s, c, _w in config.GAZETTEER], "surface string, tag string"
+    )
+    plan = mentions_bigdict_df(docs, gaz)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # corpus scan -> window Generate -> join must have no exchange in
+    # between: every plain Exchange sits either under the broadcast
+    # build (dimension dedup) or above the join (hits groupBy)
+    n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+    assert n_exchanges <= 2, plan
