@@ -559,6 +559,35 @@ def q_top_parts(spark, sf):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from
+    small-quantity orders of one brand's small parts.  Spark-first the
+    correlation is decorrelated BY HAND into the optimal plan: filter
+    lineitem by the broadcast part dimension first, derive each part's
+    0.2·avg(quantity) threshold from that already-filtered slice (the
+    filter is on part attributes only, so the slice contains every
+    lineitem of each surviving part), and broadcast the tiny threshold
+    table back — one fact-table scan, zero fact shuffles.  The oracle
+    keeps the literal correlated form (DuckDB decorrelates it itself)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    p = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15))
+        .select("p_partkey")
+    )
+    li_f = li.join(F.broadcast(p), li["l_partkey"] == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    thr = li_f.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("thr")
+    )
+    return (
+        li_f.join(F.broadcast(thr), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def q_shipping_priority(spark, sf):
     """TPC-H Q3 shape: 3-way join + filter + agg + top-k."""
     from pyspark.sql import Window
@@ -927,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_top_parts": q_top_parts,
         "q_shipping_priority": q_shipping_priority,
+        "q_small_qty_revenue": q_small_qty_revenue,
         "q_ngram_match": q_ngram_match,
         "q_rollup_revenue": q_rollup_revenue,
         "q_order_priority": q_order_priority,
@@ -2243,6 +2273,20 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY p_retailprice DESC, p_partkey) AS rn
             FROM part)
       WHERE rn <= 3
+    """
+
+    # literal correlated form — DuckDB decorrelates; the engine query is
+    # the hand-decorrelated broadcast plan (TPC-H Q17 shape)
+    o["q_small_qty_revenue"] = """
+      WITH p AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size < 15
+      )
+      SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      FROM lineitem JOIN p ON p_partkey = l_partkey
+      WHERE l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
     """
 
     o["q_shipping_priority"] = """
