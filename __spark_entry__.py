@@ -137,12 +137,21 @@ def q_mention_ann(spark, sf):
     from pyspark.sql import Window
     from ddaugner_spark.operators.tagging import EMB_DIMS, mention_embeddings_udf
 
+    import tempfile
+
     sd = [f"s_{d}" for d in range(EMB_DIMS)]
     e = (
         mention_embeddings_udf(_docs(spark, sf))
         .select("surface", "tag", *sd)
         .distinct()
     )
+    # materialize the tiny distinct-embedding table once (CLAUDE.md:
+    # parquet round-trips between stages) — the broadcast query side and
+    # the probe side below would otherwise each re-run the whole Arrow
+    # tagging pipeline
+    edir = tempfile.mkdtemp(prefix="q_mention_ann_")
+    e.write.mode("overwrite").parquet(edir)
+    e = spark.read.parquet(edir)
     norm = sum(F.col(d) * F.col(d) for d in sd)
     e = e.withColumn("norm_sq", norm).filter(F.col("norm_sq") > 0)
     q = e.filter(F.col("tag") == "PER").select(
@@ -1673,10 +1682,14 @@ def oracle_sql() -> dict[str, str]:
       chparts AS (SELECT name, string_split(name, ' ') AS c,
                          len(string_split(name, ' ')) AS k FROM ch),
       chsub AS (
+        -- k <= 12 mirrors the engine's subset-enumeration cap
+        -- (aliases.py): pathological many-component names contribute
+        -- only their full name
         SELECT p.name, mm.m, string_agg(p.c[ii.i], ' ' ORDER BY ii.i) AS alias
         FROM chparts p, unnest(range(1, (2 ** p.k)::BIGINT)) AS mm(m),
              unnest(range(1, p.k + 1)) AS ii(i)
-        WHERE (mm.m // (2 ** (ii.i - 1))::BIGINT) % 2 = 1
+        WHERE p.k <= 12
+          AND (mm.m // (2 ** (ii.i - 1))::BIGINT) % 2 = 1
         GROUP BY p.name, mm.m
       ),
       chalias AS (

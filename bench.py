@@ -132,10 +132,14 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
     # vs ~4 s steady-state for identical work).  Timed value = the
     # steady-state operator cost, same policy as the scaling legs.
     wm = mentions.mentions_df(amplified_docs(spark, sf_dir, 1).limit(500))
-    canonical.connected_components(canonical.co_mention_edges(wm)).count()
+    canonical.connected_components(
+        canonical.co_mention_edges(wm), stage_dir="/tmp/ddaugner_bench_cc"
+    ).count()
     t0 = time.time()
     m = mentions.mentions_df(amplified_docs(spark, sf_dir, 1))
-    canonical.connected_components(canonical.co_mention_edges(m)).count()
+    canonical.connected_components(
+        canonical.co_mention_edges(m), stage_dir="/tmp/ddaugner_bench_cc"
+    ).count()
     q["kg_canonical_cc"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -131,20 +131,20 @@ def demote_unknown_per(
     in tests/test_aliases.py.
 
     The lowercase rule is the reference's EXACT windowed pass
-    (fix_ner.py:235-250): windows of length 5..1, left-to-right per
-    length, demote when every window token ``islower()`` (cased and
-    lowercase — digits/punctuation do NOT qualify), the first CURRENT
-    tag is ``B-PER`` and the remaining CURRENT tags end with ``PER``;
-    demotion mutates the running tag state, so a mixed-case span whose
-    head tokens are lowercase is PARTIALLY demoted (orphan ``I-PER``
-    tags survive, exactly as in the reference).  Implemented as a fold
-    over sparse candidates: only positions that are lowercase AND
-    ``B-PER`` after rule (a) can ever head a window, so the candidate
-    array is span-sized, not token-sized.  Row-boundary note: the
-    reference slides windows over the flat book token stream; the
-    engine applies the pass per row (rows are sentences/documents) —
-    windows never cross rows, which differs only for PER runs that
-    straddle a row boundary.
+    (fix_ner.py:235-250) including its read timing: windows of length
+    5..1, demote when every window token ``islower()`` (cased and
+    lowercase — digits/punctuation do NOT qualify), the head tag is
+    ``B-PER`` and the tail tags end with ``PER`` — where head/tail are
+    read from the LEVEL-START state (the reference's lazy ``windowed``
+    iterator reads each position before any same-level demotion lands),
+    so a mixed-case span whose head tokens are lowercase is PARTIALLY
+    demoted (orphan ``I-PER`` tags survive) and overlapping same-level
+    windows can BOTH apply off the same snapshot.  See
+    ``_lowercase_windowed_pass``.  Row-boundary note: the reference
+    slides windows over the flat book token stream; the engine applies
+    the pass per row (rows are sentences/documents) — windows never
+    cross rows, which differs only for PER runs that straddle a row
+    boundary.
 
     ``tagged``: (group_col, doc_id, tokens, tags); ``aliases``:
     (group_col, alias).  The per-group alias set is collected to an array
@@ -211,62 +211,65 @@ def _is_lower_tok(p: Column) -> Column:
 
 
 def _lowercase_windowed_pass(tags_in: Column, max_w: int = 5) -> Column:
-    """fix_ner.py:235-250 verbatim as a sparse fold: for window length
-    i = max_w..1, left-to-right, demote windows of all-``islower()``
-    tokens whose CURRENT tags are ``B-PER`` then ``*PER`` — mutating the
-    running tag state.  Candidates are prebuilt only at positions that
-    are lowercase and B-PER in the input state (demotion never creates
-    a B-PER, so no other position can ever head a window); head/rest
-    conditions are re-checked against the accumulator at apply time."""
+    """fix_ner.py:235-250 with the reference's EXACT read timing: the
+    loop slides ``more_itertools.windowed`` over the tag list while
+    mutating it in place, and ``windowed`` reads each position ONCE per
+    level — so every window of a level is evaluated against the tags AS
+    THEY STOOD AT LEVEL START (a window's demotion lands only after its
+    positions were read), and mutations become visible only at the next
+    (smaller) level.  Equivalently: per level i = max_w..1, demote the
+    UNION of windows whose snapshot head is ``B-PER``, whose snapshot
+    tail tags end with ``PER`` and whose tokens all ``islower()``
+    (equivalence to the lazy-iterator reference loop is fuzz-verified in
+    tests/test_aliases.py).  Each level is one let-bound transform over
+    the previous level's array — nothing re-evaluates per element."""
     n = F.size(F.col("tokens"))
 
-    def build_and_fold(tg):
-        starts = F.filter(
-            F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
-                F.array().cast("array<int>")
-            ),
-            lambda j: (F.element_at(tg, (j + 1).cast("int")) == "B-PER")
-            & _is_lower_tok(j),
-        )
-        # single-arg closures only: pyspark passes (element, index) to
-        # any 2-parameter lambda, so a bound `i=i` default would receive
-        # the index Column — use factories instead
-        def _mk_cond(i):
+    def _one_level(tg_expr: Column, i: int) -> Column:
+        z = F.array(F.struct(tg_expr.alias("tg")))
+
+        def level(zz):
+            tg = zz["tg"]
+
             def cond(j):
-                c = j <= n - i
-                for k in range(1, i):
+                c = F.element_at(tg, (j + 1).cast("int")) == "B-PER"
+                for k in range(i):
                     c = c & _is_lower_tok(j + F.lit(k))
+                if i > 1:
+                    c = c & F.forall(
+                        F.slice(tg, (j + 2).cast("int"), i - 1),
+                        lambda t: t.endswith("PER"),
+                    )
                 return c
 
-            return cond
-
-        def _mk_struct(i):
-            return lambda j: F.struct(F.lit(i).alias("i"), j.cast("int").alias("j"))
-
-        per_i = []
-        for i in range(max_w, 0, -1):
-            per_i.append(
-                F.transform(F.filter(starts, _mk_cond(i)), _mk_struct(i))
+            starts = F.filter(
+                F.when(n >= i, F.sequence(F.lit(0), (n - i).cast("int"))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                cond,
             )
-        cands = F.concat(*per_i)
-
-        def merge(acc, c):
-            head_ok = F.element_at(acc, (c["j"] + 1).cast("int")) == "B-PER"
-            rest_ok = F.forall(
-                F.slice(acc, (c["j"] + 2).cast("int"), (c["i"] - 1).cast("int")),
-                lambda t: t.endswith("PER"),
+            # let-bind the (computed) start list so the per-position
+            # rewrite reads it without re-evaluation
+            z2 = F.array(F.struct(starts.alias("ss"), tg.alias("tg2")))
+            return F.element_at(
+                F.transform(
+                    z2,
+                    lambda zz2: F.transform(
+                        zz2["tg2"],
+                        lambda t, p: F.when(
+                            F.exists(
+                                zz2["ss"], lambda j: (p >= j) & (p < j + i)
+                            ),
+                            F.lit("O"),
+                        ).otherwise(t),
+                    ),
+                ),
+                1,
             )
-            rewritten = F.transform(
-                acc,
-                lambda t, p: F.when(
-                    (p >= c["j"]) & (p < c["j"] + c["i"]), F.lit("O")
-                ).otherwise(t),
-            )
-            return F.when(head_ok & rest_ok, rewritten).otherwise(acc)
 
-        return F.aggregate(cands, tg, merge)
+        return F.element_at(F.transform(z, level), 1)
 
-    # let-bind the (computed) input tag array so the fold, the starts
-    # filter, and every candidate check read it without re-evaluation
-    z = F.array(F.struct(tags_in.alias("tg")))
-    return F.element_at(F.transform(z, lambda zz: build_and_fold(zz["tg"])), 1)
+    tg = tags_in
+    for i in range(max_w, 0, -1):
+        tg = _one_level(tg, i)
+    return tg

@@ -337,6 +337,16 @@ def _levels(entries: list[tuple[str, str]]) -> dict[int, list[tuple[str, str]]]:
     return dict(sorted(lv.items(), reverse=True))
 
 
+def _dedup_entries(entries) -> list[tuple[str, str]]:
+    """One tag per surface, resolved deterministically by MIN tag — the
+    same rule mentions_bigdict_df applies, so the auto-selected path
+    never changes the answer for a duplicate-surface dictionary."""
+    d: dict[str, str] = {}
+    for s, c in entries:
+        d[s] = c if s not in d else min(d[s], c)
+    return sorted(d.items())
+
+
 def detect_mentions(
     docs: DataFrame,
     gazetteer,
@@ -346,17 +356,16 @@ def detect_mentions(
     """Auto-select the matcher by dictionary size: ≤ ``inline_threshold``
     entries inline as literal expressions (zero shuffle, zero join);
     larger dictionaries take the broadcast-join path.  ``gazetteer`` is
-    either a list of (surface, tag) pairs or a (surface, tag) DataFrame."""
+    either a list of (surface, tag) pairs or a (surface, tag) DataFrame.
+    Duplicate surfaces resolve to min(tag) on BOTH paths."""
     if isinstance(gazetteer, DataFrame):
-        n_entries = gazetteer.count()
-        if n_entries <= inline_threshold:
-            entries = [
-                (r["surface"], r["tag"])
-                for r in gazetteer.select("surface", "tag").collect()
-            ]
+        # one job decides the branch AND provides the inline entries
+        head = gazetteer.select("surface", "tag").limit(inline_threshold + 1).collect()
+        if len(head) <= inline_threshold:
+            entries = _dedup_entries((r["surface"], r["tag"]) for r in head)
             return mentions_df(docs, id_col, levels=_levels(entries))
         return mentions_bigdict_df(docs, gazetteer, id_col)
-    entries = [(s, c) for s, c in gazetteer]
+    entries = _dedup_entries((s, c) for s, c in gazetteer)
     if len(entries) <= inline_threshold:
         return mentions_df(docs, id_col, levels=_levels(entries))
     gdf = docs.sparkSession.createDataFrame(entries, "surface string, tag string")

@@ -62,10 +62,12 @@ def kmv_sketch(
                 if state is None
                 else pd.concat((state, pdf), ignore_index=True).drop_duplicates()
             )
-            # bounded running state: bottom-k hashes per group
+            # bounded running state: bottom-k hashes per group.
+            # dropna=False keeps NULL GROUP KEYS (they are groups like
+            # any other); NULL VALUES are filtered JVM-side below
             state = (
                 state.sort_values([group_col, "_h"], kind="mergesort")
-                .groupby(group_col, sort=False)
+                .groupby(group_col, sort=False, dropna=False)
                 .head(k)
             )
         if state is None or state.empty:
@@ -73,7 +75,7 @@ def kmv_sketch(
             return
         agg = (
             state.sort_values([group_col, "_h"], kind="mergesort")
-            .groupby(group_col, sort=False)["_h"]
+            .groupby(group_col, sort=False, dropna=False)["_h"]
             .agg(list)
             .reset_index()
         )
@@ -84,7 +86,9 @@ def kmv_sketch(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, _HEX_DIGITS).alias(
             "_h"
         ),
-    )
+    # NULL values are ignored (SQL COUNT(DISTINCT ...) semantics); a
+    # group whose values are all NULL therefore produces no sketch row
+    ).filter(F.col("_h").isNotNull())
     partials = hashed.mapInPandas(partial, _partial_schema(group_col))
 
     merged = partials.groupBy(group_col).agg(

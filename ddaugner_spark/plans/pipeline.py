@@ -163,7 +163,14 @@ class KGPipeline:
         )
         t = triples.triples_df(docs)
         m = mentions.mentions_df(docs)
-        comps = canonical.connected_components(canonical.co_mention_edges(m))
+        # CC checkpoints live under the pipeline's own output tree (the
+        # returned DataFrame is lazily backed by the final one — a bare
+        # tempdir would leak for the life of the box); consumed before
+        # the next triples_for call, which overwrites it
+        comps = canonical.connected_components(
+            canonical.co_mention_edges(m),
+            stage_dir=os.path.join(self.out_dir, "_cc", "adhoc"),
+        )
         return canonical.canonicalize_triples(t, comps).select(
             "doc_id",
             "sent_id",
@@ -272,7 +279,10 @@ class KGPipeline:
         # map-only strategy: measured faster than the join even against
         # the already-materialized mention table (zero shuffle)
         t = triples.triples_df(docs)
-        comps = canonical.connected_components(canonical.co_mention_edges(m))
+        comps = canonical.connected_components(
+            canonical.co_mention_edges(m),
+            stage_dir=os.path.join(self.out_dir, "_cc", f"{self.partition_col}={part}"),
+        )
         out = canonical.canonicalize_triples(t, comps).select(
             "doc_id",
             "sent_id",

@@ -72,11 +72,33 @@ def test_alias_expansion_matches_reference_port(spark, book):
     assert got == {w for w in want if w}
 
 
+def _windowed(seq, n):
+    """Faithful stand-in for more_itertools.windowed (not in this
+    container): lazy sliding deque over iter(seq) — reads each position
+    exactly once, so in-place mutations of already-read positions are
+    NOT visible to later windows of the same pass (the read timing the
+    reference loop actually has)."""
+    from collections import deque
+
+    it = iter(seq)
+    window = deque(maxlen=n)
+    for _ in range(n):
+        try:
+            window.append(next(it))
+        except StopIteration:
+            return
+    yield tuple(window)
+    for x in it:
+        window.append(x)
+        yield tuple(window)
+
+
 def _demote_py(toks, tags, characters, titles):
     """Direct port of fix_ner.py:224-250 (deterministic fix path):
-    rule 1 over the precomputed entity list, then the WINDOWED
-    all-lowercase pass (5..1, left-to-right, mutating the running tag
-    state — partial demotion of mixed-case spans included)."""
+    rule 1 over the precomputed entity list, then the literal windowed
+    all-lowercase loop — sliding lazy windows over the tag list WHILE
+    mutating it, exactly as the reference does (same-level windows see
+    the level-start snapshot; mutations land at the next level)."""
     new = list(tags)
     for e in entities_from_bio_tags(toks, tags):
         if e.tag != "PER":
@@ -85,9 +107,7 @@ def _demote_py(toks, tags, characters, titles):
         if mention not in characters and mention.lower() not in titles:
             new[e.start_idx : e.end_idx + 1] = ["O"] * (e.end_idx - e.start_idx + 1)
     for i in range(5, 0, -1):
-        for j in range(len(toks) - i + 1):
-            tw = toks[j : j + i]
-            gw = new[j : j + i]
+        for j, (tw, gw) in enumerate(zip(_windowed(toks, i), _windowed(new, i))):
             if (
                 all(t.islower() for t in tw)
                 and gw[0] == "B-PER"
@@ -195,3 +215,58 @@ def test_alias_expansion_keeps_uncased_and_caps_components(spark):
     assert "4th Baratheon" in aliases
     assert big in aliases             # full name survives the k>12 guard
     assert len(aliases) < 2**13       # no 2^20 blowup
+
+
+def test_windowed_snapshot_overlap_both_apply(spark):
+    """Same-level overlapping windows are all evaluated against the
+    LEVEL-START tags (the reference's lazy iterator reads each position
+    before any same-level demotion lands), so two overlapping 5-windows
+    BOTH apply — a live-state recheck would block the second and leave
+    an orphan I-PER (caught by review, round 3)."""
+    toks = ["anna", "bella", "core", "dora", "emma", "fay"]
+    tags = ["B-PER", "B-PER", "I-PER", "I-PER", "I-PER", "I-PER"]
+    chars = {"anna", "bella core dora emma fay"}  # rule 1 keeps both
+    want = _demote_py(toks, tags, chars, A.title_set())
+    assert want == ["O"] * 6  # windows j=0 AND j=1 both fire at i=5
+
+    tagged = spark.createDataFrame(
+        [("b", 0, toks, tags)],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    adf = spark.createDataFrame(
+        [("b", a) for a in sorted(chars)], "book string, alias string"
+    )
+    got = A.demote_unknown_per(tagged, adf).collect()[0]["tags"]
+    assert got == want
+
+
+def test_windowed_pass_fuzz_vs_reference_port(spark):
+    """Seeded fuzz: the Spark level-snapshot implementation equals the
+    literal lazy-windowed reference loop on random token/tag streams
+    (all names known, isolating the lowercase rule)."""
+    import random
+
+    rng = random.Random(99)
+    rows, wants = [], []
+    for r in range(40):
+        n = rng.randint(1, 14)
+        toks = [rng.choice(["aa", "Bb", "cc", "dd", "007"]) for _ in range(n)]
+        tags = [rng.choice(["B-PER", "I-PER", "O", "B-LOC", "I-LOC"]) for _ in range(n)]
+        # every surface known -> rule 1 never fires; rule 2 isolated
+        chars = {" ".join(e.tokens) for e in entities_from_bio_tags(toks, tags)}
+        wants.append(_demote_py(toks, tags, chars, A.title_set()))
+        rows.append(("b", r, toks, tags, sorted(chars)))
+    tagged = spark.createDataFrame(
+        [(b, i, t, g) for b, i, t, g, _c in rows],
+        "book string, doc_id long, tokens array<string>, tags array<string>",
+    )
+    aliases = spark.createDataFrame(
+        [("b", a) for _b, _i, _t, _g, cs in rows for a in cs],
+        "book string, alias string",
+    )
+    got = {
+        r["doc_id"]: r["tags"]
+        for r in A.demote_unknown_per(tagged, aliases).collect()
+    }
+    for i, want in enumerate(wants):
+        assert got[i] == want, (i, rows[i], got[i], want)

@@ -205,3 +205,17 @@ def test_bigdict_plan_shape(spark):
     # build (dimension dedup) or above the join (hits groupBy)
     n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
     assert n_exchanges <= 2, plan
+
+
+def test_detect_mentions_duplicate_surface_consistent(spark):
+    """A duplicate-surface gazetteer resolves to min(tag) on BOTH the
+    inline and broadcast paths — the auto-selector never changes the
+    answer for identical input (review finding, round 3)."""
+    docs = spark.createDataFrame(
+        [(1, "acme corp builds things")], "doc_id long, text string"
+    )
+    entries = [("acme corp", "ORG"), ("acme corp", "LOC")]
+    small = _collect(detect_mentions(docs, entries))  # inline path
+    gdf = spark.createDataFrame(entries, "surface string, tag string")
+    big = _collect(detect_mentions(docs, gdf, inline_threshold=1))  # broadcast
+    assert small == big == [(1, 0, 0, 1, "acme corp", "LOC")]  # min(tag)

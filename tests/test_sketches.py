@@ -59,3 +59,20 @@ def test_exact_below_k(spark):
     )
     got = _est(spark, df, k=64)
     assert got["x"] == (7.0, 7)
+
+
+def test_kmv_null_handling(spark):
+    """NULL values are ignored (COUNT(DISTINCT) semantics); NULL group
+    keys are kept as their own group; all-NULL-value groups produce no
+    row (review finding, round 3)."""
+    from ddaugner_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", None), (None, 1), (None, 1), ("b", None)],
+        "g string, v int",
+    )
+    rows = {r["g"]: (r["n_distinct_est"], r["n_kept"]) for r in
+            kmv_sketch(df, "g", "v", k=8).collect()}
+    assert rows["a"] == (2.0, 2)     # NULL value ignored
+    assert rows[None] == (1.0, 1)    # NULL group kept
+    assert "b" not in rows           # all-NULL group: no row
