@@ -454,6 +454,34 @@ def q_minhash_lsh(spark, sf):
     return dedup.minhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup CLUSTER canonicalization — the training-pipeline 'keep
+    one copy of each duplicate cluster' primitive: verified MinHash-LSH
+    pairs → connected components (hash-min label propagation) →
+    (doc_id, canonical_id, is_dup) keep-map.  Pure composition of two
+    existing operators; doc ids are zero-padded so the CC's
+    lexicographic min equals the numeric min the oracle's recursive
+    reachability-min computes."""
+    import tempfile
+
+    from ddaugner_spark.operators.canonical import connected_components
+
+    corpus = dedup.with_dup_corpus(_docs(spark, sf))
+    pairs = dedup.minhash_near_duplicates(corpus).select("a", "b")
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), 12, "0").alias("a"),
+        F.lpad(F.col("b").cast("string"), 12, "0").alias("b"),
+    )
+    comps = connected_components(
+        edges, stage_dir=tempfile.mkdtemp(prefix="q_dedup_clusters_")
+    )
+    return comps.select(
+        F.col("entity").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+        (F.col("entity") != F.col("component")).alias("is_dup"),
+    )
+
+
 def q_simhash(spark, sf):
     # bits=16 is the ORACLE configuration (the SQL twin unrolls 16
     # digit tests); the operator default is the scale-safe 64
@@ -948,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_extract": q_text_extract,
         "q_dedup_exact": q_dedup_exact,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_simhash": q_simhash,
         "q_simhash_pairs": q_simhash_pairs,
         "q_doc_embeddings": q_doc_embeddings,
@@ -1988,8 +2017,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     k = config.SHINGLE_K
-    o["q_minhash_lsh"] = f"""
-      WITH {_CORPUS},
+    # shingle -> minhash -> band -> candidate -> exact-jaccard chain,
+    # shared by q_minhash_lsh (pair output) and q_dedup_clusters (the
+    # cluster keep-map built on top of the same verified pairs)
+    _MH_CHAIN = f"""
       ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
       sh AS (
         SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
@@ -2018,11 +2049,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN sh sa ON sa.doc_id = c.a
         JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
         GROUP BY c.a, c.b
+      ),
+      vp AS (
+        SELECT i.a, i.b,
+               round(i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter), 4) AS jaccard
+        FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
+        WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) >= {config.JACCARD_THRESHOLD}
+      )"""
+
+    o["q_minhash_lsh"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN}
+      SELECT a, b, jaccard FROM vp
+    """
+
+    # cluster resolution by recursive reachability-min over the verified
+    # pair graph (candidate-pair sized, tiny relative to the corpus)
+    o["q_dedup_clusters"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      nodes AS (SELECT a AS n FROM vp UNION SELECT b FROM vp),
+      edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM nodes
+          UNION
+          SELECT e.b AS node, walk.lab FROM walk JOIN edges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
       )
-      SELECT i.a, i.b,
-             round(i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter), 4) AS jaccard
-      FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b
-      WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) >= {config.JACCARD_THRESHOLD}
+      SELECT node::BIGINT AS doc_id, canonical::BIGINT AS canonical_id,
+             node != canonical AS is_dup
+      FROM rr
     """
 
     o["q_simhash"] = """
