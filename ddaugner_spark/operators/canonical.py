@@ -51,11 +51,28 @@ def co_mention_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
+#: label-table row count above which per-iteration parquet round-trips
+#: stop being ~free: below it the per-job overhead dominates (measured
+#: k=1 → 3.0 s vs k=3 → 4.3 s on the sf0.1 graph, ~10³ labels, local
+#: NVMe), above it write bandwidth dominates and batching iterations
+#: between checkpoints amortizes the materialization.
+CHECKPOINT_AUTO_THRESHOLD = 2_000_000
+
+
+def checkpoint_policy(
+    n_nodes: int, threshold: int = CHECKPOINT_AUTO_THRESHOLD
+) -> int:
+    """checkpoint_every for a label table of ``n_nodes`` rows: 1 (eager
+    truncation, cheapest per-job path) for small tables, 3 (cache-backed
+    batching, write-bandwidth amortized) for large ones."""
+    return 1 if n_nodes <= threshold else 3
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     stage_dir: str | None = None,
-    checkpoint_every: int = 1,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """(entity, component) with component = min entity id reachable.
 
@@ -81,16 +98,14 @@ def connected_components(
     may run — label output is identical.
 
     MEASURED (local[32], sf0.1 co-mention graph, warm): k=1 → 3.0 s,
-    k=3+cache → 4.3 s, k=3 lazy (no cache) → 9.0 s.  The label table is
-    tiny, so a parquet round-trip costs less than driving intermediate
-    iterations through the block-manager cache — k=1 stays the default;
-    raise ``checkpoint_every`` only when the label table is large
-    enough that write bandwidth, not per-job overhead, dominates.
+    k=3+cache → 4.3 s, k=3 lazy (no cache) → 9.0 s.  ``checkpoint_every
+    = None`` (default) auto-tunes via :func:`checkpoint_policy` on the
+    materialized init label-table row count: k=1 while per-job overhead
+    dominates (small tables), k=3 once write bandwidth does.
     """
     spark = edges.sparkSession
     own_dir = stage_dir is None
     stage_dir = stage_dir or tempfile.mkdtemp(prefix="ddaugner_cc_")
-    checkpoint_every = max(1, checkpoint_every)
 
     def _roundtrip(df: DataFrame, name: str) -> DataFrame:
         df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
@@ -121,6 +136,11 @@ def connected_components(
         ),
         "labels_init",
     )
+    if checkpoint_every is None:
+        # the init table is already parquet-backed, so the count is a
+        # metadata-cheap scan; policy decided once per run
+        checkpoint_every = checkpoint_policy(labels.count())
+    checkpoint_every = max(1, checkpoint_every)
 
     final_name = "labels_init"
     n_ckpt = 0

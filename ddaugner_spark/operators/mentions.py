@@ -164,18 +164,32 @@ def _sorted_candidates(
 
 def _fold_tags(cands: Column | None = None) -> Column:
     """Final BIO tags array: fold the (pass-ordered) candidates over an
-    all-'O' array, applying a window iff it covers ≥1 'O'
-    (fix_ner.py:205-213's ``any(tag == "O")`` guard), overwriting the
-    whole window on apply.  ``cands`` may be a lambda variable (let-bound
-    candidate array) — defaults to the inline candidate expression."""
+    all-'O' array, applying a window iff it covers ≥1 'O', overwriting
+    the whole window on apply.  ``cands`` may be a lambda variable
+    (let-bound candidate array) — defaults to the inline expression.
+
+    The ``any(tag == "O")`` guard (fix_ner.py:205-213) reads tags through
+    a lazy ``more_itertools.windowed`` iterator over the list ``fix()``
+    mutates in place: within one level every position is read exactly
+    once, BEFORE any same-level fix can touch it, so the guard evaluates
+    against the LEVEL-START snapshot while writes land live (same
+    lazy-read timing as the lowercase-PER pass in operators/aliases.py;
+    equivalence fuzz-proven in tests/test_gazetteer_general.py).  The
+    accumulator therefore carries (live tags, level-start snapshot,
+    current level); the snapshot refreshes whenever the candidate level
+    changes — candidates arrive level-grouped (n desc, start asc)."""
     n = F.col("n_tokens")
-    init = F.transform(_seq(n, 1), lambda i: F.lit("O"))
+    all_o = F.transform(_seq(n, 1), lambda i: F.lit("O"))
+    init = F.struct(
+        all_o.alias("tags"), all_o.alias("snap"), F.lit(0).alias("lvl")
+    )
 
     def merge(acc, c):
-        covered = F.slice(acc, c["start"] + F.lit(1), c["n"])
+        snap = F.when(c["n"] != acc["lvl"], acc["tags"]).otherwise(acc["snap"])
+        covered = F.slice(snap, c["start"] + F.lit(1), c["n"])
         applies = F.exists(covered, lambda t: t == F.lit("O"))
         rewritten = F.transform(
-            acc,
+            acc["tags"],
             lambda t, i: F.when(
                 (i >= c["start"]) & (i < c["start"] + c["n"]),
                 F.when(i == c["start"], F.concat(F.lit("B-"), c["tag"])).otherwise(
@@ -183,10 +197,17 @@ def _fold_tags(cands: Column | None = None) -> Column:
                 ),
             ).otherwise(t),
         )
-        return F.when(applies, rewritten).otherwise(acc)
+        return F.struct(
+            F.when(applies, rewritten).otherwise(acc["tags"]).alias("tags"),
+            snap.alias("snap"),
+            c["n"].alias("lvl"),
+        )
 
     return F.aggregate(
-        _sorted_candidates() if cands is None else cands, init, merge
+        _sorted_candidates() if cands is None else cands,
+        init,
+        merge,
+        lambda acc: acc["tags"],
     )
 
 

@@ -48,8 +48,16 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
 
     out = {"url": [], "n_bytes": [], "payload_sha": [], "feature": []}
     for url, payload in zip(pdf["url"], pdf["html"]):
-        b = bytes(payload) if payload is not None else b""
         out["url"].append(url)
+        if payload is None:
+            # NULL payload decodes to NULL metadata/features — the same
+            # rendering as SQL's length(NULL)/sha256(NULL), pinned by
+            # test_decode_null_payload so engine and oracle can't drift
+            out["n_bytes"].append(None)
+            out["payload_sha"].append(None)
+            out["feature"].append(None)
+            continue
+        b = bytes(payload)
         out["n_bytes"].append(len(b))
         out["payload_sha"].append(hashlib.sha256(b).hexdigest())
         head = (b[:FEATURE_DIM] + b"\x00" * FEATURE_DIM)[:FEATURE_DIM]

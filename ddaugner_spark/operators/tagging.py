@@ -67,15 +67,22 @@ class DictTaggerModel:
         ]
 
     def tag_tokens(self, toks: List[str]) -> List[str]:
-        """The reference's windowed pass verbatim (fix_ner.py:195-215):
-        for n = 5..1, left-to-right, retag a dictionary window covering
-        ≥1 'O' position as B-X I-X…, overwriting previous tags."""
+        """The reference's windowed pass (fix_ner.py:195-215): for
+        n = 5..1, left-to-right, retag a dictionary window covering ≥1
+        'O' position as B-X I-X…, overwriting previous tags.  The
+        reference reads tags through a lazy ``more_itertools.windowed``
+        iterator over the list ``fix()`` mutates in place — within one
+        level each position is read exactly once, before any same-level
+        fix touches it, so the guard sees the LEVEL-START snapshot while
+        writes land live (fuzz-proven equivalent to the literal lazy
+        port in tests/test_gazetteer_general.py)."""
         n = len(toks)
         tags = ["O"] * n
         for lvl, entries in self.levels:
+            snap = tags[:]  # level-start snapshot read by the guard
             for i in range(n - lvl + 1):
                 cls = entries.get(" ".join(toks[i : i + lvl]))
-                if cls is not None and any(t == "O" for t in tags[i : i + lvl]):
+                if cls is not None and any(t == "O" for t in snap[i : i + lvl]):
                     tags[i : i + lvl] = [f"B-{cls}"] + [f"I-{cls}"] * (lvl - 1)
         return tags
 
@@ -145,12 +152,42 @@ class WordpieceTaggerModel:
 
 
 def load_model() -> WordpieceTaggerModel:
-    """Tagging model for the Arrow paths: docs are tagged as one
-    'sentence' with no context and NO truncation (the reference tags
-    per sentence where 512 applies; doc-level truncation would silently
-    drop tail mentions — the 512 path is exercised by the sentence-level
-    tests instead)."""
-    return WordpieceTaggerModel(max_length=None)
+    """Tagging model for the Arrow paths, with the reference's
+    per-sentence 512-wordpiece truncation contract (datas.py:228-283):
+    the production UDFs re-segment each doc at the sentence terminator
+    and tag sentence by sentence via :func:`tag_doc_tokens`, so the 512
+    cap applies per sentence exactly as in predict.py."""
+    return WordpieceTaggerModel(max_length=512)
+
+
+def split_sentences(toks: List[str]) -> List[List[str]]:
+    """Sentence token runs: split AFTER each terminator, which belongs
+    to the preceding sentence (datas.py:303-313)."""
+    sents: List[List[str]] = []
+    cur: List[str] = []
+    for t in toks:
+        cur.append(t)
+        if t == config.SENT_TERM:
+            sents.append(cur)
+            cur = []
+    if cur:
+        sents.append(cur)
+    return sents
+
+
+def tag_doc_tokens(model: WordpieceTaggerModel, toks: List[str]) -> List[str]:
+    """Doc-level BIO tags via PER-SENTENCE tagging — the reference's
+    production shape (predict.py tags sentence rows; truncation applies
+    per sentence).  Dictionary windows never cross a sentence boundary
+    (a spanning window must contain the terminator token and no
+    gazetteer surface does — pinned by test_config_invariants), so the
+    concatenated tags equal a doc-level pass on untruncated input while
+    long multi-sentence docs keep their tail mentions
+    (tests/test_tagging_alignment.py::test_per_sentence_truncation)."""
+    out: List[str] = []
+    for sent in split_sentences(toks):
+        out.extend(model.tag_sentence(sent))
+    return out
 
 
 #: deterministic per-wordpiece 'last hidden state' stand-in: dim d is
@@ -196,7 +233,7 @@ def tagged_docs_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {
                     "doc_id": pdf[id_col].astype("int64"),
                     "tokens": token_lists,
-                    "tags": model.tag_batch(token_lists),
+                    "tags": [tag_doc_tokens(model, t) for t in token_lists],
                 }
             )
 
@@ -214,7 +251,7 @@ def mentions_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = {k.name: [] for k in MENTION_SCHEMA.fields}
             for doc_id, text in zip(pdf[id_col], pdf["text"]):
                 toks = text.split(" ") if text else []
-                tags = model.tag_sentence(toks)
+                tags = tag_doc_tokens(model, toks)
                 # sentence ids: running terminator count (datas.py:303-313)
                 sent_ids, c = [], 0
                 for t in toks:
@@ -310,38 +347,69 @@ def mention_embeddings_udf(
     schema = _mention_emb_schema(dims)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = load_model()
-        hs_cache: dict[str, List[float]] = {}
+        import numpy as np
 
-        def hs(piece: str) -> List[float]:
-            v = hs_cache.get(piece)
-            if v is None:
-                v = wordpiece_hidden_state(piece, dims)
-                hs_cache[piece] = v
-            return v
+        model = load_model()
+        # piece -> row in the hidden-state matrix; token -> its pieces'
+        # row indices.  With a real encoder the matrix IS the returned
+        # hidden-state tensor and the pooling below is unchanged.
+        piece_row: dict[str, int] = {}
+        hs_rows: List[List[float]] = []
+        tok_rows: dict[str, List[int]] = {}
+
+        def rows_for(tok: str) -> List[int]:
+            ix = tok_rows.get(tok)
+            if ix is None:
+                ix = []
+                for p in wordpiece_tokenize(tok):
+                    j = piece_row.get(p)
+                    if j is None:
+                        j = len(hs_rows)
+                        piece_row[p] = j
+                        hs_rows.append(wordpiece_hidden_state(p, dims))
+                    ix.append(j)
+                tok_rows[tok] = ix
+            return ix
 
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
+            flat: List[int] = []  # piece row-indices, all mentions concatenated
+            offsets: List[int] = []  # mention i pools flat[offsets[i]:offsets[i+1]]
             for doc_id, text in zip(pdf[id_col], pdf["text"]):
                 toks = text.split(" ") if text else []
-                tags = model.tag_sentence(toks)
+                tags = tag_doc_tokens(model, toks)
                 for e in entities_from_bio_tags(toks, tags):
-                    sums = [0] * dims
-                    n_wp = 0
+                    ix: List[int] = []
                     for tok in toks[e.start_idx : e.end_idx + 1]:
-                        for p in wordpiece_tokenize(tok):
-                            v = hs(p)
-                            for d in range(dims):
-                                sums[d] += int(v[d])
-                            n_wp += 1
+                        ix.extend(rows_for(tok))
+                    offsets.append(len(flat))
+                    flat.extend(ix)
                     out["doc_id"].append(int(doc_id))
                     out["start_idx"].append(e.start_idx)
                     out["end_idx"].append(e.end_idx)
                     out["surface"].append(e.surface)
                     out["tag"].append(e.tag)
-                    out["n_wp"].append(n_wp)
-                    for d in range(dims):
-                        out[f"s_{d}"].append(sums[d])
+                    out["n_wp"].append(len(ix))
+            # one vectorized pooling pass per Arrow batch (segmented sum
+            # over the gathered hidden-state rows) — no per-wordpiece
+            # Python arithmetic
+            n_m = len(offsets)
+            if n_m:
+                H = np.asarray(hs_rows, dtype=np.int64)
+                idx = np.asarray(flat, dtype=np.int64)
+                off = np.asarray(offsets, dtype=np.int64)
+                lens = np.diff(np.append(off, len(idx)))
+                if len(idx) and (lens > 0).all():
+                    sums = np.add.reduceat(H[idx], off, axis=0)
+                else:  # degenerate zero-wordpiece mentions (defensive)
+                    sums = np.zeros((n_m, dims), dtype=np.int64)
+                    for si in range(n_m):
+                        if lens[si]:
+                            sums[si] = H[idx[off[si] : off[si] + lens[si]]].sum(axis=0)
+            else:
+                sums = np.zeros((0, dims), dtype=np.int64)
+            for d in range(dims):
+                out[f"s_{d}"] = sums[:, d]
             yield pd.DataFrame(out)
 
     return docs.select(F.col(id_col), F.col("text")).mapInPandas(run, schema)

@@ -24,16 +24,59 @@ from ddaugner_spark.operators import mentions
 from ddaugner_spark.operators.tagging import DictTaggerModel
 
 
-def reference_tagger(toks):
-    """Line-for-line port of the reference loops (fix_ner.py:195-215),
-    kept separate from DictTaggerModel so the test is a differential."""
+def _windowed(seq, n):
+    """Faithful stand-in for more_itertools.windowed (not in this
+    container): lazy sliding deque over iter(seq) — reads each position
+    exactly once, so in-place mutations of already-read positions are
+    NOT visible to later windows of the same pass (the read timing the
+    reference loop actually has, fix_ner.py:203)."""
+    from collections import deque
+
+    it = iter(seq)
+    window = deque(maxlen=n)
+    for _ in range(n):
+        try:
+            window.append(next(it))
+        except StopIteration:
+            return
+    yield tuple(window)
+    for x in it:
+        window.append(x)
+        yield tuple(window)
+
+
+def reference_tagger(toks, dic=None):
+    """Line-for-line port of the reference loops (fix_ner.py:195-215)
+    with the literal LAZY windowed read timing: ``fix()`` mutates the
+    tags list in place while ``windowed(tags, n)`` reads it — kept
+    separate from DictTaggerModel so the test is a differential."""
     tags = ["O"] * len(toks)
-    dic = {s: c for s, c, _w in config.GAZETTEER}
+    if dic is None:
+        dic = {s: c for s, c, _w in config.GAZETTEER}
     for n in range(5, 0, -1):
-        for j in range(len(toks) - n + 1):
-            cls = dic.get(" ".join(toks[j : j + n]))
-            if cls is not None and any(t == "O" for t in tags[j : j + n]):
+        for j, (tw, gw) in enumerate(zip(_windowed(toks, n), _windowed(tags, n))):
+            cls = dic.get(" ".join(tw))
+            if cls is not None and any(t == "O" for t in gw):
                 tags[j : j + n] = [f"B-{cls}"] + [f"I-{cls}"] * (n - 1)
+    return tags
+
+
+def snapshot_tagger(toks, dic):
+    """The level-snapshot model the engine implements — fuzzed below to
+    be equivalent to the lazy-windowed port (same equivalence argument
+    as the lowercase-PER pass: within a level every read of a position
+    precedes every same-level write to it)."""
+    tags = ["O"] * len(toks)
+    levels: dict[int, dict[str, str]] = {}
+    for s, c in dic.items():
+        levels.setdefault(len(s.split(" ")), {})[s] = c
+    for lvl in sorted(levels, reverse=True):
+        entries = levels[lvl]
+        snap = tags[:]
+        for i in range(len(toks) - lvl + 1):
+            cls = entries.get(" ".join(toks[i : i + lvl]))
+            if cls is not None and any(t == "O" for t in snap[i : i + lvl]):
+                tags[i : i + lvl] = [f"B-{cls}"] + [f"I-{cls}"] * (lvl - 1)
     return tags
 
 
@@ -126,6 +169,110 @@ def test_mentions_decode_matches_kernel_spans(spark):
         for e in entities_from_bio_tags(toks, model.tag_tokens(toks)):
             want.append((doc_id, e.start_idx, e.end_idx, e.surface, e.tag))
     assert got == sorted(want)
+
+
+def test_level_snapshot_divergence(spark):
+    """Minimal case where lazy-windowed (= level-snapshot) semantics
+    differ from a live-tags guard: dict {'a b','b c','c d e'} over
+    'a b c d e'.  Level 3 applies 'c d e'@2; at level 2 'a b'@0 applies,
+    and 'b c'@1 ALSO applies because position 1 was 'O' at level start
+    (read through the lazy iterator before the 'a b' fix landed) — a
+    live guard would block it.  Pins the engine fold, the bigdict
+    replay, and both Python ports to the reference behavior."""
+    dic = {"a b": "ORG", "b c": "ORG", "c d e": "ORG"}
+    toks = "a b c d e".split(" ")
+    want = ["B-ORG", "B-ORG", "I-ORG", "I-ORG", "I-ORG"]
+    assert reference_tagger(toks, dic) == want
+    assert snapshot_tagger(toks, dic) == want
+
+    levels = {3: [("c d e", "ORG")], 2: [("a b", "ORG"), ("b c", "ORG")]}
+    df = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    want_spans = [(0, 0, "a", "ORG"), (1, 4, "b c d e", "ORG")]
+    got = sorted(
+        (r["start_idx"], r["end_idx"], r["surface"], r["tag"])
+        for r in mentions.mentions_df(df, levels=levels).collect()
+    )
+    assert got == want_spans
+
+    from ddaugner_spark.operators.bigdict import mentions_bigdict_df
+
+    gaz = spark.createDataFrame(
+        sorted(dic.items()), "surface string, tag string"
+    )
+    got_b = sorted(
+        (r["start_idx"], r["end_idx"], r["surface"], r["tag"])
+        for r in mentions_bigdict_df(df, gaz).collect()
+    )
+    assert got_b == want_spans
+
+
+def test_dictionary_pass_fuzz_lazy_vs_snapshot():
+    """Seeded fuzz: the lazy-windowed reference port equals the
+    level-snapshot model on random dictionaries over a tiny vocabulary
+    (dense overlaps — the regime where live-tag guards diverge)."""
+    import random
+
+    rng = random.Random(4242)
+    vocab = ["a", "b", "c", "d", "e"]
+    for trial in range(400):
+        dic = {}
+        for _ in range(rng.randint(1, 8)):
+            n = rng.randint(1, 3)
+            dic[" ".join(rng.choice(vocab) for _ in range(n))] = rng.choice(
+                ["ORG", "PER", "LOC"]
+            )
+        toks = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        assert reference_tagger(toks, dic) == snapshot_tagger(toks, dic), (
+            trial,
+            toks,
+            dic,
+        )
+
+
+def test_engine_fuzz_vs_lazy_port(spark):
+    """Seeded fuzz of BOTH Spark matchers (inline fold + bigdict
+    broadcast-join replay) against the lazy-windowed reference port on
+    dense random corpora over a random overlapping dictionary."""
+    import random
+
+    from ddaugner_spark.kernels import entities_from_bio_tags
+    from ddaugner_spark.operators.bigdict import mentions_bigdict_df
+
+    rng = random.Random(777)
+    vocab = ["a", "b", "c", "d", "e"]
+    for round_ in range(2):
+        dic = {}
+        for _ in range(8):
+            n = rng.randint(1, 3)
+            dic[" ".join(rng.choice(vocab) for _ in range(n))] = rng.choice(
+                ["ORG", "PER", "LOC"]
+            )
+        levels: dict[int, list[tuple[str, str]]] = {}
+        for s, c in dic.items():
+            levels.setdefault(len(s.split(" ")), []).append((s, c))
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        want = sorted(
+            (doc_id, e.start_idx, e.end_idx, e.surface, e.tag)
+            for doc_id, text in rows
+            for e in entities_from_bio_tags(
+                text.split(" "), reference_tagger(text.split(" "), dic)
+            )
+        )
+        got_inline = sorted(
+            (r["doc_id"], r["start_idx"], r["end_idx"], r["surface"], r["tag"])
+            for r in mentions.mentions_df(df, levels=levels).collect()
+        )
+        assert got_inline == want, (round_, dic)
+        gaz = spark.createDataFrame(sorted(dic.items()), "surface string, tag string")
+        got_big = sorted(
+            (r["doc_id"], r["start_idx"], r["end_idx"], r["surface"], r["tag"])
+            for r in mentions_bigdict_df(df, gaz).collect()
+        )
+        assert got_big == want, (round_, dic)
 
 
 def test_config_invariants():

@@ -38,3 +38,28 @@ def test_every_query_gets_k(spark, emb):
     out = similarity.ivf_kmeans_topk(emb, QIDS, k=10)
     counts = {r["query_id"]: r["n"] for r in out.groupBy("query_id").count().withColumnRenamed("count", "n").collect()}
     assert all(counts.get(q, 0) == 10 for q in QIDS)
+
+
+def test_mention_ann_recall_at_3_vs_brute_force(spark, sf_dir):
+    """q_mention_ann_ivf's constants (8 cells, nprobe=6, iters=2, dim=8)
+    must keep recall@3 >= 0.9 against the brute-force mention-ANN
+    baseline (q_mention_ann stays registered as the exactness oracle —
+    VERDICT r3 #3)."""
+    import __spark_entry__ as E
+
+    mv = E._mention_vecs(spark, sf_dir)
+    mv = mv.cache()
+    qids = [r["vec_id"] for r in mv.filter("tag = 'PER'").select("vec_id").collect()]
+    assert qids, "no PER mention surfaces in the corpus"
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(mv, qids, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_kmeans_topk(
+            mv, qids, k=3, n_cells=8, nprobe=6, iters=2, dim=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall

@@ -244,3 +244,25 @@ def test_connected_components_edge_cases(spark, tmp_path):
     }
     import os
     assert os.path.isdir(d1)  # caller-owned dir left intact
+
+
+def test_checkpoint_policy_auto_tune(spark):
+    """checkpoint_every=None auto-tunes by label-table size: eager (k=1)
+    below the threshold, batched (k=3) above (VERDICT r3 #6); labels are
+    identical under either policy (idempotent fixed-point iterations)."""
+    assert canonical.checkpoint_policy(0) == 1
+    assert canonical.checkpoint_policy(canonical.CHECKPOINT_AUTO_THRESHOLD) == 1
+    assert canonical.checkpoint_policy(canonical.CHECKPOINT_AUTO_THRESHOLD + 1) == 3
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "a string, b string"
+    )
+    auto = {tuple(r) for r in canonical.connected_components(edges).collect()}
+    k3 = {
+        tuple(r)
+        for r in canonical.connected_components(edges, checkpoint_every=3).collect()
+    }
+    assert auto == k3
+    assert auto == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("x", "x"), ("y", "x")
+    }

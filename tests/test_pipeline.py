@@ -171,3 +171,23 @@ def test_multimodal_resize_and_metadata(spark, docs):
         and r["media_meta"]["duration_ms"] > 0
         for r in meta
     )
+
+
+def test_decode_null_payload(spark):
+    """NULL binary payload decodes to NULL n_bytes/payload_sha/feature —
+    the same rendering as the oracle's length(NULL)/sha256(NULL), so the
+    contract is pinned even though synthesized pages never carry NULL
+    html (ADVICE r3)."""
+    import hashlib
+
+    from ddaugner_spark.operators import multimodal
+
+    pages = spark.createDataFrame(
+        [("u0", bytearray(b"abc")), ("u1", None)], "url string, html binary"
+    )
+    rows = {r["url"]: r for r in multimodal.decode_features(pages).collect()}
+    assert rows["u0"]["n_bytes"] == 3
+    assert rows["u0"]["payload_sha"] == hashlib.sha256(b"abc").hexdigest()
+    assert rows["u1"]["n_bytes"] is None
+    assert rows["u1"]["payload_sha"] is None
+    assert rows["u1"]["feature"] is None

@@ -147,3 +147,37 @@ def test_label_space_roundtrip():
     assert ID2LABEL[0] == "O"
     assert all(LABEL2ID[l] == i for i, l in enumerate(ID2LABEL))
     assert {l[2:] for l in ID2LABEL if l != "O"} == {"ORG", "PER", "LOC"}
+
+
+def test_per_sentence_truncation():
+    """The production Arrow path tags per sentence (tag_doc_tokens), so
+    the 512-wordpiece cap applies per SENTENCE as in the reference
+    (datas.py:228-283): a long multi-sentence doc keeps its tail
+    mentions, while a doc-level single pass would truncate them away;
+    a single over-long sentence is truncated and its tail defaults to
+    'O' (predict.py:88)."""
+    from ddaugner_spark.operators.tagging import (
+        load_model,
+        split_sentences,
+        tag_doc_tokens,
+    )
+
+    model = load_model()
+    assert model.max_length == 512
+
+    # 300 sentences of ("spark" PER, terminator) -> >512 wordpieces total
+    toks = ["spark", config.SENT_TERM] * 300
+    assert len(split_sentences(toks)) == 300
+    per_sentence = tag_doc_tokens(model, toks)
+    assert per_sentence == ["B-PER", "O"] * 300  # tail mentions kept
+    single_shot = model.tag_sentence(toks)  # doc-level 512 truncation
+    assert single_shot[0] == "B-PER" and single_shot[-2] == "O"
+    assert per_sentence != single_shot
+
+    # one over-long sentence (no terminator): cap applies and the tail
+    # tokens keep the default 'O'
+    long_sent = ["spark"] * 600
+    tags = tag_doc_tokens(model, long_sent)
+    # [CLS] + 510 single-piece tokens fill the 511 kept slots + [SEP]
+    assert tags[:510] == ["B-PER"] * 510
+    assert tags[510:] == ["O"] * 90
