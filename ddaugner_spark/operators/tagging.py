@@ -243,7 +243,14 @@ def tagged_docs_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def mentions_udf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Mention rows via the Arrow tagging path — same contract as
     operators.mentions.mentions_df, decoded with the pure kernel
-    (utils.py:111-166 semantics) inside the same UDF pass."""
+    (utils.py:111-166 semantics) inside the same UDF pass.
+
+    Equality with the column path (and the shared SQL oracle) holds for
+    sentences under the per-sentence 512-wordpiece cap — the reference's
+    model path truncates there while its dictionary pass doesn't, and
+    this path inherits the model-path contract.  The precondition is
+    pinned on the gate corpora by
+    test_corpus_sentences_below_truncation_cap."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = load_model()

@@ -15,14 +15,18 @@ from ddaugner_spark.operators.mentions import mentions_df
 
 def _ref_mentions(tokens, gaz, term=config.SENT_TERM, max_n=5):
     """Direct port of the reference matcher (fix_ner.py:195-215: windows
-    n=max..1 left-to-right, apply iff >=1 still-'O', overwrite) + the
+    n=max..1 left-to-right, apply iff >=1 'O' in the LEVEL-START
+    snapshot — the guard reads tags through the lazy windowed iterator,
+    so same-level writes are invisible to it; writes land live) + the
     reference BIO decoder (utils.py:111-166: I- extends any open run,
-    orphan I- opens one)."""
+    orphan I- opens one).  Snapshot-vs-lazy equivalence is fuzz-proven
+    in test_gazetteer_general."""
     tags = ["O"] * len(tokens)
     for n in range(max_n, 0, -1):
+        snap = tags[:]
         for i in range(0, len(tokens) - n + 1):
             surf = " ".join(tokens[i : i + n])
-            if surf in gaz and any(t == "O" for t in tags[i : i + n]):
+            if surf in gaz and any(t == "O" for t in snap[i : i + n]):
                 tags[i] = "B-" + gaz[surf]
                 for j in range(i + 1, i + n):
                     tags[j] = "I-" + gaz[surf]

@@ -181,3 +181,38 @@ def test_per_sentence_truncation():
     # [CLS] + 510 single-piece tokens fill the 511 kept slots + [SEP]
     assert tags[:510] == ["B-PER"] * 510
     assert tags[510:] == ["O"] * 90
+
+
+def test_corpus_sentences_below_truncation_cap(spark):
+    """The Arrow tagger paths truncate per sentence at 512 wordpieces;
+    the DuckDB oracle fold (and the inline column path) has no cap, so
+    engine/oracle parity relies on every gate-corpus sentence fitting
+    under it.  Pin that precondition here (truncation behavior itself
+    is pinned by test_per_sentence_truncation) — if a future corpus
+    violates it, this fails instead of the parity gate."""
+    from ddaugner_spark.operators.tagging import split_sentences
+
+    cache: dict[str, int] = {}
+
+    def pieces(tok: str) -> int:
+        c = cache.get(tok)
+        if c is None:
+            c = len(wordpiece_tokenize(tok))
+            cache[tok] = c
+        return c
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = [
+            r["text"]
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("text")
+            .collect()
+            if r["text"]
+        ]
+        worst = max(
+            (sum(pieces(tok) for tok in sent), len(sent))
+            for t in texts
+            for sent in split_sentences(t.split(" "))
+        )
+        # [CLS] + pieces + [SEP] must fit max_length=512
+        assert worst[0] + 2 <= 512, worst
