@@ -305,6 +305,42 @@ def q_mention_setops(spark, sf):
     )
 
 
+def q_better_recalled(spark, sf):
+    """tes_better_recalled.py:53-84 dataflow with the deterministic
+    taggers standing in for the trained models (training is out of
+    scope): gold = the dictionary matcher's entity set; the 'augmented'
+    run = the Arrow model-path tagger (mentions_udf — the predict.py
+    shape); the 'noaug' baseline = the unigram naive matcher.
+    better_recalled = (aug ∩ gold) − noaug, counted by entity surface —
+    the script's sorted Counter over entity names."""
+    d = _docs(spark, sf)
+    cols = ["doc_id", "sent_id", "start_idx", "end_idx", "surface", "tag"]
+    gold = mentions.mentions_df(d).select(*cols)
+    aug = tagging.mentions_udf(d).select(*cols)
+    noaug = mentions.naive_mentions_df(d).select(*cols)
+    better = aug.intersect(gold).subtract(noaug)
+    return better.groupBy("surface").agg(F.count("*").cast("long").alias("n"))
+
+
+def q_error_contexts(spark, sf):
+    """tes_specific_errors.py:75-105: PER precision errors the naive
+    baseline makes against gold (the dictionary run's own error set is
+    empty, so the script's set difference reduces to the baseline's
+    errors), each attached to its ±1-sentence token context
+    (entity_context with context_size=1)."""
+    d = _docs(spark, sf)
+    cols = ["doc_id", "sent_id", "start_idx", "end_idx", "surface", "tag"]
+    gold = mentions.mentions_df(d).select(*cols)
+    naive = mentions.naive_mentions_df(d).select(*cols)
+    errors = naive.filter(F.col("tag") == "PER").subtract(gold)
+    ctx = sentences.context_features(d, k=1).select(
+        "doc_id", "sent_id", F.array_join("ctx_tokens", " ").alias("context")
+    )
+    return errors.join(ctx, ["doc_id", "sent_id"]).select(
+        "doc_id", "start_idx", "end_idx", "surface", "context"
+    )
+
+
 def q_capitalization(spark, sf):
     return augment.capitalization_augment(_docs(spark, sf))
 
@@ -1047,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shipping_priority": q_shipping_priority,
         "q_ngram_match": q_ngram_match,
         "q_mention_ann_ivf": q_mention_ann_ivf,
+        "q_better_recalled": q_better_recalled,
+        "q_error_contexts": q_error_contexts,
         # --- core KG/dedup/ANN re-checks filling the first-50 window ---
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
@@ -1667,6 +1705,43 @@ def oracle_sql() -> dict[str, str]:
              round(2 * (coalesce(n_match,0)::DOUBLE / n_pred) * (coalesce(n_match,0)::DOUBLE / n_gold)
                    / ((coalesce(n_match,0)::DOUBLE / n_pred) + (coalesce(n_match,0)::DOUBLE / n_gold)), 4) AS f1
       FROM np JOIN ng USING (lang) LEFT JOIN nm USING (lang)
+    """
+
+    o["q_better_recalled"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE},
+      better AS (
+        (SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, surface, tag
+         FROM mentsent
+         INTERSECT
+         SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, surface, tag
+         FROM mentsent)
+        EXCEPT
+        SELECT doc_id, sent_id, start_idx, end_idx, surface, tag FROM naive
+      )
+      SELECT surface, count(*)::BIGINT AS n FROM better GROUP BY surface
+    """
+
+    o["q_error_contexts"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE},
+      sctx AS (
+        SELECT t.doc_id, s.sent_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS stext
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+        GROUP BY t.doc_id, s.sent_id
+      ),
+      ctx AS (
+        SELECT doc_id, sent_id,
+               concat_ws(' ', lag(stext) OVER w, stext, lead(stext) OVER w)
+                 AS context
+        FROM sctx WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)
+      ),
+      err AS (
+        SELECT doc_id, sent_id, start_idx, end_idx, surface, tag
+        FROM naive WHERE tag = 'PER'
+        EXCEPT
+        SELECT doc_id, sent_id, start_idx, end_idx, surface, tag FROM mentsent
+      )
+      SELECT e.doc_id, e.start_idx, e.end_idx, e.surface, c.context
+      FROM err e JOIN ctx c ON e.doc_id = c.doc_id AND e.sent_id = c.sent_id
     """
 
     o["q_mention_setops"] = f"""
