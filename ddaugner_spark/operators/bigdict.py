@@ -12,9 +12,11 @@ DATA instead of code:
 
 1. per doc (one narrow pass, still map-only): build candidate windows
    only at positions whose first token is in the dictionary's
-   first-token set — a single ``isin`` probe that Catalyst compiles to
-   one InSet node whose payload is a hash set, so the PLAN stays
-   constant-size regardless of |dictionary|;
+   first-token set, PER LENGTH BUCKET — one ``isin`` probe per distinct
+   entry length, each compiled to an InSet node whose payload is a hash
+   set, so the PLAN stays constant-size regardless of |dictionary| and
+   a length bucket with rare first tokens spawns no windows at
+   positions that could only match another bucket;
 2. explode the (sparse) windows and BROADCAST HASH JOIN on the window
    surface against the (surface, tag) dictionary DataFrame — the only
    place the dictionary appears; dimension-sized, never shuffled;
@@ -57,25 +59,35 @@ _SPAN_DDL = (
 )
 
 
-def _window_structs(firsts: list[str], lengths: list[int]) -> Column:
-    """Per-doc array of candidate windows at first-token-prefiltered
-    positions, one per dictionary length that fits.  ``term_pos`` and
-    the start list are LET-BOUND (single-element-array transform) so
-    neither is re-evaluated per window (no CSE inside lambdas)."""
+def _window_structs(lengths_firsts: list[tuple[int, list[str]]]) -> Column:
+    """Per-doc array of candidate windows with PER-LENGTH first-token
+    prefilters: a length-m window is built at position i only when
+    tokens[i] is in the first-token set of the length-m dictionary
+    bucket — one InSet probe per distinct length, so the plan stays
+    constant-size in |dictionary| while buckets with rare first tokens
+    (the common real-dictionary shape: tens of thousands of unigram
+    names, a handful of multi-word entries) spawn no windows at
+    positions that could only ever match another bucket.  ``term_pos``
+    is LET-BOUND (single-element-array transform) so it is not
+    re-evaluated per window (no CSE inside lambdas)."""
     n = F.col("n_tokens")
     term_pos = F.filter(_seq(n, 1), lambda p: _tok(p) == F.lit(config.SENT_TERM))
-    starts = F.filter(_seq(n, 1), lambda i: _tok(i).isin(list(firsts)))
-    lens_lit = F.array(*[F.lit(int(l)) for l in sorted(lengths)])
-    z = F.array(F.struct(term_pos.alias("tp"), starts.alias("ss")))
+    z = F.array(F.struct(term_pos.alias("tp")))
+
+    def _hit(firsts: list[str]):
+        # closure factory: a loop-bound default arg would receive the
+        # (element, index) lambda calling convention's index Column
+        return lambda i: _tok(i).isin(list(firsts))
 
     def per_doc(zz):
-        def mk(i):
-            sent_start = F.size(F.filter(zz["tp"], lambda t: t < i)).cast("long")
-            return F.transform(
-                F.filter(lens_lit, lambda m: m <= n - i),
-                lambda m: F.struct(
+        def mk(m: int):
+            def w(i):
+                sent_start = F.size(F.filter(zz["tp"], lambda t: t < i)).cast(
+                    "long"
+                )
+                return F.struct(
                     i.cast("int").alias("start"),
-                    m.cast("int").alias("wn"),
+                    F.lit(m).cast("int").alias("wn"),
                     F.array_join(
                         F.slice(F.col("tokens"), (i + 1).cast("int"), m), " "
                     ).alias("surface"),
@@ -83,10 +95,15 @@ def _window_structs(firsts: list[str], lengths: list[int]) -> Column:
                     F.filter(zz["tp"], lambda t: (t >= i) & (t < i + m)).alias(
                         "wterm"
                     ),
-                ),
-            )
+                )
 
-        return F.flatten(F.transform(zz["ss"], mk))
+            return w
+
+        per_len = [
+            F.transform(F.filter(_seq(n, m), _hit(firsts)), mk(m))
+            for m, firsts in lengths_firsts
+        ]
+        return per_len[0] if len(per_len) == 1 else F.concat(*per_len)
 
     return F.element_at(F.transform(z, per_doc), 1)
 
@@ -284,13 +301,12 @@ def mentions_bigdict_df(
             "doc_id long, sent_id long, start_idx long, end_idx long,"
             " surface string, tag string",
         )
-    lengths = sorted(r["wn"] for r in meta)
-    firsts = sorted({ft for r in meta for ft in r["fts"]})
-    max_n = max(lengths)
+    lengths_firsts = sorted((r["wn"], sorted(r["fts"])) for r in meta)
+    max_n = max(m for m, _f in lengths_firsts)
 
     windows = with_tokens(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_window_structs(firsts, lengths)).alias("w"),
+        F.explode(_window_structs(lengths_firsts)).alias("w"),
     )
     cands = windows.select(
         "doc_id",
