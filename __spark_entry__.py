@@ -207,10 +207,13 @@ def q_mention_ann(spark, sf):
 def _mention_vecs(spark, sf):
     """Distinct mention-embedding vector table (vec_id, surface, tag,
     embedding array<double>): one row per distinct (surface, tag) with a
-    nonzero vector; vec_id = dense 0-based rank by (surface asc, tag
-    asc) — deterministic and SQL-replayable (ASCII surfaces, binary
-    collation on both engines)."""
-    from pyspark.sql import Window
+    nonzero vector; vec_id = 60-bit md5 hash of 'surface|tag' — a pure
+    MAP-SIDE id (a global row_number would single-partition-sort the
+    distinct-surface table, the same scale-killer class as the old
+    crossJoin), deterministic, and SQL-replayable (KMV uses the same
+    Spark `conv` / DuckDB `('0x'||hex)::UBIGINT` pairing).  Collisions
+    would need ~2^30 distinct surfaces and would merge identically on
+    both engines."""
     from ddaugner_spark.operators.tagging import EMB_DIMS, mention_embeddings_udf
 
     sd = [f"s_{d}" for d in range(EMB_DIMS)]
@@ -220,9 +223,11 @@ def _mention_vecs(spark, sf):
         .distinct()
         .filter(sum(F.col(d) * F.col(d) for d in sd) > 0)
     )
-    w = Window.orderBy("surface", "tag")  # tiny table: one-partition rank is fine
+    vec_id = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "surface", "tag")), 1, 15), 16, 10
+    ).cast("long")
     return e.select(
-        (F.row_number().over(w).cast("long") - 1).alias("vec_id"),
+        vec_id.alias("vec_id"),
         "surface",
         "tag",
         F.array(*[F.col(d).cast("double") for d in sd]).alias("embedding"),
@@ -1606,7 +1611,8 @@ def oracle_sql() -> dict[str, str]:
       ),
       snn AS (SELECT * FROM semb WHERE ({_norm}) > 0),
       mvec AS (
-        SELECT row_number() OVER (ORDER BY surface, tag) - 1 AS vec_id,
+        SELECT ('0x' || substr(md5(surface || '|' || tag), 1, 15))
+                 ::UBIGINT::BIGINT AS vec_id,
                surface, tag, {_mvec_emb} AS embedding
         FROM snn
       ),
