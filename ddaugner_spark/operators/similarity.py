@@ -216,27 +216,13 @@ def kmeans_centroids(
         for i, r in enumerate(init_rows)
     ]
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(c, v) for c, v in cents], "cell int, centroid array<double>"
-        )
-        dist = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.col("centroid"),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            8,
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cell").asc())
-        assigned = (
-            embeddings.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "embedding", "cell", dist.alias("dist"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+        # MAP-ONLY assignment: centroids inlined as literals through
+        # _nearest_cells (identical 8-digit distance rounding and
+        # (dist, cell) tiebreak as the final corpus assignment) — the
+        # earlier crossJoin+window formulation exploded the corpus
+        # n_cells× and window-sorted it per vector, per iteration
+        assigned = embeddings.withColumn(
+            "cell", F.element_at(_nearest_cells(F.col("embedding"), cents, 1), 1)
         )
         upd = assigned.groupBy("cell").agg(
             *[
