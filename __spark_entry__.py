@@ -78,7 +78,9 @@ def entry(spark: SparkSession) -> DataFrame:
     extracted = pages.select("doc_id", extract_text(F.col("html")).alias("text"))
     t = triples.triples_df(extracted)
     m = mentions.mentions_df(extracted)
-    comps = canonical.connected_components(canonical.co_mention_edges(m))
+    comps = canonical.connected_components(
+        canonical.co_mention_edges(m), stage_dir=_scratch("entry_cc_")
+    )
     return canonical.canonicalize_triples(t, comps).select(
         "doc_id", "sent_id", "subj_canon", "pred", "obj_canon", "subj", "obj"
     )
@@ -382,7 +384,12 @@ def q_entity_docs(spark, sf):
 
 def q_canonical_cc(spark, sf):
     m = mentions.mentions_df(_docs(spark, sf))
-    return canonical.connected_components(canonical.co_mention_edges(m))
+    # explicit gate-owned stage_dir: the default own-dir would outlive
+    # the query (the result is lazily backed by the final checkpoint)
+    # and leak one /tmp dir per gate run
+    return canonical.connected_components(
+        canonical.co_mention_edges(m), stage_dir=_scratch("q_canonical_cc_")
+    )
 
 
 def q_gazetteer_inject(spark, sf):
@@ -404,7 +411,9 @@ def q_balance_upsample(spark, sf):
     chosen doc multiset IS SQL-expressible and oracle-checked; the
     ratio-restoration law is additionally pytest-pinned
     (tests/test_augment.py)."""
-    corpus, _ = augment.balance_upsample(_docs(spark, sf))
+    corpus, _ = augment.balance_upsample(
+        _docs(spark, sf), stage_dir=_scratch("q_balance_")
+    )
     return corpus.select("doc_id", "augmented", F.md5("text").alias("text_hash"))
 
 

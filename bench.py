@@ -508,6 +508,17 @@ def main():
     run_aux_benchmarks(spark, q, thr)
     spark.stop()
 
+    # leave no /tmp dirs behind (same leak class the gate's _scratch
+    # root guards against)
+    import shutil as _sh
+
+    for d in (
+        "/tmp/ddaugner_headline_corpus",
+        "/tmp/ddaugner_bench_mentions",
+        "/tmp/ddaugner_bench_cc",
+    ):
+        _sh.rmtree(d, ignore_errors=True)
+
     # auxiliary measurements must never kill the bench record
     try:
         from tools.reference_baseline import measure as ref_measure

@@ -30,7 +30,7 @@ def test_replace_preserves_count_changes_content(spark, docs):
     assert changed > 0
 
 
-def test_balance_restores_ratios(spark, docs):
+def test_balance_restores_ratios(spark, docs, tmp_path):
     """balance_upsample moves post-augmentation class ratios back toward
     the pre-augmentation ratios (test_conll.py:72-88, 3-decimal law
     relaxed: upsampling granularity is whole documents here, sentences in
@@ -45,14 +45,12 @@ def test_balance_restores_ratios(spark, docs):
     # materialize compositions before re-running mention detection over
     # them (CLAUDE.md: parquet round-trips between stages; the mention
     # fold re-evaluates an unmaterialized injection expression per window)
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="ddaugner_test_balance_")
+    d = str(tmp_path)  # pytest-owned, removed automatically
     augment.augment_standard(small, freq=0.3).write.mode("overwrite").parquet(
         f"{d}/plain"
     )
     plain = spark.read.parquet(f"{d}/plain")
-    corpus, diag = augment.balance_upsample(small, freq=0.3)
+    corpus, diag = augment.balance_upsample(small, freq=0.3, stage_dir=f"{d}/stage")
     corpus.write.mode("overwrite").parquet(f"{d}/bal")
     corpus = spark.read.parquet(f"{d}/bal")
 
