@@ -791,6 +791,48 @@ def q_ngram_match(spark, sf):
     )
 
 
+def q_sole_return_suppliers(spark, sf):
+    """TPC-H Q21 shape (suppliers-who-kept-orders-waiting) adapted to
+    this schema's columns: returned lines (l_returnflag='R') of
+    finalized orders where ANOTHER supplier shares the order (EXISTS)
+    but NO other supplier's line was returned (NOT EXISTS).
+
+    Hand-decorrelated Spark plan (the oracle keeps the correlated
+    double-EXISTS form): per-order distinct-supplier and distinct-
+    returning-supplier counts — two aggregates sharing the l_orderkey
+    shuffle key with the candidate join — then EXISTS ⇔ n_supp ≥ 2 and
+    NOT EXISTS ⇔ the returning supplier is the order's only one
+    (n_ret_supp = 1, and the candidate line itself is returned).
+    Supplier dimension broadcast."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    ret = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    ostats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    rstats = ret.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_ret_supp")
+    )
+    fo = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    cand = (
+        ret.join(fo, "l_orderkey")
+        .join(ostats, "l_orderkey")
+        .join(rstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+    )
+    return (
+        cand.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            cand.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
 def q_order_priority(spark, sf):
     """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
     late-shipping line, counted per priority (left_semi keeps the probe
@@ -1099,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mention_ann_ivf": q_mention_ann_ivf,
         "q_better_recalled": q_better_recalled,
         "q_error_contexts": q_error_contexts,
+        "q_sole_return_suppliers": q_sole_return_suppliers,
         # --- core KG/dedup/ANN re-checks filling the first-50 window ---
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
@@ -2674,6 +2717,24 @@ def oracle_sql() -> dict[str, str]:
                AS gap_seconds
       FROM p JOIN o2 ON p.user_id = o2.user_id
         AND abs(epoch_us(p.ts) - epoch_us(o2.ts)) <= 900 * 1000000
+    """
+
+    # correlated double-EXISTS form of the hand-decorrelated Spark plan
+    o["q_sole_return_suppliers"] = """
+      SELECT s_name, count(*)::BIGINT AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
     """
 
     o["q_order_priority"] = """
