@@ -833,6 +833,34 @@ def q_sole_return_suppliers(spark, sf):
     )
 
 
+def q_rich_light_customers(spark, sf):
+    """TPC-H Q22 shape: two scalar aggregate subqueries (global average
+    balance; average order count per ordering customer) plus a
+    correlated per-customer order count — decorrelated into two 1-row
+    aggregates broadcast via crossJoin and a left-joined groupBy count.
+    Both scalar thresholds are rounded to 6 digits on BOTH engines so a
+    float-sum-order ulp can't flip a boundary row."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    avg_bal = cust.agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal"))
+    percust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    avg_cnt = percust.agg(F.round(F.avg("n_orders"), 6).alias("avg_cnt"))
+    joined = (
+        cust.join(percust, cust.c_custkey == F.col("o_custkey"), "left")
+        .withColumn("cnt", F.coalesce(F.col("n_orders"), F.lit(0)))
+        .crossJoin(F.broadcast(avg_bal))
+        .crossJoin(F.broadcast(avg_cnt))
+        .filter(
+            (F.col("c_acctbal") > F.col("avg_bal"))
+            & (F.col("cnt") < F.col("avg_cnt"))
+        )
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
 def q_order_priority(spark, sf):
     """TPC-H Q4 shape: EXISTS semi-join — orders with at least one
     late-shipping line, counted per priority (left_semi keeps the probe
@@ -1142,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_better_recalled": q_better_recalled,
         "q_error_contexts": q_error_contexts,
         "q_sole_return_suppliers": q_sole_return_suppliers,
+        "q_rich_light_customers": q_rich_light_customers,
         # --- core KG/dedup/ANN re-checks filling the first-50 window ---
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
@@ -2717,6 +2746,19 @@ def oracle_sql() -> dict[str, str]:
                AS gap_seconds
       FROM p JOIN o2 ON p.user_id = o2.user_id
         AND abs(epoch_us(p.ts) - epoch_us(o2.ts)) <= 900 * 1000000
+    """
+
+    # scalar-subquery form of the decorrelated Spark plan
+    o["q_rich_light_customers"] = """
+      SELECT c_mktsegment, count(*)::BIGINT AS n,
+             round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer c
+      WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer)
+        AND coalesce((SELECT count(*) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 0)
+            < (SELECT round(avg(cnt), 6) FROM
+               (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey))
+      GROUP BY c_mktsegment
     """
 
     # correlated double-EXISTS form of the hand-decorrelated Spark plan
