@@ -833,6 +833,30 @@ def q_sole_return_suppliers(spark, sf):
     )
 
 
+def q_big_orders(spark, sf):
+    """TPC-H Q18 shape (large-volume customers): IN-subquery with a
+    HAVING aggregate threshold, decorrelated as a LEFT SEMI join
+    against the aggregated key set; then the customer/orders/lineitem
+    3-way join re-aggregates per order.  The semi join and the final
+    aggregation share the orderkey shuffle key."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sumq"))
+        .filter(F.col("sumq") > 200)
+        .select("l_orderkey")
+    )
+    sel = orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+    return (
+        sel.join(cust, sel.o_custkey == cust.c_custkey)
+        .join(li, sel.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+    )
+
+
 def q_rich_light_customers(spark, sf):
     """TPC-H Q22 shape: two scalar aggregate subqueries (global average
     balance; average order count per ordering customer) plus a
@@ -1171,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_error_contexts": q_error_contexts,
         "q_sole_return_suppliers": q_sole_return_suppliers,
         "q_rich_light_customers": q_rich_light_customers,
+        "q_big_orders": q_big_orders,
         # --- core KG/dedup/ANN re-checks filling the first-50 window ---
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
@@ -2746,6 +2771,17 @@ def oracle_sql() -> dict[str, str]:
                AS gap_seconds
       FROM p JOIN o2 ON p.user_id = o2.user_id
         AND abs(epoch_us(p.ts) - epoch_us(o2.ts)) <= 900 * 1000000
+    """
+
+    # IN-subquery + HAVING form of the left-semi Spark plan
+    o["q_big_orders"] = """
+      SELECT c_name, o_orderkey, o_totalprice,
+             round(sum(l_quantity), 4) AS total_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, o_orderkey, o_totalprice
     """
 
     # scalar-subquery form of the decorrelated Spark plan
