@@ -523,6 +523,19 @@ def q_text_extract(spark, sf):
     )
 
 
+def q_stream_dedup(spark, sf):
+    """Streaming exact dedup with bounded state
+    (dropDuplicatesWithinWatermark over the synthesized crawl
+    timestamp): the emitted first-seen hash set must equal the batch
+    DISTINCT md5(text) over the dup-amplified corpus."""
+    from ddaugner_spark.streaming import incremental_dedup
+
+    ck = _scratch("q_stream_dd_ck_")
+    out = _scratch("q_stream_dd_out_")
+    incremental_dedup(spark, f"{sf}/documents.parquet", ck, out)
+    return spark.read.parquet(out).select("text_hash")
+
+
 def q_media_metadata(spark, sf):
     """Typed metadata over opaque binary payloads (multimodal column
     plumbing): modality/width/height/duration derived deterministically
@@ -1179,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_triples": q_stream_triples,
         "q_stream_mentions": q_stream_mentions,
         "q_stream_link_scores": q_stream_link_scores,
+        "q_stream_dedup": q_stream_dedup,
         "q_media_metadata": q_media_metadata,
         "q_media_decode": q_media_decode,
         "q_frame_plan": q_frame_plan,
@@ -2888,5 +2902,11 @@ def oracle_sql() -> dict[str, str]:
     o["q_stream_triples"] = o["q_triples"]
     o["q_stream_mentions"] = o["q_mentions"]
     o["q_stream_link_scores"] = o["q_entity_link"]
+
+    # streaming bounded-state dedup: first-seen hash set == batch distinct
+    o["q_stream_dedup"] = f"""
+      WITH {_CORPUS}
+      SELECT DISTINCT md5(text) AS text_hash FROM corpus
+    """
 
     return o

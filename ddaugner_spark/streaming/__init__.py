@@ -1,4 +1,5 @@
 from .incremental import (
+    incremental_dedup,
     incremental_event_counts,
     incremental_link_scores,
     incremental_mentions,
@@ -6,6 +7,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "incremental_dedup",
     "incremental_event_counts",
     "incremental_link_scores",
     "incremental_mentions",

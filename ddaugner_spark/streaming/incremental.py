@@ -180,3 +180,43 @@ def incremental_mentions(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+) -> int:
+    """Streaming exact dedup with BOUNDED state: first-seen rows per
+    text hash pass, later duplicates are dropped within the event-time
+    watermark via ``dropDuplicatesWithinWatermark`` — state entries
+    expire once the watermark passes them, which is the 10^12-document
+    shape (a bare ``dropDuplicates`` grows the state store forever).
+    Event time is the crawl-timestamp column of the pages input shape
+    (synthesized here as a pure function of doc_id, spanning 1 h
+    against a 2 h watermark so every planted duplicate lands inside
+    it and the emitted hash set equals the batch distinct set — the
+    oracle's ``SELECT DISTINCT md5(text)``).  Returns rows written."""
+    from ..operators import dedup
+
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+    corpus = dedup.with_dup_corpus(stream)
+    hashed = corpus.select(
+        F.md5("text").alias("text_hash"),
+        F.timestamp_seconds(
+            F.lit(1_600_000_000) + (F.col("doc_id") % 3600)
+        ).alias("crawl_ts"),
+    ).withWatermark("crawl_ts", "2 hours")
+    dd = hashed.dropDuplicatesWithinWatermark(["text_hash"]).select("text_hash")
+    q = (
+        dd.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).count()

@@ -128,3 +128,27 @@ def test_incremental_link_scores_match_batch(spark, sf_dir, tmp_path):
     got2 = incremental_link_scores(spark, f"{sf_dir}/documents.parquet", ckpt, out)
     g2 = {(r["entity"], r["class"]): (r["n_mentions"], r["total_score"]) for r in got2.collect()}
     assert g2 == g
+
+
+def test_incremental_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    the emitted first-seen hash set equals the batch DISTINCT md5(text)
+    over the dup-amplified corpus, and a replay with the same
+    checkpoint is a no-op."""
+    import pyspark.sql.functions as F
+
+    from ddaugner_spark.operators import dedup
+    from ddaugner_spark.streaming import incremental_dedup
+
+    ckpt, out = str(tmp_path / "ckdd"), str(tmp_path / "dd_out")
+    n1 = incremental_dedup(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    corpus = dedup.with_dup_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    want = {
+        r["text_hash"]
+        for r in corpus.select(F.md5("text").alias("text_hash")).distinct().collect()
+    }
+    got = {r["text_hash"] for r in spark.read.parquet(out).collect()}
+    assert got == want
+    assert n1 == len(want)
+    n2 = incremental_dedup(spark, f"{sf_dir}/documents.parquet", ckpt, out)
+    assert n2 == n1
