@@ -501,23 +501,24 @@ def main():
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    t0 = time.time()
-    q, thr = run_benchmarks(spark, SF_DIR)
-    total = time.time() - t0
-    # aux lines (bigdict detector) measured OUTSIDE the headline wall
-    run_aux_benchmarks(spark, q, thr)
-    spark.stop()
+    try:
+        t0 = time.time()
+        q, thr = run_benchmarks(spark, SF_DIR)
+        total = time.time() - t0
+        # aux lines (bigdict detector) measured OUTSIDE the headline wall
+        run_aux_benchmarks(spark, q, thr)
+    finally:
+        spark.stop()
+        # leave no /tmp dirs behind even on a failed run (same leak
+        # class the gate's _scratch root guards against)
+        import shutil as _sh
 
-    # leave no /tmp dirs behind (same leak class the gate's _scratch
-    # root guards against)
-    import shutil as _sh
-
-    for d in (
-        "/tmp/ddaugner_headline_corpus",
-        "/tmp/ddaugner_bench_mentions",
-        "/tmp/ddaugner_bench_cc",
-    ):
-        _sh.rmtree(d, ignore_errors=True)
+        for d in (
+            "/tmp/ddaugner_headline_corpus",
+            "/tmp/ddaugner_bench_mentions",
+            "/tmp/ddaugner_bench_cc",
+        ):
+            _sh.rmtree(d, ignore_errors=True)
 
     # auxiliary measurements must never kill the bench record
     try:

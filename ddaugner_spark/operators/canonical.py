@@ -105,7 +105,14 @@ def connected_components(
     """
     spark = edges.sparkSession
     own_dir = stage_dir is None
-    stage_dir = stage_dir or tempfile.mkdtemp(prefix="ddaugner_cc_")
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_cc_")
+        # the result stays lazily backed by the final checkpoint, so the
+        # dir must outlive this call — but not the process: without this
+        # every no-stage_dir caller leaks one /tmp dir per invocation
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
 
     def _roundtrip(df: DataFrame, name: str) -> DataFrame:
         df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
