@@ -143,7 +143,14 @@ def balance_upsample(
     from .mentions import mentions_df
 
     aug = augment_standard(docs, freq=freq, modulus=modulus)
-    stage_dir = stage_dir or tempfile.mkdtemp(prefix="ddaugner_balance_")
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_balance_")
+        # the returned corpus stays lazily backed by this staging dir;
+        # remove it at process exit so no-stage_dir callers don't leak
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     aug.write.mode("overwrite").parquet(f"{stage_dir}/aug")
     aug = docs.sparkSession.read.parquet(f"{stage_dir}/aug")
 
