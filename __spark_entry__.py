@@ -670,6 +670,14 @@ def q_ann_ivf_kmeans(spark, sf):
     return similarity.ivf_kmeans_topk(_emb(spark, sf), QUERY_IDS, nprobe=24)
 
 
+def q_ann_quantized(spark, sf):
+    """Top-k cosine over the int8-quantized corpus (4× memory/IO vs
+    float32; cosine is per-vector scale-invariant so ranking runs on
+    exact integer dot products).  Recall vs the float baseline pinned
+    in tests/test_ivf_kmeans.py."""
+    return similarity.quantized_topk(_emb(spark, sf), QUERY_IDS)
+
+
 def q_cosine_threshold(spark, sf):
     return similarity.threshold_pairs(_emb(spark, sf), QUERY_IDS)
 
@@ -1210,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sole_return_suppliers": q_sole_return_suppliers,
         "q_rich_light_customers": q_rich_light_customers,
         "q_big_orders": q_big_orders,
+        "q_ann_quantized": q_ann_quantized,
         # --- core KG/dedup/ANN re-checks filling the first-50 window ---
         "q_mentions": q_mentions,
         "q_mentions_bigdict": q_mentions_bigdict,
@@ -2529,6 +2538,33 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY qid, vec_id
       ),
       scored AS (SELECT qid, vec_id, dot / (sqrt(qn) * sqrt(vn)) AS raw FROM dots)
+    """
+
+    # the same crossJoin/rank chain over the int8-quantized corpus
+    _ann_core_q = _ann_core.replace("FROM embeddings", "FROM qvecs").replace(
+        ", embeddings v", ", qvecs v"
+    )
+    o["q_ann_quantized"] = f"""
+      WITH qe AS (
+        SELECT vec_id, embedding,
+               round(list_max(list_transform(embedding,
+                     x -> abs(x::DOUBLE))) / 127.0, 9) AS scale
+        FROM embeddings
+      ),
+      qvecs AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CASE WHEN scale > 0
+                   THEN greatest(-127.0,
+                        least(127.0, round(x::DOUBLE / scale, 0)))
+                   ELSE 0.0 END) AS embedding
+        FROM qe
+      ),
+      {_ann_core_q}
+      SELECT qid AS query_id, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY raw DESC, vec_id) AS rank,
+             round(raw, 4) AS score
+      FROM scored
+      QUALIFY rank <= {config.ANN_TOP_K}
     """
 
     o["q_ann_topk"] = f"""

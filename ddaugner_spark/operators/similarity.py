@@ -318,6 +318,67 @@ def ivf_kmeans_topk(
     )
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, qvec array<int>): symmetric per-vector int8 quantization
+    — scale = round(max|v| / 127, 9), q_d = round(v_d / scale) clamped
+    to ±127 (the 9-digit scale rounding can push the max element to
+    128 otherwise); zero vectors quantize to all-zero.
+
+    The 100 TB lever: 4× less memory/IO than float32 for the ANN
+    corpus, and since cosine is scale-invariant PER VECTOR the ranking
+    runs directly on integer dot products — no dequantization.  The
+    scale is LET-BOUND next to the embedding (single-element-array
+    transform) so ``array_max`` is not re-evaluated per element (no CSE
+    inside lambda bodies)."""
+    z = F.array(
+        F.struct(
+            F.col("embedding").alias("e"),
+            F.round(
+                F.array_max(
+                    F.transform("embedding", lambda x: F.abs(x.cast("double")))
+                )
+                / F.lit(127.0),
+                9,
+            ).alias("s"),
+        )
+    )
+    qvec = F.element_at(
+        F.transform(
+            z,
+            lambda zz: F.transform(
+                zz["e"],
+                lambda x: F.when(
+                    zz["s"] > 0,
+                    F.greatest(
+                        F.lit(-127.0),
+                        F.least(F.lit(127.0), F.round(x.cast("double") / zz["s"], 0)),
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .cast("int"),
+            ),
+        ),
+        1,
+    )
+    return embeddings.select("vec_id", qvec.alias("qvec"))
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = config.ANN_TOP_K,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine over the int8-quantized corpus (the
+    quantization-fidelity baseline; compose with the IVF index for the
+    production path).  int casts to float exactly (|q| ≤ 127), so the
+    per-pair arithmetic is exact integer dot products."""
+    q = quantize_embeddings(embeddings).select(
+        "vec_id", F.col("qvec").cast("array<float>").alias("embedding")
+    )
+    return brute_force_topk(q, query_ids, k=k, ndigits=ndigits)
+
+
 def threshold_pairs(
     embeddings: DataFrame,
     query_ids: list[int],

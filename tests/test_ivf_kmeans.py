@@ -63,3 +63,26 @@ def test_mention_ann_recall_at_3_vs_brute_force(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_quantized_recall_vs_float(spark, emb):
+    """int8 quantization must not disturb the neighborhood structure:
+    recall@10 vs the float32 exact baseline >= 0.9, and every quantized
+    component stays in [-127, 127]."""
+    import pyspark.sql.functions as F
+
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(emb, QIDS, k=10).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.quantized_topk(emb, QIDS, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
+    q = similarity.quantize_embeddings(emb)
+    mx = q.select(
+        F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("m")
+    ).collect()[0]["m"]
+    assert mx <= 127
