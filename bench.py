@@ -4,7 +4,7 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32) and
 prints ONE JSON line::
 
-  {"metric": "...", "value": <end-to-end sec>, "unit": "sec",
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ...,
    "throughput": {...rows/sec...}, "scaling": {...N vs 4N...}}
 
@@ -14,6 +14,20 @@ mention/triple/link stages process millions of tokens and the
 two-parallelism scaling measurement (the sandbox proxy for the
 north_rule's N→4N executor criterion) is compute-bound rather than
 overhead-bound.  Scaling details are also written to BENCH/BASELINE.md.
+
+CONTENTION HARDENING (round 5, VERDICT r4 #4 — the round-4 driver
+record ran on a box at loadavg 15-17 and regressed 28% while its own
+fixed-workload canary slowed 40%):
+
+* the single-process CANARY runs FIRST, so every record carries its own
+  contention normalizer up front;
+* every per-query leg is min-of-``SPARK_GRAFT_QUERY_REPS`` (default 2)
+  with 1-min loadavg recorded around EACH rep (``queries_raw`` in the
+  JSON);
+* **the headline ``value`` is redefined (round 5)** as the SUM OF THE
+  PER-QUERY MINIMA — a contended rep can no longer poison the headline.
+  Do not compare it against rounds ≤ 4, whose value was the single-pass
+  section wall including warmups (r4: 59.03 driver / 40.72 builder).
 """
 
 from __future__ import annotations
@@ -42,7 +56,38 @@ from ddaugner_spark.operators import (
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "20"))
+QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
 SMALL_CPUS = max(1, CPUS // 4)
+
+#: per-query rep records: name -> [{"sec","load_start","load_end"}]
+QUERIES_RAW: dict[str, list[dict]] = {}
+
+
+def leg(name: str, fn, q: dict, reps: int = None):
+    """min-of-``reps`` timed legs with 1-min loadavg around each rep
+    (contention evidence, VERDICT r4 #4).  Records the min into
+    ``q[name]`` and every raw rep into QUERIES_RAW; returns the result
+    of the fastest rep's ``fn()``."""
+    reps = QUERY_REPS if reps is None else reps
+    best = None
+    raw = []
+    for _ in range(max(1, reps)):
+        load0 = os.getloadavg()[0]
+        t0 = time.time()
+        res = fn()
+        wall = time.time() - t0
+        raw.append(
+            {
+                "sec": round(wall, 3),
+                "load_start": round(load0, 2),
+                "load_end": round(os.getloadavg()[0], 2),
+            }
+        )
+        if best is None or wall < best[0]:
+            best = (wall, res)
+    q[name] = round(best[0], 3)
+    QUERIES_RAW[name] = raw
+    return best[1]
 
 
 def amplified_docs(spark, sf_dir: str, factor: int) -> DataFrame:
@@ -67,13 +112,10 @@ def amplified_docs(spark, sf_dir: str, factor: int) -> DataFrame:
     return out.repartition(parts, "doc_id")
 
 
-def kg_flagship(spark, docs: DataFrame) -> dict:
+def kg_flagship(spark, docs: DataFrame, q: dict, thr: dict) -> None:
     """pages → byte-identical extract → mentions → links → triples.
-    Returns stage row counts and wall times.
 
-    The mention stage is timed in TWO attributable legs (VERDICT r3 #1 —
-    the round-3 official record regressed 4.65 → 7.70 s with flat
-    compute-only throughput, so the sink leg must be separable):
+    The mention stage is timed in TWO attributable legs (VERDICT r3 #1):
     ``mentions_write`` = compute + parquet sink, ``mentions_read`` =
     re-scan + count; ``mentions`` stays their sum (round-over-round
     comparable).  Sink file count and byte volume are reported with the
@@ -81,7 +123,6 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
     pages = synthesize_pages(docs)
     extracted = pages.select("doc_id", extract_text(F.col("html")).alias("text"))
 
-    out = {}
     # the pipeline materializes the mention stage as a parquet checkpoint
     # (plans/pipeline.py); downstream stages reuse it.  Compact columnar
     # materialization measured 5-10× faster than localCheckpoint's
@@ -89,39 +130,42 @@ def kg_flagship(spark, docs: DataFrame) -> dict:
     import shutil as _sh
 
     mdir = "/tmp/ddaugner_bench_mentions"
-    _sh.rmtree(mdir, ignore_errors=True)
-    t0 = time.time()
-    mentions.mentions_df(extracted).write.parquet(mdir)
-    t_write = time.time() - t0
+
+    def write_leg():
+        _sh.rmtree(mdir, ignore_errors=True)
+        mentions.mentions_df(extracted).write.parquet(mdir)
+        return mdir
+
+    leg("kg_mentions_write", write_leg, q)
     sink_files = 0
     sink_bytes = 0
     for fn in os.listdir(mdir):
         if fn.endswith(".parquet"):
             sink_files += 1
             sink_bytes += os.path.getsize(os.path.join(mdir, fn))
-    t0 = time.time()
-    m = spark.read.parquet(mdir)
-    n_mentions = m.count()
-    t_read = time.time() - t0
-    out["mentions_write"] = {
-        "rows": n_mentions,
-        "sec": round(t_write, 3),
-        "sink_files": sink_files,
-        "sink_mb": round(sink_bytes / 1e6, 1),
-    }
-    out["mentions_read"] = {"rows": n_mentions, "sec": round(t_read, 3)}
-    out["mentions"] = {"rows": n_mentions, "sec": round(t_write + t_read, 3)}
 
-    t0 = time.time()
-    linking.link_scores(m, gazetteer_df(spark)).count()
+    m = spark.read.parquet(mdir)
+    n_mentions = leg(
+        "kg_mentions_read", lambda: spark.read.parquet(mdir).count(), q
+    )
+    q["kg_mentions"] = round(q["kg_mentions_write"] + q["kg_mentions_read"], 3)
+    thr["mentions_write_per_sec"] = round(n_mentions / max(q["kg_mentions_write"], 1e-9), 1)
+    thr["mentions_read_per_sec"] = round(n_mentions / max(q["kg_mentions_read"], 1e-9), 1)
+    thr["mentions_per_sec"] = round(n_mentions / max(q["kg_mentions"], 1e-9), 1)
+    thr["mentions_sink_files"] = sink_files
+    thr["mentions_sink_mb"] = round(sink_bytes / 1e6, 1)
+
+    leg(
+        "kg_link_scores",
+        lambda: linking.link_scores(m, gazetteer_df(spark)).count(),
+        q,
+    )
     # north_star metric is link-score *candidates*/sec — the scored
     # mention stream, not the tiny aggregated output
-    out["link_scores"] = {"rows": n_mentions, "sec": round(time.time() - t0, 3)}
+    thr["link_scores_per_sec"] = round(n_mentions / max(q["kg_link_scores"], 1e-9), 1)
 
-    t0 = time.time()
-    n_triples = triples.triples_df(extracted).count()
-    out["triples"] = {"rows": n_triples, "sec": round(time.time() - t0, 3)}
-    return out
+    n_triples = leg("kg_triples", lambda: triples.triples_df(extracted).count(), q)
+    thr["triples_per_sec"] = round(n_triples / max(q["kg_triples"], 1e-9), 1)
 
 
 def bigdict_gazetteer(spark, n_extra: int = 30_000) -> DataFrame:
@@ -142,7 +186,7 @@ def bigdict_gazetteer(spark, n_extra: int = 30_000) -> DataFrame:
     return spark.createDataFrame(rows, "surface string, tag string")
 
 
-def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
+def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     # materialize the amplified corpus once so stage timings measure the
     # operators over a real multi-split scan, not the amplification shuffle
     import shutil as _sh
@@ -154,21 +198,18 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q: dict[str, float] = {}
     thr: dict[str, float] = {}
+    aux: dict = {}
 
-    stages = kg_flagship(spark, docs)
-    for name, s in stages.items():
-        q[f"kg_{name}"] = s["sec"]
-        thr[f"{name}_per_sec"] = round(s["rows"] / max(s["sec"], 1e-9), 1)
-    thr["mentions_sink_files"] = stages["mentions_write"]["sink_files"]
-    thr["mentions_sink_mb"] = stages["mentions_write"]["sink_mb"]
+    kg_flagship(spark, docs, q, thr)
 
     # compute-only mention throughput (no sink) — the apples-to-apples
     # number against the single-process reference-shaped baseline, which
     # also writes nothing
-    t0 = time.time()
-    n_m = mentions.mentions_df(docs).count()
-    thr["mentions_compute_only_per_sec"] = round(n_m / (time.time() - t0), 1)
-
+    tmp = {}
+    n_m = leg("mentions_compute_only", lambda: mentions.mentions_df(docs).count(), tmp)
+    thr["mentions_compute_only_per_sec"] = round(
+        n_m / max(tmp["mentions_compute_only"], 1e-9), 1
+    )
 
     # warm the CC plan shapes first (edges self-join + per-iteration
     # join/groupBy/write/count): the iterative loop compiles 4-5
@@ -180,64 +221,160 @@ def run_benchmarks(spark, sf_dir: str) -> tuple[dict, dict]:
     canonical.connected_components(
         canonical.co_mention_edges(wm), stage_dir="/tmp/ddaugner_bench_cc"
     ).count()
-    t0 = time.time()
-    m = mentions.mentions_df(amplified_docs(spark, sf_dir, 1))
-    canonical.connected_components(
-        canonical.co_mention_edges(m), stage_dir="/tmp/ddaugner_bench_cc"
-    ).count()
-    q["kg_canonical_cc"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    dedup.minhash_near_duplicates(dedup.with_dup_corpus(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"))).count()
-    q["dedup_minhash_lsh"] = round(time.time() - t0, 3)
+    def cc_leg():
+        # fresh stats per rep; the fastest rep's stats are recorded
+        st: dict = {}
+        m = mentions.mentions_df(amplified_docs(spark, sf_dir, 1))
+        canonical.connected_components(
+            canonical.co_mention_edges(m),
+            stage_dir="/tmp/ddaugner_bench_cc",
+            stats=st,
+        ).count()
+        return st
 
-    t0 = time.time()
-    similarity.brute_force_topk(emb, [0, 1, 2, 3, 4]).count()
-    q["ann_topk"] = round(time.time() - t0, 3)
+    # per-iteration walls + checkpoint counters for the fastest rep, so
+    # a regression on this line is attributable (VERDICT r4 #2)
+    aux["cc_stats"] = leg("kg_canonical_cc", cc_leg, q)
 
-    t0 = time.time()
-    textstats.langid_predictions(spark.read.parquet(f"{sf_dir}/documents.parquet")).count()
-    q["langid"] = round(time.time() - t0, 3)
+    leg(
+        "dedup_minhash_lsh",
+        lambda: dedup.minhash_near_duplicates(
+            dedup.with_dup_corpus(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        ).count(),
+        q,
+    )
+
+    leg("ann_topk", lambda: similarity.brute_force_topk(emb, [0, 1, 2, 3, 4]).count(), q)
+
+    leg(
+        "langid",
+        lambda: textstats.langid_predictions(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).count(),
+        q,
+    )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    t0 = time.time()
-    li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("l_quantity"), F.sum("l_extendedprice"), F.avg("l_discount"), F.count("*")
-    ).collect()
-    q["tpch_pricing"] = round(time.time() - t0, 3)
+    leg(
+        "tpch_pricing",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.avg("l_discount"),
+            F.count("*"),
+        )
+        .collect(),
+        q,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t0 = time.time()
-    ev.groupBy(F.date_trunc("hour", "ts"), "event_type").agg(
-        F.count("*"), F.sum("value")
-    ).count()
-    q["events_window"] = round(time.time() - t0, 3)
+    leg(
+        "events_window",
+        lambda: ev.groupBy(F.date_trunc("hour", "ts"), "event_type")
+        .agg(F.count("*"), F.sum("value"))
+        .count(),
+        q,
+    )
 
-    return q, thr
+    return q, thr, aux
 
 
-def run_aux_benchmarks(spark, q: dict, thr: dict) -> None:
-    """Extra per-operator measurements OUTSIDE the headline wall (the
+def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
+    """Extra per-operator measurements OUTSIDE the headline sum (the
     headline stays round-over-round comparable as the flagship-pipeline
     figure): the broadcast-join detector behind a reference-scale
-    dictionary (VERDICT r3 #5) — 30k entries whose first tokens collide
-    with the corpus vocabulary, so the InSet prefilter passes real
-    windows to the broadcast join, the honest at-scale cost path.  Only
-    the real gazetteer entries can match, so the mention set equals the
-    inline path's (differentially pinned in tests/test_bigdict.py)."""
-    from ddaugner_spark.operators.bigdict import mentions_bigdict_df
+    dictionary — 30k entries whose first tokens collide with the corpus
+    vocabulary, so the InSet prefilter passes real windows to the
+    broadcast join, the honest at-scale cost path.  Only the real
+    gazetteer entries can match, so the mention set equals the inline
+    path's (differentially pinned in tests/test_bigdict.py).
+
+    A/B (VERDICT r4 #3 — the r4 driver record was 2.8× the builder's on
+    the same commit, beyond the measured 1.4× contention factor, and the
+    prefilter landed between the two records): BOTH prefilter arms are
+    timed, with candidate-window counts and the dictionary-meta build
+    time, so the next regression on this line is attributable."""
+    from ddaugner_spark.operators.bigdict import (
+        candidate_windows,
+        dict_meta,
+        mentions_bigdict_df,
+    )
 
     docs = spark.read.parquet("/tmp/ddaugner_headline_corpus")
     gaz = bigdict_gazetteer(spark)
+
+    # dictionary-meta build (the driver-side collect the prefilter needs)
+    t0 = time.time()
+    _gazd, lengths_firsts = dict_meta(gaz)
+    aux["bigdict_meta_sec"] = round(time.time() - t0, 3)
+
+    # candidate-window counts per arm (diagnostic scan, untimed legs)
+    aux["bigdict_windows_prefilter_on"] = candidate_windows(
+        docs, lengths_firsts, prefilter=True
+    ).count()
+    aux["bigdict_windows_prefilter_off"] = candidate_windows(
+        docs, lengths_firsts, prefilter=False
+    ).count()
+
     # warm the detector's codegen shapes (~6 s cold vs ~4 s steady —
     # same timed-at-steady-state policy as the CC leg)
     mentions_bigdict_df(docs.limit(200), gaz).count()
+    n_bd = leg(
+        "kg_mentions_bigdict_30k",
+        lambda: mentions_bigdict_df(docs, gaz, prefilter=True).count(),
+        q,
+    )
+    thr["mentions_bigdict_per_sec"] = round(
+        n_bd / max(q["kg_mentions_bigdict_30k"], 1e-9), 1
+    )
+    mentions_bigdict_df(docs.limit(200), gaz, prefilter=False).count()
+    leg(
+        "kg_mentions_bigdict_30k_nofilter",
+        lambda: mentions_bigdict_df(docs, gaz, prefilter=False).count(),
+        q,
+    )
+
+
+def cc_scale_benchmark(spark, aux: dict, n_nodes: int = 6_000_000, chain: int = 64):
+    """CC on a synthetic ≥5M-edge graph (VERDICT r4 #7): ``n_nodes``
+    nodes in chains of length ``chain`` — n_nodes·(1−1/chain) edges,
+    diameter ``chain`` — so the k=3 checkpoint policy (label table >
+    2M), the sort-merge (non-broadcast) iteration path, and the
+    pointer-jumping payoff (≈log₂(chain) checkpointed rounds instead of
+    ``chain`` hash-min rounds) are all MEASURED, not asserted.  Runs
+    outside the headline; enable with SPARK_GRAFT_CC_SCALE=1."""
+    ids = spark.range(n_nodes).select(
+        F.lpad(F.col("id").cast("string"), 9, "0").alias("a"),
+        F.when((F.col("id") + 1) % chain != 0, F.lpad((F.col("id") + 1).cast("string"), 9, "0")).alias("b"),
+    )
+    edges = ids.filter(F.col("b").isNotNull())
+    st: dict = {}
+    load0 = os.getloadavg()[0]
     t0 = time.time()
-    n_bd = mentions_bigdict_df(docs, gaz).count()
-    sec_bd = time.time() - t0
-    q["kg_mentions_bigdict_30k"] = round(sec_bd, 3)
-    thr["mentions_bigdict_per_sec"] = round(n_bd / max(sec_bd, 1e-9), 1)
+    n_comp = (
+        canonical.connected_components(
+            edges, stage_dir="/tmp/ddaugner_bench_cc_scale", stats=st
+        )
+        .select("component")
+        .distinct()
+        .count()
+    )
+    wall = time.time() - t0
+    expected = n_nodes // chain
+    aux["cc_scale"] = {
+        "n_nodes": n_nodes,
+        "n_edges": n_nodes - n_nodes // chain,
+        "chain_len": chain,
+        "components": n_comp,
+        "components_expected": expected,
+        "correct": n_comp == expected,
+        "sec": round(wall, 3),
+        "load_start": round(load0, 2),
+        "load_end": round(os.getloadavg()[0], 2),
+        "stats": st,
+    }
 
 
 def _busy_loop(_i):
@@ -429,24 +566,32 @@ def scaling_measurement(sf_dir: str) -> dict:
     }
 
 
-def write_baseline_md(q, thr, scaling, total, reference=None):
+def write_baseline_md(q, thr, scaling, total, reference=None, aux=None):
     os.makedirs("BENCH", exist_ok=True)
     lines = [
         "# BENCH/BASELINE.md — measured numbers (local sandbox)",
         "",
         f"- sf dir: `{SF_DIR}`, corpus amplification ×{AMPLIFY}",
-        f"- end-to-end headline wall time: **{total:.2f} s**"
-        " (flagship pipeline + dedup/ANN/stats/TPC-H legs;"
-        " kg_mentions_bigdict_30k is an aux line measured OUTSIDE this"
-        " wall so the headline stays round-over-round comparable)",
+        f"- headline: **{total:.2f} s** — **sum of per-query min-of-"
+        f"{QUERY_REPS} walls** (METHODOLOGY CHANGE round 5: rounds ≤ 4"
+        " reported the single-pass section wall including warmups;"
+        " min-of-reps legs with per-leg loadavg make the record robust"
+        " to box contention — the r4 driver record ran at loadavg 15-17"
+        " and regressed 28% while its fixed-workload canary slowed 40%)."
+        " kg_mentions_bigdict_30k* are aux lines measured OUTSIDE this"
+        " sum",
         "",
-        "## Per-query seconds",
+        "## Per-query seconds (min of reps; raw legs + loadavg in BENCH_r*.json queries_raw)",
         "",
     ] + [f"- {k}: {v}" for k, v in q.items()] + [
         "",
         "## Stage throughput (rows/sec)",
         "",
     ] + [f"- {k}: {v}" for k, v in thr.items()] + [
+        "",
+        "## Attribution aux (CC per-iteration stats, bigdict A/B)",
+        "",
+        f"- {json.dumps(aux) if aux else 'n/a'}",
         "",
         "## Scaling (north_rule proxy: same job, N→4N parallelism)",
         "",
@@ -487,7 +632,7 @@ def write_baseline_md(q, thr, scaling, total, reference=None):
             f" — {round(thr.get('mentions_compute_only_per_sec', 0) / max(reference.get('mentions_per_sec', 1), 1), 1)}×"
             " the single-process rate (the reference shape writes no output;"
             " the engine's I/O-inclusive stage numbers above include the parquet checkpoint)"
-            if reference
+            if reference and "mentions_per_sec" in reference
             else ""
         ),
         "",
@@ -499,14 +644,35 @@ def write_baseline_md(q, thr, scaling, total, reference=None):
 def main():
     do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
+    # CANARY FIRST (VERDICT r4 #4): the single-process fixed-workload
+    # baseline leads every record, so the contention normalizer is
+    # measured before any Spark JVM competes for the box.
+    try:
+        from tools.reference_baseline import measure as ref_measure
+
+        reference = ref_measure(SF_DIR, AMPLIFY)
+    except Exception as ex:  # pragma: no cover
+        reference = {"error": str(ex)[:200]}
+
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    aux: dict = {}
     try:
-        t0 = time.time()
-        q, thr = run_benchmarks(spark, SF_DIR)
-        total = time.time() - t0
-        # aux lines (bigdict detector) measured OUTSIDE the headline wall
-        run_aux_benchmarks(spark, q, thr)
+        q, thr, aux = run_benchmarks(spark, SF_DIR)
+        # headline = sum of per-query minima (see module docstring);
+        # aux legs below are excluded so it stays comparable
+        total = sum(q.values())
+        # auxiliary measurements must never kill the bench record
+        # (ADVICE r4: run_aux_benchmarks was the one unguarded section)
+        try:
+            run_aux_benchmarks(spark, q, thr, aux)
+        except Exception as ex:  # pragma: no cover
+            aux["aux_error"] = str(ex)[:300]
+        if os.environ.get("SPARK_GRAFT_CC_SCALE", "0") == "1":
+            try:
+                cc_scale_benchmark(spark, aux)
+            except Exception as ex:  # pragma: no cover
+                aux["cc_scale_error"] = str(ex)[:300]
     finally:
         spark.stop()
         # leave no /tmp dirs behind even on a failed run (same leak
@@ -517,16 +683,9 @@ def main():
             "/tmp/ddaugner_headline_corpus",
             "/tmp/ddaugner_bench_mentions",
             "/tmp/ddaugner_bench_cc",
+            "/tmp/ddaugner_bench_cc_scale",
         ):
             _sh.rmtree(d, ignore_errors=True)
-
-    # auxiliary measurements must never kill the bench record
-    try:
-        from tools.reference_baseline import measure as ref_measure
-
-        reference = ref_measure(SF_DIR, AMPLIFY)
-    except Exception as ex:  # pragma: no cover
-        reference = {"error": str(ex)[:200]}
 
     scaling = {}
     if do_scaling:
@@ -535,7 +694,7 @@ def main():
         except Exception as ex:  # pragma: no cover
             scaling = {"error": str(ex)[:200]}
     if scaling and "error" not in scaling and "error" not in reference:
-        write_baseline_md(q, thr, scaling, total, reference)
+        write_baseline_md(q, thr, scaling, total, reference, aux)
 
     print(
         json.dumps(
@@ -544,8 +703,10 @@ def main():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": q,
+                "queries_raw": QUERIES_RAW,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "throughput": thr,
+                "aux": aux,
                 "reference_single_node": reference,
                 "scaling": scaling,
                 "amplify": AMPLIFY,

@@ -59,7 +59,9 @@ _SPAN_DDL = (
 )
 
 
-def _window_structs(lengths_firsts: list[tuple[int, list[str]]]) -> Column:
+def _window_structs(
+    lengths_firsts: list[tuple[int, list[str]]], prefilter: bool = True
+) -> Column:
     """Per-doc array of candidate windows with PER-LENGTH first-token
     prefilters: a length-m window is built at position i only when
     tokens[i] is in the first-token set of the length-m dictionary
@@ -69,7 +71,11 @@ def _window_structs(lengths_firsts: list[tuple[int, list[str]]]) -> Column:
     names, a handful of multi-word entries) spawn no windows at
     positions that could only ever match another bucket.  ``term_pos``
     is LET-BOUND (single-element-array transform) so it is not
-    re-evaluated per window (no CSE inside lambdas)."""
+    re-evaluated per window (no CSE inside lambdas).
+
+    ``prefilter=False`` builds windows at EVERY position (the broadcast
+    join then filters) — kept as the bench A/B arm so the prefilter's
+    cost/benefit stays measured, not asserted (VERDICT r4 #3)."""
     n = F.col("n_tokens")
     term_pos = F.filter(_seq(n, 1), lambda p: _tok(p) == F.lit(config.SENT_TERM))
     z = F.array(F.struct(term_pos.alias("tp")))
@@ -77,6 +83,8 @@ def _window_structs(lengths_firsts: list[tuple[int, list[str]]]) -> Column:
     def _hit(firsts: list[str]):
         # closure factory: a loop-bound default arg would receive the
         # (element, index) lambda calling convention's index Column
+        if not prefilter:
+            return lambda i: F.lit(True)
         return lambda i: _tok(i).isin(list(firsts))
 
     def per_doc(zz):
@@ -275,16 +283,12 @@ def _slow_spans(ap: Column) -> Column:
     return F.aggregate(pairs, init, merge, finish)
 
 
-def mentions_bigdict_df(
-    docs: DataFrame, gazetteer: DataFrame, id_col: str = "doc_id"
-) -> DataFrame:
-    """(doc_id, sent_id, start_idx, end_idx, surface, tag) — identical
-    output to :func:`mentions.mentions_df` for the same dictionary, via
-    the broadcast-join formulation.
-
-    ``gazetteer``: (surface, tag) DataFrame; surfaces must map to ONE
-    tag (duplicates are resolved deterministically by min tag — the
-    reference dictionaries are maps, so this is a guard, not a path)."""
+def dict_meta(gazetteer: DataFrame):
+    """(deduped gazetteer, [(entry_length, sorted first tokens)]) — the
+    driver-side dictionary summary the window builder compiles into its
+    per-length InSet prefilters.  One collect over |dictionary| rows
+    (dimension-sized); exposed so the bench can time the build and
+    count candidate windows per prefilter arm (VERDICT r4 #3)."""
     gaz = gazetteer.groupBy("surface").agg(F.min("tag").alias("tag"))
     meta = (
         gaz.select(
@@ -295,19 +299,50 @@ def mentions_bigdict_df(
         .agg(F.collect_set("ft").alias("fts"))
         .collect()
     )
-    if not meta:  # empty dictionary → no mentions
+    return gaz, sorted((r["wn"], sorted(r["fts"])) for r in meta)
+
+
+def candidate_windows(
+    docs: DataFrame,
+    lengths_firsts: list[tuple[int, list[str]]],
+    id_col: str = "doc_id",
+    prefilter: bool = True,
+) -> DataFrame:
+    """Exploded pre-join candidate windows (bench diagnostic: how many
+    windows reach the broadcast join per prefilter arm)."""
+    return with_tokens(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_window_structs(lengths_firsts, prefilter=prefilter)).alias("w"),
+    )
+
+
+def mentions_bigdict_df(
+    docs: DataFrame,
+    gazetteer: DataFrame,
+    id_col: str = "doc_id",
+    prefilter: bool = True,
+) -> DataFrame:
+    """(doc_id, sent_id, start_idx, end_idx, surface, tag) — identical
+    output to :func:`mentions.mentions_df` for the same dictionary, via
+    the broadcast-join formulation.
+
+    ``gazetteer``: (surface, tag) DataFrame; surfaces must map to ONE
+    tag (duplicates are resolved deterministically by min tag — the
+    reference dictionaries are maps, so this is a guard, not a path).
+
+    ``prefilter=False`` disables the per-length first-token window
+    prefilter (bench A/B arm; output identical either way — the
+    broadcast join rejects every non-dictionary window)."""
+    gaz, lengths_firsts = dict_meta(gazetteer)
+    if not lengths_firsts:  # empty dictionary → no mentions
         return docs.sparkSession.createDataFrame(
             [],
             "doc_id long, sent_id long, start_idx long, end_idx long,"
             " surface string, tag string",
         )
-    lengths_firsts = sorted((r["wn"], sorted(r["fts"])) for r in meta)
     max_n = max(m for m, _f in lengths_firsts)
 
-    windows = with_tokens(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_window_structs(lengths_firsts)).alias("w"),
-    )
+    windows = candidate_windows(docs, lengths_firsts, id_col, prefilter)
     cands = windows.select(
         "doc_id",
         F.col("w.start").alias("start"),

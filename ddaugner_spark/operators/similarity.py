@@ -268,7 +268,7 @@ def _nearest_cells(emb: Column, cents: list[tuple[int, list[float]]], nprobe: in
 
 def ivf_kmeans_topk(
     embeddings: DataFrame,
-    query_ids: list[int],
+    query_ids,
     k: int = config.ANN_TOP_K,
     n_cells: int = 64,
     nprobe: int = 24,
@@ -281,6 +281,13 @@ def ivf_kmeans_topk(
     queries probe their ``nprobe`` nearest cells, exact cosine re-ranks
     the candidates.  The candidate join is an equi-join on cell id.
 
+    ``query_ids`` is either a bounded Python list (ad-hoc queries,
+    compiled to one InSet probe) or a single-column ``vec_id`` DataFrame
+    — the production form (VERDICT r4 #6): at crawl scale "queries =
+    all PER surfaces" is itself a distributed table that must never be
+    ``.collect()``ed to the driver; the query side is selected with a
+    LEFT SEMI join instead (dimension-sized → broadcast).
+
     nprobe default: the driver's synthetic embeddings are UNCLUSTERED
     (near-random), so recall ≈ fraction of cells probed (measured 4/64
     probes → 0.56 recall@10, 24/64 → 0.96); real encoder embeddings
@@ -291,8 +298,16 @@ def ivf_kmeans_topk(
     corpus = embeddings.withColumn(
         "cell", F.element_at(_nearest_cells(F.col("embedding"), cents, 1), 1)
     )
+    if isinstance(query_ids, DataFrame):
+        selected = embeddings.join(
+            F.broadcast(query_ids.select("vec_id").distinct()),
+            "vec_id",
+            "left_semi",
+        )
+    else:
+        selected = embeddings.filter(F.col("vec_id").isin(query_ids))
     q = F.broadcast(
-        embeddings.filter(F.col("vec_id").isin(query_ids))
+        selected
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),

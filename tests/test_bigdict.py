@@ -69,6 +69,20 @@ def test_bigdict_equals_inline_on_corpus(spark, sf_dir):
     assert _collect(mentions_bigdict_df(docs, gaz)) == _collect(mentions_df(docs))
 
 
+def test_bigdict_prefilter_off_identical(spark, sf_dir):
+    """The bench A/B arm (prefilter=False: windows at every position,
+    broadcast join does all the filtering) must produce the identical
+    mention set — the prefilter is a cost optimization, never a
+    semantic one."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gaz = spark.createDataFrame(
+        [(s, c) for s, c, _w in config.GAZETTEER], "surface string, tag string"
+    )
+    assert _collect(mentions_bigdict_df(docs, gaz, prefilter=False)) == _collect(
+        mentions_bigdict_df(docs, gaz, prefilter=True)
+    )
+
+
 def test_bigdict_fragments_and_quirk_merge(spark):
     """Overwrite fragments + the I-extends-any-open-run decoder quirk:
     a later smaller window overwriting the HEAD of an applied larger

@@ -201,7 +201,14 @@ def test_corpus_sentences_below_truncation_cap(spark):
             cache[tok] = c
         return c
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    import glob
+
+    # every corpus the driver gate can run, not a hard-coded subset — a
+    # new sf dir with one over-long sentence must fail HERE, not as a
+    # confusing parity mismatch on all mention-family queries (ADVICE r4)
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no test corpora found"
+    for sf in sf_dirs:
         texts = [
             r["text"]
             for r in spark.read.parquet(f"{sf}/documents.parquet")

@@ -73,6 +73,20 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            # the driver's canonicalizer sorts/hashes the result in
+            # pandas: complex-typed columns are unhashable there (the
+            # round-4 q_media_decode red row) — ban them outright
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in sdf.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if bad:
+                print(f"FAIL {name}: complex-typed output columns {bad}")
+                failures.append(name)
+                continue
             srows = [r.asDict() for r in sdf.collect()]
             scols = sorted(sdf.columns)
         except Exception as ex:
