@@ -604,6 +604,30 @@ def q_minhash_lsh(spark, sf):
     return dedup.minhash_near_duplicates(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (dedup.contaminated_docs): the
+    synthetic near-copies (doc_id ≥ 1M in the dup corpus) are screened
+    against a held-out 'benchmark' slice (original docs with
+    doc_id % 20 == 10) — the near-copy family (2M range) leaks
+    benchmark shingles and must be flagged."""
+    d = _docs(spark, sf)
+    corpus = dedup.with_dup_corpus(d).filter(F.col("doc_id") >= 1_000_000)
+    benchmark = d.select("doc_id", "text").filter(F.col("doc_id") % 20 == 10)
+    return dedup.contaminated_docs(corpus, benchmark).select(
+        "doc_id",
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+        F.col("n_shared_shingles").cast("long").alias("n_shared_shingles"),
+    )
+
+
+def q_jaccard_pairs(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs via the inverted shingle
+    index (dedup.jaccard_pairs_inverted) — deterministic ground truth
+    next to the MinHash+LSH approximation; same corpus, same threshold,
+    so the two queries' outputs are directly comparable."""
+    return dedup.jaccard_pairs_inverted(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup CLUSTER canonicalization — the training-pipeline 'keep
     one copy of each duplicate cluster' primitive: verified MinHash-LSH
@@ -949,6 +973,109 @@ def q_parts_no_returns(spark, sf):
     )
 
 
+def q_top_supplier(spark, sf):
+    """TPC-H Q15 shape (top supplier by revenue view + scalar MAX
+    subquery): per-supplier shipped revenue, keep the supplier(s) whose
+    revenue equals the global maximum.  Spark-first decorrelation: the
+    revenue aggregate is computed ONCE, its 1-row max is broadcast back
+    via crossJoin, and the equality filter runs where the aggregate
+    already lives — no second scan of lineitem (the literal form
+    recomputes the view inside the subquery), no fact shuffle beyond
+    the one l_suppkey aggregate.  Revenue is rounded to 4 digits on
+    both engines BEFORE the max/equality so a float-sum-order ulp can't
+    drop the winner."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    rev = (
+        li.filter(F.col("l_returnflag") != "R")
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", "total_revenue"
+        )
+    )
+
+
+def q_important_parts(spark, sf):
+    """TPC-H Q11 shape (group HAVING against a global-scalar fraction):
+    per-part inventory value restricted to one nation's suppliers,
+    keeping parts whose value exceeds 0.2% of the nation's total.
+    Decorrelated: the supplier→nation dimension chain broadcasts into
+    the fact scan, the per-part aggregate is computed once, and the
+    grand total is derived FROM THE SAME AGGREGATE (re-aggregation of
+    the group table, not a second fact scan) and broadcast back as a
+    1-row threshold."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet").filter(
+        F.col("n_name") == "NATION_12"
+    )
+    ns = supp.join(
+        F.broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey")
+    li_f = li.join(F.broadcast(ns), li.l_suppkey == F.col("s_suppkey"))
+    per_part = li_f.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 4).alias(
+            "value"
+        )
+    )
+    total = per_part.agg(
+        F.round(F.sum("value") * 0.002, 6).alias("threshold")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+def q_overstock_suppliers(spark, sf):
+    """TPC-H Q20 shape (nested IN with a correlated aggregate
+    threshold): suppliers holding excess stock of red parts — a
+    supplier qualifies when, for some red part they ship, their total
+    shipped quantity of that part exceeds 15% of the GLOBAL shipped
+    quantity of it.  Decorrelated: red parts broadcast into the fact
+    scan; per-(supplier, part) and per-part aggregates share the
+    l_partkey shuffle key; the correlated threshold becomes a plain
+    equi-join on partkey; suppliers emerge via a final semi-join.  The
+    oracle keeps the literal nested-IN + correlated-scalar form."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    red = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li_g = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+    sp = li_g.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("sp_qty")
+    )
+    pp = li_g.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") * 0.15).alias("thr_qty")
+    )
+    over = sp.join(pp, sp.l_partkey == pp.pk).filter(
+        F.col("sp_qty") > F.col("thr_qty")
+    )
+    return (
+        supp.join(
+            over.select(F.col("l_suppkey").alias("sk")).distinct(),
+            supp.s_suppkey == F.col("sk"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
 def q_cube_sales(spark, sf):
     """CUBE over (returnflag, linestatus) — all grouping-set combinations
     (the rollup twin already covers hierarchical sets)."""
@@ -1234,6 +1361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_decode": q_media_decode,
         "q_mention_ann_ivf": q_mention_ann_ivf,
         "q_better_recalled": q_better_recalled,
+        # --- NEW this round: first driver rows ---
+        "q_jaccard_pairs": q_jaccard_pairs,
+        "q_decontaminate": q_decontaminate,
+        "q_top_supplier": q_top_supplier,
+        "q_important_parts": q_important_parts,
+        "q_overstock_suppliers": q_overstock_suppliers,
         # --- once-driver-checked (round 4 only) re-checks ---
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -1245,12 +1378,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_plan": q_frame_plan,
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
-        "q_hypertable_rollup": q_hypertable_rollup,
+        # --- tail: driver-green in round 4, still in the local gate ---
         "q_kmv_distinct": q_kmv_distinct,
+        "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
         "q_ann_quantized": q_ann_quantized,
-        # --- tail: driver-green in round 4, still in the local gate ---
         "q_cube_sales": q_cube_sales,
         "q_pivot_events": q_pivot_events,
         "q_events_window": q_events_window,
@@ -2427,6 +2560,32 @@ def oracle_sql() -> dict[str, str]:
       SELECT a, b, jaccard FROM vp
     """
 
+    # exact inverted-index Jaccard: ALL sharing pairs, no LSH banding
+    # (max_doc_freq=1000 never fires at gate scale — df ≤ |corpus| ≈
+    # 550 — so the oracle omits the cap)
+    o["q_jaccard_pairs"] = f"""
+      WITH {_CORPUS},
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM ct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY sa.doc_id, sb.doc_id
+      )
+      SELECT i.a, i.b,
+             round(i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter), 4) AS jaccard
+      FROM inter i JOIN sizes za ON za.doc_id = i.a
+                   JOIN sizes zb ON zb.doc_id = i.b
+      WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter)
+            >= {config.JACCARD_THRESHOLD}
+    """
+
     # cluster resolution by recursive reachability-min over the verified
     # pair graph (candidate-pair sized, tiny relative to the corpus)
     o["q_dedup_clusters"] = f"""
@@ -2445,6 +2604,31 @@ def oracle_sql() -> dict[str, str]:
       SELECT node::BIGINT AS doc_id, canonical::BIGINT AS canonical_id,
              node != canonical AS is_dup
       FROM rr
+    """
+
+    o["q_decontaminate"] = f"""
+      WITH {_CORPUS},
+      cct AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM corpus WHERE doc_id >= 1000000),
+      csh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM cct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      bct AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE doc_id % 20 = 10),
+      bsh AS (
+        SELECT DISTINCT doc_id AS bench_id,
+               array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM bct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      )
+      SELECT c.doc_id,
+             count(DISTINCT b.bench_id)::BIGINT AS n_bench_docs,
+             count(DISTINCT c.shingle)::BIGINT AS n_shared_shingles
+      FROM csh c JOIN bsh b ON c.shingle = b.shingle
+      GROUP BY c.doc_id
+      HAVING count(DISTINCT c.shingle) >= 2
     """
 
     o["q_simhash"] = """
@@ -2884,6 +3068,57 @@ def oracle_sql() -> dict[str, str]:
                           AND l3.l_suppkey <> l1.l_suppkey
                           AND l3.l_returnflag = 'R')
       GROUP BY s_name
+    """
+
+    # literal Q15 form: the revenue view recomputed inside the scalar
+    # MAX subquery (the Spark plan computes it once and broadcasts the
+    # 1-row max back); revenue rounded to 4 digits on both engines
+    # BEFORE max/equality so a float-sum-order ulp can't drop the winner
+    o["q_top_supplier"] = """
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem WHERE l_returnflag <> 'R'
+        GROUP BY l_suppkey
+      )
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """
+
+    # literal Q11 form: the HAVING threshold recomputes the nation-
+    # filtered fact aggregate inside the scalar subquery (the Spark
+    # plan derives it from the already-computed group table)
+    o["q_important_parts"] = """
+      SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 4) AS value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_12'
+      GROUP BY l_partkey
+      HAVING round(sum(l_extendedprice * l_quantity), 4) >
+        (SELECT round(sum(l_extendedprice * l_quantity) * 0.002, 6)
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+           AND n_name = 'NATION_12')
+    """
+
+    # literal Q20 form: nested IN with a correlated aggregate threshold
+    o["q_overstock_suppliers"] = """
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l1
+        WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > (
+          SELECT 0.15 * sum(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey
+            AND l2.l_partkey IN (SELECT p_partkey FROM part
+                                 WHERE p_name LIKE 'red%')
+        )
+      )
     """
 
     o["q_order_priority"] = """

@@ -52,21 +52,36 @@ def co_mention_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
-#: label-table row count above which per-iteration parquet round-trips
-#: stop being ~free: below it the per-job overhead dominates (measured
-#: k=1 → 3.0 s vs k=3 → 4.3 s on the sf0.1 graph, ~10³ labels, local
-#: NVMe), above it write bandwidth dominates and batching iterations
-#: between checkpoints amortizes the materialization.
+#: retained for API compatibility with the retired k=3 branch (below);
+#: no longer switches behavior.
 CHECKPOINT_AUTO_THRESHOLD = 2_000_000
 
 
 def checkpoint_policy(
     n_nodes: int, threshold: int = CHECKPOINT_AUTO_THRESHOLD
 ) -> int:
-    """checkpoint_every for a label table of ``n_nodes`` rows: 1 (eager
-    truncation, cheapest per-job path) for small tables, 3 (cache-backed
-    batching, write-bandwidth amortized) for large ones."""
-    return 1 if n_nodes <= threshold else 3
+    """checkpoint_every for a label table of ``n_nodes`` rows — ALWAYS
+    1 since round 5.  The round-4 policy batched 3 iterations between
+    checkpoints for large tables on the theory that write bandwidth
+    would dominate; the 6M-node / 5.9M-edge synthetic measurement
+    (VERDICT r4 #7, local[32], quiet box) refuted it:
+
+    * k=1 → **54.4 s**, converged in 6 iterations (6 checkpoints;
+      per-iteration walls 6.6-9.2 s, n_changed halving 5.8M → 0 —
+      the pointer-jumping payoff: plain hash-min needs ~chain-length
+      rounds, measured here at log₂(64) = 6);
+    * k=3 → **102.3 s**, 9 iterations: each 3-deep lazy chain costs
+      ~29 s ≈ 3× a materialized iteration (the cached intermediates
+      still recompute the join work inside one DAG) AND convergence is
+      only visible at checkpoints, so a full extra 3-batch runs after
+      the fixed point;
+    * small graphs agreed already (sf0.1 co-mention table, ~10³
+      labels: k=1 → 2.25 s vs k=3 → 3.6-4.1 s).
+
+    Per-iteration parquet materialization is ~2 s of the 7-9 s
+    iteration at 6M rows — writes were never the bottleneck; join
+    recompute is."""
+    return 1
 
 
 #: label-table row count up to which the per-iteration hash-min join

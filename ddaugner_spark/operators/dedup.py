@@ -74,6 +74,93 @@ def shingles(corpus: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
     )
 
 
+def jaccard_pairs_inverted(
+    corpus: DataFrame,
+    k: int = config.SHINGLE_K,
+    threshold: float = config.JACCARD_THRESHOLD,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index — the deterministic complement to MinHash+LSH (which trades
+    candidate recall for a bounded shuffle): a pair is emitted iff the
+    two docs SHARE at least one shingle, so unlike LSH there are no
+    banding false negatives above the threshold (any pair with
+    jaccard ≥ t > 0 shares a shingle by definition).
+
+    Plan: distinct (doc_id, shingle) → drop shingles appearing in more
+    than ``max_doc_freq`` docs (stop-shingles generate O(df²) pairs and
+    carry ~no Jaccard signal — same bucket-cap-with-logged-drop policy
+    as LSH; at the default the drop set is empty on the gate corpus) →
+    self-join on shingle (the one content-keyed shuffle, sized by the
+    inverted index, not the corpus²) → per-pair intersection counts →
+    per-doc set sizes broadcast in → |A∩B| / (|A|+|B|−|A∩B|).
+
+    At 100 TB the max_doc_freq cap is the load-bearing guard: web text
+    has power-law shingle frequencies, and the cap bounds any single
+    shingle's pair fan-out exactly like LSH's bucket cap."""
+    sh = shingles(corpus, k)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_inter")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select("a", "b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+def contaminated_docs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = config.SHINGLE_K,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data step that drops
+    corpus docs leaking evaluation content: (doc_id, n_bench_docs,
+    n_shared_shingles) for every corpus doc sharing ≥ ``min_shared``
+    distinct k-token shingles with ANY benchmark doc.
+
+    Plan: both sides shingle (distinct per doc), join on the shingle —
+    the benchmark index is dimension-sized (eval suites are tiny next
+    to a crawl) so it BROADCASTS into the corpus-side scan; one
+    hits-sized groupBy(doc_id) finishes.  At 100 TB the corpus is
+    scanned once, never shuffled; only (corpus_doc, benchmark_doc,
+    shingle) hits move."""
+    c_sh = shingles(corpus, k)
+    b_sh = shingles(benchmark, k).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    hits = c_sh.join(F.broadcast(b_sh), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
 def minhash_signatures(sh: DataFrame, perms: int = config.MINHASH_PERMS) -> DataFrame:
     """(doc_id, mh_0..mh_{P-1}) signature table.
 

@@ -247,12 +247,14 @@ def test_connected_components_edge_cases(spark, tmp_path):
 
 
 def test_checkpoint_policy_auto_tune(spark):
-    """checkpoint_every=None auto-tunes by label-table size: eager (k=1)
-    below the threshold, batched (k=3) above (VERDICT r3 #6); labels are
-    identical under either policy (idempotent fixed-point iterations)."""
+    """checkpoint_every=None resolves to eager per-iteration
+    checkpointing at EVERY size — the round-4 k=3 batching branch was
+    retired after the 6M-node A/B measured it 2× slower (lazy 3-chains
+    recompute the join work; see checkpoint_policy's docstring); labels
+    are identical under either k (idempotent fixed-point iterations)."""
     assert canonical.checkpoint_policy(0) == 1
     assert canonical.checkpoint_policy(canonical.CHECKPOINT_AUTO_THRESHOLD) == 1
-    assert canonical.checkpoint_policy(canonical.CHECKPOINT_AUTO_THRESHOLD + 1) == 3
+    assert canonical.checkpoint_policy(canonical.CHECKPOINT_AUTO_THRESHOLD + 1) == 1
 
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "a string, b string"
@@ -266,3 +268,28 @@ def test_checkpoint_policy_auto_tune(spark):
     assert auto == {
         ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("x", "x"), ("y", "x")
     }
+
+
+def test_cc_broadcast_and_shuffle_paths_agree(spark):
+    """The broadcast-labels iteration (small graphs: edge table scanned,
+    never exchanged) and the shuffle-join fallback (big graphs) must
+    produce identical labels; the auto policy picks broadcast for a
+    small label table and reports it in stats."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"), ("x", "y")],
+        "a string, b string",
+    )
+    st: dict = {}
+    bc = {
+        tuple(r)
+        for r in canonical.connected_components(edges, stats=st).collect()
+    }
+    assert st["broadcast_labels"] is True
+    assert st["n_checkpoints"] >= 1 and st["iters"]
+    sh = {
+        tuple(r)
+        for r in canonical.connected_components(
+            edges, broadcast_labels=False
+        ).collect()
+    }
+    assert bc == sh
