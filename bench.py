@@ -660,8 +660,13 @@ def main():
     try:
         q, thr, aux = run_benchmarks(spark, SF_DIR)
         # headline = sum of per-query minima (see module docstring);
-        # aux legs below are excluded so it stays comparable
-        total = sum(q.values())
+        # kg_mentions IS write+read, so its split legs are excluded
+        # from the sum, as are the aux legs added below
+        total = sum(
+            v
+            for k, v in q.items()
+            if k not in ("kg_mentions_write", "kg_mentions_read")
+        )
         # auxiliary measurements must never kill the bench record
         # (ADVICE r4: run_aux_benchmarks was the one unguarded section)
         try:
