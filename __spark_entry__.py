@@ -726,6 +726,39 @@ def q_token_counts(spark, sf):
     return textstats.token_counts(_docs(spark, sf))
 
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per doc, the most-common word-2-gram's share of all 2-grams and the
+    duplicated-sentence fraction (sentence = terminator-delimited, the
+    corpus line analogue)."""
+    return textstats.repetition_stats(_docs(spark, sf))
+
+
+def q_line_dedup(spark, sf):
+    """Corpus-wide sentence-level dedup (C4/RefinedWeb line dedup): a
+    sentence is kept only at its first (doc_id, sent_id) occurrence;
+    per-doc survival summary."""
+    return dedup.sentence_dedup(_docs(spark, sf))
+
+
+#: Training-mixture rates for q_stratified_sample: per-mille keep rates
+#: by language — the standard "rebalance the crawl" knob.
+MIXTURE_RATES = {"en": 600, "de": 300}
+MIXTURE_DEFAULT = 150
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling for training-mixture
+    construction: md5-bucketed per-mille keep rates by language.  The
+    summary row per stratum carries sum(sampled doc_ids) so the check
+    pins WHICH rows were kept, not just how many."""
+    from ddaugner_spark.operators import sampling
+
+    return sampling.mixture_summary(
+        _docs(spark, sf), MIXTURE_RATES, MIXTURE_DEFAULT
+    )
+
+
 def q_fingerprints(spark, sf):
     return textstats.fingerprints(_docs(spark, sf))
 
@@ -1367,6 +1400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_top_supplier": q_top_supplier,
         "q_important_parts": q_important_parts,
         "q_overstock_suppliers": q_overstock_suppliers,
+        "q_repetition": q_repetition,
+        "q_line_dedup": q_line_dedup,
+        "q_stratified_sample": q_stratified_sample,
         # --- once-driver-checked (round 4 only) re-checks ---
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
@@ -1375,10 +1411,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_link_scores": q_stream_link_scores,
         "q_stream_dedup": q_stream_dedup,
         "q_media_metadata": q_media_metadata,
+        # --- tail: driver-green in round 4, still in the local gate ---
         "q_frame_plan": q_frame_plan,
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
-        # --- tail: driver-green in round 4, still in the local gate ---
         "q_kmv_distinct": q_kmv_distinct,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
@@ -2892,6 +2928,94 @@ def oracle_sql() -> dict[str, str]:
              floor(log2(length(text)::DOUBLE))::BIGINT::VARCHAR AS locality_key
       FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
             WHERE text IS NOT NULL AND text != '')
+    """
+
+    # Shared sentence reconstruction (terminator split, trailing empty
+    # segment dropped) for the repetition / line-dedup oracles — the SQL
+    # twin of textstats.sentence_texts.  Only the LAST segment can be
+    # empty (consecutive terminators each carry their own token), so
+    # filtered positions stay consecutive and i-1 is the sent_id.
+    _sents_cte = f"""
+base AS (
+  SELECT doc_id, coalesce(text, '') AS text,
+         CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+              ELSE string_split(coalesce(text, ''), ' ') END AS t
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, t,
+         list_prepend(1, list_transform(termpos, p -> p + 1)) AS starts,
+         list_append(termpos, len(t)) AS ends
+  FROM (SELECT doc_id, t,
+               list_filter(range(1, len(t) + 1), i -> t[i] = '{config.SENT_TERM}') AS termpos
+        FROM base WHERE len(t) >= 1)
+),
+sents AS (
+  SELECT doc_id, i - 1 AS sent_id,
+         array_to_string(t[starts[i]:ends[i]], ' ') AS sent_text
+  FROM bounds, unnest(range(1, len(starts) + 1)) AS u(i)
+  WHERE starts[i] <= ends[i]
+)"""
+
+    o["q_repetition"] = f"""
+      WITH {_sents_cte},
+      grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        FROM base, unnest(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+      ),
+      gstat AS (
+        SELECT doc_id, sum(cnt)::BIGINT AS n_grams2, max(cnt)::BIGINT AS top_gram_count
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram)
+        GROUP BY doc_id
+      ),
+      sstat AS (
+        SELECT doc_id, count(*)::BIGINT AS n_sents,
+               count(DISTINCT sent_text)::BIGINT AS n_distinct_sents
+        FROM sents GROUP BY doc_id
+      )
+      SELECT b.doc_id,
+             coalesce(n_grams2, 0) AS n_grams2,
+             coalesce(top_gram_count, 0) AS top_gram_count,
+             round(coalesce(top_gram_count::DOUBLE / n_grams2, 0), 4) AS top_gram_frac,
+             coalesce(n_sents, 0) AS n_sents,
+             coalesce(n_distinct_sents, 0) AS n_distinct_sents,
+             round(coalesce((n_sents - n_distinct_sents)::DOUBLE / n_sents, 0), 4)
+               AS dup_sent_frac
+      FROM base b LEFT JOIN gstat USING (doc_id) LEFT JOIN sstat USING (doc_id)
+    """
+
+    o["q_line_dedup"] = f"""
+      WITH {_sents_cte},
+      ranked AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY sent_text ORDER BY doc_id, sent_id) AS rn
+        FROM sents
+      ),
+      kept AS (SELECT doc_id, count(*)::BIGINT AS n_kept FROM ranked WHERE rn = 1 GROUP BY doc_id),
+      totals AS (SELECT doc_id, count(*)::BIGINT AS n_sents FROM sents GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(n_sents, 0) AS n_sents,
+             coalesce(n_kept, 0) AS n_kept,
+             coalesce(n_sents, 0) - coalesce(n_kept, 0) AS n_dropped
+      FROM documents d LEFT JOIN totals USING (doc_id) LEFT JOIN kept USING (doc_id)
+    """
+
+    _mix_case = "CASE lang WHEN 'en' THEN 600 WHEN 'de' THEN 300 ELSE 150 END"
+    o["q_stratified_sample"] = f"""
+      WITH keyed AS (
+        SELECT lang AS stratum, doc_id AS rid,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT
+                 % 1000)::BIGINT AS bucket,
+               {_mix_case} AS target_mille
+        FROM documents
+      )
+      SELECT stratum, count(*) AS n_docs,
+             sum(CASE WHEN bucket < target_mille THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+             sum(CASE WHEN bucket < target_mille THEN rid ELSE 0 END)::BIGINT
+               AS sum_sampled_ids,
+             target_mille::BIGINT AS target_mille
+      FROM keyed GROUP BY stratum, target_mille
     """
 
     o["q_tpch_pricing"] = """

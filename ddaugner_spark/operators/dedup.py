@@ -377,3 +377,46 @@ def simhash_pairs_from_fingerprints(
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def sentence_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide sentence-level (line-level) dedup summary: per doc,
+    how many of its sentences survive first-occurrence dedup.
+
+    The standard line-dedup pass of C4/RefinedWeb-style pipelines:
+    a sentence occurring in many documents (boilerplate, navigation,
+    license blurbs) is kept only at its FIRST occurrence — ordered by
+    (doc_id, sent_id), deterministic — and dropped everywhere else.
+
+    Returns (doc_id, n_sents, n_kept, n_dropped).  Docs with no
+    sentences (empty text) keep a row with zeros so the output is a
+    total function of the corpus.
+
+    Shape at scale: one groupBy(sent_text) with map-side partial
+    aggregation (shuffle = distinct sentences), min(struct) picks the
+    owner without a window sort; the ownership join is keyed on the
+    same (doc_id, sent_id) pair the sentence table already carries.
+    Sentence text never leaves the aggregation — the join carries only
+    slim key rows.
+    """
+    from .textstats import sentence_texts
+
+    sents = sentence_texts(docs)
+    owners = sents.groupBy("sent_text").agg(
+        F.min(F.struct("doc_id", "sent_id")).alias("o")
+    ).select(F.col("o.doc_id").alias("doc_id"), F.col("o.sent_id").alias("sent_id"))
+    kept = owners.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    totals = sents.groupBy("doc_id").agg(F.count("*").alias("n_sents"))
+    out = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_sents", F.lit(0)).cast("long").alias("n_sents"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        (F.coalesce("n_sents", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+    )

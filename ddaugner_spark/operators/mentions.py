@@ -39,6 +39,36 @@ from pyspark.sql import functions as F
 from .. import config
 
 
+#: Plan-construction cache.  Building the inlined-gazetteer expression
+#: tree costs thousands of py4j round-trips (~3-8 s of driver time per
+#: call — profiled: 8.7k socket round-trips, 86% of ``mentions_df``'s
+#: build wall).  The tree is a pure function of the level config and
+#: references only the ``tokens``/``n_tokens`` columns, so the
+#: unresolved Column is built once per JVM gateway and reused across
+#: DataFrames and queries.  Keys are content-based (so callers passing
+#: custom ``levels`` or monkeypatching ``config.GAZ_LEVELS`` resolve
+#: correctly); values carry the gateway object so a JVM restart — which
+#: invalidates every Column — misses the cache instead of returning a
+#: dead reference.
+_EXPR_CACHE: dict[tuple, tuple[object, Column]] = {}
+
+
+def _expr_cached(kind: str, levels, build) -> Column:
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    key = (
+        kind,
+        tuple((lvl, tuple(entries)) for lvl, entries in sorted(levels.items())),
+    )
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    col = build()
+    _EXPR_CACHE[key] = (gw, col)
+    return col
+
+
 def _tok(i: Column) -> Column:
     """tokens[i] for 0-based i (element_at is 1-based)."""
     return F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int"))
@@ -177,7 +207,17 @@ def _fold_tags(cands: Column | None = None) -> Column:
     equivalence fuzz-proven in tests/test_gazetteer_general.py).  The
     accumulator therefore carries (live tags, level-start snapshot,
     current level); the snapshot refreshes whenever the candidate level
-    changes — candidates arrive level-grouped (n desc, start asc)."""
+    changes — candidates arrive level-grouped (n desc, start asc).
+
+    The default (inline-candidates) form is memoized per level config
+    (see _EXPR_CACHE); lambda-variable ``cands`` forms are caller-scoped
+    and never cached."""
+    if cands is None:
+        return _expr_cached(
+            "fold",
+            config.GAZ_LEVELS,
+            lambda: _fold_tags(_sorted_candidates()),
+        )
     n = F.col("n_tokens")
     all_o = F.transform(_seq(n, 1), lambda i: F.lit("O"))
     init = F.struct(
@@ -203,12 +243,7 @@ def _fold_tags(cands: Column | None = None) -> Column:
             c["n"].alias("lvl"),
         )
 
-    return F.aggregate(
-        _sorted_candidates() if cands is None else cands,
-        init,
-        merge,
-        lambda acc: acc["tags"],
-    )
+    return F.aggregate(cands, init, merge, lambda acc: acc["tags"])
 
 
 def _fast_spans(cands: Column) -> Column:
@@ -249,17 +284,25 @@ def spans_expr(levels: dict[int, list[tuple[str, str]]] | None = None) -> Column
     it is evaluated once per row; the common no-overlap case takes the
     direct candidates→spans path, and only rows with overlapping windows
     run the sequential fold + BIO decode (CaseWhen evaluates one branch
-    per row).  Measured ~4× over always-folding at sf0.1."""
-    z = F.array(F.struct(_sorted_candidates(levels).alias("cs")))
-    return F.element_at(
-        F.transform(
-            z,
-            lambda zz: F.when(
-                _has_overlap(zz["cs"]), _decode_spans(_fold_tags(zz["cs"]))
-            ).otherwise(_fast_spans(zz["cs"])),
-        ),
-        1,
-    )
+    per row).  Measured ~4× over always-folding at sf0.1.
+
+    The built Column is memoized per level config (see _EXPR_CACHE)."""
+    if levels is None:
+        levels = config.GAZ_LEVELS
+
+    def build() -> Column:
+        z = F.array(F.struct(_sorted_candidates(levels).alias("cs")))
+        return F.element_at(
+            F.transform(
+                z,
+                lambda zz: F.when(
+                    _has_overlap(zz["cs"]), _decode_spans(_fold_tags(zz["cs"]))
+                ).otherwise(_fast_spans(zz["cs"])),
+            ),
+            1,
+        )
+
+    return _expr_cached("spans", levels, build)
 
 
 def _decode_spans(tags: Column, n: Column | None = None) -> Column:

@@ -104,6 +104,143 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def sentence_texts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sent_id, sent_text) — sentence strings by terminator
+    split, entirely narrow (no window, no shuffle; contrast
+    sentences.tokens_long, whose running-count window is the right shape
+    when later stages need per-TOKEN rows).
+
+    Same sentence model as the reference (datas.py:303-313): a sentence
+    ENDS at each terminator token (the terminator belongs to the
+    preceding sentence); tokens after the last terminator form the final
+    sentence; a trailing terminator leaves no empty sentence behind.
+    sent_id equals the running-terminator-count id of tokens_long, so
+    the two formulations join consistently.
+
+    Scale: boundary arrays are O(#sentences) per doc and each slice
+    copies its own tokens once — O(n_tokens) total work and allocation,
+    no quadratic term.
+    """
+    df = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    df = df.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    n = F.col("n_tokens")
+    seq0 = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    term_pos = F.filter(
+        seq0,
+        lambda i: F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int"))
+        == F.lit(config.SENT_TERM),
+    )
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(term_pos, lambda p: p + F.lit(1))
+    )
+    ends = F.concat(term_pos, F.array((n - 1).cast("int")))
+    segs = F.filter(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ),
+        lambda p: p["s"] <= p["e"],
+    )
+    sent = F.transform(
+        segs,
+        lambda p: F.array_join(
+            F.slice(
+                F.col("tokens"),
+                (p["s"] + F.lit(1)).cast("int"),
+                (p["e"] - p["s"] + F.lit(1)).cast("int"),
+            ),
+            " ",
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(sent).alias("sent_id", "sent_text"),
+    ).select("doc_id", F.col("sent_id").cast("long").alias("sent_id"), "sent_text")
+
+
+def repetition_stats(docs: DataFrame, ndigits: int = 4) -> DataFrame:
+    """(doc_id, n_grams2, top_gram_count, top_gram_frac, n_sents,
+    n_distinct_sents, dup_sent_frac) — Gopher-style repetition signals
+    (Rae et al. 2021 §A1.1: fraction of characters in the most common
+    n-gram; fraction of duplicated lines — here sentences).
+
+    Shape at scale: the word-2-gram leg explodes per-doc grams but both
+    groupBys run map-side partial aggregation, so the exchanges carry
+    distinct (doc_id, gram) rows then one row per doc; the sentence leg
+    is the narrow splitter + one (doc_id, sent_text) partial-agg
+    exchange.  Docs with < 2 tokens have no 2-grams (n_grams2 = 0,
+    fractions 0) and every doc has ≥ 0 sentences — single-sentence docs
+    have dup_sent_frac 0.
+    """
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    df = docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    n = F.col("n_tokens")
+    seq = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.concat(
+                    F.element_at(F.col("tokens"), i.cast("int")),
+                    F.lit(" "),
+                    F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int")),
+                ),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams2"),
+            F.max("cnt").alias("top_gram_count"),
+        )
+    )
+    sent_stats = (
+        sentence_texts(docs)
+        .groupBy("doc_id", "sent_text")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_sents"),
+            F.count("*").alias("n_distinct_sents"),
+        )
+    )
+    base = docs.select("doc_id")
+    out = base.join(gram_stats, "doc_id", "left").join(sent_stats, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_grams2", F.lit(0)).cast("long").alias("n_grams2"),
+        F.coalesce("top_gram_count", F.lit(0)).cast("long").alias("top_gram_count"),
+        F.round(
+            F.coalesce(F.col("top_gram_count") / F.col("n_grams2"), F.lit(0.0)),
+            ndigits,
+        ).alias("top_gram_frac"),
+        F.coalesce("n_sents", F.lit(0)).cast("long").alias("n_sents"),
+        F.coalesce("n_distinct_sents", F.lit(0)).cast("long").alias("n_distinct_sents"),
+        F.round(
+            F.coalesce(
+                (F.col("n_sents") - F.col("n_distinct_sents")) / F.col("n_sents"),
+                F.lit(0.0),
+            ),
+            ndigits,
+        ).alias("dup_sent_frac"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, content_hash, locality_key): md5 content hash + coarse
     locality key (first token | last token | log2 length bucket).

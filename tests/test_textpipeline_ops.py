@@ -1,0 +1,162 @@
+"""Round-5 training-data-pipeline operators: sentence_texts /
+repetition_stats (textstats), sentence_dedup (dedup), stratified
+sampling (sampling).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddaugner_spark import config
+from ddaugner_spark.operators import dedup, sampling, textstats
+from ddaugner_spark.operators.sentences import tokens_long
+
+T = config.SENT_TERM  # "the"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _sents(spark, rows):
+    out = textstats.sentence_texts(_docs(spark, rows))
+    return sorted(tuple(r) for r in out.collect())
+
+
+class TestSentenceTexts:
+    def test_basic_split(self, spark):
+        # sentence ENDS at the terminator; tail after last term = final sentence
+        got = _sents(spark, [(1, f"a b {T} c {T} d")])
+        assert got == [(1, 0, f"a b {T}"), (1, 1, f"c {T}"), (1, 2, "d")]
+
+    def test_trailing_terminator_leaves_no_empty_sentence(self, spark):
+        got = _sents(spark, [(1, f"a b {T}")])
+        assert got == [(1, 0, f"a b {T}")]
+
+    def test_consecutive_terminators_are_one_token_sentences(self, spark):
+        got = _sents(spark, [(1, f"{T} {T} x")])
+        assert got == [(1, 0, T), (1, 1, T), (1, 2, "x")]
+
+    def test_empty_and_null_docs_have_no_sentences(self, spark):
+        got = _sents(spark, [(1, ""), (2, None), (3, "x")])
+        assert got == [(3, 0, "x")]
+
+    def test_sent_ids_match_tokens_long(self, spark):
+        """The narrow splitter's sent_id == the windowed running-count id
+        (the two formulations must join consistently)."""
+        docs = _docs(
+            spark,
+            [(1, f"a {T} {T} b c {T}"), (2, "x y z"), (3, f"{T}")],
+        )
+        via_window = (
+            tokens_long(docs)
+            .groupBy("doc_id", "sent_id")
+            .agg(F.count("*").alias("n"))
+            .select("doc_id", "sent_id")
+        )
+        via_split = textstats.sentence_texts(docs).select("doc_id", "sent_id")
+        assert via_window.subtract(via_split).count() == 0
+        assert via_split.subtract(via_window).count() == 0
+
+    def test_roundtrip_concat_is_original_text(self, spark):
+        """Sentences partition the token stream: joining them back with
+        spaces reconstructs the document."""
+        text = f"a b {T} {T} c d e {T} f"
+        out = textstats.sentence_texts(_docs(spark, [(1, text)]))
+        parts = [
+            r.sent_text
+            for r in out.orderBy("sent_id").collect()
+        ]
+        assert " ".join(parts) == text
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        # 2-grams of "x y x y x": [x y, y x, x y, y x] → top 2/4
+        # sentences: none (no terminator) → 1 sentence, 0 dup
+        out = textstats.repetition_stats(_docs(spark, [(1, "x y x y x")]))
+        r = out.collect()[0]
+        assert (r.n_grams2, r.top_gram_count, r.top_gram_frac) == (4, 2, 0.5)
+        assert (r.n_sents, r.n_distinct_sents, r.dup_sent_frac) == (1, 1, 0.0)
+
+    def test_duplicate_sentences(self, spark):
+        text = f"a b {T} a b {T} c {T}"  # "a b the" ×2, "c the" ×1
+        r = textstats.repetition_stats(_docs(spark, [(1, text)])).collect()[0]
+        assert (r.n_sents, r.n_distinct_sents) == (3, 2)
+        assert r.dup_sent_frac == round(1 / 3, 4)
+
+    def test_degenerate_docs(self, spark):
+        out = textstats.repetition_stats(
+            _docs(spark, [(1, ""), (2, None), (3, "solo")])
+        )
+        rows = {r.doc_id: r for r in out.collect()}
+        assert len(rows) == 3
+        for d in (1, 2):
+            assert rows[d].n_grams2 == 0 and rows[d].top_gram_frac == 0.0
+            assert rows[d].n_sents == 0 and rows[d].dup_sent_frac == 0.0
+        assert rows[3].n_grams2 == 0 and rows[3].n_sents == 1
+
+
+class TestSentenceDedup:
+    def test_first_occurrence_wins(self, spark):
+        docs = _docs(
+            spark,
+            [
+                (1, f"dup a {T} unique one"),
+                (2, f"dup a {T} unique two"),  # sentence "dup a the" already seen
+            ],
+        )
+        rows = {r.doc_id: r for r in dedup.sentence_dedup(docs).collect()}
+        assert (rows[1].n_sents, rows[1].n_kept, rows[1].n_dropped) == (2, 2, 0)
+        assert (rows[2].n_sents, rows[2].n_kept, rows[2].n_dropped) == (2, 1, 1)
+
+    def test_within_doc_duplicates_also_collapse(self, spark):
+        docs = _docs(spark, [(1, f"a {T} a {T}")])
+        r = dedup.sentence_dedup(docs).collect()[0]
+        assert (r.n_sents, r.n_kept, r.n_dropped) == (2, 1, 1)
+
+    def test_empty_doc_keeps_zero_row(self, spark):
+        rows = {r.doc_id: r for r in dedup.sentence_dedup(
+            _docs(spark, [(1, ""), (2, "x")])
+        ).collect()}
+        assert (rows[1].n_sents, rows[1].n_kept, rows[1].n_dropped) == (0, 0, 0)
+
+
+class TestStratifiedSample:
+    @pytest.fixture()
+    def corpus(self, spark):
+        rows = [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(300)]
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_rate_bounds(self, corpus):
+        assert sampling.stratified_sample(corpus, {}, default_mille=1000).count() == 300
+        assert sampling.stratified_sample(corpus, {}, default_mille=0).count() == 0
+
+    def test_unlisted_strata_use_default(self, corpus):
+        got = sampling.stratified_sample(corpus, {"en": 1000}, default_mille=0)
+        assert got.select("lang").distinct().collect()[0].lang == "en"
+        assert got.count() == 100
+
+    def test_deterministic_under_repartition(self, corpus):
+        a = sampling.stratified_sample(corpus, {"en": 500, "de": 200}, 100)
+        b = sampling.stratified_sample(
+            corpus.repartition(7, "lang"), {"en": 500, "de": 200}, 100
+        )
+        assert a.select("doc_id").subtract(b.select("doc_id")).count() == 0
+        assert b.select("doc_id").subtract(a.select("doc_id")).count() == 0
+
+    def test_summary_consistent_with_sample(self, corpus):
+        rates = {"en": 500, "de": 200}
+        summ = {r.stratum: r for r in sampling.mixture_summary(corpus, rates, 100).collect()}
+        samp = (
+            sampling.stratified_sample(corpus, rates, 100)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+        )
+        for r in samp.collect():
+            assert summ[r.lang].n_sampled == r.n
+            assert summ[r.lang].sum_sampled_ids == r.s
+        assert {r.stratum: r.target_mille for r in summ.values()} == {
+            "en": 500, "de": 200, "fr": 100,
+        }
