@@ -392,17 +392,17 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
     sentences (empty text) keep a row with zeros so the output is a
     total function of the corpus.
 
-    Shape at scale: one groupBy(sent_text) with map-side partial
-    aggregation (shuffle = distinct sentences), min(struct) picks the
-    owner without a window sort; the ownership join is keyed on the
-    same (doc_id, sent_id) pair the sentence table already carries.
-    Sentence text never leaves the aggregation — the join carries only
-    slim key rows.
+    Shape at scale: one groupBy over md5(sent_text) — the exchange
+    carries 32-hex-digit keys, not arbitrary-length sentence text —
+    with map-side partial aggregation (shuffle = distinct sentences);
+    min(struct) picks the owner without a window sort.  md5 equality
+    stands in for text equality, the same standing assumption as
+    exact_duplicates above.
     """
     from .textstats import sentence_texts
 
     sents = sentence_texts(docs)
-    owners = sents.groupBy("sent_text").agg(
+    owners = sents.groupBy(F.md5("sent_text").alias("sh")).agg(
         F.min(F.struct("doc_id", "sent_id")).alias("o")
     ).select(F.col("o.doc_id").alias("doc_id"), F.col("o.sent_id").alias("sent_id"))
     kept = owners.groupBy("doc_id").agg(F.count("*").alias("n_kept"))

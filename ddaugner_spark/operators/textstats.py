@@ -209,9 +209,11 @@ def repetition_stats(docs: DataFrame, ndigits: int = 4) -> DataFrame:
             F.max("cnt").alias("top_gram_count"),
         )
     )
+    # keyed on md5(sent_text) so the exchange carries fixed-width keys,
+    # not sentence text (same equality assumption as dedup operators)
     sent_stats = (
         sentence_texts(docs)
-        .groupBy("doc_id", "sent_text")
+        .groupBy("doc_id", F.md5("sent_text").alias("sh"))
         .agg(F.count("*").alias("cnt"))
         .groupBy("doc_id")
         .agg(
