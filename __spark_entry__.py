@@ -759,6 +759,36 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_quantile_sketch(spark, sf):
+    """Mergeable fixed-bin histogram quantiles (p50/p90/p99 of
+    events.value per event_type) — deterministic down to IEEE-754 bin
+    arithmetic, unlike percentile_approx's engine-private GK sketch."""
+    from ddaugner_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return sketches.histogram_quantiles(ev, "value", "event_type")
+
+
+def q_fixed_sample(spark, sf):
+    """Exactly-k-per-stratum deterministic sample (eval-set
+    construction): k smallest md5 keys per language, two-phase
+    (leading-16-bit prefix prefilter, then a window over ~4k
+    survivors)."""
+    from ddaugner_spark.operators import sampling
+
+    return sampling.fixed_size_sample(_docs(spark, sf), k=10).withColumnRenamed(
+        "rank", "rnk"
+    )
+
+
+def q_vocab(spark, sf):
+    """Vocabulary construction (tokenizer-training precursor): corpus
+    token counts ≥ min_count, ids contiguous by (count desc, token) —
+    the heavy agg is map-side combined; the id window runs on the
+    dimension-sized vocab."""
+    return textstats.vocab_df(_docs(spark, sf))
+
+
 def q_fingerprints(spark, sf):
     return textstats.fingerprints(_docs(spark, sf))
 
@@ -1403,15 +1433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition": q_repetition,
         "q_line_dedup": q_line_dedup,
         "q_stratified_sample": q_stratified_sample,
+        "q_quantile_sketch": q_quantile_sketch,
+        "q_fixed_sample": q_fixed_sample,
+        "q_vocab": q_vocab,
         # --- once-driver-checked (round 4 only) re-checks ---
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
         "q_stream_mentions": q_stream_mentions,
+        # --- tail: driver-green in round 4, still in the local gate ---
         "q_stream_link_scores": q_stream_link_scores,
         "q_stream_dedup": q_stream_dedup,
         "q_media_metadata": q_media_metadata,
-        # --- tail: driver-green in round 4, still in the local gate ---
         "q_frame_plan": q_frame_plan,
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
@@ -3016,6 +3049,69 @@ sents AS (
                AS sum_sampled_ids,
              target_mille::BIGINT AS target_mille
       FROM keyed GROUP BY stratum, target_mille
+    """
+
+    o["q_quantile_sketch"] = """
+      WITH bounds AS (
+        SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+               count(value) AS n
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+      ),
+      binned AS (
+        SELECT e.event_type,
+               CASE WHEN vmax = vmin THEN 0
+                    ELSE least(floor((value - vmin) / ((vmax - vmin) / 128.0))::INT, 127)
+               END AS bin,
+               count(*) AS cnt
+        FROM events e JOIN bounds b USING (event_type)
+        WHERE value IS NOT NULL
+        GROUP BY e.event_type, bin
+      ),
+      cum AS (
+        SELECT c.event_type, bin, vmin, vmax, n,
+               sum(cnt) OVER (PARTITION BY c.event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM binned c JOIN bounds b USING (event_type)
+      )
+      SELECT event_type,
+             round(min(CASE WHEN cum >= ceil(0.5 * n)::BIGINT
+                            THEN vmin + bin * ((vmax - vmin) / 128.0) END), 6) AS q_5,
+             round(min(CASE WHEN cum >= ceil(0.9 * n)::BIGINT
+                            THEN vmin + bin * ((vmax - vmin) / 128.0) END), 6) AS q_9,
+             round(min(CASE WHEN cum >= ceil(0.99 * n)::BIGINT
+                            THEN vmin + bin * ((vmax - vmin) / 128.0) END), 6) AS q_99,
+             min(n)::BIGINT AS n
+      FROM cum GROUP BY event_type
+    """
+
+    o["q_fixed_sample"] = """
+      WITH counts AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+      keyed AS (
+        SELECT d.lang, d.doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::UBIGINT::BIGINT
+                 AS lead16,
+               least(65536, ceil(65536.0 * 4 * 10 / n_stratum)::BIGINT) AS thresh
+        FROM documents d JOIN counts USING (lang)
+      ),
+      ranked AS (
+        SELECT lang AS stratum, doc_id AS rid,
+               row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS rn
+        FROM keyed WHERE lead16 < thresh
+      )
+      SELECT stratum, rid, rn::BIGINT AS rnk FROM ranked WHERE rn <= 10
+    """
+
+    o["q_vocab"] = """
+      WITH counts AS (
+        SELECT token, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+        GROUP BY token HAVING count(*) >= 2
+      )
+      SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token ASC)::BIGINT AS token_id
+      FROM counts
     """
 
     o["q_tpch_pricing"] = """

@@ -94,3 +94,49 @@ def mixture_summary(
             F.col("target_mille").cast("long").alias("target_mille"),
         )
     )
+
+
+def fixed_size_sample(
+    docs: DataFrame,
+    k: int,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    safety: int = 4,
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (eval-set
+    construction): the k rows with the smallest md5 sampling keys in
+    each stratum, rank attached — (stratum, rid, rank), rank 1..k.
+
+    Two-phase so no stratum ever sorts at corpus scale: per-stratum
+    counts (map-side-combined agg, broadcast back) set a threshold on
+    the key's LEADING 16 BITS targeting ~``safety``·k expected
+    survivors; because the filter keys on a PREFIX of the sort order,
+    the true top-k are all survivors whenever ≥ k rows pass, and the
+    row_number window sorts only those ~safety·k survivors per stratum,
+    not the stratum.  Strata with ≤ safety·k rows skip the prefilter
+    (threshold 65536).  The prefilter is part of the operator's SPEC —
+    the oracle computes the same threshold, so results match even in
+    the (astronomically unlikely, uniform md5) case of the margin
+    under-filling a stratum.  Strata smaller than k yield all their
+    rows.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    counts = docs.groupBy(strat_col).agg(F.count("*").alias("n_stratum"))
+    thresh = F.least(
+        F.lit(65536),
+        F.ceil(F.lit(65536.0 * safety * k) / F.col("n_stratum")).cast("long"),
+    )
+    lead16 = F.conv(F.substring(key, 1, 4), 16, 10).cast("long")
+    survivors = docs.join(F.broadcast(counts), strat_col).filter(lead16 < thresh)
+    w = Window.partitionBy(strat_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(strat_col).alias("stratum"),
+            F.col(id_col).alias("rid"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -111,3 +111,74 @@ def kmv_sketch(
         est.alias("n_distinct_est"),
         n_kept.cast("long").alias("n_kept"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_bins: int = 128,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantile estimates per group:
+    (group, q_50, q_90, q_99, n) with each estimate = the LOWER EDGE of
+    the first bin whose cumulative count reaches ceil(q·n) — resolution
+    (max−min)/n_bins, fully deterministic (pure IEEE-754 arithmetic, so
+    the DuckDB oracle reproduces every bit; contrast percentile_approx,
+    whose GK-sketch state is engine-private).
+
+    Why not a sort: exact per-group quantiles need a full sort of every
+    group; the histogram needs ONE pass to get per-group (min, max)
+    (map-side-combined agg, group-count-sized result broadcast back)
+    and ONE binned count agg (shuffle = groups × bins rows after
+    partial aggregation).  Bin counts merge by addition, so the same
+    sketch serves rollups and incremental refresh.  The final cum-sum /
+    quantile pick runs a window over groups × n_bins rows — dimension-
+    sized at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    # NULL values carry no quantile information and would bin to a NULL
+    # key whose sort position differs between engines — drop them first
+    df = df.filter(v.isNotNull())
+    bounds = df.groupBy(group_col).agg(
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.count(v).alias("n"),
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(n_bins))
+    binned = (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "bin",
+            F.when(F.col("vmax") == F.col("vmin"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((v - F.col("vmin")) / width).cast("int"),
+                    F.lit(n_bins - 1),
+                )
+            ),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = binned.join(F.broadcast(bounds), group_col).withColumn(
+        "cum", F.sum("cnt").over(w)
+    )
+    aggs = []
+    for q in quantiles:
+        name = f"q_{str(q).replace('0.', '')}"
+        thresh = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        edge = F.col("vmin") + F.col("bin") * width
+        aggs.append(
+            F.round(
+                F.min(F.when(F.col("cum") >= thresh, edge)), ndigits
+            ).alias(name)
+        )
+    return cum.groupBy(group_col).agg(*aggs, F.min("n").alias("n"))

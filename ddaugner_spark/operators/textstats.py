@@ -260,3 +260,31 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "|", F.element_at(toks, 1), F.element_at(toks, -1), bucket.cast("string")
         ).alias("locality_key"),
     )
+
+
+def vocab_df(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """(token, n, token_id) vocabulary construction — the tokenizer-
+    training precursor: corpus token counts, thresholded at
+    ``min_count``, ids assigned contiguously by (count desc, token asc)
+    so id order is frequency order and fully deterministic.
+
+    Scale shape: the corpus-sized work is the one explode + hash
+    aggregate (map-side combine reduces each partition to its distinct
+    tokens before the exchange).  The id-assignment window IS a global
+    sort on a single partition — deliberate and safe: vocabularies are
+    dimension-sized (they grow ~sublinearly with corpus size; even a
+    100 TB crawl yields millions of types, not billions), the same
+    class of driver-adjacent table as gazetteers and centroids.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))

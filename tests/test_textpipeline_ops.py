@@ -160,3 +160,90 @@ class TestStratifiedSample:
         assert {r.stratum: r.target_mille for r in summ.values()} == {
             "en": 500, "de": 200, "fr": 100,
         }
+
+
+class TestHistogramQuantiles:
+    def test_exact_on_uniform_groups(self, spark):
+        from ddaugner_spark.operators.sketches import histogram_quantiles
+
+        rows = [(g, float(v)) for g in ("a", "b") for v in range(100)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        out = {r.g: r for r in histogram_quantiles(df, "value", "g").collect()}
+        for g in ("a", "b"):
+            r = out[g]
+            assert r.n == 100
+            # 0..99 over 128 bins of width 99/128: estimates are lower
+            # edges, within one bin width of the exact quantile
+            w = 99.0 / 128
+            assert abs(r.q_5 - 49.5) <= w + 0.5
+            assert abs(r.q_9 - 89.1) <= w + 0.5
+            assert abs(r.q_99 - 98.01) <= w + 0.5
+
+    def test_constant_group_and_nulls(self, spark):
+        from ddaugner_spark.operators.sketches import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("c", 7.0), ("c", 7.0), ("c", None)], "g string, value double"
+        )
+        r = histogram_quantiles(df, "value", "g").collect()[0]
+        assert (r.q_5, r.q_9, r.q_99, r.n) == (7.0, 7.0, 7.0, 2)
+
+    def test_merge_property(self, spark):
+        """Bin counts merge by addition: sketching a union == sketching
+        the parts (same global bounds)."""
+        from ddaugner_spark.operators.sketches import histogram_quantiles
+
+        rows = [("a", float(v)) for v in range(200)]
+        full = spark.createDataFrame(rows, "g string, value double")
+        halves = spark.createDataFrame(rows[:100], "g string, value double").union(
+            spark.createDataFrame(rows[100:], "g string, value double")
+        )
+        assert (
+            histogram_quantiles(full, "value", "g").collect()
+            == histogram_quantiles(halves, "value", "g").collect()
+        )
+
+
+class TestFixedSizeSample:
+    def test_exactly_k_and_prefix_consistency(self, spark):
+        from ddaugner_spark.operators.sampling import fixed_size_sample
+
+        rows = [(i, "t", ["en", "de"][i % 2]) for i in range(400)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = fixed_size_sample(docs, k=10)
+        got = out.groupBy("stratum").count().collect()
+        assert {r.stratum: r["count"] for r in got} == {"en": 10, "de": 10}
+        # two-phase result == the plain global top-k by md5 (prefilter
+        # is a prefix of the order, margin not underfilled here)
+        import hashlib
+
+        for lang in ("en", "de"):
+            ids = [i for i, _, l in rows if l == lang]
+            want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:10]
+            have = [r.rid for r in out.filter(F.col("stratum") == lang).orderBy("rank").collect()]
+            assert have == want
+
+    def test_small_stratum_yields_all(self, spark):
+        from ddaugner_spark.operators.sampling import fixed_size_sample
+
+        docs = spark.createDataFrame(
+            [(i, "t", "xx") for i in range(3)], "doc_id long, text string, lang string"
+        )
+        assert fixed_size_sample(docs, k=10).count() == 3
+
+
+class TestVocab:
+    def test_counts_threshold_and_order(self, spark):
+        from ddaugner_spark.operators.textstats import vocab_df
+
+        docs = spark.createDataFrame(
+            [(1, "b a a c b a"), (2, "b d")], "doc_id long, text string"
+        )
+        got = [(r.token, r.n, r.token_id) for r in vocab_df(docs, min_count=2).orderBy("token_id").collect()]
+        assert got == [("a", 3, 1), ("b", 3, 2)]  # tie → lexicographic
+
+    def test_empty_and_null_text(self, spark):
+        from ddaugner_spark.operators.textstats import vocab_df
+
+        docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+        assert vocab_df(docs).count() == 0
