@@ -565,7 +565,7 @@ def q_media_decode(spark, sf):
     driver's canonicalizer sorts/hashes the result frame in pandas and
     an array<float> column is unhashable there (the round-4 red row —
     value-correct, harness-incompatible).  No query may return an
-    ArrayType/MapType/StructType column; pinned for all 82 queries in
+    ArrayType/MapType/StructType column; pinned for every query in
     tests/test_entry.py::test_no_complex_types_in_query_schemas and in
     tools/parity_check.py."""
     from ddaugner_spark.operators import multimodal
@@ -1382,10 +1382,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     no round-4 driver row lead; then this round's fixed/changed queries
     (q_media_decode — array column exploded for the driver
     canonicalizer; q_mention_ann_ivf — semi-join query form;
-    q_better_recalled — oracle precondition now pinned); the window is
-    completed by once-driver-checked round-4 entries (streaming,
-    temporal, multimodal).  The tail — all green in round 4 — stays
-    covered by tools/parity_check.py locally."""
+    q_better_recalled — oracle precondition now pinned); then the
+    11 queries NEW this round (dedup/decontamination, TPC-H shapes,
+    repetition, line dedup, sampling, quantile sketch, vocab); the
+    window is completed by once-driver-checked round-4 streaming
+    entries.  The tail — all green in round 4 — stays covered by
+    tools/parity_check.py locally."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
