@@ -2595,14 +2595,20 @@ def oracle_sql() -> dict[str, str]:
         FROM ct, unnest(range(1, len(t) - {k - 2})) AS u(i)
         WHERE len(t) >= {k}
       ),
+      shh AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(shingle), 1, 15))::UBIGINT % 2147483647)::BIGINT AS h
+        FROM sh
+      ),
       mh AS (
-        SELECT doc_id, p, min(md5(p::VARCHAR || '|' || shingle)) AS h
-        FROM sh, unnest(range(0, {config.MINHASH_PERMS})) AS v(p)
+        SELECT doc_id, p,
+               min(((2 * p + 1) * h + p) % 2147483647) AS h
+        FROM shh, unnest(range(0, {config.MINHASH_PERMS})) AS v(p)
         GROUP BY doc_id, p
       ),
       bands AS (
         SELECT doc_id, p // 2 AS band_id,
-               md5(string_agg(h, '|' ORDER BY p)) AS band_hash
+               md5(string_agg(h::VARCHAR, '|' ORDER BY p)) AS band_hash
         FROM mh GROUP BY doc_id, p // 2
       ),
       cand AS (
