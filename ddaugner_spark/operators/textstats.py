@@ -67,16 +67,23 @@ def langid_predictions(docs: DataFrame) -> DataFrame:
     On the synthetic corpus text is independent of lang, so this measures
     the *operator*, not model accuracy.
 
-    Scale shape: the per-char explode is map-only and BOTH groupBys run
+    Scale shape: the per-char explode is map-only and the groupBys run
     hash partial aggregation before their exchange, so shuffled volume
-    is distinct (lang, bigram) rows for the profile and (doc × langs)
-    rows for the votes — NOT ~len(text) rows per doc.  The exploded rows
-    exist only transiently inside the map task."""
+    is distinct (doc, bigram) rows — NOT ~len(text) rows per doc; the
+    exploded rows exist only transiently inside the map task.  The
+    PROFILE is derived from the per-doc counts by a second (tiny)
+    aggregation rather than re-scanning the corpus: profile votes per
+    (lang, bigram) ≡ Σ over docs of the doc-level count, so AQE reuses
+    the doc_bg shuffle stage (final adaptive plan shows ReusedExchange;
+    the pre-AQE explain still prints two scans — reuse is stage-level
+    at runtime).  At sf0.1 the wall is a wash (the scan is page-cached
+    and cheap); the win is at scale, where scanning + exploding the
+    corpus twice is the dominant cost the old two-branch plan paid."""
     bg = char_bigrams(docs)
-    profile = bg.groupBy(F.col("lang").alias("p_lang"), "bigram").agg(
-        F.count("*").alias("votes")
-    )
     doc_bg = bg.groupBy("doc_id", "lang", "bigram").agg(F.count("*").alias("n"))
+    profile = doc_bg.groupBy(F.col("lang").alias("p_lang"), "bigram").agg(
+        F.sum("n").alias("votes")
+    )
     scored = (
         doc_bg.join(F.broadcast(profile), "bigram")
         .groupBy("doc_id", "lang", "p_lang")
