@@ -31,6 +31,7 @@ from ddaugner_spark.operators import (
     augment,
     canonical,
     dedup,
+    graph,
     linking,
     mentions,
     overlap,
@@ -390,6 +391,30 @@ def q_canonical_cc(spark, sf):
     return canonical.connected_components(
         canonical.co_mention_edges(m), stage_dir=_scratch("q_canonical_cc_")
     )
+
+
+def q_triangles(spark, sf):
+    """Per-entity triangle counts on the co-mention graph
+    (degree-oriented wedge join — each triangle generated once at its
+    minimum-(deg, node) vertex; oracle is the naive x<y<z 3-way
+    self-join, same multiset)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.triangle_counts(canonical.co_mention_edges(m))
+
+
+def q_pagerank(spark, sf):
+    """2-step PageRank (damping 0.85, fixed iterations so the SQL twin
+    can unroll the power iteration as two join+groupBy CTEs) on the
+    symmetrized co-mention graph."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    pr = graph.pagerank(
+        canonical.co_mention_edges(m),
+        damping=0.85,
+        max_iter=2,
+        tol=None,
+        stage_dir=_scratch("q_pagerank_"),
+    )
+    return pr.select("entity", F.round("rank", 6).alias("rank"))
 
 
 def q_gazetteer_inject(spark, sf):
@@ -1487,6 +1512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alias_expansion": q_alias_expansion,
         "q_augment_labelwise": q_augment_labelwise,
         "q_wordpiece": q_wordpiece,
+        # --- NEW after the round-5 window froze: driver rows in r6 ---
+        "q_triangles": q_triangles,
+        "q_pagerank": q_pagerank,
     }
 
 
@@ -2210,6 +2238,56 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
       )
       SELECT src AS entity, min(dst) AS component FROM reach GROUP BY src
+    """
+
+    o["q_triangles"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      tri AS (
+        -- naive closed-wedge form: a<b and b<c list each triangle once
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+      ),
+      pern AS (
+        SELECT entity, count(*)::BIGINT AS triangles FROM (
+          SELECT x AS entity FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ) GROUP BY entity
+      ),
+      nodes AS (SELECT a AS entity FROM edges UNION SELECT b FROM edges)
+      SELECT n.entity, coalesce(p.triangles, 0)::BIGINT AS triangles
+      FROM nodes n LEFT JOIN pern p USING (entity)
+    """
+
+    o["q_pagerank"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM sym GROUP BY a),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+      r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+      c1 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r0 r ON s.a = r.node GROUP BY s.b),
+      r1 AS (SELECT r.node, r.deg,
+                    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r0 r LEFT JOIN c1 c USING (node)),
+      c2 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r1 r ON s.a = r.node GROUP BY s.b),
+      r2 AS (SELECT r.node, r.deg,
+                    0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r1 r LEFT JOIN c2 c USING (node))
+      SELECT node AS entity, round(rank, 6) AS rank FROM r2
     """
 
     o["q_gazetteer_inject"] = f"""

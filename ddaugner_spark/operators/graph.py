@@ -1,0 +1,207 @@
+"""Graph analytics over the entity co-mention graph: degree-oriented
+triangle counting and power-iteration PageRank.
+
+The reference stops at consolidating co-occurring surfaces
+(``majority_voting``, /root/reference/ddaugner/utils.py:81-108); a KG
+built at crawl scale additionally needs structural signals over the
+canonicalized graph — how central an entity is (PageRank feeds
+entity-link priors and hub-skew detection for the salted aggregates)
+and how clustered its neighborhood is (triangle counts drive community
+density / disambiguation features).  Both operators consume the same
+``(a, b)`` edge DataFrame as ``canonical.connected_components`` (a < b
+canonical orientation, `canonical.co_mention_edges`).
+
+Scale design:
+
+* **Triangles** use the standard degree orientation: each undirected
+  edge is directed from its lower-``(deg, node)`` endpoint to the
+  higher one, so every vertex's out-degree is O(√m) regardless of how
+  skewed the raw degree distribution is (a hub entity mentioned in
+  every document gets almost all its edges pointed AT it, not out of
+  it).  The wedge self-join therefore fans out per-vertex by out-deg²
+  ≤ m — the m^{3/2} MPC bound — instead of deg², which for a
+  Wikipedia-grade hub would be quadratic in the corpus.  Each triangle
+  is generated exactly once (at its minimum-order vertex) and closure
+  is checked with an equi-join against the canonical edge set, so the
+  whole operator is three shuffles (degrees, wedges, closure) with no
+  driver-side state.
+* **PageRank** is the CC loop's shape re-used for ranks: one
+  join+groupBy stage per iteration, lineage truncated by a parquet
+  round-trip of the O(|V|) rank table, rank table broadcast into the
+  contribution join while it fits executor memory (the edge table is
+  then scanned map-side, never exchanged — same rationale and
+  threshold as canonical.BROADCAST_AUTO_THRESHOLD).  On the
+  symmetrized co-mention graph every node has out-degree ≥ 1, so there
+  is no dangling mass to redistribute and Σ rank = 1 is preserved
+  exactly (pinned in tests).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ddaugner_spark.operators.canonical import BROADCAST_AUTO_THRESHOLD
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of each undirected (a, b) edge."""
+    return edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) over the undirected graph — one hash aggregate on the
+    symmetrized edges (map-side partials shrink each task to its
+    distinct nodes before the exchange)."""
+    return symmetrize(edges).groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(entity, triangles): number of triangles each node participates
+    in, zero-count nodes included.
+
+    ``edges`` must be distinct undirected pairs with ``a < b`` (the
+    contract of co_mention_edges).  Orientation: lower (deg, node) →
+    higher, which caps out-degree at O(√m); wedges are the self-join of
+    the oriented edges on their source, and a wedge (v, w) closes into
+    a triangle iff (v, w) is an edge — checked against the canonical
+    a < b table, so each triangle materializes exactly once, at its
+    minimum-(deg, node) vertex."""
+    e = edges.select("a", "b").distinct()
+    deg = degrees(e)
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    # dst names compared lexically so the closing pair lands in the
+    # same a < b orientation the canonical edge table stores
+    wedges = (
+        x.join(y, "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select("src", F.col("x.dst").alias("v"), F.col("y.dst").alias("w"))
+    )
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("src", "v", "w")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.select(F.col("node").alias("entity"))
+        .join(per_node, "entity", "left")
+        .select(
+            "entity",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+    stage_dir: str | None = None,
+    broadcast_ranks: bool | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(entity, rank): PageRank by power iteration on the symmetrized
+    (undirected) graph.  ``tol=None`` runs exactly ``max_iter``
+    iterations (the fixed-step form the SQL oracle twin mirrors);
+    otherwise the loop stops when the L∞ rank change drops below
+    ``tol``.
+
+    Per iteration: contributions = one join of the symmetric edge table
+    with the rank table on the source node + one groupBy on the
+    destination; the rank table round-trips through parquet so plan
+    depth stays constant.  While |V| ≤ BROADCAST_AUTO_THRESHOLD the
+    rank/degree table broadcasts and the edges are never shuffled at
+    all (map-side join + partial aggregate); above it both sides
+    exchange on the node id — the honest big-graph path.
+    """
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["iters"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_pr_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    t0 = time.time()
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    deg = _roundtrip(
+        sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg")), "deg"
+    )
+    n_nodes = deg.count()
+    stats["n_nodes"] = n_nodes
+    if broadcast_ranks is None:
+        broadcast_ranks = n_nodes <= BROADCAST_AUTO_THRESHOLD
+    stats["broadcast_ranks"] = bool(broadcast_ranks)
+    base = (1.0 - damping) / n_nodes
+    ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    stats["init_sec"] = round(time.time() - t0, 3)
+
+    final_name = None
+    for _it in range(1, max_iter + 1):
+        it_t0 = time.time()
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = (
+            sym.join(r, sym.a == F.col("node"))
+            .select(F.col("b").alias("node2"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node2")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        if broadcast_ranks:
+            contrib = F.broadcast(contrib)
+        # every node of the symmetric graph has deg ≥ 1 in-edges, so the
+        # left join never actually misses; kept for shape-safety
+        new = ranks.join(contrib, ranks.node == F.col("node2"), "left").select(
+            "node",
+            "deg",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
+                "rank"
+            ),
+            F.col("rank").alias("prev_rank"),
+        )
+        final_name = f"ranks_{_it % 2}"
+        new = _roundtrip(new, final_name)
+        it = {"it": _it, "sec": round(time.time() - it_t0, 3)}
+        if tol is not None:
+            delta = new.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev_rank"))).alias("d")
+            ).collect()[0]["d"]
+            it["linf_delta"] = float(delta)
+        stats["iters"].append(it)
+        ranks = new.select("node", "deg", "rank")
+        if tol is not None and it["linf_delta"] < tol:
+            break
+
+    if own_dir:
+        for name in ("sym", "deg", "ranks_0", "ranks_1"):
+            if name != final_name:
+                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+    return ranks.select(F.col("node").alias("entity"), "rank")

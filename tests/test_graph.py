@@ -1,0 +1,147 @@
+"""Graph analytics (operators/graph.py): degree-oriented triangle
+counting and power-iteration PageRank.
+
+Triangle correctness is pinned two ways: hand-counted fixtures (where
+the right answer is obvious by inspection) and a differential against
+the naive x<y<z three-way self-join on a larger deterministic graph
+(the formulation the DuckDB oracle uses) — so the degree-orientation
+optimization is verified to be purely physical.  PageRank is pinned
+against an independent numpy power iteration of the same transition
+matrix, plus the invariants (Σ rank = 1, symmetry classes equal).
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from ddaugner_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    # canonical a < b orientation, the co_mention_edges contract
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    return spark.createDataFrame(canon, "a string, b string")
+
+
+def _tri_map(df):
+    return {r["entity"]: r["triangles"] for r in df.collect()}
+
+
+def test_triangle_fixture(spark):
+    # triangle abc + square fghi (no diagonal → no triangles) + pendant d-e
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("f", "g"), ("g", "h"), ("h", "i"), ("f", "i"),
+         ("d", "e")],
+    )
+    got = _tri_map(graph.triangle_counts(e))
+    assert got == {"a": 1, "b": 1, "c": 1,
+                   "f": 0, "g": 0, "h": 0, "i": 0,
+                   "d": 0, "e": 0}
+
+
+def test_triangle_hub(spark):
+    # star hub h-{r1..r4} has no triangles until one rim edge closes it
+    star = [("h", f"r{i}") for i in range(1, 5)]
+    assert set(_tri_map(graph.triangle_counts(_edges(spark, star))).values()) == {0}
+    got = _tri_map(graph.triangle_counts(_edges(spark, star + [("r1", "r2")])))
+    assert got == {"h": 1, "r1": 1, "r2": 1, "r3": 0, "r4": 0}
+
+
+def test_triangle_k4(spark):
+    # K4: 4 triangles total, each vertex in C(3,2) = 3 of them
+    v = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for i, x in enumerate(v) for y in v[i + 1:]])
+    assert _tri_map(graph.triangle_counts(e)) == {x: 3 for x in v}
+
+
+def test_triangle_differential_vs_naive(spark):
+    # deterministic pseudo-random graph: 40 nodes, edge iff mixed hash
+    # bit — dense enough for hundreds of triangles and a skewed-ish
+    # degree spread; naive x<y<z 3-way join is the independent oracle
+    nodes = [f"n{i:02d}" for i in range(40)]
+    pairs = [
+        (nodes[i], nodes[j])
+        for i in range(40)
+        for j in range(i + 1, 40)
+        if (i * 7919 + j * 104729) % 5 == 0
+    ]
+    e = _edges(spark, pairs)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    naive = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("entity"))
+        .groupBy("entity")
+        .agg(F.count("*").alias("triangles"))
+    )
+    want = {r["entity"]: r["triangles"] for r in naive.collect()}
+    got = {k: v for k, v in _tri_map(graph.triangle_counts(e)).items() if v}
+    assert sum(want.values()) > 100  # the fixture is non-trivial
+    assert got == want
+
+
+def _np_pagerank(pairs, nodes, damping, iters):
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for a, b in pairs:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(iters):
+        nxt = np.full(len(nodes), (1.0 - damping) / len(nodes))
+        for a, b in pairs:
+            nxt[idx[b]] += damping * r[idx[a]] / deg[idx[a]]
+            nxt[idx[a]] += damping * r[idx[b]] / deg[idx[b]]
+        r = nxt
+    return {n: r[idx[n]] for n in nodes}
+
+
+def test_pagerank_differential_vs_numpy(spark, tmp_path):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "e")]
+    nodes = ["a", "b", "c", "d", "e"]
+    want = _np_pagerank(pairs, nodes, 0.85, 3)
+    pr = graph.pagerank(
+        _edges(spark, pairs), damping=0.85, max_iter=3, tol=None,
+        stage_dir=str(tmp_path / "pr"),
+    )
+    got = {r["entity"]: r["rank"] for r in pr.collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_pagerank_k4_converges_immediately(spark, tmp_path):
+    # complete graph: uniform is the fixed point, so the first iteration
+    # reports an L∞ delta of 0 and the tol loop stops after it
+    v = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for i, x in enumerate(v) for y in v[i + 1:]])
+    stats = {}
+    pr = graph.pagerank(
+        e, max_iter=20, tol=1e-9, stage_dir=str(tmp_path / "pr"), stats=stats
+    )
+    got = {r["entity"]: r["rank"] for r in pr.collect()}
+    assert all(v == pytest.approx(0.25, abs=1e-15) for v in got.values())
+    assert len(stats["iters"]) == 1
+    assert stats["broadcast_ranks"] is True
+
+
+def test_pagerank_symmetry_and_hub(spark, tmp_path):
+    # star: all rim nodes are automorphic → equal rank; hub rank strictly
+    # higher; pinned after full convergence
+    pairs = [("h", f"r{i}") for i in range(1, 6)]
+    pr = graph.pagerank(
+        _edges(spark, pairs), max_iter=50, tol=1e-12,
+        stage_dir=str(tmp_path / "pr"),
+    )
+    got = {r["entity"]: r["rank"] for r in pr.collect()}
+    rims = [v for k, v in got.items() if k != "h"]
+    assert max(rims) - min(rims) < 1e-12
+    assert got["h"] > max(rims)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
