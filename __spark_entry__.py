@@ -417,6 +417,17 @@ def q_pagerank(spark, sf):
     return pr.select("entity", F.round("rank", 6).alias("rank"))
 
 
+def q_kcore(spark, sf):
+    """2-core of the co-mention graph, 3 bounded peeling rounds (the
+    form the SQL twin unrolls; the graph reaches its peel fixed point
+    inside the bound at gate scale, and the operator stops there)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.k_core(
+        canonical.co_mention_edges(m), k=2, max_rounds=3,
+        stage_dir=_scratch("q_kcore_"),
+    )
+
+
 def q_gazetteer_inject(spark, sf):
     return augment.inject_gazetteer(_docs(spark, sf))
 
@@ -1515,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW after the round-5 window froze: driver rows in r6 ---
         "q_triangles": q_triangles,
         "q_pagerank": q_pagerank,
+        "q_kcore": q_kcore,
     }
 
 
@@ -2288,6 +2300,30 @@ def oracle_sql() -> dict[str, str]:
                     0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.in_mass, 0) AS rank
              FROM r1 r LEFT JOIN c2 c USING (node))
       SELECT node AS entity, round(rank, 6) AS rank FROM r2
+    """
+
+    o["q_kcore"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      d0 AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      s1 AS (SELECT node FROM d0 WHERE deg >= 2),
+      d1 AS (SELECT s.a AS node, count(*)::BIGINT AS deg
+             FROM sym s JOIN s1 x ON s.a = x.node JOIN s1 y ON s.b = y.node
+             GROUP BY s.a),
+      s2 AS (SELECT node FROM d1 WHERE deg >= 2),
+      d2 AS (SELECT s.a AS node, count(*)::BIGINT AS deg
+             FROM sym s JOIN s2 x ON s.a = x.node JOIN s2 y ON s.b = y.node
+             GROUP BY s.a),
+      s3 AS (SELECT node FROM d2 WHERE deg >= 2),
+      d3 AS (SELECT s.a AS node, count(*)::BIGINT AS deg
+             FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
+             GROUP BY s.a)
+      SELECT node AS entity, deg FROM d3 WHERE deg >= 2
     """
 
     o["q_gazetteer_inject"] = f"""

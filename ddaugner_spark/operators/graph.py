@@ -113,6 +113,85 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_rounds: int = 50,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(entity, deg) of the k-core: the maximal induced subgraph where
+    every node has degree ≥ k, found by iterative peeling (drop all
+    nodes with induced degree < k, recompute, repeat).  ``max_rounds``
+    bounds the loop; when the peel reaches a fixed point earlier it
+    stops there, so a ``max_rounds`` large enough for the graph's peel
+    depth yields the exact k-core (hub-and-spoke co-mention graphs peel
+    in a handful of rounds).  A small fixed ``max_rounds`` is the
+    bounded form the SQL oracle twin unrolls.
+
+    Per round: one semi-join of the symmetric edge table against the
+    surviving nodes on each endpoint + one degree aggregate — the same
+    join+groupBy-per-iteration shape as connected_components, with the
+    node table parquet-round-tripped and broadcast while it fits
+    (edges scanned, never shuffled, below the threshold)."""
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_kcore_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    alive = _roundtrip(
+        sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg")), "alive_init"
+    )
+    n_alive = alive.count()
+    broadcast_nodes = n_alive <= BROADCAST_AUTO_THRESHOLD
+    stats["broadcast_nodes"] = broadcast_nodes
+    final_name = "alive_init"
+    for _round in range(1, max_rounds + 1):
+        r_t0 = time.time()
+        survivors = alive.filter(F.col("deg") >= k).select("node")
+        s = F.broadcast(survivors) if broadcast_nodes else survivors
+        induced = (
+            sym.join(s, sym.a == s.node, "left_semi")
+            .join(
+                F.broadcast(survivors) if broadcast_nodes else survivors,
+                F.col("b") == F.col("node"),
+                "left_semi",
+            )
+        )
+        final_name = f"alive_{_round % 2}"
+        new_alive = _roundtrip(
+            induced.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg")),
+            final_name,
+        )
+        n_new = new_alive.filter(F.col("deg") >= k).count()
+        n_prev, alive = n_alive, new_alive
+        n_alive = n_new
+        stats["rounds"].append(
+            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_alive": n_new}
+        )
+        if n_new == n_prev or n_new == 0:
+            break
+
+    if own_dir:
+        for name in ("sym", "alive_init", "alive_0", "alive_1"):
+            if name != final_name:
+                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+    return alive.filter(F.col("deg") >= k).select(
+        F.col("node").alias("entity"), F.col("deg").cast("long").alias("deg")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

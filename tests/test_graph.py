@@ -132,6 +132,72 @@ def test_pagerank_k4_converges_immediately(spark, tmp_path):
     assert stats["broadcast_ranks"] is True
 
 
+def _py_kcore(pairs, k):
+    """Independent reference peel (plain Python dict/set)."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {n: len(adj[n] & alive) for n in alive}
+
+
+def test_kcore_fixtures(spark, tmp_path):
+    # 2-core of triangle + pendant chain = just the triangle; a chain
+    # alone peels to nothing (needs >1 round: ends first, then inward)
+    tri_chain = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    got = {
+        r["entity"]: r["deg"]
+        for r in graph.k_core(
+            _edges(spark, tri_chain), k=2, stage_dir=str(tmp_path / "k1")
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+    chain = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    assert (
+        graph.k_core(_edges(spark, chain), k=2, stage_dir=str(tmp_path / "k2")).count()
+        == 0
+    )
+
+
+def test_kcore_differential(spark, tmp_path):
+    nodes = [f"n{i:02d}" for i in range(30)]
+    pairs = [
+        (nodes[i], nodes[j])
+        for i in range(30)
+        for j in range(i + 1, 30)
+        if (i * 7919 + j * 104729) % 9 == 0
+    ]
+    for k in (2, 3):
+        want = _py_kcore(pairs, k)
+        got = {
+            r["entity"]: r["deg"]
+            for r in graph.k_core(
+                _edges(spark, pairs), k=k, stage_dir=str(tmp_path / f"k{k}")
+            ).collect()
+        }
+        assert got == want
+
+
+def test_kcore_bounded_rounds(spark, tmp_path):
+    # chain v0..v6: each round peels the current endpoints, and the
+    # returned table additionally filters deg >= k on the last round's
+    # induced degrees — so 1 round → {v2,v3,v4}, 2 rounds → {v3},
+    # fixpoint → empty (a tree has no 2-core)
+    chain = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    for rounds, n_left in [(1, 3), (2, 1), (10, 0)]:
+        got = graph.k_core(
+            _edges(spark, chain), k=2, max_rounds=rounds,
+            stage_dir=str(tmp_path / f"r{rounds}"),
+        )
+        assert got.count() == n_left
+
+
 def test_pagerank_symmetry_and_hub(spark, tmp_path):
     # star: all rim nodes are automorphic → equal rank; hub rank strictly
     # higher; pinned after full convergence
