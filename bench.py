@@ -46,6 +46,7 @@ from ddaugner_spark.sources import gazetteer_df, synthesize_pages, extract_text
 from ddaugner_spark.operators import (
     canonical,
     dedup,
+    graph,
     linking,
     mentions,
     similarity,
@@ -333,6 +334,25 @@ def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
     leg(
         "kg_mentions_bigdict_30k_nofilter",
         lambda: mentions_bigdict_df(docs, gaz, prefilter=False).count(),
+        q,
+    )
+
+    # graph analytics over the co-mention graph (round-5 operators) —
+    # measured on the UNAMPLIFIED corpus's edge set like the CC leg, so
+    # the number is the graph stage alone, not ×20 mention extraction
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = mentions.mentions_df(amplified_docs(spark, sf_dir, 1))
+    edges_dir = "/tmp/ddaugner_bench_graph_edges"
+    canonical.co_mention_edges(m).write.mode("overwrite").parquet(edges_dir)
+    edges = spark.read.parquet(edges_dir)
+    graph.triangle_counts(edges).count()  # warm codegen shapes
+    leg("graph_triangles", lambda: graph.triangle_counts(edges).count(), q)
+    graph.pagerank(edges, max_iter=5, tol=None, stage_dir="/tmp/ddaugner_bench_pr").count()
+    leg(
+        "graph_pagerank5",
+        lambda: graph.pagerank(
+            edges, max_iter=5, tol=None, stage_dir="/tmp/ddaugner_bench_pr"
+        ).count(),
         q,
     )
 
@@ -689,6 +709,8 @@ def main():
             "/tmp/ddaugner_bench_mentions",
             "/tmp/ddaugner_bench_cc",
             "/tmp/ddaugner_bench_cc_scale",
+            "/tmp/ddaugner_bench_graph_edges",
+            "/tmp/ddaugner_bench_pr",
         ):
             _sh.rmtree(d, ignore_errors=True)
 
