@@ -35,6 +35,8 @@ from ddaugner_spark.operators import (
     linking,
     mentions,
     overlap,
+    privacy,
+    retrieval,
     scoring,
     sentences,
     similarity,
@@ -426,6 +428,95 @@ def q_kcore(spark, sf):
         canonical.co_mention_edges(m), k=2, max_rounds=3,
         stage_dir=_scratch("q_kcore_"),
     )
+
+
+def q_pmi_edges(spark, sf):
+    """PMI-weighted co-mention edges — association strength over
+    sentence co-occurrence (edge-pruning signal ahead of CC/PageRank);
+    entity counts broadcast, N as a broadcast scalar, exact integer
+    arithmetic inside one ln."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.pmi_edges(m)
+
+
+#: deterministic bag-of-words query for the BM25 surface (tokens chosen
+#: to exist in the synthetic corpus vocabulary at every sf).
+BM25_QUERY = ["spark", "join", "window"]
+
+
+def q_tfidf(spark, sf):
+    """Top-5 TF-IDF terms per doc: tf/df aggregates share one shuffle
+    (AQE reuse), df broadcast back, rank by ROUNDED score so the oracle
+    orders identically."""
+    return retrieval.tfidf_top_terms(_docs(spark, sf), k=5)
+
+
+def q_postings(spark, sf):
+    """Inverted index: df + first-16 posting list per token, bounded by
+    a per-token window BEFORE collect_list (no unbounded stopword
+    lists)."""
+    return retrieval.postings(_docs(spark, sf), max_postings=16)
+
+
+def q_bm25(spark, sf):
+    """Okapi BM25 top-10 docs for a 3-token query; corpus explode is
+    filtered to query terms before aggregation, top-k via
+    TakeOrderedAndProject (no global-sort window)."""
+    return retrieval.bm25_scores(_docs(spark, sf), BM25_QUERY, k=10)
+
+
+def q_pii_redact(spark, sf):
+    """PII redaction (emails → IPv4 → phones → bare ID runs, masked in
+    that order).  The synthetic corpus carries no PII, so the query
+    deterministically INJECTS category examples as a pure function of
+    doc_id (residue classes mod 5/7/11/13) identically in both engines —
+    the differential then proves detection+masking fires, not just that
+    zero matches equal zero matches.  Map-only: no shuffle, no UDF."""
+    docs = _docs(spark, sf)
+    did = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" call +1415550"), (F.lit(1000) + did % 9000).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" ref "), (F.lit(100000000) + did).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = privacy.redact_pii(injected)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        "n_ids",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+def q_lm_bigram(spark, sf):
+    """Self-trained bigram-LM doc scoring (CCNet/KenLM-style quality
+    signal): mean negative log-likelihood per doc; model counts
+    re-aggregate the doc-level shuffle (AQE reuse)."""
+    return textstats.lm_bigram_scores(_docs(spark, sf))
 
 
 def q_gazetteer_inject(spark, sf):
@@ -1419,10 +1510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (q_media_decode — array column exploded for the driver
     canonicalizer; q_mention_ann_ivf — semi-join query form;
     q_better_recalled — oracle precondition now pinned); then the
-    11 queries NEW this round (dedup/decontamination, TPC-H shapes,
-    repetition, line dedup, sampling, quantile sketch, vocab); the
-    window is completed by once-driver-checked round-4 streaming
-    entries.  The tail — all green in round 4 — stays covered by
+    queries NEW this round (dedup/decontamination, TPC-H shapes,
+    repetition, line dedup, sampling, quantile sketch, vocab, graph
+    analytics, PII redaction, TF-IDF, bigram-LM scoring) up to the
+    50-slot boundary.  The tail — round-4-green entries plus the three
+    newest queries that didn't fit the window (q_pmi_edges, q_postings,
+    q_bm25; rotate in next round) — stays covered by
     tools/parity_check.py locally."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
@@ -1460,8 +1553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_pricing": q_tpch_pricing,
         # --- fixed/changed this round: needs a fresh driver row ---
         "q_media_decode": q_media_decode,
-        "q_mention_ann_ivf": q_mention_ann_ivf,
-        "q_better_recalled": q_better_recalled,
         # --- NEW this round: first driver rows ---
         "q_jaccard_pairs": q_jaccard_pairs,
         "q_decontaminate": q_decontaminate,
@@ -1474,12 +1565,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quantile_sketch": q_quantile_sketch,
         "q_fixed_sample": q_fixed_sample,
         "q_vocab": q_vocab,
-        # --- once-driver-checked (round 4 only) re-checks ---
+        # --- NEW this round: graph analytics + retrieval/privacy/LM ---
+        "q_triangles": q_triangles,
+        "q_pagerank": q_pagerank,
+        "q_kcore": q_kcore,
+        "q_pii_redact": q_pii_redact,
+        "q_tfidf": q_tfidf,
+        "q_lm_bigram": q_lm_bigram,
+        # --- tail: driver-green in round 4, still in the local gate;
+        # plus this session's remaining new queries (q_pmi_edges,
+        # q_postings, q_bm25 — locally parity-checked, rotate into the
+        # window next round) and the two round-4-green queries whose
+        # form changed this round (q_mention_ann_ivf semi-join,
+        # q_better_recalled precondition), displaced by never-checked
+        # new queries ---
+        "q_mention_ann_ivf": q_mention_ann_ivf,
+        "q_better_recalled": q_better_recalled,
+        "q_pmi_edges": q_pmi_edges,
+        "q_postings": q_postings,
+        "q_bm25": q_bm25,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
         "q_stream_mentions": q_stream_mentions,
-        # --- tail: driver-green in round 4, still in the local gate ---
         "q_stream_link_scores": q_stream_link_scores,
         "q_stream_dedup": q_stream_dedup,
         "q_media_metadata": q_media_metadata,
@@ -1523,10 +1631,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alias_expansion": q_alias_expansion,
         "q_augment_labelwise": q_augment_labelwise,
         "q_wordpiece": q_wordpiece,
-        # --- NEW after the round-5 window froze: driver rows in r6 ---
-        "q_triangles": q_triangles,
-        "q_pagerank": q_pagerank,
-        "q_kcore": q_kcore,
     }
 
 
@@ -2324,6 +2428,165 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
              GROUP BY s.a)
       SELECT node AS entity, deg FROM d3 WHERE deg >= 2
+    """
+
+    o["q_pmi_edges"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      sent_ent AS (SELECT DISTINCT doc_id, sent_id, surface FROM mentsent),
+      c_ent AS (SELECT surface, count(*)::BIGINT AS c FROM sent_ent GROUP BY surface),
+      nn AS (SELECT count(*)::DOUBLE AS n_sents
+             FROM (SELECT DISTINCT doc_id, sent_id FROM sent_ent)),
+      pairs AS (
+        SELECT a.surface AS a, b.surface AS b, count(*)::BIGINT AS c_ab
+        FROM sent_ent a JOIN sent_ent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+        GROUP BY a.surface, b.surface
+      )
+      SELECT p.a, p.b, p.c_ab,
+             round(ln(nn.n_sents * p.c_ab / (ca.c * cb.c)), 6) AS pmi
+      FROM pairs p
+      JOIN c_ent ca ON ca.surface = p.a
+      JOIN c_ent cb ON cb.surface = p.b, nn
+    """
+
+    o["q_tfidf"] = """
+      WITH tf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+        GROUP BY doc_id, token
+      ),
+      dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+      nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, d.df,
+               round(tf.tf * (ln((nn.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN dfreq d USING (token), nn
+      ),
+      ranked AS (
+        SELECT doc_id, token, tf, df, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token ASC)::BIGINT AS "rank"
+        FROM scored
+      )
+      SELECT doc_id, token, tf, df, tfidf, "rank" FROM ranked WHERE "rank" <= 5
+    """
+
+    o["q_postings"] = """
+      WITH pairs AS (
+        SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+      ),
+      dfreq AS (SELECT token, count(*)::BIGINT AS df FROM pairs GROUP BY token),
+      head AS (
+        SELECT token, doc_id,
+               row_number() OVER (PARTITION BY token ORDER BY doc_id ASC) AS rn
+        FROM pairs
+      ),
+      plist AS (
+        SELECT token,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id ASC) AS postings
+        FROM head WHERE rn <= 16 GROUP BY token
+      )
+      SELECT d.token, d.df, p.postings FROM dfreq d JOIN plist p USING (token)
+    """
+
+    _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    o["q_bm25"] = f"""
+      WITH tf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token IN ({_BM25_IN})
+        GROUP BY doc_id, token
+      ),
+      dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+      dl AS (SELECT doc_id,
+                    len(list_filter(string_split(coalesce(text, ''), ' '),
+                                    x -> x != '')) AS dl
+             FROM documents),
+      stats AS (SELECT avg(dl)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
+      term AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+        FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id), stats s
+      ),
+      scored AS (SELECT doc_id, round(sum(contrib), 4) AS score
+                 FROM term GROUP BY doc_id),
+      ranked AS (
+        SELECT doc_id, score,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS "rank"
+        FROM scored
+      )
+      SELECT doc_id, score, "rank" FROM ranked WHERE "rank" <= 10
+    """
+
+    # patterns/placeholders interpolated from privacy.PII_PATTERNS so the
+    # oracle can never drift from the operator's regex chain
+    _PP = {name: (pat, ph) for name, pat, ph in privacy.PII_PATTERNS}
+    o["q_pii_redact"] = f"""
+      WITH injected AS (
+        SELECT doc_id,
+               coalesce(text, '')
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 250)::VARCHAR
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call +1415550' || (1000 + doc_id % 9000)::VARCHAR
+                       ELSE '' END
+               || CASE WHEN doc_id % 13 = 0
+                       THEN ' ref ' || (100000000 + doc_id)::VARCHAR
+                       ELSE '' END
+               AS t0
+        FROM documents
+      ),
+      s1 AS (SELECT doc_id,
+                    len(regexp_extract_all(t0, '{_PP["emails"][0]}'))::BIGINT AS n_emails,
+                    regexp_replace(t0, '{_PP["emails"][0]}', '{_PP["emails"][1]}', 'g') AS t1
+             FROM injected),
+      s2 AS (SELECT doc_id, n_emails,
+                    len(regexp_extract_all(t1, '{_PP["ips"][0]}'))::BIGINT AS n_ips,
+                    regexp_replace(t1, '{_PP["ips"][0]}', '{_PP["ips"][1]}', 'g') AS t2
+             FROM s1),
+      s3 AS (SELECT doc_id, n_emails, n_ips,
+                    len(regexp_extract_all(t2, '{_PP["phones"][0]}'))::BIGINT AS n_phones,
+                    regexp_replace(t2, '{_PP["phones"][0]}', '{_PP["phones"][1]}', 'g') AS t3
+             FROM s2),
+      s4 AS (SELECT doc_id, n_emails, n_ips, n_phones,
+                    len(regexp_extract_all(t3, '{_PP["ids"][0]}'))::BIGINT AS n_ids,
+                    regexp_replace(t3, '{_PP["ids"][0]}', '{_PP["ids"][1]}', 'g') AS t4
+             FROM s3)
+      SELECT doc_id, n_emails, n_ips, n_phones, n_ids, md5(t4) AS clean_hash FROM s4
+    """
+
+    o["q_lm_bigram"] = """
+      WITH bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+              FROM documents) s,
+             unnest(range(1, len(t))) u(i)
+      ),
+      docbg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS n
+                FROM bg GROUP BY doc_id, w1, w2),
+      c2 AS (SELECT w1, w2, sum(n)::BIGINT AS c2 FROM docbg GROUP BY w1, w2),
+      c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+      scored AS (
+        SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+               round(-sum(n * ln(c2.c2::DOUBLE / c1.c1)) / sum(n), 4) AS nll
+        FROM docbg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY doc_id
+      )
+      SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+             coalesce(s.nll, 0.0) AS nll
+      FROM documents d LEFT JOIN scored s USING (doc_id)
     """
 
     o["q_gazetteer_inject"] = f"""

@@ -284,3 +284,61 @@ def pagerank(
             if name != final_name:
                 shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
     return ranks.select(F.col("node").alias("entity"), "rank")
+
+
+def pmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
+    """(a, b, c_ab, pmi) — pointwise-mutual-information weights for the
+    co-mention graph: pmi = ln(N · c(a,b) / (c(a) · c(b))) over sentence
+    co-occurrence events, the classic association strength that
+    separates genuinely-related entity pairs from pairs that co-occur
+    only because both are frequent.  Feeds edge pruning before the
+    CC / triangle / PageRank stages (keep pmi > 0 ⇒ observed > expected
+    under independence).
+
+    Counting unit is the distinct (doc, sent, surface) occurrence —
+    c(a) = #sentences mentioning a, c(a,b) = #sentences mentioning both,
+    N = #sentences with ≥ 1 mention — so P(a), P(b), P(a,b) are all
+    probabilities over the same sentence sample space and pmi is exact
+    integer arithmetic inside one ``ln`` (both engines evaluate the same
+    double expression; the rounded value is the contract).
+
+    Scale shape: the per-sentence self-join is bounded by mention
+    density (≤ ~10 surfaces/sentence — the triples_map_only bound), so
+    pair fan-out is O(d²) per sentence, and the pair aggregate collapses
+    it map-side.  Entity counts are vocabulary-sized and broadcast onto
+    the pair table twice (a-side, b-side); N rides as a broadcast 1-row
+    scalar — no driver-side count.
+    """
+    sent_ent = mentions.select("doc_id", "sent_id", "surface").distinct()
+    c_ent = sent_ent.groupBy("surface").agg(F.count("*").alias("c"))
+    n = (
+        sent_ent.select("doc_id", "sent_id")
+        .distinct()
+        .agg(F.count("*").cast("double").alias("n_sents"))
+    )
+    a = sent_ent.select("doc_id", "sent_id", F.col("surface").alias("a"))
+    b = sent_ent.select("doc_id", "sent_id", F.col("surface").alias("b"))
+    pairs = (
+        a.join(b, ["doc_id", "sent_id"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(c_ent.select(F.col("surface").alias("a"), F.col("c").alias("c_a"))), "a")
+        .join(F.broadcast(c_ent.select(F.col("surface").alias("b"), F.col("c").alias("c_b"))), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("n_sents")
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                ndigits,
+            ).alias("pmi"),
+        )
+    )

@@ -1,0 +1,164 @@
+"""Retrieval operators over the document corpus: TF-IDF term weighting,
+inverted-index postings, and BM25 query scoring.
+
+Training-data-pipeline operators (engine additions; the reference
+consumes pre-tokenized CoNLL and has no retrieval surface).  All pure
+column expressions — the corpus-sized work in every operator is one
+tokenize-explode plus hash aggregates with map-side combine; the only
+non-agg state is bounded (top-k windows, capped posting slices).
+
+Float parity with the DuckDB oracle twins: scores mix BIGINT counts with
+``ln`` — both engines evaluate the same IEEE-double expression, and every
+emitted / rank-ordering score is rounded first so a last-ulp libm
+difference cannot reorder ties (ties then break on the token / doc_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, token) — whitespace tokens, empty-token-free, NULL text
+    treated as the empty doc (same contract as textstats)."""
+    return (
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, ndigits: int = 6) -> DataFrame:
+    """(doc_id, token, tf, df, tfidf, rank) — the ``k`` highest-weighted
+    terms per document under smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's ``smooth_idf`` form).
+
+    Scale shape: tf is the one corpus-sized aggregate (map-side combined
+    to distinct (doc, token) rows before its exchange); df re-aggregates
+    tf's OUTPUT per token, so AQE reuses the same shuffle stage rather
+    than re-scanning the corpus (the langid-profile pattern,
+    textstats.langid_predictions).  df is vocabulary-sized — a dimension
+    table — and is broadcast back onto tf; N rides along as a broadcast
+    1-row scalar, never a driver-side ``.count()``.  The per-doc top-k
+    window partitions on doc_id (the key tf is already hashed by).
+
+    Ranking uses the ROUNDED score (desc, then token asc) so the oracle
+    twin ranks identically.
+    """
+    tf = _tokens(docs).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                ndigits,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def postings(docs: DataFrame, max_postings: int = 16) -> DataFrame:
+    """(token, df, postings) — inverted index: per-token document
+    frequency plus the first ``max_postings`` doc_ids (ascending,
+    comma-joined so downstream hashing/storage sees a scalar).
+
+    Scale shape: the corpus collapses to distinct (token, doc_id) pairs
+    map-side; df is a count over those pairs.  The posting list is
+    BOUNDED before any collect — a per-token row_number window keeps
+    only the first ``max_postings`` doc_ids, so no executor ever holds
+    an unbounded list for a stopword-frequency token (the naive
+    sort_array(collect_list(...)) form would).  Window and both
+    aggregates share the token hash key.
+    """
+    pairs = _tokens(docs).distinct()
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc())
+    head = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_postings
+    )
+    plist = head.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda d: d.cast("string")
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return dfreq.join(plist, "token").select("token", "df", "postings")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_tokens: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(doc_id, score, rank) — the ``k`` best documents for a bag-of-words
+    query under Okapi BM25 (Robertson-style idf = ln(1 + (N-df+0.5)/(df+0.5)),
+    never negative).
+
+    Scale shape: the query is a literal in-list, so the corpus-sized
+    explode is filtered to query terms BEFORE its aggregate — tf rows are
+    |docs| × |query| at most.  Document length and the corpus-average
+    length come from a separate doc-level aggregate: dl is per-doc
+    (map-only arithmetic on the already-loaded text column), avgdl is a
+    broadcast 1-row scalar.  df per query term is query-sized.  The
+    final per-doc sum adds ≤ |query| rounded-input doubles, then rounds —
+    ordering differences below the rounding grain cannot flip ranks
+    (ties break on doc_id).
+    """
+    toks = _tokens(docs).filter(F.col("token").isin(query_tokens))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = docs.withColumn("text", F.coalesce(F.col("text"), F.lit(""))).select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("dl"),
+    )
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n_docs")
+    )
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.round(F.sum("contrib"), ndigits).alias("score")
+    )
+    # distributed top-k (TakeOrderedAndProject: per-partition heads, no
+    # global single-partition sort), then rank the k survivors
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "doc_id", "score", "rank"
+    )

@@ -250,6 +250,76 @@ def repetition_stats(docs: DataFrame, ndigits: int = 4) -> DataFrame:
     )
 
 
+def word_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — all adjacent word pairs per doc (narrow
+    sequence+transform; docs with < 2 tokens yield no rows)."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    df = docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    n = F.col("n_tokens")
+    seq = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.element_at(F.col("tokens"), i.cast("int")).alias("w1"),
+            F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int")).alias("w2"),
+        ),
+    )
+    return df.select("doc_id", F.explode(pair).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def lm_bigram_scores(docs: DataFrame, ndigits: int = 4) -> DataFrame:
+    """(doc_id, n_bigrams, nll) — CCNet/KenLM-style LM quality scoring
+    with a bigram model trained on the corpus itself: per-doc mean
+    negative log-likelihood under P(w2|w1) = C(w1 w2) / C(w1 ·).
+    Self-training means every doc bigram has corpus count ≥ 1, so no
+    smoothing term is needed and the probability is exact count
+    arithmetic inside one ``ln``.  Low nll = repetitive/templated text,
+    high nll = text surprising for the corpus — both tails are the
+    standard filter targets.
+
+    Scale shape: one corpus explode → (doc, w1, w2) hash aggregate with
+    map-side combine; the MODEL (bigram counts, then first-word
+    marginals) re-aggregates that output, so AQE reuses the doc-level
+    shuffle instead of re-scanning the corpus (the langid-profile
+    pattern).  The model join is on (w1, w2) — bigram-vocabulary-sized,
+    larger than a broadcast dimension at crawl scale, so it is a plain
+    shuffled equi-join and AQE may still elect broadcast when small.
+    Float parity: the per-doc sum adds n·ln(c2/c1) doubles then rounds;
+    reorder error is ~1e-12 relative, far below the rounding grain.
+    """
+    doc_bg = word_bigrams(docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("n")
+    )
+    c2 = doc_bg.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        doc_bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("n") * F.log(F.col("c2") / F.col("c1")))
+                / F.sum("n"),
+                ndigits,
+            ).alias("nll"),
+        )
+    )
+    base = docs.select("doc_id")
+    return base.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("nll", F.lit(0.0)).alias("nll"),
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, content_hash, locality_key): md5 content hash + coarse
     locality key (first token | last token | log2 length bucket).
