@@ -519,6 +519,38 @@ def q_lm_bigram(spark, sf):
     return textstats.lm_bigram_scores(_docs(spark, sf))
 
 
+#: Count-Min geometry for q_cm_heavy_hitters: width 8 FORCES bucket
+#: collisions on the synthetic vocabulary (~31 tokens) so the
+#: differential exercises the overestimate path, not just est == exact.
+CM_DEPTH, CM_WIDTH = 4, 8
+
+
+def q_cm_heavy_hitters(spark, sf):
+    """Count-Min heavy hitters (engine addition): top-10 corpus tokens
+    by CM-estimated frequency next to the exact count — the fixed-size
+    mergeable frequency sketch (depth×width counters, cells merge by
+    addition) for streaming/shard summaries where a vocabulary-sized
+    exact table can't be kept.  Fully deterministic md5 bucketing, so
+    the oracle rebuilds the identical table from exact counts."""
+    from pyspark.sql import Window
+
+    from ddaugner_spark.operators import sketches
+
+    toks = retrieval._tokens(_docs(spark, sf))
+    sketch = sketches.cm_sketch(toks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+    est = sketches.cm_estimate(sketch, toks, "token", depth=CM_DEPTH, width=CM_WIDTH)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact"))
+    scored = est.join(exact, est.value == exact.token).select(
+        F.col("value").alias("token"), "est", "exact"
+    )
+    w = Window.orderBy(F.col("est").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("token", "est", "exact", "rank")
+    )
+
+
 def q_gazetteer_inject(spark, sf):
     return augment.inject_gazetteer(_docs(spark, sf))
 
@@ -1584,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_edges": q_pmi_edges,
         "q_postings": q_postings,
         "q_bm25": q_bm25,
+        "q_cm_heavy_hitters": q_cm_heavy_hitters,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
@@ -2587,6 +2620,42 @@ def oracle_sql() -> dict[str, str]:
       SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
              coalesce(s.nll, 0.0) AS nll
       FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # rebuilds the CM table FROM the exact counts (cell = Σ exact over
+    # tokens hashing there) — valid because the md5 bucketing is
+    # deterministic and shared, so table contents are identical to the
+    # engine's occurrence-level aggregation
+    o["q_cm_heavy_hitters"] = f"""
+      WITH toks AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents
+      ),
+      exact AS (SELECT token, count(*)::BIGINT AS exact
+                FROM toks WHERE token != '' GROUP BY token),
+      probes AS (
+        SELECT token,
+               j,
+               (('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 12))::UBIGINT
+                % {CM_WIDTH})::BIGINT AS bucket
+        FROM exact, unnest(range({CM_DEPTH})) u(j)
+      ),
+      cells AS (
+        SELECT p.j, p.bucket, sum(e.exact)::BIGINT AS cnt
+        FROM probes p JOIN exact e USING (token)
+        GROUP BY p.j, p.bucket
+      ),
+      est AS (
+        SELECT p.token, min(c.cnt)::BIGINT AS est
+        FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        GROUP BY p.token
+      ),
+      ranked AS (
+        SELECT e.token, e.est, x.exact,
+               row_number() OVER (ORDER BY e.est DESC, e.token ASC)::BIGINT AS "rank"
+        FROM est e JOIN exact x USING (token)
+      )
+      SELECT token, est, exact, "rank" FROM ranked WHERE "rank" <= 10
     """
 
     o["q_gazetteer_inject"] = f"""

@@ -1,4 +1,5 @@
-"""Distinct-count sketching: K-Minimum-Values (KMV / bottom-k).
+"""Frequency and distinct-count sketching: K-Minimum-Values (KMV /
+bottom-k) and Count-Min.
 
 Spark's built-in ``approx_count_distinct`` is HLL++ whose register
 state isn't reproducible across engines; KMV with an md5 hash is FULLY
@@ -182,3 +183,86 @@ def histogram_quantiles(
             ).alias(name)
         )
     return cum.groupBy(group_col).agg(*aggs, F.min("n").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+#: 12 hex digits = 48 bits, the established F.conv(hex,16,10) ↔
+#: ('0x'||hex)::UBIGINT parity window (sampling.py, dedup.py)
+_CM_HEX = 12
+
+
+def cm_bucket(value, row_idx, width: int):
+    """Column expr: Count-Min bucket of ``value`` under hash row
+    ``row_idx`` — md5 over "row|value", leading 48 bits mod width.
+    Deterministic and engine-portable (same bytes in DuckDB)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", row_idx.cast("string"), value)), 1, _CM_HEX
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+def cm_sketch(
+    df: DataFrame, value_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(row_idx, bucket, cnt) — the Count-Min table for the multiset in
+    ``value_col`` (NULLs ignored, COUNT semantics).
+
+    Why a sketch when groupBy(value) is scalable: the CM table is FIXED
+    SIZE (depth × width cells, here 4 KiB of counters) regardless of
+    vocabulary, and cells MERGE BY ADDITION — the properties that matter
+    for streaming ingest, per-shard summaries shipped to a coordinator,
+    and incremental refresh, where a vocabulary-sized exact table is
+    exactly the state you cannot keep per shard/epoch.
+
+    Scale shape: the corpus is scanned once; the ×depth explode happens
+    map-side and collapses into the (row, bucket) hash aggregate's
+    partial combine, so at most partitions·depth·width rows reach the
+    one exchange.  Everything is JVM column arithmetic (md5 + conv) —
+    no Python, no driver state.  Merge = per-cell sum, pytest-pinned.
+    """
+    v = F.col(value_col).cast("string")
+    vals = df.filter(v.isNotNull()).select(v.alias("_v"))
+    rows = vals.select(
+        "_v",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row_idx"),
+    )
+    return (
+        rows.select(
+            "row_idx", cm_bucket(F.col("_v"), F.col("row_idx"), width).alias("bucket")
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
+                depth: int = 4, width: int = 1024) -> DataFrame:
+    """(value, est) — point estimates for each distinct item: the MIN
+    over the sketch's depth rows of the hashed cell, the classic
+    one-sided overestimate (est ≥ true count, always).
+
+    The sketch is depth×width rows — broadcast; items fan out ×depth
+    map-side and collapse straight back in the min-aggregate."""
+    v = F.col(value_col).cast("string")
+    it = items.filter(v.isNotNull()).select(v.alias("value")).distinct()
+    probes = it.select(
+        "value",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row_idx"),
+    ).select(
+        "value",
+        "row_idx",
+        cm_bucket(F.col("value"), F.col("row_idx"), width).alias("bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row_idx", "bucket"], "left")
+    return joined.groupBy("value").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )

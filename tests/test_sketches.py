@@ -76,3 +76,66 @@ def test_kmv_null_handling(spark):
     assert rows["a"] == (2.0, 2)     # NULL value ignored
     assert rows[None] == (1.0, 1)    # NULL group kept
     assert "b" not in rows           # all-NULL group: no row
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+from ddaugner_spark.operators.sketches import cm_estimate, cm_sketch
+
+
+def _cm_docs(spark):
+    rows = [(i, "a " * 8 + "b " * 4 + "c " * 2 + "d") for i in range(1, 4)]
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+def test_cm_overestimates_never_under(spark):
+    toks = _cm_docs(spark)
+    sk = cm_sketch(toks, "token", depth=4, width=2)  # heavy collisions
+    est = {r.value: r.est for r in cm_estimate(sk, toks, "token", 4, 2).collect()}
+    exact = {r.token: r.cnt for r in
+             toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, (t, est[t], c)
+
+
+def test_cm_exact_when_wide(spark):
+    toks = _cm_docs(spark)
+    sk = cm_sketch(toks, "token", depth=4, width=4096)
+    est = {r.value: r.est for r in cm_estimate(sk, toks, "token", 4, 4096).collect()}
+    exact = {r.token: r.cnt for r in
+             toks.groupBy("token").agg(F.count("*").alias("cnt")).collect()}
+    assert est == exact
+
+
+def test_cm_width_one_gives_total(spark):
+    toks = _cm_docs(spark)
+    total = toks.count()
+    sk = cm_sketch(toks, "token", depth=2, width=1)
+    est = {r.value: r.est for r in cm_estimate(sk, toks, "token", 2, 1).collect()}
+    assert all(v == total for v in est.values())
+
+
+def test_cm_cells_merge_by_addition(spark):
+    d1 = spark.createDataFrame([(1, "x x y z")], "doc_id long, text string")
+    d2 = spark.createDataFrame([(2, "x y y w")], "doc_id long, text string")
+    t1 = d1.select(F.explode(F.split("text", " ")).alias("token"))
+    t2 = d2.select(F.explode(F.split("text", " ")).alias("token"))
+    both = t1.unionAll(t2)
+    merged = (
+        cm_sketch(t1, "token", 3, 4).unionAll(cm_sketch(t2, "token", 3, 4))
+        .groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cm_sketch(both, "token", 3, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cm_repartition_invariant(spark):
+    toks = _cm_docs(spark)
+    one = sorted(map(tuple, cm_sketch(toks.coalesce(1), "token", 4, 8).collect()))
+    many = sorted(map(tuple, cm_sketch(toks.repartition(7), "token", 4, 8).collect()))
+    assert one == many
