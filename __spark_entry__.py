@@ -430,6 +430,19 @@ def q_kcore(spark, sf):
     )
 
 
+def q_label_prop(spark, sf):
+    """Label-propagation communities on the co-mention graph, 2 fixed
+    synchronous rounds with a self-vote and min-label tie-break (the
+    bounded form the SQL twin unrolls; the per-round pick is one
+    min(struct(-cnt, label)) hash aggregate, no per-node sort)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.label_propagation(
+        canonical.co_mention_edges(m),
+        max_rounds=2,
+        stage_dir=_scratch("q_label_prop_"),
+    )
+
+
 def q_pmi_edges(spark, sf):
     """PMI-weighted co-mention edges — association strength over
     sentence co-occurrence (edge-pruning signal ahead of CC/PageRank);
@@ -1617,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_postings": q_postings,
         "q_bm25": q_bm25,
         "q_cm_heavy_hitters": q_cm_heavy_hitters,
+        "q_label_prop": q_label_prop,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
@@ -2461,6 +2475,47 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
              GROUP BY s.a)
       SELECT node AS entity, deg FROM d3 WHERE deg >= 2
+    """
+
+    # 2 synchronous LPA rounds unrolled; the engine's
+    # min(struct(-cnt,label)) pick is expressed as the equivalent
+    # row_number window (cnt DESC, label ASC)
+    o["q_label_prop"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      labels0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+      votes1 AS (
+        SELECT s.b AS node, l.label FROM sym s JOIN labels0 l ON l.node = s.a
+        UNION ALL SELECT node, label FROM labels0
+      ),
+      counts1 AS (SELECT node, label, count(*)::BIGINT AS cnt
+                  FROM votes1 GROUP BY node, label),
+      labels1 AS (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label ASC) AS rn
+          FROM counts1) WHERE rn = 1
+      ),
+      votes2 AS (
+        SELECT s.b AS node, l.label FROM sym s JOIN labels1 l ON l.node = s.a
+        UNION ALL SELECT node, label FROM labels1
+      ),
+      counts2 AS (SELECT node, label, count(*)::BIGINT AS cnt
+                  FROM votes2 GROUP BY node, label),
+      labels2 AS (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY cnt DESC, label ASC) AS rn
+          FROM counts2) WHERE rn = 1
+      )
+      SELECT node AS entity, label AS community FROM labels2
     """
 
     o["q_pmi_edges"] = f"""

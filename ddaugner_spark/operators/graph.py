@@ -342,3 +342,94 @@ def pmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_rounds: int = 10,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(entity, community) — community detection by synchronous label
+    propagation with a self-vote and a deterministic tie-break.
+
+    Each node starts in its own community (label = its own id); per
+    round every node adopts the most frequent label among its neighbors
+    PLUS ITSELF, breaking count ties on the lexically smallest label.
+    The self-vote makes the update deterministic-convergent on the
+    structures that oscillate under textbook synchronous LPA (an A—B
+    edge flips labels forever without it; with it both endpoints settle
+    on min(A, B) in one round).  ``max_rounds`` bounds the loop — the
+    small fixed-round form is what the SQL oracle twin unrolls; the
+    loop also stops early at the first round that changes no label.
+
+    Scale shape: the CC/PageRank iteration shape — per round one join
+    of the symmetric edge table with the O(|V|) label table, one
+    (node, label) count aggregate, and one ``min(struct(-cnt, label))``
+    groupBy (hash aggregates only — no per-node sort; the tie-break
+    rides in struct ordering).  The label table parquet-round-trips so
+    plan depth stays constant, and broadcasts while |V| fits under
+    BROADCAST_AUTO_THRESHOLD so the edge table is scanned map-side,
+    never exchanged — above it both sides shuffle on the node id, the
+    honest big-graph path.
+    """
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_lpa_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    labels = _roundtrip(
+        sym.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label")),
+        "labels_init",
+    )
+    n_nodes = labels.count()
+    broadcast_labels = n_nodes <= BROADCAST_AUTO_THRESHOLD
+    stats["n_nodes"] = n_nodes
+    stats["broadcast_labels"] = broadcast_labels
+
+    final_name = "labels_init"
+    for _round in range(1, max_rounds + 1):
+        r_t0 = time.time()
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        votes = sym.join(lbl, sym.a == lbl.node).select(
+            F.col("b").alias("node"), "label"
+        ).unionAll(labels.select("node", "label"))
+        counts = votes.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        # max count, then lexically-min label: struct ordering does the
+        # whole tie-break inside one hash aggregate
+        picked = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label"))).alias("best")
+        )
+        new = picked.select("node", F.col("best.label").alias("label"))
+        final_name = f"labels_{_round % 2}"
+        new = _roundtrip(new, final_name)
+        n_changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        stats["rounds"].append(
+            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_changed": n_changed}
+        )
+        if n_changed == 0:
+            break
+
+    if own_dir:
+        for name in ("sym", "labels_init", "labels_0", "labels_1"):
+            if name != final_name:
+                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+    return labels.select(F.col("node").alias("entity"), F.col("label").alias("community"))

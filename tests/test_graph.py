@@ -211,3 +211,80 @@ def test_pagerank_symmetry_and_hub(spark, tmp_path):
     assert max(rims) - min(rims) < 1e-12
     assert got["h"] > max(rims)
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def _python_lpa(pairs, rounds):
+    """Independent reference: synchronous LPA with self-vote, ties to the
+    lexically smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        new = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[n] = best
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def _lpa_map(df):
+    return {r["entity"]: r["community"] for r in df.collect()}
+
+
+def test_lpa_single_edge_settles_min(spark):
+    # textbook synchronous LPA oscillates here; the self-vote pins both
+    # endpoints to min(A, B) in one round
+    got = _lpa_map(graph.label_propagation(_edges(spark, [("B", "A")]), max_rounds=5))
+    assert got == {"A": "A", "B": "A"}
+
+
+def test_lpa_two_cliques_one_bridge(spark):
+    k1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+    k2 = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+    got = _lpa_map(
+        graph.label_propagation(_edges(spark, k1 + k2 + [("a1", "b1")]), max_rounds=10)
+    )
+    # each triangle coalesces on its own min label; the bridge does not
+    # merge two 3-cliques (neither side can outvote the other's clique)
+    assert got["a2"] == got["a3"] == "a1"
+    assert got["b2"] == got["b3"] == "b1"
+    assert len({got["a1"], got["b2"]}) == 2
+
+
+def test_lpa_differential_vs_python(spark):
+    # deterministic pseudo-random graph, bounded rounds (both sides
+    # synchronous with self-vote, so they must agree round-for-round)
+    pairs = sorted(
+        {
+            (f"n{(i * i) % 23}", f"n{(i * 7 + 3) % 23}")
+            for i in range(60)
+            if (i * i) % 23 != (i * 7 + 3) % 23
+        }
+    )
+    for rounds in (1, 2, 4):
+        want = _python_lpa(pairs, rounds)
+        got = _lpa_map(graph.label_propagation(_edges(spark, pairs), max_rounds=rounds))
+        assert got == want, rounds
+
+
+def test_lpa_fixpoint_early_stop(spark):
+    stats = {}
+    graph.label_propagation(
+        _edges(spark, [("a", "b"), ("b", "c"), ("x", "y")]), max_rounds=50, stats=stats
+    ).collect()
+    assert len(stats["rounds"]) < 50
+    assert stats["rounds"][-1]["n_changed"] == 0
