@@ -430,6 +430,25 @@ def q_kcore(spark, sf):
     )
 
 
+#: Token-budget mixture for q_token_budget: shares over three sources,
+#: everything else rate-0; budget chosen so rates land strictly between
+#: 0 and 1000 at gate scale (partial thinning, not saturation).
+MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET = 1500
+
+
+def q_token_budget(spark, sf):
+    """Token-budget mixture construction: per-source keep rates derived
+    from actual token supply so the sample lands on share·budget tokens
+    per source (md5-bucket membership, summary rows membership-pinned
+    via sum_kept_ids)."""
+    from ddaugner_spark.operators import sampling
+
+    return sampling.token_budget_mixture(
+        _docs(spark, sf), MIX_SHARES, MIX_BUDGET, strat_col="source"
+    )
+
+
 def q_label_prop(spark, sf):
     """Label-propagation communities on the co-mention graph, 2 fixed
     synchronous rounds with a self-vote and min-label tie-break (the
@@ -1631,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": q_bm25,
         "q_cm_heavy_hitters": q_cm_heavy_hitters,
         "q_label_prop": q_label_prop,
+        "q_token_budget": q_token_budget,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
@@ -2475,6 +2495,47 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
              GROUP BY s.a)
       SELECT node AS entity, deg FROM d3 WHERE deg >= 2
+    """
+
+    # numerators/targets are the SAME Python doubles the engine inlines
+    # as literals, rendered via repr so both engines divide identical
+    # IEEE-754 values
+    _mix_num = " ".join(
+        f"WHEN stratum = '{k}' THEN {1000.0 * MIX_BUDGET * v!r}"
+        for k, v in sorted(MIX_SHARES.items(), reverse=True)
+    )
+    _mix_tgt = " ".join(
+        f"WHEN stratum = '{k}' THEN {float(MIX_BUDGET) * v!r}"
+        for k, v in sorted(MIX_SHARES.items(), reverse=True)
+    )
+    o["q_token_budget"] = f"""
+      WITH base AS (
+        SELECT source AS stratum, doc_id AS rid,
+               len(list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x != ''))::BIGINT AS n_tok,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT
+                 % 1000)::BIGINT AS bucket
+        FROM documents
+      ),
+      supply AS (SELECT stratum, sum(n_tok)::BIGINT AS avail_tokens
+                 FROM base GROUP BY stratum),
+      rated AS (
+        SELECT b.stratum, b.rid, b.n_tok, b.bucket, s.avail_tokens,
+               least(1000, floor((CASE {_mix_num} ELSE 0.0 END)
+                                 / s.avail_tokens)::BIGINT) AS rate_mille,
+               CASE {_mix_tgt} ELSE 0.0 END AS tgt
+        FROM base b JOIN supply s USING (stratum)
+      )
+      SELECT stratum,
+             min(avail_tokens)::BIGINT AS avail_tokens,
+             round(min(tgt), 2) AS target_tokens,
+             min(rate_mille)::BIGINT AS rate_mille,
+             sum(CASE WHEN bucket < rate_mille THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             sum(CASE WHEN bucket < rate_mille THEN n_tok ELSE 0 END)::BIGINT
+               AS kept_tokens,
+             sum(CASE WHEN bucket < rate_mille THEN rid ELSE 0 END)::BIGINT
+               AS sum_kept_ids
+      FROM rated GROUP BY stratum
     """
 
     # 2 synchronous LPA rounds unrolled; the engine's

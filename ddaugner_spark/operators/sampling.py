@@ -140,3 +140,80 @@ def fixed_size_sample(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    shares: dict[str, float],
+    budget_tokens: int,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(stratum, avail_tokens, target_tokens, rate_mille, n_kept,
+    kept_tokens, sum_kept_ids) — training-mixture construction against a
+    TOKEN budget: each stratum's keep rate is derived from its actual
+    token supply so the sampled mixture lands on ``shares`` of
+    ``budget_tokens`` (rate = min(1, share·budget / supply), quantized
+    to per-mille and applied with the same md5 bucket rule as
+    stratified_sample — deterministic row membership under
+    repartition/resume).  Strata absent from ``shares`` get rate 0 but
+    still emit a summary row, so the output pins the full composition.
+
+    This is the budget-closing step the share-only form can't do: with
+    fixed per-stratum rates the realized token mix drifts with supply;
+    here under-supplied strata saturate at rate 1000 (take everything —
+    the under-fill is visible as kept_tokens ≪ target_tokens) and
+    over-supplied strata thin to the budget.
+
+    Scale shape: one map-only pass computes per-doc whitespace token
+    counts and the sampling bucket; per-stratum supply is a
+    map-side-combined aggregate over stratum-count-sized partials; the
+    rate is a literal CASE (the numerator share·budget·1000 is
+    precomputed driver-side, so both engines divide the same double);
+    the final summary re-aggregates the same doc-level rows — no second
+    corpus scan, no join.  ``sum_kept_ids`` makes the differential
+    membership-sensitive, not just count-sensitive.
+    """
+    numer = {k: 1000.0 * budget_tokens * v for k, v in shares.items()}
+    n_tok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+        )
+    ).cast("long")
+    base = docs.select(
+        F.col(strat_col).alias("stratum"),
+        F.col(id_col).alias("rid"),
+        n_tok.alias("n_tok"),
+        sample_bucket(id_col).alias("bucket"),
+    )
+    supply = base.groupBy("stratum").agg(F.sum("n_tok").alias("avail_tokens"))
+    num_expr = F.lit(0.0)
+    tgt_expr = F.lit(0.0)
+    for k in sorted(numer, reverse=True):
+        num_expr = F.when(F.col("stratum") == k, F.lit(numer[k])).otherwise(num_expr)
+        tgt_expr = F.when(
+            F.col("stratum") == k, F.lit(float(budget_tokens) * shares[k])
+        ).otherwise(tgt_expr)
+    rated = base.join(F.broadcast(supply), "stratum").withColumn(
+        "rate_mille",
+        F.least(
+            F.lit(1000), F.floor(num_expr / F.col("avail_tokens")).cast("long")
+        ),
+    )
+    kept = F.col("bucket") < F.col("rate_mille")
+    return (
+        rated.groupBy("stratum")
+        .agg(
+            F.min("avail_tokens").alias("avail_tokens"),
+            F.round(F.min(tgt_expr), 2).alias("target_tokens"),
+            F.min("rate_mille").alias("rate_mille"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(kept, F.col("rid")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+    )

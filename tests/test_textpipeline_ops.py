@@ -247,3 +247,66 @@ class TestVocab:
 
         docs = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
         assert vocab_df(docs).count() == 0
+
+
+class TestTokenBudgetMixture:
+    def _run(self, spark, rows, shares, budget):
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        return {
+            r.stratum: r.asDict()
+            for r in sampling.token_budget_mixture(
+                docs, shares, budget, strat_col="source"
+            ).collect()
+        }
+
+    def test_rates_derive_from_supply(self, spark):
+        # src_a supplies 40 tokens, src_b 10; equal shares of a
+        # 20-token budget -> rates 250 and 1000 (saturated)
+        rows = [(i, "src_a", "t " * 3 + "t") for i in range(10)] + [
+            (100 + i, "src_b", "u") for i in range(10)
+        ]
+        got = self._run(spark, rows, {"src_a": 0.5, "src_b": 0.5}, 20)
+        assert got["src_a"]["avail_tokens"] == 40
+        assert got["src_a"]["rate_mille"] == 250
+        assert got["src_b"]["avail_tokens"] == 10
+        assert got["src_b"]["rate_mille"] == 1000  # under-supplied: take all
+        assert got["src_b"]["n_kept"] == 10
+        assert got["src_b"]["kept_tokens"] == 10
+
+    def test_unlisted_stratum_rate_zero_but_reported(self, spark):
+        rows = [(1, "a", "x y"), (2, "b", "z")]
+        got = self._run(spark, rows, {"a": 1.0}, 100)
+        assert got["b"]["rate_mille"] == 0
+        assert got["b"]["n_kept"] == 0
+        assert got["b"]["avail_tokens"] == 1
+
+    def test_membership_matches_bucket_rule(self, spark):
+        # the kept set must be exactly stratified_sample's md5 rule at
+        # the derived rate
+        rows = [(i, "s", "w w w w") for i in range(200)]
+        got = self._run(spark, rows, {"s": 0.5}, 200)  # 100 of 800 -> rate 125
+        assert got["s"]["rate_mille"] == 125
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        expect = (
+            docs.filter(sampling.sample_bucket("doc_id") < 125)
+            .agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            )
+            .collect()[0]
+        )
+        assert got["s"]["n_kept"] == expect.n
+        assert got["s"]["sum_kept_ids"] == expect.s
+
+    def test_deterministic_under_repartition(self, spark):
+        rows = [(i, f"src{i % 3}", "a b c d e") for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        shares = {"src0": 0.4, "src1": 0.4, "src2": 0.2}
+        one = sorted(
+            map(tuple, sampling.token_budget_mixture(
+                docs.coalesce(1), shares, 100, strat_col="source").collect())
+        )
+        many = sorted(
+            map(tuple, sampling.token_budget_mixture(
+                docs.repartition(13), shares, 100, strat_col="source").collect())
+        )
+        assert one == many
