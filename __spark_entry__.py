@@ -437,6 +437,13 @@ MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 MIX_BUDGET = 1500
 
 
+def q_repeated_ngrams(spark, sf):
+    """Intra-doc repeated 3-gram removal (Lee et al. 2021's
+    within-document arm): repeat/mask counts + the md5 of the exact
+    reconstructed clean text per doc."""
+    return dedup.repeated_ngram_stats(_docs(spark, sf), n=3)
+
+
 def q_token_budget(spark, sf):
     """Token-budget mixture construction: per-source keep rates derived
     from actual token supply so the sample lands on share·budget tokens
@@ -1651,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cm_heavy_hitters": q_cm_heavy_hitters,
         "q_label_prop": q_label_prop,
         "q_token_budget": q_token_budget,
+        "q_repeated_ngrams": q_repeated_ngrams,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
@@ -2495,6 +2503,49 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
              GROUP BY s.a)
       SELECT node AS entity, deg FROM d3 WHERE deg >= 2
+    """
+
+    o["q_repeated_ngrams"] = """
+      WITH toks AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t
+        FROM documents
+      ),
+      grid AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i+2], ' ')) AS gram
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)
+      ),
+      firsts AS (SELECT doc_id, gram, min(pos) AS first_pos
+                 FROM grid GROUP BY doc_id, gram),
+      rep AS (
+        SELECT g.doc_id, g.pos
+        FROM grid g JOIN firsts f USING (doc_id, gram)
+        WHERE g.pos > f.first_pos
+      ),
+      repc AS (SELECT doc_id, count(*)::BIGINT AS n_repeated
+               FROM rep GROUP BY doc_id),
+      masked AS (SELECT DISTINCT doc_id, pos + k AS mpos
+                 FROM rep, unnest(range(3)) u(k)),
+      maskc AS (SELECT doc_id, count(*)::BIGINT AS n_masked
+                FROM masked GROUP BY doc_id),
+      expl AS (SELECT doc_id, i, t[i] AS tok
+               FROM toks, unnest(range(1, len(t) + 1)) u(i)),
+      kept AS (
+        SELECT e.doc_id, e.i, e.tok
+        FROM expl e LEFT JOIN masked m ON m.doc_id = e.doc_id AND m.mpos = e.i
+        WHERE m.mpos IS NULL
+      ),
+      clean AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY i)) AS clean_hash
+                FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+             len(t.t)::BIGINT AS n_tokens,
+             coalesce(r.n_repeated, 0)::BIGINT AS n_repeated,
+             coalesce(mc.n_masked, 0)::BIGINT AS n_masked,
+             c.clean_hash
+      FROM toks t
+      LEFT JOIN repc r USING (doc_id)
+      LEFT JOIN maskc mc USING (doc_id)
+      JOIN clean c USING (doc_id)
     """
 
     # numerators/targets are the SAME Python doubles the engine inlines

@@ -436,3 +436,83 @@ def sentence_dedup(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_dropped"),
     )
+
+
+def repeated_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, n_tokens, n_repeated, n_masked, clean_hash) — intra-doc
+    repeated-n-gram removal (the within-document arm of Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    spans inside one page are memorization fuel even when no two pages
+    collide).  Every n-gram occurrence AFTER the first inside a doc is a
+    repeat; the tokens covered by any repeated occurrence are removed
+    and the surviving tokens re-joined — ``clean_hash`` pins the exact
+    reconstruction, ``n_repeated``/``n_masked`` are the filter signals.
+
+    Scale shape: one project builds the token array; the n-gram grid
+    explodes to (doc, pos, md5(gram)) rows — fixed-width keys, the one
+    corpus-sized exchange is the (doc, gram) min-pos aggregate (map-side
+    combined; its output is joined back on the same key, so AQE reuses
+    the shuffle).  Mask positions collapse doc-side to a bounded array
+    (≤ doc length) and the reconstruction is per-row array arithmetic —
+    ``array_contains`` against the JOINED mask attribute, which Catalyst
+    cannot inline into the lambda (the join boundary blocks
+    CollapseProject), so the no-computed-arrays-in-lambdas rule holds.
+    Token slices are joined with ' ' before hashing: the corpus
+    tokenizes on single spaces, so gram identity == token-sequence
+    identity on both engines.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("t"),
+    ).select("doc_id", "t", F.size("t").alias("n_tokens"))
+    grid = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= n,
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("pos"), n))).alias("gram"),
+    )
+    firsts = grid.groupBy("doc_id", "gram").agg(F.min("pos").alias("first_pos"))
+    rep = grid.join(firsts, ["doc_id", "gram"]).filter(
+        F.col("pos") > F.col("first_pos")
+    )
+    rep_counts = rep.groupBy("doc_id").agg(F.count("*").alias("n_repeated"))
+    masked = (
+        rep.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("mpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("mpos").alias("mask"), F.count("*").alias("n_masked"))
+    )
+    joined = (
+        toks.join(masked, "doc_id", "left")
+        .join(rep_counts, "doc_id", "left")
+        .withColumn("mask", F.coalesce(F.col("mask"), F.array().cast("array<int>")))
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.col("n_tokens"), F.lit(1))),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at(F.col("t"), i).alias("tok")
+            ),
+        ),
+        lambda s: (s["i"] <= F.col("n_tokens")) & ~F.array_contains(F.col("mask"), s["i"]),
+    )
+    clean = F.md5(F.concat_ws(" ", F.transform(kept, lambda s: s["tok"])))
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_repeated"), F.lit(0)).cast("long").alias("n_repeated"),
+        F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
+        clean.alias("clean_hash"),
+    )

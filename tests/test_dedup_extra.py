@@ -52,3 +52,57 @@ def test_jaccard_inverted_doc_freq_cap(spark, docs):
     }
     exact_ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 20 == 0).collect()]
     assert any((i, i + 1_000_000) in ones for i in exact_ids)
+
+
+# ---------------------------------------------------------------------------
+# intra-doc repeated n-gram removal
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _md5(s):
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _rep(spark, rows, n=3):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in
+            dedup.repeated_ngram_stats(df, n=n).collect()}
+
+
+def test_repeated_ngram_basic(spark):
+    got = _rep(spark, [(1, "a b c a b c d")])[1]
+    # the second 'a b c' (pos 4) is the only repeat; its 3 tokens go
+    assert (got["n_tokens"], got["n_repeated"], got["n_masked"]) == (7, 1, 3)
+    assert got["clean_hash"] == _md5("a b c d")
+
+
+def test_repeated_ngram_overlapping_runs(spark):
+    got = _rep(spark, [(1, "a a a a a")])[1]
+    # grams at pos 1..3 are all 'a a a'; pos 2,3 repeat -> mask {2,3,4,5}
+    assert (got["n_repeated"], got["n_masked"]) == (2, 4)
+    assert got["clean_hash"] == _md5("a")
+
+
+def test_repeated_ngram_clean_doc_untouched(spark):
+    got = _rep(spark, [(1, "w x y z")])[1]
+    assert (got["n_repeated"], got["n_masked"]) == (0, 0)
+    assert got["clean_hash"] == _md5("w x y z")
+
+
+def test_repeated_ngram_short_and_empty_docs(spark):
+    got = _rep(spark, [(1, "a b"), (2, ""), (3, None)])
+    assert got[1]["n_tokens"] == 2 and got[1]["clean_hash"] == _md5("a b")
+    # split('') is [''] — one empty token, reconstructs to ''
+    for d in (2, 3):
+        assert got[d]["n_tokens"] == 1
+        assert got[d]["clean_hash"] == _md5("")
+
+
+def test_repeated_ngram_first_occurrence_never_masked(spark):
+    # every doc keeps position 1 by construction; heavy repetition
+    # still leaves the first gram intact
+    got = _rep(spark, [(1, "p q r p q r p q r p q r")])[1]
+    assert got["clean_hash"] == _md5("p q r")
+    assert got["n_masked"] == got["n_tokens"] - 3
