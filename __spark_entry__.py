@@ -734,6 +734,27 @@ def q_stream_dedup(spark, sf):
     return spark.read.parquet(out).select("text_hash")
 
 
+def q_stream_cm(spark, sf):
+    """Streaming Count-Min sketch: state bounded by the sketch's
+    depth×width cell space (not the vocabulary) — after an AvailableNow
+    catch-up the table must equal the batch sketch, which the oracle
+    rebuilds from exact token counts."""
+    from ddaugner_spark.streaming import incremental_cm_sketch
+
+    cells = incremental_cm_sketch(
+        spark,
+        f"{sf}/documents.parquet",
+        _scratch("q_stream_cm_ck_"),
+        depth=CM_DEPTH,
+        width=CM_WIDTH,
+    )
+    return cells.select(
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
 def q_media_metadata(spark, sf):
     """Typed metadata over opaque binary payloads (multimodal column
     plumbing): modality/width/height/duration derived deterministically
@@ -1659,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_prop": q_label_prop,
         "q_token_budget": q_token_budget,
         "q_repeated_ngrams": q_repeated_ngrams,
+        "q_stream_cm": q_stream_cm,
         "q_stream_event_counts": q_stream_event_counts,
         "q_stream_sessions": q_stream_sessions,
         "q_stream_triples": q_stream_triples,
@@ -2503,6 +2525,26 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN s3 x ON s.a = x.node JOIN s3 y ON s.b = y.node
              GROUP BY s.a)
       SELECT node AS entity, deg FROM d3 WHERE deg >= 2
+    """
+
+    # the streaming sketch must converge to the batch table: rebuild the
+    # cells from exact counts (same identity as q_cm_heavy_hitters)
+    o["q_stream_cm"] = f"""
+      WITH toks AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+        FROM documents
+      ),
+      exact AS (SELECT token, count(*)::BIGINT AS exact
+                FROM toks WHERE token != '' GROUP BY token),
+      probes AS (
+        SELECT token, j,
+               (('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 12))::UBIGINT
+                % {CM_WIDTH})::BIGINT AS bucket
+        FROM exact, unnest(range({CM_DEPTH})) u(j)
+      )
+      SELECT p.j::BIGINT AS row_idx, p.bucket, sum(e.exact)::BIGINT AS cnt
+      FROM probes p JOIN exact e USING (token)
+      GROUP BY p.j, p.bucket
     """
 
     o["q_repeated_ngrams"] = """

@@ -1,4 +1,5 @@
 from .incremental import (
+    incremental_cm_sketch,
     incremental_dedup,
     incremental_event_counts,
     incremental_link_scores,
@@ -7,6 +8,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "incremental_cm_sketch",
     "incremental_dedup",
     "incremental_event_counts",
     "incremental_link_scores",

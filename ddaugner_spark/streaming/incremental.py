@@ -220,3 +220,53 @@ def incremental_dedup(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir).count()
+
+
+def incremental_cm_sketch(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min sketch over the document token stream —
+    frequency tracking whose state is BOUNDED BY CONSTRUCTION: the
+    aggregation key space is the sketch's depth×width cells (not the
+    vocabulary), so the state store holds ≤ depth·width counters no
+    matter how many distinct tokens ever flow past — the frequency-side
+    counterpart of incremental_dedup's watermark-bounded state, and the
+    reason CM (not an exact token count) is the streaming shape.  Cells
+    merge by addition, so arriving micro-batches fold into the running
+    table exactly as the batch operator's partials do; after an
+    AvailableNow catch-up run the table equals the batch
+    ``sketches.cm_sketch`` bit-for-bit (the oracle's check).
+
+    Complete-output memory sink: the result is the full (small) sketch
+    table each epoch — the shape a coordinator polls for heavy-hitter
+    monitoring."""
+    from ..operators.sketches import cm_bucket
+
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+    toks = stream.select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    fanned = toks.select(
+        "token",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("row_idx"),
+    ).select(
+        "row_idx", cm_bucket(F.col("token"), F.col("row_idx"), width).alias("bucket")
+    )
+    cells = fanned.groupBy("row_idx", "bucket").agg(F.count("*").alias("cnt"))
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("incr_cm_sketch")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT row_idx, bucket, cnt FROM incr_cm_sketch")

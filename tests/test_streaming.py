@@ -152,3 +152,42 @@ def test_incremental_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
     assert n1 == len(want)
     n2 = incremental_dedup(spark, f"{sf_dir}/documents.parquet", ckpt, out)
     assert n2 == n1
+
+
+def test_incremental_cm_sketch_folds_across_batches(spark, sf_dir, tmp_path):
+    """Streaming Count-Min: state is the depth×width cell table, so
+    micro-batches fold into it by addition.  Run over half the corpus,
+    land the second half as new files, rerun with the SAME checkpoint:
+    the final table must equal the batch sketch over the full corpus —
+    the merge-by-addition property that makes CM the streaming shape."""
+    from ddaugner_spark.operators import sketches
+    from ddaugner_spark.streaming import incremental_cm_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, ckpt = str(tmp_path / "cm_src"), str(tmp_path / "cm_ck")
+    half1 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    half2 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 1)
+    half1.write.parquet(src)
+
+    t1 = incremental_cm_sketch(spark, src, ckpt, depth=3, width=16)
+    toks1 = half1.select(
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    want1 = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cm_sketch(toks1, "token", depth=3, width=16).collect()
+    }
+    got1 = {(r["row_idx"], r["bucket"]): r["cnt"] for r in t1.collect()}
+    assert got1 == want1 and got1
+
+    half2.write.mode("append").parquet(src)
+    t2 = incremental_cm_sketch(spark, src, ckpt, depth=3, width=16)
+    toks = docs.select(
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    want = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cm_sketch(toks, "token", depth=3, width=16).collect()
+    }
+    got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in t2.collect()}
+    assert got == want and len(got) > len(got1) // 2
