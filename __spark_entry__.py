@@ -1408,6 +1408,34 @@ def q_kmv_distinct(spark, sf):
     return kmv_sketch(e.select("event_type", "user_id"), "event_type", "user_id", k=64)
 
 
+def q_hll_distinct(spark, sf):
+    """HyperLogLog distinct-count sketch (engine addition): distinct
+    3-gram shingles per language from 64 one-byte registers — the
+    constant-size max-mergeable cardinality state every shard of a
+    100 TB corpus can ship to a coordinator (what Spark's own
+    approx_count_distinct is, made deterministic so the oracle replays
+    the registers bit-for-bit).  The estimate is the RAW HLL formula
+    over a fixed-point integer harmonic sum (one IEEE division, no
+    float accumulation); the small-range linear-counting branch is
+    engine-side only (pinned in test_sketches — the gate corpora are
+    raw-regime, n_distinct >> 2.5·m)."""
+    from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
+
+    k = config.SHINGLE_K
+    docs = _docs(spark, sf).filter(F.col("text").isNotNull())
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " ")
+    )
+    shingled = docs.select("lang", F.explode(sh).alias("shingle"))
+    regs = hll_registers(shingled, "lang", "shingle", p=6)
+    return hll_estimate(regs, "lang", p=6, correct=False)
+
+
 def q_hypertable_rollup(spark, sf):
     """Hypertable continuous aggregate: the DAY rollup is derived by
     re-aggregating the HOURLY rollup (never rescanning raw events) —
@@ -1692,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_events": q_asof_events,
         "q_range_join": q_range_join,
         "q_kmv_distinct": q_kmv_distinct,
+        "q_hll_distinct": q_hll_distinct,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -3886,6 +3915,46 @@ sents AS (
              END AS n_distinct_est,
              least(max(nd), 64)::BIGINT AS n_kept
       FROM kept GROUP BY event_type
+    """
+
+    # HLL register replay: identical integer arithmetic to
+    # sketches.hll_registers/hll_estimate — 48-bit md5 prefix, top 6
+    # bits = register, rho = 43 − length(bin(low 42 bits)), fixed-point
+    # harmonic sum via integer shifts, ONE double division at the end
+    _hll_numer = repr(0.709 * 64 * 64 * float(2**50))
+    o["q_hll_distinct"] = f"""
+      WITH ct AS (
+        SELECT lang, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL
+      ),
+      sh AS (
+        SELECT lang, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM ct, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+      ),
+      h AS (
+        SELECT lang,
+               ('0x' || substr(md5(shingle), 1, 12))::UBIGINT::BIGINT AS hv
+        FROM sh
+      ),
+      reg AS (
+        SELECT lang, hv // 4398046511104 AS idx,
+               CASE WHEN hv % 4398046511104 = 0 THEN 43
+                    ELSE 43 - length(bin(hv % 4398046511104)) END AS rho
+        FROM h
+      ),
+      regs AS (SELECT lang, idx, max(rho) AS rho FROM reg GROUP BY lang, idx),
+      agg AS (
+        SELECT lang, count(*) AS np,
+               sum(((1::UBIGINT << (50 - rho))::BIGINT))::BIGINT AS sp
+        FROM regs GROUP BY lang
+      )
+      SELECT lang,
+             (64 - np)::BIGINT AS n_zero,
+             (sp + (64 - np) * 1125899906842624)::BIGINT AS harmonic_fp,
+             round({_hll_numer} /
+                   (sp + (64 - np) * 1125899906842624), 4) AS est
+      FROM agg
     """
 
     o["q_hypertable_rollup"] = """

@@ -266,3 +266,109 @@ def cm_estimate(sketch: DataFrame, items: DataFrame, value_col: str,
     return joined.groupBy("value").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — deterministic, engine-portable
+# ---------------------------------------------------------------------------
+
+#: hash width driving the register split: 48 bits from the md5 prefix,
+#: top HLL_P bits pick the register, the remaining 48-p bits feed rho
+_HLL_BITS = 48
+
+
+def _hll_alpha(m: int) -> float:
+    """The standard bias-correction constant (Flajolet §4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = 6
+) -> DataFrame:
+    """(group, idx, rho) — HyperLogLog register table per group: for
+    each of the m = 2^p registers that any value hashed into, the max
+    over values of (1 + leading-zero-count of the low 48−p hash bits).
+
+    Why HLL next to KMV (kmv_sketch above): KMV keeps k *strings* per
+    group (64×12-hex ≈ 1.5 KiB); HLL keeps m *small integers* (64 bytes
+    at p=6) and merges by element-wise MAX — the shape you ship from
+    every shard of a 100 TB corpus to a coordinator, and the reason
+    Spark's own approx_count_distinct is HLL++.  The built-in's
+    register state isn't reproducible across engines, so this is the
+    deterministic twin: md5 prefix → 48-bit integer, top p bits =
+    register, rho of the rest via length(bin(w)) — identical integer
+    arithmetic in DuckDB (same bin semantics, verified).
+
+    Scale shape: one corpus scan; groupBy(group, idx).max(rho) does a
+    map-side partial max, so at most partitions·groups·m slim integer
+    rows reach the exchange.  All JVM column arithmetic.  Registers
+    MERGE (max of unions == union of maxes), pytest-pinned.
+    """
+    low_bits = _HLL_BITS - p
+    v = F.col(value_col).cast("string")
+    h = F.conv(F.substring(F.md5(v), 1, _HLL_BITS // 4), 16, 10).cast("long")
+    idx = F.floor(h / F.lit(2**low_bits)).cast("long")
+    w = (h % F.lit(2**low_bits)).cast("long")
+    # rho = leading zeros of the low_bits-wide w, plus 1:
+    #   w > 0 → (low_bits − (floor(log2 w)+1)) + 1 = low_bits+1 − length(bin w)
+    #   w = 0 → low_bits + 1
+    rho = F.when(w == 0, F.lit(low_bits + 1)).otherwise(
+        F.lit(low_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.col(group_col), idx.alias("idx"), rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").cast("long").alias("rho"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, group_col: str, p: int = 6, correct: bool = True
+) -> DataFrame:
+    """(group, n_zero, harmonic_fp, est) — the HLL cardinality estimate
+    from a register table.
+
+    Cross-engine exactness: the harmonic sum Σ 2^−M[j] is kept in FIXED
+    POINT — each register contributes the exact integer 2^(50−M[j]),
+    absent registers contribute 2^50 — so ``harmonic_fp`` is a BIGINT
+    both engines compute identically, and the raw estimate is ONE IEEE
+    double division by it (numerator α·m²·2^50 inlined as the same
+    literal on both sides).  No float accumulation order to diverge.
+
+    ``correct=True`` applies the standard small-range linear-counting
+    branch (est ≤ 2.5m and empty registers → m·ln(m/n_zero)); ln is a
+    libm call whose last ulp may differ across engines, so the
+    SQL-twinned gate query runs raw-regime corpora (pinned by pytest)
+    and the correction is pinned engine-side against exact counts.
+    """
+    m = 2**p
+    low_bits = _HLL_BITS - p
+    fp_shift = low_bits + 8  # 2^(fp_shift−rho) ≥ 2^7 even at rho_max; Σ ≤ m·2^50
+    numer = _hll_alpha(m) * m * m * float(2**fp_shift)
+    agg = registers.groupBy(group_col).agg(
+        F.count("*").alias("_n_present"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(fp_shift) - F.col("rho")).cast("long")
+        ).alias("_s_present"),
+    )
+    n_zero = (F.lit(m) - F.col("_n_present")).cast("long")
+    harmonic = (F.col("_s_present") + n_zero * F.lit(2**fp_shift)).cast("long")
+    raw = F.lit(numer) / F.col("harmonic_fp")
+    out = agg.select(
+        F.col(group_col),
+        n_zero.alias("n_zero"),
+        harmonic.alias("harmonic_fp"),
+    )
+    if correct:
+        lin = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero"))
+        est = F.when((raw <= 2.5 * m) & (F.col("n_zero") > 0), lin).otherwise(raw)
+    else:
+        est = raw
+    return out.select(group_col, "n_zero", "harmonic_fp", F.round(est, 4).alias("est"))

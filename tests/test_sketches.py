@@ -139,3 +139,101 @@ def test_cm_repartition_invariant(spark):
     one = sorted(map(tuple, cm_sketch(toks.coalesce(1), "token", 4, 8).collect()))
     many = sorted(map(tuple, cm_sketch(toks.repartition(7), "token", 4, 8).collect()))
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def _hll_docs(spark, n, group="g"):
+    """n distinct synthetic values under one group, deterministic."""
+    return spark.range(n).select(
+        F.lit(group).alias("grp"),
+        F.concat(F.lit("val_"), F.col("id").cast("string")).alias("v"),
+    )
+
+
+def test_hll_accuracy_vs_exact(spark):
+    """Raw-regime relative error ≈ 1.04/√m (m=64 → 13%); allow 4σ."""
+    from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
+
+    for n in (500, 5000):
+        regs = hll_registers(_hll_docs(spark, n), "grp", "v", p=6)
+        est = hll_estimate(regs, "grp", p=6).first()["est"]
+        assert abs(est - n) / n < 0.52, (n, est)
+
+
+def test_hll_linear_counting_small_range(spark):
+    """Below 2.5·m with empty registers the estimator switches to
+    linear counting m·ln(m/zeros) — far tighter than raw down here."""
+    from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
+
+    for n in (10, 40, 100):
+        regs = hll_registers(_hll_docs(spark, n), "grp", "v", p=6)
+        row = hll_estimate(regs, "grp", p=6).first()
+        assert row["n_zero"] > 0
+        assert abs(row["est"] - n) / n < 0.35, (n, row["est"])
+
+
+def test_hll_registers_merge_by_max(spark):
+    """max-merge of the halves' registers == registers of the union —
+    the property that makes HLL shippable per shard/epoch."""
+    from ddaugner_spark.operators.sketches import hll_registers
+
+    docs = _hll_docs(spark, 2000)
+    a = docs.filter(F.crc32("v") % 2 == 0)
+    b = docs.filter(F.crc32("v") % 2 == 1)
+    merged = (
+        hll_registers(a, "grp", "v", p=6)
+        .unionByName(hll_registers(b, "grp", "v", p=6))
+        .groupBy("grp", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(docs, "grp", "v", p=6)
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in whole.collect()
+    }
+
+
+def test_hll_repartition_invariant(spark):
+    from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = _hll_docs(spark, 3000)
+    e1 = hll_estimate(hll_registers(docs, "grp", "v", p=6), "grp", p=6).first()
+    e2 = hll_estimate(
+        hll_registers(docs.repartition(16), "grp", "v", p=6), "grp", p=6
+    ).first()
+    assert tuple(e1) == tuple(e2)
+
+
+def test_hll_gate_corpora_are_raw_regime(spark):
+    """q_hll_distinct runs correct=False (the linear-counting branch
+    uses libm ln, whose last ulp may differ across engines); that is
+    honest only while every gate corpus keeps every lang's shingle
+    cardinality in the raw regime (raw est > 2.5·m).  Pin it for every
+    corpus the driver gate can run."""
+    import glob
+
+    from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
+    from ddaugner_spark import config
+
+    k = config.SHINGLE_K
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("text").isNotNull()
+        )
+        toks = F.split(F.col("text"), " ")
+        n = F.size(toks)
+        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        sh = F.transform(
+            starts,
+            lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " "),
+        )
+        shingled = docs.select("lang", F.explode(sh).alias("shingle"))
+        regs = hll_registers(shingled, "lang", "shingle", p=6)
+        raw = hll_estimate(regs, "lang", p=6, correct=False)
+        for r in raw.collect():
+            assert r["est"] > 2.5 * 64, (sf, r)
