@@ -960,6 +960,19 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_boilerplate(spark, sf):
+    """Per-source boilerplate line removal (CCNet/RefinedWeb chrome
+    strip): a sentence in ≥ max(2, 0.5·|source docs|) documents of the
+    SAME source is template chrome and is removed from every document
+    (contrast q_line_dedup, which keeps the first copy).  Runs over the
+    deterministically chrome-injected corpus — the header sits above
+    the bar and must vanish, the footer below it and must survive —
+    and pins the exact reconstructed text via clean_hash."""
+    return dedup.boilerplate_removal(
+        dedup.with_boilerplate_corpus(_docs(spark, sf)), min_frac=0.5, min_docs=2
+    )
+
+
 #: Training-mixture rates for q_stratified_sample: per-mille keep rates
 #: by language — the standard "rebalance the crawl" knob.
 MIXTURE_RATES = {"en": 600, "de": 300}
@@ -1721,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_kmv_distinct": q_kmv_distinct,
         "q_hll_distinct": q_hll_distinct,
+        "q_boilerplate": q_boilerplate,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -3915,6 +3929,72 @@ sents AS (
              END AS n_distinct_est,
              least(max(nd), 64)::BIGINT AS n_kept
       FROM kept GROUP BY event_type
+    """
+
+    # boilerplate removal over the chrome-injected corpus: the amp CTE
+    # mirrors dedup.with_boilerplate_corpus, the sentence split mirrors
+    # _sents_cte but carries source
+    o["q_boilerplate"] = f"""
+      WITH amp AS (
+        SELECT doc_id, source,
+               concat_ws(' ',
+                 CASE WHEN doc_id % 3 != 2
+                      THEN 'cookie notice ' || source || ' {config.SENT_TERM}' END,
+                 nullif(coalesce(text, ''), ''),
+                 CASE WHEN doc_id % 7 = 3
+                      THEN '{config.SENT_TERM} all rights reserved '
+                           || source || ' {config.SENT_TERM}' END
+               ) AS text
+        FROM documents
+      ),
+      base AS (
+        SELECT doc_id, source,
+               CASE WHEN text = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, ' ') END AS t
+        FROM amp
+      ),
+      bounds AS (
+        SELECT doc_id, source, t,
+               list_prepend(1, list_transform(termpos, p -> p + 1)) AS starts,
+               list_append(termpos, len(t)) AS ends
+        FROM (SELECT doc_id, source, t,
+                     list_filter(range(1, len(t) + 1),
+                                 i -> t[i] = '{config.SENT_TERM}') AS termpos
+              FROM base WHERE len(t) >= 1)
+      ),
+      sents AS (
+        SELECT doc_id, source, i - 1 AS sent_id,
+               array_to_string(t[starts[i]:ends[i]], ' ') AS sent_text
+        FROM bounds, unnest(range(1, len(starts) + 1)) AS u(i)
+        WHERE starts[i] <= ends[i]
+      ),
+      nd AS (SELECT source, count(*) AS n_docs FROM amp GROUP BY source),
+      dfreq AS (
+        SELECT source, sent_text, count(DISTINCT doc_id) AS df
+        FROM sents GROUP BY source, sent_text
+      ),
+      boiler AS (
+        SELECT f.source, f.sent_text
+        FROM dfreq f JOIN nd USING (source)
+        WHERE df >= 2 AND df >= n_docs * 0.5
+      ),
+      kept AS (
+        SELECT s.* FROM sents s ANTI JOIN boiler b
+          ON s.source = b.source AND s.sent_text = b.sent_text
+      ),
+      recon AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(sent_text, ' ' ORDER BY sent_id) AS clean
+        FROM kept GROUP BY doc_id
+      ),
+      tot AS (SELECT doc_id, count(*) AS n_sents FROM sents GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(t.n_sents, 0)::BIGINT AS n_sents,
+             (coalesce(t.n_sents, 0) - coalesce(r.n_kept, 0))::BIGINT AS n_boiler,
+             md5(coalesce(r.clean, '')) AS clean_hash
+      FROM documents d
+      LEFT JOIN tot t USING (doc_id)
+      LEFT JOIN recon r USING (doc_id)
     """
 
     # HLL register replay: identical integer arithmetic to

@@ -50,6 +50,101 @@ def with_dup_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(exact).unionByName(near)
 
 
+def with_boilerplate_corpus(docs: DataFrame) -> DataFrame:
+    """Deterministically inject per-source template chrome so the
+    boilerplate remover has non-trivial output on the driver's
+    all-distinct synthetic table (the same device as with_dup_corpus):
+    doc_id % 3 != 2 → a per-source header sentence prepended (≈2/3 of
+    each source's docs — ABOVE the 0.5 document-frequency bar, so it
+    must be stripped); doc_id % 7 == 3 → a per-source footer sentence
+    appended (≈1/7 — BELOW the bar, so it must survive; the modulus is
+    coprime with the 20-source stride, unlike 4, which would make every
+    doc of every 4th source a carrier).  Both branches
+    of the threshold are exercised.  The chrome lines end with
+    config.SENT_TERM so they are standalone sentences under the
+    corpus's sentence model; the footer also LEADS with a terminator to
+    detach itself from the body's unterminated tail."""
+    term = config.SENT_TERM
+    header = F.concat(F.lit("cookie notice "), F.col("source"), F.lit(f" {term}"))
+    footer = F.concat(
+        F.lit(f"{term} all rights reserved "), F.col("source"), F.lit(f" {term}")
+    )
+    body = F.nullif(F.coalesce(F.col("text"), F.lit("")), F.lit(""))
+    text = F.concat_ws(
+        " ",
+        F.when(F.col("doc_id") % 3 != 2, header),
+        body,
+        F.when(F.col("doc_id") % 7 == 3, footer),
+    )
+    return docs.select("doc_id", "source", text.alias("text"))
+
+
+def boilerplate_removal(
+    docs: DataFrame, min_frac: float = 0.5, min_docs: int = 2
+) -> DataFrame:
+    """(doc_id, n_sents, n_boiler, clean_hash) — per-SOURCE boilerplate
+    line removal, the CCNet/RefinedWeb companion to sentence_dedup
+    below: a sentence occurring in ≥ max(min_docs, min_frac·|source's
+    docs|) documents OF THE SAME SOURCE is template chrome (cookie
+    banners, nav, license footers) and is stripped from EVERY document
+    — unlike first-occurrence line dedup, no copy survives.  clean_hash
+    is md5 of the surviving sentences re-joined in sent_id order, so
+    the check pins the exact reconstructed text, not just counts.
+
+    Shape at scale: one narrow sentence explode; document frequency is
+    a hash-agg on (source, md5(sent)) slim keys with map-side combine;
+    the boilerplate set (lines over the df bar) is tiny relative to the
+    corpus and is BROADCAST back for a map-side anti join — the corpus
+    itself is shuffled only once, by doc_id, for the ordered
+    reconstruction.
+    """
+    from .textstats import sentence_texts
+
+    sents = sentence_texts(docs, extra_cols=("source",))
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    dfreq = (
+        sents.select("source", F.md5("sent_text").alias("sh"), "doc_id")
+        .distinct()
+        .groupBy("source", "sh")
+        .agg(F.count("*").alias("df"))
+    )
+    boiler = (
+        dfreq.join(F.broadcast(n_docs), "source")
+        .filter(
+            (F.col("df") >= min_docs)
+            & (F.col("df") >= F.col("n_docs") * F.lit(min_frac))
+        )
+        .select("source", "sh")
+    )
+    kept = sents.withColumn("sh", F.md5("sent_text")).join(
+        F.broadcast(boiler), ["source", "sh"], "left_anti"
+    )
+    recon = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sent_id", "sent_text"))),
+                lambda s: s["sent_text"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    totals = sents.groupBy("doc_id").agg(F.count("*").alias("n_sents"))
+    out = (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(recon, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("n_sents", F.lit(0)).cast("long").alias("n_sents"),
+        (F.coalesce("n_sents", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_boiler"),
+        F.md5(F.coalesce("clean", F.lit(""))).alias("clean_hash"),
+    )
+
+
 def exact_duplicates(corpus: DataFrame) -> DataFrame:
     """(text_hash, n_dups, canonical_id) for groups with >1 member."""
     return (

@@ -111,9 +111,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def sentence_texts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sent_id, sent_text) — sentence strings by terminator
-    split, entirely narrow (no window, no shuffle; contrast
+def sentence_texts(
+    docs: DataFrame, id_col: str = "doc_id", extra_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, sent_id, sent_text) — sentence strings by
+    terminator split, entirely narrow (no window, no shuffle; contrast
     sentences.tokens_long, whose running-count window is the right shape
     when later stages need per-TOKEN rows).
 
@@ -165,10 +167,17 @@ def sentence_texts(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             " ",
         ),
     )
+    extras = [F.col(c) for c in extra_cols]
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *extras,
         F.posexplode(sent).alias("sent_id", "sent_text"),
-    ).select("doc_id", F.col("sent_id").cast("long").alias("sent_id"), "sent_text")
+    ).select(
+        "doc_id",
+        *extra_cols,
+        F.col("sent_id").cast("long").alias("sent_id"),
+        "sent_text",
+    )
 
 
 def repetition_stats(docs: DataFrame, ndigits: int = 4) -> DataFrame:

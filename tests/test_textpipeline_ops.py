@@ -310,3 +310,88 @@ class TestTokenBudgetMixture:
                 docs.repartition(13), shares, 100, strat_col="source").collect())
         )
         assert one == many
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_header_stripped_footer_kept(spark, sf_dir):
+    """On the chrome-injected corpus the header sits above the 0.5
+    document-frequency bar (≈2/3 of each source) and must vanish from
+    EVERY carrier; the footer sits below it (≈1/4) and must survive —
+    verified against a per-doc python reconstruction of the expected
+    clean text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    amp = dedup.with_boilerplate_corpus(docs)
+    got = {
+        r["doc_id"]: (r["n_sents"], r["n_boiler"], r["clean_hash"])
+        for r in dedup.boilerplate_removal(amp, min_frac=0.5, min_docs=2).collect()
+    }
+    import hashlib
+    from collections import defaultdict
+
+    def split_sents(text):
+        # terminator ends a sentence and stays attached
+        sents, cur = [], []
+        for t in text.split(" ") if text else []:
+            cur.append(t)
+            if t == config.SENT_TERM:
+                sents.append(" ".join(cur))
+                cur = []
+        if cur:
+            sents.append(" ".join(cur))
+        return sents
+
+    rows = amp.collect()
+    # python replica of the rule: per-source document frequency over
+    # sentences, bar = max(min_docs, 0.5·|source docs|)
+    df, nd = defaultdict(set), defaultdict(int)
+    for r in rows:
+        nd[r["source"]] += 1
+        for s in set(split_sents(r["text"])):
+            df[(r["source"], s)].add(r["doc_id"])
+    boiler = {
+        key for key, owners in df.items()
+        if len(owners) >= 2 and len(owners) >= 0.5 * nd[key[0]]
+    }
+    any_footer_carrier = False
+    for r in rows:
+        sents = split_sents(r["text"])
+        header = f"cookie notice {r['source']} {config.SENT_TERM}"
+        footer = f"all rights reserved {r['source']} {config.SENT_TERM}"
+        assert (header in sents) == (r["doc_id"] % 3 != 2)
+        kept = [s for s in sents if (r["source"], s) not in boiler]
+        n_sents, n_boiler, h = got[r["doc_id"]]
+        assert n_sents == len(sents)
+        assert n_boiler == len(sents) - len(kept)
+        if r["doc_id"] % 3 != 2:
+            assert header not in kept  # above the bar → stripped
+        if footer in sents:
+            any_footer_carrier = True
+            assert footer in kept  # below the bar → survives
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert h == want, (r["doc_id"], h, want)
+    assert any_footer_carrier
+
+
+def test_boilerplate_min_docs_threshold(spark):
+    """A line shared by fewer than min_docs documents is never
+    boilerplate, whatever its fraction."""
+    t = config.SENT_TERM
+    rows = [
+        (1, "s", f"shared line {t} unique one {t}"),
+        (2, "s", f"shared line {t} unique two {t}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: r["n_boiler"]
+        for r in dedup.boilerplate_removal(docs, min_frac=0.5, min_docs=3).collect()
+    }
+    assert out == {1: 0, 2: 0}
+    out2 = {
+        r["doc_id"]: r["n_boiler"]
+        for r in dedup.boilerplate_removal(docs, min_frac=0.5, min_docs=2).collect()
+    }
+    assert out2 == {1: 1, 2: 1}  # df=2, frac=1.0 → stripped from both
