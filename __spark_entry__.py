@@ -960,6 +960,19 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_dsir_weights(spark, sf):
+    """DSIR-style data selection (Xie et al. 2023): per-document
+    log-likelihood ratio between the English-target and raw-corpus
+    unigram distributions over 256 hashed feature buckets — the
+    fixed-size importance-resampling scorer a pretraining pipeline runs
+    ahead of mixture sampling.  kept = more target-like than raw."""
+    from ddaugner_spark.operators.sampling import dsir_weights
+
+    return dsir_weights(
+        _docs(spark, sf), F.col("lang") == "en", n_buckets=256
+    )
+
+
 def q_boilerplate(spark, sf):
     """Per-source boilerplate line removal (CCNet/RefinedWeb chrome
     strip): a sentence in ≥ max(2, 0.5·|source docs|) documents of the
@@ -1735,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_distinct": q_kmv_distinct,
         "q_hll_distinct": q_hll_distinct,
         "q_boilerplate": q_boilerplate,
+        "q_dsir_weights": q_dsir_weights,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -3929,6 +3943,48 @@ sents AS (
              END AS n_distinct_est,
              least(max(nd), 64)::BIGINT AS n_kept
       FROM kept GROUP BY event_type
+    """
+
+    # DSIR replay: md5 bucket identical to cm_bucket(token, 0, 256);
+    # bucket model and totals re-aggregate from per_doc exactly as the
+    # engine does, so the Laplace smoothing sees the same counts
+    o["q_dsir_weights"] = """
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS is_target,
+               (('0x' || substr(md5('0|' || token), 1, 12))::UBIGINT
+                % 256)::BIGINT AS h
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+      ),
+      per_doc AS (
+        SELECT doc_id, h, count(*)::BIGINT AS n_dh,
+               bool_or(is_target) AS is_target
+        FROM toks GROUP BY doc_id, h
+      ),
+      buckets AS (
+        SELECT h, sum(n_dh)::BIGINT AS c_r,
+               sum(CASE WHEN is_target THEN n_dh ELSE 0 END)::BIGINT AS c_t
+        FROM per_doc GROUP BY h
+      ),
+      tot AS (SELECT sum(c_r)::BIGINT AS n_r, sum(c_t)::BIGINT AS n_t
+              FROM buckets),
+      rates AS (
+        SELECT h, ln(((c_t + 1.0) / (n_t + 256.0))
+                     / ((c_r + 1.0) / (n_r + 256.0))) AS lr
+        FROM buckets, tot
+      ),
+      scored AS (
+        SELECT doc_id, sum(n_dh)::BIGINT AS n_tokens,
+               round(sum(n_dh * lr), 4) AS logratio
+        FROM per_doc JOIN rates USING (h) GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+             coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(logratio, 0.0) AS logratio,
+             coalesce(logratio, 0.0) > 0 AS kept
+      FROM documents d LEFT JOIN scored USING (doc_id)
     """
 
     # boilerplate removal over the chrome-injected corpus: the amp CTE

@@ -217,3 +217,84 @@ def token_budget_mixture(
             .alias("sum_kept_ids"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 256,
+    ndigits: int = 4,
+) -> DataFrame:
+    """(doc_id, n_tokens, logratio, kept) — DSIR-style data selection
+    via importance resampling (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio between a TARGET distribution (the rows
+    matching ``target_filter`` — a quality subset, a domain, a
+    language) and the RAW corpus distribution, both estimated over
+    HASHED unigram features so the model is a fixed ``n_buckets``-cell
+    table, not a vocabulary.
+
+    weight(d) = Σ_h n_dh · ln(p_T[h] / p_R[h]),  p_•[h] Laplace-smoothed
+    bucket unigram probabilities; ``kept`` = logratio > 0 (more
+    target-like than raw — the resampling acceptance core; callers
+    wanting a fixed budget compose with fixed_size_sample / the
+    token-budget mixture above).
+
+    Shape at scale: ONE token-level pass — the explode reduces straight
+    into per-(doc_id, bucket) counts via a hash-agg on slim keys with
+    map-side combine (per-doc fan-out ≤ min(n_tokens, n_buckets) rows);
+    the bucket model (raw + target counts, ``n_buckets`` rows) and the
+    corpus totals (1 row) re-aggregate from THAT table, never rescanning
+    tokens, and come back as broadcasts — scoring is a map-side join
+    plus one final doc_id-keyed aggregate.  No driver-side action.  md5
+    bucketing keeps the features engine-exact; only the final ln/round
+    is float (the same round-then-compare contract as the PMI /
+    bigram-LM oracles).
+    """
+    from .sketches import cm_bucket
+
+    toks = (
+        docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select(
+            "doc_id",
+            target_filter.alias("is_target"),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id",
+            "is_target",
+            cm_bucket(F.col("token"), F.lit(0), n_buckets).alias("h"),
+        )
+    )
+    per_doc = toks.groupBy("doc_id", "h").agg(
+        F.count("*").alias("n_dh"), F.first("is_target").alias("is_target")
+    )
+    buckets = per_doc.groupBy("h").agg(
+        F.sum("n_dh").alias("c_r"),
+        F.sum(F.when(F.col("is_target"), F.col("n_dh")).otherwise(0)).alias("c_t"),
+    )
+    totals = buckets.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )
+    rates = buckets.crossJoin(F.broadcast(totals)).select(
+        "h",
+        F.log(
+            ((F.col("c_t") + 1.0) / (F.col("n_t") + F.lit(float(n_buckets))))
+            / ((F.col("c_r") + 1.0) / (F.col("n_r") + F.lit(float(n_buckets))))
+        ).alias("lr"),
+    )
+    scored = per_doc.join(F.broadcast(rates), "h").groupBy("doc_id").agg(
+        F.sum("n_dh").cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("n_dh") * F.col("lr")), ndigits).alias("logratio"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("logratio", F.lit(0.0)).alias("logratio"),
+            (F.coalesce("logratio", F.lit(0.0)) > 0).alias("kept"),
+        )
+    )

@@ -395,3 +395,63 @@ def test_boilerplate_min_docs_threshold(spark):
         for r in dedup.boilerplate_removal(docs, min_frac=0.5, min_docs=2).collect()
     }
     assert out2 == {1: 1, 2: 1}  # df=2, frac=1.0 → stripped from both
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpus(spark):
+    """Target docs (lang=en) speak vocab A, raw docs vocab B; one
+    held-out doc per vocabulary gets the score."""
+    rows = (
+        [(i, "en", "alpha beta gamma delta " * 5) for i in range(10)]
+        + [(100 + i, "zh", "omega psi chi phi " * 5) for i in range(10)]
+        + [(900, "zh", "alpha beta gamma delta"), (901, "en", "omega psi chi phi")]
+    )
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_dsir_separates_target_from_raw(spark):
+    """Target-vocabulary docs must score positive, raw-vocabulary docs
+    negative — REGARDLESS of their own lang label (the scorer sees only
+    token distributions)."""
+    from ddaugner_spark.operators.sampling import dsir_weights
+
+    got = {
+        r["doc_id"]: (r["logratio"], r["kept"])
+        for r in dsir_weights(
+            _dsir_corpus(spark), F.col("lang") == "en", n_buckets=64
+        ).collect()
+    }
+    assert got[900][0] > 0 and got[900][1]      # target vocab, raw label
+    assert got[901][0] < 0 and not got[901][1]  # raw vocab, target label
+    for i in range(10):
+        assert got[i][0] > 0 > got[100 + i][0]
+
+
+def test_dsir_repartition_invariant(spark, sf_dir):
+    from ddaugner_spark.operators.sampling import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {
+        tuple(r)
+        for r in dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    b = {
+        tuple(r)
+        for r in dsir_weights(docs.repartition(16), F.col("lang") == "en").collect()
+    }
+    assert a == b
+
+
+def test_dsir_empty_docs_total(spark):
+    """NULL/empty text keeps a row: zero tokens, zero score, not kept."""
+    from ddaugner_spark.operators.sampling import dsir_weights
+
+    rows = [(1, "en", "alpha beta"), (2, "zh", None), (3, "zh", "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert got[2] == (0, 0.0, False) and got[3] == (0, 0.0, False)
+    assert got[1][0] == 2
