@@ -960,6 +960,18 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_exact_substr(spark, sf):
+    """Cross-document exact-substring duplication (Lee et al. 2022
+    ExactSubstr, distributed windowed-hash form): doc pairs sharing a
+    verbatim ≥20-token run, with the exact longest shared run length
+    recovered from consecutive window matches on one diagonal.  Runs
+    over the dup-amplified corpus: exact copies must report full-length
+    matches, tail-truncated near copies full-length-minus-3."""
+    return dedup.exact_substring_pairs(
+        dedup.with_dup_corpus(_docs(spark, sf)), w=20
+    )
+
+
 def q_dsir_weights(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): per-document
     log-likelihood ratio between the English-target and raw-corpus
@@ -1749,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hll_distinct": q_hll_distinct,
         "q_boilerplate": q_boilerplate,
         "q_dsir_weights": q_dsir_weights,
+        "q_exact_substr": q_exact_substr,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -3943,6 +3956,45 @@ sents AS (
              END AS n_distinct_est,
              least(max(nd), 64)::BIGINT AS n_kept
       FROM kept GROUP BY event_type
+    """
+
+    # ExactSubstr replay: length-20 window hashes; a shared L-token run
+    # is L-19 consecutive diagonal matches — island detection via the
+    # pos − row_number device, identical on both engines
+    o["q_exact_substr"] = f"""
+      WITH {_CORPUS},
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i:i+19], ' ')) AS wh
+        FROM ct, unnest(range(1, len(t) - 18)) AS u(i)
+        WHERE len(t) >= 20
+      ),
+      shared AS (
+        SELECT wh FROM wins GROUP BY wh
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+      ),
+      hits AS (SELECT w.* FROM wins w JOIN shared USING (wh)),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM hits a JOIN hits b ON a.wh = b.wh AND a.doc_id < b.doc_id
+      ),
+      isl AS (
+        SELECT doc_a, doc_b, diag,
+               pos_a - row_number() OVER (
+                 PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        FROM pairs
+      ),
+      runs AS (
+        SELECT doc_a, doc_b, diag, island, count(*) AS run
+        FROM isl GROUP BY doc_a, doc_b, diag, island
+      )
+      SELECT doc_a, doc_b,
+             sum(run)::BIGINT AS n_shared_windows,
+             max(run)::BIGINT AS longest_run,
+             (max(run) + 19)::BIGINT AS longest_match_tokens
+      FROM runs GROUP BY doc_a, doc_b
     """
 
     # DSIR replay: md5 bucket identical to cm_bucket(token, 0, 256);

@@ -490,6 +490,75 @@ def simhash_pairs_from_fingerprints(
     )
 
 
+def exact_substring_pairs(
+    corpus: DataFrame, w: int = 20, max_doc_freq: int = 1000
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_windows, longest_run, longest_match_tokens)
+    — cross-document EXACT substring duplication à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): two
+    documents sharing a verbatim token run of length ≥ w are reported
+    with the length of their longest shared run.  This is the
+    distributed windowed-hash form of ExactSubstr (the paper's suffix
+    array is a single-machine structure): every length-w token window
+    is hashed; a shared substring of length L ≥ w appears as L−w+1
+    consecutive window matches on one DIAGONAL (pos_a − pos_b
+    constant), so longest_match_tokens = w + longest_run − 1 exactly.
+
+    Complements MinHash/LSH (which scores whole-document set overlap
+    and misses a long verbatim quote inside otherwise-different docs)
+    and intra-doc repeated n-grams.
+
+    Shape at scale: the window explode is narrow; window hashes seen in
+    more than ``max_doc_freq`` documents are dropped before the
+    self-join (the same boilerplate-storm cap as
+    jaccard_pairs_inverted, df-capped join fan-out ≤ cap² per hash);
+    the join carries (md5, doc_id, pos) slim rows only for SHARED
+    hashes; island detection is one window function partitioned by
+    (pair, diagonal) — keys the shuffle already provides.
+    """
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins_arr = F.transform(
+        starts,
+        lambda i: F.md5(F.array_join(F.slice(toks, (i + 1).cast("int"), w), " ")),
+    )
+    wins = corpus.select(
+        "doc_id", F.posexplode(wins_arr).alias("pos", "wh")
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_doc_freq))
+        .select("wh")
+    )
+    hits = wins.join(shared, "wh")
+    a = hits.select(
+        F.col("wh"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = hits.select(
+        F.col("wh"), F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    pairs = a.join(b, "wh").filter(F.col("doc_a") < F.col("doc_b"))
+    from pyspark.sql import Window
+
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    seq = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        pairs.select("doc_a", "doc_b", diag, "pos_a")
+        .withColumn("island", F.col("pos_a") - F.row_number().over(seq))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.count("*").alias("run"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("run").cast("long").alias("n_shared_windows"),
+        F.max("run").cast("long").alias("longest_run"),
+        (F.max("run") + F.lit(w - 1)).cast("long").alias("longest_match_tokens"),
+    )
+
+
 def sentence_dedup(docs: DataFrame) -> DataFrame:
     """Corpus-wide sentence-level (line-level) dedup summary: per doc,
     how many of its sentences survive first-occurrence dedup.

@@ -455,3 +455,87 @@ def test_dsir_empty_docs_total(spark):
     got = {r["doc_id"]: tuple(r)[1:] for r in dsir_weights(docs, F.col("lang") == "en").collect()}
     assert got[2] == (0, 0.0, False) and got[3] == (0, 0.0, False)
     assert got[1][0] == 2
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring duplication (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def _tok_text(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_exact_substr_recovers_exact_length(spark):
+    """A verbatim 50-token block shared between otherwise-different docs
+    must be reported with longest_match_tokens == 50 exactly."""
+    shared = _tok_text("s", 50)
+    rows = [
+        (1, _tok_text("a", 30) + " " + shared + " " + _tok_text("x", 25)),
+        (2, shared + " " + _tok_text("y", 40)),
+        (3, _tok_text("z", 60)),  # shares nothing
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.exact_substring_pairs(docs, w=20).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["longest_match_tokens"] == 50
+    assert r["longest_run"] == 50 - 20 + 1
+    assert r["n_shared_windows"] == 31
+
+
+def test_exact_substr_below_window_is_invisible(spark):
+    """A shared run shorter than w produces no matching window."""
+    shared = _tok_text("s", 19)
+    rows = [
+        (1, shared + " " + _tok_text("x", 30)),
+        (2, shared + " " + _tok_text("y", 30)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the shared prefix is 19 tokens; windows starting inside it extend
+    # into differing suffixes, so nothing matches
+    assert dedup.exact_substring_pairs(docs, w=20).count() == 0
+
+
+def test_exact_substr_repeated_block_two_diagonals(spark):
+    """Doc 2 contains the shared block twice: two diagonals, each with
+    the block's run; longest stays the block length, total windows
+    doubles."""
+    blk = _tok_text("s", 30)
+    rows = [
+        (1, _tok_text("a", 25) + " " + blk),
+        (2, blk + " " + _tok_text("m", 22) + " " + blk),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = dedup.exact_substring_pairs(docs, w=20).collect()[0]
+    assert r["longest_match_tokens"] == 30
+    assert r["n_shared_windows"] == 2 * (30 - 20 + 1)
+
+
+def test_exact_substr_on_amplified_corpus(spark, sf_dir):
+    """Exact copies report their full token length; tail-truncated near
+    copies report length − 3 (when long enough to window)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    amp = dedup.with_dup_corpus(docs)
+    lens = {
+        r["doc_id"]: r["n"]
+        for r in amp.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["longest_match_tokens"]
+        for r in dedup.exact_substring_pairs(amp, w=20).collect()
+    }
+    checked = 0
+    for (a, b), L in got.items():
+        if b == a + 1_000_000:
+            assert L == lens[a], (a, b, L, lens[a])
+            checked += 1
+        elif b == a + 2_000_000 and lens[a] >= 23:
+            assert L == lens[a] - 3, (a, b, L, lens[a])
+            checked += 1
+    assert checked >= 2
