@@ -960,6 +960,19 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_two_hop(spark, sf):
+    """KG consumption: two-hop path enumeration over the constructed
+    triple graph — support-weighted edges (≥2 attestations), each mid
+    entity capped to its 5 best-supported in/out edges so hub entities
+    cannot explode the join (the north-star's Wikipedia-skew guard),
+    path support = the weaker leg."""
+    from ddaugner_spark.operators.graph import two_hop_paths
+
+    return two_hop_paths(
+        triples.triples_df(_docs(spark, sf)), min_support=2, fanout_cap=5
+    )
+
+
 def q_exact_substr(spark, sf):
     """Cross-document exact-substring duplication (Lee et al. 2022
     ExactSubstr, distributed windowed-hash form): doc pairs sharing a
@@ -1762,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate": q_boilerplate,
         "q_dsir_weights": q_dsir_weights,
         "q_exact_substr": q_exact_substr,
+        "q_two_hop": q_two_hop,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2472,9 +2486,9 @@ def oracle_sql() -> dict[str, str]:
       FROM ent e JOIN occ o ON e.surface = o.surface
     """
 
-    o["q_triples"] = f"""
-      WITH {_TOKS}, {_SENTID}, {_MENT},
-      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
+    # the triple-extraction select, shared by q_triples and the KG
+    # consumption query q_two_hop (which re-aggregates it into edges)
+    _TRI_SELECT = f"""
       SELECT s.doc_id, s.sent_id,
              s.surface AS subj, s.tag AS subj_tag,
              arg_min(p.tok, p.pos) AS pred,
@@ -2488,7 +2502,41 @@ def oracle_sql() -> dict[str, str]:
       JOIN preds p
         ON p.doc_id = s.doc_id AND p.pos > s.end_idx AND p.pos < o.start_idx
       GROUP BY s.doc_id, s.sent_id, s.surface, s.tag, o.surface, o.tag,
-               s.start_idx, o.start_idx
+               s.start_idx, o.start_idx"""
+
+    o["q_triples"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
+      {_TRI_SELECT}
+    """
+
+    o["q_two_hop"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      edges AS (
+        SELECT subj, pred, obj, count(*)::BIGINT AS support
+        FROM tri GROUP BY subj, pred, obj HAVING count(*) >= 2
+      ),
+      h1 AS (
+        SELECT subj AS entity_a, pred AS pred1, obj AS mid,
+               support AS support1,
+               row_number() OVER (PARTITION BY obj
+                                  ORDER BY support DESC, pred, subj) AS r
+        FROM edges QUALIFY r <= 5
+      ),
+      h2 AS (
+        SELECT subj AS mid, pred AS pred2, obj AS entity_c,
+               support AS support2,
+               row_number() OVER (PARTITION BY subj
+                                  ORDER BY support DESC, pred, obj) AS r
+        FROM edges QUALIFY r <= 5
+      )
+      SELECT entity_a, pred1, mid, pred2, entity_c,
+             support1, support2,
+             least(support1, support2) AS path_support
+      FROM h1 JOIN h2 USING (mid)
+      WHERE entity_a != entity_c
     """
 
     o["q_entity_link"] = f"""

@@ -433,3 +433,71 @@ def label_propagation(
             if name != final_name:
                 shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
     return labels.select(F.col("node").alias("entity"), F.col("label").alias("community"))
+
+
+def two_hop_paths(
+    triples: DataFrame, min_support: int = 2, fanout_cap: int = 5
+) -> DataFrame:
+    """(entity_a, pred1, mid, pred2, entity_c, support1, support2,
+    path_support) — two-hop path enumeration over the CONSTRUCTED KG:
+    aggregate (subj, pred, obj) triples into support-weighted edges,
+    then join hop-1's object to hop-2's subject.  The consumption-side
+    query of the kg_construct pipeline: "what is A connected to through
+    one intermediate, and how well-attested is each leg?"
+    path_support = min of the leg supports (a path is only as attested
+    as its weaker leg); A == C round-trips are excluded.
+
+    Hub-entity skew is THE hazard here (the north-star's Wikipedia
+    problem): a hub as `mid` fans out |in-edges|·|out-edges| pairs.
+    Bounded by construction — each mid keeps only its ``fanout_cap``
+    best-supported incoming and outgoing edges (deterministic
+    tie-break on pred/entity), so the join emits ≤ cap² paths per mid
+    no matter how hubby the graph.  The cap windows partition by a
+    single entity key; at crawl scale their shuffle is the aggregated
+    EDGE table (vocabulary-sized), not the triple stream, and the edge
+    aggregation itself is one map-side-combined hash-agg over slim
+    string keys.
+    """
+    from pyspark.sql import Window
+
+    edges = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    w_in = Window.partitionBy("obj").orderBy(F.desc("support"), "pred", "subj")
+    w_out = Window.partitionBy("subj").orderBy(F.desc("support"), "pred", "obj")
+    hop1 = (
+        edges.withColumn("r", F.row_number().over(w_in))
+        .filter(F.col("r") <= fanout_cap)
+        .select(
+            F.col("subj").alias("entity_a"),
+            F.col("pred").alias("pred1"),
+            F.col("obj").alias("mid"),
+            F.col("support").alias("support1"),
+        )
+    )
+    hop2 = (
+        edges.withColumn("r", F.row_number().over(w_out))
+        .filter(F.col("r") <= fanout_cap)
+        .select(
+            F.col("subj").alias("mid"),
+            F.col("pred").alias("pred2"),
+            F.col("obj").alias("entity_c"),
+            F.col("support").alias("support2"),
+        )
+    )
+    return (
+        hop1.join(hop2, "mid")
+        .filter(F.col("entity_a") != F.col("entity_c"))
+        .select(
+            "entity_a",
+            "pred1",
+            "mid",
+            "pred2",
+            "entity_c",
+            F.col("support1").cast("long").alias("support1"),
+            F.col("support2").cast("long").alias("support2"),
+            F.least("support1", "support2").cast("long").alias("path_support"),
+        )
+    )

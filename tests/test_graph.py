@@ -288,3 +288,41 @@ def test_lpa_fixpoint_early_stop(spark):
     ).collect()
     assert len(stats["rounds"]) < 50
     assert stats["rounds"][-1]["n_changed"] == 0
+
+
+def test_two_hop_paths_semantics(spark):
+    """Hand-built KG: support aggregation, min_support gate, hub
+    fanout cap, A==C exclusion, weaker-leg path support."""
+    from ddaugner_spark.operators.graph import two_hop_paths
+
+    tri = []
+    # a -p-> m (3 attestations), m -q-> c (2), m -q-> a (2: round trip)
+    tri += [("a", "p", "m")] * 3
+    tri += [("m", "q", "c")] * 2
+    tri += [("m", "q", "a")] * 2
+    # below min_support: z -p-> m once
+    tri += [("z", "p", "m")]
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    got = {
+        (r["entity_a"], r["pred1"], r["mid"], r["pred2"], r["entity_c"]): (
+            r["support1"], r["support2"], r["path_support"]
+        )
+        for r in two_hop_paths(df, min_support=2, fanout_cap=5).collect()
+    }
+    # z-leg filtered by support; a->m->a excluded; a->m->c survives
+    assert got == {("a", "p", "m", "q", "c"): (3, 2, 2)}
+
+
+def test_two_hop_fanout_cap_keeps_best_supported(spark):
+    """A hub mid with many outgoing edges keeps only the cap's
+    best-supported (deterministic tie-break), bounding the join."""
+    from ddaugner_spark.operators.graph import two_hop_paths
+
+    tri = [("a", "p", "hub")] * 5
+    for i in range(10):
+        tri += [("hub", "q", f"c{i}")] * (2 + i)  # support 2..11
+    df = spark.createDataFrame(tri, "subj string, pred string, obj string")
+    out = two_hop_paths(df, min_support=2, fanout_cap=3).collect()
+    cs = {r["entity_c"] for r in out}
+    assert cs == {"c9", "c8", "c7"}  # three highest supports
+    assert all(r["path_support"] == 5 for r in out)  # weaker leg = a->hub
