@@ -960,6 +960,16 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_relation_sigs(spark, sf):
+    """KG schema induction: typed signature distribution per predicate
+    — (subj_tag, pred, obj_tag) mass, distinct-entity fan, and the
+    predicate-conditional fraction used to flag off-schema
+    extractions."""
+    from ddaugner_spark.operators.triples import relation_signatures
+
+    return relation_signatures(triples.triples_df(_docs(spark, sf)))
+
+
 def q_two_hop(spark, sf):
     """KG consumption: two-hop path enumeration over the constructed
     triple graph — support-weighted edges (≥2 attestations), each mid
@@ -1776,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_weights": q_dsir_weights,
         "q_exact_substr": q_exact_substr,
         "q_two_hop": q_two_hop,
+        "q_relation_sigs": q_relation_sigs,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2508,6 +2519,22 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    o["q_relation_sigs"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      sigs AS (
+        SELECT subj_tag, pred, obj_tag, count(*)::BIGINT AS n,
+               count(DISTINCT subj)::BIGINT AS n_subj_entities,
+               count(DISTINCT obj)::BIGINT AS n_obj_entities
+        FROM tri GROUP BY subj_tag, pred, obj_tag
+      ),
+      tot AS (SELECT pred, sum(n)::BIGINT AS pred_total FROM sigs GROUP BY pred)
+      SELECT subj_tag, pred, obj_tag, n, n_subj_entities, n_obj_entities,
+             pred_total, round(n / pred_total::DOUBLE, 6) AS sig_frac
+      FROM sigs JOIN tot USING (pred)
     """
 
     o["q_two_hop"] = f"""

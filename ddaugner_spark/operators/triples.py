@@ -257,3 +257,36 @@ def triples_from_tagged(
         ).alias("preds"),
     )
     return triples_from_mentions(m, preds, max_gap)
+
+
+def relation_signatures(triples: DataFrame, ndigits: int = 6) -> DataFrame:
+    """(subj_tag, pred, obj_tag, n, n_subj_entities, n_obj_entities,
+    pred_total, sig_frac) — schema induction over the constructed KG:
+    the typed signature distribution of every predicate ("given pred
+    'order', how often does it connect PER→LOC, and over how many
+    distinct entities on each side").  The downstream consumer uses it
+    to validate extractions (a triple whose signature has negligible
+    mass is a likely extraction error) and to propose a relation
+    schema.
+
+    Shape at scale: one hash-agg on slim (tag, pred, tag) keys with
+    map-side combine (distinct-entity counts piggyback on the same
+    shuffle); predicate totals re-aggregate the SIGNATURE table (never
+    the triple stream) and come back as a broadcast; sig_frac divides
+    two exact longs, rounded — no float accumulation."""
+    sigs = triples.groupBy("subj_tag", "pred", "obj_tag").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("subj").alias("n_subj_entities"),
+        F.count_distinct("obj").alias("n_obj_entities"),
+    )
+    totals = sigs.groupBy("pred").agg(F.sum("n").alias("pred_total"))
+    return sigs.join(F.broadcast(totals), "pred").select(
+        "subj_tag",
+        "pred",
+        "obj_tag",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_subj_entities").cast("long").alias("n_subj_entities"),
+        F.col("n_obj_entities").cast("long").alias("n_obj_entities"),
+        F.col("pred_total").cast("long").alias("pred_total"),
+        F.round(F.col("n") / F.col("pred_total"), ndigits).alias("sig_frac"),
+    )

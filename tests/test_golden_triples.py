@@ -82,3 +82,32 @@ def test_mentions_from_tagged_matches_kernel(spark):
     row = scoring.entity_set_score(got, got).first()
     assert row["precision"] == 1.0 and row["recall"] == 1.0
     assert row["n_gold"] > 1000
+
+
+def test_relation_signatures_hand_computed(spark):
+    """Signature mass, distinct fans, and predicate-conditional
+    fraction on a hand-built triple table."""
+    from ddaugner_spark.operators.triples import relation_signatures
+
+    rows = [
+        ("a", "PER", "p", "x", "LOC"),
+        ("b", "PER", "p", "x", "LOC"),
+        ("a", "PER", "p", "y", "LOC"),
+        ("a", "PER", "p", "z", "ORG"),
+        ("c", "ORG", "q", "x", "LOC"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, subj_tag string, pred string, obj string, obj_tag string"
+    )
+    got = {
+        (r["subj_tag"], r["pred"], r["obj_tag"]): (
+            r["n"], r["n_subj_entities"], r["n_obj_entities"],
+            r["pred_total"], r["sig_frac"],
+        )
+        for r in relation_signatures(df).collect()
+    }
+    assert got == {
+        ("PER", "p", "LOC"): (3, 2, 2, 4, 0.75),
+        ("PER", "p", "ORG"): (1, 1, 1, 4, 0.25),
+        ("ORG", "q", "LOC"): (1, 1, 1, 1, 1.0),
+    }

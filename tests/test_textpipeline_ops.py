@@ -539,3 +539,18 @@ def test_exact_substr_on_amplified_corpus(spark, sf_dir):
             assert L == lens[a] - 3, (a, b, L, lens[a])
             checked += 1
     assert checked >= 2
+
+
+def test_new_ops_plan_shapes(spark, sf_dir):
+    """Scale claims pinned in the physical plan: boilerplate's anti
+    join and DSIR's rate join come back as broadcasts (the corpus side
+    is never shuffled to meet them)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    bp = dedup.boilerplate_removal(dedup.with_boilerplate_corpus(docs))
+    plan = bp._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    ds = sampling.dsir_weights(docs, F.col("lang") == "en")
+    plan = ds._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
