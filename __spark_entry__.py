@@ -960,6 +960,17 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weight-proportional sampling (Efraimidis–Spirakis
+    A-ES keys u^(1/w), u = md5-uniform of doc_id): top-20 docs per
+    language by n_chars weight — the quality/length-weighted mixture
+    stage; rounded-key ranking with doc_id tie-break for cross-engine
+    stability."""
+    from ddaugner_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf), "n_chars", k=20, stratum_col="lang")
+
+
 def q_relation_sigs(spark, sf):
     """KG schema induction: typed signature distribution per predicate
     — (subj_tag, pred, obj_tag) mass, distinct-entity fan, and the
@@ -1787,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_substr": q_exact_substr,
         "q_two_hop": q_two_hop,
         "q_relation_sigs": q_relation_sigs,
+        "q_weighted_sample": q_weighted_sample,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2519,6 +2531,23 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    # A-ES weighted sampling: identical md5-uniform draw and key
+    # arithmetic; keys rounded to 9 digits BEFORE ranking on both sides
+    o["q_weighted_sample"] = """
+      WITH keyed AS (
+        SELECT lang AS stratum, doc_id, n_chars::DOUBLE AS weight,
+               round(pow(
+                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT::DOUBLE
+                  + 1.0) / 281474976710656.0,
+                 1.0 / n_chars::DOUBLE), 9) AS key
+        FROM documents WHERE n_chars > 0
+      )
+      SELECT stratum, doc_id, weight, key,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY key DESC, doc_id) AS rank
+      FROM keyed QUALIFY rank <= 20
     """
 
     o["q_relation_sigs"] = f"""

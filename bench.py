@@ -356,6 +356,20 @@ def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
         q,
     )
 
+    # cross-doc exact-substring dedup (windowed-hash ExactSubstr) on the
+    # dup-amplified gate-shape corpus: the cost is the window explode +
+    # the df-capped shared-hash self-join; measured here so the claim
+    # "the join carries only shared rows" has a number behind it
+    amp = dedup.with_dup_corpus(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    dedup.exact_substring_pairs(amp.limit(500)).count()  # warm codegen
+    leg(
+        "dedup_exact_substr",
+        lambda: dedup.exact_substring_pairs(amp).count(),
+        q,
+    )
+
 
 def cc_scale_benchmark(spark, aux: dict, n_nodes: int = 6_000_000, chain: int = 64):
     """CC on a synthetic ≥5M-edge graph (VERDICT r4 #7): ``n_nodes``

@@ -298,3 +298,58 @@ def dsir_weights(
             (F.coalesce("logratio", F.lit(0.0)) > 0).alias("kept"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    ndigits: int = 9,
+) -> DataFrame:
+    """(stratum, doc_id, weight, key, rank) — deterministic
+    weight-proportional sampling WITHOUT replacement: the top-``k``
+    rows per stratum by the Efraimidis–Spirakis key u^(1/w), where u is
+    the md5-uniform draw of the row id.  P(row in sample) rises with
+    its weight exactly as A-ES reservoir sampling prescribes, and the
+    choice is a pure function of row identity (CLAUDE.md determinism
+    rule) — repartition/resume safe, no reservoir state.
+
+    This is the quality/length-weighted cousin of fixed_size_sample
+    above (uniform) and the per-mille stratified_sample (rate-based):
+    the standard "sample proportional to quality score" stage of a
+    pretraining mixture.
+
+    Keys are rounded to ``ndigits`` before ranking with a doc_id
+    tie-break — the same rounded-score-ranking device as
+    retrieval.tfidf_top_terms, so the cross-engine oracle ranks
+    identical numbers.  Rows with weight ≤ 0 or NULL never sample.
+
+    Shape at scale: the key is map-side column arithmetic; top-k per
+    stratum is one rank window over the stratum key (strata ≪ corpus;
+    for a single global stratum switch to the TakeOrdered form bm25
+    uses).  No driver state, no collect.
+    """
+    from pyspark.sql import Window
+
+    # u in (0, 1]: 12-hex md5 prefix scaled by 16^12 (0 maps to 1/2^48
+    # via the +1 below, keeping u strictly positive)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(float(16**12))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, 1.0 / w), ndigits)
+    keyed = docs.filter(w > 0).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        w.alias("weight"),
+        key.alias("key"),
+    )
+    rk = Window.partitionBy("stratum").orderBy(F.desc("key"), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -554,3 +554,33 @@ def test_new_ops_plan_shapes(spark, sf_dir):
     ds = sampling.dsir_weights(docs, F.col("lang") == "en")
     plan = ds._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_inclusion_scales_with_weight(spark):
+    """A-ES property: across many disjoint strata (independent draws),
+    heavy rows sample far more often than light ones.  doc_ids chosen
+    per stratum so the draw u is iid-ish (md5); weight ratio 50:1 on
+    2-of-10 rows → heavy rows should dominate the k=2 sample."""
+    rows = []
+    for s in range(200):
+        for j in range(10):
+            rows.append((s * 100 + j, f"s{s}", 500 if j < 2 else 10))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = sampling.weighted_sample(docs, "n_chars", k=2, stratum_col="lang")
+    heavy = out.filter(F.col("weight") == 500.0).count()
+    total = out.count()
+    assert total == 400
+    # E[heavy among top-2] >> uniform's 0.2·2; demand a clear majority
+    assert heavy / total > 0.6, heavy
+
+
+def test_weighted_sample_deterministic_and_weight_gated(spark):
+    rows = [(1, "x", 10), (2, "x", 0), (3, "x", None), (4, "x", 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = sampling.weighted_sample(docs, "n_chars", k=10, stratum_col="lang")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 4]  # weight <= 0 / NULL never samples
+    again = sampling.weighted_sample(
+        docs.repartition(5), "n_chars", k=10, stratum_col="lang"
+    )
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
