@@ -960,6 +960,19 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_bloom_decontaminate(spark, sf):
+    """Bloom-filter benchmark decontamination — the constant-size
+    screening form of q_decontaminate: the benchmark's shingles ship as
+    a 262144-bit set (32 KiB whatever the suite size), corpus shingles
+    probe 3 md5 hashes, a doc is flagged on ≥2 maybe-hits.  One-sided:
+    the flag set is a superset of the exact screen's (no false
+    negatives, pytest-pinned)."""
+    d = _docs(spark, sf)
+    corpus = dedup.with_dup_corpus(d).filter(F.col("doc_id") >= 1_000_000)
+    benchmark = d.select("doc_id", "text").filter(F.col("doc_id") % 20 == 10)
+    return dedup.bloom_contaminated(corpus, benchmark, min_shared=2)
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic weight-proportional sampling (Efraimidis–Spirakis
     A-ES keys u^(1/w), u = md5-uniform of doc_id): top-20 docs per
@@ -1799,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_two_hop": q_two_hop,
         "q_relation_sigs": q_relation_sigs,
         "q_weighted_sample": q_weighted_sample,
+        "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2531,6 +2545,46 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    # Bloom decontamination replay: bit_j(v) = md5(j|v) mod m (the
+    # cm_bucket primitive); all-3-probes-hit per (doc, shingle)
+    _bk = config.SHINGLE_K
+    o["q_bloom_decontaminate"] = f"""
+      WITH {_CORPUS},
+      cd AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+      bt AS (SELECT string_split(text, ' ') AS t
+             FROM documents WHERE doc_id % 20 = 10),
+      bsh AS (
+        SELECT DISTINCT array_to_string(t[i:i+{_bk - 1}], ' ') AS shingle
+        FROM bt, unnest(range(1, len(t) - {_bk - 2})) AS u(i)
+        WHERE len(t) >= {_bk}
+      ),
+      bits AS (
+        SELECT DISTINCT
+               (('0x' || substr(md5(j::VARCHAR || '|' || shingle), 1, 12))::UBIGINT
+                % 262144)::BIGINT AS bit
+        FROM bsh, unnest(range(3)) AS u(j)
+      ),
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM cd),
+      csh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{_bk - 1}], ' ') AS shingle
+        FROM ct, unnest(range(1, len(t) - {_bk - 2})) AS u(i)
+        WHERE len(t) >= {_bk}
+      ),
+      probes AS (
+        SELECT doc_id, shingle,
+               (('0x' || substr(md5(j::VARCHAR || '|' || shingle), 1, 12))::UBIGINT
+                % 262144)::BIGINT AS bit
+        FROM csh, unnest(range(3)) AS u(j)
+      ),
+      hits AS (
+        SELECT doc_id, shingle FROM probes JOIN bits USING (bit)
+        GROUP BY doc_id, shingle HAVING count(*) = 3
+      )
+      SELECT doc_id, count(*)::BIGINT AS n_maybe_shingles,
+             count(*) >= 2 AS flagged
+      FROM hits GROUP BY doc_id
     """
 
     # A-ES weighted sampling: identical md5-uniform draw and key

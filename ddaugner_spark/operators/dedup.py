@@ -680,3 +680,83 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 3) -> DataFrame:
         F.coalesce(F.col("n_masked"), F.lit(0)).cast("long").alias("n_masked"),
         clean.alias("clean_hash"),
     )
+
+
+def bloom_bits(
+    values: DataFrame, value_col: str, m_bits: int = 262_144, k_hashes: int = 3
+) -> DataFrame:
+    """(bit,) — the distinct set bit positions of a Bloom filter over
+    ``values``: k md5-keyed hash probes per value into an ``m_bits``
+    space (bit_j(v) = md5(j|v) mod m — the same engine-exact bucket
+    primitive as the Count-Min sketch).  Represented as a distinct-bit
+    DataFrame (≤ m_bits rows) rather than a packed bitarray so the
+    probe side is a broadcast join and the DuckDB oracle replays it."""
+    from .sketches import cm_bucket
+
+    v = F.col(value_col).cast("string")
+    return (
+        values.filter(v.isNotNull())
+        .select(
+            F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+            v.alias("_v"),
+        )
+        .select(cm_bucket(F.col("_v"), F.col("j"), m_bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = config.SHINGLE_K,
+    m_bits: int = 262_144,
+    k_hashes: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(doc_id, n_maybe_shingles, flagged) — Bloom-filter benchmark
+    decontamination: the 100 TB screening form of ``contaminated_docs``
+    above.  Instead of broadcasting the benchmark's SHINGLE STRINGS
+    (eval suites are small, but a union of many suites is not), ship a
+    CONSTANT-SIZE bit set (m_bits/8 bytes regardless of suite size): a
+    corpus shingle "maybe" hits when all k probes land on set bits —
+    one-sided, so the flag set is a SUPERSET of the exact screen's
+    (Bloom filters have no false negatives; pytest-pinned), and flagged
+    docs go to the exact verifier or are dropped outright under a
+    conservative policy.
+
+    Shape at scale: the bit set builds from the benchmark side only
+    (k probes per distinct shingle, one distinct over ≤ m_bits slim
+    longs) and BROADCASTS; the corpus explodes shingle×k probes
+    map-side, the join keeps only probe hits, and two hash-aggs
+    (per-(doc, shingle) all-k check, then per-doc count) finish —
+    the corpus is scanned once and never shuffled at full width."""
+    bits = bloom_bits(
+        shingles(benchmark, k).select("shingle"), "shingle", m_bits, k_hashes
+    )
+    from .sketches import cm_bucket
+
+    c_sh = shingles(corpus, k)
+    probes = c_sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(F.array(*[F.lit(j) for j in range(k_hashes)])).alias("j"),
+    ).select(
+        "doc_id",
+        "shingle",
+        cm_bucket(F.col("shingle"), F.col("j"), m_bits).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == k_hashes)
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_maybe_shingles"))
+        .select(
+            "doc_id",
+            "n_maybe_shingles",
+            (F.col("n_maybe_shingles") >= min_shared).alias("flagged"),
+        )
+    )

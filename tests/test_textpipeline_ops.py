@@ -584,3 +584,36 @@ def test_weighted_sample_deterministic_and_weight_gated(spark):
         docs.repartition(5), "n_chars", k=10, stratum_col="lang"
     )
     assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Bloom screening is one-sided: every doc the exact screen flags
+    must be flagged by the Bloom screen with at least as many hits."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = dedup.with_dup_corpus(d).filter(F.col("doc_id") >= 1_000_000)
+    benchmark = d.select("doc_id", "text").filter(F.col("doc_id") % 20 == 10)
+    exact = {
+        r["doc_id"]: r["n_shared_shingles"]
+        for r in dedup.contaminated_docs(corpus, benchmark, min_shared=2).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_maybe_shingles"]
+        for r in dedup.bloom_contaminated(corpus, benchmark, min_shared=2)
+        .filter("flagged")
+        .collect()
+    }
+    assert exact, "exact screen found nothing — fixture broken"
+    for doc, n_exact in exact.items():
+        assert doc in bloom and bloom[doc] >= n_exact, (doc, n_exact)
+
+
+def test_bloom_saturated_filter_flags_everything(spark):
+    """Degenerate geometry (tiny m) saturates the bit set: every
+    shingled doc maybe-hits — the documented failure mode a production
+    config must size m against."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "q r s t u v")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "x y z w k j")], "doc_id long, text string")
+    out = dedup.bloom_contaminated(docs, bench, m_bits=2, k_hashes=1, min_shared=1)
+    assert out.filter("flagged").count() == 2
