@@ -1506,17 +1506,11 @@ def q_hll_distinct(spark, sf):
     raw-regime, n_distinct >> 2.5·m)."""
     from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
 
-    k = config.SHINGLE_K
     docs = _docs(spark, sf).filter(F.col("text").isNotNull())
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " ")
-    )
-    shingled = docs.select("lang", F.explode(sh).alias("shingle"))
+    # dedup.shingles per-doc-distincts the shingles; register max-merge
+    # is idempotent, so the sketch is identical to the non-distinct
+    # oracle stream's
+    shingled = dedup.shingles(docs, extra_cols=("lang",)).select("lang", "shingle")
     regs = hll_registers(shingled, "lang", "shingle", p=6)
     return hll_estimate(regs, "lang", p=6, correct=False)
 
@@ -2757,22 +2751,32 @@ def oracle_sql() -> dict[str, str]:
 
     # the streaming sketch must converge to the batch table: rebuild the
     # cells from exact counts (same identity as q_cm_heavy_hitters)
-    o["q_stream_cm"] = f"""
-      WITH toks AS (
+    # the exact-count CM cell rebuild, shared by q_cm_heavy_hitters and
+    # the streaming q_stream_cm oracle (the streaming table must equal
+    # the batch sketch) — one definition so the bucket identity cannot
+    # silently diverge between the two
+    _CM_CELLS = f"""toks AS (
         SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
         FROM documents
       ),
       exact AS (SELECT token, count(*)::BIGINT AS exact
                 FROM toks WHERE token != '' GROUP BY token),
       probes AS (
-        SELECT token, j,
+        SELECT token,
+               j,
                (('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 12))::UBIGINT
                 % {CM_WIDTH})::BIGINT AS bucket
         FROM exact, unnest(range({CM_DEPTH})) u(j)
-      )
-      SELECT p.j::BIGINT AS row_idx, p.bucket, sum(e.exact)::BIGINT AS cnt
-      FROM probes p JOIN exact e USING (token)
-      GROUP BY p.j, p.bucket
+      ),
+      cells AS (
+        SELECT p.j, p.bucket, sum(e.exact)::BIGINT AS cnt
+        FROM probes p JOIN exact e USING (token)
+        GROUP BY p.j, p.bucket
+      )"""
+
+    o["q_stream_cm"] = f"""
+      WITH {_CM_CELLS}
+      SELECT j::BIGINT AS row_idx, bucket, cnt FROM cells
     """
 
     o["q_repeated_ngrams"] = """
@@ -3064,24 +3068,7 @@ def oracle_sql() -> dict[str, str]:
     # deterministic and shared, so table contents are identical to the
     # engine's occurrence-level aggregation
     o["q_cm_heavy_hitters"] = f"""
-      WITH toks AS (
-        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
-        FROM documents
-      ),
-      exact AS (SELECT token, count(*)::BIGINT AS exact
-                FROM toks WHERE token != '' GROUP BY token),
-      probes AS (
-        SELECT token,
-               j,
-               (('0x' || substr(md5(j::VARCHAR || '|' || token), 1, 12))::UBIGINT
-                % {CM_WIDTH})::BIGINT AS bucket
-        FROM exact, unnest(range({CM_DEPTH})) u(j)
-      ),
-      cells AS (
-        SELECT p.j, p.bucket, sum(e.exact)::BIGINT AS cnt
-        FROM probes p JOIN exact e USING (token)
-        GROUP BY p.j, p.bucket
-      ),
+      WITH {_CM_CELLS},
       est AS (
         SELECT p.token, min(c.cnt)::BIGINT AS est
         FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket

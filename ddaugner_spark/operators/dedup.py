@@ -154,18 +154,37 @@ def exact_duplicates(corpus: DataFrame) -> DataFrame:
     )
 
 
-def shingles(corpus: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
-    """Distinct k-token shingles per doc: (doc_id, shingle)."""
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(
-        starts, lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " ")
-    )
-    return (
-        corpus.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+def shingle_array(k: int = config.SHINGLE_K, text_col: str = "text"):
+    """Column: array of k-token shingles of ``text_col``.  The token
+    array is LET-BOUND (single-element-array transform) so the inner
+    lambda slices the bound variable instead of re-evaluating
+    split(text) per shingle — the CLAUDE.md no-computed-arrays-in-
+    lambdas rule applied to an unbounded token array (O(n) instead of
+    O(n²) per doc)."""
+    toks = F.split(F.col(text_col), " ")
+    z = F.array(F.struct(toks.alias("t")))
+
+    def per(zz):
+        t = zz["t"]
+        n = F.size(t)
+        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(t, (i + 1).cast("int"), k), " ")
+        )
+
+    return F.element_at(F.transform(z, per), 1)
+
+
+def shingles(
+    corpus: DataFrame, k: int = config.SHINGLE_K, extra_cols: tuple = ()
+) -> DataFrame:
+    """Distinct k-token shingles per doc: (doc_id, *extra_cols, shingle)."""
+    return corpus.select(
+        "doc_id",
+        *extra_cols,
+        F.explode(F.array_distinct(shingle_array(k))).alias("shingle"),
     )
 
 
@@ -516,15 +535,22 @@ def exact_substring_pairs(
     hashes; island detection is one window function partitioned by
     (pair, diagonal) — keys the shuffle already provides.
     """
+    # token array let-bound (same device and rationale as shingle_array)
     toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    starts = F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
-        F.array().cast("array<int>")
-    )
-    wins_arr = F.transform(
-        starts,
-        lambda i: F.md5(F.array_join(F.slice(toks, (i + 1).cast("int"), w), " ")),
-    )
+    z = F.array(F.struct(toks.alias("t")))
+
+    def per(zz):
+        t = zz["t"]
+        n = F.size(t)
+        starts = F.when(n >= w, F.sequence(F.lit(0), n - w)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            starts,
+            lambda i: F.md5(F.array_join(F.slice(t, (i + 1).cast("int"), w), " ")),
+        )
+
+    wins_arr = F.element_at(F.transform(z, per), 1)
     wins = corpus.select(
         "doc_id", F.posexplode(wins_arr).alias("pos", "wh")
     )

@@ -215,24 +215,14 @@ def test_hll_gate_corpora_are_raw_regime(spark):
     corpus the driver gate can run."""
     import glob
 
+    from ddaugner_spark.operators.dedup import shingles
     from ddaugner_spark.operators.sketches import hll_estimate, hll_registers
-    from ddaugner_spark import config
 
-    k = config.SHINGLE_K
     for sf in sorted(glob.glob("/root/testdata/sf*")):
         docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
             F.col("text").isNotNull()
         )
-        toks = F.split(F.col("text"), " ")
-        n = F.size(toks)
-        starts = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-            F.array().cast("array<int>")
-        )
-        sh = F.transform(
-            starts,
-            lambda i: F.array_join(F.slice(toks, (i + 1).cast("int"), k), " "),
-        )
-        shingled = docs.select("lang", F.explode(sh).alias("shingle"))
+        shingled = shingles(docs, extra_cols=("lang",)).select("lang", "shingle")
         regs = hll_registers(shingled, "lang", "shingle", p=6)
         raw = hll_estimate(regs, "lang", p=6, correct=False)
         for r in raw.collect():
