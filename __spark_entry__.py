@@ -960,6 +960,29 @@ def q_line_dedup(spark, sf):
     return dedup.sentence_dedup(_docs(spark, sf))
 
 
+def q_unicode_nfc(spark, sf):
+    """Unicode NFC canonicalization (Arrow mapInPandas — Spark has no
+    built-in NFC): per-doc suffixes arrive composed (é, even ids) or
+    decomposed (e+U+0301, odd ids); after NFC both hash identically, so
+    ``changed`` flags exactly the decomposed docs.  The pass every
+    hash-keyed operator needs in front of it on a real crawl; oracle =
+    DuckDB nfc_normalize (utf8proc) vs Python unicodedata (TR#15)."""
+    d = _docs(spark, sf)
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(" caf\u00e9")
+    ).otherwise(F.lit(" cafe\u0301"))
+    amp = d.select(
+        "doc_id", F.concat(F.coalesce("text", F.lit("")), suffix).alias("text")
+    )
+    out = textstats.nfc_normalized(amp)
+    return amp.join(out, "doc_id").select(
+        "doc_id",
+        F.md5("text").alias("raw_hash"),
+        F.md5("text_nfc").alias("nfc_hash"),
+        (F.md5("text") != F.md5("text_nfc")).alias("changed"),
+    )
+
+
 def q_bloom_decontaminate(spark, sf):
     """Bloom-filter benchmark decontamination — the constant-size
     screening form of q_decontaminate: the benchmark's shingles ship as
@@ -1807,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_relation_sigs": q_relation_sigs,
         "q_weighted_sample": q_weighted_sample,
         "q_bloom_decontaminate": q_bloom_decontaminate,
+        "q_unicode_nfc": q_unicode_nfc,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2539,6 +2563,22 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    # NFC replay: the composed/decomposed suffixes are embedded as
+    # literal UTF-8; DuckDB nfc_normalize (utf8proc) == Python
+    # unicodedata NFC (verified bit-for-bit)
+    o["q_unicode_nfc"] = """
+      WITH amp AS (
+        SELECT doc_id,
+               coalesce(text, '') ||
+               CASE WHEN doc_id % 2 = 0 THEN ' café' ELSE ' café' END AS text
+        FROM documents
+      )
+      SELECT doc_id, md5(text) AS raw_hash,
+             md5(nfc_normalize(text)) AS nfc_hash,
+             md5(text) != md5(nfc_normalize(text)) AS changed
+      FROM amp
     """
 
     # Bloom decontamination replay: bit_j(v) = md5(j|v) mod m (the

@@ -374,3 +374,48 @@ def vocab_df(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def nfc_normalized(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text_nfc) — Unicode NFC normalization of the text
+    column, the canonicalization pass a real crawl needs before ANY
+    hash-keyed operator (exact dedup, line dedup, shingles, gazetteer
+    match): the same visible string arrives from the web in composed
+    and decomposed forms (é vs e+U+0301), and md5-keyed equality treats
+    them as different documents unless normalized first.
+
+    Spark has no built-in NFC function, so this is an Arrow-batched
+    ``mapInPandas`` (the engine's sanctioned Python path — same policy
+    as the WordPiece/tagging kernels; per-element ``unicodedata``
+    inside a batch, never a row-at-a-time Python UDF at the plan
+    level).  Map-only: no shuffle, composable in front of the dedup
+    stack.  DuckDB's ``nfc_normalize`` (utf8proc) and Python's
+    ``unicodedata`` (Unicode TR#15) agree bit-for-bit — pinned by the
+    q_unicode_nfc oracle."""
+    import unicodedata
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text_nfc", StringType())]
+    )
+    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+
+    def norm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_nfc": pdf["t"].map(
+                        lambda s: unicodedata.normalize("NFC", s)
+                        if isinstance(s, str)
+                        else None
+                    ),
+                }
+            )
+
+    return cols.mapInPandas(norm, schema)

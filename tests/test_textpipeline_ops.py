@@ -617,3 +617,44 @@ def test_bloom_saturated_filter_flags_everything(spark):
     bench = spark.createDataFrame([(9, "x y z w k j")], "doc_id long, text string")
     out = dedup.bloom_contaminated(docs, bench, m_bits=2, k_hashes=1, min_shared=1)
     assert out.filter("flagged").count() == 2
+
+
+class TestNfcNormalized:
+    """nfc_normalized (textstats): Unicode TR#15 NFC canonicalization —
+    the pass every hash-keyed operator needs before a real crawl."""
+
+    def test_decomposed_composes_composed_unchanged(self, spark):
+        composed = "caf\u00e9"            # \u00e9 as one code point
+        decomposed = "café"         # e + COMBINING ACUTE ACCENT
+        out = {
+            r.doc_id: r.text_nfc
+            for r in textstats.nfc_normalized(
+                _docs(spark, [(1, composed), (2, decomposed), (3, None)])
+            ).collect()
+        }
+        assert out[1] == composed          # already NFC: byte-identical
+        assert out[2] == composed          # decomposed → composed
+        assert out[3] is None              # null text passes through
+
+    def test_hash_keyed_equality_restored(self, spark):
+        """The motivating property: md5 of the two visible-identical
+        forms differs raw, matches after NFC."""
+        d = _docs(spark, [(1, "Zoë x"), (2, "Zoë x")])
+        n = textstats.nfc_normalized(d)
+        raw = d.select(F.md5("text").alias("h")).distinct().count()
+        nfc = n.select(F.md5("text_nfc").alias("h")).distinct().count()
+        assert raw == 2 and nfc == 1
+
+    def test_matches_python_unicodedata_on_corpus_sample(self, spark, sf_dir):
+        """Engine output == per-row unicodedata.normalize on real
+        corpus text (plus adversarial combining marks)."""
+        import unicodedata
+
+        docs = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.concat("text", F.lit(" ñ ṩ")).alias("text"))
+            .limit(50)
+        )
+        got = {r.doc_id: r.text_nfc for r in textstats.nfc_normalized(docs).collect()}
+        for r in docs.collect():
+            assert got[r.doc_id] == unicodedata.normalize("NFC", r.text)
