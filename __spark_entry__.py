@@ -30,7 +30,9 @@ from ddaugner_spark.sources import gazetteer_df, synthesize_pages, extract_text
 from ddaugner_spark.operators import (
     augment,
     canonical,
+    crawl,
     dedup,
+    er,
     graph,
     linking,
     mentions,
@@ -983,6 +985,163 @@ def q_unicode_nfc(spark, sf):
     )
 
 
+def q_url_canonical(spark, sf):
+    """URL canonicalization over deterministically-noised crawl urls:
+    per doc_id residue the synthesized url gains case noise + ``www.``
+    + default port (r1), default port + utm tracking params (r2), a
+    NON-default port that must survive plus a dropped utm param (r3),
+    or ``www.`` + a fragment (r4); r0 stays pristine.  ``changed``
+    flags exactly r1-r4.  Map-only, whole-stage codegen (parse_url +
+    string arithmetic); the oracle replays the same canonicalization
+    with regexp_extract in the Java ∩ RE2 subset."""
+    d = _docs(spark, sf)
+    r = F.col("doc_id") % 5
+    i = F.col("doc_id").cast("string")
+    s = F.col("source")
+    url = (
+        F.when(r == 1, F.concat(F.lit("HTTPS://WWW."), F.upper(s), F.lit(".EXAMPLE.COM:443/doc/"), i))
+        .when(r == 2, F.concat(F.lit("https://"), s, F.lit(".example.com:443/doc/"), i, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(r == 3, F.concat(F.lit("http://"), s, F.lit(".example.com:8080/doc/"), i, F.lit("?utm_medium=m&page=2")))
+        .when(r == 4, F.concat(F.lit("https://www."), s, F.lit(".example.com/doc/"), i, F.lit("#section-3")))
+        .otherwise(F.concat(F.lit("https://"), s, F.lit(".example.com/doc/"), i))
+    )
+    noisy = d.select("doc_id", url.alias("url"))
+    out = crawl.with_canonical_url(noisy)
+    return out.select(
+        "doc_id",
+        "url",
+        "url_canon",
+        "host",
+        "domain",
+        (F.col("url") != F.col("url_canon")).alias("changed"),
+    )
+
+
+def q_latest_capture(spark, sf):
+    """Latest-capture-wins snapshot dedup: each url is recrawled
+    1 + doc_id%4 times with NON-monotonic capture timestamps
+    (offset (cap*3)%7 minutes, so for 4 captures the winner is cap=2,
+    not the last one generated) and per-capture text revisions; one
+    partially-aggregable groupBy(url).agg(max_by) keeps the newest.
+    Deliberately not a row_number window — max_by pre-reduces map-side
+    (see operators/crawl.py latest_captures)."""
+    pages = synthesize_pages(_docs(spark, sf)).drop("html")
+    amp = (
+        pages.withColumn("cap", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)))
+        .withColumn(
+            "warc_ts",
+            F.col("warc_ts")
+            + F.make_dt_interval(F.lit(0), F.lit(0), (F.col("cap") * 3) % 7, F.lit(0.0)),
+        )
+        .withColumn(
+            "text", F.concat("text", F.lit(" (rev "), F.col("cap"), F.lit(")"))
+        )
+        .drop("doc_id", "lang")
+    )
+    out = crawl.latest_captures(amp)
+    return out.select(
+        "url",
+        "n_captures",
+        F.col("warc_ts").alias("latest_ts"),
+        F.md5("text").alias("text_hash"),
+    )
+
+
+def q_host_skew(spark, sf):
+    """Heavy-key (hub-host) skew profile: the synthesized crawl is
+    amplified so every doc_id ≡ 0 (mod 20) page gets 8 copies — the
+    doc_id→source stride is exactly 20, so ALL the extra mass lands on
+    one host, the hub pattern the north_rule says to handle explicitly.
+    key_skew_profile reports the top-5 hosts with their share of rows:
+    the pre-flight diagnosis that tells a run which keys to salt (share
+    ≳ 1/parallelism) before the per-host joins fire."""
+    pages = synthesize_pages(_docs(spark, sf))
+    amp = pages.withColumn(
+        "_c",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.when(F.col("doc_id") % 20 == 0, F.lit(8)).otherwise(F.lit(1))
+            )
+        ),
+    )
+    hosts = amp.select(crawl.host_of(F.col("url")).alias("host"))
+    return crawl.key_skew_profile(hosts, "host", top_n=5)
+
+
+def q_er_pairs(spark, sf):
+    """Entity-resolution candidate pairs over the mention-surface
+    vocabulary (typo-amplified: every surface of length ≥ 4 gains a
+    delete-second-char variant): block on (tag, lower first char),
+    length-band prefilter, levenshtein ≤ 2.  The self-join runs on the
+    vocabulary table, never on mentions (operators/er.py)."""
+    surf = er.distinct_surfaces(mentions.mentions_df(_docs(spark, sf)))
+    amp = er.with_typo_surfaces(surf)
+    return er.er_candidate_pairs(amp, max_dist=2)
+
+
+def q_er_resolve(spark, sf):
+    """ER pairs → surface canonicalization map: connected components
+    (hash-min label propagation) over the typo-pair graph, node ids
+    tag-prefixed so clusters never merge across entity classes;
+    canonical = lexicographically smallest surface of the cluster.
+    Oracle = recursive reachability-min over the same pairs."""
+    surf = er.distinct_surfaces(mentions.mentions_df(_docs(spark, sf)))
+    pairs = er.er_candidate_pairs(er.with_typo_surfaces(surf), max_dist=2)
+    edges = pairs.select(
+        F.concat_ws("|", "tag", "a").alias("a"),
+        F.concat_ws("|", "tag", "b").alias("b"),
+    )
+    comps = er.resolve_surfaces(edges, stage_dir=_scratch("q_er_resolve_"))
+    sp = F.split(F.col("surface"), r"\|", 2)
+    cp = F.split(F.col("canonical"), r"\|", 2)
+    return comps.select(
+        sp.getItem(0).alias("tag"),
+        sp.getItem(1).alias("surface"),
+        cp.getItem(1).alias("canonical"),
+        "is_alias",
+    )
+
+
+def q_triple_upsert(spark, sf):
+    """CDC/MERGE materialization of the triple store: the aggregated
+    base snapshot (support = assertion count) receives a deterministic
+    change stream — md5-residue 0 keys are tombstoned, residue 1 keys
+    re-asserted with support+100, residue 2 untouched, plus 10
+    brand-new inserted triples — and upsert_triples folds base ∪ cdc in
+    ONE map-side-combinable aggregate (operators/triples.py).  The
+    recrawl-loop semantics: re-extracted triples update, retracted ones
+    delete, new ones insert, resumable per Iceberg partition."""
+    t = triples.triples_df(_docs(spark, sf))
+    base = t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("support"))
+    res = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj")), 1, 4), 16, 10
+        ).cast("long")
+        % 3
+    )
+    cdc_mod = (
+        base.withColumn("_r", res)
+        .filter(F.col("_r") != 2)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.when(F.col("_r") == 0, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+            F.when(F.col("_r") == 0, F.lit(10)).otherwise(F.lit(20)).cast("long").alias("ts"),
+            F.when(F.col("_r") == 0, F.lit(0)).otherwise(F.col("support") + 100).cast("long").alias("support"),
+        )
+    )
+    ins = spark.range(10).select(
+        F.concat(F.lit("new_"), F.col("id")).alias("subj"),
+        F.lit("linked").alias("pred"),
+        F.concat(F.lit("node_"), F.col("id")).alias("obj"),
+        F.lit("u").alias("op"),
+        F.lit(30).cast("long").alias("ts"),
+        (F.col("id") + 1).alias("support"),
+    )
+    return triples.upsert_triples(base, cdc_mod.unionByName(ins))
+
+
 def q_bloom_decontaminate(spark, sf):
     """Bloom-filter benchmark decontamination — the constant-size
     screening form of q_decontaminate: the benchmark's shingles ship as
@@ -1831,6 +1990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_bloom_decontaminate": q_bloom_decontaminate,
         "q_unicode_nfc": q_unicode_nfc,
+        "q_url_canonical": q_url_canonical,
+        "q_latest_capture": q_latest_capture,
+        "q_host_skew": q_host_skew,
+        "q_er_pairs": q_er_pairs,
+        "q_er_resolve": q_er_resolve,
+        "q_triple_upsert": q_triple_upsert,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2579,6 +2744,189 @@ def oracle_sql() -> dict[str, str]:
              md5(nfc_normalize(text)) AS nfc_hash,
              md5(text) != md5(nfc_normalize(text)) AS changed
       FROM amp
+    """
+
+    # URL canonicalization replay: the same noise CASE, then the same
+    # canonicalization spec re-implemented with regexp_extract (Java ∩
+    # RE2 subset, no backreferences) + list_filter for the utm params
+    o["q_url_canonical"] = """
+      WITH noisy AS (
+        SELECT doc_id,
+          CASE doc_id % 5
+            WHEN 1 THEN 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/doc/' || doc_id::VARCHAR
+            WHEN 2 THEN 'https://' || source || '.example.com:443/doc/' || doc_id::VARCHAR || '?utm_source=feed&utm_campaign=x'
+            WHEN 3 THEN 'http://' || source || '.example.com:8080/doc/' || doc_id::VARCHAR || '?utm_medium=m&page=2'
+            WHEN 4 THEN 'https://www.' || source || '.example.com/doc/' || doc_id::VARCHAR || '#section-3'
+            ELSE 'https://' || source || '.example.com/doc/' || doc_id::VARCHAR
+          END AS url
+        FROM documents
+      ),
+      parts AS (
+        SELECT doc_id, url,
+          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS proto,
+          lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host0,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS port,
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+          regexp_extract(url, '\\?([^#]*)', 1) AS query0
+        FROM noisy
+      ),
+      canon AS (
+        SELECT doc_id, url, proto, port,
+          CASE WHEN starts_with(host0, 'www.') THEN substr(host0, 5) ELSE host0 END AS host,
+          CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+          array_to_string(list_filter(str_split(query0, '&'),
+                                      p -> NOT starts_with(p, 'utm_')), '&') AS query
+        FROM parts
+      ),
+      built AS (
+        SELECT doc_id, url, host,
+          proto || '://' || host ||
+          CASE WHEN port != '' AND NOT ((proto = 'http' AND port = '80')
+                                     OR (proto = 'https' AND port = '443'))
+               THEN ':' || port ELSE '' END ||
+          path ||
+          CASE WHEN query != '' THEN '?' || query ELSE '' END AS url_canon
+        FROM canon
+      )
+      SELECT doc_id, url, url_canon, host,
+             regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+             url != url_canon AS changed
+      FROM built
+    """
+
+    # latest-capture replay: same deterministic recrawl amplifier, the
+    # window form of the engine's max_by aggregate (ts then md5(text))
+    o["q_latest_capture"] = """
+      WITH pages AS (
+        SELECT doc_id, text,
+               'https://' || source || '.example.com/doc/' || doc_id::VARCHAR AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts
+        FROM documents
+      ),
+      amp AS (
+        SELECT url,
+               warc_ts + to_minutes((cap * 3) % 7) AS warc_ts,
+               text || ' (rev ' || cap::VARCHAR || ')' AS text
+        FROM pages, unnest(range(0, (doc_id % 4) + 1)) AS u(cap)
+      )
+      SELECT url, count(*) OVER (PARTITION BY url) AS n_captures,
+             warc_ts AS latest_ts, md5(text) AS text_hash
+      FROM amp
+      QUALIFY row_number() OVER (PARTITION BY url
+                ORDER BY warc_ts DESC, md5(text) DESC) = 1
+    """
+
+    # hub-host skew replay: doc_id % 20 == 0 selects exactly one source
+    # (the doc_id->source stride is 20), 8 copies for it, 1 otherwise
+    o["q_host_skew"] = """
+      WITH amp AS (
+        SELECT source || '.example.com' AS host
+        FROM documents,
+             unnest(range(1, CASE WHEN doc_id % 20 = 0 THEN 9 ELSE 2 END)) AS u(c)
+      ),
+      per AS (SELECT host, count(*)::BIGINT AS n_rows FROM amp GROUP BY host),
+      tot AS (SELECT sum(n_rows)::BIGINT AS t FROM per)
+      SELECT host, n_rows, round(n_rows / tot.t, 6) AS share,
+             row_number() OVER (ORDER BY n_rows DESC, host ASC) AS rank
+      FROM per, tot
+      QUALIFY row_number() OVER (ORDER BY n_rows DESC, host ASC) <= 5
+    """
+
+    # ER replay: distinct mention-surface vocabulary + delete-2nd-char
+    # variants, blocked self-join, levenshtein (identical function in
+    # both engines, verified) <= 2 with the length-band prefilter
+    _ER_SURF = f"""
+      {_TOKS}, {_SENTID}, {_MENT},
+      surf0 AS (SELECT surface, tag FROM mentsent GROUP BY surface, tag),
+      var AS (
+        SELECT substr(surface, 1, 1) || substr(surface, 3) AS surface, tag
+        FROM surf0 WHERE length(surface) >= 4
+      ),
+      surf AS (
+        SELECT surface, tag
+        FROM (SELECT * FROM surf0 UNION ALL SELECT * FROM var) u
+        GROUP BY surface, tag
+      ),
+      p AS (
+        SELECT l.tag, l.surface AS a, r.surface AS b,
+               levenshtein(l.surface, r.surface) AS dist
+        FROM surf l JOIN surf r
+          ON l.tag = r.tag
+         AND lower(substr(l.surface, 1, 1)) = lower(substr(r.surface, 1, 1))
+        WHERE l.surface < r.surface
+          AND abs(length(l.surface) - length(r.surface)) <= 2
+          AND levenshtein(l.surface, r.surface) <= 2
+      )"""
+
+    o["q_er_pairs"] = f"""
+      WITH {_ER_SURF}
+      SELECT tag, a, b, dist FROM p
+    """
+
+    # recursive reachability-min over the tag-prefixed pair graph (the
+    # q_dedup_clusters oracle shape on string node ids; ASCII-only
+    # surfaces so Spark/DuckDB lexicographic min agree)
+    o["q_er_resolve"] = f"""
+      WITH {_ER_SURF},
+      e0 AS (SELECT tag || '|' || a AS a, tag || '|' || b AS b FROM p),
+      nodes AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+      edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM nodes
+          UNION
+          SELECT e.b AS node, walk.lab FROM walk JOIN edges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
+      )
+      SELECT split_part(node, '|', 1) AS tag,
+             substr(node, strpos(node, '|') + 1) AS surface,
+             substr(canonical, strpos(canonical, '|') + 1) AS canonical,
+             node != canonical AS is_alias
+      FROM rr
+    """
+
+    # CDC upsert replay: same md5-residue change stream over the base
+    # snapshot, window form of the engine's max_by(ts, delete-wins,
+    # support) merge; tombstoned keys filtered after the winner is
+    # picked, last_ts = max ts seen for the key
+    o["q_triple_upsert"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      base AS (
+        SELECT subj, pred, obj, count(*)::BIGINT AS support
+        FROM tri GROUP BY subj, pred, obj
+      ),
+      withr AS (
+        SELECT *,
+          ('0x' || substr(md5(subj || '|' || pred || '|' || obj), 1, 4))::UBIGINT % 3 AS r
+        FROM base
+      ),
+      cdc AS (
+        SELECT subj, pred, obj,
+               CASE WHEN r = 0 THEN 'd' ELSE 'u' END AS op,
+               (CASE WHEN r = 0 THEN 10 ELSE 20 END)::BIGINT AS ts,
+               (CASE WHEN r = 0 THEN 0 ELSE support + 100 END)::BIGINT AS support
+        FROM withr WHERE r != 2
+        UNION ALL
+        SELECT 'new_' || i::VARCHAR, 'linked', 'node_' || i::VARCHAR,
+               'u', 30::BIGINT, (i + 1)::BIGINT
+        FROM unnest(range(0, 10)) AS u(i)
+      ),
+      allrows AS (
+        SELECT subj, pred, obj, 'u' AS op, 0::BIGINT AS ts, support FROM base
+        UNION ALL
+        SELECT * FROM cdc
+      ),
+      final AS (
+        SELECT subj, pred, obj, op, support,
+               max(ts) OVER (PARTITION BY subj, pred, obj) AS last_ts
+        FROM allrows
+        QUALIFY row_number() OVER (PARTITION BY subj, pred, obj
+                  ORDER BY ts DESC, (op = 'd') DESC, support DESC) = 1
+      )
+      SELECT subj, pred, obj, support, last_ts FROM final WHERE op = 'u'
     """
 
     # Bloom decontamination replay: bit_j(v) = md5(j|v) mod m (the

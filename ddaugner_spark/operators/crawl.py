@@ -1,0 +1,176 @@
+"""Crawl-snapshot operators over the Common-Crawl-style pages table
+(BASELINE.json input_hint: url, warc_ts, html, text, lang).
+
+A real crawl delivers the SAME logical page many times — recrawls
+(multiple ``warc_ts`` captures per url), mirror urls (``WWW.``/case/
+default-port/tracking-param noise), and hub-host skew (a handful of
+hosts own most of the rows).  These are the three operators every
+KG-construction run needs between the raw WARC scan and the mention
+stage:
+
+* :func:`with_canonical_url` — deterministic URL canonicalization as
+  pure column expressions (whole-stage codegen, zero shuffles): the
+  join/dedup key every downstream per-url operator groups on.
+* :func:`latest_captures` — "latest capture wins" snapshot dedup as ONE
+  partially-aggregable ``groupBy(url).agg(max_by(...))`` (map-side
+  combine; deliberately NOT a row_number window, which would sort every
+  url's captures inside a full-width shuffle).
+* :func:`key_skew_profile` — the heavy-key profiler that tells a run
+  WHICH hosts need salting/AQE skew-join before the big joins fire
+  (the north_rule names hub-entity skew as a first-class concern).
+
+All three are engine-portable to the DuckDB oracles (regexp subset =
+Java ∩ RE2, no backreferences in patterns; parse_url twinned with
+regexp_extract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: ports implied by the scheme — stripped during canonicalization;
+#: every other explicit port is load-bearing and kept.
+DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+#: query parameters dropped during canonicalization (tracking noise —
+#: the page content does not depend on them).  Prefix match.
+TRACKING_PREFIX = "utm_"
+
+_PORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Deterministic canonical form of ``url`` (pure column exprs):
+
+    * scheme and host lowercased; a leading ``www.`` label dropped;
+    * the port dropped iff it is the scheme's default (80/443) —
+      non-default ports are kept;
+    * an empty path normalized to ``/``;
+    * query parameters whose key starts with ``utm_`` dropped (order of
+      the survivors preserved); an emptied query is dropped entirely;
+    * the ``#fragment`` always dropped.
+
+    Everything is ``parse_url`` + string arithmetic — no Python, no
+    shuffle; Catalyst keeps the whole expression inside one codegen
+    stage, so canonicalizing 10^12 urls costs exactly one map pass.
+    The DuckDB twin parses with ``regexp_extract`` (patterns in the
+    Java ∩ RE2 subset, verified on the same edge cases).
+    """
+    proto = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host0 = F.lower(F.parse_url(url, F.lit("HOST")))
+    host = F.when(host0.startswith("www."), F.substring(host0, 5, 2_000_000)).otherwise(
+        host0
+    )
+    port = F.regexp_extract(url, _PORT_RE, 1)
+    keep_port = (port != "") & ~(
+        ((proto == "http") & (port == DEFAULT_PORTS["http"]))
+        | ((proto == "https") & (port == DEFAULT_PORTS["https"]))
+    )
+    path0 = F.parse_url(url, F.lit("PATH"))
+    path = F.when((path0.isNull()) | (path0 == ""), F.lit("/")).otherwise(path0)
+    query0 = F.parse_url(url, F.lit("QUERY"))
+    query = F.array_join(
+        F.filter(
+            F.split(F.coalesce(query0, F.lit("")), "&"),
+            lambda p: ~p.startswith(TRACKING_PREFIX),
+        ),
+        "&",
+    )
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host of ``url``, ``www.`` and port stripped — the
+    grouping key for per-site statistics and politeness partitioning."""
+    h = F.lower(F.parse_url(url, F.lit("HOST")))
+    return F.when(h.startswith("www."), F.substring(h, 5, 2_000_000)).otherwise(h)
+
+
+def registered_domain(host: Column) -> Column:
+    """Last two dot-labels of ``host`` (``a.b.example.com`` →
+    ``example.com``).  Simplification: a real pipeline consults the
+    public-suffix list (``co.uk`` et al.); the two-label rule is the
+    documented stand-in — the operator shape (one regexp_extract,
+    map-only) is identical either way."""
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def with_canonical_url(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """pages + (url_canon, host, domain) columns — map-only."""
+    h = host_of(F.col(url_col))
+    return pages.withColumns(
+        {
+            "url_canon": canonical_url(F.col(url_col)),
+            "host": h,
+            "domain": registered_domain(h),
+        }
+    )
+
+
+def latest_captures(
+    pages: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    tie_col: str = "text",
+) -> DataFrame:
+    """One row per ``key_col``: the capture with the greatest
+    ``(ts_col, md5(tie_col))``, plus ``n_captures``.
+
+    Plan: ``groupBy(key).agg(max_by(struct(*), ord), count)`` — a hash
+    aggregate with MAP-SIDE PARTIAL COMBINE, so each executor reduces
+    its local captures of a url to one row before the single shuffle.
+    The row_number-window formulation of the same semantics shuffles
+    EVERY capture full-width and sorts per url; at 10^12 pages with a
+    recrawl factor of ~10 that is 10× the exchange volume for zero
+    benefit.  The md5 tie-break keeps the winner deterministic under
+    repartition when two captures share a timestamp (CLAUDE.md
+    determinism rule).
+    """
+    ordk = F.struct(
+        F.col(ts_col).alias("ts"), F.md5(F.col(tie_col)).alias("tb")
+    )
+    payload = F.struct(*[F.col(c) for c in pages.columns])
+    agg = pages.groupBy(key_col).agg(
+        F.max_by(payload, ordk).alias("_w"),
+        F.count(F.lit(1)).alias("n_captures"),
+    )
+    keep = [c for c in pages.columns if c != key_col]
+    return agg.select(
+        key_col, *[F.col(f"_w.{c}").alias(c) for c in keep], "n_captures"
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10, ndigits: int = 6
+) -> DataFrame:
+    """Top-``top_n`` heaviest keys with their share of all rows:
+    ``(key, n_rows, share, rank)`` — the pre-flight skew diagnosis for
+    any shuffle keyed on ``key_col`` (share ≳ 1/parallelism ⇒ that key
+    alone fills an executor; salt it or let AQE split it).
+
+    Plan: one partial-aggregable ``groupBy(key)`` over the fact table;
+    the grand total is RE-AGGREGATED FROM THE PER-KEY TABLE (not a
+    second fact scan) and broadcast back as a 1-row crossJoin — the
+    same shape as the q_important_parts threshold.  The final top-N
+    window runs on the key-vocabulary-sized table, never on rows.
+    """
+    from pyspark.sql import Window
+
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = per_key.agg(F.sum("n_rows").alias("_t"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n_rows") / F.col("_t"), ndigits))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .drop("_t")
+    )

@@ -1,0 +1,129 @@
+"""Entity-resolution blocking + edit-distance matching — the surface-
+form merge step between mention detection and graph canonicalization.
+
+A web-scale crawl yields the same entity under near-identical surface
+forms (typos, OCR noise, inflection): ``spark``/``sark``,
+``customer``/``custmer``.  Treating each spelling as its own node
+fragments the KG; an all-pairs string comparison is O(V²) and dead at a
+10^9-surface vocabulary.  The classical fix (Fellegi-Sunter style
+blocking, as in Dedupe/JedAI/Magellan) is what this module lifts to
+DataFrames:
+
+1. :func:`er_candidate_pairs` — BLOCK on ``(tag, first character)``,
+   self-join inside blocks only, cheap length prefilter BEFORE the
+   edit-distance evaluation, then ``levenshtein ≤ max_dist``.
+2. feed the surviving pairs to
+   :func:`~ddaugner_spark.operators.canonical.connected_components`
+   (hash-min label propagation) → a ``surface → canonical surface``
+   rewrite map, broadcast back over mentions/triples.
+
+Scale notes: the self-join runs on the DISTINCT-SURFACE table (the
+vocabulary, ~10^6-10^8 rows — orders of magnitude below the mention
+table), shuffled once on the block key; block sizes are bounded by the
+key's selectivity (tag × alphabet here; production adds a length bucket
+or a phonetic key to split hot blocks, same plan shape).  Levenshtein
+is evaluated ONLY on pairs that survive the length prefilter — the
+length band is checked as plain integer arithmetic inside the join
+stage, so the O(len²) distance never runs on obviously-far pairs.
+
+Reference contract: the gazetteer's alias/rename machinery
+(fix_ner.py:117-166, aliases applied by exact surface) assumes a
+pre-merged surface vocabulary; this operator is the corpus-scale step
+that produces such a vocabulary from noisy text.  Engine-portable:
+DuckDB has the identical ``levenshtein`` (verified: standard edit
+distance, 'kitten'→'sitting' = 3 on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distinct_surfaces(
+    mentions: DataFrame, surface_col: str = "surface", tag_col: str = "tag"
+) -> DataFrame:
+    """(surface, tag, n_mentions) — the vocabulary table the pairwise
+    stage runs on.  One partial-aggregable groupBy; everything
+    downstream of this line is vocabulary-sized, not corpus-sized."""
+    return mentions.groupBy(
+        F.col(surface_col).alias("surface"), F.col(tag_col).alias("tag")
+    ).agg(F.count(F.lit(1)).alias("n_mentions"))
+
+
+def with_typo_surfaces(surfaces: DataFrame) -> DataFrame:
+    """Deterministic noise amplifier for tests/benchmarks: for every
+    surface of length ≥ 4, union a delete-second-character variant
+    (``spark`` → ``sark``) with 1 mention — edit distance exactly 1,
+    same first character, so each variant lands in its original's block.
+    Pure column expressions; no randomness (variant existence is a
+    function of the surface itself)."""
+    variants = (
+        surfaces.filter(F.length("surface") >= 4)
+        .select(
+            F.concat(
+                F.substring("surface", 1, 1), F.expr("substring(surface, 3)")
+            ).alias("surface"),
+            "tag",
+            F.lit(1).alias("n_mentions"),
+        )
+    )
+    return (
+        surfaces.unionByName(variants)
+        .groupBy("surface", "tag")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+    )
+
+
+def er_candidate_pairs(
+    surfaces: DataFrame, max_dist: int = 2
+) -> DataFrame:
+    """(tag, a, b, dist) — candidate duplicate-surface pairs with
+    ``a < b`` (no self/mirror pairs), blocked on ``(tag, lower first
+    char)``, length difference ≤ ``max_dist`` (a provable lower bound
+    on edit distance — checked BEFORE levenshtein runs), and
+    ``levenshtein(a, b) ≤ max_dist``.
+
+    The join is an equi-join on the block key (hash-partitionable; NOT
+    a crossJoin), with the length band and the distance as post-join
+    filters Catalyst evaluates inside the join stage.
+    """
+    lhs = surfaces.select(
+        "tag",
+        F.lower(F.substring("surface", 1, 1)).alias("blk"),
+        F.col("surface").alias("a"),
+        F.length("surface").alias("la"),
+    )
+    rhs = surfaces.select(
+        "tag",
+        F.lower(F.substring("surface", 1, 1)).alias("blk"),
+        F.col("surface").alias("b"),
+        F.length("surface").alias("lb"),
+    )
+    pairs = lhs.join(rhs, ["tag", "blk"]).filter(
+        (F.col("a") < F.col("b"))
+        & (F.abs(F.col("la") - F.col("lb")) <= max_dist)
+    )
+    return pairs.select(
+        "tag",
+        "a",
+        "b",
+        F.levenshtein("a", "b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
+def resolve_surfaces(pairs: DataFrame, stage_dir: str) -> DataFrame:
+    """ER pairs → (surface, canonical, is_alias): connected components
+    over the pair graph (hash-min label propagation, the same operator
+    that canonicalizes near-dup document clusters), canonical = the
+    lexicographically smallest surface of each cluster.  The CC runs on
+    the PAIR graph (vocabulary-scale), never on mentions."""
+    from ddaugner_spark.operators.canonical import connected_components
+
+    edges = pairs.select("a", "b")
+    comps = connected_components(edges, stage_dir=stage_dir)
+    return comps.select(
+        F.col("entity").alias("surface"),
+        F.col("component").alias("canonical"),
+        (F.col("entity") != F.col("component")).alias("is_alias"),
+    )

@@ -290,3 +290,64 @@ def relation_signatures(triples: DataFrame, ndigits: int = 6) -> DataFrame:
         F.col("pred_total").cast("long").alias("pred_total"),
         F.round(F.col("n") / F.col("pred_total"), ndigits).alias("sig_frac"),
     )
+
+
+def upsert_triples(
+    base: DataFrame,
+    cdc: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """CDC materialization of the triple store: apply a change stream
+    onto a base snapshot, latest change per key wins.
+
+    ``base``: the current triple table (key_cols + ``support``) —
+    treated as an upsert at ``ts = -infinity`` (epoch 0).
+    ``cdc``: change rows ``(key_cols..., op, ts, support)`` with
+    ``op ∈ {'u','d'}`` — 'u' upserts the key with the new support,
+    'd' tombstones it.
+
+    Output: ``(key_cols..., support, last_ts)`` — the post-merge
+    snapshot (tombstoned keys absent).  This is the MERGE INTO /
+    Iceberg upsert semantics a periodically-recrawled KG needs when the
+    extraction of a page changes between captures: re-extracted triples
+    update their support, retracted ones are deleted, and brand-new
+    keys insert — all in one pass.
+
+    Plan: union the two streams and take ``max_by`` over ``(ts,
+    is_delete)`` per key — ONE hash aggregate with map-side partial
+    combine (each executor pre-reduces its local changes per key before
+    the single shuffle on the triple key).  A join-based MERGE would
+    shuffle both sides AND miss inserts without a full outer; the
+    union-aggregate form is strictly less exchange volume and is the
+    standard compaction shape for log-structured tables.  Ties at equal
+    ``ts`` resolve delete-wins then higher-support (deterministic under
+    repartition — CLAUDE.md determinism rule).
+    """
+    keys = list(key_cols)
+    b = base.select(
+        *keys,
+        F.lit("u").alias("op"),
+        F.lit(0).cast("long").alias("ts"),
+        F.col("support").cast("long").alias("support"),
+    )
+    c = cdc.select(
+        *keys,
+        F.col("op"),
+        F.col("ts").cast("long").alias("ts"),
+        F.col("support").cast("long").alias("support"),
+    )
+    ordk = F.struct(
+        F.col("ts").alias("ts"),
+        (F.col("op") == "d").cast("int").alias("del_wins"),
+        F.col("support").alias("sup"),
+    )
+    payload = F.struct(F.col("op").alias("op"), F.col("support").alias("support"))
+    merged = (
+        b.unionByName(c)
+        .groupBy(*keys)
+        .agg(F.max_by(payload, ordk).alias("_w"), F.max("ts").alias("last_ts"))
+    )
+    return (
+        merged.filter(F.col("_w.op") == "u")
+        .select(*keys, F.col("_w.support").alias("support"), "last_ts")
+    )

@@ -1,0 +1,230 @@
+"""Round-5 crawl-snapshot + entity-resolution + CDC operators:
+canonical_url / latest_captures / key_skew_profile (operators/crawl.py),
+er_candidate_pairs / resolve_surfaces (operators/er.py),
+upsert_triples (operators/triples.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddaugner_spark.operators import crawl, er
+from ddaugner_spark.operators.triples import upsert_triples
+
+
+class TestCanonicalUrl:
+    CASES = [
+        # (raw, canonical)
+        (
+            "HTTPS://WWW.Example.COM:443/Doc/12?utm_source=x&id=3&utm_medium=y#frag",
+            "https://example.com/Doc/12?id=3",
+        ),
+        ("http://sub.site.org:80/a/b?q=1", "http://sub.site.org/a/b?q=1"),
+        ("https://plain.net/", "https://plain.net/"),
+        ("https://host.io/path", "https://host.io/path"),
+        ("https://host.io", "https://host.io/"),  # empty path -> '/'
+        # NON-default port survives; utm_ param dropped, order preserved
+        ("http://x.y.z.co:8080/p?utm_a=1&page=2", "http://x.y.z.co:8080/p?page=2"),
+        ("https://www.only-www.com/q", "https://only-www.com/q"),
+    ]
+
+    def test_edge_case_battery(self, spark):
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        got = {
+            r.url: r.url_canon for r in crawl.with_canonical_url(df).collect()
+        }
+        for raw, want in self.CASES:
+            assert got[raw] == want, raw
+
+    def test_idempotent(self, spark):
+        """canon(canon(u)) == canon(u) — the fixed-point property a
+        dedup key must have."""
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES], "url string")
+        once = crawl.with_canonical_url(df).select(
+            F.col("url_canon").alias("url")
+        )
+        twice = crawl.with_canonical_url(once).collect()
+        assert all(r.url == r.url_canon for r in twice)
+
+    def test_host_and_domain(self, spark):
+        df = spark.createDataFrame(
+            [("https://WWW.A.B.Example.COM:8443/x",)], "url string"
+        )
+        r = crawl.with_canonical_url(df).collect()[0]
+        assert r.host == "a.b.example.com"
+        assert r.domain == "example.com"
+
+
+class TestLatestCaptures:
+    def _caps(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, text string"
+        )
+
+    def test_latest_wins_and_count(self, spark):
+        import datetime as dt
+
+        t = dt.datetime(2024, 1, 1)
+        d = self._caps(
+            spark,
+            [
+                ("u1", t, "old"),
+                ("u1", t + dt.timedelta(minutes=5), "new"),
+                ("u2", t, "only"),
+            ],
+        )
+        got = {r.url: r for r in crawl.latest_captures(d).collect()}
+        assert got["u1"].text == "new" and got["u1"].n_captures == 2
+        assert got["u2"].text == "only" and got["u2"].n_captures == 1
+
+    def test_timestamp_tie_breaks_by_md5_deterministically(self, spark):
+        import datetime as dt
+        import hashlib
+
+        t = dt.datetime(2024, 1, 1)
+        texts = ["alpha", "beta"]
+        d = self._caps(spark, [("u", t, x) for x in texts])
+        winner = crawl.latest_captures(d).collect()[0].text
+        want = max(texts, key=lambda s: hashlib.md5(s.encode()).hexdigest())
+        assert winner == want
+        # invariant under repartition (determinism rule)
+        winner2 = crawl.latest_captures(d.repartition(7)).collect()[0].text
+        assert winner2 == want
+
+    def test_plan_is_aggregate_not_window(self, spark):
+        """The scale claim: latest-capture dedup must be a partial-
+        aggregable hash aggregate, NOT a row_number window (which would
+        sort every url's captures inside a full-width shuffle)."""
+        import datetime as dt
+
+        d = self._caps(spark, [("u", dt.datetime(2024, 1, 1), "x")])
+        plan = crawl.latest_captures(d)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "max_by" in plan or "HashAggregate" in plan
+
+
+class TestKeySkewProfile:
+    def test_shares_and_rank_ties(self, spark):
+        rows = [("hub",)] * 6 + [("a",)] * 2 + [("b",)] * 2
+        df = spark.createDataFrame(rows, "k string")
+        got = {r.rank: r for r in crawl.key_skew_profile(df, "k", top_n=2).collect()}
+        assert got[1].k == "hub" and got[1].n_rows == 6 and got[1].share == 0.6
+        assert got[2].k == "a"  # tie with 'b' broken alphabetically
+        assert len(got) == 2
+
+    def test_total_reaggregated_not_second_scan(self, spark):
+        """Plan pin: the grand total must come from the per-key table
+        (re-aggregation + broadcast), so the fact table is scanned
+        exactly once."""
+        df = spark.createDataFrame([("x",)] * 3, "k string")
+        plan = (
+            crawl.key_skew_profile(df, "k")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert plan.count("LocalRelation") + plan.count("Scan") <= 2
+
+
+class TestErPairs:
+    def _surf(self, spark, rows):
+        return spark.createDataFrame(rows, "surface string, tag string, n_mentions long")
+
+    def test_typo_variants_only_for_len_ge_4(self, spark):
+        s = self._surf(spark, [("spark", "PER", 5), ("abc", "PER", 2)])
+        got = {r.surface for r in er.with_typo_surfaces(s).collect()}
+        assert got == {"spark", "sark", "abc"}
+
+    def test_blocking_excludes_cross_first_char(self, spark):
+        # dist("abc","bbc") = 1 but first chars differ -> never compared
+        s = self._surf(spark, [("abc", "PER", 1), ("bbc", "PER", 1)])
+        assert er.er_candidate_pairs(s).count() == 0
+
+    def test_threshold_orientation_and_tag_isolation(self, spark):
+        s = self._surf(
+            spark,
+            [
+                ("spark", "PER", 1),
+                ("sark", "PER", 1),   # dist 1 -> pair
+                ("spork", "PER", 1),  # dist 1 from spark -> pair
+                ("sxxxxk", "PER", 1), # dist 4 from spark -> no
+                ("spark", "LOC", 1),  # same surface, other tag: no cross-tag pair
+            ],
+        )
+        pairs = {(r.tag, r.a, r.b, r.dist) for r in er.er_candidate_pairs(s).collect()}
+        assert ("PER", "sark", "spark", 1) in pairs
+        assert ("PER", "spark", "spork", 1) in pairs
+        assert all(a < b for _, a, b, _ in pairs)  # no mirrors/self
+        assert all(t == "PER" or (a != "spark") for t, a, b, _ in pairs)
+        assert not any(d > 2 for *_, d in pairs)
+
+    def test_resolve_min_canonical(self, spark, tmp_path):
+        pairs = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "a string, b string"
+        )
+        got = {
+            r.surface: (r.canonical, r.is_alias)
+            for r in er.resolve_surfaces(pairs, str(tmp_path / "er")).collect()
+        }
+        assert got["a"] == ("a", False)
+        assert got["b"] == ("a", True)
+        assert got["c"] == ("a", True)
+        assert got["x"] == ("x", False) and got["y"] == ("x", True)
+
+
+class TestUpsertTriples:
+    def _mk(self, spark, base_rows, cdc_rows):
+        base = spark.createDataFrame(
+            base_rows, "subj string, pred string, obj string, support long"
+        )
+        cdc = spark.createDataFrame(
+            cdc_rows,
+            "subj string, pred string, obj string, op string, ts long, support long",
+        )
+        return upsert_triples(base, cdc)
+
+    def test_update_delete_insert_untouched(self, spark):
+        out = self._mk(
+            spark,
+            [
+                ("a", "p", "x", 3),  # updated
+                ("b", "p", "y", 4),  # deleted
+                ("c", "p", "z", 5),  # untouched
+            ],
+            [
+                ("a", "p", "x", "u", 10, 30),
+                ("b", "p", "y", "d", 10, 0),
+                ("n", "p", "w", "u", 20, 1),  # insert
+            ],
+        )
+        got = {(r.subj, r.obj): (r.support, r.last_ts) for r in out.collect()}
+        assert got == {
+            ("a", "x"): (30, 10),
+            ("c", "z"): (5, 0),
+            ("n", "w"): (1, 20),
+        }
+
+    def test_latest_ts_wins_then_delete_wins_tie(self, spark):
+        out = self._mk(
+            spark,
+            [("a", "p", "x", 1)],
+            [
+                ("a", "p", "x", "u", 10, 2),
+                ("a", "p", "x", "u", 20, 3),   # latest update
+                ("a", "p", "x", "d", 20, 0),   # same ts: delete wins
+            ],
+        )
+        assert out.count() == 0
+
+    def test_deterministic_under_repartition(self, spark):
+        base = spark.createDataFrame(
+            [("a", "p", "x", 1)], "subj string, pred string, obj string, support long"
+        )
+        cdc = spark.createDataFrame(
+            [("a", "p", "x", "u", 10, i) for i in (5, 9, 7)],
+            "subj string, pred string, obj string, op string, ts long, support long",
+        )
+        for n in (1, 8):
+            r = upsert_triples(base, cdc.repartition(n)).collect()[0]
+            assert (r.support, r.last_ts) == (9, 10)  # support tie-break at equal ts
