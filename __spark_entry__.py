@@ -1111,6 +1111,13 @@ def q_triple_upsert(spark, sf):
     ONE map-side-combinable aggregate (operators/triples.py).  The
     recrawl-loop semantics: re-extracted triples update, retracted ones
     delete, new ones insert, resumable per Iceberg partition."""
+    base, cdc = _upsert_inputs(spark, sf)
+    return triples.upsert_triples(base, cdc)
+
+
+def _upsert_inputs(spark, sf):
+    """(base snapshot, deterministic cdc stream) shared by the batch
+    q_triple_upsert and the streaming q_stream_upsert (same oracle)."""
     t = triples.triples_df(_docs(spark, sf))
     base = t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("support"))
     res = (
@@ -1139,7 +1146,26 @@ def q_triple_upsert(spark, sf):
         F.lit(30).cast("long").alias("ts"),
         (F.col("id") + 1).alias("support"),
     )
-    return triples.upsert_triples(base, cdc_mod.unionByName(ins))
+    return base, cdc_mod.unionByName(ins)
+
+
+def q_stream_upsert(spark, sf):
+    """Streaming CDC maintenance of the triple snapshot: the same
+    change stream as q_triple_upsert arrives as parquet micro-batches
+    (maxFilesPerTrigger=1 over a multi-file drop) and folds into a
+    per-epoch state version via the associative merge_triple_state —
+    tombstones retained in state, replay-idempotent per-epoch
+    overwrite.  Final snapshot == the batch upsert regardless of how
+    the stream was split (associativity), so it shares q_triple_upsert's
+    oracle."""
+    from ddaugner_spark.streaming import incremental_upsert
+
+    base, cdc = _upsert_inputs(spark, sf)
+    cdc_dir = _scratch("q_stream_up_cdc_")
+    ck = _scratch("q_stream_up_ck_")
+    st = _scratch("q_stream_up_state_")
+    cdc.repartition(3).write.mode("overwrite").parquet(cdc_dir)
+    return incremental_upsert(spark, base, cdc_dir, ck, st)
 
 
 def q_bloom_decontaminate(spark, sf):
@@ -1996,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_er_pairs": q_er_pairs,
         "q_er_resolve": q_er_resolve,
         "q_triple_upsert": q_triple_upsert,
+        "q_stream_upsert": q_stream_upsert,
         "q_hypertable_rollup": q_hypertable_rollup,
         "q_ngram_match": q_ngram_match,
         "q_error_contexts": q_error_contexts,
@@ -2928,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT subj, pred, obj, support, last_ts FROM final WHERE op = 'u'
     """
+    o["q_stream_upsert"] = o["q_triple_upsert"]
 
     # Bloom decontamination replay: bit_j(v) = md5(j|v) mod m (the
     # cm_bucket primitive); all-3-probes-hit per (doc, shingle)

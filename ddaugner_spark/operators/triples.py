@@ -324,11 +324,41 @@ def upsert_triples(
     repartition — CLAUDE.md determinism rule).
     """
     keys = list(key_cols)
-    b = base.select(
+    state0 = base.select(
         *keys,
         F.lit("u").alias("op"),
-        F.lit(0).cast("long").alias("ts"),
         F.col("support").cast("long").alias("support"),
+        F.lit(0).cast("long").alias("last_ts"),
+    )
+    merged = merge_triple_state(state0, cdc, key_cols)
+    return merged.filter(F.col("op") == "u").select(
+        *keys, "support", "last_ts"
+    )
+
+
+def merge_triple_state(
+    state: DataFrame,
+    cdc: DataFrame,
+    key_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """The ASSOCIATIVE kernel under :func:`upsert_triples`: fold a
+    change batch into a tombstone-RETAINING state table
+    ``(key_cols..., op, support, last_ts)`` and return the new state.
+
+    Tombstones must stay in the state (op='d' rows survive the fold;
+    only the final read filters them) — dropping them would let a
+    replayed or late batch with an OLDER ts resurrect a deleted key.
+    With them kept, the winner of winners is the global winner
+    (lexicographic max over (ts, delete-wins, support) is associative),
+    so any micro-batch split of the same change stream folds to the
+    identical state — the property the streaming form
+    (streaming/incremental.incremental_upsert) relies on for
+    exactly-once epoch replay.  One map-side-combinable hash aggregate
+    per fold, exactly like the batch form.
+    """
+    keys = list(key_cols)
+    s = state.select(
+        *keys, "op", F.col("last_ts").alias("ts"), F.col("support")
     )
     c = cdc.select(
         *keys,
@@ -343,11 +373,10 @@ def upsert_triples(
     )
     payload = F.struct(F.col("op").alias("op"), F.col("support").alias("support"))
     merged = (
-        b.unionByName(c)
+        s.unionByName(c)
         .groupBy(*keys)
         .agg(F.max_by(payload, ordk).alias("_w"), F.max("ts").alias("last_ts"))
     )
-    return (
-        merged.filter(F.col("_w.op") == "u")
-        .select(*keys, F.col("_w.support").alias("support"), "last_ts")
+    return merged.select(
+        *keys, F.col("_w.op").alias("op"), F.col("_w.support").alias("support"), "last_ts"
     )

@@ -1,6 +1,7 @@
 from .incremental import (
     incremental_cm_sketch,
     incremental_dedup,
+    incremental_upsert,
     incremental_event_counts,
     incremental_link_scores,
     incremental_mentions,
@@ -10,6 +11,7 @@ from .incremental import (
 __all__ = [
     "incremental_cm_sketch",
     "incremental_dedup",
+    "incremental_upsert",
     "incremental_event_counts",
     "incremental_link_scores",
     "incremental_mentions",

@@ -191,3 +191,70 @@ def test_incremental_cm_sketch_folds_across_batches(spark, sf_dir, tmp_path):
     }
     got = {(r["row_idx"], r["bucket"]): r["cnt"] for r in t2.collect()}
     assert got == want and len(got) > len(got1) // 2
+
+
+def _upsert_fixture(spark):
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [("a", "p", "x", 3), ("b", "p", "y", 4), ("c", "p", "z", 5)],
+        "subj string, pred string, obj string, support long",
+    )
+    cdc = spark.createDataFrame(
+        [
+            ("a", "p", "x", "u", 10, 30),
+            ("b", "p", "y", "d", 11, 0),
+            ("n", "p", "w", "u", 12, 1),
+            ("b", "p", "y", "u", 9, 99),   # OLDER than the delete: must NOT resurrect
+            ("n", "p", "w", "u", 13, 2),
+        ],
+        "subj string, pred string, obj string, op string, ts long, support long",
+    )
+    return base, cdc
+
+
+def test_incremental_upsert_matches_batch_and_split_invariant(spark, tmp_path):
+    """Streaming CDC fold == batch upsert_triples over the whole change
+    set, for EVERY micro-batch split (associativity of
+    merge_triple_state with tombstones retained)."""
+    from ddaugner_spark.operators.triples import upsert_triples
+    from ddaugner_spark.streaming import incremental_upsert
+
+    base, cdc = _upsert_fixture(spark)
+    want = {tuple(r) for r in upsert_triples(base, cdc).collect()}
+    assert ("b", "p", "y", 99, 11) not in want  # late-older-than-delete pinned
+    for i, nfiles in enumerate((1, 5)):
+        cdc_dir = str(tmp_path / f"cdc{i}")
+        cdc.repartition(nfiles).write.parquet(cdc_dir)
+        got = incremental_upsert(
+            spark,
+            base,
+            cdc_dir,
+            str(tmp_path / f"ck{i}"),
+            str(tmp_path / f"state{i}"),
+        )
+        assert {tuple(r) for r in got.collect()} == want
+
+
+def test_incremental_upsert_epoch_replay_is_idempotent(spark, tmp_path):
+    """Replaying an epoch (crash between state write and offset commit)
+    re-reads the same predecessor version and rewrites identical state:
+    tombstones retained means a second application of the same batch
+    cannot resurrect or double-apply anything."""
+    from ddaugner_spark.operators.triples import merge_triple_state
+    from pyspark.sql import functions as F
+
+    base, cdc = _upsert_fixture(spark)
+    state0 = base.select(
+        "subj", "pred", "obj",
+        F.lit("u").alias("op"),
+        F.col("support").cast("long").alias("support"),
+        F.lit(0).cast("long").alias("last_ts"),
+    )
+    once = merge_triple_state(state0, cdc)
+    twice = merge_triple_state(once, cdc)  # the replayed batch
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+    # the tombstone is IN the state (that's what makes replay safe) ...
+    assert once.filter("op = 'd'").count() == 1
+    # ... and filtered from the read surface (a, c, n survive; b is the tombstone)
+    assert once.filter("op = 'u'").count() == 3
