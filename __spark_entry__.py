@@ -1102,6 +1102,48 @@ def q_er_resolve(spark, sf):
     )
 
 
+def q_link_graph(spark, sf):
+    """Host-level web graph from raw html: deterministic anchors are
+    injected into each synthesized page (1 + doc_id%3 links, target
+    host/doc a pure function of doc_id), then extract_links pulls every
+    href via ONE regexp_extract_all + explode (map-only) and host_graph
+    aggregates (src_host, dst_host) edge weights in one
+    partial-aggregable groupBy.  The front door for host PageRank /
+    crawl-frontier prioritization; the oracle replays the html build
+    and the same RE2-subset extraction."""
+    d = _docs(spark, sf)
+    anchors = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("doc_id") % 3),
+            lambda j: F.concat(
+                F.lit('<a href="https://src'),
+                ((F.col("doc_id") + j) % 20).cast("string"),
+                F.lit(".example.com/doc/"),
+                (F.col("doc_id") + j + 1).cast("string"),
+                F.lit('">x</a>'),
+            ),
+        ),
+        "",
+    )
+    html_str = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("source"),
+        F.lit(" "),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.coalesce("text", F.lit("")),
+        anchors,
+        F.lit(_HTML_POST),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(html_str, "UTF-8").alias("html"),
+    )
+    return crawl.host_graph(crawl.extract_links(pages))
+
+
 def q_triple_upsert(spark, sf):
     """CDC/MERGE materialization of the triple store: the aggregated
     base snapshot (support = assertion count) receives a deterministic
@@ -2021,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_skew": q_host_skew,
         "q_er_pairs": q_er_pairs,
         "q_er_resolve": q_er_resolve,
+        "q_link_graph": q_link_graph,
         "q_triple_upsert": q_triple_upsert,
         "q_stream_upsert": q_stream_upsert,
         "q_hypertable_rollup": q_hypertable_rollup,
@@ -2911,6 +2954,36 @@ def oracle_sql() -> dict[str, str]:
              substr(canonical, strpos(canonical, '|') + 1) AS canonical,
              node != canonical AS is_alias
       FROM rr
+    """
+
+    # link-graph replay: same deterministic anchor injection into the
+    # synthesized html, same RE2-subset href extraction, host-level agg
+    o["q_link_graph"] = f"""
+      WITH frag AS (
+        SELECT doc_id,
+               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
+                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
+                          '">x</a>', '' ORDER BY j) AS anchors
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        GROUP BY doc_id
+      ),
+      html2 AS (
+        SELECT d.doc_id, d.source,
+               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
+               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
+               '{_HTML_POST}' AS h
+        FROM documents d JOIN frag f USING (doc_id)
+      ),
+      links AS (
+        SELECT source || '.example.com' AS src_host,
+               unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      )
+      SELECT src_host,
+             lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS dst_host,
+             count(*)::BIGINT AS n_links
+      FROM links
+      GROUP BY src_host, dst_host
     """
 
     # CDC upsert replay: same md5-residue change stream over the base

@@ -174,3 +174,34 @@ def key_skew_profile(
         .filter(F.col("rank") <= top_n)
         .drop("_t")
     )
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, target_url) hyperlink rows: every ``href="..."`` in the
+    decoded html, exploded.  One regexp_extract_all + explode — map-only
+    (the explode fans out WITHIN the scan task, no exchange), pattern in
+    the Java ∩ RE2 subset so the DuckDB twin extracts identically.  The
+    raw-crawl front door for the host-level web graph."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(s, F.lit('href="([^"]*)"'), F.lit(1))
+    return pages.select(F.col(url_col).alias("url"), F.explode(hrefs).alias("target_url"))
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level web graph from a
+    link table: both endpoints canonicalized with :func:`host_of`, then
+    ONE partial-aggregable groupBy.  Hub hosts (the north rule's
+    Wikipedia/Facebook case) concentrate on the dst side; the aggregate
+    itself is safe (map-side combine bounds any key's shuffle volume by
+    the partition count), and downstream per-host joins should consult
+    :func:`key_skew_profile` for salting decisions."""
+    return (
+        links.select(
+            host_of(F.col("url")).alias("src_host"),
+            host_of(F.col("target_url")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -228,3 +228,30 @@ class TestUpsertTriples:
         for n in (1, 8):
             r = upsert_triples(base, cdc.repartition(n)).collect()[0]
             assert (r.support, r.last_ts) == (9, 10)  # support tie-break at equal ts
+
+
+class TestLinkGraph:
+    def test_extract_and_aggregate(self, spark):
+        html = (
+            '<html><body><a href="https://A.com/x">1</a> text '
+            '<a href="http://www.b.com/y?z=1">2</a>'
+            '<a href="https://a.com/other">3</a></body></html>'
+        )
+        pages = spark.createDataFrame(
+            [("https://src.com/p", bytearray(html, "utf-8"))], "url string, html binary"
+        )
+        links = crawl.extract_links(pages)
+        assert links.count() == 3
+        got = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in crawl.host_graph(links).collect()
+        }
+        # hosts lowercased + www-stripped; a.com edge weight folds to 2
+        assert got == {("src.com", "a.com"): 2, ("src.com", "b.com"): 1}
+
+    def test_no_links_no_rows(self, spark):
+        pages = spark.createDataFrame(
+            [("https://s.com/p", bytearray(b"<html>plain</html>"))],
+            "url string, html binary",
+        )
+        assert crawl.extract_links(pages).count() == 0
