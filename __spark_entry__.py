@@ -1102,6 +1102,24 @@ def q_er_resolve(spark, sf):
     )
 
 
+def q_bfs(spark, sf):
+    """Bounded-depth BFS over the constructed KG: minimum hop distance
+    (≤3) from the seed set {entities whose surface starts with 'hash'}
+    over the undirected distinct (subj, obj) edge set.  Frontier
+    iteration with broadcast-while-small frontiers and anti-join
+    first-discovery semantics (operators/graph.py bfs_distances);
+    oracle = depth-bounded recursive CTE reachability with min(dist)."""
+    from ddaugner_spark.operators.graph import bfs_distances
+
+    t = triples.triples_df(_docs(spark, sf))
+    edges = t.select(F.col("subj").alias("a"), F.col("obj").alias("b")).distinct()
+    nodes = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node").startswith("hash"))
+    return bfs_distances(edges, seeds, max_depth=3, stage_dir=_scratch("q_bfs_"))
+
+
 def q_link_graph(spark, sf):
     """Host-level web graph from raw html: deterministic anchors are
     injected into each synthesized page (1 + doc_id%3 links, target
@@ -2063,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_skew": q_host_skew,
         "q_er_pairs": q_er_pairs,
         "q_er_resolve": q_er_resolve,
+        "q_bfs": q_bfs,
         "q_link_graph": q_link_graph,
         "q_triple_upsert": q_triple_upsert,
         "q_stream_upsert": q_stream_upsert,
@@ -2954,6 +2973,28 @@ def oracle_sql() -> dict[str, str]:
              substr(canonical, strpos(canonical, '|') + 1) AS canonical,
              node != canonical AS is_alias
       FROM rr
+    """
+
+    # BFS replay: depth-bounded recursive reachability; min(dist) ==
+    # the engine's first-discovery anti-join semantics
+    o["q_bfs"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM tri),
+      edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a LIKE 'hash%'),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT node, 0 AS dist FROM seeds
+          UNION
+          SELECT e.b AS node, walk.dist + 1 AS dist
+          FROM walk JOIN edges e ON e.a = walk.node
+          WHERE walk.dist < 3
+        )
+        SELECT node, min(dist) AS dist FROM walk GROUP BY node
+      )
+      SELECT node, dist::INT AS dist FROM rr
     """
 
     # link-graph replay: same deterministic anchor injection into the

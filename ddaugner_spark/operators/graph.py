@@ -501,3 +501,90 @@ def two_hop_paths(
             F.least("support1", "support2").cast("long").alias("path_support"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 3,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, dist) — minimum hop distance from ANY seed node over the
+    undirected graph, bounded by ``max_depth`` (nodes further than the
+    bound are absent).  The KG neighborhood query behind "everything
+    within k hops of these entities" (seed-set expansion for entity
+    disambiguation contexts, subgraph extraction for analysts).
+
+    Frontier iteration, the textbook distributed-BFS shape:
+
+    * per level, ONLY the frontier (nodes first discovered last level)
+      joins the symmetric edge table — never the whole visited set, so
+      a level's work is proportional to the edges incident to newly
+      discovered nodes;
+    * the frontier is BROADCAST while it fits (seed expansions start
+      tiny — the common case — so early levels touch the edge table
+      map-side with zero exchange); a frontier past the threshold falls
+      back to the honest shuffled join;
+    * newly seen nodes are ``left_anti``-joined against the visited
+      table (first discovery = minimum distance, so no min-aggregate
+      over repeated sightings is ever needed);
+    * visited/frontier tables parquet-round-trip per level (constant
+      plan depth — the CC/LPA/PageRank iteration idiom), and the loop
+      exits early on an empty frontier.
+    """
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["levels"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_bfs_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    frontier = _roundtrip(
+        seeds.select("node").distinct().withColumn("dist", F.lit(0).cast("int")),
+        "frontier_0",
+    )
+    visited = frontier
+    n_frontier = frontier.count()
+    stats["n_seeds"] = n_frontier
+
+    for depth in range(1, max_depth + 1):
+        l_t0 = time.time()
+        fr = (
+            F.broadcast(frontier)
+            if n_frontier <= BROADCAST_AUTO_THRESHOLD
+            else frontier
+        )
+        nxt = (
+            sym.join(fr, sym.a == fr.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        nxt = _roundtrip(nxt, f"frontier_{depth % 2}")
+        n_frontier = nxt.count()
+        stats["levels"].append(
+            {
+                "depth": depth,
+                "sec": round(time.time() - l_t0, 3),
+                "n_discovered": n_frontier,
+            }
+        )
+        if n_frontier == 0:
+            break
+        visited = _roundtrip(
+            visited.unionByName(nxt), f"visited_{depth % 2}"
+        )
+        frontier = nxt
+
+    return visited

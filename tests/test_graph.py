@@ -326,3 +326,60 @@ def test_two_hop_fanout_cap_keeps_best_supported(spark):
     cs = {r["entity_c"] for r in out}
     assert cs == {"c9", "c8", "c7"}  # three highest supports
     assert all(r["path_support"] == 5 for r in out)  # weaker leg = a->hub
+
+
+class TestBfsDistances:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "a string, b string")
+
+    def _seeds(self, spark, nodes):
+        return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+    def test_line_graph_distances_and_depth_bound(self, spark, tmp_path):
+        from ddaugner_spark.operators.graph import bfs_distances
+
+        # s - n1 - n2 - n3 - n4 (undirected, given as directed rows)
+        e = self._edges(
+            spark, [("s", "n1"), ("n2", "n1"), ("n2", "n3"), ("n3", "n4")]
+        )
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(
+                e, self._seeds(spark, ["s"]), max_depth=3, stage_dir=str(tmp_path / "b1")
+            ).collect()
+        }
+        # n4 is 4 hops away -> absent under the bound
+        assert got == {"s": 0, "n1": 1, "n2": 2, "n3": 3}
+
+    def test_multi_seed_min_and_early_exit(self, spark, tmp_path):
+        from ddaugner_spark.operators.graph import bfs_distances
+
+        e = self._edges(spark, [("a", "b"), ("b", "c"), ("x", "y")])
+        stats = {}
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(
+                e,
+                self._seeds(spark, ["a", "c", "x"]),
+                max_depth=5,
+                stage_dir=str(tmp_path / "b2"),
+                stats=stats,
+            ).collect()
+        }
+        # b is adjacent to TWO seeds -> dist 1 exactly once; disconnected
+        # component reached only from its own seed
+        assert got == {"a": 0, "c": 0, "x": 0, "b": 1, "y": 1}
+        # frontier empties at depth 2 -> loop exits early, 5 never runs
+        assert len(stats["levels"]) == 2 and stats["levels"][-1]["n_discovered"] == 0
+
+    def test_seed_not_in_graph(self, spark, tmp_path):
+        from ddaugner_spark.operators.graph import bfs_distances
+
+        e = self._edges(spark, [("a", "b")])
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(
+                e, self._seeds(spark, ["zzz"]), max_depth=2, stage_dir=str(tmp_path / "b3")
+            ).collect()
+        }
+        assert got == {"zzz": 0}
