@@ -1102,6 +1102,15 @@ def q_er_resolve(spark, sf):
     )
 
 
+def q_ntriples(spark, sf):
+    """W3C N-Triples serialization of the constructed KG — the
+    interchange materialization any RDF store can load (injective
+    %-encoding: '%'→'%25' before ' '→'%20').  Map-only over the
+    distinct triple set; write_ntriples is the text sink
+    (pytest-pinned round-trip)."""
+    return triples.to_ntriples(triples.triples_df(_docs(spark, sf)))
+
+
 def q_bfs(spark, sf):
     """Bounded-depth BFS over the constructed KG: minimum hop distance
     (≤3) from the seed set {entities whose surface starts with 'hash'}
@@ -2081,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_skew": q_host_skew,
         "q_er_pairs": q_er_pairs,
         "q_er_resolve": q_er_resolve,
+        "q_ntriples": q_ntriples,
         "q_bfs": q_bfs,
         "q_link_graph": q_link_graph,
         "q_triple_upsert": q_triple_upsert,
@@ -2973,6 +2983,21 @@ def oracle_sql() -> dict[str, str]:
              substr(canonical, strpos(canonical, '|') + 1) AS canonical,
              node != canonical AS is_alias
       FROM rr
+    """
+
+    # N-Triples replay: identical string build; replace order pinned
+    # ('%' first) so the encoding is injective on both engines
+    o["q_ntriples"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      d AS (SELECT DISTINCT subj, pred, obj FROM tri)
+      SELECT subj, pred, obj,
+        '<http://kg.example.org/e/' || replace(replace(subj, '%', '%25'), ' ', '%20') ||
+        '> <http://kg.example.org/r/' || replace(replace(pred, '%', '%25'), ' ', '%20') ||
+        '> <http://kg.example.org/e/' || replace(replace(obj, '%', '%25'), ' ', '%20') ||
+        '> .' AS ntriple
+      FROM d
     """
 
     # BFS replay: depth-bounded recursive reachability; min(dist) ==

@@ -111,3 +111,31 @@ def test_relation_signatures_hand_computed(spark):
         ("PER", "p", "ORG"): (1, 1, 1, 4, 0.25),
         ("ORG", "q", "LOC"): (1, 1, 1, 1, 1.0),
     }
+
+
+def test_ntriples_serialization_and_sink_roundtrip(spark, tmp_path):
+    """N-Triples lines: injective %-encoding ('%' escaped before ' '),
+    distinct triples, and the text sink writes exactly one line per
+    triple which re-parses to the same set."""
+    from ddaugner_spark.operators.triples import to_ntriples, write_ntriples
+
+    t = spark.createDataFrame(
+        [
+            ("hash join", "uses", "spark", 1),
+            ("hash join", "uses", "spark", 1),      # dup collapses
+            ("a%b", "rel", "c d", 1),               # both escape classes
+        ],
+        "subj string, pred string, obj string, support long",
+    )
+    nt = to_ntriples(t)
+    lines = {r.ntriple for r in nt.collect()}
+    assert lines == {
+        "<http://kg.example.org/e/hash%20join> <http://kg.example.org/r/uses> "
+        "<http://kg.example.org/e/spark> .",
+        "<http://kg.example.org/e/a%25b> <http://kg.example.org/r/rel> "
+        "<http://kg.example.org/e/c%20d> .",
+    }
+    out = str(tmp_path / "nt")
+    n = write_ntriples(nt, out)
+    assert n == 2
+    assert {r.value for r in spark.read.text(out).collect()} == lines
