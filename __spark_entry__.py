@@ -1102,6 +1102,14 @@ def q_er_resolve(spark, sf):
     )
 
 
+def q_triple_provenance(spark, sf):
+    """Per-triple evidence audit: distinct asserting docs, sentence
+    attestations, deterministic first witness, bounded example-doc
+    sample (comma-joined, scalar-safe) — one partial-aggregable groupBy
+    on the triple key (operators/triples.py triple_provenance)."""
+    return triples.triple_provenance(triples.triples_df(_docs(spark, sf)))
+
+
 def q_ntriples(spark, sf):
     """W3C N-Triples serialization of the constructed KG — the
     interchange materialization any RDF store can load (injective
@@ -2090,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_host_skew": q_host_skew,
         "q_er_pairs": q_er_pairs,
         "q_er_resolve": q_er_resolve,
+        "q_triple_provenance": q_triple_provenance,
         "q_ntriples": q_ntriples,
         "q_bfs": q_bfs,
         "q_link_graph": q_link_graph,
@@ -2983,6 +2992,21 @@ def oracle_sql() -> dict[str, str]:
              substr(canonical, strpos(canonical, '|') + 1) AS canonical,
              node != canonical AS is_alias
       FROM rr
+    """
+
+    # provenance replay: same bounded-example slice (both engines'
+    # slice(list, 1, k) keeps the k smallest after the sort)
+    o["q_triple_provenance"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT})
+      SELECT subj, pred, obj,
+             count(DISTINCT doc_id)::BIGINT AS n_docs,
+             count(*)::BIGINT AS n_sents,
+             min(doc_id)::BIGINT AS first_doc,
+             array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 3), ',')
+               AS example_docs
+      FROM tri GROUP BY subj, pred, obj
     """
 
     # N-Triples replay: identical string build; replace order pinned

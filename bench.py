@@ -370,6 +370,64 @@ def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
         q,
     )
 
+    # snapshot dedup A/B (round-5 crawl operator): latest-capture-wins
+    # as the partial-aggregable max_by groupBy (the shipped operator)
+    # vs the row_number-window formulation of the same semantics.  The
+    # recrawl-amplified capture table is MATERIALIZED first so both
+    # arms time pure dedup over identical parquet; the consumer sums
+    # winner text lengths so Catalyst cannot prune the max_by payload
+    # (a bare count() would).
+    from ddaugner_spark.operators import crawl
+    from pyspark.sql import Window
+
+    caps_dir = "/tmp/ddaugner_bench_captures"
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        "text",
+        "doc_id",
+    )
+    (
+        pages.withColumn("cap", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)))
+        .select(
+            "url",
+            (F.col("warc_ts") + F.make_dt_interval(F.lit(0), F.lit(0), (F.col("cap") * 3) % 7, F.lit(0.0))).alias("warc_ts"),
+            F.concat(F.coalesce("text", F.lit("")), F.lit(" (rev "), F.col("cap"), F.lit(")")).alias("text"),
+        )
+        .write.mode("overwrite")
+        .parquet(caps_dir)
+    )
+    captures = spark.read.parquet(caps_dir)
+    aux["snapshot_capture_rows"] = captures.count()
+
+    def _consume(df):
+        return df.select(F.sum(F.length("text"))).collect()[0][0]
+
+    def _window_form(df):
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.md5("text").desc()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    _consume(crawl.latest_captures(captures.limit(1000)))  # warm codegen
+    leg(
+        "dedup_snapshot_maxby",
+        lambda: _consume(crawl.latest_captures(captures)),
+        q,
+    )
+    _consume(_window_form(captures.limit(1000)))
+    leg("dedup_snapshot_window", lambda: _consume(_window_form(captures)), q)
+
 
 def cc_scale_benchmark(spark, aux: dict, n_nodes: int = 6_000_000, chain: int = 64):
     """CC on a synthetic ≥5M-edge graph (VERDICT r4 #7): ``n_nodes``
@@ -612,8 +670,10 @@ def write_baseline_md(q, thr, scaling, total, reference=None, aux=None):
         " min-of-reps legs with per-leg loadavg make the record robust"
         " to box contention — the r4 driver record ran at loadavg 15-17"
         " and regressed 28% while its fixed-workload canary slowed 40%)."
-        " kg_mentions_bigdict_30k* are aux lines measured OUTSIDE this"
-        " sum",
+        " kg_mentions_bigdict_30k*, graph_*, dedup_exact_substr and the"
+        " dedup_snapshot_* A/B are aux lines measured OUTSIDE this sum"
+        " (the headline is the flagship pipeline + the original query"
+        " set, round-over-round comparable)",
         "",
         "## Per-query seconds (min of reps; raw legs + loadavg in BENCH_r*.json queries_raw)",
         "",
@@ -725,6 +785,7 @@ def main():
             "/tmp/ddaugner_bench_cc_scale",
             "/tmp/ddaugner_bench_graph_edges",
             "/tmp/ddaugner_bench_pr",
+            "/tmp/ddaugner_bench_captures",
         ):
             _sh.rmtree(d, ignore_errors=True)
 

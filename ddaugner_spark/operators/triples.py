@@ -420,3 +420,32 @@ def write_ntriples(ntriples: DataFrame, path: str) -> int:
     is the plain text sink."""
     ntriples.select("ntriple").write.mode("overwrite").text(path)
     return ntriples.sparkSession.read.text(path).count()
+
+
+def triple_provenance(triples: DataFrame, max_examples: int = 3) -> DataFrame:
+    """(subj, pred, obj, n_docs, n_sents, first_doc, example_docs) —
+    per-triple evidence: how many distinct documents assert it, how
+    many sentence-level attestations exist, and a bounded sample of
+    asserting doc ids (the ``max_examples`` smallest, comma-joined so
+    the column stays scalar for any sink).
+
+    The audit surface the north star's per-partition lineage implies at
+    the TRIPLE level: every emitted fact is traceable back to concrete
+    pages.  ONE partial-aggregable groupBy on the triple key — the
+    example list is collected as a per-key set (bounded by corpus
+    dedup, then sliced to ``max_examples``), so no second pass and no
+    window.  first_doc = min doc id gives a deterministic canonical
+    witness."""
+    ex = F.concat_ws(
+        ",",
+        F.transform(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, max_examples),
+            lambda x: x.cast("string"),
+        ),
+    )
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sents"),
+        F.min("doc_id").alias("first_doc"),
+        ex.alias("example_docs"),
+    )

@@ -139,3 +139,22 @@ def test_ntriples_serialization_and_sink_roundtrip(spark, tmp_path):
     n = write_ntriples(nt, out)
     assert n == 2
     assert {r.value for r in spark.read.text(out).collect()} == lines
+
+
+def test_triple_provenance_counts_and_examples(spark):
+    from ddaugner_spark.operators.triples import triple_provenance
+
+    t = spark.createDataFrame(
+        [
+            (7, "a", "p", "b"), (3, "a", "p", "b"), (3, "a", "p", "b"),
+            (9, "a", "p", "b"), (5, "a", "p", "b"),
+            (1, "x", "r", "y"),
+        ],
+        "doc_id long, subj string, pred string, obj string",
+    )
+    got = {(r.subj, r.obj): r for r in triple_provenance(t).collect()}
+    apb = got[("a", "b")]
+    # 4 distinct docs, 5 attestations, min doc 3, examples = 3 smallest
+    assert (apb.n_docs, apb.n_sents, apb.first_doc) == (4, 5, 3)
+    assert apb.example_docs == "3,5,7"
+    assert got[("x", "y")].example_docs == "1"
