@@ -124,22 +124,36 @@ def latest_captures(
     """One row per ``key_col``: the capture with the greatest
     ``(ts_col, md5(tie_col))``, plus ``n_captures``.
 
-    Plan: ``groupBy(key).agg(max_by(struct(*), ord), count)`` — a hash
-    aggregate with MAP-SIDE PARTIAL COMBINE, so each executor reduces
-    its local captures of a url to one row before the single shuffle.
-    The row_number-window formulation of the same semantics shuffles
-    EVERY capture full-width and sorts per url; at 10^12 pages with a
-    recrawl factor of ~10 that is 10× the exchange volume for zero
-    benefit.  The md5 tie-break keeps the winner deterministic under
-    repartition when two captures share a timestamp (CLAUDE.md
-    determinism rule).
+    Plan: ``groupBy(key).agg(max(struct(ord..., payload...)), count)``
+    — the ordering fields lead the struct so lexicographic struct-max
+    IS the argmax, and the aggregate runs with MAP-SIDE PARTIAL COMBINE
+    (``partial_max`` below the Exchange — plan-pinned): each executor
+    reduces its local captures of a url to one row before the single
+    shuffle, so exchange volume is |partition, url| pairs, not
+    |captures| (4.5× less at the bench's recrawl factor; ~10× on a real
+    crawl).  Formulations measured on the 450k-row bench capture table
+    (min-of-2, local[32]):
+
+    * ``max(struct)`` (this): **2.0 s** — partial SortAggregate, combine
+      before the wire;
+    * ``max_by(payload, ord)``: 4.7 s — falls out of codegen into
+      ObjectHashAggregate (TypedImperative), 2.3× the CPU for the same
+      exchange;
+    * ``row_number`` window: 1.9 s here, but it ships EVERY capture
+      row through the exchange and sorts per url — wall-parity on one
+      box only because 450k rows fit; the wire is the cost at scale
+      (bench aux records the per-arm exchange rows).
+
+    The md5 tie-break keeps the winner deterministic under repartition
+    when two captures share a timestamp (CLAUDE.md determinism rule).
     """
-    ordk = F.struct(
-        F.col(ts_col).alias("ts"), F.md5(F.col(tie_col)).alias("tb")
+    ordered = F.struct(
+        F.col(ts_col).alias("_ord_ts"),
+        F.md5(F.col(tie_col)).alias("_ord_tb"),
+        *[F.col(c).alias(c) for c in pages.columns],
     )
-    payload = F.struct(*[F.col(c) for c in pages.columns])
     agg = pages.groupBy(key_col).agg(
-        F.max_by(payload, ordk).alias("_w"),
+        F.max(ordered).alias("_w"),
         F.count(F.lit(1)).alias("n_captures"),
     )
     keep = [c for c in pages.columns if c != key_col]

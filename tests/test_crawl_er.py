@@ -92,16 +92,17 @@ class TestLatestCaptures:
         winner2 = crawl.latest_captures(d.repartition(7)).collect()[0].text
         assert winner2 == want
 
-    def test_plan_is_aggregate_not_window(self, spark):
-        """The scale claim: latest-capture dedup must be a partial-
-        aggregable hash aggregate, NOT a row_number window (which would
-        sort every url's captures inside a full-width shuffle)."""
+    def test_plan_is_partial_aggregate_not_window(self, spark):
+        """The scale claim: latest-capture dedup must be a PARTIALLY
+        combined aggregate (partial_max below the exchange — one row
+        per (partition, url) on the wire), NOT a row_number window
+        (which ships and sorts every capture)."""
         import datetime as dt
 
         d = self._caps(spark, [("u", dt.datetime(2024, 1, 1), "x")])
         plan = crawl.latest_captures(d)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
-        assert "max_by" in plan or "HashAggregate" in plan
+        assert "partial_max" in plan
 
 
 class TestKeySkewProfile:
