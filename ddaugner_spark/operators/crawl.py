@@ -132,17 +132,17 @@ def latest_captures(
     shuffle, so exchange volume is |partition, url| pairs, not
     |captures| (4.5× less at the bench's recrawl factor; ~10× on a real
     crawl).  Formulations measured on the 450k-row bench capture table
-    (min-of-2, local[32]):
+    (interleaved min-of-3, quiet box, local[32]):
 
-    * ``max(struct)`` (this): **2.0 s** — partial SortAggregate, combine
-      before the wire;
-    * ``max_by(payload, ord)``: 4.7 s — falls out of codegen into
-      ObjectHashAggregate (TypedImperative), 2.3× the CPU for the same
-      exchange;
-    * ``row_number`` window: 1.9 s here, but it ships EVERY capture
-      row through the exchange and sorts per url — wall-parity on one
-      box only because 450k rows fit; the wire is the cost at scale
-      (bench aux records the per-arm exchange rows).
+    * ``max(struct)`` (this): **1.39 s** — partial SortAggregate,
+      combine before the wire;
+    * ``row_number`` window: 1.39 s — wall-parity on one box only
+      because 450k rows fit; it ships EVERY capture row through the
+      exchange and sorts per url, which is the cost at crawl scale
+      (bench aux records the per-arm exchange rows);
+    * ``max_by(payload, ord)``: 1.52 s — TypedImperativeAggregate →
+      ObjectHashAggregate, outside codegen; same exchange as this form,
+      ~9% more CPU, no upside.
 
     The md5 tie-break keeps the winner deterministic under repartition
     when two captures share a timestamp (CLAUDE.md determinism rule).
