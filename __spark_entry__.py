@@ -1137,28 +1137,13 @@ def q_bfs(spark, sf):
     return bfs_distances(edges, seeds, max_depth=3, stage_dir=_scratch("q_bfs_"))
 
 
-def q_link_graph(spark, sf):
-    """Host-level web graph from raw html: deterministic anchors are
-    injected into each synthesized page (1 + doc_id%3 links, target
-    host/doc a pure function of doc_id), then extract_links pulls every
-    href via ONE regexp_extract_all + explode (map-only) and host_graph
-    aggregates (src_host, dst_host) edge weights in one
-    partial-aggregable groupBy.  The front door for host PageRank /
-    crawl-frontier prioritization; the oracle replays the html build
-    and the same RE2-subset extraction."""
-    d = _docs(spark, sf)
+def _link_pages(d: DataFrame, anchor_tag) -> DataFrame:
+    """(url, html binary) pages with 1 + doc_id%3 synthetic ``<a>`` tags
+    appended to the body — ``anchor_tag(j)`` builds one tag Column for
+    link offset ``j``.  Shared by q_link_graph / q_hits / q_anchor_text
+    so the html build (and its oracle replay) stays identical."""
     anchors = F.array_join(
-        F.transform(
-            F.sequence(F.lit(0), F.col("doc_id") % 3),
-            lambda j: F.concat(
-                F.lit('<a href="https://src'),
-                ((F.col("doc_id") + j) % 20).cast("string"),
-                F.lit(".example.com/doc/"),
-                (F.col("doc_id") + j + 1).cast("string"),
-                F.lit('">x</a>'),
-            ),
-        ),
-        "",
+        F.transform(F.sequence(F.lit(0), F.col("doc_id") % 3), anchor_tag), ""
     )
     html_str = F.concat(
         F.lit(_HTML_PRE),
@@ -1170,13 +1155,105 @@ def q_link_graph(spark, sf):
         anchors,
         F.lit(_HTML_POST),
     )
-    pages = d.select(
+    return d.select(
         F.concat(
             F.lit("https://"), "source", F.lit(".example.com/doc/"), F.col("doc_id").cast("string")
         ).alias("url"),
         F.encode(html_str, "UTF-8").alias("html"),
     )
+
+
+def _src_anchor_tag(j):
+    """q_link_graph / q_hits link j: target src{(doc_id+j)%20} host."""
+    return F.concat(
+        F.lit('<a href="https://src'),
+        ((F.col("doc_id") + j) % 20).cast("string"),
+        F.lit(".example.com/doc/"),
+        (F.col("doc_id") + j + 1).cast("string"),
+        F.lit('">x</a>'),
+    )
+
+
+def q_link_graph(spark, sf):
+    """Host-level web graph from raw html: deterministic anchors are
+    injected into each synthesized page (1 + doc_id%3 links, target
+    host/doc a pure function of doc_id), then extract_links pulls every
+    href via ONE regexp_extract_all + explode (map-only) and host_graph
+    aggregates (src_host, dst_host) edge weights in one
+    partial-aggregable groupBy.  The front door for host PageRank /
+    crawl-frontier prioritization; the oracle replays the html build
+    and the same RE2-subset extraction."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
     return crawl.host_graph(crawl.extract_links(pages))
+
+
+def q_hits(spark, sf):
+    """Kleinberg HITS over the DIRECTED host web graph (same synthetic
+    link crawl as q_link_graph): hub = points at good authorities,
+    authority = pointed at by good hubs — the frontier-prioritization /
+    entity-page prior the undirected PageRank can't express.  The whole
+    power iteration runs in INTEGER arithmetic (HITS updates are
+    linear, so normalization is deferred to ONE exact final division
+    per node — no float-summation-order hazard at any depth); per
+    half-step one edge⋈score equi-join + partial-aggregable groupBy,
+    score table broadcast while host-vocabulary-sized
+    (operators/graph.py hits).  Oracle = the same two iterations
+    unrolled over integer CTEs."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    g = crawl.host_graph(crawl.extract_links(pages))
+    edges = g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return graph.hits(edges, iters=2)
+
+
+def q_anchor_text(spark, sf):
+    """Anchor-text aggregation — how the web NAMES each target host
+    (the classic KG/search naming signal): pages carry links whose
+    anchor text varies ('Entity k', k = (doc_id+j)%7) over 10 target
+    hosts; extract_anchors pulls (target, anchor) per tag map-only and
+    anchor_summary reduces each host to (n_links, n_anchor_forms,
+    top_anchor, top_count) in two host-keyed hash aggregates — the
+    winner picked by min(struct(-cnt, anchor)) INSIDE the aggregate, no
+    per-host window sort, so hub hosts cost O(rows) not O(rows log
+    rows) (operators/crawl.py anchor_summary)."""
+    pages = _link_pages(
+        _docs(spark, sf),
+        lambda j: F.concat(
+            F.lit('<a href="https://t'),
+            ((F.col("doc_id") + j) % 10).cast("string"),
+            F.lit(".example.com/page/"),
+            ((F.col("doc_id") * 3 + j) % 50).cast("string"),
+            F.lit('">Entity '),
+            ((F.col("doc_id") + j) % 7).cast("string"),
+            F.lit("</a>"),
+        ),
+    )
+    return crawl.anchor_summary(crawl.extract_anchors(pages))
+
+
+def q_redirects(spark, sf):
+    """Redirect-chain resolution by POINTER JUMPING: the synthetic
+    redirect table chains url(i) → url(i-1) within blocks of 8
+    (chains up to depth 7); resolve_redirects composes the mapping with
+    itself each round — resolved depth DOUBLES per shuffle, so depth-d
+    chains settle in ⌈log₂ d⌉ rounds where the oracle's recursive-CTE
+    walk takes d — emitting (src, final_url, hops) with exact chain
+    lengths (operators/crawl.py resolve_redirects; cycle-safe: a chain
+    unresolved after the doubling budget yields final_url NULL)."""
+    d = _docs(spark, sf)
+
+    def u(c):
+        return F.concat(
+            F.lit("https://site"),
+            (c % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            c.cast("string"),
+        )
+
+    red = d.filter(F.col("doc_id") % 8 != 0).select(
+        u(F.col("doc_id")).alias("src"), u(F.col("doc_id") - 1).alias("dst")
+    )
+    out = crawl.resolve_redirects(red, stage_dir=_scratch("q_redirects_"))
+    return out.select("src", "final_url", F.col("hops").cast("long").alias("hops"))
 
 
 def q_triple_upsert(spark, sf):
@@ -2140,6 +2217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_alias_expansion": q_alias_expansion,
         "q_augment_labelwise": q_augment_labelwise,
         "q_wordpiece": q_wordpiece,
+        # --- NEW round-5 session 8: anchor text / redirects / HITS ---
+        "q_anchor_text": q_anchor_text,
+        "q_redirects": q_redirects,
+        "q_hits": q_hits,
     }
 
 
@@ -3074,6 +3155,143 @@ def oracle_sql() -> dict[str, str]:
              count(*)::BIGINT AS n_links
       FROM links
       GROUP BY src_host, dst_host
+    """
+
+    # same synthetic link crawl as q_link_graph, then two unrolled HITS
+    # iterations in INTEGER arithmetic (h0 = 1 ⇒ a1 = in-degree) with
+    # normalization deferred to one exact final division — the engine's
+    # determinism device replayed literally
+    o["q_hits"] = f"""
+      WITH frag AS (
+        SELECT doc_id,
+               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
+                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
+                          '">x</a>', '' ORDER BY j) AS anchors
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        GROUP BY doc_id
+      ),
+      html2 AS (
+        SELECT d.doc_id, d.source,
+               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
+               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
+               '{_HTML_POST}' AS h
+        FROM documents d JOIN frag f USING (doc_id)
+      ),
+      links AS (
+        SELECT source || '.example.com' AS src_host,
+               unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      ),
+      edges AS (
+        SELECT DISTINCT src_host AS s,
+               lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS d
+        FROM links
+      ),
+      nodes AS (SELECT s AS node FROM edges UNION SELECT d FROM edges),
+      a1 AS (
+        SELECT n.node, coalesce(x.a, 0)::BIGINT AS a
+        FROM nodes n LEFT JOIN (
+          SELECT d AS node, count(*)::BIGINT AS a FROM edges GROUP BY d
+        ) x USING (node)
+      ),
+      h1 AS (
+        SELECT n.node, coalesce(x.h, 0)::BIGINT AS h
+        FROM nodes n LEFT JOIN (
+          SELECT e.s AS node, sum(a1.a)::BIGINT AS h
+          FROM edges e JOIN a1 ON e.d = a1.node GROUP BY e.s
+        ) x USING (node)
+      ),
+      a2 AS (
+        SELECT n.node, coalesce(x.a, 0)::BIGINT AS a
+        FROM nodes n LEFT JOIN (
+          SELECT e.d AS node, sum(h1.h)::BIGINT AS a
+          FROM edges e JOIN h1 ON e.s = h1.node GROUP BY e.d
+        ) x USING (node)
+      ),
+      h2 AS (
+        SELECT n.node, coalesce(x.h, 0)::BIGINT AS h
+        FROM nodes n LEFT JOIN (
+          SELECT e.s AS node, sum(a2.a)::BIGINT AS h
+          FROM edges e JOIN a2 ON e.d = a2.node GROUP BY e.s
+        ) x USING (node)
+      ),
+      tot AS (SELECT sum(h)::DOUBLE AS th FROM h2),
+      tota AS (SELECT sum(a)::DOUBLE AS ta FROM a2)
+      SELECT n.node,
+             round(h2.h / (SELECT th FROM tot), 6) AS hub,
+             round(a2.a / (SELECT ta FROM tota), 6) AS authority
+      FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+    """
+
+    # anchor-TEXT extraction: same html build device with varying
+    # 'Entity k' anchors; top anchor per host = row_number twin of the
+    # engine's min(struct(-cnt, anchor)) in-aggregate argmax
+    o["q_anchor_text"] = f"""
+      WITH frag AS (
+        SELECT doc_id,
+               string_agg('<a href="https://t' || ((doc_id + j) % 10)::VARCHAR ||
+                          '.example.com/page/' || ((doc_id * 3 + j) % 50)::VARCHAR ||
+                          '">Entity ' || ((doc_id + j) % 7)::VARCHAR || '</a>',
+                          '' ORDER BY j) AS anchors
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        GROUP BY doc_id
+      ),
+      html2 AS (
+        SELECT d.doc_id,
+               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
+               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
+               '{_HTML_POST}' AS h
+        FROM documents d JOIN frag f USING (doc_id)
+      ),
+      tags AS (
+        SELECT unnest(regexp_extract_all(h, '(<a href="[^"]*">[^<]*</a>)', 1)) AS tag
+        FROM html2
+      ),
+      anch AS (
+        SELECT regexp_extract(tag, 'href="([^"]*)"', 1) AS target_url,
+               regexp_extract(tag, '>([^<]*)<', 1) AS anchor
+        FROM tags
+      ),
+      pa AS (
+        SELECT lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS dst_host,
+               anchor, count(*)::BIGINT AS cnt
+        FROM anch GROUP BY 1, 2
+      ),
+      agg AS (
+        SELECT dst_host, sum(cnt)::BIGINT AS n_links,
+               count(*)::BIGINT AS n_anchor_forms
+        FROM pa GROUP BY dst_host
+      ),
+      top AS (
+        SELECT dst_host, anchor AS top_anchor, cnt AS top_count
+        FROM (SELECT pa.*,
+                     row_number() OVER (PARTITION BY dst_host
+                                        ORDER BY cnt DESC, anchor ASC) AS rn
+              FROM pa)
+        WHERE rn = 1
+      )
+      SELECT a.dst_host, a.n_links, a.n_anchor_forms, t.top_anchor, t.top_count
+      FROM agg a JOIN top t USING (dst_host)
+    """
+
+    # recursive-CTE chain WALK (one hop per recursion step) — the
+    # linear-depth twin of the engine's log-depth pointer jumping
+    o["q_redirects"] = """
+      WITH RECURSIVE red AS (
+        SELECT 'https://site' || (doc_id % 20)::VARCHAR ||
+               '.example.com/p/' || doc_id::VARCHAR AS src,
+               'https://site' || ((doc_id - 1) % 20)::VARCHAR ||
+               '.example.com/p/' || (doc_id - 1)::VARCHAR AS dst
+        FROM documents WHERE doc_id % 8 != 0
+      ),
+      w AS (
+        SELECT src, dst AS cur, 1::BIGINT AS hops FROM red
+        UNION ALL
+        SELECT w.src, r.dst, w.hops + 1 FROM w JOIN red r ON w.cur = r.src
+      )
+      SELECT w.src, w.cur AS final_url, w.hops
+      FROM w LEFT JOIN red r ON w.cur = r.src
+      WHERE r.src IS NULL
     """
 
     # CDC upsert replay: same md5-residue change stream over the base

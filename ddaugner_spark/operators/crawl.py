@@ -203,6 +203,159 @@ def extract_links(
     return pages.select(F.col(url_col).alias("url"), F.explode(hrefs).alias("target_url"))
 
 
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, target_url, anchor) rows: every ``<a href="...">text</a>``
+    in the decoded html with its anchor TEXT — the strongest external
+    naming signal a web-scale KG has (how the rest of the web refers to
+    a page feeds entity labels and link-scoring priors, exactly the
+    role anchor text plays in classic web search).
+
+    Map-only like :func:`extract_links`: ONE ``regexp_extract_all`` of
+    the whole tag + explode, then two per-tag ``regexp_extract`` calls
+    pull href and text — the explode fans out inside the scan task, no
+    exchange.  Patterns live in the Java ∩ RE2 subset so the DuckDB
+    twin extracts identically."""
+    s = F.decode(F.col(html_col), "UTF-8")
+    tags = F.regexp_extract_all(
+        s, F.lit('(<a href="[^"]*">[^<]*</a>)'), F.lit(1)
+    )
+    return pages.select(
+        F.col(url_col).alias("url"), F.explode(tags).alias("_tag")
+    ).select(
+        "url",
+        F.regexp_extract(F.col("_tag"), 'href="([^"]*)"', 1).alias("target_url"),
+        F.regexp_extract(F.col("_tag"), ">([^<]*)<", 1).alias("anchor"),
+    )
+
+
+def anchor_summary(anchors: DataFrame) -> DataFrame:
+    """(dst_host, n_links, n_anchor_forms, top_anchor, top_count) — the
+    per-target-host anchor-text profile: total in-links, number of
+    distinct anchor surfaces, and the most frequent surface (count
+    ties break on the lexically smallest anchor, so the winner is
+    deterministic under repartition).
+
+    Two partial-aggregable hash aggregates, both keyed on the host that
+    the first one already shuffled by: (host, anchor) counts collapse
+    map-side, then one ``min(struct(-cnt, anchor))`` per host picks the
+    winner inside the aggregate — no per-host sort window, so a hub
+    host with millions of in-links costs the same per-row work as a
+    leaf host (the north_rule's Wikipedia case)."""
+    per_anchor = (
+        anchors.select(
+            host_of(F.col("target_url")).alias("dst_host"), "anchor"
+        )
+        .groupBy("dst_host", "anchor")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = F.min(
+        F.struct((-F.col("cnt")).alias("neg"), F.col("anchor").alias("anchor"))
+    )
+    return per_anchor.groupBy("dst_host").agg(
+        F.sum("cnt").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_anchor_forms"),
+        best.alias("_best"),
+    ).select(
+        "dst_host",
+        "n_links",
+        "n_anchor_forms",
+        F.col("_best.anchor").alias("top_anchor"),
+        (-F.col("_best.neg")).cast("long").alias("top_count"),
+    )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_jumps: int = 16,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(src, final_url, hops) — resolve every redirect source to the
+    terminal url of its chain (the row's ``dst`` after following
+    redirects until a url that redirects nowhere), with the exact chain
+    length in ``hops``.
+
+    ``redirects`` is a functional graph: (src, dst) with at most one
+    outgoing edge per src (HTTP redirects).  Cycles are the pathological
+    case — a chain still unresolved after ``max_jumps`` doublings
+    (2^max_jumps hops) is emitted with ``final_url = NULL``, the
+    redirect-loop convention.
+
+    POINTER JUMPING, not chain walking: each iteration self-joins the
+    mapping on ``dst = src`` and composes — (s→m, h₁) ∘ (m→t, h₂) =
+    (s→t, h₁+h₂) — so resolved depth DOUBLES per round and a
+    10⁹-url crawl with depth-30 redirect chains settles in 5 shuffles
+    where the naive walk (the recursive-CTE oracle twin) takes 30.
+    Per round: one equi-join of the O(|redirects|) mapping with itself
+    + the CC/LPA parquet round-trip idiom for constant plan depth; the
+    loop exits early once no row's target is itself a redirect source."""
+    import atexit
+    import shutil
+    import tempfile
+    import time
+
+    spark = redirects.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_redir_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    m = _roundtrip(
+        redirects.select("src", "dst").distinct().withColumn(
+            "hops", F.lit(1).cast("long")
+        ),
+        "m_init",
+    )
+    final_name = "m_init"
+    for _round in range(1, max_jumps + 1):
+        r_t0 = time.time()
+        hop = m.select(
+            F.col("src").alias("_s2"),
+            F.col("dst").alias("_d2"),
+            F.col("hops").alias("_h2"),
+        )
+        jumped = m.join(hop, m.dst == hop._s2, "left").select(
+            "src",
+            F.coalesce("_d2", "dst").alias("dst"),
+            F.when(F.col("_s2").isNotNull(), F.col("hops") + F.col("_h2"))
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+            F.col("_s2").isNotNull().alias("_moved"),
+        )
+        final_name = f"m_{_round % 2}"
+        jumped = _roundtrip(jumped, final_name)
+        n_moved = jumped.filter(F.col("_moved")).count()
+        m = jumped.drop("_moved")
+        stats["rounds"].append(
+            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_moved": n_moved}
+        )
+        if n_moved == 0:
+            break
+
+    # anything whose dst is STILL a redirect source after the doubling
+    # budget sits on a cycle (or a >2^max_jumps chain): final = NULL
+    srcs = m.select(F.col("src").alias("_cyc"))
+    out = m.join(srcs, m.dst == srcs._cyc, "left").select(
+        "src",
+        F.when(F.col("_cyc").isNull(), F.col("dst")).alias("final_url"),
+        "hops",
+    )
+    if own_dir:
+        for name in ("m_init", "m_0", "m_1"):
+            if name != final_name:
+                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
+    return out
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level web graph from a
     link table: both endpoints canonicalized with :func:`host_of`, then

@@ -286,6 +286,84 @@ def pagerank(
     return ranks.select(F.col("node").alias("entity"), "rank")
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    ndigits: int = 6,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg HITS over a DIRECTED edge
+    DataFrame ``(src, dst)`` (the host-level web graph: hubs are pages
+    that point at good content, authorities are pages good content
+    points at — the crawl-frontier / entity-page prior PageRank's
+    undirected form can't express).
+
+    Determinism design: HITS updates are LINEAR, so per-step
+    normalization only rescales — the engine therefore runs the whole
+    power iteration in INTEGER arithmetic (h₀ = 1; every subsequent
+    score is a sum of longs over in/out edges) and divides by the total
+    exactly once at the end.  Both engines sum the same integers and
+    perform one IEEE division each, so the rounded output is
+    reproducible bit-for-bit — no float-summation-order hazard at any
+    iteration count (same device as the HLL fixed-point harmonic sum,
+    sketches.hll_estimate).
+
+    Scale shape: per half-step ONE equi-join of the edge table with the
+    O(|V|) score table on its shuffle key + one partial-aggregable
+    groupBy on the opposite endpoint; with ``broadcast_scores`` (the
+    default — host graphs: |V| = hosts, orders of magnitude under the
+    edge count) the O(|V|) score table broadcasts and the edge table is
+    scanned map-side, never exchanged; disable it past
+    BROADCAST_AUTO_THRESHOLD for the honest shuffled join.  Fixed
+    ``iters`` keeps the
+    lazy plan bounded; nodes with no in-edges carry authority 0, no
+    out-edges hub 0 (left joins against the node set).
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # h0 = 1 for every node ⇒ a1(v) = in-degree(v); iterate from there
+    h = nodes.withColumn("h", F.lit(1).cast("long"))
+    a = None
+    for _ in range(iters):
+        hb = F.broadcast(h) if broadcast_scores else h
+        a_raw = (
+            e.join(hb, e.src == hb.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("h").alias("a"))
+        )
+        a = nodes.join(a_raw, nodes.node == a_raw.node2, "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+        )
+        ab = F.broadcast(a) if broadcast_scores else a
+        h_raw = (
+            e.join(ab, e.dst == ab.node)
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.sum("a").alias("h"))
+        )
+        h = nodes.join(h_raw, nodes.node == h_raw.node2, "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+        )
+    totals = F.broadcast(
+        h.join(a, "node").agg(
+            F.sum("h").cast("double").alias("_th"),
+            F.sum("a").cast("double").alias("_ta"),
+        )
+    )
+    return (
+        h.join(a, "node")
+        .crossJoin(totals)
+        .select(
+            "node",
+            F.round(F.col("h") / F.col("_th"), ndigits).alias("hub"),
+            F.round(F.col("a") / F.col("_ta"), ndigits).alias("authority"),
+        )
+    )
+
+
 def pmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
     """(a, b, c_ab, pmi) — pointwise-mutual-information weights for the
     co-mention graph: pmi = ln(N · c(a,b) / (c(a) · c(b))) over sentence

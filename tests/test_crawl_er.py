@@ -256,3 +256,80 @@ class TestLinkGraph:
             "url string, html binary",
         )
         assert crawl.extract_links(pages).count() == 0
+
+
+class TestAnchors:
+    def test_extract_href_and_text(self, spark):
+        html = (
+            '<html><body><a href="https://a.com/x">Apple Inc</a> filler '
+            '<a href="http://www.b.com/y">Banana</a>'
+            '<a href="https://a.com/z">Apple Inc</a></body></html>'
+        )
+        pages = spark.createDataFrame(
+            [("https://s.com/p", bytearray(html, "utf-8"))],
+            "url string, html binary",
+        )
+        rows = sorted(
+            (r.target_url, r.anchor)
+            for r in crawl.extract_anchors(pages).collect()
+        )
+        assert rows == [
+            ("http://www.b.com/y", "Banana"),
+            ("https://a.com/x", "Apple Inc"),
+            ("https://a.com/z", "Apple Inc"),
+        ]
+
+    def test_summary_counts_and_tiebreak(self, spark):
+        # a.com: 'X'x2, 'Y'x2 (count tie -> lexically smallest wins),
+        # 'Z'x1; b.com single anchor
+        rows = [
+            ("u", "https://a.com/1", "X"),
+            ("u", "https://a.com/2", "X"),
+            ("u", "https://www.a.com/3", "Y"),
+            ("u", "https://a.com/4", "Y"),
+            ("u", "https://a.com/5", "Z"),
+            ("u", "https://b.com/1", "Solo"),
+        ]
+        anchors = spark.createDataFrame(
+            rows, "url string, target_url string, anchor string"
+        )
+        got = {r.dst_host: r for r in crawl.anchor_summary(anchors).collect()}
+        a = got["a.com"]
+        assert (a.n_links, a.n_anchor_forms, a.top_anchor, a.top_count) == (
+            5, 3, "X", 2,
+        )
+        b = got["b.com"]
+        assert (b.n_links, b.n_anchor_forms, b.top_anchor, b.top_count) == (
+            1, 1, "Solo", 1,
+        )
+
+
+class TestResolveRedirects:
+    def _resolve(self, spark, pairs, tmp_path, **kw):
+        red = spark.createDataFrame(pairs, "src string, dst string")
+        stats = {}
+        out = crawl.resolve_redirects(
+            red, stage_dir=str(tmp_path / "redir"), stats=stats, **kw
+        )
+        return {r.src: (r.final_url, r.hops) for r in out.collect()}, stats
+
+    def test_chain_resolves_with_exact_hops(self, spark, tmp_path):
+        chain = [(f"u{i}", f"u{i-1}") for i in range(1, 8)]  # depth 7
+        got, stats = self._resolve(spark, chain, tmp_path)
+        assert got == {f"u{i}": ("u0", i) for i in range(1, 8)}
+        # pointer jumping: depth-7 chain needs ceil(log2(7)) = 3
+        # doubling rounds (+1 round to observe the fixed point)
+        assert len(stats["rounds"]) <= 4
+
+    def test_cycle_yields_null(self, spark, tmp_path):
+        got, _ = self._resolve(
+            spark, [("a", "b"), ("b", "a"), ("c", "a")], tmp_path, max_jumps=4
+        )
+        assert got["a"][0] is None and got["b"][0] is None
+        # c feeds INTO the cycle: never terminal either
+        assert got["c"][0] is None
+
+    def test_branching_trees_fold_to_roots(self, spark, tmp_path):
+        pairs = [("x1", "r"), ("x2", "r"), ("y", "x1")]
+        got, _ = self._resolve(spark, pairs, tmp_path)
+        assert got == {"x1": ("r", 1), "x2": ("r", 1), "y": ("r", 2)}

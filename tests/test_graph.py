@@ -383,3 +383,45 @@ class TestBfsDistances:
             ).collect()
         }
         assert got == {"zzz": 0}
+
+
+class TestHits:
+    def _hits(self, spark, pairs, iters=2):
+        e = spark.createDataFrame(pairs, "src string, dst string")
+        return {r.node: (r.hub, r.authority) for r in graph.hits(e, iters=iters).collect()}
+
+    def test_hand_computed_fixture(self, spark):
+        # a->b a->c b->c d->c; integer iteration: a1 = indeg,
+        # h1 = (a:4, b:3, d:3), a2 = (b:4, c:10), h2 = (a:14, b:10, d:10)
+        got = self._hits(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c")])
+        assert got["a"] == (round(14 / 34, 6), 0.0)
+        assert got["b"] == (round(10 / 34, 6), round(4 / 14, 6))
+        assert got["c"] == (0.0, round(10 / 14, 6))
+        assert got["d"] == (round(10 / 34, 6), 0.0)
+
+    def test_differential_vs_numpy_integer_iteration(self, spark):
+        # deterministic pseudo-random digraph on 12 nodes
+        pairs = sorted({
+            (f"n{(7 * i) % 12}", f"n{(5 * i + 3) % 12}")
+            for i in range(40)
+            if (7 * i) % 12 != (5 * i + 3) % 12
+        })
+        nodes = sorted({x for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+        for s, d in pairs:
+            A[idx[s], idx[d]] = 1
+        h = np.ones(len(nodes), dtype=np.int64)
+        for _ in range(3):
+            a = A.T @ h
+            h = A @ a
+        got = self._hits(spark, pairs, iters=3)
+        for n in nodes:
+            assert got[n][0] == round(float(h[idx[n]] / h.sum()), 6), n
+            assert got[n][1] == round(float(a[idx[n]] / a.sum()), 6), n
+
+    def test_sums_normalize_to_one(self, spark):
+        e = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        got = self._hits(spark, e)
+        assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-6
+        assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
