@@ -904,6 +904,39 @@ def q_embed_near_dups(spark, sf):
     )
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table amplified
+    with deterministic near-duplicates (every vec_id%4==0 vector gets a
+    +0.1-on-one-dimension perturbed copy at id+1e6, cosine ≈ 0.995 to
+    its original vs ≤ ~0.52 between any distinct pair — crisp τ=0.9
+    margin): vectors are k-means-clustered (the same deterministic
+    Lloyd quantizer as q_ann_ivf_kmeans), then each cluster keeps the
+    lowest-vec_id representative of every cosine ≥ τ group — candidate
+    pairs generated per CELL (one equi-join on cell id, quadratic only
+    in cluster size), never corpus-wide (operators/embedding.py
+    semantic_dedup).  The dup-free residue is exactly the training-set
+    the paper's method would keep."""
+    from ddaugner_spark.operators import embedding
+
+    e = _emb(spark, sf)
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # 2-param transform lambda receives (element, 0-based index)
+    pert = e.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i == F.col("vec_id") % 64, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return embedding.semantic_dedup(
+        base.unionByName(pert), n_cells=8, iters=2, tau=0.9, dim=64
+    )
+
+
 def q_ann_topk(spark, sf):
     return similarity.brute_force_topk(_emb(spark, sf), QUERY_IDS)
 
@@ -2221,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_anchor_text": q_anchor_text,
         "q_redirects": q_redirects,
         "q_hits": q_hits,
+        "q_semdedup": q_semdedup,
     }
 
 
@@ -4471,6 +4505,49 @@ def oracle_sql() -> dict[str, str]:
     o["q_embed_near_dups"] = o["q_embed_near_dups"].replace(
         "SELECT * FROM (", "SELECT a, b, cos FROM ("
     )
+
+    # SemDeDup replay: the perturbed-copy amplified embedding table, the
+    # SAME deterministic Lloyd quantizer as q_ann_ivf_kmeans
+    # (_kmeans_ivf_sql body reused up to corpus_cells; qids picks nothing
+    # and the query-side CTEs are never referenced → never evaluated),
+    # then within-cell pairs and the lower-id-keeps rule.  Both engines
+    # fold the cosine sums left-to-right over identical doubles.
+    _SD_COS = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "d -> ea[d] * eb[d]), 'sum') "
+        "/ (sqrt(list_aggregate(list_transform(range(1, 65), "
+        "d -> ea[d] * ea[d]), 'sum')) "
+        "* sqrt(list_aggregate(list_transform(range(1, 65), "
+        "d -> eb[d] * eb[d]), 'sum'))), 6)"
+    )
+    o["q_semdedup"] = f"""
+      WITH demb AS (
+        SELECT vec_id,
+               list_transform(range(1, 65), d -> embedding[d]::DOUBLE) AS embedding
+        FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000,
+               list_transform(range(1, 65),
+                 d -> embedding[d]::DOUBLE +
+                      CASE WHEN d = vec_id % 64 + 1 THEN 0.1 ELSE 0.0 END)
+        FROM embeddings WHERE vec_id % 4 = 0
+      ),
+      {_kmeans_ivf_sql("-1", n_cells=8, iters=2, dim=64, nprobe=1,
+                       src="demb", final=False)},
+      pr AS (
+        SELECT ca.vec_id AS a, cb.vec_id AS b,
+               xa.embedding AS ea, xb.embedding AS eb
+        FROM corpus_cells ca
+        JOIN corpus_cells cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        JOIN e xa ON xa.vec_id = ca.vec_id
+        JOIN e xb ON xb.vec_id = cb.vec_id
+      ),
+      drops AS (
+        SELECT DISTINCT b AS vec_id FROM pr WHERE {_SD_COS} >= 0.9
+      )
+      SELECT cc.vec_id, cc.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
+      FROM corpus_cells cc LEFT JOIN drops d USING (vec_id)
+    """
 
     def _ann_core(src: str = "embeddings") -> str:
         """Brute-force query×corpus cosine CTE chain over source table

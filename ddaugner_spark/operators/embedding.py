@@ -138,3 +138,67 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", ndigits).alias("cos"))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    tau: float = 0.95,
+    dim: int = EMBED_DIMS,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(vec_id, cell, kept) — SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding space
+    with the deterministic k-means coarse quantizer, then WITHIN each
+    cluster drop every vector that has a lower-``vec_id`` neighbor with
+    cosine ≥ ``tau`` (the paper keeps one representative per semantic
+    near-duplicate group; lowest-id is the deterministic choice — pure
+    row identity, survives repartition).
+
+    ``vectors``: (vec_id, embedding array) — e.g. hashed doc embeddings
+    packed to an array, or encoder vectors.
+
+    Scale shape: the clustering is the whole point — candidate pairs
+    are generated per CELL (one equi-join on cell id), never across the
+    corpus, so the quadratic term is bounded by the largest cluster;
+    ``n_cells`` grows with the corpus to hold cluster sizes roughly
+    constant (the paper's regime), keeping per-cell work flat while the
+    cell join shuffles on a key with n_cells-way spread.  Assignment is
+    the map-only literal-centroid pass (similarity._nearest_cells — no
+    join, no crossJoin); the drop set is |near-dup|-sized and
+    anti-joined back.  Integer-valued embeddings make every cosine
+    exact (sums of int products in double), so the rounded τ-comparison
+    is engine-reproducible bit-for-bit.
+    """
+    from ddaugner_spark.operators.similarity import (
+        _nearest_cells,
+        cosine,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(vectors, n_cells=n_cells, iters=iters, dim=dim)
+    assigned = vectors.withColumn(
+        "cell", F.element_at(_nearest_cells(F.col("embedding"), cents, 1), 1)
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), ndigits) >= tau)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops.withColumn("_drop", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.col("_drop").isNull().alias("kept"),
+        )
+    )

@@ -106,3 +106,78 @@ def test_repeated_ngram_first_occurrence_never_masked(spark):
     got = _rep(spark, [(1, "p q r p q r p q r p q r")])[1]
     assert got["clean_hash"] == _md5("p q r")
     assert got["n_masked"] == got["n_tokens"] - 3
+
+
+class TestSemanticDedup:
+    """SemDeDup (operators/embedding.py semantic_dedup): within-cluster
+    lower-id-keeps near-dup removal over (vec_id, embedding array)."""
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_exact_copy_dropped_original_kept(self, spark):
+        base = [1.0, 0.0, 0.0, 0.0]
+        rows = [
+            (0, base),
+            (100, base),                    # exact copy of 0 -> dropped
+            (1, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> kept
+        ]
+        got = {
+            r.vec_id: r.kept
+            for r in __import__(
+                "ddaugner_spark.operators.embedding", fromlist=["embedding"]
+            ).semantic_dedup(
+                self._vecs(spark, rows), n_cells=2, iters=1, tau=0.95, dim=4
+            ).collect()
+        }
+        assert got == {0: True, 100: False, 1: True}
+
+    def test_chain_keeps_only_minimum(self, spark):
+        # three mutually-near vectors: only the lowest id survives
+        rows = [
+            (5, [1.0, 0.01, 0.0, 0.0]),
+            (6, [1.0, 0.02, 0.0, 0.0]),
+            (7, [1.0, 0.00, 0.0, 0.0]),
+        ]
+        from ddaugner_spark.operators.embedding import semantic_dedup
+
+        got = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                self._vecs(spark, rows), n_cells=1, iters=1, tau=0.99, dim=4
+            ).collect()
+        }
+        assert got == {5: True, 6: False, 7: False}
+
+    def test_cross_cell_pairs_never_compared(self, spark):
+        # two identical vectors forced into different cells (2 cells,
+        # init = two lowest ids which are the two opposite directions)
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [-1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),   # same cell as 0 -> dropped
+            (3, [-1.0, 0.0, 0.0, 0.0]),  # same cell as 1 -> dropped
+        ]
+        from ddaugner_spark.operators.embedding import semantic_dedup
+
+        out = semantic_dedup(
+            self._vecs(spark, rows), n_cells=2, iters=1, tau=0.95, dim=4
+        )
+        got = {r.vec_id: (r.cell, r.kept) for r in out.collect()}
+        assert got[0][1] and got[1][1] and not got[2][1] and not got[3][1]
+        assert got[0][0] != got[1][0]  # the two directions separate
+
+    def test_deterministic_under_repartition(self, spark):
+        from ddaugner_spark.operators.embedding import semantic_dedup
+
+        rows = [
+            (i, [1.0 + 0.001 * (i % 3), float(i % 5), 1.0, 0.0])
+            for i in range(40)
+        ]
+        a = semantic_dedup(self._vecs(spark, rows), n_cells=2, iters=2, tau=0.999, dim=4)
+        b = semantic_dedup(
+            self._vecs(spark, rows).repartition(7), n_cells=2, iters=2, tau=0.999, dim=4
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
