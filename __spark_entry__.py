@@ -1888,6 +1888,33 @@ def q_kmv_distinct(spark, sf):
     return kmv_sketch(e.select("event_type", "user_id"), "event_type", "user_id", k=64)
 
 
+def q_kmv_setops(spark, sf):
+    """KMV sketch SET ALGEBRA (Beyer et al. 2007): estimated distinct
+    user-days of 'click' vs 'view' traffic, their union, intersection,
+    and Jaccard — computed ONLY from the two bottom-64 sketches (the
+    merged bottom-k is itself the union's KMV sketch; ρ = |S∩A∩B|/|S|
+    estimates Jaccard), never re-scanning the fact table.  The
+    cross-shard audience-overlap query an exact COUNT(DISTINCT) would
+    re-shuffle both tables for (operators/sketches.py kmv_set_ops).
+    All ratios are exact small-integer divisions — bit-reproducible."""
+    from ddaugner_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ud = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    base = ev.select("event_type", ud.alias("ud"), F.lit("click|view").alias("pair"))
+    a = sketches.kmv_mins(
+        base.filter(F.col("event_type") == "click"), "pair", "ud", k=64
+    )
+    b = sketches.kmv_mins(
+        base.filter(F.col("event_type") == "view"), "pair", "ud", k=64
+    )
+    return sketches.kmv_set_ops(a, b, "pair", k=64)
+
+
 def q_hll_distinct(spark, sf):
     """HyperLogLog distinct-count sketch (engine addition): distinct
     3-gram shingles per language from 64 one-byte registers — the
@@ -2255,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_redirects": q_redirects,
         "q_hits": q_hits,
         "q_semdedup": q_semdedup,
+        "q_kmv_setops": q_kmv_setops,
     }
 
 
@@ -4975,6 +5003,52 @@ sents AS (
              END AS n_distinct_est,
              least(max(nd), 64)::BIGINT AS n_kept
       FROM kept GROUP BY event_type
+    """
+
+    # KMV set-op replay: bottom-64 user-day hash sets per side, merged
+    # bottom-64 as the union sketch, ρ = |S∩A∩B|/|S| for the Jaccard /
+    # intersection estimates — identical integer ratios both engines
+    _KMV_EST = (
+        "CASE WHEN max(nd) < 64 THEN least(max(nd), 64)::DOUBLE "
+        "ELSE round(63.0 / (('0x' || max(CASE WHEN rn = 64 THEN hx END))"
+        "::UBIGINT::DOUBLE / 281474976710656.0), 2) END"
+    )
+    o["q_kmv_setops"] = f"""
+      WITH ha AS (
+        SELECT DISTINCT substr(md5(user_id::VARCHAR || '|' ||
+                               strftime(ts, '%Y-%m-%d')), 1, 12) AS hx
+        FROM events WHERE event_type = 'click'
+      ),
+      hb AS (
+        SELECT DISTINCT substr(md5(user_id::VARCHAR || '|' ||
+                               strftime(ts, '%Y-%m-%d')), 1, 12) AS hx
+        FROM events WHERE event_type = 'view'
+      ),
+      ka AS (SELECT * FROM (
+               SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+                      count(*) OVER () AS nd FROM ha) WHERE rn <= 64),
+      kb AS (SELECT * FROM (
+               SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+                      count(*) OVER () AS nd FROM hb) WHERE rn <= 64),
+      hu AS (SELECT hx FROM ka UNION SELECT hx FROM kb),
+      ku AS (SELECT * FROM (
+               SELECT hx, row_number() OVER (ORDER BY hx) AS rn,
+                      count(*) OVER () AS nd FROM hu) WHERE rn <= 64),
+      ea AS (SELECT {_KMV_EST} AS est FROM ka),
+      eb AS (SELECT {_KMV_EST} AS est FROM kb),
+      eu AS (SELECT {_KMV_EST} AS est FROM ku),
+      inter AS (SELECT count(*)::BIGINT AS c FROM ku
+                WHERE hx IN (SELECT hx FROM ka)
+                  AND hx IN (SELECT hx FROM kb)),
+      su AS (SELECT count(*)::BIGINT AS n FROM ku)
+      SELECT 'click|view' AS pair,
+             (SELECT est FROM ea) AS est_a,
+             (SELECT est FROM eb) AS est_b,
+             (SELECT est FROM eu) AS est_union,
+             round((SELECT c FROM inter)::DOUBLE / (SELECT n FROM su)
+                   * (SELECT est FROM eu), 2) AS est_intersect,
+             round((SELECT c FROM inter)::DOUBLE / (SELECT n FROM su), 6)
+               AS jaccard_est
     """
 
     # ExactSubstr replay: length-20 window hashes; a shared L-token run

@@ -49,10 +49,22 @@ def _partial_schema(group_col: str) -> StructType:
     )
 
 
-def kmv_sketch(
-    df: DataFrame, group_col: str, value_col: str, k: int = 64
-) -> DataFrame:
-    """(group, n_distinct_est, n_kept): KMV distinct-count sketch."""
+def _kmv_estimate(mins, k: int):
+    """Column: the Bar-Yossef estimate from a bottom-k ``mins`` array —
+    exact size when < k distinct survived, else (k−1)/h_(k)."""
+    n_kept = F.size(mins)
+    kth = F.element_at(mins, k)  # NULL when < k distinct (size < k)
+    frac = F.conv(kth, 16, 10).cast("double") / F.lit(float(_SCALE))
+    return F.when(n_kept < k, n_kept.cast("double")).otherwise(
+        F.round((F.lit(k - 1)) / frac, 2)
+    )
+
+
+def kmv_mins(df: DataFrame, group_col: str, value_col: str, k: int = 64) -> DataFrame:
+    """(group, mins array<string>) — the bottom-``k`` 12-hex-digit value
+    hashes per group: the MERGEABLE sketch state itself (union of
+    bottom-k sets is the bottom-k of the union), shared by
+    :func:`kmv_sketch` and :func:`kmv_set_ops`."""
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         state: pd.DataFrame | None = None
@@ -92,25 +104,68 @@ def kmv_sketch(
     ).filter(F.col("_h").isNotNull())
     partials = hashed.mapInPandas(partial, _partial_schema(group_col))
 
-    merged = partials.groupBy(group_col).agg(
+    return partials.groupBy(group_col).agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
             1,
             k,
         ).alias("mins")
     )
-    n_kept = F.size("mins")
-    kth = F.element_at("mins", k)  # NULL when < k distinct (size < k)
-    frac = (
-        F.conv(kth, 16, 10).cast("double") / F.lit(float(_SCALE))
-    )
-    est = F.when(n_kept < k, n_kept.cast("double")).otherwise(
-        F.round((F.lit(k - 1)) / frac, 2)
-    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """(group, n_distinct_est, n_kept): KMV distinct-count sketch."""
+    merged = kmv_mins(df, group_col, value_col, k)
     return merged.select(
         group_col,
-        est.alias("n_distinct_est"),
-        n_kept.cast("long").alias("n_kept"),
+        _kmv_estimate(F.col("mins"), k).alias("n_distinct_est"),
+        F.size("mins").cast("long").alias("n_kept"),
+    )
+
+
+def kmv_set_ops(
+    mins_a: DataFrame, mins_b: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """(group, est_a, est_b, est_union, est_intersect, jaccard_est) —
+    distinct-count SET algebra on two KMV sketches (:func:`kmv_mins`
+    outputs) without ever touching the raw data again: the sketch
+    answer to "how many distinct users did BOTH campaigns reach"
+    that an exact COUNT(DISTINCT) would need a full re-shuffle of both
+    fact tables for.
+
+    Standard bottom-k set estimators (Beyer et al. 2007):
+
+    * union  — merge the two bottom-k sets, keep the bottom k of the
+      union (the union sketch IS a KMV sketch of A ∪ B), estimate as
+      usual;
+    * intersection — ρ = \\|S ∩ A_mins ∩ B_mins\\| / \\|S\\| over the merged
+      bottom-k S is an unbiased Jaccard estimate; D̂(A∩B) = ρ · D̂(A∪B).
+
+    Everything is per-group array arithmetic on k-bounded arrays — the
+    join exchanges ≤ \\|groups\\| · k hashes, nothing corpus-sized; all
+    divisions are exact small-integer ratios in double, so both engines
+    agree bit-for-bit."""
+    a = mins_a.select(group_col, F.col("mins").alias("_ma"))
+    b = mins_b.select(group_col, F.col("mins").alias("_mb"))
+    j = a.join(b, group_col)
+    union_mins = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))), 1, k
+    )
+    j = j.withColumn("_mu", union_mins)
+    inter_cnt = F.size(
+        F.array_intersect(F.col("_mu"), F.array_intersect(F.col("_ma"), F.col("_mb")))
+    )
+    jacc = inter_cnt.cast("double") / F.size("_mu")
+    est_union = _kmv_estimate(F.col("_mu"), k)
+    return j.select(
+        group_col,
+        _kmv_estimate(F.col("_ma"), k).alias("est_a"),
+        _kmv_estimate(F.col("_mb"), k).alias("est_b"),
+        est_union.alias("est_union"),
+        F.round(jacc * est_union, 2).alias("est_intersect"),
+        F.round(jacc, 6).alias("jaccard_est"),
     )
 
 

@@ -227,3 +227,59 @@ def test_hll_gate_corpora_are_raw_regime(spark):
         raw = hll_estimate(regs, "lang", p=6, correct=False)
         for r in raw.collect():
             assert r["est"] > 2.5 * 64, (sf, r)
+
+
+# ---------------------------------------------------------------- kmv set ops
+from ddaugner_spark.operators.sketches import kmv_mins, kmv_set_ops
+
+
+def _sides(spark, a_vals, b_vals):
+    a = spark.createDataFrame([("g", v) for v in a_vals], "g string, v string")
+    b = spark.createDataFrame([("g", v) for v in b_vals], "g string, v string")
+    return kmv_mins(a, "g", "v", k=64), kmv_mins(b, "g", "v", k=64)
+
+
+def test_setops_exact_below_k(spark):
+    """Both sides under k distinct: every estimate is EXACT set algebra."""
+    a_vals = [f"x{i}" for i in range(30)]
+    b_vals = [f"x{i}" for i in range(20, 50)]  # |A|=30 |B|=30 |A∩B|=10 |A∪B|=50
+    ma, mb = _sides(spark, a_vals, b_vals)
+    r = kmv_set_ops(ma, mb, "g", k=64).collect()[0]
+    assert (r.est_a, r.est_b, r.est_union) == (30.0, 30.0, 50.0)
+    assert r.est_intersect == 10.0
+    assert r.jaccard_est == round(10 / 50, 6)
+
+
+def test_setops_disjoint_and_identical(spark):
+    ma, mb = _sides(spark, [f"a{i}" for i in range(10)], [f"b{i}" for i in range(10)])
+    r = kmv_set_ops(ma, mb, "g", k=64).collect()[0]
+    assert (r.est_union, r.est_intersect, r.jaccard_est) == (20.0, 0.0, 0.0)
+    ma, mb = _sides(spark, [f"c{i}" for i in range(10)], [f"c{i}" for i in range(10)])
+    r = kmv_set_ops(ma, mb, "g", k=64).collect()[0]
+    assert (r.est_union, r.est_intersect, r.jaccard_est) == (10.0, 10.0, 1.0)
+
+
+def test_setops_estimator_accuracy_above_k(spark):
+    """1500/1500 distinct with 500 shared: estimates within ~3/√k."""
+    a_vals = [f"v{i}" for i in range(1500)]
+    b_vals = [f"v{i}" for i in range(1000, 2500)]
+    ma, mb = _sides(spark, a_vals, b_vals)
+    r = kmv_set_ops(ma, mb, "g", k=64).collect()[0]
+    tol = 3 / 8  # 3/sqrt(64)
+    assert abs(r.est_a - 1500) / 1500 < tol
+    assert abs(r.est_union - 2500) / 2500 < tol
+    assert abs(r.est_intersect - 500) / 500 < 2 * tol  # ratio-of-estimates
+
+
+def test_setops_union_sketch_equals_sketch_of_union(spark):
+    """The merged bottom-k IS the KMV sketch of A ∪ B (merge property
+    lifted to set ops): est_union == kmv_sketch over the unioned data."""
+    a_vals = [f"v{i}" for i in range(900)]
+    b_vals = [f"v{i}" for i in range(600, 1700)]
+    ma, mb = _sides(spark, a_vals, b_vals)
+    got = kmv_set_ops(ma, mb, "g", k=64).collect()[0].est_union
+    u = spark.createDataFrame(
+        [("g", v) for v in set(a_vals) | set(b_vals)], "g string, v string"
+    )
+    want = kmv_sketch(u, "g", "v", k=64).collect()[0].n_distinct_est
+    assert got == want
