@@ -506,6 +506,23 @@ def q_bm25(spark, sf):
     return retrieval.bm25_scores(_docs(spark, sf), BM25_QUERY, k=10)
 
 
+def q_hybrid_rrf(spark, sf):
+    """HYBRID retrieval — Reciprocal Rank Fusion (Cormack et al. 2009)
+    of the lexical and dense retrievers the engine already has: BM25
+    top-20 for the 3-token query fused with brute-force-cosine top-20
+    for query vector 0 (doc_id ≡ vec_id in the test world), rrf(d) =
+    Σ 1/(60+rank).  Fusion cost is bounded by the two k-lists — a
+    full-outer join of 20-row tables + one 40-row window — regardless
+    of corpus size (operators/retrieval.py rrf_fuse)."""
+    bm = retrieval.bm25_scores(_docs(spark, sf), BM25_QUERY, k=20).select(
+        "doc_id", "rank"
+    )
+    ann = similarity.brute_force_topk(_emb(spark, sf), [QUERY_IDS[0]], k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return retrieval.rrf_fuse(bm, ann, k=10)
+
+
 def q_pii_redact(spark, sf):
     """PII redaction (emails → IPv4 → phones → bare ID runs, masked in
     that order).  The synthetic corpus carries no PII, so the query
@@ -2283,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hits": q_hits,
         "q_semdedup": q_semdedup,
         "q_kmv_setops": q_kmv_setops,
+        "q_hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -4628,6 +4646,58 @@ def oracle_sql() -> dict[str, str]:
              round(raw, 4) AS score
       FROM scored
       QUALIFY rank <= {config.ANN_TOP_K}
+    """
+
+    # RRF hybrid fusion: the q_bm25 chain (CTEs b-prefixed — _ann_core
+    # also defines `scored`) at k=20 + the shared brute-force cosine
+    # core filtered to query vector 0, fused with Σ 1/(60+rank)
+    o["q_hybrid_rrf"] = f"""
+      WITH btf AS (
+        SELECT doc_id, token, count(*)::BIGINT AS tf
+        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token IN ({_BM25_IN})
+        GROUP BY doc_id, token
+      ),
+      bdf AS (SELECT token, count(*)::BIGINT AS df FROM btf GROUP BY token),
+      bdl AS (SELECT doc_id,
+                     len(list_filter(string_split(coalesce(text, ''), ' '),
+                                     x -> x != '')) AS dl
+              FROM documents),
+      bstats AS (SELECT avg(dl)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM bdl),
+      bterm AS (
+        SELECT btf.doc_id,
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * btf.tf * (1.2 + 1.0)
+               / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / s.avgdl)) AS contrib
+        FROM btf JOIN bdf d USING (token) JOIN bdl USING (doc_id), bstats s
+      ),
+      bscored AS (SELECT doc_id, round(sum(contrib), 4) AS score
+                  FROM bterm GROUP BY doc_id),
+      bm AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank_a
+        FROM bscored QUALIFY rank_a <= 20
+      ),
+      {_ann_core()},
+      ann AS (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY raw DESC, vec_id ASC)::BIGINT AS rank_b
+        FROM scored WHERE qid = {QUERY_IDS[0]}
+        QUALIFY rank_b <= 20
+      ),
+      fused AS (
+        SELECT doc_id, rank_a, rank_b,
+               round(coalesce(1.0 / (60 + rank_a), 0)
+                     + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
+        FROM bm FULL OUTER JOIN ann USING (doc_id)
+      )
+      SELECT doc_id, rrf,
+             row_number() OVER (ORDER BY rrf DESC, doc_id ASC)::BIGINT AS fused_rank,
+             coalesce(rank_a, 0)::BIGINT AS rank_a,
+             coalesce(rank_b, 0)::BIGINT AS rank_b
+      FROM fused QUALIFY fused_rank <= 10
     """
 
     cell = lambda col: " || ".join(  # noqa: E731

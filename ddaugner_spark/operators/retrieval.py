@@ -162,3 +162,52 @@ def bm25_scores(
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "score", "rank"
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k_rrf: int = 60,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(id, rrf, fused_rank, rank_a, rank_b) — Reciprocal Rank Fusion
+    (Cormack et al. 2009) of two ranked result lists: rrf(d) =
+    Σ_lists 1/(k_rrf + rank_list(d)), the standard score-free way to
+    combine lexical (BM25) and dense (ANN) retrieval into one hybrid
+    ranking — absent-from-a-list contributes 0.
+
+    Scale shape: the inputs are ALREADY k-bounded top-k lists (each
+    retriever did its own distributed top-k — TakeOrderedAndProject /
+    cell-join), so the fusion is a full-outer join of two tiny tables
+    plus one result-sized window: constant work no matter the corpus
+    behind the lists.  Each 1/(k_rrf+r) term is one exact IEEE division
+    of small integers and the sum has a fixed two-term order — both
+    engines produce identical doubles, rounded before ranking so ties
+    break on the id deterministically.  Absent-from-a-list ranks are
+    emitted as 0 (never a valid rank) rather than NULL so downstream
+    storage keeps one integer type."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    j = a.join(b, id_col, "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
+        ndigits,
+    )
+    top = (
+        j.withColumn("rrf", rrf)
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return top.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long")
+    ).select(
+        id_col,
+        "rrf",
+        "fused_rank",
+        F.coalesce(F.col("rank_a"), F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce(F.col("rank_b"), F.lit(0)).cast("long").alias("rank_b"),
+    )

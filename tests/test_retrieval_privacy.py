@@ -178,3 +178,32 @@ class TestBigramLm:
         )
         got = {r.doc_id: r.nll for r in textstats.lm_bigram_scores(docs).collect()}
         assert got[1] < got[2]
+
+
+class TestRrfFuse:
+    def _lists(self, spark, a, b):
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, rank long")  # noqa: E731
+        return mk(a), mk(b)
+
+    def test_both_lists_beat_single_list(self, spark):
+        # doc 1 ranks 2nd in both lists; docs 10/20 rank 1st in one
+        # list only — RRF puts the consistently-good doc on top
+        a, b = self._lists(spark, [(10, 1), (1, 2)], [(20, 1), (1, 2)])
+        out = retrieval.rrf_fuse(a, b, k=10).collect()
+        assert out[0].doc_id == 1
+        assert out[0].rrf == round(2 / 62, 6)
+        assert {r.doc_id for r in out} == {1, 10, 20}
+
+    def test_absent_rank_is_zero_sentinel(self, spark):
+        a, b = self._lists(spark, [(1, 1)], [(2, 1)])
+        got = {r.doc_id: (r.rank_a, r.rank_b) for r in
+               retrieval.rrf_fuse(a, b, k=10).collect()}
+        assert got == {1: (1, 0), 2: (0, 1)}
+
+    def test_tie_breaks_on_id_and_k_caps(self, spark):
+        a, b = self._lists(
+            spark, [(i, i) for i in range(1, 30)], [(i, i) for i in range(1, 30)]
+        )
+        out = retrieval.rrf_fuse(a, b, k=5).collect()
+        assert [r.doc_id for r in out] == [1, 2, 3, 4, 5]
+        assert [r.fused_rank for r in out] == [1, 2, 3, 4, 5]
