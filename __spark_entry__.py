@@ -866,6 +866,25 @@ def q_jaccard_pairs(spark, sf):
     return dedup.jaccard_pairs_inverted(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_containment(spark, sf):
+    """DIRECTED shingle containment (Broder): the dup-amplified corpus
+    plus injected 30-token EXCERPTS (doc_id%20==5 → first 30 tokens as
+    a new doc at id+3e6) — the excerpt has containment 1.0 in its
+    source while its Jaccard is far below q_jaccard_pairs' threshold,
+    demonstrating the asymmetric signal (quote farms, syndication)
+    symmetric dedup misses.  Same inverted-index plan as
+    q_jaccard_pairs, intersection counted once in a < b orientation
+    (operators/dedup.py containment_pairs)."""
+    d = _docs(spark, sf)
+    toks = F.split(F.col("text"), " ")
+    excerpts = d.filter(F.col("doc_id") % 20 == 5).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, 30), " ").alias("text"),
+    )
+    corpus = dedup.with_dup_corpus(d).unionByName(excerpts)
+    return dedup.containment_pairs(corpus, threshold=0.9)
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup CLUSTER canonicalization — the training-pipeline 'keep
     one copy of each duplicate cluster' primitive: verified MinHash-LSH
@@ -2301,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": q_semdedup,
         "q_kmv_setops": q_kmv_setops,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_containment": q_containment,
     }
 
 
@@ -4408,6 +4428,42 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sizes zb ON zb.doc_id = i.b
       WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter)
             >= {config.JACCARD_THRESHOLD}
+    """
+
+    # directed containment replay: dup corpus + injected 30-token
+    # excerpts; intersection counted once (a < b), both directions
+    # derive their own denominator
+    o["q_containment"] = f"""
+      WITH {_CORPUS},
+      corpus2 AS (
+        SELECT doc_id, text FROM corpus
+        UNION ALL
+        SELECT doc_id + 3000000, array_to_string(t[1:30], ' ')
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE doc_id % 20 = 5
+      ),
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus2),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+{k - 1}], ' ') AS shingle
+        FROM ct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS n_inter
+        FROM sh sa JOIN sh sb
+          ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+        GROUP BY sa.doc_id, sb.doc_id
+      ),
+      directed AS (
+        SELECT a AS src, b AS dst, n_inter FROM inter
+        UNION ALL
+        SELECT b AS src, a AS dst, n_inter FROM inter
+      )
+      SELECT d.src, d.dst, d.n_inter::BIGINT AS n_inter,
+             round(d.n_inter::DOUBLE / z.n, 4) AS containment
+      FROM directed d JOIN sizes z ON z.doc_id = d.src
+      WHERE d.n_inter::DOUBLE / z.n >= 0.9
     """
 
     # cluster resolution by recursive reachability-min over the verified

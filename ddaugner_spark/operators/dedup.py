@@ -243,6 +243,63 @@ def jaccard_pairs_inverted(
     )
 
 
+def containment_pairs(
+    corpus: DataFrame,
+    k: int = config.SHINGLE_K,
+    threshold: float = 0.9,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """(src, dst, n_inter, containment) — DIRECTED shingle containment
+    C(src, dst) = |S(src) ∩ S(dst)| / |S(src)| ≥ ``threshold``
+    (Broder 1997's resemblance/containment pair): the asymmetric
+    near-dup signal symmetric Jaccard structurally misses — a 30-token
+    excerpt quoted inside a 3000-token page has J ≈ 0.01 but C ≈ 1.0.
+    The training-data case is real: crawls are full of quote-farms and
+    syndicated excerpts that survive Jaccard/MinHash dedup yet add no
+    novel text.
+
+    Plan shape = jaccard_pairs_inverted's inverted index (distinct
+    (doc, shingle) → stop-shingle df-cap → shingle self-join → one
+    (a, b) count aggregate), computed ONCE in the canonical a < b
+    orientation; both directed rows then derive from the same
+    intersection count with their own denominators — no second join.
+    The df-cap is the same load-bearing fan-out guard (empty drop set
+    at gate scale, pinned like LSH's bucket cap)."""
+    sh = shingles(corpus, k)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    kept = sh.join(
+        df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("a"), "shingle")
+    b = kept.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    directed = inter.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "n_inter"
+    ).unionByName(
+        inter.select(F.col("b").alias("src"), F.col("a").alias("dst"), "n_inter")
+    )
+    ssz = sizes.select(F.col("doc_id").alias("src"), F.col("n_sh").alias("n_src"))
+    return (
+        directed.join(ssz, "src")
+        .withColumn("containment_raw", F.col("n_inter") / F.col("n_src"))
+        .filter(F.col("containment_raw") >= threshold)
+        .select(
+            "src",
+            "dst",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            F.round("containment_raw", 4).alias("containment"),
+        )
+    )
+
+
 def contaminated_docs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -181,3 +181,33 @@ class TestSemanticDedup:
             self._vecs(spark, rows).repartition(7), n_cells=2, iters=2, tau=0.999, dim=4
         )
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestContainmentPairs:
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_excerpt_containment_asymmetric(self, spark):
+        body = " ".join(f"w{i}" for i in range(100))
+        excerpt = " ".join(f"w{i}" for i in range(20))  # strict prefix
+        docs = self._corpus(spark, [(1, body), (2, excerpt)])
+        got = {(r.src, r.dst): r.containment
+               for r in dedup.containment_pairs(docs, threshold=0.9).collect()}
+        # excerpt fully contained in body; body NOT contained in excerpt
+        assert got == {(2, 1): 1.0}
+
+    def test_exact_copies_both_directions(self, spark):
+        t = " ".join(f"w{i}" for i in range(30))
+        docs = self._corpus(spark, [(1, t), (2, t)])
+        got = {(r.src, r.dst) for r in
+               dedup.containment_pairs(docs, threshold=0.9).collect()}
+        assert got == {(1, 2), (2, 1)}
+
+    def test_df_cap_drops_stop_shingle_fanout(self, spark):
+        # one shingle shared by every doc; df cap 2 removes it and no
+        # pair survives (docs otherwise disjoint)
+        rows = [(i, f"common a b u{i} v{i} w{i}") for i in range(5)]
+        out = dedup.containment_pairs(
+            self._corpus(spark, rows), threshold=0.5, max_doc_freq=2
+        )
+        assert out.count() == 0
