@@ -421,6 +421,53 @@ def q_pagerank(spark, sf):
     return pr.select("entity", F.round("rank", 6).alias("rank"))
 
 
+def q_ppr(spark, sf):
+    """PERSONALIZED PageRank (2 fixed steps): teleport mass restarts
+    only to the 'hash…'-surface seed set — the entity-disambiguation
+    prior ("how close is this candidate to the entities already
+    grounded in context") and seed-biased frontier score.  The restart
+    vector rides the rank table as a per-node base_v column; iteration
+    shape identical to q_pagerank (operators/graph.py pagerank,
+    seeds=)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    edges = canonical.co_mention_edges(m)
+    seeds = (
+        m.select(F.col("surface").alias("node"))
+        .distinct()
+        .filter(F.col("node").startswith("hash"))
+    )
+    pr = graph.pagerank(
+        edges,
+        damping=0.85,
+        max_iter=2,
+        tol=None,
+        stage_dir=_scratch("q_ppr_"),
+        seeds=seeds,
+    )
+    return pr.select("entity", F.round("rank", 6).alias("rank"))
+
+
+def q_frontier(spark, sf):
+    """Polite crawl-frontier scheduling: the extracted link targets
+    (priority = in-link count) are assigned fetch rounds — tick = rank
+    within host by (priority desc, url) — so reading by ascending tick
+    fetches ≤ 1 url per host per round, best-priority first, with an
+    8-per-host crawl-budget cap.  One host-partitioned window, no
+    global sort (operators/crawl.py frontier_schedule)."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    links = crawl.extract_links(pages)
+    fr = (
+        links.groupBy("target_url")
+        .agg(F.count(F.lit(1)).alias("priority"))
+        .select(
+            F.col("target_url").alias("url"),
+            crawl.host_of(F.col("target_url")).alias("host"),
+            F.col("priority").cast("long").alias("priority"),
+        )
+    )
+    return crawl.frontier_schedule(fr, max_per_host=8)
+
+
 def q_kcore(spark, sf):
     """2-core of the co-mention graph, 3 bounded peeling rounds (the
     form the SQL twin unrolls; the graph reaches its peel fixed point
@@ -2321,6 +2368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmv_setops": q_kmv_setops,
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_containment": q_containment,
+        "q_ppr": q_ppr,
+        "q_frontier": q_frontier,
     }
 
 
@@ -3374,6 +3423,40 @@ def oracle_sql() -> dict[str, str]:
       FROM agg a JOIN top t USING (dst_host)
     """
 
+    # frontier scheduling replay: same link extraction as q_link_graph,
+    # in-link-count priorities, one host-partitioned rank window
+    o["q_frontier"] = f"""
+      WITH frag AS (
+        SELECT doc_id,
+               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
+                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
+                          '">x</a>', '' ORDER BY j) AS anchors
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        GROUP BY doc_id
+      ),
+      html2 AS (
+        SELECT d.doc_id,
+               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
+               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
+               '{_HTML_POST}' AS h
+        FROM documents d JOIN frag f USING (doc_id)
+      ),
+      links AS (
+        SELECT unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      ),
+      fr AS (
+        SELECT target_url AS url,
+               lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS host,
+               count(*)::BIGINT AS priority
+        FROM links GROUP BY 1, 2
+      )
+      SELECT url, host, priority,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC)::BIGINT AS tick
+      FROM fr QUALIFY tick <= 8
+    """
+
     # recursive-CTE chain WALK (one hop per recursion step) — the
     # linear-depth twin of the engine's log-depth pointer jumping
     o["q_redirects"] = """
@@ -3618,6 +3701,38 @@ def oracle_sql() -> dict[str, str]:
              FROM sym s JOIN r1 r ON s.a = r.node GROUP BY s.b),
       r2 AS (SELECT r.node, r.deg,
                     0.15 / (SELECT n FROM nn) + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r1 r LEFT JOIN c2 c USING (node))
+      SELECT node AS entity, round(rank, 6) AS rank FROM r2
+    """
+
+    # personalized variant: the same two unrolled steps with the
+    # teleport vector concentrated on the 'hash%' seed surfaces
+    o["q_ppr"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::DOUBLE AS deg FROM sym GROUP BY a),
+      seeds AS (SELECT node FROM deg WHERE node LIKE 'hash%'),
+      sc AS (SELECT count(*)::DOUBLE AS s FROM seeds),
+      r0 AS (SELECT d.node, d.deg,
+                    CASE WHEN s.node IS NOT NULL
+                         THEN 0.15 / (SELECT s FROM sc) ELSE 0.0 END AS base_v,
+                    CASE WHEN s.node IS NOT NULL
+                         THEN 1.0 / (SELECT s FROM sc) ELSE 0.0 END AS rank
+             FROM deg d LEFT JOIN seeds s USING (node)),
+      c1 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r0 r ON s.a = r.node GROUP BY s.b),
+      r1 AS (SELECT r.node, r.deg, r.base_v,
+                    r.base_v + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r0 r LEFT JOIN c1 c USING (node)),
+      c2 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r1 r ON s.a = r.node GROUP BY s.b),
+      r2 AS (SELECT r.node, r.deg, r.base_v,
+                    r.base_v + 0.85 * coalesce(c.in_mass, 0) AS rank
              FROM r1 r LEFT JOIN c2 c USING (node))
       SELECT node AS entity, round(rank, 6) AS rank FROM r2
     """

@@ -356,6 +356,38 @@ def resolve_redirects(
     return out
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    priority_col: str = "priority",
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """(url, host, priority, tick) — POLITE crawl-frontier scheduling:
+    tick = the fetch round the url is assigned to, computed as its rank
+    within its host by (priority desc, url asc).  Reading the output by
+    ascending tick fetches AT MOST ONE url per host per round (the
+    politeness invariant every crawler must keep) while always taking
+    each host's best-priority urls first; ``max_per_host`` truncates a
+    host's queue (hub hosts would otherwise monopolize late rounds —
+    the crawl-budget cap).
+
+    One window partitioned BY HOST — the per-host rank is the only
+    state, so the shuffle key is the host and a hub host's partition is
+    its own queue, never the whole frontier; no global sort anywhere
+    (a global fetch ORDER would serialize the frontier — the scheduler
+    deliberately emits the round structure instead)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col).asc()
+    )
+    out = frontier.withColumn("tick", F.row_number().over(w).cast("long"))
+    if max_per_host is not None:
+        out = out.filter(F.col("tick") <= max_per_host)
+    return out
+
+
 def host_graph(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level web graph from a
     link table: both endpoints canonicalized with :func:`host_of`, then

@@ -200,6 +200,7 @@ def pagerank(
     stage_dir: str | None = None,
     broadcast_ranks: bool | None = None,
     stats: dict | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """(entity, rank): PageRank by power iteration on the symmetrized
     (undirected) graph.  ``tol=None`` runs exactly ``max_iter``
@@ -214,6 +215,17 @@ def pagerank(
     rank/degree table broadcasts and the edges are never shuffled at
     all (map-side join + partial aggregate); above it both sides
     exchange on the node id — the honest big-graph path.
+
+    ``seeds`` (a ``node``-column DataFrame) switches to PERSONALIZED
+    PageRank: the teleport mass (1−d) restarts only to the seed set
+    (uniformly over seeds present in the graph) instead of all nodes —
+    the entity-disambiguation prior ("how close is candidate X to the
+    entities already grounded in this context") and the seed-biased
+    crawl-frontier score.  Implementation-wise the restart vector just
+    rides the rank table as a per-node ``base_v`` column (seed:
+    (1−d)/|S|, else 0); the iteration is byte-identical to the uniform
+    case, so the scale shape is unchanged.  On the symmetrized graph
+    there is no dangling mass, so Σ rank = 1 holds in both modes.
     """
     spark = edges.sparkSession
     if stats is None:
@@ -240,8 +252,32 @@ def pagerank(
     if broadcast_ranks is None:
         broadcast_ranks = n_nodes <= BROADCAST_AUTO_THRESHOLD
     stats["broadcast_ranks"] = bool(broadcast_ranks)
-    base = (1.0 - damping) / n_nodes
-    ranks = deg.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    if seeds is None:
+        base = (1.0 - damping) / n_nodes
+        ranks = deg.select(
+            "node",
+            "deg",
+            F.lit(base).alias("base_v"),
+            F.lit(1.0 / n_nodes).alias("rank"),
+        )
+    else:
+        sn = seeds.select("node").distinct().withColumn("_s", F.lit(1))
+        flagged = deg.join(F.broadcast(sn), "node", "left")
+        s_count = flagged.filter(F.col("_s") == 1).count()
+        stats["n_seeds"] = s_count
+        if s_count == 0:
+            raise ValueError("personalized pagerank: no seed is a graph node")
+        is_seed = F.col("_s") == 1
+        ranks = flagged.select(
+            "node",
+            "deg",
+            F.when(is_seed, F.lit((1.0 - damping) / s_count))
+            .otherwise(F.lit(0.0))
+            .alias("base_v"),
+            F.when(is_seed, F.lit(1.0 / s_count))
+            .otherwise(F.lit(0.0))
+            .alias("rank"),
+        )
     stats["init_sec"] = round(time.time() - t0, 3)
 
     final_name = None
@@ -261,9 +297,11 @@ def pagerank(
         new = ranks.join(contrib, ranks.node == F.col("node2"), "left").select(
             "node",
             "deg",
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))).alias(
-                "rank"
-            ),
+            "base_v",
+            (
+                F.col("base_v")
+                + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+            ).alias("rank"),
             F.col("rank").alias("prev_rank"),
         )
         final_name = f"ranks_{_it % 2}"
@@ -275,7 +313,7 @@ def pagerank(
             ).collect()[0]["d"]
             it["linf_delta"] = float(delta)
         stats["iters"].append(it)
-        ranks = new.select("node", "deg", "rank")
+        ranks = new.select("node", "deg", "base_v", "rank")
         if tol is not None and it["linf_delta"] < tol:
             break
 

@@ -333,3 +333,32 @@ class TestResolveRedirects:
         pairs = [("x1", "r"), ("x2", "r"), ("y", "x1")]
         got, _ = self._resolve(spark, pairs, tmp_path)
         assert got == {"x1": ("r", 1), "x2": ("r", 1), "y": ("r", 2)}
+
+
+class TestFrontierSchedule:
+    def test_politeness_invariant_and_priority_order(self, spark):
+        rows = [
+            ("https://a.com/1", "a.com", 5),
+            ("https://a.com/2", "a.com", 9),
+            ("https://a.com/3", "a.com", 9),
+            ("https://b.com/1", "b.com", 1),
+        ]
+        fr = spark.createDataFrame(rows, "url string, host string, priority long")
+        out = crawl.frontier_schedule(fr).collect()
+        by_url = {r.url: r.tick for r in out}
+        # each host: at most one url per tick; best priority first,
+        # priority ties break on url
+        assert by_url["https://a.com/2"] == 1
+        assert by_url["https://a.com/3"] == 2
+        assert by_url["https://a.com/1"] == 3
+        assert by_url["https://b.com/1"] == 1
+        for tick in {r.tick for r in out}:
+            hosts = [r.host for r in out if r.tick == tick]
+            assert len(hosts) == len(set(hosts))
+
+    def test_max_per_host_budget(self, spark):
+        rows = [(f"https://h.com/{i}", "h.com", i) for i in range(10)]
+        fr = spark.createDataFrame(rows, "url string, host string, priority long")
+        out = crawl.frontier_schedule(fr, max_per_host=3)
+        assert out.count() == 3
+        assert {r.priority for r in out.collect()} == {9, 8, 7}

@@ -425,3 +425,62 @@ class TestHits:
         got = self._hits(spark, e)
         assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-6
         assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-6
+
+
+class TestPersonalizedPagerank:
+    def _run(self, spark, tmp_path, pairs, seed_nodes, **kw):
+        e = _edges(spark, pairs)
+        seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node string")
+        return {
+            r.entity: r.rank
+            for r in graph.pagerank(
+                e, max_iter=kw.pop("max_iter", 2), tol=None,
+                stage_dir=str(tmp_path / "ppr"), seeds=seeds, **kw
+            ).collect()
+        }
+
+    def test_mass_conserved_and_seed_biased(self, spark, tmp_path):
+        # star with seeded center: the center holds the teleport mass
+        # plus every leaf's full return flow — strictly above each
+        # (symmetric, equal-ranked) leaf.  Σ rank = 1 in seeded mode.
+        got = self._run(
+            spark, tmp_path,
+            [("a", "b"), ("a", "c"), ("a", "d")], ["a"], max_iter=8,
+        )
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got["a"] > got["b"]
+        assert got["b"] == got["c"] == got["d"]
+
+    def test_differential_vs_numpy(self, spark, tmp_path):
+        import numpy as np
+
+        pairs = sorted({(f"n{i % 7}", f"n{(3 * i + 1) % 7}") for i in range(15)
+                        if i % 7 != (3 * i + 1) % 7})
+        canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+        nodes = sorted({x for p in canon for x in p})
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for a, b in canon:
+            A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1
+        deg = A.sum(1)
+        seeds = [nodes[0], nodes[2]]
+        base = np.array([(1 - 0.85) / 2 if n in seeds else 0.0 for n in nodes])
+        r = np.array([1 / 2 if n in seeds else 0.0 for n in nodes])
+        for _ in range(3):
+            r = base + 0.85 * (A.T @ (r / deg))
+        got = self._run(spark, tmp_path, canon, seeds, max_iter=3)
+        for n in nodes:
+            assert abs(got[n] - r[idx[n]]) < 1e-9, n
+
+    def test_seed_not_in_graph_raises(self, spark, tmp_path):
+        with pytest.raises(Exception, match="no seed"):
+            self._run(spark, tmp_path, [("a", "b")], ["zz"])
+
+    def test_uniform_mode_unchanged(self, spark, tmp_path):
+        """seeds=None still sums to 1 with uniform teleport (regression
+        guard on the base_v refactor)."""
+        e = _edges(spark, [("a", "b"), ("b", "c")])
+        out = graph.pagerank(e, max_iter=2, tol=None,
+                             stage_dir=str(tmp_path / "pr"))
+        s = sum(r.rank for r in out.collect())
+        assert abs(s - 1.0) < 1e-9
