@@ -913,6 +913,18 @@ def q_jaccard_pairs(spark, sf):
     return dedup.jaccard_pairs_inverted(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_winnow(spark, sf):
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS)
+    over the dup-amplified corpus: per doc, every window of 4
+    consecutive 3-gram hashes keeps its minimum (rightmost on ties) —
+    ~2/(w+1) of the shingle index with a guaranteed shared fingerprint
+    for any ≥ w+k−1-token overlap.  One doc-partitioned sliding-frame
+    window; the (hash, pos-desc) argmin is packed into a single
+    sortable key so both engines take a plain min
+    (operators/dedup.py winnow_fingerprints)."""
+    return dedup.winnow_fingerprints(dedup.with_dup_corpus(_docs(spark, sf)), w=4)
+
+
 def q_containment(spark, sf):
     """DIRECTED shingle containment (Broder): the dup-amplified corpus
     plus injected 30-token EXCERPTS (doc_id%20==5 → first 30 tokens as
@@ -2370,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": q_containment,
         "q_ppr": q_ppr,
         "q_frontier": q_frontier,
+        "q_winnow": q_winnow,
     }
 
 
@@ -4543,6 +4556,36 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sizes zb ON zb.doc_id = i.b
       WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter)
             >= {config.JACCARD_THRESHOLD}
+    """
+
+    # winnowing replay: positioned k-gram hashes, packed (hash, pos
+    # desc) key, sliding ROWS frame min, winners decoded by substring
+    o["q_winnow"] = f"""
+      WITH {_CORPUS},
+      ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+      grid AS (
+        SELECT doc_id, i - 1 AS pos,
+               substr(md5(array_to_string(t[i:i+{k - 1}], ' ')), 1, 12) AS h
+        FROM ct, unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+      ),
+      keyed AS (
+        SELECT doc_id, pos,
+               h || lpad((99999999 - pos)::VARCHAR, 8, '0') AS key
+        FROM grid
+      ),
+      winners AS (
+        SELECT DISTINCT doc_id, wkey FROM (
+          SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wkey
+          FROM keyed
+        ) WHERE pos >= 3
+      )
+      SELECT doc_id,
+             (99999999 - substr(wkey, 13, 8)::BIGINT) AS pos,
+             substr(wkey, 1, 12) AS fp
+      FROM winners
     """
 
     # directed containment replay: dup corpus + injected 30-token

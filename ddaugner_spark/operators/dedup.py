@@ -243,6 +243,57 @@ def jaccard_pairs_inverted(
     )
 
 
+def winnow_fingerprints(
+    corpus: DataFrame, k: int = config.SHINGLE_K, w: int = 4
+) -> DataFrame:
+    """(doc_id, pos, fp) — WINNOWING fingerprint selection (Schleimer
+    et al. 2003 — the MOSS algorithm): from every window of ``w``
+    consecutive k-gram hashes keep the minimum, rightmost on ties.
+    Guarantees: any shared run of ≥ w+k−1 tokens yields at least one
+    shared fingerprint (the detection floor), and expected density is
+    2/(w+1) — an 80%+ index-size cut over full shingling with a
+    provable recall bound, which is why plagiarism/dup detectors ship
+    it instead of raw shingles.
+
+    Determinism device: the (hash asc, pos desc) tie order is packed
+    into ONE sortable key — ``hash || lpad(99999999−pos)`` — so the
+    per-window argmin is a plain ``min(key)`` over a ROWS sliding frame
+    and the winner's (pos, fp) decode back from the key by substring:
+    no struct-ordering or min_by semantics to keep aligned across
+    engines.
+
+    Scale shape: one posexplode of the let-bound shingle array (map
+    fan-out inside the scan task), one doc-partitioned sliding window
+    (the shuffle key is doc_id — each doc's grams sort locally, nothing
+    global), one distinct on the (doc, winner-key) pairs.  Fingerprint
+    postings feed the same inverted-index join as jaccard/containment
+    at 1/(w+1)-scale cost."""
+    from pyspark.sql import Window
+
+    grid = corpus.select(
+        "doc_id", F.posexplode(shingle_array(k)).alias("pos", "gram")
+    )
+    key = F.concat(
+        F.substring(F.md5(F.col("gram")), 1, 12),
+        F.lpad((F.lit(99999999) - F.col("pos")).cast("string"), 8, "0"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    picked = (
+        grid.withColumn("_key", key)
+        .withColumn("_wkey", F.min("_key").over(win))
+        # only FULL windows select (the first w-1 positions see a
+        # shrunk frame — not a winnowing window)
+        .filter(F.col("pos") >= w - 1)
+        .select("doc_id", "_wkey")
+        .distinct()
+    )
+    return picked.select(
+        "doc_id",
+        (F.lit(99999999) - F.substring("_wkey", 13, 8).cast("long")).alias("pos"),
+        F.substring("_wkey", 1, 12).alias("fp"),
+    )
+
+
 def containment_pairs(
     corpus: DataFrame,
     k: int = config.SHINGLE_K,

@@ -211,3 +211,42 @@ class TestContainmentPairs:
             self._corpus(spark, rows), threshold=0.5, max_doc_freq=2
         )
         assert out.count() == 0
+
+
+class TestWinnowFingerprints:
+    def _fps(self, spark, rows, **kw):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return dedup.winnow_fingerprints(docs, **kw)
+
+    def test_coverage_guarantee(self, spark):
+        """Every window of w consecutive gram positions contains at
+        least one selected position (the winnowing invariant)."""
+        text = " ".join(f"w{(7 * i) % 23}" for i in range(60))
+        sel = sorted(r.pos for r in self._fps(spark, [(1, text)], w=4).collect())
+        n_grams = 60 - 3 + 1
+        for s in range(0, n_grams - 4 + 1):
+            assert any(s <= p <= s + 3 for p in sel), s
+        # density ~ 2/(w+1): far fewer than all positions
+        assert len(sel) < n_grams / 2
+
+    def test_shared_run_shares_fingerprint(self, spark):
+        """Two docs sharing a >= w+k-1-token run share >= 1 fingerprint
+        hash (the detection floor)."""
+        run = " ".join(f"s{i}" for i in range(10))  # 10 >= 4+3-1
+        a = "a1 a2 a3 a4 " + run + " a5 a6 a7 a8"
+        b = "b1 b2 " + run + " b3 b4 b5 b6 b7 b8 b9"
+        out = self._fps(spark, [(1, a), (2, b)], w=4)
+        fp1 = {r.fp for r in out.filter(F.col("doc_id") == 1).collect()}
+        fp2 = {r.fp for r in out.filter(F.col("doc_id") == 2).collect()}
+        assert fp1 & fp2
+
+    def test_rightmost_min_on_ties(self, spark):
+        """A repeated gram (hash tie inside one window) selects the
+        RIGHTMOST occurrence — Schleimer's rule."""
+        # 'x x x x x x' -> all 3-grams identical; 4-gram windows tie
+        out = self._fps(spark, [(1, "x x x x x x")], w=4).collect()
+        assert sorted(r.pos for r in out) == [3]  # last gram of the window
+
+    def test_short_doc_no_fingerprints(self, spark):
+        # fewer than w full windows of grams -> nothing selected
+        assert self._fps(spark, [(1, "a b c d")], w=4).count() == 0
