@@ -913,6 +913,16 @@ def q_jaccard_pairs(spark, sf):
     return dedup.jaccard_pairs_inverted(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_bpe_pairs(spark, sf):
+    """BPE merge-candidate mining (Sennrich et al. 2016, iteration 0):
+    top-20 adjacent character pairs inside words, weighted by word
+    frequency — the tokenizer trainer's first merge table, computed the
+    trainer's way (corpus → word-count vocabulary first, pair explode
+    over distinct words only; operators/textstats.py
+    bpe_pair_counts)."""
+    return textstats.bpe_pair_counts(_docs(spark, sf), top_n=20)
+
+
 def q_winnow(spark, sf):
     """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS)
     over the dup-amplified corpus: per doc, every window of 4
@@ -2383,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppr": q_ppr,
         "q_frontier": q_frontier,
         "q_winnow": q_winnow,
+        "q_bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -4556,6 +4567,25 @@ def oracle_sql() -> dict[str, str]:
                    JOIN sizes zb ON zb.doc_id = i.b
       WHERE i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter)
             >= {config.JACCARD_THRESHOLD}
+    """
+
+    # BPE pair-candidate replay: word-count vocabulary, then pairs over
+    # distinct words weighted by count
+    o["q_bpe_pairs"] = """
+      WITH toks AS (
+        SELECT unnest(string_split(coalesce(text, ''), ' ')) AS w
+        FROM documents
+      ),
+      wc AS (SELECT w, count(*)::BIGINT AS c FROM toks WHERE w != '' GROUP BY w),
+      pairs AS (
+        SELECT substr(w, i, 2) AS pair, c
+        FROM wc, unnest(range(1, length(w))) AS u(i)
+        WHERE length(w) >= 2
+      ),
+      agg AS (SELECT pair, sum(c)::BIGINT AS n FROM pairs GROUP BY pair)
+      SELECT pair, n,
+             row_number() OVER (ORDER BY n DESC, pair ASC)::BIGINT AS rank
+      FROM agg QUALIFY rank <= 20
     """
 
     # winnowing replay: positioned k-gram hashes, packed (hash, pos

@@ -419,3 +419,39 @@ def nfc_normalized(
             )
 
     return cols.mapInPandas(norm, schema)
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """(pair, n, rank) — the top-``top_n`` adjacent-character-pair
+    frequencies inside words: BPE's first merge-candidate table
+    (Sennrich et al. 2016 — iteration 0 symbols are characters; the
+    most frequent pair is the first merge a tokenizer trainer picks).
+
+    Scale shape is the BPE trainer's own trick: the corpus collapses to
+    the WORD-COUNT vocabulary first (one partial-aggregable groupBy —
+    the only corpus-sized pass), then pairs are enumerated over
+    distinct words WEIGHTED by their counts, so the pair explode fans
+    out by vocabulary size, not corpus size.  The top-N runs on the
+    pair-vocabulary table via a distributed TakeOrderedAndProject, no
+    global sort of anything corpus-shaped."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    idxs = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = wc.select(
+        F.explode(
+            F.transform(idxs, lambda i: F.col("w").substr(i, F.lit(2)))
+        ).alias("pair"),
+        "c",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").cast("long").alias("n"))
+    top = agg.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -658,3 +658,31 @@ class TestNfcNormalized:
         got = {r.doc_id: r.text_nfc for r in textstats.nfc_normalized(docs).collect()}
         for r in docs.collect():
             assert got[r.doc_id] == unicodedata.normalize("NFC", r.text)
+
+
+class TestBpePairCounts:
+    def test_weighted_by_word_frequency(self, spark):
+        from ddaugner_spark.operators.textstats import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab ab cd"), (2, "ab xy")], "doc_id long, text string"
+        )
+        got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
+        assert got["ab"] == 4  # 4 instances of word 'ab'
+        assert got["cd"] == 1 and got["xy"] == 1
+
+    def test_overlapping_pairs_within_word(self, spark):
+        from ddaugner_spark.operators.textstats import bpe_pair_counts
+
+        docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+        got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
+        assert got == {"aa": 2}  # positions 1-2 and 2-3
+
+    def test_single_char_words_and_rank_order(self, spark):
+        from ddaugner_spark.operators.textstats import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(1, "a b c zz zz yy")], "doc_id long, text string"
+        )
+        rows = bpe_pair_counts(docs).collect()
+        assert [(r.pair, r.n, r.rank) for r in rows] == [("zz", 2, 1), ("yy", 1, 2)]
