@@ -1248,6 +1248,47 @@ def q_triple_provenance(spark, sf):
     return triples.triple_provenance(triples.triples_df(_docs(spark, sf)))
 
 
+def q_kg_validity(spark, sf):
+    """TEMPORAL KG: per-triple validity intervals under a deterministic
+    recrawl model — doc d is captured 1 + d%3 times (capture c at
+    DATE 2024-01-01 + d%7 + c, truncated by its last c sentences), so a
+    triple asserted in sentence s of doc d is observed in captures
+    c ≤ min(d%3, max_sent(d) − s): first_seen/last_seen/n_assertions
+    reduce in ONE partial-aggregable groupBy over the triple key
+    (operators/triples.py triple_validity), plus the as-of probe
+    'alive on 2024-01-03'.  The capture model is applied POST-extraction
+    (sentence survival arithmetic), so the corpus is extracted once,
+    not once per capture."""
+    t = triples.triples_df(_docs(spark, sf))
+    msent = t.groupBy("doc_id").agg(F.max("sent_id").alias("max_sent"))
+    cmax = F.least(F.col("doc_id") % 3, F.col("max_sent") - F.col("sent_id"))
+    base = F.lit("2024-01-01").cast("date")
+    a = t.join(msent, "doc_id").select(
+        "subj",
+        "pred",
+        "obj",
+        F.date_add(base, (F.col("doc_id") % 7).cast("int")).alias("first_ts"),
+        F.date_add(base, (F.col("doc_id") % 7 + cmax).cast("int")).alias("last_ts"),
+        (cmax + 1).cast("long").alias("n_instances"),
+    )
+    v = triples.triple_validity(a)
+    probe = F.lit("2024-01-03").cast("date")
+    return v.select(
+        "subj",
+        "pred",
+        "obj",
+        # ISO strings: DuckDB DATE surfaces as midnight Timestamp in
+        # pandas — string form keeps the canonicalizer representation-
+        # stable on both sides
+        F.date_format("first_seen", "yyyy-MM-dd").alias("first_seen"),
+        F.date_format("last_seen", "yyyy-MM-dd").alias("last_seen"),
+        "n_assertions",
+        ((F.col("first_seen") <= probe) & (probe <= F.col("last_seen"))).alias(
+            "alive_at_probe"
+        ),
+    )
+
+
 def q_ntriples(spark, sf):
     """W3C N-Triples serialization of the constructed KG — the
     interchange materialization any RDF store can load (injective
@@ -2394,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frontier": q_frontier,
         "q_winnow": q_winnow,
         "q_bpe_pairs": q_bpe_pairs,
+        "q_kg_validity": q_kg_validity,
     }
 
 
@@ -3090,6 +3132,31 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    # temporal validity replay: capture-survival arithmetic applied to
+    # the extracted triple table (never re-extracting per capture)
+    o["q_kg_validity"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      msent AS (SELECT doc_id, max(sent_id) AS max_sent FROM tri GROUP BY doc_id),
+      a AS (
+        SELECT t.subj, t.pred, t.obj,
+               DATE '2024-01-01' + (t.doc_id % 7)::INT AS fs,
+               DATE '2024-01-01'
+                 + (t.doc_id % 7
+                    + least(t.doc_id % 3, m.max_sent - t.sent_id))::INT AS ls,
+               (least(t.doc_id % 3, m.max_sent - t.sent_id) + 1)::BIGINT AS ni
+        FROM tri t JOIN msent m USING (doc_id)
+      )
+      SELECT subj, pred, obj,
+             strftime(min(fs), '%Y-%m-%d') AS first_seen,
+             strftime(max(ls), '%Y-%m-%d') AS last_seen,
+             sum(ni)::BIGINT AS n_assertions,
+             (min(fs) <= DATE '2024-01-03'
+              AND DATE '2024-01-03' <= max(ls)) AS alive_at_probe
+      FROM a GROUP BY subj, pred, obj
     """
 
     # NFC replay: the composed/decomposed suffixes are embedded as

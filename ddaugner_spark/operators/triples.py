@@ -449,3 +449,26 @@ def triple_provenance(triples: DataFrame, max_examples: int = 3) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         ex.alias("example_docs"),
     )
+
+
+def triple_validity(assertions: DataFrame) -> DataFrame:
+    """(subj, pred, obj, first_seen, last_seen, n_assertions) — TEMPORAL
+    validity intervals for the KG: when each fact was first and last
+    observed across recrawl captures, and how often.  The audit query
+    behind "is this triple still asserted by the live web" and the
+    input to as-of snapshot filters (alive at T ⇔ first ≤ T ≤ last).
+
+    ``assertions`` carries one row per (triple, evidence-unit) with that
+    unit's observation window pre-computed: (subj, pred, obj, first_ts,
+    last_ts, n_instances) — the capture model (which captures contain
+    which sentence) is the CALLER's contract, so the same reducer
+    serves WARC recrawls, CDC streams, or synthetic amplifiers.
+
+    ONE partial-aggregable groupBy on the triple key (min/max/sum all
+    combine map-side) — the same slim-key shuffle shape as the triple
+    aggregate itself; nothing else touches the corpus."""
+    return assertions.groupBy("subj", "pred", "obj").agg(
+        F.min("first_ts").alias("first_seen"),
+        F.max("last_ts").alias("last_seen"),
+        F.sum("n_instances").cast("long").alias("n_assertions"),
+    )

@@ -158,3 +158,42 @@ def test_triple_provenance_counts_and_examples(spark):
     assert (apb.n_docs, apb.n_sents, apb.first_doc) == (4, 5, 3)
     assert apb.example_docs == "3,5,7"
     assert got[("x", "y")].example_docs == "1"
+
+
+class TestTripleValidity:
+    def test_min_max_sum_reduction(self, spark):
+        from ddaugner_spark.operators.triples import triple_validity
+
+        rows = [
+            ("a", "p", "b", "2024-01-02", "2024-01-04", 3),
+            ("a", "p", "b", "2024-01-01", "2024-01-03", 2),
+            ("x", "q", "y", "2024-02-01", "2024-02-01", 1),
+        ]
+        a = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, "
+            "first_ts string, last_ts string, n_instances long",
+        )
+        got = {
+            (r.subj, r.pred, r.obj): (r.first_seen, r.last_seen, r.n_assertions)
+            for r in triple_validity(a).collect()
+        }
+        assert got[("a", "p", "b")] == ("2024-01-01", "2024-01-04", 5)
+        assert got[("x", "q", "y")] == ("2024-02-01", "2024-02-01", 1)
+
+    def test_repartition_invariant(self, spark):
+        from ddaugner_spark.operators.triples import triple_validity
+
+        rows = [
+            (f"s{i % 5}", "p", "o", f"2024-01-{1 + i % 9:02d}",
+             f"2024-01-{10 + i % 9:02d}", i % 3 + 1)
+            for i in range(50)
+        ]
+        a = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj string, "
+            "first_ts string, last_ts string, n_instances long",
+        )
+        r1 = sorted(map(tuple, triple_validity(a).collect()))
+        r2 = sorted(map(tuple, triple_validity(a.repartition(13)).collect()))
+        assert r1 == r2
