@@ -1289,6 +1289,18 @@ def q_kg_validity(spark, sf):
     )
 
 
+def q_kg_negatives(spark, sf):
+    """KG-embedding training negatives (TransE-style filtered
+    corruption, Bordes et al. 2013): per distinct triple, 2 object
+    corruptions drawn by md5-mod over the contiguous entity-id
+    vocabulary, with candidates colliding with ANY true triple
+    anti-joined away — every emitted row is a guaranteed negative.
+    Entity ids are deterministic (row_number over binary-collation
+    entity strings — Spark/DuckDB agree); vocabulary broadcasts
+    (operators/triples.py negative_samples)."""
+    return triples.negative_samples(triples.triples_df(_docs(spark, sf)), k=2)
+
+
 def q_ntriples(spark, sf):
     """W3C N-Triples serialization of the constructed KG — the
     interchange materialization any RDF store can load (injective
@@ -2436,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow": q_winnow,
         "q_bpe_pairs": q_bpe_pairs,
         "q_kg_validity": q_kg_validity,
+        "q_kg_negatives": q_kg_negatives,
     }
 
 
@@ -3132,6 +3145,40 @@ def oracle_sql() -> dict[str, str]:
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW}))
       {_TRI_SELECT}
+    """
+
+    # filtered-corruption replay: contiguous entity ids by binary
+    # string order, md5-mod pick, anti-join against the true set
+    o["q_kg_negatives"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri0 AS ({_TRI_SELECT}),
+      t AS (SELECT DISTINCT subj, pred, obj FROM tri0),
+      ents AS (
+        SELECT DISTINCT entity FROM (
+          SELECT subj AS entity FROM t UNION SELECT obj AS entity FROM t
+        )
+      ),
+      ids AS (
+        SELECT entity, row_number() OVER (ORDER BY entity ASC) - 1 AS eid
+        FROM ents
+      ),
+      n AS (SELECT count(*)::BIGINT AS n_ents FROM ids),
+      cand AS (
+        SELECT t.subj, t.pred, t.obj, u.j AS neg_id,
+               (('0x' || substr(md5(t.subj || '|' || t.pred || '|' || t.obj
+                                    || '|' || u.j::VARCHAR), 1, 12))::UBIGINT
+                % (SELECT n_ents FROM n))::BIGINT AS eid
+        FROM t, unnest(range(2)) AS u(j)
+      ),
+      corrupted AS (
+        SELECT c.subj, c.pred, i.entity AS obj_neg, c.neg_id::BIGINT AS neg_id
+        FROM cand c JOIN ids i USING (eid)
+      )
+      SELECT c.subj, c.pred, c.obj_neg, c.neg_id
+      FROM corrupted c
+      LEFT JOIN t ON t.subj = c.subj AND t.pred = c.pred AND t.obj = c.obj_neg
+      WHERE t.subj IS NULL
     """
 
     # temporal validity replay: capture-survival arithmetic applied to

@@ -472,3 +472,69 @@ def triple_validity(assertions: DataFrame) -> DataFrame:
         F.max("last_ts").alias("last_seen"),
         F.sum("n_instances").cast("long").alias("n_assertions"),
     )
+
+
+def negative_samples(
+    triples: DataFrame, k: int = 2, hex_digits: int = 12
+) -> DataFrame:
+    """(subj, pred, obj_neg, neg_id) — NEGATIVE triple sampling for KG
+    embedding training (the corruption step of TransE/DistMult-style
+    losses, Bordes et al. 2013): for every distinct true triple, ``k``
+    candidate corruptions replace the object with a pseudo-random
+    entity; candidates that hit the true object or collide with ANY
+    true triple are filtered (the standard "filtered setting"), so
+    every emitted row is a guaranteed negative.
+
+    Determinism: the "random" entity is the one whose contiguous id
+    equals md5(subj|pred|obj|neg_id) mod |E| — pure row identity
+    (CLAUDE.md rule), reproducible across engines because Spark and
+    DuckDB row_number over ASCII entity strings agree (binary
+    collation).
+
+    Scale shape: the entity vocabulary (id ↔ entity) is
+    dimension-sized — it BROADCASTS into the corruption join; the
+    candidate stream is k·|distinct triples| slim rows; the filtered-
+    setting check is one LEFT ANTI join on the (subj, pred, obj) key —
+    the same slim-key shuffle as the triple aggregate.  The id-
+    assignment window runs over the entity vocabulary only."""
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    ents = (
+        t.select(F.col("subj").alias("entity"))
+        .union(t.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    w = Window.orderBy(F.col("entity").asc())
+    ids = ents.withColumn("eid", F.row_number().over(w).cast("long") - 1)
+    n = ids.agg(F.count(F.lit(1)).alias("n_ents"))
+    cand = (
+        t.select(
+            "subj", "pred", "obj", F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_id")
+        )
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "eid",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", "subj", "pred", "obj", F.col("neg_id").cast("string"))
+                    ),
+                    1,
+                    hex_digits,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_ents"),
+        )
+    )
+    corrupted = cand.join(F.broadcast(ids), "eid").select(
+        "subj", "pred", F.col("entity").alias("obj_neg"), F.col("neg_id").cast("long").alias("neg_id")
+    )
+    valid = corrupted.join(
+        t.select("subj", "pred", F.col("obj").alias("obj_neg")),
+        ["subj", "pred", "obj_neg"],
+        "left_anti",
+    )
+    return valid

@@ -197,3 +197,37 @@ class TestTripleValidity:
         r1 = sorted(map(tuple, triple_validity(a).collect()))
         r2 = sorted(map(tuple, triple_validity(a.repartition(13)).collect()))
         assert r1 == r2
+
+
+class TestNegativeSamples:
+    def _tri(self, spark, rows):
+        return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    def test_no_emitted_negative_is_a_true_triple(self, spark):
+        from ddaugner_spark.operators.triples import negative_samples
+
+        rows = [(f"e{i % 6}", "p", f"e{(i + 1) % 6}") for i in range(12)]
+        t = self._tri(spark, rows)
+        true = {(r.subj, r.pred, r.obj) for r in t.collect()}
+        out = negative_samples(t, k=3).collect()
+        assert out  # something survives the filter
+        for r in out:
+            assert (r.subj, r.pred, r.obj_neg) not in true
+            assert 0 <= r.neg_id <= 2
+
+    def test_corruptions_draw_from_entity_vocabulary(self, spark):
+        from ddaugner_spark.operators.triples import negative_samples
+
+        t = self._tri(spark, [("a", "p", "b"), ("c", "q", "d")])
+        ents = {"a", "b", "c", "d"}
+        for r in negative_samples(t, k=4).collect():
+            assert r.obj_neg in ents
+
+    def test_deterministic_under_repartition(self, spark):
+        from ddaugner_spark.operators.triples import negative_samples
+
+        rows = [(f"s{i % 9}", f"p{i % 2}", f"o{i % 7}") for i in range(40)]
+        t = self._tri(spark, rows)
+        a = sorted(map(tuple, negative_samples(t, k=2).collect()))
+        b = sorted(map(tuple, negative_samples(t.repartition(11), k=2).collect()))
+        assert a == b
