@@ -2226,6 +2226,27 @@ def q_stream_triples(spark, sf):
     )
 
 
+def q_stream_links(spark, sf):
+    """Incremental web-graph maintenance under readStream: each
+    micro-batch of documents contributes per-epoch (src_host, dst_host)
+    partial counts (exactly-once overwrite layout), merged by one
+    re-aggregation — host_graph's counts are decomposable, so any
+    micro-batch split yields the batch edge table; shares
+    q_link_graph's oracle (streaming/incremental.py
+    incremental_links)."""
+    from ddaugner_spark.streaming import incremental_links
+
+    ck = _scratch("q_stream_lg_ck_")
+    out = _scratch("q_stream_lg_out_")
+    return incremental_links(
+        spark,
+        f"{sf}/documents.parquet",
+        ck,
+        out,
+        lambda batch: _link_pages(batch, _src_anchor_tag),
+    )
+
+
 def q_stream_mentions(spark, sf):
     """The stateless mention detector under readStream: the same
     narrow expressions run unchanged as a streaming map into an
@@ -2449,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": q_bpe_pairs,
         "q_kg_validity": q_kg_validity,
         "q_kg_negatives": q_kg_negatives,
+        "q_stream_links": q_stream_links,
     }
 
 
@@ -3443,6 +3465,10 @@ def oracle_sql() -> dict[str, str]:
       FROM links
       GROUP BY src_host, dst_host
     """
+
+    # the incremental link sink must converge to the batch edge table:
+    # decomposable counts ⇒ identical oracle
+    o["q_stream_links"] = o["q_link_graph"]
 
     # same synthetic link crawl as q_link_graph, then two unrolled HITS
     # iterations in INTEGER arithmetic (h0 = 1 ⇒ a1 = in-degree) with

@@ -4,6 +4,7 @@ from .incremental import (
     incremental_upsert,
     incremental_event_counts,
     incremental_link_scores,
+    incremental_links,
     incremental_mentions,
     incremental_triples,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "incremental_upsert",
     "incremental_event_counts",
     "incremental_link_scores",
+    "incremental_links",
     "incremental_mentions",
     "incremental_triples",
 ]

@@ -356,3 +356,47 @@ def incremental_upsert(
     return final.filter(F.col("op") == "u").select(
         "subj", "pred", "obj", "support", "last_ts"
     )
+
+
+def incremental_links(
+    spark: SparkSession,
+    documents_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    page_builder,
+):
+    """Stream documents through ``page_builder`` (docs batch → (url,
+    html) pages) + hyperlink extraction + host-graph aggregation into
+    per-epoch exactly-once parquet — INCREMENTAL web-graph maintenance:
+    each recrawl micro-batch contributes its own (src_host, dst_host)
+    partial counts, and the merged graph is one re-aggregation (sum of
+    partial n_links per edge — host_graph's counts are decomposable, so
+    the per-epoch layout is the standard incremental-rollup contract,
+    same as incremental_link_scores).
+
+    Returns the merged (src_host, dst_host, n_links) edge table across
+    all epochs."""
+    import os
+
+    from ..operators import crawl
+
+    schema = spark.read.parquet(documents_dir).schema
+    stream = _read_stream(spark, documents_dir, schema)
+
+    def process(batch_df, epoch_id):
+        g = crawl.host_graph(crawl.extract_links(page_builder(batch_df)))
+        g.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch_id={epoch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    partials = spark.read.parquet(out_dir).drop("epoch_id")
+    return partials.groupBy("src_host", "dst_host").agg(
+        F.sum("n_links").cast("long").alias("n_links")
+    )

@@ -258,3 +258,44 @@ def test_incremental_upsert_epoch_replay_is_idempotent(spark, tmp_path):
     assert once.filter("op = 'd'").count() == 1
     # ... and filtered from the read surface (a, c, n survive; b is the tombstone)
     assert once.filter("op = 'u'").count() == 3
+
+
+def test_incremental_links_fold_across_batches(spark, sf_dir, tmp_path):
+    """Incremental web graph: per-epoch host-graph partials re-aggregate
+    to the batch edge table.  Run over half the corpus, land the second
+    half, rerun with the SAME checkpoint — the merged graph must equal
+    the single-batch host_graph over everything."""
+    from ddaugner_spark.operators import crawl
+    from ddaugner_spark.streaming import incremental_links
+
+    def pages_of(docs):
+        # minimal deterministic page build: one link per doc
+        html = F.concat(
+            F.lit('<html><body><a href="https://t'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.example.com/x">x</a></body></html>'),
+        )
+        return docs.select(
+            F.concat(F.lit("https://"), "source", F.lit(".example.com/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, ckpt = str(tmp_path / "lg_src"), str(tmp_path / "lg_ck")
+    out = str(tmp_path / "lg_out")
+    half1 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 0)
+    half2 = docs.filter(F.crc32(F.col("doc_id").cast("string")) % 2 == 1)
+    half1.write.parquet(src)
+
+    incremental_links(spark, src, ckpt, out, pages_of)
+    half2.write.mode("append").parquet(src)
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in incremental_links(spark, src, ckpt, out, pages_of).collect()
+    }
+    want = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in crawl.host_graph(crawl.extract_links(pages_of(docs))).collect()
+    }
+    assert got == want and got
