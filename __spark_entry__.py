@@ -624,6 +624,49 @@ def q_lm_bigram(spark, sf):
     return textstats.lm_bigram_scores(_docs(spark, sf))
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail (Wenzek et al. 2020): per-language
+    terciles of the self-trained bigram-LM NLL — the perplexity-based
+    quality gate of every CommonCrawl curation pipeline.  ntile over
+    the TOTAL order (nll, doc_id) so bucket boundaries are
+    engine-reproducible; the window runs on the doc-level score table,
+    nothing token-sized (operators/textstats.py perplexity_buckets)."""
+    return textstats.perplexity_buckets(_docs(spark, sf))
+
+
+def q_url_templates(spark, sf):
+    """URL path-template mining: ≥8-char hex runs → {hex} then digit
+    runs → {n}, aggregated per host — the crawl-analytics view of a
+    site's URL space (pagination vs calendar traps vs content) before
+    the frontier commits budget.  Two map-only regexp_replace passes +
+    one (host, template) groupBy; synthesized paths exercise numeric
+    ids, date paths, hex session ids, and static pages
+    (operators/crawl.py url_templates)."""
+    d = _docs(spark, sf)
+    r = F.col("doc_id") % 4
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when(r == 0, F.concat(F.lit("/doc/"), i))
+        .when(
+            r == 1,
+            F.concat(
+                F.lit("/"),
+                (2000 + F.col("doc_id") % 25).cast("string"),
+                F.lit("/"),
+                (1 + F.col("doc_id") % 12).cast("string"),
+                F.lit("/post-"),
+                i,
+            ),
+        )
+        .when(r == 2, F.concat(F.lit("/u/"), F.substring(F.md5(i), 1, 12)))
+        .otherwise(F.lit("/about"))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com"), path).alias("url")
+    )
+    return crawl.url_templates(urls, min_count=2)
+
+
 #: Count-Min geometry for q_cm_heavy_hitters: width 8 FORCES bucket
 #: collisions on the synthetic vocabulary (~31 tokens) so the
 #: differential exercises the overestimate path, not just est == exact.
@@ -2471,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_validity": q_kg_validity,
         "q_kg_negatives": q_kg_negatives,
         "q_stream_links": q_stream_links,
+        "q_ccnet_buckets": q_ccnet_buckets,
+        "q_url_templates": q_url_templates,
     }
 
 
@@ -4237,6 +4282,47 @@ def oracle_sql() -> dict[str, str]:
       SELECT d.doc_id, coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
              coalesce(s.nll, 0.0) AS nll
       FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
+
+    # CCNet terciles: the lm oracle reused verbatim as a CTE, then one
+    # ntile over the (nll, doc_id) total order
+    o["q_ccnet_buckets"] = f"""
+      WITH lm AS ({o["q_lm_bigram"]}),
+      j AS (SELECT d.doc_id, d.lang, lm.nll
+            FROM documents d JOIN lm USING (doc_id))
+      SELECT doc_id, lang, nll,
+             CASE ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY nll ASC, doc_id ASC)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM j
+    """
+
+    # template mining replay: same synthesized paths, hex-run rule
+    # applied before the digit rule
+    o["q_url_templates"] = """
+      WITH urls AS (
+        SELECT 'https://' || source || '.example.com' ||
+               CASE doc_id % 4
+                 WHEN 0 THEN '/doc/' || doc_id::VARCHAR
+                 WHEN 1 THEN '/' || (2000 + doc_id % 25)::VARCHAR || '/' ||
+                             (1 + doc_id % 12)::VARCHAR || '/post-' || doc_id::VARCHAR
+                 WHEN 2 THEN '/u/' || substr(md5(doc_id::VARCHAR), 1, 12)
+                 ELSE '/about'
+               END AS url
+        FROM documents
+      ),
+      t AS (
+        SELECT lower(regexp_extract(url, '://([^/?#:]*)', 1)) AS host,
+               regexp_replace(
+                 regexp_replace(regexp_extract(url, '://[^/]*(/[^?#]*)', 1),
+                                '[0-9a-f]{8,}', '{hex}', 'g'),
+                 '[0-9]+', '{n}', 'g') AS template
+        FROM urls
+      )
+      SELECT host, template, count(*)::BIGINT AS n_urls
+      FROM t GROUP BY host, template
+      HAVING count(*) >= 2
     """
 
     # rebuilds the CM table FROM the exact counts (cell = Σ exact over

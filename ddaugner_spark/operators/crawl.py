@@ -404,3 +404,29 @@ def host_graph(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+def url_templates(urls: DataFrame, url_col: str = "url", min_count: int = 2) -> DataFrame:
+    """(host, template, n_urls) — URL path TEMPLATE mining: paths
+    generalized by replacing ≥8-char hex runs with ``{hex}`` (session
+    ids, content hashes) and then digit runs with ``{n}`` (numeric ids,
+    dates), aggregated per host.  The crawl-analytics view that exposes
+    a site's URL space — which patterns are pagination, which are
+    infinite calendar traps, which carry content — before the frontier
+    commits budget to them.  Templates below ``min_count`` urls are
+    dropped (singletons are not patterns).
+
+    Map-only generalization (two regexp_replace in the Java ∩ RE2
+    subset, whole-stage codegen) + ONE partial-aggregable groupBy on
+    (host, template) — per-host template vocabularies are tiny, so the
+    exchange carries patterns, not urls."""
+    path = F.parse_url(F.col(url_col), F.lit("PATH"))
+    template = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "{hex}"), "[0-9]+", "{n}"
+    )
+    return (
+        urls.select(host_of(F.col(url_col)).alias("host"), template.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .filter(F.col("n_urls") >= min_count)
+    )

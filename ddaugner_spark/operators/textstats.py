@@ -455,3 +455,34 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
     top = agg.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(top_n)
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def perplexity_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, nll, bucket) — CCNet's head/middle/tail split
+    (Wenzek et al. 2020): per language, documents are ranked by LM
+    score (here the self-trained bigram NLL of
+    :func:`lm_bigram_scores`) and cut into terciles — 'head' is the
+    best-scoring third that CCNet feeds to training first, 'tail' the
+    noisiest.  The standard perplexity-based quality gate of every
+    CommonCrawl curation pipeline.
+
+    Determinism: ntile over a TOTAL order (nll asc, doc_id asc) — the
+    tie-break makes bucket boundaries engine-reproducible even when
+    scores repeat.  Scale shape: the window runs on the DOC-level score
+    table partitioned by language (the mixture's natural key), nothing
+    token-sized; the LM scoring underneath is the one corpus pass."""
+    from pyspark.sql import Window
+
+    s = lm_bigram_scores(docs)
+    j = docs.select("doc_id", "lang").join(s, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("nll").asc(), F.col("doc_id").asc())
+    tile = F.ntile(3).over(w)
+    return j.select(
+        "doc_id",
+        "lang",
+        "nll",
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -686,3 +686,56 @@ class TestBpePairCounts:
         )
         rows = bpe_pair_counts(docs).collect()
         assert [(r.pair, r.n, r.rank) for r in rows] == [("zz", 2, 1), ("yy", 1, 2)]
+
+
+class TestPerplexityBuckets:
+    def test_tercile_sizes_and_ordering(self, spark):
+        from ddaugner_spark.operators.textstats import perplexity_buckets
+
+        # 9 docs, one language: repetitive docs score lower nll
+        rows = [(i, "en", ("the cat " * (20 - i) + f"u{i} v{i} w{i}").strip())
+                for i in range(9)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = perplexity_buckets(docs).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r.bucket, []).append(r.nll)
+        assert {len(v) for v in by_bucket.values()} == {3}
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+        assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+    def test_languages_bucketed_independently(self, spark):
+        from ddaugner_spark.operators.textstats import perplexity_buckets
+
+        rows = [(i, "en" if i < 6 else "fr", f"a b c d{i} e{i}") for i in range(12)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = perplexity_buckets(docs).collect()
+        for lang in ("en", "fr"):
+            assert sorted(r.bucket for r in out if r.lang == lang) == \
+                ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+class TestUrlTemplates:
+    def test_generalization_rules(self, spark):
+        from ddaugner_spark.operators import crawl
+
+        urls = spark.createDataFrame(
+            [
+                ("https://a.com/doc/123",),
+                ("https://a.com/doc/999",),
+                ("https://a.com/u/deadbeef0123",),
+                ("https://a.com/u/cafebabe4567",),
+                ("https://a.com/about",),
+                ("https://b.com/about",),
+            ],
+            "url string",
+        )
+        got = {
+            (r.host, r.template): r.n_urls
+            for r in crawl.url_templates(urls, min_count=2).collect()
+        }
+        # hex rule fires before digit rule; singletons dropped
+        assert got == {
+            ("a.com", "/doc/{n}"): 2,
+            ("a.com", "/u/{hex}"): 2,
+        }
