@@ -1436,7 +1436,7 @@ def q_hits(spark, sf):
     pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
     g = crawl.host_graph(crawl.extract_links(pages))
     edges = g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
-    return graph.hits(edges, iters=2)
+    return graph.hits(edges, iters=2, stage_dir=_scratch("q_hits_"))
 
 
 def q_anchor_text(spark, sf):
@@ -2852,6 +2852,35 @@ _HTML_MID = "</title></head><body><p>"
 _HTML_POST = "</p></body></html>"
 
 
+def _link_pages_sql(tag_sql: str) -> str:
+    """``frag`` + ``html2`` CTEs replaying the engine's `_link_pages`
+    build (1 + doc_id%3 anchors, ``tag_sql`` = one tag as a SQL
+    expression over doc_id and j) — ONE source for every oracle that
+    consumes the synthetic link crawl (q_link_graph / q_stream_links /
+    q_hits / q_anchor_text / q_frontier), so an edit to the page build
+    cannot silently diverge a subset of the replays (the _ann_core
+    lesson)."""
+    return f"""frag AS (
+        SELECT doc_id, string_agg({tag_sql}, '' ORDER BY j) AS anchors
+        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
+        GROUP BY doc_id
+      ),
+      html2 AS (
+        SELECT d.doc_id, d.source,
+               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
+               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
+               '{_HTML_POST}' AS h
+        FROM documents d JOIN frag f USING (doc_id)
+      )"""
+
+
+#: SQL twin of _src_anchor_tag (q_link_graph / q_hits / q_frontier)
+_SRC_TAG_SQL = (
+    "'<a href=\"https://src' || ((doc_id + j) % 20)::VARCHAR || "
+    "'.example.com/doc/' || (doc_id + j + 1)::VARCHAR || '\">x</a>'"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -3484,21 +3513,7 @@ def oracle_sql() -> dict[str, str]:
     # link-graph replay: same deterministic anchor injection into the
     # synthesized html, same RE2-subset href extraction, host-level agg
     o["q_link_graph"] = f"""
-      WITH frag AS (
-        SELECT doc_id,
-               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
-                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
-                          '">x</a>', '' ORDER BY j) AS anchors
-        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
-        GROUP BY doc_id
-      ),
-      html2 AS (
-        SELECT d.doc_id, d.source,
-               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
-               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
-               '{_HTML_POST}' AS h
-        FROM documents d JOIN frag f USING (doc_id)
-      ),
+      WITH {_link_pages_sql(_SRC_TAG_SQL)},
       links AS (
         SELECT source || '.example.com' AS src_host,
                unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
@@ -3520,21 +3535,7 @@ def oracle_sql() -> dict[str, str]:
     # normalization deferred to one exact final division — the engine's
     # determinism device replayed literally
     o["q_hits"] = f"""
-      WITH frag AS (
-        SELECT doc_id,
-               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
-                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
-                          '">x</a>', '' ORDER BY j) AS anchors
-        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
-        GROUP BY doc_id
-      ),
-      html2 AS (
-        SELECT d.doc_id, d.source,
-               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
-               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
-               '{_HTML_POST}' AS h
-        FROM documents d JOIN frag f USING (doc_id)
-      ),
+      WITH {_link_pages_sql(_SRC_TAG_SQL)},
       links AS (
         SELECT source || '.example.com' AS src_host,
                unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
@@ -3584,23 +3585,13 @@ def oracle_sql() -> dict[str, str]:
     # anchor-TEXT extraction: same html build device with varying
     # 'Entity k' anchors; top anchor per host = row_number twin of the
     # engine's min(struct(-cnt, anchor)) in-aggregate argmax
+    _ANCHOR_TAG_SQL = (
+        "'<a href=\"https://t' || ((doc_id + j) % 10)::VARCHAR || "
+        "'.example.com/page/' || ((doc_id * 3 + j) % 50)::VARCHAR || "
+        "'\">Entity ' || ((doc_id + j) % 7)::VARCHAR || '</a>'"
+    )
     o["q_anchor_text"] = f"""
-      WITH frag AS (
-        SELECT doc_id,
-               string_agg('<a href="https://t' || ((doc_id + j) % 10)::VARCHAR ||
-                          '.example.com/page/' || ((doc_id * 3 + j) % 50)::VARCHAR ||
-                          '">Entity ' || ((doc_id + j) % 7)::VARCHAR || '</a>',
-                          '' ORDER BY j) AS anchors
-        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
-        GROUP BY doc_id
-      ),
-      html2 AS (
-        SELECT d.doc_id,
-               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
-               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
-               '{_HTML_POST}' AS h
-        FROM documents d JOIN frag f USING (doc_id)
-      ),
+      WITH {_link_pages_sql(_ANCHOR_TAG_SQL)},
       tags AS (
         SELECT unnest(regexp_extract_all(h, '(<a href="[^"]*">[^<]*</a>)', 1)) AS tag
         FROM html2
@@ -3635,21 +3626,7 @@ def oracle_sql() -> dict[str, str]:
     # frontier scheduling replay: same link extraction as q_link_graph,
     # in-link-count priorities, one host-partitioned rank window
     o["q_frontier"] = f"""
-      WITH frag AS (
-        SELECT doc_id,
-               string_agg('<a href="https://src' || ((doc_id + j) % 20)::VARCHAR ||
-                          '.example.com/doc/' || (doc_id + j + 1)::VARCHAR ||
-                          '">x</a>', '' ORDER BY j) AS anchors
-        FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j)
-        GROUP BY doc_id
-      ),
-      html2 AS (
-        SELECT d.doc_id,
-               '{_HTML_PRE}' || d.source || ' ' || d.doc_id::VARCHAR ||
-               '{_HTML_MID}' || coalesce(d.text, '') || f.anchors ||
-               '{_HTML_POST}' AS h
-        FROM documents d JOIN frag f USING (doc_id)
-      ),
+      WITH {_link_pages_sql(_SRC_TAG_SQL)},
       links AS (
         SELECT unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
         FROM html2
@@ -4190,34 +4167,44 @@ def oracle_sql() -> dict[str, str]:
     """
 
     _BM25_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    o["q_bm25"] = f"""
-      WITH tf AS (
+    def _bm25_core(p: str = "") -> str:
+        """BM25 CTE chain ``{p}tf … {p}ranked`` replaying
+        retrieval.bm25_scores (k1=1.2 b=0.75, Robertson idf, round-4
+        scores, doc_id tie-break) — ONE source for q_bm25 and
+        q_hybrid_rrf's lexical leg (review finding: a verbatim copy
+        would let the two formulas drift apart silently)."""
+        return f"""{p}tf AS (
         SELECT doc_id, token, count(*)::BIGINT AS tf
         FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
               FROM documents)
         WHERE token IN ({_BM25_IN})
         GROUP BY doc_id, token
       ),
-      dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
-      dl AS (SELECT doc_id,
+      {p}dfreq AS (SELECT token, count(*)::BIGINT AS df FROM {p}tf GROUP BY token),
+      {p}dl AS (SELECT doc_id,
                     len(list_filter(string_split(coalesce(text, ''), ' '),
                                     x -> x != '')) AS dl
              FROM documents),
-      stats AS (SELECT avg(dl)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM dl),
-      term AS (
-        SELECT tf.doc_id,
+      {p}stats AS (SELECT avg(dl)::DOUBLE AS avgdl,
+                          count(*)::DOUBLE AS n_docs FROM {p}dl),
+      {p}term AS (
+        SELECT t.doc_id,
                ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * tf.tf * (1.2 + 1.0)
-               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
-        FROM tf JOIN dfreq d USING (token) JOIN dl USING (doc_id), stats s
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS contrib
+        FROM {p}tf t JOIN {p}dfreq d USING (token)
+             JOIN {p}dl l USING (doc_id), {p}stats s
       ),
-      scored AS (SELECT doc_id, round(sum(contrib), 4) AS score
-                 FROM term GROUP BY doc_id),
-      ranked AS (
+      {p}scored AS (SELECT doc_id, round(sum(contrib), 4) AS score
+                 FROM {p}term GROUP BY doc_id),
+      {p}ranked AS (
         SELECT doc_id, score,
                row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS "rank"
-        FROM scored
-      )
+        FROM {p}scored
+      )"""
+
+    o["q_bm25"] = f"""
+      WITH {_bm25_core()}
       SELECT doc_id, score, "rank" FROM ranked WHERE "rank" <= 10
     """
 
@@ -5122,32 +5109,9 @@ def oracle_sql() -> dict[str, str]:
     # also defines `scored`) at k=20 + the shared brute-force cosine
     # core filtered to query vector 0, fused with Σ 1/(60+rank)
     o["q_hybrid_rrf"] = f"""
-      WITH btf AS (
-        SELECT doc_id, token, count(*)::BIGINT AS tf
-        FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS token
-              FROM documents)
-        WHERE token IN ({_BM25_IN})
-        GROUP BY doc_id, token
-      ),
-      bdf AS (SELECT token, count(*)::BIGINT AS df FROM btf GROUP BY token),
-      bdl AS (SELECT doc_id,
-                     len(list_filter(string_split(coalesce(text, ''), ' '),
-                                     x -> x != '')) AS dl
-              FROM documents),
-      bstats AS (SELECT avg(dl)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs FROM bdl),
-      bterm AS (
-        SELECT btf.doc_id,
-               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-               * btf.tf * (1.2 + 1.0)
-               / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * bdl.dl / s.avgdl)) AS contrib
-        FROM btf JOIN bdf d USING (token) JOIN bdl USING (doc_id), bstats s
-      ),
-      bscored AS (SELECT doc_id, round(sum(contrib), 4) AS score
-                  FROM bterm GROUP BY doc_id),
+      WITH {_bm25_core("b")},
       bm AS (
-        SELECT doc_id,
-               row_number() OVER (ORDER BY score DESC, doc_id ASC)::BIGINT AS rank_a
-        FROM bscored QUALIFY rank_a <= 20
+        SELECT doc_id, "rank" AS rank_a FROM branked WHERE "rank" <= 20
       ),
       {_ann_core()},
       ann AS (

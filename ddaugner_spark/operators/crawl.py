@@ -283,15 +283,27 @@ def resolve_redirects(
     (2^max_jumps hops) is emitted with ``final_url = NULL``, the
     redirect-loop convention.
 
-    POINTER JUMPING, not chain walking: each iteration self-joins the
-    mapping on ``dst = src`` and composes — (s→m, h₁) ∘ (m→t, h₂) =
-    (s→t, h₁+h₂) — so resolved depth DOUBLES per round and a
-    10⁹-url crawl with depth-30 redirect chains settles in 5 shuffles
-    where the naive walk (the recursive-CTE oracle twin) takes 30.
-    Per round: one equi-join of the O(|redirects|) mapping with itself
-    + the CC/LPA parquet round-trip idiom for constant plan depth; the
-    loop exits early once no row's target is itself a redirect source."""
+    POINTER JUMPING, not chain walking: each iteration joins the still-
+    ACTIVE rows against the full mapping on ``dst = src`` and composes —
+    (s→m, h₁) ∘ (m→t, h₂) = (s→t, h₁+h₂) — so resolved depth DOUBLES
+    per round and a 10⁹-url crawl with depth-30 redirect chains settles
+    in 5 shuffles where the naive walk (the recursive-CTE oracle twin)
+    takes 30.
+
+    A row whose target is no redirect source is SETTLED — it leaves the
+    iterating set permanently (appended to the settled store), so the
+    per-round join's left side shrinks to exactly the unresolved rows:
+    a handful of redirect LOOPS (which real crawls always contain)
+    costs |loops|-sized rounds after the chains settle, not full-table
+    churn to the doubling budget.  Rows still unresolved after
+    ``max_jumps`` doublings sit on a cycle (or a > 2^max_jumps chain)
+    and are emitted with ``final_url = NULL, hops = NULL`` — their
+    accumulated hop count is an artifact of going around the loop, not
+    a chain length, so it is withheld rather than reported.  Parquet
+    round-trips per round keep plan depth constant (the CC/LPA
+    idiom)."""
     import atexit
+    import os
     import shutil
     import tempfile
     import time
@@ -309,51 +321,62 @@ def resolve_redirects(
         df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
         return spark.read.parquet(f"{stage_dir}/{name}")
 
-    m = _roundtrip(
+    settled_dir = f"{stage_dir}/settled"
+    active = _roundtrip(
         redirects.select("src", "dst").distinct().withColumn(
             "hops", F.lit(1).cast("long")
         ),
-        "m_init",
+        "active_init",
     )
-    final_name = "m_init"
+    have_settled = False
     for _round in range(1, max_jumps + 1):
         r_t0 = time.time()
-        hop = m.select(
+        # lookup = every original src exactly once (active ∪ settled):
+        # composing with a settled entry finishes the row in one step
+        lookup = active
+        if have_settled:
+            lookup = lookup.unionByName(spark.read.parquet(settled_dir))
+        hop = lookup.select(
             F.col("src").alias("_s2"),
             F.col("dst").alias("_d2"),
             F.col("hops").alias("_h2"),
         )
-        jumped = m.join(hop, m.dst == hop._s2, "left").select(
-            "src",
-            F.coalesce("_d2", "dst").alias("dst"),
-            F.when(F.col("_s2").isNotNull(), F.col("hops") + F.col("_h2"))
-            .otherwise(F.col("hops"))
-            .alias("hops"),
-            F.col("_s2").isNotNull().alias("_moved"),
+        jumped = _roundtrip(
+            active.join(hop, active.dst == hop._s2, "left").select(
+                "src",
+                F.coalesce("_d2", "dst").alias("dst"),
+                F.when(F.col("_s2").isNotNull(), F.col("hops") + F.col("_h2"))
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+                F.col("_s2").isNotNull().alias("_moved"),
+            ),
+            f"j_{_round % 2}",
         )
-        final_name = f"m_{_round % 2}"
-        jumped = _roundtrip(jumped, final_name)
-        n_moved = jumped.filter(F.col("_moved")).count()
-        m = jumped.drop("_moved")
+        newly_settled = jumped.filter(~F.col("_moved")).drop("_moved")
+        if newly_settled.limit(1).count() > 0:
+            newly_settled.write.mode("append").parquet(settled_dir)
+            have_settled = True
+        active = jumped.filter(F.col("_moved")).drop("_moved")
+        n_active = active.count()
         stats["rounds"].append(
-            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_moved": n_moved}
+            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_active": n_active}
         )
-        if n_moved == 0:
+        if n_active == 0:
             break
 
-    # anything whose dst is STILL a redirect source after the doubling
-    # budget sits on a cycle (or a >2^max_jumps chain): final = NULL
-    srcs = m.select(F.col("src").alias("_cyc"))
-    out = m.join(srcs, m.dst == srcs._cyc, "left").select(
-        "src",
-        F.when(F.col("_cyc").isNull(), F.col("dst")).alias("final_url"),
-        "hops",
+    resolved = (
+        spark.read.parquet(settled_dir).select(
+            "src", F.col("dst").alias("final_url"), "hops"
+        )
+        if os.path.isdir(settled_dir)
+        else spark.createDataFrame([], "src string, final_url string, hops long")
     )
-    if own_dir:
-        for name in ("m_init", "m_0", "m_1"):
-            if name != final_name:
-                shutil.rmtree(f"{stage_dir}/{name}", ignore_errors=True)
-    return out
+    unresolved = active.select(
+        "src",
+        F.lit(None).cast("string").alias("final_url"),
+        F.lit(None).cast("long").alias("hops"),
+    )
+    return resolved.unionByName(unresolved)
 
 
 def frontier_schedule(

@@ -329,6 +329,7 @@ def hits(
     iters: int = 2,
     ndigits: int = 6,
     broadcast_scores: bool = True,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """(node, hub, authority) — Kleinberg HITS over a DIRECTED edge
     DataFrame ``(src, dst)`` (the host-level web graph: hubs are pages
@@ -356,7 +357,15 @@ def hits(
     ``iters`` keeps the
     lazy plan bounded; nodes with no in-edges carry authority 0, no
     out-edges hub 0 (left joins against the node set).
+
+    The final (h, a) table is referenced TWICE — by the totals
+    aggregate and by the output projection — so with ``stage_dir`` it
+    parquet-round-trips first (the CC/PageRank idiom): without it the
+    whole 2·iters join lineage would execute twice.  Callers on
+    non-toy graphs should pass a stage dir.
     """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -385,20 +394,20 @@ def hits(
         h = nodes.join(h_raw, nodes.node == h_raw.node2, "left").select(
             "node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
         )
+    j = h.join(a, "node")
+    if stage_dir is not None:
+        j.write.mode("overwrite").parquet(f"{stage_dir}/hits_scores")
+        j = edges.sparkSession.read.parquet(f"{stage_dir}/hits_scores")
     totals = F.broadcast(
-        h.join(a, "node").agg(
+        j.agg(
             F.sum("h").cast("double").alias("_th"),
             F.sum("a").cast("double").alias("_ta"),
         )
     )
-    return (
-        h.join(a, "node")
-        .crossJoin(totals)
-        .select(
-            "node",
-            F.round(F.col("h") / F.col("_th"), ndigits).alias("hub"),
-            F.round(F.col("a") / F.col("_ta"), ndigits).alias("authority"),
-        )
+    return j.crossJoin(totals).select(
+        "node",
+        F.round(F.col("h") / F.col("_th"), ndigits).alias("hub"),
+        F.round(F.col("a") / F.col("_ta"), ndigits).alias("authority"),
     )
 
 

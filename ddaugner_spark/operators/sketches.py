@@ -146,10 +146,19 @@ def kmv_set_ops(
     Everything is per-group array arithmetic on k-bounded arrays — the
     join exchanges ≤ \\|groups\\| · k hashes, nothing corpus-sized; all
     divisions are exact small-integer ratios in double, so both engines
-    agree bit-for-bit."""
+    agree bit-for-bit.  The join is FULL OUTER with empty-set defaults:
+    a group with data on only one side still reports its one-sided
+    estimates (est_other = 0, union = that side, intersect = 0) —
+    dropping it would make "no overlap data" indistinguishable from
+    "group absent"."""
+    empty = F.array().cast("array<string>")
     a = mins_a.select(group_col, F.col("mins").alias("_ma"))
     b = mins_b.select(group_col, F.col("mins").alias("_mb"))
-    j = a.join(b, group_col)
+    j = a.join(b, group_col, "full_outer").select(
+        group_col,
+        F.coalesce("_ma", empty).alias("_ma"),
+        F.coalesce("_mb", empty).alias("_mb"),
+    )
     union_mins = F.slice(
         F.array_sort(F.array_distinct(F.concat(F.col("_ma"), F.col("_mb")))), 1, k
     )

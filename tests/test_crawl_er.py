@@ -325,9 +325,24 @@ class TestResolveRedirects:
         got, _ = self._resolve(
             spark, [("a", "b"), ("b", "a"), ("c", "a")], tmp_path, max_jumps=4
         )
-        assert got["a"][0] is None and got["b"][0] is None
-        # c feeds INTO the cycle: never terminal either
-        assert got["c"][0] is None
+        # cycle members AND feeders: no terminal, and the accumulated
+        # hop count is a loop artifact — withheld, not reported
+        assert got["a"] == (None, None)
+        assert got["b"] == (None, None)
+        assert got["c"] == (None, None)
+
+    def test_cycle_iterates_only_the_active_remainder(self, spark, tmp_path):
+        """Settled chains leave the iterating set: with one 2-cycle next
+        to many settled rows, later rounds see only the cycle rows."""
+        pairs = [("x", "y"), ("y", "x")] + [(f"u{i}", "t") for i in range(20)]
+        got, stats = self._resolve(spark, pairs, tmp_path, max_jumps=5)
+        assert got["u3"] == ("t", 1)
+        assert got["x"] == (None, None)
+        # after round 1 the 20 chain rows are settled; every subsequent
+        # round's active set is exactly the 2 cycle rows
+        assert [r["n_active"] for r in stats["rounds"]][1:] == [2] * (
+            len(stats["rounds"]) - 1
+        )
 
     def test_branching_trees_fold_to_roots(self, spark, tmp_path):
         pairs = [("x1", "r"), ("x2", "r"), ("y", "x1")]

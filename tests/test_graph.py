@@ -484,3 +484,9 @@ class TestPersonalizedPagerank:
                              stage_dir=str(tmp_path / "pr"))
         s = sum(r.rank for r in out.collect())
         assert abs(s - 1.0) < 1e-9
+
+
+def test_hits_rejects_zero_iters(spark):
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters"):
+        graph.hits(e, iters=0)

@@ -283,3 +283,20 @@ def test_setops_union_sketch_equals_sketch_of_union(spark):
     )
     want = kmv_sketch(u, "g", "v", k=64).collect()[0].n_distinct_est
     assert got == want
+
+
+def test_setops_one_sided_group_survives(spark):
+    """A group with data on only one side reports one-sided estimates
+    (full-outer semantics) instead of vanishing."""
+    a = spark.createDataFrame(
+        [("g", f"x{i}") for i in range(12)] + [("only_a", "z")],
+        "g string, v string",
+    )
+    b = spark.createDataFrame([("g", f"x{i}") for i in range(6, 18)],
+                              "g string, v string")
+    out = {r.g: r for r in kmv_set_ops(
+        kmv_mins(a, "g", "v", k=64), kmv_mins(b, "g", "v", k=64), "g", k=64
+    ).collect()}
+    r = out["only_a"]
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersect) == (1.0, 0.0, 1.0, 0.0)
+    assert out["g"].est_intersect == 6.0
