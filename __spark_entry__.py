@@ -46,6 +46,7 @@ from ddaugner_spark.operators import (
     textstats,
     triples,
 )
+from ddaugner_spark.operators import events as evops
 
 QUERY_IDS = [0, 1, 2, 3, 4]  # ANN query vectors
 
@@ -2345,6 +2346,82 @@ def q_events_sessions(spark, sf):
     )
 
 
+def q_link_predict(spark, sf):
+    """KG-completion candidate generation by common-neighbor link
+    prediction on the co-mention graph: for every non-adjacent entity
+    pair sharing a neighbor — common count, Adamic-Adar Σ 1/ln(deg z),
+    neighborhood Jaccard.  Wedge-join-bounded (one adjacency self-join
+    through the shared neighbor, never a node crossJoin), one (v, w)
+    hash aggregate, an anti-join against the edge set, two slim degree
+    joins (operators/graph.py link_prediction; hub guard via max_deg at
+    crawl scale, exact here for the oracle twin)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.link_prediction(canonical.co_mention_edges(m))
+
+
+def q_entity_salience(spark, sf):
+    """Per-document entity salience (frequency share × first-mention
+    position decay — Dunietz & Gillick 2014's dominant features): the
+    triple-support / entity-link prior weighting pass.  One mention
+    hash aggregate, doc totals re-aggregated from its output (AQE
+    shuffle reuse), one slim doc_id join
+    (operators/linking.py entity_salience)."""
+    return linking.entity_salience(mentions.mentions_df(_docs(spark, sf)))
+
+
+def q_random_walks(spark, sf):
+    """DeepWalk corpus generation (Perozzi et al. 2014) over the
+    synthetic host web graph: 2 deterministic walks of ≤3 steps per
+    source host, next hop = md5(walk_id|step) mod out_deg over the
+    lexicographically ranked neighbors — unseeded-randomness-free, so
+    the walk corpus is identical under repartition/resume and the
+    recursive-CTE twin replays it exactly.  Each step is one slim
+    equi-join of the walk table against the ranked adjacency
+    (operators/graph.py deterministic_walks)."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    g = crawl.host_graph(crawl.extract_links(pages))
+    edges = g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
+
+
+def q_funnel(spark, sf):
+    """Strict ordered funnel signup→view→click→purchase: per-stage
+    distinct-user counts where stage k's event must strictly follow the
+    time stage k-1 was reached (sequential-min semantics on a packed
+    fixed-width (epoch_us, event_id) string key — deterministic under
+    timestamp ties, plain min()/> in both engines).  One slim user-keyed
+    aggregate per stage, all on the SAME shuffle key
+    (operators/events.py funnel_counts)."""
+    return evops.funnel_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_retention(spark, sf):
+    """Weekly cohort retention: cohort = ISO week of first activity,
+    one distinct-user count per (cohort, week offset).  Events reduce
+    to distinct (user, week) ONCE; cohorts re-aggregate that table;
+    cohort_week emitted as an ISO date string for canonicalizer parity
+    (operators/events.py retention_cohorts)."""
+    return evops.retention_cohorts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_markov(spark, sf):
+    """Event-transition matrix (order-1 Markov chain): per-user lead()
+    over the (ts, event_id) total order → (cur, nxt) counts → row
+    totals RE-AGGREGATED from the pair counts (shuffle reuse) → p
+    rounded at 6 (operators/events.py markov_transitions)."""
+    return evops.markov_transitions(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_stupid_backoff(spark, sf):
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007 — the
+    count-only distributed LM): probes = corpus trigrams ∪ corrupted
+    (w3←w1) twins, score = c3/c12, else 0.4·c23/c2, else 0.4²·c1/N,
+    level = matched order.  Three map-side-combinable n-gram count
+    aggregates + probe equi-joins on each n-gram key + a one-row
+    broadcast for N (operators/textstats.py stupid_backoff_scores)."""
+    return textstats.stupid_backoff_scores(_docs(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -2516,6 +2593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_links": q_stream_links,
         "q_ccnet_buckets": q_ccnet_buckets,
         "q_url_templates": q_url_templates,
+        "q_link_predict": q_link_predict,
+        "q_entity_salience": q_entity_salience,
+        "q_random_walks": q_random_walks,
+        "q_stupid_backoff": q_stupid_backoff,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_markov": q_markov,
     }
 
 
@@ -5936,6 +6020,194 @@ sents AS (
     o["q_stream_dedup"] = f"""
       WITH {_CORPUS}
       SELECT DISTINCT md5(text) AS text_hash FROM corpus
+    """
+
+    # common-neighbor link prediction: naive wedge self-join through the
+    # shared neighbor z, anti-join against the edge set, AA = Σ 1/ln(deg z)
+    o["q_link_predict"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      wedges AS (
+        SELECT l.b AS v, r.b AS w, l.a AS z
+        FROM sym l JOIN sym r ON l.a = r.a AND l.b < r.b
+      ),
+      scored AS (
+        SELECT v, w, count(*)::BIGINT AS common,
+               sum(1.0 / ln(d.deg::DOUBLE)) AS aa_raw
+        FROM wedges JOIN deg d ON d.node = wedges.z
+        GROUP BY v, w
+      ),
+      nonedges AS (
+        SELECT s.* FROM scored s ANTI JOIN edges e ON s.v = e.a AND s.w = e.b
+      )
+      SELECT n.v, n.w, n.common,
+             round(n.aa_raw, 6) AS aa,
+             round(n.common::DOUBLE / (dv.deg + dw.deg - n.common), 6) AS jaccard
+      FROM nonedges n
+      JOIN deg dv ON dv.node = n.v
+      JOIN deg dw ON dw.node = n.w
+    """
+
+    # salience = mention-frequency share × first-sentence position decay
+    o["q_entity_salience"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per AS (
+        SELECT doc_id, surface, count(*)::BIGINT AS cnt,
+               min(sent_id)::BIGINT AS first_sent
+        FROM mentsent GROUP BY doc_id, surface
+      ),
+      tot AS (SELECT doc_id, sum(cnt)::BIGINT AS doc_total FROM per GROUP BY doc_id)
+      SELECT p.doc_id, p.surface, p.cnt, p.first_sent,
+             round((p.cnt::DOUBLE / t.doc_total) / (1.0 + p.first_sent), 6) AS salience
+      FROM per p JOIN tot t USING (doc_id)
+    """
+
+    # deterministic DeepWalk replay: same link crawl as q_link_graph,
+    # recursive walk with next hop = md5(walk_id|step) mod outdeg over
+    # the row_number-ranked (binary-collation) neighbor list
+    o["q_random_walks"] = f"""
+      WITH RECURSIVE {_link_pages_sql(_SRC_TAG_SQL)},
+      links AS (
+        SELECT source || '.example.com' AS src,
+               unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      ),
+      adj0 AS (
+        SELECT DISTINCT src,
+               lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS dst
+        FROM links
+      ),
+      adj AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS outdeg
+        FROM adj0
+      ),
+      seeds AS (SELECT DISTINCT src FROM adj),
+      walks AS (
+        SELECT src || '#' || r::VARCHAR AS walk_id, 0 AS step, src AS node
+        FROM seeds, (SELECT unnest(range(2)) AS r)
+        UNION ALL
+        SELECT w.walk_id, w.step + 1, a.dst
+        FROM walks w
+        JOIN adj a ON a.src = w.node
+         AND a.idx = (('0x' || substr(md5(w.walk_id || '|' ||
+                       (w.step + 1)::VARCHAR), 1, 4))::UBIGINT % a.outdeg)::BIGINT
+        WHERE w.step < 3
+      )
+      SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # strict ordered funnel: the packed fixed-width (epoch_us, event_id)
+    # key replayed, one sequential-min CTE per stage
+    o["q_funnel"] = """
+      WITH ev AS (
+        SELECT user_id, event_type,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0') || '#' ||
+               lpad(event_id::VARCHAR, 10, '0') AS k
+        FROM events
+      ),
+      r1 AS (SELECT user_id, min(k) AS t FROM ev
+             WHERE event_type = 'signup' GROUP BY user_id),
+      r2 AS (SELECT e.user_id, min(e.k) AS t FROM ev e JOIN r1 USING (user_id)
+             WHERE e.event_type = 'view' AND e.k > r1.t GROUP BY e.user_id),
+      r3 AS (SELECT e.user_id, min(e.k) AS t FROM ev e JOIN r2 USING (user_id)
+             WHERE e.event_type = 'click' AND e.k > r2.t GROUP BY e.user_id),
+      r4 AS (SELECT e.user_id, min(e.k) AS t FROM ev e JOIN r3 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.k > r3.t GROUP BY e.user_id)
+      SELECT 1::INT AS stage_idx, 'signup' AS stage, count(*)::BIGINT AS n_users FROM r1
+      UNION ALL
+      SELECT 2::INT, 'view', count(*)::BIGINT FROM r2
+      UNION ALL
+      SELECT 3::INT, 'click', count(*)::BIGINT FROM r3
+      UNION ALL
+      SELECT 4::INT, 'purchase', count(*)::BIGINT FROM r4
+    """
+
+    # weekly cohort retention; offsets are exact multiples of 7 days
+    # (both weeks are Monday truncations) so the /7 is integral in both
+    # engines — no float-cast rounding divergence
+    o["q_retention"] = """
+      WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+      ),
+      cohort AS (
+        SELECT user_id, min(week) AS cohort_week FROM active GROUP BY user_id
+      )
+      SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+             (date_diff('day', c.cohort_week, a.week) / 7)::BIGINT AS week_offset,
+             count(DISTINCT a.user_id)::BIGINT AS n_users
+      FROM active a JOIN cohort c USING (user_id)
+      GROUP BY c.cohort_week, a.week
+    """
+
+    # order-1 Markov transition matrix over the (ts, event_id) order
+    o["q_markov"] = """
+      WITH seq AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+      ),
+      pairs AS (SELECT cur, nxt, count(*)::BIGINT AS cnt
+                FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      tt AS (SELECT cur, sum(cnt)::BIGINT AS tot FROM pairs GROUP BY cur)
+      SELECT pr.cur, pr.nxt, pr.cnt, round(pr.cnt::DOUBLE / tt.tot, 6) AS p
+      FROM pairs pr JOIN tt USING (cur)
+    """
+
+    # Stupid Backoff replay: identical n-gram count tables, identical
+    # probe construction (trigrams ∪ w3←w1 twins), identical CASE chain
+    o["q_stupid_backoff"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, ' ') END AS t
+        FROM documents
+      ),
+      tg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)
+      ),
+      c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tg GROUP BY 1, 2, 3),
+      bgx AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) u(i)
+      ),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bgx GROUP BY 1, 2),
+      uni AS (SELECT unnest(t) AS w FROM toks),
+      c1 AS (SELECT w, count(*)::BIGINT AS c1 FROM uni GROUP BY w),
+      nt AS (SELECT sum(c1)::DOUBLE AS n_total FROM c1),
+      probes AS (
+        SELECT DISTINCT w1, w2, w3 FROM (
+          SELECT w1, w2, w3 FROM c3
+          UNION ALL SELECT w1, w2, w1 AS w3 FROM c3
+        )
+      ),
+      j AS (
+        SELECT p.w1, p.w2, p.w3, c3.c3, c12.c2 AS c12, c23.c2 AS c23,
+               u2.c1 AS cw2, u3.c1 AS cw3
+        FROM probes p
+        LEFT JOIN c3 ON c3.w1 = p.w1 AND c3.w2 = p.w2 AND c3.w3 = p.w3
+        LEFT JOIN c2 c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+        LEFT JOIN c2 c23 ON c23.w1 = p.w2 AND c23.w2 = p.w3
+        JOIN c1 u2 ON u2.w = p.w2
+        JOIN c1 u3 ON u3.w = p.w3
+      )
+      SELECT w1, w2, w3,
+             (CASE WHEN c3 IS NOT NULL THEN 3
+                   WHEN c23 IS NOT NULL THEN 2 ELSE 1 END)::INT AS level,
+             round(CASE WHEN c3 IS NOT NULL THEN c3::DOUBLE / c12
+                        WHEN c23 IS NOT NULL THEN 0.4 * c23::DOUBLE / cw2
+                        ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
+                   END, 6) AS score
+      FROM j
     """
 
     return o

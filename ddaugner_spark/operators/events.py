@@ -1,0 +1,140 @@
+"""Behavioral analytics over the event stream: ordered funnels, cohort
+retention, and event-transition (Markov) matrices.
+
+The reference engine's event surface stops at windowed counts and
+sessionization; a crawl/product telemetry pipeline at warehouse scale
+additionally asks the three classic sequence questions — how far do
+users get through an ordered goal sequence (funnel), do they come back
+(retention), and what do they do next (transition matrix).  All three
+are expressed as plain DataFrame aggregates so Catalyst keeps every
+stage whole-stage-codegen'd and map-side-combinable.
+
+Scale notes:
+
+* **Funnel** uses one slim per-user aggregate per stage, each keyed on
+  ``user_id`` — the SAME shuffle key every stage, so the exchange is
+  planned once and reused (AQE); the moving tables after stage 1 are
+  user-sized, not event-sized.  The sequential-min semantics (stage k's
+  timestamp must strictly follow stage k-1's reached time) is the
+  correct ordered-funnel definition — min-per-stage-then-compare
+  undercounts reorderings.
+* **Retention** reduces events to distinct (user, week) once, joins the
+  user-sized cohort table, and aggregates — no window over the event
+  table.
+* **Transitions** need the per-user total order, so ONE window
+  (partitioned by user, ordered by (ts, event_id) — the q_events_sessions
+  tie-break) computes lead(); everything after is count aggregates, with
+  row totals RE-AGGREGATED from the pair counts (shuffle reuse), never
+  recounted from events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel_counts(events: DataFrame, stages: list[str] | None = None) -> DataFrame:
+    """(stage_idx, stage, n_users): users whose events reach each prefix
+    of ``stages`` in strict timestamp order (ties broken by event_id —
+    a later stage must have a strictly later (ts, event_id) key than
+    the time stage k-1 was reached).
+
+    Stage 1 reached-time = min event key of stage-1 events; stage k
+    reached-time = min key of stage-k events strictly after stage k-1's
+    reached time.  Comparing on the composite (ts, event_id) key makes
+    the funnel deterministic under equal timestamps.
+    """
+    stages = FUNNEL_STAGES if stages is None else stages
+    # composite orderable key as a FIXED-WIDTH packed string (the
+    # q_winnow device): lexicographic order == (epoch_us, event_id)
+    # numeric order, and plain min()/> work identically in both engines
+    # (a long of micros·2^20 + id would overflow; struct-min has no
+    # clean DuckDB twin)
+    key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+        ),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    ).alias("k")
+
+    ev = events.select("user_id", "event_type", key)
+    reached = ev.filter(F.col("event_type") == stages[0]).groupBy("user_id").agg(
+        F.min("k").alias("t")
+    )
+    out_rows = [(1, stages[0], reached)]
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == st)
+            .join(reached, "user_id")
+            .filter(F.col("k") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("k").alias("t"))
+        )
+        out_rows.append((i, st, nxt))
+        reached = nxt
+    counts = None
+    for i, st, df in out_rows:
+        c = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_users): weekly cohort retention —
+    cohort = ISO week of the user's first event, and for every later
+    week in which the user is active, one distinct-user count at that
+    week offset.  ``cohort_week`` is emitted as an ISO date STRING
+    (date_format) so the driver canonicalizer hashes it identically to
+    the DuckDB twin (DATE → pandas Timestamp tag mismatch otherwise —
+    the q_kg_validity lesson)."""
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    active = events.select(
+        "user_id", wk.alias("week")
+    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )
+
+
+def markov_transitions(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """(cur, nxt, cnt, p): per-user event-type bigram counts over the
+    (ts, event_id) total order and the row-normalized transition
+    probability p = cnt / Σ_nxt cnt — the next-action model (Markov
+    chain of order 1) behind session-abandonment and prefetch
+    heuristics."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("cnt").alias("tot"))
+    return pairs.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt").cast("double") / F.col("tot"), ndigits).alias("p"),
+    )

@@ -713,3 +713,142 @@ def bfs_distances(
         frontier = nxt
 
     return visited
+
+
+def link_prediction(
+    edges: DataFrame, max_deg: int | None = None, ndigits: int = 6
+) -> DataFrame:
+    """Common-neighbor link prediction over the undirected co-mention
+    graph: for every non-adjacent pair (v, w) sharing at least one
+    neighbor, ``(v, w, common, aa, jaccard)`` — the raw common-neighbor
+    count, the Adamic–Adar score Σ_z 1/ln(deg(z)) (Adamic & Adar 2003,
+    "Friends and neighbors on the Web"), and the neighborhood Jaccard
+    |N(v)∩N(w)| / |N(v)∪N(w)|.  The KG-completion candidate generator:
+    entities that share co-mention neighborhoods but never co-occur are
+    the pairs an alias/merge or relation-inference pass should look at
+    first.
+
+    Scale shape: candidate pairs are generated ONLY through shared
+    neighbors (one self-equi-join of the symmetrized adjacency on the
+    hub column z), never by node crossJoin — output is wedge-bounded,
+    Σ_z deg(z)², not |V|².  Each common neighbor z contributes its
+    1/ln(deg z) term map-side after ONE |V|-sized degree join, so the
+    whole operator is: degree agg, wedge join, (v, w) hash aggregate,
+    existing-edge anti-join, two slim degree joins.  ``max_deg``
+    deterministically drops hub wedges (a z with deg > max_deg predicts
+    nothing specific anyway — the standard hub guard at crawl scale,
+    where a wedge join through an every-doc entity would be quadratic);
+    default None keeps exact semantics for the oracle twin.  Every
+    common neighbor has deg ≥ 2, so ln(deg z) > 0 — no pole.
+
+    Float parity: aa sums bounded sets of doubles then rounds at
+    ``ndigits`` — reorder error ~1e-15 relative, far below the grain
+    (the q_pagerank device).
+    """
+    e = edges.select("a", "b").distinct()
+    deg = degrees(e)
+    zdeg = deg.select(F.col("node").alias("z"), F.col("deg").alias("zdeg"))
+    if max_deg is not None:
+        zdeg = zdeg.filter(F.col("zdeg") <= max_deg)
+    sym = symmetrize(e)
+    left = sym.select(F.col("a").alias("z"), F.col("b").alias("v"))
+    right = sym.select(F.col("a").alias("z"), F.col("b").alias("w"))
+    wedges = (
+        left.join(right, "z")
+        .filter(F.col("v") < F.col("w"))
+        .join(zdeg, "z")
+    )
+    scored = wedges.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.sum(F.lit(1.0) / F.log(F.col("zdeg").cast("double"))).alias("aa_raw"),
+    )
+    non_edges = scored.join(
+        e, (scored.v == e.a) & (scored.w == e.b), "left_anti"
+    )
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("v_deg"))
+    dw = deg.select(F.col("node").alias("w"), F.col("deg").alias("w_deg"))
+    return (
+        non_edges.join(dv, "v")
+        .join(dw, "w")
+        .select(
+            "v",
+            "w",
+            "common",
+            F.round("aa_raw", ndigits).alias("aa"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("v_deg") + F.col("w_deg") - F.col("common")),
+                ndigits,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame, length: int = 3, walks_per_seed: int = 2
+) -> DataFrame:
+    """DeepWalk/node2vec-style corpus generation (Perozzi et al. 2014)
+    with fully deterministic "random" choices: ``walks_per_seed`` walks
+    of up to ``length`` steps start from every source node of the
+    DIRECTED ``(src, dst)`` edge table; at node u on step t the walk
+    takes neighbor index md5(walk_id|t) mod out_deg(u) over the
+    lexicographically ranked neighbor list.  Output is one row per
+    visited position ``(walk_id, step, node)`` (step 0 = the seed); a
+    walk that reaches a sink node simply ends — shorter walks are the
+    DeepWalk contract, not an error.
+
+    Determinism is the repo-wide rule (no unseeded randomness): the
+    next-hop draw is a pure function of (walk_id, step), so the corpus
+    is identical under repartition/resume and the DuckDB twin replays
+    it exactly.  Neighbor ranks use row_number over the ASCII dst
+    order — binary collation matches across engines.
+
+    Scale shape: the adjacency (with per-src neighbor rank and
+    out-degree, both from one src-partitioned window/agg) is built
+    once; each step is ONE slim equi-join of the |frontier|-sized walk
+    table against it on the current node — the standard MapReduce
+    DeepWalk layout where the walk table, not the graph, is the moving
+    part.  ``length`` is small and fixed, so lineage stays shallow with
+    no checkpoint requirement.
+    """
+    from pyspark.sql import Window
+
+    adj = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy("dst")
+    adj = adj.withColumn("idx", F.row_number().over(w) - F.lit(1))
+    adj = adj.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+
+    seeds = adj.select(F.col("src").alias("node")).distinct()
+    reps = F.explode(
+        F.sequence(F.lit(0), F.lit(int(walks_per_seed) - 1))
+    ).alias("r")
+    frontier = seeds.select("node", reps).select(
+        F.concat_ws("#", "node", F.col("r").cast("string")).alias("walk_id"),
+        "node",
+    )
+    out = frontier.select("walk_id", F.lit(0).cast("int").alias("step"), "node")
+
+    for t in range(1, int(length) + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "walk_id", F.lit(str(t)))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("outdeg")
+        )
+        frontier = (
+            frontier.join(adj, frontier.node == adj.src)
+            .filter(F.col("idx") == pick)
+            .select("walk_id", F.col("dst").alias("node"))
+        )
+        out = out.unionByName(
+            frontier.select(
+                "walk_id", F.lit(t).cast("int").alias("step"), "node"
+            )
+        )
+    return out

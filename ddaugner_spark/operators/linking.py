@@ -76,3 +76,42 @@ def distinct_docs_per_entity(
         .agg(F.countDistinct("doc_id").alias("pd"))
     )
     return partial.groupBy("surface").agg(F.sum("pd").alias("n_docs"))
+
+
+def entity_salience(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-document entity salience: ``(doc_id, surface, cnt,
+    first_sent, salience)`` with
+
+        salience = (cnt / doc_total_mentions) · 1 / (1 + first_sent)
+
+    — mention-frequency share damped by earliest-sentence position, the
+    two dominant features of classic salience models (Dunietz & Gillick
+    2014, "A new entity salience task with millions of training
+    examples": frequency and first-mention position carry most of the
+    signal).  Feeds triple-support weighting and entity-link priors: a
+    KG edge asserted by a doc's headline entity outranks one from a
+    trailing aside.
+
+    Scale shape: one (doc_id, surface) hash aggregate with map-side
+    combine, then the doc totals RE-AGGREGATE that output on the
+    prefix key doc_id (the langid-profile device — AQE reuses the
+    first shuffle rather than rescanning mentions), and one slim
+    doc_id equi-join back.  Nothing wider than the mention table ever
+    moves; no window over the corpus.
+    """
+    per = mentions.groupBy("doc_id", "surface").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("sent_id").alias("first_sent"),
+    )
+    totals = per.groupBy("doc_id").agg(F.sum("cnt").alias("doc_total"))
+    return per.join(totals, "doc_id").select(
+        "doc_id",
+        "surface",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("first_sent").cast("long").alias("first_sent"),
+        F.round(
+            (F.col("cnt").cast("double") / F.col("doc_total"))
+            / (F.lit(1.0) + F.col("first_sent")),
+            ndigits,
+        ).alias("salience"),
+    )

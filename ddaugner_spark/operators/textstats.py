@@ -486,3 +486,125 @@ def perplexity_buckets(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def word_trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2, w3) — all adjacent word triples per doc (narrow
+    sequence+transform, the word_bigrams device one order higher; docs
+    with < 3 tokens yield no rows)."""
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    df = docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    n = F.col("n_tokens")
+    seq = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.element_at(F.col("tokens"), i.cast("int")).alias("w1"),
+            F.element_at(F.col("tokens"), (i + F.lit(1)).cast("int")).alias("w2"),
+            F.element_at(F.col("tokens"), (i + F.lit(2)).cast("int")).alias("w3"),
+        ),
+    )
+    return df.select("doc_id", F.explode(tri).alias("t")).select(
+        "doc_id",
+        F.col("t.w1").alias("w1"),
+        F.col("t.w2").alias("w2"),
+        F.col("t.w3").alias("w3"),
+    )
+
+
+def stupid_backoff_scores(
+    docs: DataFrame, alpha: float = 0.4, ndigits: int = 6
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the distributed-count LM
+    that replaced smoothed Kneser-Ney at MapReduce scale): for a probe
+    trigram (w1, w2, w3),
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)          if c(w1 w2 w3) > 0
+                      = α · c(w2 w3) / c(w2)             else if c(w2 w3) > 0
+                      = α² · c(w3) / N                   otherwise
+
+    with α = 0.4 (the paper's constant).  Scores are relative
+    frequencies, not normalized probabilities — that is the point of
+    the method: no held-out statistics, every quantity a raw count, so
+    the whole model is three hash aggregates over the corpus.
+
+    The probe set is the corpus's distinct trigrams (level-3 rows) plus
+    a deterministic corrupted twin per trigram (w3 ← w1) that exercises
+    the backoff chain: the corrupted context (w1, w2) stays observed
+    while (w1, w2, w1) usually is not.  Output one row per distinct
+    probe: (w1, w2, w3, level, score) where level ∈ {3, 2, 1} is the
+    count order that matched.
+
+    Scale shape: count tables are plain map-side-combinable groupBys of
+    the (narrow) n-gram explodes; scoring is equi-joins of the probe
+    table against them on their own n-gram keys — the Brants
+    architecture, where the trigram table shards by key and no single
+    node ever holds the model.  N (corpus token count) is a one-row
+    broadcast crossJoin.  Every probe's (w1, w2) and every unigram are
+    observed by construction, so the level-3/level-1 denominators are
+    never NULL; c(w2 w3) alone needs the coalesce.
+    """
+    tg = word_trigrams(docs)
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    bg = word_bigrams(docs)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    docs_nn = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    uni = (
+        docs_nn.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n_total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+
+    probes = (
+        c3.select("w1", "w2", "w3")
+        .unionByName(c3.select("w1", "w2", F.col("w1").alias("w3")))
+        .distinct()
+    )
+    j = (
+        probes.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2.select("w1", "w2", F.col("c2").alias("c12")), ["w1", "w2"], "left")
+        .join(
+            c2.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")), "w2")
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")), "w3")
+        .crossJoin(F.broadcast(n_total))
+    )
+    a = F.lit(float(alpha))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            a * F.col("c23").cast("double") / F.col("cw2"),
+        )
+        .otherwise(a * a * F.col("cw3").cast("double") / F.col("n_total"))
+    )
+    level = (
+        F.when(F.col("c3").isNotNull(), F.lit(3))
+        .when(F.col("c23").isNotNull(), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return j.select(
+        "w1", "w2", "w3",
+        level.alias("level"),
+        F.round(score, ndigits).alias("score"),
+    )

@@ -1,0 +1,112 @@
+"""Behavioral analytics (operators/events.py): strict ordered funnel,
+weekly cohort retention, order-1 Markov transition matrix.  Fixtures
+are small enough to verify by hand, including the funnel's
+strict-ordering edge cases (out-of-order stages must NOT count;
+timestamp ties break by event_id)."""
+
+import datetime as dt
+
+import pytest
+
+from ddaugner_spark.operators import events as evops
+
+
+def _ev(spark, rows):
+    # rows: (event_id, ts_str, user_id, event_type)
+    data = [
+        (i, dt.datetime.fromisoformat(ts), u, et) for (i, ts, u, et) in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def _funnel_map(df):
+    return {r["stage"]: r["n_users"] for r in df.collect()}
+
+
+def test_funnel_strict_order(spark):
+    e = _ev(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, "2024-01-01T00:00", 1, "signup"),
+            (2, "2024-01-01T01:00", 1, "view"),
+            (3, "2024-01-01T02:00", 1, "click"),
+            (4, "2024-01-01T03:00", 1, "purchase"),
+            # user 2: purchase BEFORE click -> stops at view... but a
+            # second click+purchase later completes it? no: only click
+            # after view counts, purchase must follow that click
+            (5, "2024-01-02T00:00", 2, "signup"),
+            (6, "2024-01-02T01:00", 2, "purchase"),
+            (7, "2024-01-02T02:00", 2, "view"),
+            (8, "2024-01-02T03:00", 2, "click"),
+            # user 3: view but never signed up -> counts nowhere
+            (9, "2024-01-03T00:00", 3, "view"),
+        ],
+    )
+    got = _funnel_map(evops.funnel_counts(e))
+    assert got == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_funnel_tie_breaks_by_event_id(spark):
+    # same timestamp: view's event_id greater than signup's -> counts;
+    # user 2 has view event_id SMALLER than signup's at the same ts -> not
+    e = _ev(
+        spark,
+        [
+            (10, "2024-01-01T00:00", 1, "signup"),
+            (11, "2024-01-01T00:00", 1, "view"),
+            (21, "2024-01-01T00:00", 2, "signup"),
+            (20, "2024-01-01T00:00", 2, "view"),
+        ],
+    )
+    got = _funnel_map(evops.funnel_counts(e))
+    assert got == {"signup": 2, "view": 1, "click": 0, "purchase": 0}
+
+
+def test_retention_cohorts(spark):
+    e = _ev(
+        spark,
+        [
+            # user 1: first event week of Mon 2024-01-01, active again +2w
+            (1, "2024-01-02T10:00", 1, "view"),
+            (2, "2024-01-16T10:00", 1, "click"),
+            # user 2: same cohort, active only week 0 (two events, one row)
+            (3, "2024-01-03T10:00", 2, "view"),
+            (4, "2024-01-04T10:00", 2, "view"),
+            # user 3: cohort of Mon 2024-01-08
+            (5, "2024-01-10T10:00", 3, "view"),
+        ],
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in evops.retention_cohorts(e).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+
+
+def test_markov_transitions(spark):
+    e = _ev(
+        spark,
+        [
+            (1, "2024-01-01T00:00", 1, "view"),
+            (2, "2024-01-01T01:00", 1, "view"),
+            (3, "2024-01-01T02:00", 1, "click"),
+            (4, "2024-01-01T00:00", 2, "view"),
+            (5, "2024-01-01T01:00", 2, "purchase"),
+        ],
+    )
+    got = {
+        (r["cur"], r["nxt"]): (r["cnt"], r["p"])
+        for r in evops.markov_transitions(e).collect()
+    }
+    # from 'view': view->view 1, view->click 1, view->purchase 1 (3 total)
+    assert got[("view", "view")] == (1, pytest.approx(round(1 / 3, 6)))
+    assert got[("view", "click")] == (1, pytest.approx(round(1 / 3, 6)))
+    assert got[("view", "purchase")] == (1, pytest.approx(round(1 / 3, 6)))
+    assert len(got) == 3  # click/purchase are terminal in this fixture
