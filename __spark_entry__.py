@@ -2384,6 +2384,68 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_type_closure(spark, sf):
+    """Transitive ancestor closure of a synthetic 200-node type
+    hierarchy (parent(t_i) = t_{(i-1)//3}) by repeated squaring —
+    covered depth DOUBLES per join round (⌈log₂ 8⌉ = 3 shuffles) where
+    the recursive-CTE twin walks one level per step; output is the full
+    (node, anc, depth) subsumption table every KG type-inference join
+    consumes (operators/graph.py ancestor_closure)."""
+    d = (
+        _docs(spark, sf)
+        .select((F.col("doc_id") % 200).alias("i"))
+        .distinct()
+        .filter(F.col("i") >= 1)
+    )
+    parents = d.select(
+        F.concat(F.lit("t"), F.col("i").cast("string")).alias("node"),
+        F.concat(
+            F.lit("t"), F.floor((F.col("i") - 1) / 3).cast("long").cast("string")
+        ).alias("parent"),
+    )
+    return graph.ancestor_closure(parents, max_depth=8)
+
+
+def q_registrable_domain(spark, sf):
+    """Public-suffix-aware registrable-domain (eTLD+1) extraction: ≤2
+    candidate suffixes per host map-side, broadcast PSL equi-join,
+    per-host longest-match argmax — www.site3.co.uk → site3.co.uk, the
+    unit crawl politeness/dedup scoping keys on (operators/crawl.py
+    registrable_domains; synthesized hosts mix 1- and 2-label TLDs and
+    www/cdn prefixes so the longest-match rule is exercised)."""
+    d = _docs(spark, sf)
+    sfx = F.element_at(
+        F.array(*[F.lit(s) for s in _REG_SUFFIXES]),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    sub = F.element_at(
+        F.array(F.lit(""), F.lit("www."), F.lit("cdn.")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    hosts = d.select(
+        F.concat(
+            sub, F.lit("site"), (F.col("doc_id") % 40).cast("string"),
+            F.lit("."), sfx,
+        ).alias("host")
+    ).distinct()
+    return crawl.registrable_domains(hosts)
+
+
+#: suffix rotation for q_registrable_domain's synthetic hosts
+_REG_SUFFIXES = ["com", "org", "net", "io", "co.uk", "com.au", "ac.jp", "gov.uk"]
+
+
+def q_summarize(spark, sf):
+    """SumBasic extractive summarization (Nenkova & Vanderwende 2005):
+    per doc the sentence with max mean corpus word frequency, ties to
+    the earliest sentence.  Selection compares the UNROUNDED
+    integer-division double csum/n_toks (bit-identical both engines);
+    word-count model joins vocabulary-sized, argmax is max-join +
+    min(sent_id), no corpus window (operators/textstats.py
+    extractive_summary)."""
+    return textstats.extractive_summary(_docs(spark, sf))
+
+
 def q_funnel(spark, sf):
     """Strict ordered funnel signup→view→click→purchase: per-stage
     distinct-user counts where stage k's event must strictly follow the
@@ -2600,6 +2662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_retention": q_retention,
         "q_markov": q_markov,
+        "q_type_closure": q_type_closure,
+        "q_registrable_domain": q_registrable_domain,
+        "q_summarize": q_summarize,
     }
 
 
@@ -6102,6 +6167,83 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # closure replay: one level per recursive step vs the engine's
+    # log-round doubling — same (node, anc, depth) set
+    o["q_type_closure"] = """
+      WITH RECURSIVE ids AS (
+        SELECT DISTINCT doc_id % 200 AS i FROM documents WHERE doc_id % 200 >= 1
+      ),
+      edges AS (
+        SELECT 't' || i::VARCHAR AS node, 't' || ((i - 1) // 3)::VARCHAR AS anc
+        FROM ids
+      ),
+      reach AS (
+        SELECT node, anc, 1 AS depth FROM edges
+        UNION ALL
+        SELECT r.node, e.anc, r.depth + 1
+        FROM reach r JOIN edges e ON e.node = r.anc
+        WHERE r.depth < 8
+      )
+      SELECT node, anc, depth::INT AS depth FROM reach
+    """
+
+    # PSL longest-match replay: same host synthesis, candidate union,
+    # argmax by suffix length
+    _psl_vals = ", ".join(f"('{s}')" for s in crawl.PUBLIC_SUFFIXES)
+    o["q_registrable_domain"] = f"""
+      WITH hosts AS (
+        SELECT DISTINCT
+          (CASE doc_id % 3 WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'cdn.' END) ||
+          'site' || (doc_id % 40)::VARCHAR || '.' ||
+          (CASE doc_id % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'org' WHEN 2 THEN 'net'
+                WHEN 3 THEN 'io' WHEN 4 THEN 'co.uk' WHEN 5 THEN 'com.au'
+                WHEN 6 THEN 'ac.jp' ELSE 'gov.uk' END) AS host
+        FROM documents
+      ),
+      psl AS (SELECT * FROM (VALUES {_psl_vals}) p(suffix)),
+      parts AS (SELECT host, string_split(host, '.') AS pa FROM hosts),
+      cand AS (
+        SELECT host, pa[-1] AS cand FROM parts
+        UNION ALL
+        SELECT host, pa[-2] || '.' || pa[-1] FROM parts WHERE len(pa) >= 2
+      ),
+      m AS (
+        SELECT c.host, arg_max(c.cand, len(c.cand)) AS public_suffix
+        FROM cand c JOIN psl ON c.cand = psl.suffix GROUP BY c.host
+      )
+      SELECT m.host, m.public_suffix,
+             CASE WHEN len(p.pa) > len(string_split(m.public_suffix, '.'))
+                  THEN p.pa[-(len(string_split(m.public_suffix, '.')) + 1)]
+                       || '.' || m.public_suffix END AS registrable
+      FROM m JOIN parts p USING (host)
+    """
+
+    # SumBasic replay: selection on the unrounded csum/n_toks double
+    o["q_summarize"] = f"""
+      WITH {_TOKS}, {_SENTID},
+      ts AS (
+        SELECT t.doc_id, s.sent_id, t.tok
+        FROM toks t JOIN sentid s ON t.doc_id = s.doc_id AND t.pos = s.pos
+      ),
+      wc AS (SELECT tok, count(*)::BIGINT AS c FROM ts GROUP BY tok),
+      nt AS (SELECT sum(c)::DOUBLE AS n FROM wc),
+      sent AS (
+        SELECT ts.doc_id, ts.sent_id, count(*)::BIGINT AS n_toks,
+               sum(wc.c)::DOUBLE / count(*) AS r
+        FROM ts JOIN wc USING (tok) GROUP BY ts.doc_id, ts.sent_id
+      ),
+      mx AS (SELECT doc_id, max(r) AS m FROM sent GROUP BY doc_id),
+      win AS (
+        SELECT s.doc_id, min(s.sent_id)::BIGINT AS best_sent
+        FROM sent s JOIN mx ON mx.doc_id = s.doc_id AND s.r = mx.m
+        GROUP BY s.doc_id
+      )
+      SELECT w.doc_id, w.best_sent, s.n_toks,
+             round(s.r / (SELECT n FROM nt), 6) AS score
+      FROM win w JOIN sent s
+        ON s.doc_id = w.doc_id AND s.sent_id = w.best_sent
     """
 
     # strict ordered funnel: the packed fixed-width (epoch_us, event_id)

@@ -453,3 +453,79 @@ def url_templates(urls: DataFrame, url_col: str = "url", min_count: int = 2) -> 
         .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
         .filter(F.col("n_urls") >= min_count)
     )
+
+
+#: Demo slice of the Public Suffix List (publicsuffix.org) — the real
+#: list (~9k rules) drops in unchanged; the operator only assumes "a
+#: set of 1- and 2-label suffixes, longest match wins".  1-label
+#: entries deliberately include the country codes that also appear
+#: inside 2-label rules (uk, au, jp) so the longest-match rule is
+#: exercised, exactly as in the real PSL.
+PUBLIC_SUFFIXES = [
+    "com", "org", "net", "io", "dev",
+    "uk", "au", "jp", "nz",
+    "co.uk", "gov.uk", "com.au", "ac.jp", "org.nz",
+]
+
+
+def registrable_domains(
+    hosts: DataFrame, suffixes: list[str] | None = None
+) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction against a broadcast
+    public-suffix table: ``(host, public_suffix, registrable)`` where
+    public_suffix is the LONGEST suffix-list entry matching the host's
+    trailing labels and registrable = one label + that suffix — the
+    unit every per-site crawl policy (politeness, dedup scoping, spam
+    domain lists) actually keys on; naive "last two labels" is wrong
+    for half the ccTLD space (www.example.co.uk → example.co.uk, not
+    co.uk).
+
+    Scale shape: each host emits ≤ 2 candidate suffixes map-side (its
+    last label, and its last two when it has them — a host may BE a
+    bare public suffix, which matches but yields a NULL registrable),
+    the candidate column equi-joins the F.broadcast PSL
+    table (9k rows — never shuffled), and one per-host max_by picks
+    the longest match; the registrable label is recomputed map-side
+    after the join.  Hosts whose tail matches no rule are dropped
+    (unknown TLD = not registrable), the PSL contract.
+    """
+    sfx = PUBLIC_SUFFIXES if suffixes is None else suffixes
+    spark = hosts.sparkSession
+    psl = spark.createDataFrame([(s,) for s in sfx], "suffix string")
+
+    parts = F.split(F.col("host"), r"\.")
+    np = F.size(parts)
+    last1 = F.element_at(parts, -1)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    cands = (
+        hosts.select(
+            "host",
+            F.explode(
+                F.array(
+                    last1,
+                    F.when(np >= 2, last2),
+                )
+            ).alias("cand"),
+        )
+        .filter(F.col("cand").isNotNull())
+    )
+    matched = (
+        cands.join(F.broadcast(psl), cands.cand == psl.suffix)
+        .groupBy("host")
+        .agg(F.max_by("cand", F.length("cand")).alias("public_suffix"))
+    )
+    parts2 = F.split(F.col("host"), r"\.")
+    k = F.size(F.split(F.col("public_suffix"), r"\."))
+    # a host that IS a bare public suffix has no registrable label; the
+    # WHEN guard also keeps ANSI mode's element_at bounds check happy
+    label = F.when(
+        F.size(parts2) > k,
+        F.element_at(parts2, (F.lit(-1) - k).cast("int")),
+    )
+    return matched.select(
+        "host",
+        "public_suffix",
+        F.when(
+            label.isNotNull(), F.concat_ws(".", label, F.col("public_suffix"))
+        ).alias("registrable"),
+    )

@@ -852,3 +852,44 @@ def deterministic_walks(
             )
         )
     return out
+
+
+def ancestor_closure(parents: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Transitive ancestor closure of a type/taxonomy hierarchy by
+    REPEATED SQUARING: ``parents`` is a functional (node, parent) edge
+    table (each node ≤ 1 parent — the KG subsumption shape); output is
+    every (node, anc, depth) pair with depth ≤ ``max_depth``.
+
+    Each round unions the current relation with its self-composition,
+    so covered depth DOUBLES per shuffle — ⌈log₂ d⌉ join rounds where
+    the oracle's recursive CTE walks d steps one at a time (the
+    q_redirects pointer-jumping argument, generalized from final-target
+    resolution to the FULL closure).  In a tree every (node, anc) pair
+    has a unique depth, so the per-round distinct() is exact dedup of
+    alternative split points, not semantic collapsing.
+
+    Scale: the closure of a depth-d hierarchy over |V| nodes is ≤ d·|V|
+    rows (each node has ≤ d ancestors) — output-bounded, never |V|²;
+    rounds are fixed and small so lineage stays shallow without
+    checkpointing.
+    """
+    import math
+
+    r = parents.select(
+        F.col("node"),
+        F.col("parent").alias("anc"),
+        F.lit(1).cast("int").alias("depth"),
+    )
+    for _ in range(max(1, math.ceil(math.log2(max_depth)))):
+        comp = (
+            r.alias("x")
+            .join(r.alias("y"), F.col("x.anc") == F.col("y.node"))
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("y.anc").alias("anc"),
+                (F.col("x.depth") + F.col("y.depth")).cast("int").alias("depth"),
+            )
+            .filter(F.col("depth") <= max_depth)
+        )
+        r = r.unionByName(comp).distinct()
+    return r

@@ -608,3 +608,55 @@ def stupid_backoff_scores(
         level.alias("level"),
         F.round(score, ndigits).alias("score"),
     )
+
+
+def extractive_summary(docs: DataFrame, ndigits: int = 6) -> DataFrame:
+    """SumBasic-style extractive summarization (Nenkova & Vanderwende
+    2005: sentence worth ≈ mean corpus probability of its words): per
+    doc, the sentence maximizing (Σ_w c(w)) / n_toks, ties broken by
+    earliest sentence — ``(doc_id, best_sent, n_toks, score)`` with
+    score = that mean / N rounded at ``ndigits``.
+
+    Selection happens on the UNROUNDED ratio csum/n_toks: both engines
+    divide the same exact integers, so the doubles are bit-identical
+    and the max-equality join is exact (no epsilon, no float-sum-order
+    hazard — the only float op per sentence is one division).
+
+    Scale shape: one exploded-token aggregate builds the word-count
+    model; sentences score via an equi-join of tokens against that
+    vocabulary-sized table (AQE elects broadcast while it fits —
+    the lm_bigram posture) and ONE (doc, sent) hash aggregate; the
+    per-doc argmax is max-join + min(sent_id), never a corpus-wide
+    window.
+    """
+    from .sentences import tokens_long
+
+    ts = tokens_long(docs).select("doc_id", "sent_id", "tok")
+    wc = ts.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = wc.agg(F.sum("c").cast("double").alias("n_total"))
+    sent = (
+        ts.join(wc, "tok")
+        .groupBy("doc_id", "sent_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("c").cast("long").alias("csum"),
+        )
+        .withColumn("r", F.col("csum").cast("double") / F.col("n_toks"))
+    )
+    mx = sent.groupBy("doc_id").agg(F.max("r").alias("m"))
+    win = (
+        sent.join(mx, "doc_id")
+        .filter(F.col("r") == F.col("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("sent_id").cast("long").alias("best_sent"),
+            F.min_by("n_toks", "sent_id").alias("n_toks"),
+            F.min_by("r", "sent_id").alias("r"),
+        )
+    )
+    return win.crossJoin(F.broadcast(n_total)).select(
+        "doc_id",
+        "best_sent",
+        "n_toks",
+        F.round(F.col("r") / F.col("n_total"), ndigits).alias("score"),
+    )
