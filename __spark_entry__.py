@@ -47,6 +47,7 @@ from ddaugner_spark.operators import (
     triples,
 )
 from ddaugner_spark.operators import events as evops
+from ddaugner_spark.operators import regression
 
 QUERY_IDS = [0, 1, 2, 3, 4]  # ANN query vectors
 
@@ -2384,6 +2385,63 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_coref_lite(spark, sf):
+    """Coref-lite pronoun resolution (Hobbs-baseline recency): inject a
+    deterministic ' he ran the' clause after even docs (tokens outside
+    the corpus vocabulary and gazetteer, terminator-final so sentence
+    structure stays legal), then resolve each 'he' to the nearest
+    preceding PER mention — doc-keyed candidate join + one max/max_by
+    aggregate, fan bounded by document length (operators/er.py
+    resolve_pronouns)."""
+    d = _docs(spark, sf)
+    docs2 = d.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 2 == 0)
+            & F.col("text").isNotNull()
+            & (F.col("text") != ""),
+            F.concat(F.col("text"), F.lit(" he ran the")),
+        ).otherwise(F.col("text")),
+    )
+    return er.resolve_pronouns(docs2)
+
+
+def q_skipgram(spark, sf):
+    """word2vec skip-gram pair generation with deterministic
+    subsampling (discard rule md5(doc|pos)%1000 < ⌊1000·√(t/f)⌋, t =
+    1e-3): pairs over the surviving compacted sequence within ±2 via
+    window lead() — no token self-join — aggregated to (center,
+    context, cnt) (operators/textstats.py skipgram_pairs)."""
+    return textstats.skipgram_pairs(_docs(spark, sf))
+
+
+def q_ols_price(spark, sf):
+    """Per-returnflag OLS of price-cents on quantity-units from EXACT
+    fixed-point sufficient statistics (decimal(38,0) Spark / HUGEINT
+    DuckDB), each converted to double ONCE before the closed-form
+    arithmetic — bit-reproducible under any partitioning, the float-
+    summation-order hazard designed out (operators/regression.py
+    ols_fit)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return regression.ols_fit(li, "qty", "cents", ["l_returnflag"])
+
+
+def q_shard_assign(spark, sf):
+    """Rendezvous (HRW) hashing shard assignment: shard(doc) =
+    argmax_s md5(doc|s) over 8 shards — minimal-movement resharding,
+    computed entirely map-side as array_max over 8 (hash, shard)
+    structs (operators/sampling.py rendezvous_assign)."""
+    from ddaugner_spark.operators import sampling
+
+    return sampling.rendezvous_assign(
+        _docs(spark, sf).select("doc_id"), "doc_id", 8
+    )
+
+
 def q_type_closure(spark, sf):
     """Transitive ancestor closure of a synthetic 200-node type
     hierarchy (parent(t_i) = t_{(i-1)//3}) by repeated squaring —
@@ -2665,6 +2723,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_type_closure": q_type_closure,
         "q_registrable_domain": q_registrable_domain,
         "q_summarize": q_summarize,
+        "q_coref_lite": q_coref_lite,
+        "q_skipgram": q_skipgram,
+        "q_ols_price": q_ols_price,
+        "q_shard_assign": q_shard_assign,
     }
 
 
@@ -6167,6 +6229,112 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # coref-lite replay: same ' he ran the' injection, PER mentions via
+    # the parameterized fold, antecedent = arg_max(start_idx) among
+    # preceding mentions
+    o["q_coref_lite"] = f"""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 AND text IS NOT NULL AND text != ''
+                    THEN text || ' he ran the' ELSE text END AS text
+        FROM documents
+      ),
+      gazn AS (SELECT * FROM (VALUES {_GAZN}) g(surface, tag, n)),
+      {_fold_ment_sql('docs2', 'c')},
+      ctoks AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs2
+              WHERE text IS NOT NULL AND text != '') s,
+             unnest(range(1, len(t) + 1)) AS u(i)
+      ),
+      surf AS (
+        SELECT m.doc_id, m.start_idx,
+               string_agg(t.tok, ' ' ORDER BY t.pos) AS surface
+        FROM cment m JOIN ctoks t
+          ON t.doc_id = m.doc_id AND t.pos BETWEEN m.start_idx AND m.end_idx
+        WHERE m.tag = 'PER'
+        GROUP BY m.doc_id, m.start_idx
+      ),
+      prons AS (SELECT doc_id, pos AS pron_pos FROM ctoks WHERE tok = 'he')
+      SELECT p.doc_id, p.pron_pos::BIGINT AS pron_pos,
+             max(s.start_idx)::BIGINT AS ant_start,
+             arg_max(s.surface, s.start_idx) AS antecedent
+      FROM prons p JOIN surf s
+        ON s.doc_id = p.doc_id AND s.start_idx < p.pron_pos
+      GROUP BY p.doc_id, p.pron_pos
+    """
+
+    # skip-gram replay: identical subsample rule, lead-window pairs
+    # over the surviving sequence, both orientations
+    o["q_skipgram"] = f"""
+      WITH {_TOKS},
+      wc AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+      nt AS (SELECT sum(c)::DOUBLE AS n FROM wc),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t JOIN wc USING (tok)
+        WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || '|' || t.pos::VARCHAR),
+                              1, 4))::UBIGINT % 1000
+              < least(1000, floor(1000 * sqrt(0.001 /
+                                  (wc.c::DOUBLE / (SELECT n FROM nt)))))
+      ),
+      l1 AS (SELECT tok AS center,
+                    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS context
+             FROM kept),
+      l2 AS (SELECT tok AS center,
+                    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS context
+             FROM kept),
+      allp AS (
+        SELECT center, context FROM l1 WHERE context IS NOT NULL
+        UNION ALL SELECT context, center FROM l1 WHERE context IS NOT NULL
+        UNION ALL SELECT center, context FROM l2 WHERE context IS NOT NULL
+        UNION ALL SELECT context, center FROM l2 WHERE context IS NOT NULL
+      )
+      SELECT center, context, count(*)::BIGINT AS cnt
+      FROM allp GROUP BY center, context
+    """
+
+    # OLS replay: exact HUGEINT sufficient statistics, each cast to
+    # double once, then the identical closed-form float ops
+    o["q_ols_price"] = """
+      WITH li AS (
+        SELECT l_returnflag, round(l_quantity)::BIGINT AS xi,
+               round(l_extendedprice * 100)::BIGINT AS yi
+        FROM lineitem
+      ),
+      g AS (
+        SELECT l_returnflag, count(*)::BIGINT AS n,
+               sum(xi::HUGEINT)::DOUBLE AS sx, sum(yi::HUGEINT)::DOUBLE AS sy,
+               sum(xi::HUGEINT * xi)::DOUBLE AS sxx,
+               sum(xi::HUGEINT * yi)::DOUBLE AS sxy
+        FROM li GROUP BY l_returnflag
+      )
+      SELECT l_returnflag, n,
+             round(CASE WHEN n::DOUBLE * sxx - sx * sx != 0
+                        THEN (n::DOUBLE * sxy - sx * sy) /
+                             (n::DOUBLE * sxx - sx * sx) END, 6) AS slope,
+             round(CASE WHEN n::DOUBLE * sxx - sx * sx != 0
+                        THEN (sy - (n::DOUBLE * sxy - sx * sy) /
+                                   (n::DOUBLE * sxx - sx * sx) * sx) / n
+                   END, 6) AS intercept
+      FROM g
+    """
+
+    # rendezvous hashing replay: argmax via row_number over (hash, s)
+    o["q_shard_assign"] = """
+      WITH h AS (
+        SELECT d.doc_id, s.s,
+               ('0x' || substr(md5(d.doc_id::VARCHAR || '|' || s.s::VARCHAR),
+                               1, 15))::UBIGINT AS hv
+        FROM documents d, (SELECT unnest(range(8)) AS s) s
+      ),
+      r AS (SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hv DESC, s DESC) AS rn
+            FROM h)
+      SELECT doc_id, s::INT AS shard FROM r WHERE rn = 1
     """
 
     # closure replay: one level per recursive step vs the engine's

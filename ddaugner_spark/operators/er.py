@@ -127,3 +127,48 @@ def resolve_surfaces(pairs: DataFrame, stage_dir: str) -> DataFrame:
         F.col("component").alias("canonical"),
         (F.col("entity") != F.col("component")).alias("is_alias"),
     )
+
+
+def resolve_pronouns(
+    docs: DataFrame, pronoun: str = "he", tag: str = "PER"
+) -> DataFrame:
+    """Coref-lite: resolve every ``pronoun`` token to the NEAREST
+    PRECEDING mention of class ``tag`` in the same document — the
+    recency heuristic that resolves the majority of third-person
+    pronouns in news text (Hobbs 1978's baseline observation) and the
+    minimum a KG extraction pass needs so pronoun-subject clauses
+    attribute to the right entity.  Output: (doc_id, pron_pos,
+    ant_start, antecedent); pronouns with no preceding mention drop
+    (unresolvable).
+
+    Scale shape: mentions and pronoun positions are both slim per-doc
+    row sets; the candidate join is doc-keyed and its fan-out is
+    (mentions/doc)·(pronouns/doc) — bounded by document length, not
+    corpus size.  The argmax is max/max_by inside ONE hash aggregate
+    (no per-doc window sort).  For pathological single-doc blowups the
+    union-sort formulation (events + last-mention-carried-forward
+    window) is the escape hatch; at normal doc lengths the join form
+    is cheaper and AQE-coalesced.
+    """
+    from .mentions import mentions_df
+    from .sentences import tokens_long
+
+    ments = (
+        mentions_df(docs)
+        .filter(F.col("tag") == tag)
+        .select("doc_id", "start_idx", "surface")
+    )
+    prons = (
+        tokens_long(docs)
+        .filter(F.col("tok") == pronoun)
+        .select("doc_id", F.col("pos").cast("long").alias("pron_pos"))
+    )
+    return (
+        prons.join(ments, "doc_id")
+        .filter(F.col("start_idx") < F.col("pron_pos"))
+        .groupBy("doc_id", "pron_pos")
+        .agg(
+            F.max("start_idx").cast("long").alias("ant_start"),
+            F.max_by("surface", "start_idx").alias("antecedent"),
+        )
+    )

@@ -353,3 +353,46 @@ def weighted_sample(
         keyed.withColumn("rank", F.row_number().over(rk).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, n_shards: int = 8
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing (Thaler & Ravishankar
+    1998): shard(key) = argmax_s md5(key|s) over ``n_shards`` — the
+    assignment under which adding/removing a shard moves ONLY the keys
+    whose argmax changes (1/n of them in expectation), unlike mod-N
+    where nearly everything moves.  The resharding primitive for a
+    100 TB corpus: deterministic, coordination-free, computable
+    map-side from the key alone.
+
+    Entirely narrow: each row evaluates n_shards md5 draws into an
+    array of (hash, shard) structs and takes array_max (lexicographic,
+    so hash decides and the shard index breaks the measure-zero tie) —
+    no shuffle, no dimension table, whole-stage codegen end to end.
+    """
+    elems = [
+        F.struct(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col(key_col).cast("string"), F.lit(str(s))
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return df.select(
+        key_col,
+        F.array_max(F.array(*elems))["s"].cast("int").alias("shard"),
+    )

@@ -660,3 +660,77 @@ def extractive_summary(docs: DataFrame, ndigits: int = 6) -> DataFrame:
         "n_toks",
         F.round(F.col("r") / F.col("n_total"), ndigits).alias("score"),
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, subsample_t: float = 1e-3
+) -> DataFrame:
+    """word2vec skip-gram training-pair generation (Mikolov et al.
+    2013) with DETERMINISTIC frequency subsampling: token at (doc,
+    pos) survives iff md5(doc|pos) mod 1000 < ⌊1000·√(t/f(w))⌋ (the
+    paper's discard rule with the repo's hash-in-place-of-randomness
+    device), then (center, context) pairs are drawn over the SURVIVING
+    compacted sequence within ±``window`` — deleting frequent words
+    widens effective context, exactly as word2vec's subsampling does.
+    Output: aggregated (center, context, cnt).
+
+    Scale shape: one vocabulary count aggregate; the keep-filter is an
+    equi-join of the token stream against that vocabulary-sized table
+    (AQE broadcasts while it fits); pair generation is ``window``
+    lead() calls over ONE doc-partitioned window pass (no token
+    self-join), then a map-side-combinable pair count.  The subsample
+    threshold is a pure function of exact integer counts through one
+    sqrt, bit-identical across engines.
+    """
+    from .sentences import tokens_long
+
+    ts = tokens_long(docs).select("doc_id", "pos", "tok")
+    wc = ts.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_total = wc.agg(F.sum("c").cast("double").alias("n_total"))
+    thr = F.least(
+        F.lit(1000.0),
+        F.floor(
+            F.lit(1000.0)
+            * F.sqrt(F.lit(float(subsample_t)) / (F.col("c") / F.col("n_total")))
+        ).cast("double"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    kept = (
+        ts.join(wc, "tok")
+        .crossJoin(F.broadcast(n_total))
+        .filter(h < thr)
+        .select("doc_id", "pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = None
+    for k in range(1, int(window) + 1):
+        p = kept.select(
+            F.col("tok").alias("center"),
+            F.lead("tok", k).over(w).alias("context"),
+        ).filter(F.col("context").isNotNull())
+        both = p.unionByName(
+            p.select(
+                F.col("context").alias("center"), F.col("center").alias("context")
+            )
+        )
+        pairs = both if pairs is None else pairs.unionByName(both)
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
