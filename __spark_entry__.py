@@ -2385,6 +2385,93 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_crawl_schedule(spark, sf):
+    """Recrawl-interval estimation (Cho & Garcia-Molina 2003): 20 hosts
+    × 10 synthetic daily captures, content version = ⌊day/period(host)⌋
+    (period 1–4 days), change rate via the bias-corrected
+    λ̂ = −ln((n−X+0.5)/(n+0.5)), crawl_interval = 1/λ̂ — the
+    freshness-budget allocator of the frontier (operators/crawl.py
+    crawl_schedule: per-host lag-window diff + one hash aggregate)."""
+    base = (
+        _docs(spark, sf)
+        .select(
+            (F.col("doc_id") % 20).alias("i"),
+            (F.floor(F.col("doc_id") / 20).cast("long") % 10).alias("day"),
+        )
+        .distinct()
+    )
+    period = F.lit(1) + F.col("i") % 4
+    caps = base.select(
+        F.concat(F.lit("h"), F.col("i").cast("string")).alias("host"),
+        "day",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("i").cast("string"),
+                F.floor(F.col("day") / period).cast("long").cast("string"),
+            )
+        ).alias("content_hash"),
+    )
+    return crawl.crawl_schedule(caps)
+
+
+def q_entropy(spark, sf):
+    """Per-source Shannon entropy of the token distribution, H = ln N −
+    (Σ c·ln c)/N from exact counts — the information-density quality
+    signal; second aggregate re-aggregates the (source, token) table
+    (operators/textstats.py token_entropy)."""
+    return textstats.token_entropy(_docs(spark, sf))
+
+
+def q_phrases_llr(spark, sf):
+    """Collocation mining by Dunning log-likelihood ratio (Dunning
+    1993) over adjacent bigrams with count ≥ 5: the significance test
+    phrase detection runs before tokenizer/word2vec training.  All nine
+    x·ln x terms combine in one fixed-order expression from exact
+    counts; marginals re-aggregate the bigram table
+    (operators/textstats.py phrase_llr)."""
+    return textstats.phrase_llr(_docs(spark, sf))
+
+
+def q_wow_anomaly(spark, sf):
+    """Week-over-week drift monitor: per (event_type, day) counts
+    joined against the SAME WEEKDAY −7d (slim self-equi-join, not
+    lag-over-present-rows), ratio + out-of-[0.5,2] anomaly flag
+    (operators/events.py wow_counts)."""
+    return evops.wow_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_json_profile(spark, sf):
+    """Semi-structured payload profiling: the events props JSON is
+    deterministically enriched (⅓ plain, ⅓ +tag string, ⅓ +nested geo
+    object), then per fixed key — presence, integer-typedness,
+    cardinality.  Counts only, so the output is invariant to engine
+    JSON re-serialization details (operators/events.py
+    json_key_profile; literal paths keep both engines on native
+    extractors)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    kv = F.get_json_object(F.col("props"), "$.k")
+    p2 = (
+        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"k": '), kv, F.lit(', "tag": "t'),
+                (F.col("user_id") % 4).cast("string"), F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"k": '), kv, F.lit(', "geo": {"c": "c'),
+                (F.col("user_id") % 3).cast("string"), F.lit('"}}'),
+            )
+        )
+    )
+    return evops.json_key_profile(
+        e.withColumn("props2", p2), "props2", ["k", "tag", "geo"]
+    )
+
+
 def q_coref_lite(spark, sf):
     """Coref-lite pronoun resolution (Hobbs-baseline recency): inject a
     deterministic ' he ran the' clause after even docs (tokens outside
@@ -2727,6 +2814,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skipgram": q_skipgram,
         "q_ols_price": q_ols_price,
         "q_shard_assign": q_shard_assign,
+        "q_crawl_schedule": q_crawl_schedule,
+        "q_entropy": q_entropy,
+        "q_phrases_llr": q_phrases_llr,
+        "q_wow_anomaly": q_wow_anomaly,
+        "q_json_profile": q_json_profile,
     }
 
 
@@ -6229,6 +6321,127 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # Cho & Garcia-Molina change-rate replay: same synthetic capture
+    # grid, lag-window diff, bias-corrected estimator
+    o["q_crawl_schedule"] = """
+      WITH base AS (
+        SELECT DISTINCT doc_id % 20 AS i, (doc_id // 20) % 10 AS day
+        FROM documents
+      ),
+      caps AS (
+        SELECT 'h' || i::VARCHAR AS host, day,
+               md5(i::VARCHAR || '|' || (day // (1 + i % 4))::VARCHAR)
+                 AS content_hash
+        FROM base
+      ),
+      d AS (
+        SELECT host,
+               (content_hash != lag(content_hash)
+                  OVER (PARTITION BY host ORDER BY day))::INT AS changed
+        FROM caps
+      ),
+      g AS (
+        SELECT host, count(changed)::BIGINT AS n_intervals,
+               coalesce(sum(changed), 0)::BIGINT AS n_changes
+        FROM d GROUP BY host
+      )
+      SELECT host, n_intervals, n_changes,
+             round(CASE WHEN n_intervals > 0 THEN
+               -ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5))
+             END, 6) AS change_rate,
+             round(CASE WHEN n_changes > 0 THEN
+               1.0 / (-ln((n_intervals - n_changes + 0.5) / (n_intervals + 0.5)))
+             END, 6) AS crawl_interval
+      FROM g
+    """
+
+    # Shannon entropy replay: exact counts, one reordered float sum
+    # (vocabulary-sized) under the rounding grain
+    o["q_entropy"] = """
+      WITH tw AS (
+        SELECT source AS grp, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL AND text != ''
+      ),
+      cw AS (SELECT grp, w, count(*)::BIGINT AS c FROM tw GROUP BY grp, w),
+      g AS (SELECT grp, sum(c)::BIGINT AS n_tokens,
+                   sum(c::DOUBLE * ln(c::DOUBLE)) AS sclc
+            FROM cw GROUP BY grp)
+      SELECT grp AS source, n_tokens,
+             round(ln(n_tokens::DOUBLE) - sclc / n_tokens, 6) AS entropy
+      FROM g
+    """
+
+    # Dunning LLR replay: the nine x·ln x terms in the engine's exact
+    # expression order
+    def _sx(e):
+        return (
+            f"(CASE WHEN ({e})::DOUBLE > 0.0 "
+            f"THEN ({e})::DOUBLE * ln(({e})::DOUBLE) ELSE 0.0 END)"
+        )
+
+    _llr = (
+        f"2.0 * ({_sx('b.c12')} + {_sx('r1.r1 - b.c12')} + "
+        f"{_sx('c1t.c1 - b.c12')} + {_sx('nb.nb - r1.r1 - c1t.c1 + b.c12')} - "
+        f"{_sx('r1.r1')} - {_sx('nb.nb - r1.r1')} - {_sx('c1t.c1')} - "
+        f"{_sx('nb.nb - c1t.c1')} + {_sx('nb.nb')})"
+    )
+    o["q_phrases_llr"] = f"""
+      WITH bgx AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT string_split(coalesce(text, ''), ' ') AS t
+              FROM documents) s,
+             unnest(range(1, len(t))) u(i)
+      ),
+      bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgx GROUP BY w1, w2),
+      r1 AS (SELECT w1, sum(c12)::BIGINT AS r1 FROM bg GROUP BY w1),
+      c1t AS (SELECT w2, sum(c12)::BIGINT AS c1 FROM bg GROUP BY w2),
+      nb AS (SELECT sum(c12)::DOUBLE AS nb FROM bg)
+      SELECT b.w1, b.w2, b.c12, round({_llr}, 4) AS llr
+      FROM bg b JOIN r1 USING (w1) JOIN c1t USING (w2), nb
+      WHERE b.c12 >= 5
+    """
+
+    # week-over-week replay: slim self-join on (type, day-7)
+    o["q_wow_anomaly"] = """
+      WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY event_type, day
+      )
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.cnt,
+             coalesce(p.cnt, -1)::BIGINT AS prev_cnt,
+             coalesce(round(d.cnt::DOUBLE / p.cnt, 6), -1.0) AS wow,
+             coalesce(d.cnt::DOUBLE / p.cnt < 0.5
+                      OR d.cnt::DOUBLE / p.cnt > 2.0, false) AS anomaly
+      FROM daily d LEFT JOIN daily p
+        ON p.event_type = d.event_type AND p.day + INTERVAL 7 DAY = d.day
+    """
+
+    # JSON profiling replay: same deterministic enrichment, counts only
+    # (invariant to engine JSON re-serialization)
+    o["q_json_profile"] = """
+      WITH p2 AS (
+        SELECT CASE event_id % 3
+                 WHEN 0 THEN props
+                 WHEN 1 THEN '{"k": ' || json_extract_string(props, '$.k') ||
+                             ', "tag": "t' || (user_id % 4)::VARCHAR || '"}'
+                 ELSE '{"k": ' || json_extract_string(props, '$.k') ||
+                      ', "geo": {"c": "c' || (user_id % 3)::VARCHAR || '"}}'
+               END AS j
+        FROM events
+      ),
+      vals AS (
+        SELECT 'k' AS key, json_extract_string(j, '$.k') AS v FROM p2
+        UNION ALL SELECT 'tag', json_extract_string(j, '$.tag') FROM p2
+        UNION ALL SELECT 'geo', json_extract_string(j, '$.geo') FROM p2
+      )
+      SELECT key, count(v)::BIGINT AS n_present,
+             count(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+                        THEN 1 END)::BIGINT AS n_numeric,
+             count(DISTINCT v)::BIGINT AS n_distinct
+      FROM vals GROUP BY key
     """
 
     # coref-lite replay: same ' he ran the' injection, PER mentions via

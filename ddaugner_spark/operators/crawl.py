@@ -26,7 +26,7 @@ regexp_extract).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: ports implied by the scheme — stripped during canonicalization;
@@ -528,4 +528,52 @@ def registrable_domains(
         F.when(
             label.isNotNull(), F.concat_ws(".", label, F.col("public_suffix"))
         ).alias("registrable"),
+    )
+
+
+def crawl_schedule(captures: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Recrawl-interval estimation from capture history (Cho &
+    Garcia-Molina 2003, "Estimating frequency of change"): per host,
+    detect content changes between consecutive captures (hash ≠
+    previous hash over the day-ordered window), estimate the Poisson
+    change rate with the paper's bias-corrected estimator
+
+        λ̂ = −ln((n − X + 0.5) / (n + 0.5))   [changes/interval]
+
+    (n = observed intervals, X = intervals with a change; the +0.5
+    keeps λ̂ finite when X = n), and emit the scheduling quantity
+    crawl_interval = 1/λ̂ — the freshness-optimal revisit period the
+    frontier allocates budget by.
+
+    Input: (host, day, content_hash).  One per-host window pass for
+    the lag diff (host-partitioned — capture history per host is
+    small), one hash aggregate; float ops are a fixed ln/division
+    chain on exact integer counts, identical in the SQL twin.  Hosts
+    with a single capture (n = 0) emit NULL rate/interval.
+    """
+    w = Window.partitionBy("host").orderBy("day")
+    d = captures.withColumn(
+        "changed",
+        (F.col("content_hash") != F.lag("content_hash").over(w)).cast("long"),
+    )
+    g = d.groupBy("host").agg(
+        F.count("changed").cast("long").alias("n_intervals"),
+        F.coalesce(F.sum("changed"), F.lit(0)).cast("long").alias("n_changes"),
+    )
+    n = F.col("n_intervals").cast("double")
+    x = F.col("n_changes").cast("double")
+    rate = F.when(
+        F.col("n_intervals") > 0,
+        -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))),
+    )
+    return g.select(
+        "host",
+        "n_intervals",
+        "n_changes",
+        F.round(rate, ndigits).alias("change_rate"),
+        # no observed change -> rate 0 -> the interval is unbounded;
+        # emit NULL rather than a float infinity
+        F.round(
+            F.when(F.col("n_changes") > 0, F.lit(1.0) / rate), ndigits
+        ).alias("crawl_interval"),
     )

@@ -138,3 +138,70 @@ def markov_transitions(events: DataFrame, ndigits: int = 6) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("cnt").cast("double") / F.col("tot"), ndigits).alias("p"),
     )
+
+
+def wow_counts(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Week-over-week activity deltas per event type: ``(event_type,
+    day, cnt, prev_cnt, wow, anomaly)`` where wow = cnt/prev_cnt
+    against the SAME WEEKDAY one week earlier (join on day−7, not
+    lag-over-present-rows — missing days must not silently shift the
+    comparison) and anomaly flags ratios outside [0.5, 2] — the
+    first-line drift/outage monitor over any ingested stream.  Two
+    day-level aggregates and one slim self-equi-join on (type, day−7);
+    day emitted as an ISO string for canonicalizer parity."""
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    daily = events.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    prev = daily.select(
+        F.col("event_type").alias("prev_type"),
+        F.col("day").alias("prev_day"),
+        F.col("cnt").alias("prev_cnt"),
+    )
+    j = daily.join(
+        prev,
+        (F.col("event_type") == F.col("prev_type"))
+        & (F.col("prev_day") + F.expr("INTERVAL 7 DAYS") == F.col("day")),
+        "left",
+    )
+    wow = F.col("cnt").cast("double") / F.col("prev_cnt")
+    return j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        # -1 sentinel for "no week-ago row": a nullable BIGINT comes
+        # back from DuckDB's pandas bridge as float64 and breaks the
+        # type-tagged compare (the q_hybrid_rrf lesson)
+        F.coalesce("prev_cnt", F.lit(-1)).cast("long").alias("prev_cnt"),
+        F.coalesce(F.round(wow, ndigits), F.lit(-1.0)).alias("wow"),
+        F.coalesce((wow < 0.5) | (wow > 2.0), F.lit(False)).alias("anomaly"),
+    )
+
+
+def json_key_profile(
+    df: DataFrame, json_col: str, keys: list[str]
+) -> DataFrame:
+    """Semi-structured profiling of a JSON string column over a FIXED
+    key list: ``(key, n_present, n_numeric, n_distinct)`` — presence,
+    integer-typedness (full-string digit match), and value cardinality
+    per key; the schema-drift monitor for an ingested event/props
+    payload.  Literal JSON paths keep both engines on their native
+    extractors (get_json_object / json_extract_string — dynamic paths
+    are not portable); one aggregate per key over map-side extraction,
+    unioned — key lists are short, rows are not."""
+    out = None
+    for k in keys:
+        v = F.get_json_object(F.col(json_col), f"$.{k}")
+        agg = (
+            df.select(v.alias("v"))
+            .agg(
+                F.count("v").cast("long").alias("n_present"),
+                F.count(
+                    F.when(F.col("v").rlike(r"^-?[0-9]+$"), F.lit(1))
+                ).cast("long").alias("n_numeric"),
+                F.count_distinct("v").cast("long").alias("n_distinct"),
+            )
+            .select(F.lit(k).alias("key"), "n_present", "n_numeric", "n_distinct")
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -734,3 +734,94 @@ def skipgram_pairs(
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+
+
+def token_entropy(
+    docs: DataFrame, group_col: str = "source", ndigits: int = 6
+) -> DataFrame:
+    """Per-group Shannon entropy of the token distribution,
+    H = ln(N) − (Σ_w c_w·ln c_w)/N — the information-density quality
+    signal (low entropy = templated/boilerplate-heavy source, high =
+    diverse vocabulary; complements the bigram-LM nll, which scores
+    docs against the corpus rather than sources against themselves).
+
+    Exact integer counts feed a per-word c·ln c table whose sum is the
+    only reordered float reduction — vocabulary-sized terms, reorder
+    error ~1e-15 relative, far under the rounding grain (the pagerank
+    device).  Two hash aggregates, the second RE-AGGREGATING the
+    first's (group, token) output on its prefix key (AQE shuffle
+    reuse); output is group-sized.
+    """
+    toks = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    arr = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    tw = toks.select(F.col(group_col).alias("grp"), F.explode(arr).alias("w"))
+    cw = tw.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
+    g = cw.groupBy("grp").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sclc"
+        ),
+    )
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("sclc") / F.col("n_tokens")
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        F.round(h, ndigits).alias("entropy"),
+    )
+
+
+def phrase_llr(
+    docs: DataFrame, min_count: int = 5, ndigits: int = 4
+) -> DataFrame:
+    """Collocation / phrase mining by log-likelihood ratio (Dunning
+    1993, "Accurate methods for the statistics of surprise and
+    coincidence" — the standard significance test for phrase detection
+    ahead of tokenizer/word2vec training): for every adjacent bigram
+    with count ≥ ``min_count``,
+
+        llr = 2·(S(k11)+S(k12)+S(k21)+S(k22)
+                 −S(r1)−S(r2)−S(c1)−S(c2)+S(N)),   S(x) = x·ln x, S(0)=0
+
+    over the 2×2 contingency table of (first word = w1) × (second word
+    = w2).  Output: (w1, w2, c12, llr) rounded at ``ndigits``.
+
+    All nine S-terms are exact-integer xlogx values combined in ONE
+    fixed-order expression, identical in the SQL twin — no reordered
+    float summation anywhere.  Marginals and N are RE-AGGREGATIONS of
+    the bigram-count table (never a second corpus scan); the min_count
+    filter prunes the scored table before the slim marginal joins.
+    """
+    bg = word_bigrams(docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    r1 = bg.groupBy("w1").agg(F.sum("c12").alias("r1"))
+    c1 = bg.groupBy("w2").agg(F.sum("c12").alias("c1"))
+    nn = bg.agg(F.sum("c12").cast("double").alias("nb"))
+
+    def s(x):
+        xd = x.cast("double")
+        return F.when(xd > 0.0, xd * F.log(xd)).otherwise(F.lit(0.0))
+
+    j = (
+        bg.filter(F.col("c12") >= min_count)
+        .join(r1, "w1")
+        .join(c1, "w2")
+        .crossJoin(F.broadcast(nn))
+    )
+    k11 = F.col("c12")
+    k12 = F.col("r1") - F.col("c12")
+    k21 = F.col("c1") - F.col("c12")
+    k22 = F.col("nb") - F.col("r1") - F.col("c1") + F.col("c12")
+    llr = F.lit(2.0) * (
+        s(k11) + s(k12) + s(k21) + s(k22)
+        - s(F.col("r1")) - s(F.col("nb") - F.col("r1"))
+        - s(F.col("c1")) - s(F.col("nb") - F.col("c1"))
+        + s(F.col("nb"))
+    )
+    return j.select(
+        "w1", "w2",
+        F.col("c12").cast("long").alias("c12"),
+        F.round(llr, ndigits).alias("llr"),
+    )
