@@ -2385,6 +2385,106 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+#: robots rules for q_robots: every host disallows /private, even hosts
+#: re-allow the /private/pub subtree (longest-match + allow-on-tie
+#: exercise), h0 additionally disallows everything under /
+_ROBOTS_RULES = (
+    [(f"h{i}", "/private", False) for i in range(10)]
+    + [(f"h{i}", "/private/pub", True) for i in range(0, 10, 2)]
+    + [("h0", "/", False), ("h0", "/doc", True)]
+)
+
+
+def q_robots(spark, sf):
+    """Robots-exclusion evaluation (RFC 9309 longest-match, allow wins
+    ties, no-rule ⇒ allowed) of a synthesized frontier against per-host
+    rule tables — host-keyed candidate join + ONE lexicographic
+    struct-max per url (operators/crawl.py robots_eval)."""
+    d = _docs(spark, sf)
+    i = F.col("doc_id").cast("string")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/doc/"), i))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/private/x"), i))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/private/pub/"), i))
+        .when(F.col("doc_id") % 5 == 3, F.lit("/"))
+        .otherwise(F.lit("/about"))
+    )
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    urls = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+    ).distinct()
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow boolean"
+    )
+    return crawl.robots_eval(urls, rules)
+
+
+def q_zorder(spark, sf):
+    """Z-order (Morton) clustering keys over (user_id, event_id%1024)
+    — the multi-column-locality layout device (Delta/Iceberg OPTIMIZE
+    ZORDER): pure bit arithmetic, map-only whole-stage codegen, exact
+    in both engines on masked non-negative inputs
+    (operators/layout.py)."""
+    from ddaugner_spark.operators import layout
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        (F.col("event_id") % 1024).alias("y"),
+    )
+    return layout.with_zorder(e, ["x", "y"], bits=10, buckets=16).select(
+        "event_id", "x", "y", "zorder", F.col("zbucket").cast("int").alias("zbucket")
+    )
+
+
+def q_modularity(spark, sf):
+    """Newman modularity contributions of the 2-round label-propagation
+    communities on the co-mention graph: per community e_c, d_c exact
+    integers and contrib = e_c/m − (d_c/2m)² as a fixed float chain —
+    the quality functional that decides whether a community assignment
+    is trustworthy for entity grouping (operators/graph.py
+    modularity)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    edges = canonical.co_mention_edges(m)
+    labels = graph.label_propagation(
+        edges, max_rounds=2, stage_dir=_scratch("q_modularity_")
+    )
+    return graph.modularity(edges, labels)
+
+
+def q_ab_test(spark, sf):
+    """Two-proportion z-test over the deterministic user_id%2 split
+    (conversion = ≥1 purchase event): one user-sized aggregate + one
+    conditional global aggregate + a fixed float chain on exact counts
+    (operators/events.py ab_test)."""
+    return evops.ab_test(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_ann_recall(spark, sf):
+    """ANN index EVALUATION as a first-class operator: recall@k of the
+    k-means IVF index (64 cells, nprobe=24) against the brute-force
+    exact top-k, per query — the measurement loop that gates any index
+    parameter change before it ships; one k-bounded left join + count
+    per query."""
+    emb = _emb(spark, sf)
+    truth = similarity.brute_force_topk(emb, QUERY_IDS)
+    got = similarity.ivf_kmeans_topk(emb, QUERY_IDS, nprobe=24)
+    hits = truth.join(
+        got.select("query_id", "vec_id", F.lit(1).alias("hit")),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    k = float(config.ANN_TOP_K)
+    return hits.groupBy("query_id").agg(
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double") / F.lit(k), 6
+        ).alias("recall"),
+    )
+
+
 def q_crawl_schedule(spark, sf):
     """Recrawl-interval estimation (Cho & Garcia-Molina 2003): 20 hosts
     × 10 synthetic daily captures, content version = ⌊day/period(host)⌋
@@ -2819,6 +2919,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_phrases_llr": q_phrases_llr,
         "q_wow_anomaly": q_wow_anomaly,
         "q_json_profile": q_json_profile,
+        "q_robots": q_robots,
+        "q_zorder": q_zorder,
+        "q_modularity": q_modularity,
+        "q_ab_test": q_ab_test,
+        "q_ann_recall": q_ann_recall,
     }
 
 
@@ -6321,6 +6426,145 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # robots replay: VALUES rule table, startswith candidates,
+    # row_number argmax twin of the struct-max (len desc, allow desc,
+    # prefix desc — allow=true sorts above false, matching struct order)
+    _rules_vals = ", ".join(
+        f"('{h}', '{p}', {str(a).lower()})" for h, p, a in _ROBOTS_RULES
+    )
+    o["q_robots"] = f"""
+      WITH urls AS (
+        SELECT DISTINCT
+          'https://h' || (doc_id % 10)::VARCHAR ||
+          (CASE doc_id % 5
+             WHEN 0 THEN '/doc/' || doc_id::VARCHAR
+             WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+             WHEN 2 THEN '/private/pub/' || doc_id::VARCHAR
+             WHEN 3 THEN '/' ELSE '/about' END) AS url,
+          'h' || (doc_id % 10)::VARCHAR AS host,
+          (CASE doc_id % 5
+             WHEN 0 THEN '/doc/' || doc_id::VARCHAR
+             WHEN 1 THEN '/private/x' || doc_id::VARCHAR
+             WHEN 2 THEN '/private/pub/' || doc_id::VARCHAR
+             WHEN 3 THEN '/' ELSE '/about' END) AS path
+        FROM documents
+      ),
+      rules AS (SELECT * FROM (VALUES {_rules_vals}) r(host, prefix, allow)),
+      m AS (
+        SELECT url, allow, prefix FROM (
+          SELECT u.url, r.allow, r.prefix,
+                 row_number() OVER (PARTITION BY u.url
+                                    ORDER BY len(r.prefix) DESC,
+                                             r.allow DESC, r.prefix DESC) AS rn
+          FROM urls u JOIN rules r
+            ON r.host = u.host AND starts_with(u.path, r.prefix)
+        ) WHERE rn = 1
+      )
+      SELECT u.url, coalesce(m.allow, true) AS allowed,
+             m.prefix AS matched_rule
+      FROM urls u LEFT JOIN m USING (url)
+    """
+
+    # Z-order replay: identical bit arithmetic (masked non-negative
+    # inputs, two's-complement shifts engine-identical)
+    _zterms = " | ".join(
+        f"((({c} >> {b}) & 1) << {2 * b + i})"
+        for i, c in enumerate(["zx", "zy"])
+        for b in range(10)
+    )
+    o["q_zorder"] = f"""
+      WITH base AS (
+        SELECT event_id, user_id AS x, event_id % 1024 AS y,
+               user_id & 1023 AS zx, (event_id % 1024) & 1023 AS zy
+        FROM events
+      ),
+      z AS (SELECT event_id, x, y, ({_zterms})::BIGINT AS zorder FROM base)
+      SELECT event_id, x, y, zorder, (zorder >> 16)::INT AS zbucket FROM z
+    """
+
+    # modularity replay: label-prop oracle nested verbatim as the label
+    # table; e_c/d_c exact integers, same fixed float chain
+    o["q_modularity"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      labels AS (SELECT * FROM ({o["q_label_prop"]})),
+      mm AS (SELECT count(*)::BIGINT AS m FROM edges),
+      win AS (
+        SELECT la.community, count(*)::BIGINT AS e_in
+        FROM edges e
+        JOIN labels la ON la.entity = e.a
+        JOIN labels lb ON lb.entity = e.b
+        WHERE la.community = lb.community
+        GROUP BY la.community
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      d AS (
+        SELECT l.community, count(*)::BIGINT AS n_nodes,
+               sum(deg)::BIGINT AS d_tot
+        FROM deg JOIN labels l ON l.entity = deg.node
+        GROUP BY l.community
+      )
+      SELECT d.community, d.n_nodes, coalesce(w.e_in, 0)::BIGINT AS e_in,
+             d.d_tot,
+             round(coalesce(w.e_in, 0)::DOUBLE / mm.m -
+                   (d.d_tot::DOUBLE / (2.0 * mm.m)) *
+                   (d.d_tot::DOUBLE / (2.0 * mm.m)), 6) AS contrib
+      FROM d LEFT JOIN win w USING (community), mm
+    """
+
+    # two-proportion z-test replay: same conditional aggregate, same
+    # term-for-term float chain
+    o["q_ab_test"] = """
+      WITH pu AS (
+        SELECT user_id,
+               (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                >= 15)::INT AS conv
+        FROM events GROUP BY user_id
+      ),
+      g AS (
+        SELECT count(CASE WHEN user_id % 2 = 0 THEN 1 END)::BIGINT AS n0,
+               coalesce(sum(CASE WHEN user_id % 2 = 0 THEN conv END), 0)::BIGINT AS c0,
+               count(CASE WHEN user_id % 2 = 1 THEN 1 END)::BIGINT AS n1,
+               coalesce(sum(CASE WHEN user_id % 2 = 1 THEN conv END), 0)::BIGINT AS c1
+        FROM pu
+      )
+      SELECT n0, c0, n1, c1,
+             coalesce(round(CASE WHEN n0 > 0 THEN c0::DOUBLE / n0 END, 6), -1.0) AS p0,
+             coalesce(round(CASE WHEN n1 > 0 THEN c1::DOUBLE / n1 END, 6), -1.0) AS p1,
+             coalesce(round(CASE WHEN n0 > 0 AND n1 > 0
+                        AND (c0 + c1)::DOUBLE / (n0 + n1) > 0.0
+                        AND (c0 + c1)::DOUBLE / (n0 + n1) < 1.0
+                   THEN (c1::DOUBLE / n1 - c0::DOUBLE / n0) /
+                        sqrt((c0 + c1)::DOUBLE / (n0 + n1) *
+                             (1.0 - (c0 + c1)::DOUBLE / (n0 + n1)) *
+                             (1.0 / n0 + 1.0 / n1))
+                   END, 6), 0.0) AS z,
+             NOT (n0 > 0 AND n1 > 0
+                  AND (c0 + c1)::DOUBLE / (n0 + n1) > 0.0
+                  AND (c0 + c1)::DOUBLE / (n0 + n1) < 1.0) AS degenerate
+      FROM g
+    """
+
+    # ANN recall replay: the brute-force and k-means-IVF oracles nested
+    # verbatim, joined on (query_id, vec_id)
+    o["q_ann_recall"] = f"""
+      WITH truth AS (SELECT * FROM ({o["q_ann_topk"]})),
+      got AS (SELECT * FROM ({o["q_ann_ivf_kmeans"]}))
+      SELECT t.query_id,
+             coalesce(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 END), 0)::BIGINT
+               AS n_hits,
+             round(coalesce(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 END),
+                            0)::DOUBLE / {config.ANN_TOP_K}, 6) AS recall
+      FROM truth t LEFT JOIN got g
+        ON g.query_id = t.query_id AND g.vec_id = t.vec_id
+      GROUP BY t.query_id
     """
 
     # Cho & Garcia-Molina change-rate replay: same synthetic capture

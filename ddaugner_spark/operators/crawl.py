@@ -577,3 +577,42 @@ def crawl_schedule(captures: DataFrame, ndigits: int = 6) -> DataFrame:
             F.when(F.col("n_changes") > 0, F.lit(1.0) / rate), ndigits
         ).alias("crawl_interval"),
     )
+
+
+def robots_eval(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """Robots-exclusion evaluation (RFC 9309): ``urls`` (url, host,
+    path) against ``rules`` (host, prefix, allow) — per URL the
+    LONGEST-prefix-matching rule of its host decides; on an exact
+    length tie the ALLOW rule wins (the RFC's least-restrictive rule);
+    no matching rule ⇒ allowed.  Output: (url, allowed, matched_rule).
+    The gate every fetch passes before it costs bandwidth — evaluated
+    here as a set-at-a-time join so the whole frontier is vetted in
+    one pass instead of per-fetch.
+
+    Scale shape: the rule table is host-keyed and per-host rule counts
+    are small (robots.txt files are ~10² lines), so the candidate join
+    fans each url by its host's rule count only; the winner is ONE
+    lexicographic struct-max — (len, allow, prefix) — inside a hash
+    aggregate (equal-length matching prefixes are equal strings, so
+    the tie-break order is total), then a left join back fills the
+    no-rule default.  At crawl scale the rules side broadcasts.
+    """
+    matched = (
+        urls.join(rules, "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").alias("allow"),
+                    F.col("prefix").alias("prefix"),
+                )
+            ).alias("b")
+        )
+    )
+    return urls.join(matched, "url", "left").select(
+        "url",
+        F.coalesce(F.col("b.allow"), F.lit(True)).alias("allowed"),
+        F.col("b.prefix").alias("matched_rule"),
+    )

@@ -205,3 +205,55 @@ def json_key_profile(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def ab_test(
+    events: DataFrame, conv_type: str = "purchase", min_events: int = 15,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test between the deterministic A/B split
+    user_id % 2: conversion = the user emitted ≥ ``min_events``
+    ``conv_type`` events.  One row: (n0, c0, n1, c1, p0, p1, z,
+    degenerate) with the pooled-variance statistic
+
+        z = (p1 − p0) / √( p̂(1−p̂)(1/n0 + 1/n1) ),  p̂ = (c0+c1)/(n0+n1)
+
+    — the experiment-readout primitive.  Per-user conversion reduces
+    events to a user-sized table (one hash aggregate); the four counts
+    come from ONE conditional global aggregate; the z arithmetic is a
+    fixed float chain over exact integers, mirrored term-for-term in
+    the SQL twin.  Degenerate splits (an empty arm or p̂ ∈ {0, 1}) set
+    degenerate=true and the 0.0 SENTINEL for z — a NULL double comes
+    back from DuckDB's pandas bridge as NaN and breaks type-tagged
+    parity (the q_wow_anomaly lesson)."""
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == conv_type).cast("int"))
+            >= min_events
+        ).cast("int").alias("conv")
+    )
+    v = (F.col("user_id") % 2).alias("variant")
+    g = per_user.select(v, "conv").agg(
+        F.count(F.when(F.col("variant") == 0, 1)).cast("long").alias("n0"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 0, F.col("conv"))), F.lit(0)
+        ).cast("long").alias("c0"),
+        F.count(F.when(F.col("variant") == 1, 1)).cast("long").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("variant") == 1, F.col("conv"))), F.lit(0)
+        ).cast("long").alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pp = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0) & (pp > 0.0) & (pp < 1.0)
+    z = F.when(ok, (p1 - p0) / se)
+    return g.select(
+        "n0", "c0", "n1", "c1",
+        F.coalesce(F.round(F.when(F.col("n0") > 0, p0), ndigits), F.lit(-1.0)).alias("p0"),
+        F.coalesce(F.round(F.when(F.col("n1") > 0, p1), ndigits), F.lit(-1.0)).alias("p1"),
+        F.coalesce(F.round(z, ndigits), F.lit(0.0)).alias("z"),
+        (~ok).alias("degenerate"),
+    )
