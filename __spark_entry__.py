@@ -2385,6 +2385,50 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_degree_dist(spark, sf):
+    """Log2-bucketed degree histogram of the co-mention graph — the
+    skew diagnosis read before every graph join; bucket computed as
+    len(binary(deg))−1, an exact integer device immune to log2 libm
+    boundaries (operators/graph.py degree_distribution)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.degree_distribution(canonical.co_mention_edges(m))
+
+
+def q_reciprocity(spark, sf):
+    """Directed-graph reciprocity of the synthetic host web graph
+    (mirrors/link-exchanges vs editorial links): one distinct pass +
+    one reversed-key self-semi-join + exact-integer division
+    (operators/graph.py reciprocity)."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    g = crawl.host_graph(crawl.extract_links(pages))
+    return graph.reciprocity(
+        g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    )
+
+
+def q_jsonl_export(spark, sf):
+    """Byte-deterministic JSONL training-data export lines (explicit
+    concat + escape chain, NOT to_json — engine-private spacing/order
+    would be untestable and non-reproducible); map-only
+    (ddaugner_spark/sources/jsonl.py to_jsonl)."""
+    from ddaugner_spark.sources.jsonl import to_jsonl
+
+    return to_jsonl(
+        _docs(spark, sf),
+        str_cols=["lang", "source", "text"],
+        int_cols=["doc_id", "n_chars"],
+    )
+
+
+def q_zipf(spark, sf):
+    """Zipf exponent of the corpus: ln(freq)-on-ln(rank) OLS over the
+    top-100 tokens, fixed-point micro-log ingestion into the
+    exact-sufficient-statistics regression engine — even the
+    float-native fit aggregates bit-reproducibly
+    (operators/textstats.py zipf_fit ∘ regression.ols_fit)."""
+    return textstats.zipf_fit(_docs(spark, sf))
+
+
 #: robots rules for q_robots: every host disallows /private, even hosts
 #: re-allow the /private/pub subtree (longest-match + allow-on-tie
 #: exercise), h0 additionally disallows everything under /
@@ -2924,6 +2968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_modularity": q_modularity,
         "q_ab_test": q_ab_test,
         "q_ann_recall": q_ann_recall,
+        "q_degree_dist": q_degree_dist,
+        "q_reciprocity": q_reciprocity,
+        "q_jsonl_export": q_jsonl_export,
+        "q_zipf": q_zipf,
     }
 
 
@@ -6426,6 +6474,105 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # degree histogram replay: len(bin(deg))-1 exact-integer bucket
+    o["q_degree_dist"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      b AS (SELECT (length(bin(deg)) - 1)::INT AS bucket FROM deg)
+      SELECT bucket, (1::BIGINT << bucket)::BIGINT AS min_deg,
+             count(*)::BIGINT AS n_nodes
+      FROM b GROUP BY bucket
+    """
+
+    # reciprocity replay: reversed-key EXISTS over the distinct edges
+    o["q_reciprocity"] = f"""
+      WITH {_link_pages_sql(_SRC_TAG_SQL)},
+      links AS (
+        SELECT source || '.example.com' AS src,
+               unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      ),
+      e AS (
+        SELECT DISTINCT src,
+               lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS dst
+        FROM links
+        WHERE src != lower(regexp_extract(target_url, '://([^/?#:]*)', 1))
+      ),
+      r AS (SELECT count(*)::BIGINT AS n_reciprocal FROM e
+            WHERE EXISTS (SELECT 1 FROM e e2
+                          WHERE e2.src = e.dst AND e2.dst = e.src)),
+      n AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+      SELECT n.n_edges, r.n_reciprocal,
+             round(r.n_reciprocal::DOUBLE / n.n_edges, 6) AS reciprocity
+      FROM n, r
+    """
+
+    # JSONL replay: identical concat + escape chain (backslash first)
+    def _jesc(c):
+        out = c
+        for raw, esc in (
+            ("\\\\", "\\\\\\\\"), ('"', '\\"'),
+            ("chr(10)", "\\n"), ("chr(13)", "\\r"), ("chr(9)", "\\t"),
+        ):
+            frm = f"'{raw}'" if not raw.startswith("chr") else raw
+            out = f"replace({out}, {frm}, '{esc}')"
+        return out
+
+    _jparts = " || ',' || ".join(
+        [
+            "'\"doc_id\":' || coalesce(doc_id::VARCHAR, 'null')",
+            "'\"n_chars\":' || coalesce(n_chars::VARCHAR, 'null')",
+            f"'\"lang\":' || coalesce('\"' || {_jesc('lang')} || '\"', 'null')",
+            f"'\"source\":' || coalesce('\"' || {_jesc('source')} || '\"', 'null')",
+            f"'\"text\":' || coalesce('\"' || {_jesc('text')} || '\"', 'null')",
+        ]
+    )
+    o["q_jsonl_export"] = f"""
+      SELECT doc_id, n_chars, '{{' || {_jparts} || '}}' AS line
+      FROM documents
+    """
+
+    # Zipf replay: micro-log fixed-point ingestion into the same
+    # exact-sums OLS chain as q_ols_price
+    o["q_zipf"] = """
+      WITH wc AS (
+        SELECT w, count(*)::BIGINT AS c FROM (
+          SELECT unnest(CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+                             ELSE string_split(text, ' ') END) AS w
+          FROM documents
+        ) GROUP BY w
+      ),
+      ranked AS (
+        SELECT round(ln(rank::DOUBLE) * 1e6)::BIGINT AS xi,
+               round(ln(c::DOUBLE) * 1e6)::BIGINT AS yi
+        FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+              FROM wc)
+        WHERE rank <= 100
+      ),
+      g AS (
+        SELECT 'corpus' AS corpus, count(*)::BIGINT AS n,
+               sum(xi::HUGEINT)::DOUBLE AS sx, sum(yi::HUGEINT)::DOUBLE AS sy,
+               sum(xi::HUGEINT * xi)::DOUBLE AS sxx,
+               sum(xi::HUGEINT * yi)::DOUBLE AS sxy
+        FROM ranked
+      )
+      SELECT corpus, n,
+             round(CASE WHEN n::DOUBLE * sxx - sx * sx != 0
+                        THEN (n::DOUBLE * sxy - sx * sy) /
+                             (n::DOUBLE * sxx - sx * sx) END, 6) AS slope,
+             round(CASE WHEN n::DOUBLE * sxx - sx * sx != 0
+                        THEN (sy - (n::DOUBLE * sxy - sx * sy) /
+                                   (n::DOUBLE * sxx - sx * sx) * sx) / n
+                   END, 6) AS intercept
+      FROM g
     """
 
     # robots replay: VALUES rule table, startswith candidates,

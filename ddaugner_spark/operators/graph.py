@@ -945,3 +945,52 @@ def modularity(edges: DataFrame, labels: DataFrame, ndigits: int = 6) -> DataFra
             e_in.cast("double") / F.col("m") - half * half, ndigits
         ).alias("contrib"),
     )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree histogram of the undirected graph:
+    ``(bucket, min_deg, n_nodes)`` with bucket = ⌊log2 deg⌋ — the
+    one-glance skew diagnosis (a heavy tail here is what forces the
+    salting / degree-orientation devices downstream).  The bucket is
+    computed as ``len(binary(deg)) − 1`` — an EXACT integer device on
+    both engines, immune to log2 libm boundary rounding.  One degree
+    aggregate + one bucket aggregate over the node-sized table."""
+    deg = degrees(edges.select("a", "b").distinct())
+    bucket = (F.length(F.conv(F.col("deg"), 10, 2)) - 1).cast("int")
+    return (
+        deg.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(
+            "bucket",
+            # PySpark's shiftleft() wants a literal count; the SQL form
+            # takes the column
+            F.expr("shiftleft(1, bucket)").cast("long").alias("min_deg"),
+            "n_nodes",
+        )
+    )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Reciprocity of the DIRECTED graph: the fraction of non-loop
+    edges whose reverse edge also exists — the crawl-graph health
+    metric separating link exchanges/mirrors (high) from editorial
+    linking (low).  One distinct pass + one self-semi-join on the
+    reversed key + exact-integer division; single-row output
+    (n_edges, n_reciprocal, reciprocity)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    n = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return n.crossJoin(r).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )

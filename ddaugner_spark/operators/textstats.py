@@ -825,3 +825,46 @@ def phrase_llr(
         F.col("c12").cast("long").alias("c12"),
         F.round(llr, ndigits).alias("llr"),
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) on
+    ln(rank) over the ``top_n`` most frequent tokens — the classic
+    corpus-health diagnostic (natural text ≈ −1; templated/spam text
+    bends the tail).  Ranks use the (freq desc, token asc) total order.
+
+    Composes regression.ols_fit's exact-sufficient-statistics engine by
+    FIXED-POINT ingesting the logs (round(ln·10⁶) → integer micro-log
+    units, both engines' ln being IEEE-identical on exact integer
+    inputs) — so even this float-native fit inherits the
+    bit-reproducible aggregation path; the slope is unit-free (the 10⁶
+    scales cancel).  The rank window runs on the vocabulary-sized count
+    table, never on tokens."""
+    from pyspark.sql import Window as _W
+
+    from .regression import ols_fit
+
+    toks = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    arr = F.when(
+        F.col("text") == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.col("text"), " "))
+    wc = (
+        toks.select(F.explode(arr).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = _W.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = (
+        wc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.lit("corpus").alias("corpus"),
+            F.round(F.log(F.col("rank").cast("double")) * 1e6)
+            .cast("long")
+            .alias("xi"),
+            F.round(F.log(F.col("c").cast("double")) * 1e6)
+            .cast("long")
+            .alias("yi"),
+        )
+    )
+    return ols_fit(ranked, "xi", "yi", ["corpus"])
