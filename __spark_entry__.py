@@ -2500,9 +2500,10 @@ def q_modularity(spark, sf):
 
 def q_ab_test(spark, sf):
     """Two-proportion z-test over the deterministic user_id%2 split
-    (conversion = ≥1 purchase event): one user-sized aggregate + one
-    conditional global aggregate + a fixed float chain on exact counts
-    (operators/events.py ab_test)."""
+    (conversion = ≥15 purchase events — the operator's min_events
+    default, mirrored as the literal 15 in the oracle): one user-sized
+    aggregate + one conditional global aggregate + a fixed float chain
+    on exact counts (operators/events.py ab_test)."""
     return evops.ab_test(spark.read.parquet(f"{sf}/events.parquet"))
 
 
@@ -2595,8 +2596,13 @@ def q_json_profile(spark, sf):
     extractors)."""
     e = spark.read.parquet(f"{sf}/events.parquet")
     kv = F.get_json_object(F.col("props"), "$.k")
+    # rebuild only when $.k is a bare integer — re-embedding an
+    # unquoted non-integer k would synthesize malformed JSON that
+    # DuckDB's extractor raises on while Spark returns NULL silently
+    # (code-review finding, session 9); non-integer rows keep props
+    k_int = kv.isNotNull() & kv.rlike(r"^-?[0-9]+$")
     p2 = (
-        F.when(F.col("event_id") % 3 == 0, F.col("props"))
+        F.when((F.col("event_id") % 3 == 0) | ~k_int, F.col("props"))
         .when(
             F.col("event_id") % 3 == 1,
             F.concat(
@@ -6515,11 +6521,16 @@ sents AS (
       FROM n, r
     """
 
-    # JSONL replay: identical concat + escape chain (backslash first)
+    # JSONL replay: identical concat + escape chain (backslash first).
+    # DuckDB standard strings do NO backslash processing, so the
+    # single-backslash pattern must be written as ONE backslash in the
+    # SQL text ('\' -> '\\') — a doubled pattern would only match PAIRS
+    # of backslashes and silently diverge from the engine's escape
+    # (code-review finding, session 9).
     def _jesc(c):
         out = c
         for raw, esc in (
-            ("\\\\", "\\\\\\\\"), ('"', '\\"'),
+            ("\\", "\\\\"), ('"', '\\"'),
             ("chr(10)", "\\n"), ("chr(13)", "\\r"), ("chr(9)", "\\t"),
         ):
             frm = f"'{raw}'" if not raw.startswith("chr") else raw
@@ -6814,10 +6825,15 @@ sents AS (
     # (invariant to engine JSON re-serialization)
     o["q_json_profile"] = """
       WITH p2 AS (
-        SELECT CASE event_id % 3
-                 WHEN 0 THEN props
-                 WHEN 1 THEN '{"k": ' || json_extract_string(props, '$.k') ||
-                             ', "tag": "t' || (user_id % 4)::VARCHAR || '"}'
+        SELECT CASE
+                 WHEN event_id % 3 = 0
+                      OR json_extract_string(props, '$.k') IS NULL
+                      OR NOT regexp_full_match(
+                           json_extract_string(props, '$.k'), '-?[0-9]+')
+                      THEN props
+                 WHEN event_id % 3 = 1
+                      THEN '{"k": ' || json_extract_string(props, '$.k') ||
+                           ', "tag": "t' || (user_id % 4)::VARCHAR || '"}'
                  ELSE '{"k": ' || json_extract_string(props, '$.k') ||
                       ', "geo": {"c": "c' || (user_id % 3)::VARCHAR || '"}}'
                END AS j

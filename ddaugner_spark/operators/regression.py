@@ -7,11 +7,19 @@ two runs (or the engine and its oracle) disagree in the low bits and
 every downstream rounding can flip.  The device here is the repo-wide
 integer-determinism rule applied to regression: ingest the measures as
 FIXED-POINT integers (cents, units), accumulate the five sufficient
-statistics (n, Σx, Σy, Σx², Σxy) EXACTLY — Spark in decimal(38,0),
-DuckDB in HUGEINT, both overflow-free and order-insensitive — and
-convert each exact sum to double ONCE (IEEE nearest, value-determined)
-before the constant number of closed-form float ops.  The result is
+statistics (n, Σx, Σy, Σx², Σxy) EXACTLY — Spark ingests values as
+decimal(19,0) so products land in decimal(38,0) and sums accumulate
+there; DuckDB sums in HUGEINT — both order-insensitive — and convert
+each exact sum to double ONCE (IEEE nearest, value-determined) before
+the constant number of closed-form float ops.  The result is
 bit-reproducible under any partitioning, any engine.
+
+Input-domain bound (NOT unconditional overflow-freedom): exactness
+holds while Σ|x·y| and Σx² stay under 10³⁸ (decimal(38,0)) / 1.7·10³⁸
+(HUGEINT) — e.g. fixed-point magnitudes up to 10¹⁴ across 10¹⁰ rows.
+Past it Spark's decimal sum NULLs (non-ANSI) while DuckDB raises —
+divergent failure modes, so ingest at a coarser fixed-point scale
+before approaching the bound.
 
 One hash aggregate with map-side combine; output is group-sized.
 """

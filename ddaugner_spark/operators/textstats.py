@@ -259,14 +259,25 @@ def repetition_stats(docs: DataFrame, ndigits: int = 4) -> DataFrame:
     )
 
 
+def safe_tokens() -> "F.Column":
+    """Null-safe whitespace token array of ``text``: NULL/empty → [].
+    THE tokenization expression for every n-gram/count operator in this
+    module — one definition so the subtle null/empty handling can never
+    drift between operators (and their oracles' shared
+    ``CASE WHEN coalesce(text,'')='' THEN [] ELSE string_split(...)``
+    twin)."""
+    return F.when(
+        F.coalesce(F.col("text"), F.lit("")) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.col("text"), " "))
+
+
 def word_bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) — all adjacent word pairs per doc (narrow
     sequence+transform; docs with < 2 tokens yield no rows)."""
-    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    toks = F.when(
-        F.col("text") == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("text"), " "))
-    df = docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    df = docs.withColumn("tokens", safe_tokens()).withColumn(
+        "n_tokens", F.size("tokens")
+    )
     n = F.col("n_tokens")
     seq = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
@@ -492,11 +503,9 @@ def word_trigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2, w3) — all adjacent word triples per doc (narrow
     sequence+transform, the word_bigrams device one order higher; docs
     with < 3 tokens yield no rows)."""
-    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    toks = F.when(
-        F.col("text") == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("text"), " "))
-    df = docs.withColumn("tokens", toks).withColumn("n_tokens", F.size("tokens"))
+    df = docs.withColumn("tokens", safe_tokens()).withColumn(
+        "n_tokens", F.size("tokens")
+    )
     n = F.col("n_tokens")
     seq = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
         F.array().cast("array<int>")
@@ -554,12 +563,8 @@ def stupid_backoff_scores(
     c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
     bg = word_bigrams(docs)
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    docs_nn = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    toks = F.when(
-        F.col("text") == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("text"), " "))
     uni = (
-        docs_nn.select(F.explode(toks).alias("w"))
+        docs.select(F.explode(safe_tokens()).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
@@ -752,11 +757,9 @@ def token_entropy(
     first's (group, token) output on its prefix key (AQE shuffle
     reuse); output is group-sized.
     """
-    toks = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    arr = F.when(
-        F.col("text") == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("text"), " "))
-    tw = toks.select(F.col(group_col).alias("grp"), F.explode(arr).alias("w"))
+    tw = docs.select(
+        F.col(group_col).alias("grp"), F.explode(safe_tokens()).alias("w")
+    )
     cw = tw.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("c"))
     g = cw.groupBy("grp").agg(
         F.sum("c").cast("long").alias("n_tokens"),
@@ -844,12 +847,8 @@ def zipf_fit(docs: DataFrame, top_n: int = 100) -> DataFrame:
 
     from .regression import ols_fit
 
-    toks = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
-    arr = F.when(
-        F.col("text") == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.col("text"), " "))
     wc = (
-        toks.select(F.explode(arr).alias("w"))
+        docs.select(F.explode(safe_tokens()).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
