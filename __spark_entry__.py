@@ -2385,6 +2385,53 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_coengagement(spark, sf):
+    """Bipartite user↔event-type projection → item-item co-engagement
+    counts (recommender candidate generation): distinct (user, type)
+    FIRST, then a per-user self-join whose fan is (types/user)² —
+    bounded by the type vocabulary (operators/events.py
+    coengagement)."""
+    return evops.coengagement(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_label_centroids(spark, sf):
+    """Per-label embedding centroids in long (label, dim, mean) form —
+    the class prototypes; one posexplode + one (label, dim) aggregate,
+    means rounded at the pagerank grain (operators/similarity.py
+    label_centroids)."""
+    return similarity.label_centroids(_emb(spark, sf))
+
+
+def q_nearest_centroid(spark, sf):
+    """Nearest-centroid classifier confusion matrix over the labeled
+    embeddings (does the space separate the classes?): 6-digit
+    centroids, 8-digit distances (the _kmeans_ivf_sql determinism
+    device), per-vector argmin via min(struct) — no vector window
+    (operators/similarity.py nearest_centroid_confusion)."""
+    return similarity.nearest_centroid_confusion(_emb(spark, sf))
+
+
+def q_ks_test(spark, sf):
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    'view' and 'purchase' value distributions: exact-integer cumulative
+    ECDFs over the pooled support, one window + one global argmax
+    (operators/regression.py ks_two_sample)."""
+    return regression.ks_two_sample(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        "value", "event_type", "view", "purchase",
+    )
+
+
+def q_gini(spark, sf):
+    """Gini coefficient of per-user event concentration (the crawl-
+    budget/skew dashboard metric): exact-integer Σ i·xᵢ over the
+    rank window on the key-sized table + one fixed float chain
+    (operators/regression.py gini_coefficient)."""
+    return regression.gini_coefficient(
+        spark.read.parquet(f"{sf}/events.parquet"), "user_id"
+    )
+
+
 def q_degree_dist(spark, sf):
     """Log2-bucketed degree histogram of the co-mention graph — the
     skew diagnosis read before every graph join; bucket computed as
@@ -2978,6 +3025,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_reciprocity": q_reciprocity,
         "q_jsonl_export": q_jsonl_export,
         "q_zipf": q_zipf,
+        "q_coengagement": q_coengagement,
+        "q_label_centroids": q_label_centroids,
+        "q_nearest_centroid": q_nearest_centroid,
+        "q_ks_test": q_ks_test,
+        "q_gini": q_gini,
     }
 
 
@@ -6480,6 +6532,106 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # co-engagement replay: distinct bipartite edges, per-user self-join
+    o["q_coengagement"] = """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+      SELECT a.event_type AS t1, b.event_type AS t2,
+             count(*)::BIGINT AS n_users
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY t1, t2
+    """
+
+    # centroid replay: unnest + avg, same 6-digit rounding
+    o["q_label_centroids"] = """
+      SELECT label, (i - 1)::INT AS dim,
+             round(avg(embedding[i]::DOUBLE), 6) AS mean
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      GROUP BY label, dim
+    """
+
+    # nearest-centroid replay: 6-digit centroids, 8-digit distances,
+    # row_number argmin twin of the min(struct) pick
+    o["q_nearest_centroid"] = """
+      WITH cent AS (
+        SELECT label AS c_label, (i - 1)::INT AS dim,
+               round(avg(embedding[i]::DOUBLE), 6) AS mean
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+        GROUP BY c_label, dim
+      ),
+      ex AS (
+        SELECT vec_id, label AS true_label, (i - 1)::INT AS dim,
+               embedding[i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      ),
+      d AS (
+        SELECT ex.vec_id, ex.true_label, c.c_label,
+               round(sum((ex.val - c.mean) * (ex.val - c.mean)), 8) AS d2
+        FROM ex JOIN cent c USING (dim)
+        GROUP BY ex.vec_id, ex.true_label, c.c_label
+      ),
+      pick AS (
+        SELECT vec_id, true_label, c_label FROM (
+          SELECT vec_id, true_label, c_label,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, c_label ASC) AS rn
+          FROM d) WHERE rn = 1
+      )
+      SELECT true_label, c_label AS pred_label, count(*)::BIGINT AS n
+      FROM pick GROUP BY true_label, pred_label
+    """
+
+    # KS replay: exact cumulative counts, argmax by (diff desc, v asc)
+    o["q_ks_test"] = """
+      WITH f AS (
+        SELECT value AS v, event_type FROM events
+        WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+      ),
+      per_v AS (
+        SELECT v,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM f GROUP BY v
+      ),
+      nn AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM per_v),
+      cum AS (
+        SELECT v,
+               sum(ca) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+               sum(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+        FROM per_v
+      ),
+      best AS (
+        SELECT v,
+               abs(cum_a::DOUBLE / (SELECT na FROM nn) -
+                   cum_b::DOUBLE / (SELECT nb FROM nn)) AS d
+        FROM cum ORDER BY d DESC, v ASC LIMIT 1
+      )
+      SELECT nn.na AS n_a, nn.nb AS n_b,
+             round(best.d, 6) AS d_stat, best.v AS at_value
+      FROM nn, best
+    """
+
+    # Gini replay: rank window on the key-sized table, HUGEINT sums
+    o["q_gini"] = """
+      WITH per AS (
+        SELECT user_id AS k, count(*)::BIGINT AS x FROM events GROUP BY user_id
+      ),
+      ranked AS (
+        SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS i FROM per
+      ),
+      g AS (
+        SELECT count(*)::BIGINT AS n_keys, sum(x)::BIGINT AS total,
+               sum(i::HUGEINT * x)::DOUBLE AS swx
+        FROM ranked
+      )
+      SELECT n_keys, total,
+             round(2.0 * swx / (n_keys::DOUBLE * total::DOUBLE) -
+                   (n_keys::DOUBLE + 1.0) / n_keys::DOUBLE, 6) AS gini
+      FROM g
     """
 
     # degree histogram replay: len(bin(deg))-1 exact-integer bucket

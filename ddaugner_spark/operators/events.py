@@ -257,3 +257,22 @@ def ab_test(
         F.coalesce(F.round(z, ndigits), F.lit(0.0)).alias("z"),
         (~ok).alias("degenerate"),
     )
+
+
+def coengagement(events: DataFrame) -> DataFrame:
+    """Bipartite projection of the user↔event-type graph onto event
+    types: ``(t1, t2, n_users)`` = users engaging with BOTH types (t1 <
+    t2) — the item-item co-engagement matrix recommender candidate
+    generation starts from.  Reduce to distinct (user, type) FIRST
+    (event-sized → user·type-sized), then one per-user self-join whose
+    fan-out is (types per user)² — bounded by the type vocabulary, so
+    hub users cannot go quadratic in events."""
+    ut = events.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -71,3 +71,94 @@ def ols_fit(
         F.round(slope, ndigits).alias("slope"),
         F.round(intercept, ndigits).alias("intercept"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the ``value_col``
+    distributions of two groups: D = max_v |F_a(v) − F_b(v)| over the
+    pooled value support, plus the smallest value attaining it — the
+    nonparametric drift detector for "did this segment's distribution
+    change".  One row: (n_a, n_b, d_stat, at_value).
+
+    ECDF differences are exact-integer cumulative counts divided once
+    each — no float summation; the argmax picks max(struct(diff,
+    -value)) so ties resolve to the smallest value identically in both
+    engines.  Shape: one (value) conditional aggregate (support-sized),
+    one cumulative window over that support, one global max."""
+    va = (F.col(group_col) == group_a).cast("long")
+    vb = (F.col(group_col) == group_b).cast("long")
+    # ECDF over non-null values only — NULL ordering differs between
+    # engines' windows (Spark NULLS FIRST asc, DuckDB NULLS LAST)
+    df = df.filter(F.col(value_col).isNotNull())
+    per_v = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.sum(va).alias("ca"), F.sum(vb).alias("cb"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    na = df.filter(F.col(group_col) == group_a).count()
+    nb = df.filter(F.col(group_col) == group_b).count()
+    diff = F.abs(
+        F.col("cum_a").cast("double") / F.lit(float(na))
+        - F.col("cum_b").cast("double") / F.lit(float(nb))
+    )
+    best = cum.agg(
+        F.max(F.struct(diff.alias("d"), (-F.col("v")).alias("nv"))).alias("b")
+    )
+    return best.select(
+        F.lit(na).cast("long").alias("n_a"),
+        F.lit(nb).cast("long").alias("n_b"),
+        F.round(F.col("b.d"), ndigits).alias("d_stat"),
+        (-F.col("b.nv")).alias("at_value"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, key_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Gini coefficient of the per-key row-count distribution,
+
+        G = 2·Σᵢ i·xᵢ / (n·Σ xᵢ) − (n+1)/n
+
+    over counts xᵢ sorted ascending with rank i (ties broken by key for
+    a cross-engine total order) — the concentration metric behind crawl
+    budget and skew dashboards (G → 1: a few keys own the traffic).
+    One per-key count aggregate, one rank window over the KEY-sized
+    table, exact-integer Σ i·xᵢ in decimal, then a fixed float chain.
+    Single row: (n_keys, total, gini)."""
+    from pyspark.sql import Window as _W
+
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = _W.orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = per.withColumn("i", F.row_number().over(w))
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("x").cast("long").alias("total"),
+        F.sum(
+            (F.col("i").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        ).cast("double").alias("swx"),
+    )
+    n = F.col("n_keys").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("swx") / (n * F.col("total").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return g.select(
+        "n_keys", "total", F.round(gini, ndigits).alias("gini")
+    )

@@ -417,3 +417,64 @@ def threshold_pairs(
         .filter(F.col("raw_score") >= threshold)
         .select("query_id", "vec_id", F.round("raw_score", ndigits).alias("score"))
     )
+
+
+def label_centroids(embeddings: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-label centroid of the embedding table in long form:
+    ``(label, dim, mean)`` — the class prototype every
+    nearest-centroid classifier / cluster-quality readout starts from.
+    One posexplode + one (label, dim) hash aggregate; the mean's float
+    sum reorders under partitioning but the per-cell population is
+    bounded and means are rounded at ``ndigits`` (the q_pagerank grain
+    argument).  Long form keeps the oracle twin a plain unnest+avg and
+    the output array-free for the driver canonicalizer."""
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg(F.col("val").cast("double")), ndigits).alias("mean")
+    )
+
+
+def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Confusion matrix of the nearest-centroid classifier over the
+    labeled embedding table: assign every vector to the label whose
+    (6-digit-rounded) centroid minimizes the (8-digit-rounded) squared
+    L2 distance — the _kmeans_ivf_sql determinism device, so JVM vs
+    DuckDB float-sum order lives below the rounding — and count
+    ``(true_label, pred_label, n)``.  The classifier-quality readout
+    that tells a pipeline whether its embedding space separates the
+    classes before anything trains on it.
+
+    Shape: centroids are |labels|·dim rows (tiny → the distance join
+    broadcasts them); distances are one (vec, label) aggregate over the
+    dim-exploded join; the per-vector argmin is one min(struct(dist,
+    label)) hash aggregate — no window over vectors."""
+    cent = label_centroids(embeddings).select(
+        F.col("label").alias("c_label"), "dim", "mean"
+    )
+    ex = embeddings.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    d = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val").cast("double") - F.col("mean"))
+                    * (F.col("val").cast("double") - F.col("mean"))
+                ),
+                8,
+            ).alias("d2")
+        )
+    )
+    pick = d.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct(F.col("d2").alias("d2"), F.col("c_label").alias("c"))).alias(
+            "b"
+        )
+    )
+    return pick.groupBy(
+        "true_label", F.col("b.c").alias("pred_label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
