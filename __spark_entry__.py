@@ -2385,6 +2385,24 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_novelty(spark, sf):
+    """Per-doc trigram novelty (fraction of trigram occurrences first
+    seen in this doc, first = min doc_id) — the dedup-aware curriculum
+    / crawl-value signal; the trigram explode feeds both the per-gram
+    min and the join-back on the same key (AQE exchange reuse)
+    (operators/textstats.py novelty_scores)."""
+    return textstats.novelty_scores(_docs(spark, sf))
+
+
+def q_burstiness(spark, sf):
+    """Church–Gale adaptation df₂/df₁ per token (Poisson mixtures,
+    1995): content words burst, function words don't — stopword
+    induction / topicality weighting.  One (doc, token) aggregate
+    re-aggregated for cf/df₁/df₂ (operators/textstats.py
+    burstiness)."""
+    return textstats.burstiness(_docs(spark, sf))
+
+
 def q_coengagement(spark, sf):
     """Bipartite user↔event-type projection → item-item co-engagement
     counts (recommender candidate generation): distinct (user, type)
@@ -3030,6 +3048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nearest_centroid": q_nearest_centroid,
         "q_ks_test": q_ks_test,
         "q_gini": q_gini,
+        "q_novelty": q_novelty,
+        "q_burstiness": q_burstiness,
     }
 
 
@@ -6532,6 +6552,51 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # novelty replay: same trigram stream, per-gram min(doc_id), join-back
+    o["q_novelty"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, ' ') END AS t
+        FROM documents
+      ),
+      tg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        FROM toks, unnest(range(1, len(t) - 1)) u(i)
+      ),
+      first AS (
+        SELECT w1, w2, w3, min(doc_id) AS first_doc
+        FROM tg GROUP BY w1, w2, w3
+      )
+      SELECT tg.doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN first.first_doc = tg.doc_id THEN 1 ELSE 0 END)::BIGINT
+               AS n_novel,
+             round(sum(CASE WHEN first.first_doc = tg.doc_id THEN 1 ELSE 0
+                       END)::DOUBLE / count(*), 6) AS novelty
+      FROM tg JOIN first USING (w1, w2, w3)
+      GROUP BY tg.doc_id
+    """
+
+    # burstiness replay: (doc, token) tf re-aggregated for cf/df1/df2
+    o["q_burstiness"] = """
+      WITH dtf AS (
+        SELECT doc_id, w, count(*)::BIGINT AS tf FROM (
+          SELECT doc_id,
+                 unnest(CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+                             ELSE string_split(text, ' ') END) AS w
+          FROM documents
+        ) GROUP BY doc_id, w
+      ),
+      agg AS (
+        SELECT w, sum(tf)::BIGINT AS cf, count(*)::BIGINT AS df1,
+               sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END)::BIGINT AS df2
+        FROM dtf GROUP BY w
+      )
+      SELECT w, cf, df1, df2,
+             round(df2::DOUBLE / df1, 6) AS adaptation
+      FROM agg WHERE df1 >= 5
     """
 
     # co-engagement replay: distinct bipartite edges, per-user self-join

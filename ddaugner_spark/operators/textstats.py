@@ -867,3 +867,70 @@ def zipf_fit(docs: DataFrame, top_n: int = 100) -> DataFrame:
         )
     )
     return ols_fit(ranked, "xi", "yi", ["corpus"])
+
+
+def novelty_scores(docs: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's trigram
+    occurrences whose trigram FIRST appears in this document (first =
+    smallest doc_id over the corpus) — the dedup-aware curriculum /
+    crawl-value signal: a doc full of already-seen n-grams adds little
+    training signal even if no dedup rule fires.  Output: (doc_id,
+    n_grams, n_novel, novelty); docs with < 3 tokens have no trigrams
+    and are omitted.
+
+    Shape: one trigram explode feeds BOTH the per-gram min(doc_id)
+    aggregate and the join-back (same shuffle key (w1,w2,w3), AQE
+    reuses the exchange); the final per-doc aggregate is slim.  Exact
+    integer counts, one division."""
+    tg = word_trigrams(docs)
+    first = tg.groupBy("w1", "w2", "w3").agg(F.min("doc_id").alias("first_doc"))
+    j = tg.join(first, ["w1", "w2", "w3"])
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), ndigits
+            ).alias("novelty"),
+        )
+    )
+
+
+def burstiness(
+    docs: DataFrame, min_df: int = 5, ndigits: int = 6
+) -> DataFrame:
+    """Church–Gale adaptation/burstiness per token: P(a doc that
+    contains w contains it AGAIN) = df₂(w)/df₁(w) (df_k = docs with ≥ k
+    occurrences) — content words burst (high adaptation), function
+    words don't; the lexical statistic behind stopword induction and
+    topicality weighting (Church & Gale 1995, "Poisson mixtures").
+    Output: (w, cf, df1, df2, adaptation) for tokens with df₁ ≥
+    ``min_df``.
+
+    Shape: one (doc, token) count aggregate, then ONE re-aggregation of
+    its output for cf/df₁/df₂ (AQE shuffle reuse; the corpus is scanned
+    once).  Exact integers, one division."""
+    dtf = (
+        docs.select("doc_id", F.explode(safe_tokens()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    agg = dtf.groupBy("w").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df1"),
+        F.sum((F.col("tf") >= 2).cast("long")).cast("long").alias("df2"),
+    )
+    return agg.filter(F.col("df1") >= min_df).select(
+        "w", "cf", "df1", "df2",
+        F.round(F.col("df2").cast("double") / F.col("df1"), ndigits).alias(
+            "adaptation"
+        ),
+    )

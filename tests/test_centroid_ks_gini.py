@@ -85,3 +85,32 @@ def test_gini_extremes(spark):
                                                (3, "view", 0)])
     r2 = regression.gini_coefficient(conc, "user_id").collect()[0]
     assert r2["gini"] > 0.7
+
+
+def test_novelty_scores(spark):
+    from ddaugner_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c e"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.novelty_scores(docs).collect()}
+    # doc 0: grams (a,b,c),(b,c,d) both first here -> novelty 1
+    assert got[0]["novelty"] == pytest.approx(1.0)
+    # doc 1: (a,b,c) seen in doc 0, (b,c,e) new -> 0.5
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (2, 1)
+    assert got[1]["novelty"] == pytest.approx(0.5)
+    assert got[2]["novelty"] == pytest.approx(1.0)
+
+
+def test_burstiness(spark):
+    from ddaugner_spark.operators import textstats
+
+    # 'b' bursts (always twice per doc), 'a' never repeats
+    docs = spark.createDataFrame(
+        [(i, "a b b c") for i in range(6)], "doc_id long, text string"
+    )
+    got = {r["w"]: r for r in textstats.burstiness(docs, min_df=5).collect()}
+    assert got["b"]["adaptation"] == pytest.approx(1.0)
+    assert got["a"]["adaptation"] == pytest.approx(0.0)
+    assert (got["b"]["cf"], got["b"]["df1"], got["b"]["df2"]) == (12, 6, 6)
