@@ -2385,6 +2385,22 @@ def q_random_walks(spark, sf):
     return graph.deterministic_walks(edges, length=3, walks_per_seed=2)
 
 
+def q_stream_attribution(spark, sf):
+    """STREAM-STREAM interval join (ad-attribution shape — the one
+    Structured Streaming join surface the engine hadn't exercised):
+    purchases join same-user views within 6h, both sides watermarked at
+    7h so join state is bounded and no in-window match can drop; with
+    that margin append output == the batch interval join for any
+    micro-batch split (streaming/incremental.py
+    incremental_attribution; checkpointed catch-up pinned in
+    test_streaming)."""
+    from ddaugner_spark.streaming import incremental_attribution
+
+    ck = _scratch("q_stream_attr_ck_")
+    out = _scratch("q_stream_attr_out_")
+    return incremental_attribution(spark, f"{sf}/events.parquet", ck, out)
+
+
 def q_novelty(spark, sf):
     """Per-doc trigram novelty (fraction of trigram occurrences first
     seen in this doc, first = min doc_id) — the dedup-aware curriculum
@@ -3050,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gini": q_gini,
         "q_novelty": q_novelty,
         "q_burstiness": q_burstiness,
+        "q_stream_attribution": q_stream_attribution,
     }
 
 
@@ -6552,6 +6569,17 @@ sents AS (
         WHERE w.step < 3
       )
       SELECT walk_id, step::INT AS step, node FROM walks
+    """
+
+    # stream-stream attribution join: batch interval join twin (exact
+    # epoch-microsecond arithmetic both engines)
+    o["q_stream_attribution"] = """
+      SELECT v.user_id, v.event_id AS view_id, p.event_id AS purch_id
+      FROM events v JOIN events p
+        ON p.user_id = v.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND epoch_us(p.ts) > epoch_us(v.ts)
+       AND epoch_us(p.ts) <= epoch_us(v.ts) + (6::BIGINT * 3600 * 1000000)
     """
 
     # novelty replay: same trigram stream, per-gram min(doc_id), join-back

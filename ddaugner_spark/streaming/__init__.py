@@ -1,4 +1,5 @@
 from .incremental import (
+    incremental_attribution,
     incremental_cm_sketch,
     incremental_dedup,
     incremental_upsert,
@@ -10,6 +11,7 @@ from .incremental import (
 )
 
 __all__ = [
+    "incremental_attribution",
     "incremental_cm_sketch",
     "incremental_dedup",
     "incremental_upsert",

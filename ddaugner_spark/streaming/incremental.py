@@ -400,3 +400,76 @@ def incremental_links(
     return partials.groupBy("src_host", "dst_host").agg(
         F.sum("n_links").cast("long").alias("n_links")
     )
+
+
+def incremental_attribution(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    attribution_window: str = "6 hours",
+    watermark: str = "7 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join (the ad-attribution shape from the
+    Structured Streaming join taxonomy): every 'purchase' joins the
+    same user's preceding 'view' events within ``attribution_window``.
+    Both sides are watermarked, so Spark's join state store evicts a
+    buffered row as soon as the other side's watermark proves it can
+    never match again — bounded state by construction, the property
+    that separates a streaming interval join from an unbounded
+    cross-buffer.  ``watermark`` must cover the attribution window (set
+    here: 7h > 6h) or in-window matches could be dropped; with that
+    margin the append-mode output equals the batch interval join for
+    ANY micro-batch split (replay-pinned in tests).
+
+    Runs to completion with AvailableNow against the events parquet,
+    appending matches to the ``out_dir`` parquet sink (a FILE sink —
+    the memory sink cannot recover from a checkpoint, so catch-up runs
+    would be impossible), and returns the sink read back as the full
+    joined (user_id, view_id, purch_id) table.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    views = (
+        _read_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        _read_stream(spark, events_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purch_id"),
+            F.col("ts").cast("timestamp").alias("purch_ts"),
+        )
+        .withWatermark("purch_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purch_ts") > F.col("view_ts"))
+        & (
+            F.col("purch_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        F.col("v_user").cast("long").alias("user_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("purch_id").cast("long").alias("purch_id"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

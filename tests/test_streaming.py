@@ -299,3 +299,91 @@ def test_incremental_links_fold_across_batches(spark, sf_dir, tmp_path):
         for r in crawl.host_graph(crawl.extract_links(pages_of(docs))).collect()
     }
     assert got == want and got
+
+
+def test_stream_attribution_matches_batch_across_catchup(spark, sf_dir, tmp_path):
+    """Stream-stream interval join: run over half the events, land the
+    other half, rerun with the SAME checkpoint — the union of the two
+    append outputs must equal the batch interval join over everything
+    (cross-half matches prove the join state survives the checkpoint;
+    exactly-once means no pair appears twice)."""
+    from ddaugner_spark.streaming import incremental_attribution
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src, ckpt = str(tmp_path / "attr_src"), str(tmp_path / "attr_ck")
+    out = str(tmp_path / "attr_out")
+    # split by TIME, not by hash: a catch-up run receives NEWER data.
+    # A hash split would interleave event times across phases and the
+    # watermark would (correctly!) drop phase-2 rows older than
+    # max(phase-1 ts) - 7h — that's the semantics, not a bug.  The
+    # split point is placed INSIDE some matched (view, purchase)
+    # interval so at least one match is guaranteed to cross the phases.
+    v0 = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    p0 = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purch_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    pairs = v0.join(
+        p0,
+        (v0.u == p0.u) & (p0.pts > v0.vts)
+        & (p0.pts <= v0.vts + F.expr("INTERVAL 6 HOURS")),
+    ).select(
+        "view_id", "purch_id",
+        F.unix_micros("vts").alias("vus"), F.unix_micros("pts").alias("pus"),
+    )
+    cands = (
+        pairs.filter(F.col("pus") > F.col("vus") + 1)
+        .orderBy("vus", "view_id")
+        .collect()
+    )
+    assert cands, "corpus has no attribution pair to straddle"
+    # a MIDDLE pair, so phase 1 already holds complete matches of its own
+    straddle = cands[len(cands) // 2]
+    split_ts = (straddle.vus + straddle.pus) // 2
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    half1 = events.filter(us <= F.lit(int(split_ts)))
+    half2 = events.filter(us > F.lit(int(split_ts)))
+    half1.write.parquet(src)
+
+    first = {
+        (r.user_id, r.view_id, r.purch_id)
+        for r in incremental_attribution(spark, src, ckpt, out).collect()
+    }
+    half2.write.mode("append").parquet(src)
+    after = incremental_attribution(spark, src, ckpt, out)
+    second = {
+        (r.user_id, r.view_id, r.purch_id) for r in after.collect()
+    }
+    assert first and second > first  # phase 2 adds matches
+    # exactly-once across the catch-up: the sink holds no duplicate rows
+    assert after.count() == len(second)
+
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("vts"),
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purch_id"),
+        F.col("ts").cast("timestamp").alias("pts"),
+    )
+    want = {
+        (r.u, r.view_id, r.purch_id)
+        for r in v.join(
+            p,
+            (v.u == p.u) & (p.pts > v.vts)
+            & (p.pts <= v.vts + F.expr("INTERVAL 6 HOURS")),
+        ).collect()
+    }
+    assert second == want
+    # the state-store test: at least one emitted match must CROSS the
+    # halves (its view buffered in phase 1, purchase arriving in phase 2
+    # or vice versa) — proving join state survived the checkpoint
+    h1 = {r.event_id for r in half1.collect()}
+    crossers = {
+        (u, vid, pid) for (u, vid, pid) in want if (vid in h1) != (pid in h1)
+    }
+    assert crossers and crossers <= second
+    assert crossers & (second - first)
