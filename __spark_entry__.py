@@ -43,6 +43,7 @@ from ddaugner_spark.operators import (
     sentences,
     similarity,
     tagging,
+    temporal,
     textstats,
     triples,
 )
@@ -2860,6 +2861,87 @@ def q_stupid_backoff(spark, sf):
     return textstats.stupid_backoff_scores(_docs(spark, sf))
 
 
+def q_scd2(spark, sf):
+    """Slowly-changing-dimension type-2 build from a deterministic
+    recrawl history: each url is captured 1 + doc_id%4 times one minute
+    apart; the tracked attributes (lang casing + a coarse state id)
+    change only at cap 2, so 40 captures of a stable page must collapse
+    — 4-capture urls yield exactly 2 validity rows, 2-capture urls 1.
+    Null-safe lag-struct change detection + lead() validity stitching
+    on one reused key partitioning; open rows get the 2200-01-01
+    sentinel (NULL timestamps break driver hashing) plus an is_current
+    flag (operators/temporal.py scd2)."""
+    pages = synthesize_pages(_docs(spark, sf)).select("doc_id", "url", "warc_ts", "lang")
+    caps = (
+        pages.withColumn("cap", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)))
+        .select(
+            "url",
+            (F.col("warc_ts") + F.make_dt_interval(F.lit(0), F.lit(0), F.col("cap"), F.lit(0.0))).alias("ts"),
+            F.when(F.col("cap") < 2, F.col("lang")).otherwise(F.upper("lang")).alias("lang_v"),
+            F.floor(F.col("cap") / 2).cast("long").alias("state"),
+        )
+    )
+    out = temporal.scd2(caps, "url", "ts", ["lang_v", "state"], tiebreak="state")
+    return out.select(
+        "url",
+        "version",
+        "lang_v",
+        "state",
+        "valid_from",
+        F.coalesce("valid_to", F.lit("2200-01-01 00:00:00").cast("timestamp")).alias("valid_to"),
+        "is_current",
+    )
+
+
+def q_interval_merge(spark, sf):
+    """Gaps-and-islands interval coalescing: per-user event intervals
+    [ts, ts + (event_id%7 + 1) minutes] merge into maximal overlapping
+    spans via the running-max device — max(end) over unbounded-preceding
+    (plain lag(end) is wrong when a long interval swallows successors),
+    island id = running sum of open flags, then one aggregate; a single
+    shuffle on user_id end-to-end, no quadratic self-join
+    (operators/temporal.py merge_intervals)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), (F.col("event_id") % 7) + 1, F.lit(0.0))).alias("iv_end"),
+    )
+    out = temporal.merge_intervals(iv, "user_id", "iv_start", "iv_end")
+    return out.select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        "span_start",
+        "span_end",
+        F.col("n_intervals").cast("long").alias("n_intervals"),
+    )
+
+
+def q_locf(spark, sf):
+    """Last-observation-carried-forward gap fill (TimescaleDB locf /
+    pandas ffill as one window aggregate): every event_id%3==0 value is
+    knocked out, then refilled per user from the most recent surviving
+    value ordered by (ts, event_id); leading gaps stay empty and
+    surface as the -1.0 sentinel (nullable DOUBLE through the DuckDB
+    pandas bridge becomes NaN — sentinel at design time).  Values pass
+    through last() unchanged, so the double bits are engine-identical
+    with no rounding (operators/temporal.py locf)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    gapped = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    out = temporal.locf(gapped, "user_id", "ts", "v", tiebreak="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("v").isNull().alias("was_null"),
+        F.coalesce("v_filled", F.lit(-1.0)).alias("v_filled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3067,6 +3149,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_novelty": q_novelty,
         "q_burstiness": q_burstiness,
         "q_stream_attribution": q_stream_attribution,
+        "q_scd2": q_scd2,
+        "q_interval_merge": q_interval_merge,
+        "q_locf": q_locf,
     }
 
 
@@ -7383,6 +7468,77 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # SCD2 replay: same recrawl amplifier, window form of the engine's
+    # lag-struct change detection (IS DISTINCT FROM = null-safe) +
+    # lead() validity stitching; same 2200-01-01 open sentinel
+    o["q_scd2"] = """
+      WITH pages AS (
+        SELECT doc_id, lang,
+               'https://' || source || '.example.com/doc/' || doc_id::VARCHAR AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts
+        FROM documents
+      ),
+      amp AS (
+        SELECT url, warc_ts + to_minutes(cap) AS ts,
+               CASE WHEN cap < 2 THEN lang ELSE upper(lang) END AS lang_v,
+               (cap // 2)::BIGINT AS state
+        FROM pages, unnest(range(0, (doc_id % 4) + 1)) AS u(cap)
+      ),
+      vers AS (
+        SELECT url, ts, lang_v, state
+        FROM amp
+        WINDOW w AS (PARTITION BY url ORDER BY ts, state)
+        QUALIFY (lag(lang_v) OVER w IS DISTINCT FROM lang_v)
+             OR (lag(state) OVER w IS DISTINCT FROM state)
+      )
+      SELECT url,
+             row_number() OVER w2 AS version,
+             lang_v, state, ts AS valid_from,
+             coalesce(lead(ts) OVER w2, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+             lead(ts) OVER w2 IS NULL AS is_current
+      FROM vers
+      WINDOW w2 AS (PARTITION BY url ORDER BY ts, state)
+    """
+
+    # interval-merge replay: identical running-max island device
+    o["q_interval_merge"] = """
+      WITH iv AS (
+        SELECT user_id, ts AS s, ts + to_minutes((event_id % 7) + 1) AS e
+        FROM events
+      ),
+      m AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv
+      ),
+      isl AS (
+        SELECT user_id, s, e,
+               sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM m
+      )
+      SELECT user_id, island::BIGINT AS island,
+             min(s) AS span_start, max(e) AS span_end,
+             count(*)::BIGINT AS n_intervals
+      FROM isl GROUP BY user_id, island
+    """
+
+    # LOCF replay: same knockout, last_value IGNORE NULLS over the same
+    # (ts, event_id) frame; values pass through unchanged (no rounding)
+    o["q_locf"] = """
+      SELECT user_id, event_id,
+             (event_id % 3 = 0) AS was_null,
+             coalesce(
+               last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               -1.0) AS v_filled
+      FROM events
     """
 
     return o

@@ -111,6 +111,108 @@ def range_join(
     )
 
 
+def scd2(
+    captures: DataFrame,
+    key: str,
+    ts: str,
+    attr_cols: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a capture history:
+    collapse consecutive captures with identical tracked attributes into
+    versioned validity rows ``(key, version, attrs…, valid_from,
+    valid_to, is_current)``.
+
+    The standard dimension-history shape for entity/page state in a KG
+    store (Kimball SCD2; Iceberg/Delta ``MERGE`` change capture): a url
+    recrawled 40× with 3 distinct states must yield 3 rows, not 40.
+
+    Two window passes over the SAME partitioning (one shuffle, reused —
+    the second window's input is already hash-partitioned by ``key``):
+
+    1. change detection: a null-safe struct comparison against
+       ``lag(attrs)`` marks version starts (NULL attr values compare
+       equal to NULL, not "changed" — ``eqNullSafe``);
+    2. validity stitching on the version-start rows only:
+       ``valid_to = lead(valid_from)``, open rows get NULL.
+
+    Per-key state is one struct (the lag), so skewed keys cost sort time
+    only — no row explosion, no join.
+    """
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    changed = captures.withColumn(
+        "_new",
+        ~attrs.eqNullSafe(F.lag(attrs).over(w)) | F.lag(attrs).over(w).isNull(),
+    ).filter(F.col("_new"))
+    w2 = Window.partitionBy(key).orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+    return changed.select(
+        key,
+        F.row_number().over(w2).cast("long").alias("version"),
+        *attr_cols,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_intervals(
+    df: DataFrame, key: str, start: str, end: str
+) -> DataFrame:
+    """Coalesce overlapping/touching ``[start, end]`` intervals per key
+    into maximal islands: ``(key, span_start, span_end, n_intervals)``.
+
+    Gaps-and-islands via the running-max device: an interval opens a new
+    island iff its start exceeds the max end of ALL earlier intervals
+    (``max(end) over rows unbounded-preceding..-1`` — plain ``lag(end)``
+    is wrong when an earlier long interval swallows its successors);
+    the island id is the running sum of the open flags.  One window
+    partitioning shared by both passes and the final aggregate — a
+    single shuffle on ``key`` end-to-end, no self-join (the naive
+    overlap formulation is a per-key quadratic theta-join)."""
+    w = Window.partitionBy(key).orderBy(F.col(start).asc(), F.col(end).asc())
+    prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = (prev_max.isNull() | (F.col(start) > prev_max)).cast("long")
+    island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(key, "_island")
+        .agg(
+            F.min(start).alias("span_start"),
+            F.max(end).alias("span_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .select(
+            key,
+            F.col("_island").alias("island"),
+            "span_start",
+            "span_end",
+            "n_intervals",
+        )
+    )
+
+
+def locf(
+    df: DataFrame, key: str, ts: str, value: str, tiebreak: str
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill: per ``key``, ordered
+    by ``(ts, tiebreak)``, replace NULL ``value`` with the most recent
+    non-NULL one (``<value>_filled``; leading NULLs stay NULL).
+
+    The sensor/metric backfill primitive (TimescaleDB ``locf``,
+    pandas ``ffill``) as one window aggregate —
+    ``last(value, ignorenulls)`` over unbounded-preceding rows; no join
+    against a "latest state" table, no per-row Python."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        f"{value}_filled", F.last(value, ignorenulls=True).over(w)
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -147,3 +147,99 @@ def test_asof_null_right_value_from_matched_row(spark):
     ).collect()[0]
     assert row["asof_ts"] == _ts("2024-01-01T00:20:00")
     assert row["asof_view_value"] is None  # NOT 11.0
+
+
+def test_scd2_collapses_and_stitches(spark):
+    """4 captures with states A,A,B,B must yield exactly 2 versions with
+    back-to-back validity; a single-state history yields 1 open row;
+    NULL attr values compare equal to NULL (no phantom version)."""
+    from ddaugner_spark.operators.temporal import scd2
+
+    caps = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T00:00:00"), "A", 0),
+            ("u1", _ts("2024-01-01T00:01:00"), "A", 0),
+            ("u1", _ts("2024-01-01T00:02:00"), "B", 0),
+            ("u1", _ts("2024-01-01T00:03:00"), "B", 0),
+            ("u2", _ts("2024-01-01T00:00:00"), None, 0),
+            ("u2", _ts("2024-01-01T00:01:00"), None, 0),
+        ],
+        "url string, ts timestamp, attr string, tb long",
+    )
+    rows = {
+        (r["url"], r["version"]): r
+        for r in scd2(caps, "url", "ts", ["attr"], tiebreak="tb").collect()
+    }
+    assert set(rows) == {("u1", 1), ("u1", 2), ("u2", 1)}
+    v1, v2 = rows[("u1", 1)], rows[("u1", 2)]
+    assert v1["attr"] == "A" and not v1["is_current"]
+    assert v1["valid_to"] == v2["valid_from"] == _ts("2024-01-01T00:02:00")
+    assert v2["attr"] == "B" and v2["is_current"] and v2["valid_to"] is None
+    u2 = rows[("u2", 1)]
+    assert u2["attr"] is None and u2["is_current"]
+
+
+def test_scd2_single_shuffle_plan(spark):
+    """Both window passes share the key partitioning — exactly one
+    exchange in the plan."""
+    from ddaugner_spark.operators.temporal import scd2
+
+    caps = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T00:00:00"), "A", 0)],
+        "url string, ts timestamp, attr string, tb long",
+    )
+    plan = (
+        scd2(caps, "url", "ts", ["attr"], tiebreak="tb")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_merge_intervals_swallowed_successor(spark):
+    """A long first interval swallowing two later ones must produce ONE
+    island even though interval 3 does not overlap interval 2 — the
+    lag(end) formulation fails exactly here; running max is required."""
+    from ddaugner_spark.operators.temporal import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            (1, 0, 100),   # swallows both
+            (1, 10, 20),
+            (1, 30, 40),
+            (1, 150, 160), # separate island
+            (2, 0, 1),
+        ],
+        "k long, s long, e long",
+    )
+    out = {
+        (r["k"], r["island"]): (r["span_start"], r["span_end"], r["n_intervals"])
+        for r in merge_intervals(iv, "k", "s", "e").collect()
+    }
+    assert out[(1, 1)] == (0, 100, 3)
+    assert out[(1, 2)] == (150, 160, 1)
+    assert out[(2, 1)] == (0, 1, 1)
+    assert len(out) == 3
+
+
+def test_locf_fills_and_keeps_leading_nulls(spark):
+    from ddaugner_spark.operators.temporal import locf
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None),
+            (1, 2, 5.0),
+            (1, 3, None),
+            (1, 4, None),
+            (1, 5, 7.0),
+            (2, 1, None),
+        ],
+        "k long, seq long, v double",
+    )
+    out = {
+        (r["k"], r["seq"]): r["v_filled"]
+        for r in locf(df, "k", "seq", "v", tiebreak="seq").collect()
+    }
+    assert out[(1, 1)] is None          # leading gap stays
+    assert out[(1, 3)] == 5.0 and out[(1, 4)] == 5.0
+    assert out[(1, 5)] == 7.0
+    assert out[(2, 1)] is None
