@@ -42,6 +42,7 @@ from ddaugner_spark.operators import (
     scoring,
     sentences,
     similarity,
+    stats,
     tagging,
     temporal,
     textstats,
@@ -2942,6 +2943,115 @@ def q_locf(spark, sf):
     )
 
 
+def q_column_stats(spark, sf):
+    """ANALYZE-style column profile of the documents table (the
+    optimizer/catalog statistics every warehouse collects): one
+    aggregate pass → per-column (n_rows, n_null, exact ndv, min, max as
+    strings), exploded to one row per column; exact countDistinct here
+    so DuckDB can replay it — production swaps in approx_count_distinct
+    (operators/stats.py column_stats)."""
+    return stats.column_stats(
+        _docs(spark, sf), ["doc_id", "n_chars", "lang", "source"]
+    )
+
+
+def q_mad_outliers(spark, sf):
+    """Robust per-source length-outlier screen (Iglewicz–Hoaglin
+    modified z-score, median/MAD not mean/σ — corpus lengths are
+    heavy-tailed): two key-sized exact-percentile aggregates broadcast
+    back, MAD=0 guarded to z=0; flagged at |z| > 2 (tightened from the
+    3.5 default so the flag branch is exercised on this corpus)
+    (operators/stats.py mad_outliers)."""
+    out = stats.mad_outliers(
+        _docs(spark, sf).select("doc_id", "source", "n_chars"),
+        "source",
+        "n_chars",
+        z_thresh=2.0,
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "robust_z", "is_outlier",
+    )
+
+
+def q_logistic_quality(spark, sf):
+    """Fixed-weight logistic quality classifier inference (the scoring
+    half of a CCNet/fastText-style filter; training is oos per SURVEY
+    §3.1): three map-only features — capped length, type-token ratio,
+    mean word length — through σ(w·x+b), keep at score ≥ 0.5.  Pure
+    column arithmetic both engines; exact-integer feature numerators so
+    the float chain is engine-identical to 6 digits
+    (operators/stats.py logistic_score)."""
+    d = _docs(spark, sf).filter(F.coalesce(F.col("text"), F.lit("")) != "")
+    toks = F.split("text", " ")
+    feats = d.select(
+        "doc_id",
+        (F.least("n_chars", F.lit(500)) / 500.0).alias("len_norm"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        ((F.col("n_chars") - (F.size(toks) - 1)) / F.size(toks) / 10.0).alias("mwl10"),
+    )
+    score = stats.logistic_score(
+        feats, {"len_norm": 1.5, "ttr": 2.0, "mwl10": -1.0}, bias=-1.2
+    )
+    return feats.select(
+        "doc_id",
+        F.round("ttr", 6).alias("ttr"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def q_zone_maps(spark, sf):
+    """Per-file min/max zone maps over a Z-ordered write (the
+    data-skipping stats parquet/Iceberg record), plus the scan flags
+    that MEASURE the layout: files whose [min,max] misses the range
+    predicate are pruned — scan_y is selective on the y-range
+    predicate, scan_x shows the degenerate single-column view.  One
+    map-side-combined aggregate on the zbucket file key
+    (operators/layout.py zone_maps, zone_scan_flag; same Morton key as
+    q_zorder)."""
+    from ddaugner_spark.operators import layout
+
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        F.col("user_id").alias("x"), (F.col("event_id") % 1024).alias("y")
+    )
+    z = layout.with_zorder(e, ["x", "y"], bits=10, buckets=256)
+    zm = layout.zone_maps(z, "zbucket", ["x", "y"])
+    return zm.select(
+        F.col("zbucket").cast("int").alias("zbucket"),
+        "n_rows", "x_min", "x_max", "y_min", "y_max",
+        layout.zone_scan_flag("x", F.lit(2), F.lit(5)).alias("scan_x"),
+        layout.zone_scan_flag("y", F.lit(100), F.lit(300)).alias("scan_y"),
+    )
+
+
+def q_compaction(spark, sf):
+    """Small-file compaction planner (Iceberg/Delta binpack shape) over
+    a synthesized file inventory — one file per (source, doc_id%13)
+    with size = Σ n_chars: per-source sort-ordered carving into
+    ~2000-byte rewrite bins via a window cumsum (bin = ⌊bytes-before /
+    target⌋); deterministic, keeps sort order inside bins, inventory is
+    metadata-sized (operators/layout.py compaction_plan)."""
+    from ddaugner_spark.operators import layout
+
+    files = (
+        _docs(spark, sf)
+        .groupBy("source", (F.col("doc_id") % 13).alias("file_idx"))
+        .agg(F.sum("n_chars").alias("size_bytes"))
+    )
+    out = layout.compaction_plan(
+        files, "size_bytes", target_bytes=2000,
+        order_col="file_idx", part_col="source",
+    )
+    return out.select(
+        "source", "bin", "n_files", "bin_bytes",
+        F.col("first_file").cast("long").alias("first_file"),
+        F.col("last_file").cast("long").alias("last_file"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3152,6 +3262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_interval_merge": q_interval_merge,
         "q_locf": q_locf,
+        "q_column_stats": q_column_stats,
+        "q_mad_outliers": q_mad_outliers,
+        "q_logistic_quality": q_logistic_quality,
+        "q_zone_maps": q_zone_maps,
+        "q_compaction": q_compaction,
     }
 
 
@@ -7539,6 +7654,111 @@ sents AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                -1.0) AS v_filled
       FROM events
+    """
+
+    # column-profile replay: one UNION ALL leg per column; min/max over
+    # the STRING rendering (binary collation, engine-identical)
+    _stat_leg = """
+      SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+             (count(*) - count({c}))::BIGINT AS n_null,
+             count(DISTINCT {c})::BIGINT AS ndv,
+             min({c}::VARCHAR) AS min_s, max({c}::VARCHAR) AS max_s
+      FROM documents"""
+    o["q_column_stats"] = " UNION ALL ".join(
+        _stat_leg.format(c=c) for c in ["doc_id", "n_chars", "lang", "source"]
+    )
+
+    # MAD replay: quantile_cont == Spark exact percentile (linear
+    # interpolation at p·(n−1)); flag compares the ROUNDED z both sides
+    o["q_mad_outliers"] = """
+      WITH med AS (
+        SELECT source, quantile_cont(n_chars::DOUBLE, 0.5) AS med
+        FROM documents GROUP BY source
+      ),
+      j AS (
+        SELECT d.doc_id, d.source, d.n_chars, m.med
+        FROM documents d JOIN med m USING (source)
+      ),
+      mad AS (
+        SELECT source, quantile_cont(abs(n_chars::DOUBLE - med), 0.5) AS mad
+        FROM j GROUP BY source
+      )
+      SELECT j.doc_id, j.source, j.n_chars,
+             round(j.med, 6) AS med, round(mad.mad, 6) AS mad,
+             round(CASE WHEN mad.mad = 0 THEN 0.0
+                        ELSE 0.6745 * (j.n_chars::DOUBLE - j.med) / mad.mad
+                   END, 6) AS robust_z,
+             abs(round(CASE WHEN mad.mad = 0 THEN 0.0
+                            ELSE 0.6745 * (j.n_chars::DOUBLE - j.med) / mad.mad
+                       END, 6)) > 2.0 AS is_outlier
+      FROM j JOIN mad USING (source)
+    """
+
+    # logistic replay: identical feature expressions and the same
+    # left-to-right z accumulation (bias, len_norm, ttr, mwl10)
+    o["q_logistic_quality"] = """
+      WITH d AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS t
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      f AS (
+        SELECT doc_id,
+               least(n_chars, 500) / 500.0 AS len_norm,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               (n_chars - (len(t) - 1))::DOUBLE / len(t) / 10.0 AS mwl10
+        FROM d
+      ),
+      s AS (
+        SELECT doc_id, ttr,
+               1.0 / (1.0 + exp(-(-1.2 + 1.5 * len_norm + 2.0 * ttr
+                                  + (-1.0) * mwl10))) AS score
+        FROM f
+      )
+      SELECT doc_id, round(ttr, 6) AS ttr, round(score, 6) AS score,
+             score >= 0.5 AS keep
+      FROM s
+    """
+
+    # zone-map replay: same Morton key (zx/zy terms above), zbucket =
+    # top-8 bits of the 20-bit key, same scan-flag arithmetic
+    o["q_zone_maps"] = f"""
+      WITH base AS (
+        SELECT user_id AS x, event_id % 1024 AS y,
+               user_id & 1023 AS zx, (event_id % 1024) & 1023 AS zy
+        FROM events
+      ),
+      z AS (SELECT x, y, ({_zterms})::BIGINT AS zorder FROM base),
+      zm AS (
+        SELECT (zorder >> 12)::INT AS zbucket, count(*)::BIGINT AS n_rows,
+               min(x) AS x_min, max(x) AS x_max,
+               min(y) AS y_min, max(y) AS y_max
+        FROM z GROUP BY 1
+      )
+      SELECT zbucket, n_rows, x_min, x_max, y_min, y_max,
+             NOT (x_max < 2 OR x_min > 5) AS scan_x,
+             NOT (y_max < 100 OR y_min > 300) AS scan_y
+      FROM zm
+    """
+
+    # compaction replay: same inventory, same ordered-carve cumsum
+    o["q_compaction"] = """
+      WITH files AS (
+        SELECT source, doc_id % 13 AS file_idx, sum(n_chars)::BIGINT AS size_bytes
+        FROM documents GROUP BY source, doc_id % 13
+      ),
+      b AS (
+        SELECT source, file_idx, size_bytes,
+               coalesce(sum(size_bytes)
+                 OVER (PARTITION BY source ORDER BY file_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS before
+        FROM files
+      )
+      SELECT source, (before // 2000)::BIGINT AS bin,
+             count(*)::BIGINT AS n_files, sum(size_bytes)::BIGINT AS bin_bytes,
+             min(file_idx)::BIGINT AS first_file,
+             max(file_idx)::BIGINT AS last_file
+      FROM b GROUP BY source, (before // 2000)
     """
 
     return o

@@ -1,0 +1,93 @@
+"""Column profiles, MAD outliers, logistic inference (operators/stats.py)
+and zone maps / compaction planning (operators/layout.py)."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from ddaugner_spark.operators.layout import (
+    compaction_plan,
+    with_zorder,
+    zone_maps,
+    zone_scan_flag,
+)
+from ddaugner_spark.operators.stats import (
+    column_stats,
+    logistic_score,
+    mad_outliers,
+)
+
+
+def test_column_stats_counts_nulls_and_ndv(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (3, "b")],
+        "id long, s string",
+    )
+    out = {r["column"]: r for r in column_stats(df, ["id", "s"]).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["ndv"] == 3
+    assert out["id"]["min_s"] == "1" and out["id"]["max_s"] == "3"
+    assert out["s"]["n_null"] == 1 and out["s"]["ndv"] == 2
+    assert out["s"]["min_s"] == "a" and out["s"]["max_s"] == "b"
+
+
+def test_mad_outliers_flags_and_zero_mad_guard(spark):
+    # group g: symmetric around 10 with one wild point; group c: constant
+    rows = [("g", i, v) for i, v in enumerate([8, 9, 10, 11, 12, 1000])]
+    rows += [("c", 100 + i, 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    out = {r["id"]: r for r in mad_outliers(df, "grp", "v", 3.5).collect()}
+    # median of g = 10.5, MAD = median(|x-10.5|) = 1.5
+    assert out[5]["is_outlier"]  # 1000 is wildly out
+    assert not out[2]["is_outlier"]
+    assert out[2]["robust_z"] == round(0.6745 * (10 - 10.5) / 1.5, 6)
+    for i in range(100, 104):  # constant group: MAD=0 -> z=0, no outliers
+        assert out[i]["robust_z"] == 0.0 and not out[i]["is_outlier"]
+
+
+def test_logistic_score_matches_closed_form(spark):
+    df = spark.createDataFrame([(0.5, 1.0), (0.0, 0.0)], "a double, b double")
+    got = sorted(
+        r[0]
+        for r in df.select(
+            logistic_score(df, {"a": 2.0, "b": -1.0}, bias=0.5)
+        ).collect()
+    )
+    exp = sorted(
+        1.0 / (1.0 + math.exp(-(0.5 + 2.0 * a - b))) for a, b in [(0.5, 1.0), (0.0, 0.0)]
+    )
+    for g, e in zip(got, exp):
+        assert math.isclose(g, e, rel_tol=1e-12)
+
+
+def test_zone_maps_prune_range_predicate(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(0, 64, 4) for y in range(0, 64, 4)],
+        "x long, y long",
+    )
+    z = with_zorder(df, ["x", "y"], bits=6, buckets=4)
+    zm = zone_maps(z, "zbucket", ["x", "y"]).withColumn(
+        "scan", zone_scan_flag("y", F.lit(0), F.lit(10))
+    )
+    rows = zm.collect()
+    assert sum(r["n_rows"] for r in rows) == 16 * 16
+    # y in [0,10] lives in the low-y buckets only: some file must be pruned
+    assert any(not r["scan"] for r in rows)
+    for r in rows:  # flags consistent with the maps they derive from
+        assert r["scan"] == (not (r["y_max"] < 0 or r["y_min"] > 10))
+
+
+def test_compaction_plan_carves_by_running_sum(spark):
+    files = spark.createDataFrame(
+        [("p", 0, 900), ("p", 1, 900), ("p", 2, 900), ("p", 3, 5000), ("p", 4, 100)],
+        "part string, idx long, size long",
+    )
+    out = {
+        r["bin"]: r
+        for r in compaction_plan(files, "size", 2000, "idx", "part").collect()
+    }
+    # bins by bytes-before/2000: 0,900,1800 -> bin 0; 2700 -> bin 1; 7700 -> bin 3
+    assert out[0]["n_files"] == 3 and out[0]["bin_bytes"] == 2700
+    assert out[1]["n_files"] == 1 and out[1]["first_file"] == 3
+    assert out[3]["n_files"] == 1 and out[3]["first_file"] == 4
+    assert set(out) == {0, 1, 3}
