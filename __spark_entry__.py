@@ -3052,6 +3052,67 @@ def q_compaction(spark, sf):
     )
 
 
+def q_allpairs_prefix(spark, sf):
+    """EXACT all-pairs Jaccard via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo WWW'07) on the dup-amplified corpus — same ground truth as
+    q_jaccard_pairs (identical oracle), different candidate engine:
+    rare-first global shingle order, only each set's (1−τ) prefix is
+    indexed, τ-length filter before the exact verification join; no
+    stop-shingle cap needed because high-df shingles never enter the
+    prefixes (operators/dedup.py all_pairs_jaccard_prefix; losslessness
+    above τ pinned by the differential pytest)."""
+    return dedup.all_pairs_jaccard_prefix(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
+def q_shortest_path(spark, sf):
+    """Weighted single-source shortest paths (≤3 hops) from the 5 seed
+    nodes over a deterministic 50-node weighted digraph (10 out-edges
+    per node, min-weight parallel-edge collapse): bounded Bellman–Ford
+    relaxation with per-round min-aggregates, parquet-round-tripped
+    (operators/graph.py shortest_paths_weighted); oracle = recursive
+    CTE enumerating all ≤3-hop path costs with min per node.  Costs are
+    exact LONGs — no float accumulation."""
+    d = _docs(spark, sf)
+    raw = d.select(
+        (F.col("doc_id") % 50).alias("a"),
+        ((F.col("doc_id") % 50) * 7 + F.floor(F.col("doc_id") / 50) + 1).alias("b0"),
+        (1 + (F.floor(F.col("doc_id") / 50) + F.col("doc_id")) % 5).alias("w"),
+    ).select("a", (F.col("b0") % 50).alias("b"), "w").filter("a != b")
+    edges = raw.groupBy("a", "b").agg(F.min("w").alias("w"))
+    seeds = (
+        d.select((F.col("doc_id") % 50).alias("node"))
+        .filter(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    out = graph.shortest_paths_weighted(
+        edges, seeds, max_hops=3, stage_dir=_scratch("q_sssp_")
+    )
+    return out.select("node", F.col("cost").cast("long").alias("cost"))
+
+
+def q_rollup_merge(spark, sf):
+    """Incremental-view-maintenance refresh: the daily rollup is built
+    as merge(rollup(base), rollup(delta)) over a deterministic
+    base/delta split (event_id%4), and the oracle recomputes from the
+    FULL event set — pinning the decomposable-aggregate equality that
+    lets a 100 TB continuous aggregate refresh by re-aggregating only
+    the new partition (operators/temporal.py merge_rollups)."""
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    rb = temporal.hypertable_rollup(
+        e.filter(F.col("event_id") % 4 < 3), "ts", "value", 86400, ["event_type"]
+    )
+    rd = temporal.hypertable_rollup(
+        e.filter(F.col("event_id") % 4 == 3), "ts", "value", 86400, ["event_type"]
+    )
+    out = temporal.merge_rollups([rb, rd], ["event_type"])
+    return out.select(
+        "bucket_ts",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 4).alias("sum_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3267,6 +3328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_logistic_quality": q_logistic_quality,
         "q_zone_maps": q_zone_maps,
         "q_compaction": q_compaction,
+        "q_allpairs_prefix": q_allpairs_prefix,
+        "q_shortest_path": q_shortest_path,
+        "q_rollup_merge": q_rollup_merge,
     }
 
 
@@ -7759,6 +7823,45 @@ sents AS (
              min(file_idx)::BIGINT AS first_file,
              max(file_idx)::BIGINT AS last_file
       FROM b GROUP BY source, (before // 2000)
+    """
+
+    # prefix-filter all-pairs: SAME ground truth as the inverted-index
+    # form — the oracle is deliberately shared (brute-force exact
+    # Jaccard); only the engine-side candidate generation differs
+    o["q_allpairs_prefix"] = o["q_jaccard_pairs"]
+
+    # weighted SSSP replay: identical deterministic digraph, recursive
+    # CTE enumerating every <=3-hop path cost, min per node
+    o["q_shortest_path"] = """
+      WITH RECURSIVE e0 AS (
+        SELECT doc_id % 50 AS a,
+               ((doc_id % 50) * 7 + doc_id // 50 + 1) % 50 AS b,
+               1 + (doc_id // 50 + doc_id) % 5 AS w
+        FROM documents
+      ),
+      edges AS (
+        SELECT a, b, min(w) AS w FROM e0 WHERE a != b GROUP BY a, b
+      ),
+      seeds AS (
+        SELECT DISTINCT doc_id % 50 AS node FROM documents
+        WHERE (doc_id % 50) % 10 = 0
+      ),
+      paths(node, cost, hops) AS (
+        SELECT node, 0::BIGINT AS cost, 0 AS hops FROM seeds
+        UNION ALL
+        SELECT e.b, p.cost + e.w, p.hops + 1
+        FROM paths p JOIN edges e ON e.a = p.node
+        WHERE p.hops < 3
+      )
+      SELECT node, min(cost)::BIGINT AS cost FROM paths GROUP BY node
+    """
+
+    # IVM replay: recompute from the FULL event set — pins
+    # merge(rollup(base), rollup(delta)) == rollup(base UNION delta)
+    o["q_rollup_merge"] = """
+      SELECT date_trunc('day', ts) AS bucket_ts, event_type,
+             count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v
+      FROM events GROUP BY 1, 2
     """
 
     return o

@@ -27,7 +27,7 @@ skew-join covers adversarial buckets (e.g. boilerplate pages).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import config
@@ -240,6 +240,79 @@ def jaccard_pairs_inverted(
         )
         .filter(F.col("jaccard_raw") >= threshold)
         .select("a", "b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+def all_pairs_jaccard_prefix(
+    corpus: DataFrame,
+    k: int = config.SHINGLE_K,
+    threshold: float = config.JACCARD_THRESHOLD,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ τ via PREFIX FILTERING (AllPairs,
+    Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — same output
+    contract as :func:`jaccard_pairs_inverted`, different (and at scale
+    strictly better) candidate generation.
+
+    Order each doc's shingle set by a GLOBAL rare-first canonical order
+    (df asc, shingle asc — packed into one sortable key) and index only
+    each set's first ``|d| − ⌈τ·|d|⌉ + 1`` shingles.  Completeness: for
+    any pair with J ≥ τ, |x∩y| ≥ ⌈τ·max(|x|,|y|)⌉ =: α, and the
+    MINIMUM common shingle under the global order must lie inside both
+    α-prefixes (if it fell outside x's prefix, all common shingles
+    would sit in x's last α−1 positions — fewer than α of them).  So
+    the prefix-postings self-join loses nothing above τ, which the
+    differential pytest pins against the inverted-index form.
+
+    Why it scales better: the inverted-index join must CAP stop-shingle
+    postings (``max_doc_freq`` — a recall trade logged as drops); here
+    the rare-first order pushes exactly those high-df shingles OUT of
+    the prefixes, so the hot postings never enter the join and no cap
+    is needed.  Index size is the (1−τ) prefix fraction of the shingle
+    volume; the τ·|x| ≤ |y| ≤ |x|/τ length filter prunes candidates
+    before the exact verification join, which is sized by surviving
+    candidates, not corpus².
+    """
+    sh = shingles(corpus, k)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    keyed = sh.join(dfreq, "shingle").select(
+        "doc_id",
+        F.concat(
+            F.lpad(F.col("df").cast("string"), 10, "0"), F.lit("#"), F.col("shingle")
+        ).alias("skey"),
+    )
+    sizes = keyed.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("skey").asc())
+    # plain join, NOT broadcast: sizes is doc-count-sized (billions of
+    # rows at crawl scale); it shares the doc_id partitioning with the
+    # window's output, so the exchange is reused
+    ranked = keyed.withColumn("r", F.row_number().over(w)).join(sizes, "doc_id")
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    )
+    a = prefix.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "skey")
+    b = prefix.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "skey")
+    cand = (
+        a.join(b, "skey")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("nb") >= F.lit(threshold) * F.col("na"))
+            & (F.col("na") >= F.lit(threshold) * F.col("nb"))
+        )
+        .select("a", "b", "na", "nb")
+        .distinct()
+    )
+    ka = keyed.select(F.col("doc_id").alias("a"), "skey")
+    kb = keyed.select(F.col("doc_id").alias("b"), "skey")
+    inter = (
+        cand.join(ka, "a")
+        .join(kb, ["b", "skey"])
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.filter(jac >= threshold)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -715,6 +715,69 @@ def bfs_distances(
     return visited
 
 
+def shortest_paths_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, cost) — minimum total edge WEIGHT from any seed within
+    ``max_hops`` hops over the directed weighted edge table
+    ``(a, b, w)``; unreached nodes are absent.  The weighted companion
+    to :func:`bfs_distances` (link-cost crawl radii, trust-weighted KG
+    neighborhoods).
+
+    Bounded Bellman–Ford relaxation, the distributed idiom: each round
+    joins the CURRENT distance table to the edge list (one shuffle on
+    the node key), takes the per-node min of old and relaxed costs, and
+    parquet-round-trips the result (constant plan depth — the CC/BFS
+    iteration device).  Unlike BFS, a node's cost can improve after
+    first discovery, so rounds keep a min-aggregate instead of the
+    anti-join frontier; the loop exits early when a round changes no
+    (node, cost) pair.  Costs stay exact integers (LONG) — no float
+    accumulation order to worry about."""
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_sssp_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    e = _roundtrip(edges.select("a", "b", F.col("w").cast("long").alias("w")), "edges")
+    dist = _roundtrip(
+        seeds.select("node").distinct().withColumn("cost", F.lit(0).cast("long")),
+        "dist_0",
+    )
+    for r in range(1, max_hops + 1):
+        t0 = time.time()
+        relaxed = dist.join(e, dist.node == e.a).select(
+            F.col("b").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        new = _roundtrip(new, f"dist_{r % 2}")
+        changed = new.join(dist, ["node", "cost"], "left_anti").count()
+        stats["rounds"].append(
+            {"round": r, "sec": round(time.time() - t0, 3), "changed": changed}
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist
+
+
 def link_prediction(
     edges: DataFrame, max_deg: int | None = None, ndigits: int = 6
 ) -> DataFrame:

@@ -63,6 +63,22 @@ def coarsen_rollup(
     ).agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
 
 
+def merge_rollups(rollups: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Incremental-view-maintenance merge: because the rollup stores
+    only DECOMPOSABLE aggregates, ``rollup(base ∪ delta) ==
+    merge(rollup(base), rollup(delta))`` — so a new day of events
+    re-aggregates ONLY the delta and merges key-sized rollup tables,
+    never rescanning the 100 TB base (the continuous-aggregate refresh
+    contract; the q_rollup_merge oracle pins the equality by
+    recomputing from the full event set)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), rollups)
+    return merged.groupBy("bucket_ts", *group_cols).agg(
+        F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v")
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
