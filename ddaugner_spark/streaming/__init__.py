@@ -7,6 +7,7 @@ from .incremental import (
     incremental_link_scores,
     incremental_links,
     incremental_mentions,
+    incremental_trending,
     incremental_triples,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "incremental_link_scores",
     "incremental_links",
     "incremental_mentions",
+    "incremental_trending",
     "incremental_triples",
 ]

@@ -73,6 +73,48 @@ def incremental_event_counts(
     return spark.sql("SELECT * FROM incr_event_counts")
 
 
+def incremental_trending(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "60 minutes",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """SLIDING-window per-type counts (the trending-terms/metrics
+    shape): each event lands in window/slide overlapping windows, so
+    consecutive emitted rows give the smoothed rate a trending detector
+    ratios — the one windowed-aggregation surface the tumbling
+    ``incremental_event_counts`` doesn't exercise.  State is bounded by
+    the watermark exactly as with tumbling windows (each event just
+    updates w/s panes instead of one); append mode emits a window only
+    once the watermark passes its end, so replays are idempotent."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = _read_stream(spark, events_dir, schema)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_trending")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM incr_trending")
+
+
 def incremental_triples(
     spark: SparkSession,
     documents_dir: str,

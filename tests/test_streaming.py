@@ -387,3 +387,34 @@ def test_stream_attribution_matches_batch_across_catchup(spark, sf_dir, tmp_path
     }
     assert crossers and crossers <= second
     assert crossers & (second - first)
+
+
+def test_incremental_trending_sliding_matches_batch(spark, sf_dir, tmp_path):
+    """Sliding windows (60m/30m): streaming append output == batch
+    sliding-window aggregation restricted to watermark-closed windows;
+    every interior event appears in exactly two panes."""
+    from ddaugner_spark.streaming import incremental_trending
+
+    out = incremental_trending(
+        spark, f"{sf_dir}/events.parquet", str(tmp_path / "ck_tr"),
+        window="60 minutes", slide="30 minutes", watermark="30 minutes",
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 30 MINUTES"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert want and got == want
+    # pane fan-out: total n over ALL windows (unfiltered batch) = 2x events
+    total = (
+        ev.groupBy(F.window("ts", "60 minutes", "30 minutes"))
+        .agg(F.count("*").alias("n")).agg(F.sum("n")).first()[0]
+    )
+    assert total == 2 * ev.count()
