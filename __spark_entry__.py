@@ -3140,6 +3140,27 @@ def q_stream_sliding(spark, sf):
     )
 
 
+def q_clustering_coef(spark, sf):
+    """Local clustering coefficient per entity on the co-mention graph
+    (2T/(d(d−1)), 0 for deg<2): the hub-disambiguation signal — a
+    high-degree entity whose neighbors don't interconnect is a
+    polysemous hub, not a community member.  Degree-oriented triangle
+    counting + the degree table, one key-sized join
+    (operators/graph.py clustering_coefficient)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.clustering_coefficient(canonical.co_mention_edges(m))
+
+
+def q_minhash_error(spark, sf):
+    """MinHash sketch-accuracy eval on the dup-amplified corpus: for
+    every LSH candidate pair, the signature estimate (matching minima /
+    P) against exact Jaccard with |error| — the measurement that
+    justifies P=8 before trusting sketch-only dedup decisions at crawl
+    scale (σ = √(J(1−J)/P) is a promise; this checks it)
+    (operators/dedup.py minhash_estimate_error)."""
+    return dedup.minhash_estimate_error(dedup.with_dup_corpus(_docs(spark, sf)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3359,6 +3380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shortest_path": q_shortest_path,
         "q_rollup_merge": q_rollup_merge,
         "q_stream_sliding": q_stream_sliding,
+        "q_clustering_coef": q_clustering_coef,
+        "q_minhash_error": q_minhash_error,
     }
 
 
@@ -7882,6 +7905,49 @@ sents AS (
         WHERE p.hops < 3
       )
       SELECT node, min(cost)::BIGINT AS cost FROM paths GROUP BY node
+    """
+
+    # clustering-coefficient replay: the q_triangles oracle nested as
+    # the per-node triangle table + the symmetrized degree table
+    o["q_clustering_coef"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      tc AS (SELECT * FROM ({o["q_triangles"]})),
+      sym AS (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges),
+      deg AS (SELECT node, count(*)::BIGINT AS deg FROM sym GROUP BY node)
+      SELECT tc.entity, deg.deg, tc.triangles,
+             round(CASE WHEN deg.deg >= 2
+                        THEN 2.0 * tc.triangles / (deg.deg * (deg.deg - 1))
+                        ELSE 0.0 END, 6) AS coef
+      FROM tc JOIN deg ON deg.node = tc.entity
+    """
+
+    # MinHash-error replay: the _MH_CHAIN fragment's mh/cand/sizes/inter
+    # tables; estimate = matching minima / P, exact = raw ratio
+    o["q_minhash_error"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      mtch AS (
+        SELECT c.a, c.b, count(*) FILTER (WHERE ma.h = mb.h)::BIGINT AS n_match
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.a
+        JOIN mh mb ON mb.doc_id = c.b AND mb.p = ma.p
+        GROUP BY c.a, c.b
+      ),
+      exct AS (
+        SELECT i.a, i.b, i.n_inter::DOUBLE / (za.n + zb.n - i.n_inter) AS jx
+        FROM inter i JOIN sizes za ON za.doc_id = i.a
+                     JOIN sizes zb ON zb.doc_id = i.b
+      )
+      SELECT m.a, m.b, m.n_match,
+             round(m.n_match / {config.MINHASH_PERMS}.0, 6) AS j_est,
+             round(e.jx, 6) AS j_exact,
+             round(abs(m.n_match / {config.MINHASH_PERMS}.0 - e.jx), 6) AS abs_err
+      FROM mtch m JOIN exct e ON e.a = m.a AND e.b = m.b
     """
 
     # sliding-window replay: each event fans to its two pane starts

@@ -250,3 +250,23 @@ class TestWinnowFingerprints:
     def test_short_doc_no_fingerprints(self, spark):
         # fewer than w full windows of grams -> nothing selected
         assert self._fps(spark, [(1, "a b c d")], w=4).count() == 0
+
+
+def test_minhash_estimate_error_bounds_and_exactness(spark):
+    """Identical docs must estimate J=1 with zero error; every estimate
+    is a multiple of 1/P; abs_err == |j_est - j_exact| recomputed."""
+    from ddaugner_spark.operators.dedup import minhash_estimate_error
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i j"),   # exact dup of 0
+        (2, "a b c d e f g h i k"),
+    ]
+    c = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["a"], r["b"]): r for r in minhash_estimate_error(c).collect()}
+    dup = out[(0, 1)]
+    assert dup["n_match"] == 8 and dup["j_est"] == 1.0
+    assert dup["j_exact"] == 1.0 and dup["abs_err"] == 0.0
+    for r in out.values():
+        assert r["n_match"] % 1 == 0 and 0 <= r["n_match"] <= 8
+        assert abs(r["abs_err"] - abs(r["j_est"] - r["j_exact"])) < 2e-6

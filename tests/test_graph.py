@@ -490,3 +490,19 @@ def test_hits_rejects_zero_iters(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="iters"):
         graph.hits(e, iters=0)
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle abc + pendant d on a: coef(b)=coef(c)=1 (their whole
+    neighborhood is connected), coef(a)=1/3 (one closed pair of three),
+    coef(d)=0 (degree 1)."""
+    from ddaugner_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d")], "a string, b string"
+    )
+    out = {r["entity"]: r for r in clustering_coefficient(edges).collect()}
+    assert out["b"]["coef"] == 1.0 and out["c"]["coef"] == 1.0
+    assert out["a"]["deg"] == 3 and out["a"]["triangles"] == 1
+    assert out["a"]["coef"] == round(1 / 3, 6)
+    assert out["d"]["coef"] == 0.0 and out["d"]["deg"] == 1
