@@ -3161,6 +3161,64 @@ def q_minhash_error(spark, sf):
     return dedup.minhash_estimate_error(dedup.with_dup_corpus(_docs(spark, sf)))
 
 
+def q_snapshot_diff(spark, sf):
+    """Crawl snapshot diff (the nightly "what changed" primitive
+    feeding the incremental pipeline): v2 deletes every doc_id%7==3
+    url, revises text on %5==0, and adds a ?v=2 url for %11==0; the
+    diff emits ONLY the delta (added/removed/changed) from one
+    co-partitioned full-outer join over per-side (key, md5) reductions
+    — payloads never cross the join (operators/crawl.py
+    snapshot_diff)."""
+    pages = synthesize_pages(_docs(spark, sf)).select(
+        "doc_id", "url", F.coalesce("text", F.lit("")).alias("text")
+    )
+    v1 = pages.select("url", "text")
+    v2 = (
+        pages.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "url",
+            F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            pages.filter(F.col("doc_id") % 11 == 0).select(
+                F.concat("url", F.lit("?v=2")).alias("url"), "text"
+            )
+        )
+    )
+    return crawl.snapshot_diff(v1, v2, "url", ["text"])
+
+
+def q_bucketed_join(spark, sf):
+    """Bucketed-table co-located join: both sides are written ONCE as
+    16-bucket external tables hash-partitioned by user_id, so the
+    shuffle-join path plans ZERO shuffle exchanges — pinned in
+    test_stats_layout with broadcast disabled (here the small side may
+    still broadcast, which is also exchange-free for the big side) —
+    the pay-the-shuffle-at-ingest device for the 100 TB fact tables
+    (operators/layout.py write_bucketed).  The oracle replays the same
+    join from the raw parquet; values are layout-invariant."""
+    from ddaugner_spark.operators import layout
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "event_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    root = _scratch("q_bkt_")
+    layout.write_bucketed(views, "bkt_views", "user_id", 16, f"{root}/views")
+    layout.write_bucketed(buys, "bkt_buys", "user_id", 16, f"{root}/buys")
+    out = (
+        spark.table("bkt_views")
+        .join(spark.table("bkt_buys"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3382,6 +3440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding": q_stream_sliding,
         "q_clustering_coef": q_clustering_coef,
         "q_minhash_error": q_minhash_error,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_bucketed_join": q_bucketed_join,
     }
 
 
@@ -7905,6 +7965,50 @@ sents AS (
         WHERE p.hops < 3
       )
       SELECT node, min(cost)::BIGINT AS cost FROM paths GROUP BY node
+    """
+
+    # snapshot-diff replay: same v1/v2 synthesis, FULL OUTER JOIN over
+    # per-side md5 reductions; '' sentinel on the missing side
+    o["q_snapshot_diff"] = """
+      WITH pages AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/doc/' || doc_id::VARCHAR AS url,
+               text
+        FROM documents
+      ),
+      v1 AS (SELECT url, md5(coalesce(text, '')) AS old_hash FROM pages),
+      v2r AS (
+        SELECT url,
+               CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' v2'
+                    ELSE coalesce(text, '') END AS text
+        FROM pages WHERE doc_id % 7 != 3
+        UNION ALL
+        SELECT url || '?v=2' AS url, coalesce(text, '') AS text
+        FROM pages WHERE doc_id % 11 = 0
+      ),
+      v2 AS (SELECT url, md5(text) AS new_hash FROM v2r),
+      j AS (
+        SELECT coalesce(v1.url, v2.url) AS url, old_hash, new_hash
+        FROM v1 FULL OUTER JOIN v2 ON v1.url = v2.url
+      )
+      SELECT url, coalesce(old_hash, '') AS old_hash,
+             coalesce(new_hash, '') AS new_hash,
+             CASE WHEN old_hash IS NULL THEN 'added'
+                  WHEN new_hash IS NULL THEN 'removed'
+                  ELSE 'changed' END AS status
+      FROM j
+      WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash != new_hash
+    """
+
+    # bucketed-join replay from the raw parquet — the values are
+    # layout-invariant; the bucketing claim itself is the plan-shape
+    # pytest (zero exchanges), not this oracle
+    o["q_bucketed_join"] = """
+      WITH v AS (SELECT user_id, event_id FROM events WHERE event_type = 'view'),
+      b AS (SELECT user_id, value FROM events WHERE event_type = 'purchase')
+      SELECT v.user_id, count(*)::BIGINT AS n_pairs,
+             round(sum(b.value), 4) AS total_value
+      FROM v JOIN b USING (user_id) GROUP BY v.user_id
     """
 
     # clustering-coefficient replay: the q_triangles oracle nested as

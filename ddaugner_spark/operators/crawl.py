@@ -162,6 +162,45 @@ def latest_captures(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, hash_cols: list[str]
+) -> DataFrame:
+    """Table-state diff between two snapshots (the Iceberg
+    snapshot-inspection / CDC-backfill shape): ``(key, old_hash,
+    new_hash, status ∈ {added, removed, changed})`` — unchanged rows
+    are NOT emitted, so the output is delta-sized.
+
+    Each side reduces to (key, md5 over ``hash_cols``) FIRST — the
+    full-outer join carries two hash columns, never the page payloads —
+    then one co-partitioned full-outer join on ``key``.  Hashes are
+    sentinel-'' on the missing side (NULL strings would survive to the
+    driver hash).  At 10^12 rows this is the nightly "what changed
+    since the last crawl" primitive feeding the incremental pipeline;
+    both inputs bucketed by ``key`` make it exchange-free."""
+    fp = F.md5(F.concat_ws("\x1f", *hash_cols))
+    oh = old.select(F.col(key), fp.alias("old_hash"))
+    nh = new.select(F.col(key), fp.alias("new_hash"))
+    j = oh.join(nh, key, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        j.filter(
+            F.col("old_hash").isNull()
+            | F.col("new_hash").isNull()
+            | (F.col("old_hash") != F.col("new_hash"))
+        )
+        .select(
+            key,
+            F.coalesce("old_hash", F.lit("")).alias("old_hash"),
+            F.coalesce("new_hash", F.lit("")).alias("new_hash"),
+            status.alias("status"),
+        )
+    )
+
+
 def key_skew_profile(
     df: DataFrame, key_col: str, top_n: int = 10, ndigits: int = 6
 ) -> DataFrame:

@@ -84,6 +84,33 @@ def zone_scan_flag(col: str, lo, hi) -> Column:
     return ~((F.col(f"{col}_max") < lo) | (F.col(f"{col}_min") > hi))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int,
+    path: str,
+    sort_by: str | None = None,
+) -> None:
+    """Materialize ``df`` as a BUCKETED external table (Spark's
+    pre-shuffled layout): rows are hash-partitioned into ``n_buckets``
+    files by ``key`` at WRITE time, so every later equi-join or
+    aggregation on ``key`` between same-bucketed tables plans with NO
+    exchange — the shuffle is paid once at ingest instead of per query
+    (pinned in test_stats_layout: zero Exchange in the join plan).
+
+    This is the engine's co-located-join device for the 100 TB fact
+    tables (mentions ⋈ triples ⋈ link_scores all key on doc_id): at
+    1000 executors the per-query doc_id shuffle is the dominant cost,
+    and bucketing amortizes it across every downstream query.  The
+    table is EXTERNAL (data at ``path``) so the catalog entry is
+    metadata only; callers own the path's lifecycle."""
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, key)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def compaction_plan(
     files: DataFrame,
     size_col: str,

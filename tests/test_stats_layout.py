@@ -91,3 +91,59 @@ def test_compaction_plan_carves_by_running_sum(spark):
     assert out[1]["n_files"] == 1 and out[1]["first_file"] == 3
     assert out[3]["n_files"] == 1 and out[3]["first_file"] == 4
     assert set(out) == {0, 1, 3}
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, tmp_path):
+    """Two 8-bucket tables keyed on k: their equi-join + groupBy(k)
+    aggregate must plan with NO Exchange at all — the shuffle was paid
+    at write time. This is the co-located-join contract bucketing
+    exists for."""
+    from ddaugner_spark.operators.layout import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        (F.col("id") % 37).alias("k"), F.col("id").alias("x")
+    )
+    b = spark.range(0, 500).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") * 2).alias("y")
+    )
+    write_bucketed(a, "t_bkt_a", "k", 8, str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", "k", 8, str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: the claim under test is that
+        # bucketing removes the SHUFFLE, not that broadcast would
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = (
+            spark.table("t_bkt_a")
+            .join(spark.table("t_bkt_b"), "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and the values are right: per-k pair counts multiply
+        row = {r["k"]: (r["n"], r["sy"]) for r in out.collect()}
+        na = {r["k"]: r["n"] for r in a.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+        nb = {r["k"]: r["n"] for r in b.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+        for k, (n, _) in row.items():
+            assert n == na[k] * nb[k]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_snapshot_diff_statuses(spark):
+    from ddaugner_spark.operators.crawl import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "a"), ("u2", "b"), ("u3", "c")], "url string, text string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "a"), ("u2", "B"), ("u4", "d")], "url string, text string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", ["text"]).collect()}
+    # u1 unchanged -> absent; u2 changed; u3 removed; u4 added
+    assert out == {"u2": "changed", "u3": "removed", "u4": "added"}
