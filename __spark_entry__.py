@@ -3219,6 +3219,30 @@ def q_bucketed_join(spark, sf):
     return out
 
 
+def q_hard_negatives(spark, sf):
+    """Margin-based hard-negative mining against class prototypes: per
+    vector, own-centroid distance vs closest other-centroid distance;
+    margin < 0 rows are the contrastive-training samples worth mining.
+    Prototype-level (|labels| centroids broadcast), not corpus-ANN —
+    the scale path for a first mining pass (operators/similarity.py
+    centroid_hard_negatives; shares centroid_distances with
+    q_nearest_centroid)."""
+    return similarity.centroid_hard_negatives(_emb(spark, sf))
+
+
+def q_filter_stack(spark, sf):
+    """CCNet/RefinedWeb-style quality filter stack with ATTRIBUTED drop
+    reasons over the dup-amplified corpus — first failing rule in fixed
+    order (short → long → low_ttr → low_stopword → duplicate → keep):
+    the per-reason drop-rate attribution that makes a 100 TB filtering
+    run debuggable.  Content rules map-only; the duplicate rule is the
+    exact-dedup hash aggregate joined back (operators/stats.py
+    filter_stack)."""
+    return stats.filter_stack(
+        dedup.with_dup_corpus(_docs(spark, sf)), config.STOPWORDS
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3442,6 +3466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_error": q_minhash_error,
         "q_snapshot_diff": q_snapshot_diff,
         "q_bucketed_join": q_bucketed_join,
+        "q_hard_negatives": q_hard_negatives,
+        "q_filter_stack": q_filter_stack,
     }
 
 
@@ -7049,6 +7075,78 @@ sents AS (
       )
       SELECT true_label, c_label AS pred_label, count(*)::BIGINT AS n
       FROM pick GROUP BY true_label, pred_label
+    """
+
+    # hard-negative replay: the q_nearest_centroid cent/ex/d CTEs, own
+    # distance vs row_number argmin over the other labels
+    o["q_hard_negatives"] = """
+      WITH cent AS (
+        SELECT label AS c_label, (i - 1)::INT AS dim,
+               round(avg(embedding[i]::DOUBLE), 6) AS mean
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+        GROUP BY c_label, dim
+      ),
+      ex AS (
+        SELECT vec_id, label AS true_label, (i - 1)::INT AS dim,
+               embedding[i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+      ),
+      d AS (
+        SELECT ex.vec_id, ex.true_label, c.c_label,
+               round(sum((ex.val - c.mean) * (ex.val - c.mean)), 8) AS d2
+        FROM ex JOIN cent c USING (dim)
+        GROUP BY ex.vec_id, ex.true_label, c.c_label
+      ),
+      own AS (
+        SELECT vec_id, true_label AS label, d2 AS d_own
+        FROM d WHERE c_label = true_label
+      ),
+      neg AS (
+        SELECT vec_id, c_label AS hard_label, d2 AS d_neg FROM (
+          SELECT vec_id, c_label, d2,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2 ASC, c_label ASC) AS rn
+          FROM d WHERE c_label != true_label) WHERE rn = 1
+      )
+      SELECT o.vec_id, o.label, n.hard_label, o.d_own, n.d_neg,
+             round(n.d_neg - o.d_own, 8) AS margin,
+             n.d_neg < o.d_own AS is_violation
+      FROM own o JOIN neg n USING (vec_id)
+    """
+
+    # filter-stack replay: identical rule order and thresholds; the
+    # duplicate rule replays the md5 keeper aggregate
+    o["q_filter_stack"] = f"""
+      WITH {_CORPUS},
+      feat AS (
+        SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+               string_split(coalesce(text, ''), ' ') AS t,
+               md5(coalesce(text, '')) AS h
+        FROM corpus
+      ),
+      f2 AS (
+        SELECT doc_id, n_chars::BIGINT AS n_chars,
+               len(list_distinct(t))::DOUBLE / len(t) AS ttr,
+               len(list_filter(t, x -> x IN ({_STOP})))::DOUBLE / len(t)
+                 AS stop_ratio,
+               h
+        FROM feat
+      ),
+      canon AS (SELECT h, min(doc_id) AS keeper FROM f2 GROUP BY h),
+      r AS (
+        SELECT f2.doc_id, f2.n_chars, f2.ttr, f2.stop_ratio,
+               CASE WHEN f2.n_chars < 100 THEN 'short'
+                    WHEN f2.n_chars > 500 THEN 'long'
+                    WHEN f2.ttr < 0.35 THEN 'low_ttr'
+                    WHEN f2.stop_ratio < 0.02 THEN 'low_stopword'
+                    WHEN f2.doc_id != c.keeper THEN 'duplicate'
+                    ELSE 'keep' END AS reason
+        FROM f2 JOIN canon c USING (h)
+      )
+      SELECT doc_id, n_chars, round(ttr, 6) AS ttr,
+             round(stop_ratio, 6) AS stop_ratio, reason,
+             reason = 'keep' AS keep
+      FROM r
     """
 
     # KS replay: exact cumulative counts, argmax by (diff desc, v asc)

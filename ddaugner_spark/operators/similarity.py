@@ -436,6 +436,73 @@ def label_centroids(embeddings: DataFrame, ndigits: int = 6) -> DataFrame:
     )
 
 
+def centroid_distances(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, true_label, c_label, d2) — every vector's squared L2
+    distance to every label centroid, with the _kmeans_ivf_sql
+    determinism device (centroids rounded @6 before the distance sum,
+    distances rounded @8) so cross-engine float-sum order lives below
+    the grain.  Centroids are |labels|·dim rows → broadcast into the
+    dim-exploded join; one (vec, label) aggregate, no vector window.
+    Shared by the confusion readout and the hard-negative miner."""
+    cent = label_centroids(embeddings).select(
+        F.col("label").alias("c_label"), "dim", "mean"
+    )
+    ex = embeddings.select(
+        "vec_id", F.col("label").alias("true_label"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    return (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("val").cast("double") - F.col("mean"))
+                    * (F.col("val").cast("double") - F.col("mean"))
+                ),
+                8,
+            ).alias("d2")
+        )
+    )
+
+
+def centroid_hard_negatives(embeddings: DataFrame) -> DataFrame:
+    """Margin-based hard-negative mining against class prototypes:
+    for every vector, its distance to its OWN label's centroid vs the
+    closest OTHER label's centroid — ``(vec_id, label, hard_label,
+    d_own, d_neg, margin, is_violation)``.  Violations (margin < 0:
+    the vector sits closer to another class's prototype than its own)
+    are exactly the rows a contrastive/metric-learning pass should
+    sample hardest; hard_label tells it which class to contrast
+    against.  Prototype-level mining is the scale path: |labels|
+    centroids instead of an ANN over the full corpus, one broadcast
+    distance join + two key-sized aggregates (the full-ANN variant
+    exists separately as q_mention_ann_ivf)."""
+    d = centroid_distances(embeddings)
+    own = d.filter(F.col("c_label") == F.col("true_label")).select(
+        "vec_id", F.col("true_label").alias("label"), F.col("d2").alias("d_own")
+    )
+    neg = (
+        d.filter(F.col("c_label") != F.col("true_label"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("d2").alias("d2"), F.col("c_label").alias("c"))
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.c").alias("hard_label"), F.col("b.d2").alias("d_neg"))
+    )
+    return own.join(neg, "vec_id").select(
+        "vec_id",
+        "label",
+        "hard_label",
+        "d_own",
+        "d_neg",
+        F.round(F.col("d_neg") - F.col("d_own"), 8).alias("margin"),
+        (F.col("d_neg") < F.col("d_own")).alias("is_violation"),
+    )
+
+
 def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
     """Confusion matrix of the nearest-centroid classifier over the
     labeled embedding table: assign every vector to the label whose
@@ -450,26 +517,7 @@ def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
     broadcasts them); distances are one (vec, label) aggregate over the
     dim-exploded join; the per-vector argmin is one min(struct(dist,
     label)) hash aggregate — no window over vectors."""
-    cent = label_centroids(embeddings).select(
-        F.col("label").alias("c_label"), "dim", "mean"
-    )
-    ex = embeddings.select(
-        "vec_id", F.col("label").alias("true_label"),
-        F.posexplode("embedding").alias("dim", "val"),
-    )
-    d = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "true_label", "c_label")
-        .agg(
-            F.round(
-                F.sum(
-                    (F.col("val").cast("double") - F.col("mean"))
-                    * (F.col("val").cast("double") - F.col("mean"))
-                ),
-                8,
-            ).alias("d2")
-        )
-    )
+    d = centroid_distances(embeddings)
     pick = d.groupBy("vec_id", "true_label").agg(
         F.min(F.struct(F.col("d2").alias("d2"), F.col("c_label").alias("c"))).alias(
             "b"

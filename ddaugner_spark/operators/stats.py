@@ -83,6 +83,71 @@ def mad_outliers(
     )
 
 
+def filter_stack(
+    docs: DataFrame,
+    stopwords: list[str],
+    min_chars: int = 100,
+    max_chars: int = 500,
+    min_ttr: float = 0.35,
+    min_stop: float = 0.02,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style quality FILTER STACK with attributed
+    drop reasons: every document gets ``(n_chars, ttr, stop_ratio,
+    reason, keep)`` where ``reason`` is the FIRST failing rule in the
+    fixed order short → long → low_ttr → low_stopword → duplicate →
+    keep.  Attribution (not just a boolean) is what makes a 100 TB
+    filtering run debuggable — the per-reason drop-rate table is the
+    dashboard that catches a rule gone wrong before a trillion tokens
+    are discarded.
+
+    Content rules are map-only column arithmetic; the duplicate rule
+    is one md5-keyed aggregate joined back (keeper = min doc_id), the
+    exact-dedup shuffle the stack would pay anyway.  No per-row
+    Python; the stopword membership compiles to an OR chain inside the
+    lambda (no computed-array reference in the body)."""
+    from functools import reduce
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(text, " ")
+    nc = F.length(text)
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda x: reduce(
+                    lambda a, b: a | b, [x == F.lit(s) for s in stopwords]
+                ),
+            )
+        )
+        / F.size(toks)
+    )
+    feat = docs.select(
+        "doc_id",
+        nc.cast("long").alias("n_chars"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+        F.md5(text).alias("h"),
+    )
+    canon = feat.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    reason = (
+        F.when(F.col("n_chars") < min_chars, F.lit("short"))
+        .when(F.col("n_chars") > max_chars, F.lit("long"))
+        .when(F.col("ttr") < min_ttr, F.lit("low_ttr"))
+        .when(F.col("stop_ratio") < min_stop, F.lit("low_stopword"))
+        .when(F.col("doc_id") != F.col("keeper"), F.lit("duplicate"))
+        .otherwise(F.lit("keep"))
+    )
+    return feat.join(canon, "h").select(
+        "doc_id",
+        "n_chars",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
+
+
 def logistic_score(
     df: DataFrame, weights: dict[str, float], bias: float
 ) -> Column:

@@ -114,3 +114,24 @@ def test_burstiness(spark):
     assert got["b"]["adaptation"] == pytest.approx(1.0)
     assert got["a"]["adaptation"] == pytest.approx(0.0)
     assert (got["b"]["cf"], got["b"]["df1"], got["b"]["df2"]) == (12, 6, 6)
+
+
+def test_hard_negatives_margin_and_violation(spark):
+    """Two tight clusters + one planted vector sitting in the other
+    cluster: the plant must be a violation (margin < 0) with the other
+    label as hard_label; clean vectors have positive margins."""
+    from ddaugner_spark.operators.similarity import centroid_hard_negatives
+
+    rows = (
+        [(i, [0.0, 0.0], 0) for i in range(4)]
+        + [(10 + i, [10.0, 10.0], 1) for i in range(4)]
+        + [(99, [9.0, 9.0], 0)]  # labeled 0, sits with cluster 1
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in centroid_hard_negatives(emb).collect()}
+    plant = out[99]
+    assert plant["is_violation"] and plant["margin"] < 0
+    assert plant["hard_label"] == 1
+    for i in range(4):
+        assert not out[i]["is_violation"] and out[i]["margin"] > 0
+        assert not out[10 + i]["is_violation"]

@@ -147,3 +147,36 @@ def test_snapshot_diff_statuses(spark):
     out = {r["url"]: r["status"] for r in snapshot_diff(old, new, "url", ["text"]).collect()}
     # u1 unchanged -> absent; u2 changed; u3 removed; u4 added
     assert out == {"u2": "changed", "u3": "removed", "u4": "added"}
+
+
+def test_filter_stack_reason_precedence_and_dedup(spark):
+    """First-failing-rule attribution: a short duplicate reads 'short',
+    not 'duplicate'; the duplicate keeper survives as keep; reasons are
+    exhaustive."""
+    from ddaugner_spark.operators.stats import filter_stack
+
+    good = (
+        "the quick brown fox jumps over a lazy dog while the bright sun "
+        "warms a calm green field and small birds sing near tall old trees"
+    )  # 128 chars, ttr 0.92, stopword ratio 4/26
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> duplicate
+        (3, "tiny"),                    # short
+        (4, (good + " ") * 4),          # long (516 chars > 500)
+        (5, "the " * 40),               # low_ttr (2 distinct / 41)
+        (6, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg ff ee dd cc bb aa zz2 yy2 xx2 ww2 vv2 uu2"),  # no stopwords
+        (7, "x"),                       # short AND duplicate-of-nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in filter_stack(df, ["the", "a"]).collect()}
+    assert out[1]["reason"] == "keep" and out[1]["keep"]
+    assert out[2]["reason"] == "duplicate" and not out[2]["keep"]
+    assert out[3]["reason"] == "short"
+    assert out[4]["reason"] == "long"
+    assert out[5]["reason"] == "low_ttr"
+    assert out[6]["reason"] == "low_stopword"
+    assert out[7]["reason"] == "short"
+    assert set(r["reason"] for r in out.values()) <= {
+        "short", "long", "low_ttr", "low_stopword", "duplicate", "keep"
+    }
