@@ -3243,6 +3243,41 @@ def q_filter_stack(spark, sf):
     )
 
 
+def q_wp_fertility(spark, sf):
+    """Tokenizer FERTILITY per language (wordpieces per token — the
+    metric that decides whether a vocabulary is fair to a language
+    before a trillion-token budget is split): WordPiece runs once over
+    the DISTINCT vocabulary (kernels/wordpiece.py), piece counts join
+    back to per-(lang, word) frequencies, and fertility = Σc·pieces /
+    Σc re-aggregates exact integers.  The corpus is never re-tokenized
+    per occurrence — vocabulary-sized WordPiece work, corpus-sized
+    counts only."""
+    from ddaugner_spark.functions import wordpiece_pieces
+
+    d = _docs(spark, sf).filter(F.coalesce(F.col("text"), F.lit("")) != "")
+    wc = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    np_ = (
+        wc.select("word")
+        .distinct()
+        .select("word", F.size(wordpiece_pieces(F.col("word"))).alias("n_pieces"))
+    )
+    return (
+        wc.join(np_, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("n_pieces")).cast("long").alias("n_wordpieces"),
+            F.round(
+                F.sum(F.col("c") * F.col("n_pieces")) / F.sum("c"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3468,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bucketed_join": q_bucketed_join,
         "q_hard_negatives": q_hard_negatives,
         "q_filter_stack": q_filter_stack,
+        "q_wp_fertility": q_wp_fertility,
     }
 
 
@@ -7075,6 +7111,24 @@ sents AS (
       )
       SELECT true_label, c_label AS pred_label, count(*)::BIGINT AS n
       FROM pick GROUP BY true_label, pred_label
+    """
+
+    # fertility replay: the recursive WordPiece fold over the distinct
+    # vocabulary (same _wordpiece_sql as q_wordpiece), counts joined back
+    o["q_wp_fertility"] = f"""
+      WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      wc AS (SELECT lang, word, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      vwords AS (SELECT DISTINCT word FROM wc),
+      {_wordpiece_sql("vwords")},
+      np AS (SELECT word, len(pieces)::BIGINT AS n_pieces FROM wp)
+      SELECT lang, sum(c)::BIGINT AS n_tokens,
+             sum(c * n_pieces)::BIGINT AS n_wordpieces,
+             round(sum(c * n_pieces)::DOUBLE / sum(c), 6) AS fertility
+      FROM wc JOIN np USING (word)
+      GROUP BY lang
     """
 
     # hard-negative replay: the q_nearest_centroid cent/ex/d CTEs, own

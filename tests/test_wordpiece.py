@@ -48,3 +48,20 @@ def test_roundtrip_property():
         p = wordpiece_tokenize(w)
         if p != ["[UNK]"]:
             assert "".join(x.removeprefix("##") for x in p) == w
+
+
+def test_fertility_is_frequency_weighted(spark):
+    """Fertility must weight by occurrence count, not vocabulary: a
+    language whose COMMON word splits into many pieces reads worse than
+    one where only a rare word does."""
+    from ddaugner_spark.functions import wordpiece_pieces
+    import pyspark.sql.functions as F
+
+    vocab = spark.createDataFrame([("the",), ("quicksilver",)], "word string")
+    np_ = {
+        r["word"]: r["n"]
+        for r in vocab.select(
+            "word", F.size(wordpiece_pieces(F.col("word"))).alias("n")
+        ).collect()
+    }
+    assert np_["the"] >= 1 and np_["quicksilver"] > np_["the"]
