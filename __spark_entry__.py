@@ -3278,6 +3278,46 @@ def q_wp_fertility(spark, sf):
     )
 
 
+def q_assortativity(spark, sf):
+    """Pearson degree assortativity of the co-mention graph (Newman
+    2002 — do hubs link hubs?): exact decimal(38,0) sums over the
+    symmetrized edge-end degree pairs, one fixed float chain, −9.9
+    sentinel for the zero-variance degenerate case (NULL DOUBLE breaks
+    pandas-bridge parity) (operators/graph.py degree_assortativity)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    out = graph.degree_assortativity(canonical.co_mention_edges(m))
+    return out.select(
+        "n_ends", F.coalesce("r", F.lit(-9.9)).alias("r")
+    )
+
+
+def q_split_leakage(spark, sf):
+    """Train/eval SPLIT-LEAKAGE audit (decontamination's sibling): the
+    deterministic md5-bucket 80/20 split is independent of near-dup
+    structure by design, so near-duplicate pairs that STRADDLE the
+    boundary are eval contamination — every such pair is emitted with
+    its verified Jaccard.  Composes the full MinHash-LSH pipeline with
+    the split assignment; dup-amplified corpus guarantees real leaks
+    (operators/sampling.py holdout_split + dedup.minhash_near_duplicates)."""
+    from ddaugner_spark.operators import sampling
+
+    corpus = dedup.with_dup_corpus(_docs(spark, sf))
+    splits = corpus.select("doc_id", sampling.holdout_split().alias("split"))
+    pairs = dedup.minhash_near_duplicates(corpus)
+    return (
+        pairs.join(
+            splits.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")),
+            "a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")),
+            "b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "jaccard", "split_a", "split_b")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3504,6 +3544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_filter_stack": q_filter_stack,
         "q_wp_fertility": q_wp_fertility,
+        "q_assortativity": q_assortativity,
+        "q_split_leakage": q_split_leakage,
     }
 
 
@@ -7111,6 +7153,58 @@ sents AS (
       )
       SELECT true_label, c_label AS pred_label, count(*)::BIGINT AS n
       FROM pick GROUP BY true_label, pred_label
+    """
+
+    # assortativity replay: symmetrized edge-end degree pairs, HUGEINT
+    # exact sums, same fixed float chain and -9.9 degenerate sentinel
+    o["q_assortativity"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      j AS (
+        SELECT da.deg AS dx, db.deg AS dy
+        FROM sym s JOIN deg da ON da.node = s.a JOIN deg db ON db.node = s.b
+      ),
+      g AS (
+        SELECT count(*)::BIGINT AS n_ends,
+               sum(dx::HUGEINT)::DOUBLE AS sx, sum(dy::HUGEINT)::DOUBLE AS sy,
+               sum(dx::HUGEINT * dy::HUGEINT)::DOUBLE AS sxy,
+               sum(dx::HUGEINT * dx::HUGEINT)::DOUBLE AS sxx,
+               sum(dy::HUGEINT * dy::HUGEINT)::DOUBLE AS syy
+        FROM j
+      )
+      SELECT n_ends,
+             coalesce(
+               CASE WHEN (n_ends::DOUBLE * sxx - sx * sx) > 0
+                     AND (n_ends::DOUBLE * syy - sy * sy) > 0
+                    THEN round((n_ends::DOUBLE * sxy - sx * sy)
+                               / sqrt(n_ends::DOUBLE * sxx - sx * sx)
+                               / sqrt(n_ends::DOUBLE * syy - sy * sy), 6)
+               END, -9.9) AS r
+      FROM g
+    """
+
+    # split-leakage replay: _MH_CHAIN verified pairs + the same
+    # md5-bucket split; pairs straddling the boundary only
+    o["q_split_leakage"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT
+                         % 100 < 80
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM corpus
+      )
+      SELECT v.a, v.b, v.jaccard, sa.split AS split_a, sb.split AS split_b
+      FROM vp v JOIN sp sa ON sa.doc_id = v.a
+                JOIN sp sb ON sb.doc_id = v.b
+      WHERE sa.split != sb.split
     """
 
     # fertility replay: the recursive WordPiece fold over the distinct

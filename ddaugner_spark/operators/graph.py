@@ -715,6 +715,46 @@ def bfs_distances(
     return visited
 
 
+def degree_assortativity(edges: DataFrame, ndigits: int = 6) -> DataFrame:
+    """One-row ``(n_ends, r)`` — Pearson degree assortativity of the
+    undirected graph (Newman 2002): correlation of the degrees at the
+    two ends of every edge, computed over the symmetrized edge list so
+    each edge contributes both orientations (the standard estimator —
+    r is symmetric by construction).
+
+    Assortative (r > 0) co-mention graphs mean hubs link hubs —
+    entity-resolution merges there are riskier; disassortative graphs
+    (hubs link leaves) are the typical KG shape.  Exact-sums device
+    (the ols_fit idiom): Σx, Σy, Σxy, Σx², Σy² accumulate in
+    decimal(38,0) from integer degrees, each cast to double ONCE, so
+    the float chain has no sum-order dependence.  Degenerate (zero
+    variance on either end) ⇒ NULL r."""
+    e = symmetrize(edges.select("a", "b").distinct())
+    deg = degrees(edges.select("a", "b").distinct())
+    j = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("dy")), "b")
+    )
+    xd = F.col("dx").cast("decimal(38,0)")
+    yd = F.col("dy").cast("decimal(38,0)")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ends"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n_ends").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)
+    )
+    return g.select("n_ends", F.round(r, ndigits).alias("r"))
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """(entity, deg, triangles, coef) — local clustering coefficient
     ``2·T(v) / (deg(v)·(deg(v)−1))``, zero for degree-<2 nodes: how

@@ -28,6 +28,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def holdout_split(id_col: str = "doc_id", train_pct: int = 80) -> Column:
+    """'train'/'eval' split column from the row's identity (md5 leading
+    16 bits mod 100) — deterministic, repartition/resume-stable, and
+    independent of any near-dup structure, which is exactly why the
+    split-leakage audit (q_split_leakage) is needed on top of it."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval"))
+
+
 def sample_bucket(id_col: str = "doc_id") -> Column:
     """Deterministic bucket 0..999 from md5 of the row id (first 4 hex
     digits → 0..65535, mod 1000; the ~6.5% modulo bias across buckets is

@@ -506,3 +506,22 @@ def test_clustering_coefficient_known_graph(spark):
     assert out["a"]["deg"] == 3 and out["a"]["triangles"] == 1
     assert out["a"]["coef"] == round(1 / 3, 6)
     assert out["d"]["coef"] == 0.0 and out["d"]["deg"] == 1
+
+
+def test_assortativity_star_is_negative_one(spark):
+    """A star graph is maximally disassortative: every edge joins the
+    hub (deg n) to a leaf (deg 1), so r = -1. A 4-cycle is degree-
+    regular -> zero variance -> NULL r."""
+    from ddaugner_spark.operators.graph import degree_assortativity
+
+    star = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "a string, b string"
+    )
+    row = degree_assortativity(star).collect()[0]
+    assert row["n_ends"] == 10 and row["r"] == -1.0
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")], "a string, b string"
+    )
+    row = degree_assortativity(cycle).collect()[0]
+    assert row["r"] is None  # zero variance -> undefined

@@ -53,3 +53,15 @@ def test_french_shapes():
 def test_deterministic():
     assert elder_scrolls_name_py(1234) == elder_scrolls_name_py(1234)
     assert french_name_py(77) == french_name_py(77)
+
+
+def test_holdout_split_deterministic_and_near_80(spark):
+    from ddaugner_spark.operators.sampling import holdout_split
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["s"] for r in df.select("doc_id", holdout_split().alias("s")).collect()}
+    s2 = {r["doc_id"]: r["s"] for r in df.repartition(7).select("doc_id", holdout_split().alias("s")).collect()}
+    assert s1 == s2  # identity-derived: partitioning-invariant
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.75 < frac < 0.85
