@@ -3318,6 +3318,116 @@ def q_split_leakage(spark, sf):
     )
 
 
+def q_kg_pattern(spark, sf):
+    """SPARQL star basic graph pattern over the constructed KG:
+    ``?x filter ?y . ?x order ?z`` with y != z — one support
+    aggregation feeds both legs, each capped per (subj, pred) to its 8
+    best-supported objects (the two_hop hub guard), then an equi-join
+    on x (operators/kgquery.py star_pattern)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.star_pattern(
+        triples.triples_df(_docs(spark, sf)), "filter", "order", fanout_cap=8
+    )
+
+
+def q_domain_range(spark, sf):
+    """KG integrity screen: every (pred, subj_tag, obj_tag) signature
+    vs the predicate's majority signature — the consumer of
+    q_relation_sigs' schema induction.  Majority picked via the packed
+    lpad(1e9−n)#tags min-key device (cross-engine-deterministic ties),
+    broadcast back onto the signature table
+    (operators/kgquery.py domain_range_violations)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.domain_range_violations(triples.triples_df(_docs(spark, sf)))
+
+
+def q_rule_mining(spark, sf):
+    """AMIE-lite Horn-rule mining p(x,y) ∧ q(y,z) ⇒ r(x,z) with
+    standard AND PCA confidence (Galárraga et al., WWW 2013): body =
+    deduped edge chain join on the shared entity, support = body ⋈ head
+    on (x,z), PCA denominator counts body pairs whose x has ANY r-edge;
+    rule-sized aggregates broadcast back
+    (operators/kgquery.py mine_chain_rules)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.mine_chain_rules(triples.triples_df(_docs(spark, sf)), min_support=2)
+
+
+def q_kappa(spark, sf):
+    """Cohen's kappa between the naive unigram tagging and the full
+    gazetteer tagging — the inter-annotator-agreement metric an
+    annotation campaign reports: token-level (doc_id, pos) join of the
+    two tag streams, exact-integer chance-agreement numerator, fixed
+    IEEE division order both engines
+    (operators/scoring.py cohens_kappa)."""
+    d = _docs(spark, sf)
+    return scoring.cohens_kappa(
+        mentions.with_naive_bio(d).select("doc_id", "tags"),
+        mentions.with_bio(d).select("doc_id", "tags"),
+    )
+
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-chunk sequence packing into 512-token bins across 4
+    deterministic shards (the GPT-style pretraining batch layout): per
+    (shard, bin) doc count, token mass, and straddle count — one window
+    cumsum per shard + one hash aggregate, no Python
+    (operators/traindata.py pack_sequences)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.pack_sequences(_docs(spark, sf), seq_len=512, n_shards=4)
+
+
+def q_chunk_windows(spark, sf):
+    """RAG chunking: overlapping 32-token windows every 16 tokens —
+    token array bound once as a projected column, starts exploded from
+    an arithmetic sequence, slice on the materialized array (map-only,
+    no HOF-lambda recompute, no shuffle)
+    (operators/traindata.py chunk_windows)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.chunk_windows(_docs(spark, sf), size=32, stride=16)
+
+
+def q_mixture_weights(spark, sf):
+    """Domain-mixture weights toward a uniform token budget (static
+    DoReMi special case): per-source token share and the upsampling
+    weight target/actual — source-sized aggregate, total re-aggregated
+    and broadcast, exact-integer share numerators
+    (operators/traindata.py mixture_weights)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.mixture_weights(_docs(spark, sf))
+
+
+def q_auc(spark, sf):
+    """Exact tie-corrected ROC AUC of the length score against the
+    lang=='en' label via the rank statistic: integer numerator
+    Σ p_s·(2·N_below+n_s) (half-credit ties exact via ×2 scaling), one
+    float division at the end — no order-dependent double accumulation
+    (operators/traindata.py auc_exact)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.auc_exact(
+        _docs(spark, sf),
+        label=(F.col("lang") == "en"),
+        score=F.col("n_chars").cast("long"),
+    )
+
+
+def q_calibration(spark, sf):
+    """Reliability diagram + ECE for the capped-length quality score vs
+    the lang=='en' label: per-bin mean score / positive rate / gap and
+    the corpus ECE, every float one division of exact integer sums
+    (per-bin gap numerator |sum_cap − 500·n_pos|, ECE = their integer
+    sum) (operators/traindata.py calibration_bins)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.calibration_bins(_docs(spark, sf), n_bins=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3546,6 +3656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wp_fertility": q_wp_fertility,
         "q_assortativity": q_assortativity,
         "q_split_leakage": q_split_leakage,
+        "q_kg_pattern": q_kg_pattern,
+        "q_domain_range": q_domain_range,
+        "q_rule_mining": q_rule_mining,
+        "q_kappa": q_kappa,
+        "q_pack_sequences": q_pack_sequences,
+        "q_chunk_windows": q_chunk_windows,
+        "q_mixture_weights": q_mixture_weights,
+        "q_auc": q_auc,
+        "q_calibration": q_calibration,
     }
 
 
@@ -8327,6 +8446,237 @@ sents AS (
       SELECT date_trunc('day', ts) AS bucket_ts, event_type,
              count(*)::BIGINT AS n, round(sum(value), 4) AS sum_v
       FROM events GROUP BY 1, 2
+    """
+
+    # star-BGP replay: same support agg, same per-(subj,pred) cap
+    # (WHERE runs before the window both engines), equi-join on x
+    o["q_kg_pattern"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      e AS (
+        SELECT subj, pred, obj, count(*)::BIGINT AS support
+        FROM tri GROUP BY subj, pred, obj
+      ),
+      capped AS (
+        SELECT subj, pred, obj, support,
+               row_number() OVER (PARTITION BY subj, pred
+                                  ORDER BY support DESC, obj) AS r
+        FROM e WHERE pred IN ('filter', 'order') QUALIFY r <= 8
+      ),
+      a AS (SELECT subj AS x, obj AS y, support AS support_y
+            FROM capped WHERE pred = 'filter'),
+      b AS (SELECT subj AS x, obj AS z, support AS support_z
+            FROM capped WHERE pred = 'order')
+      SELECT a.x, a.y, a.support_y, b.z, b.support_z
+      FROM a JOIN b USING (x) WHERE a.y != b.z
+    """
+
+    # majority signature via the packed lpad(1e9-n)#subj_tag#obj_tag
+    # min-key (cross-engine-deterministic ties; struct-min is not)
+    o["q_domain_range"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      sigs AS (
+        SELECT pred, subj_tag, obj_tag, count(*)::BIGINT AS n
+        FROM tri GROUP BY pred, subj_tag, obj_tag
+      ),
+      maj AS (
+        SELECT pred,
+               min(lpad((1000000000 - n)::VARCHAR, 10, '0')
+                   || '#' || subj_tag || '#' || obj_tag) AS k
+        FROM sigs GROUP BY pred
+      ),
+      m2 AS (
+        SELECT pred, string_split(k, '#')[2] AS maj_subj_tag,
+               string_split(k, '#')[3] AS maj_obj_tag
+        FROM maj
+      )
+      SELECT s.pred, s.subj_tag, s.obj_tag, s.n,
+             m2.maj_subj_tag, m2.maj_obj_tag,
+             s.subj_tag = m2.maj_subj_tag AS subj_ok,
+             s.obj_tag = m2.maj_obj_tag AS obj_ok,
+             NOT (s.subj_tag = m2.maj_subj_tag
+                  AND s.obj_tag = m2.maj_obj_tag) AS is_violation
+      FROM sigs s JOIN m2 USING (pred)
+    """
+
+    # AMIE replay: body/support/PCA tables are DISTINCT-row joins, so
+    # every count(*) is a distinct-(x,z) count by construction
+    o["q_rule_mining"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      e AS (SELECT DISTINCT subj, pred, obj FROM tri),
+      body AS (
+        SELECT DISTINCT a.pred AS p, b.pred AS q, a.subj AS x, b.obj AS z
+        FROM e a JOIN e b ON a.obj = b.subj AND a.subj != b.obj
+      ),
+      nbody AS (SELECT p, q, count(*)::BIGINT AS n_body FROM body GROUP BY p, q),
+      supp AS (
+        SELECT body.p, body.q, h.pred AS r, count(*)::BIGINT AS support
+        FROM body JOIN e h ON h.subj = body.x AND h.obj = body.z
+        GROUP BY body.p, body.q, h.pred
+      ),
+      hsubj AS (SELECT DISTINCT pred AS r, subj AS x FROM e),
+      pca AS (
+        SELECT body.p, body.q, hs.r, count(*)::BIGINT AS n_pca
+        FROM body JOIN hsubj hs ON hs.x = body.x
+        GROUP BY body.p, body.q, hs.r
+      )
+      SELECT s.p AS body_pred1, s.q AS body_pred2, s.r AS head_pred,
+             s.support, nb.n_body,
+             round(s.support / nb.n_body::DOUBLE, 6) AS conf,
+             pc.n_pca, round(s.support / pc.n_pca::DOUBLE, 6) AS pca_conf
+      FROM supp s
+      JOIN nbody nb ON nb.p = s.p AND nb.q = s.q
+      JOIN pca pc ON pc.p = s.p AND pc.q = s.q AND pc.r = s.r
+      WHERE s.support >= 2
+    """
+
+    # kappa replay: naive tag = the q_error_spans CASE, gold = dtags
+    # (all positions); exact-integer pe numerator, num/n/n division
+    o["q_kappa"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      pairs AS (
+        SELECT CASE WHEN t.tok IN ({_PER}) THEN 'B-PER'
+                    WHEN t.tok IN ({_LOC}) THEN 'B-LOC'
+                    ELSE 'O' END AS tag_a,
+               d.tag AS tag_b
+        FROM toks t JOIN dtags d ON t.doc_id = d.doc_id AND t.pos = d.pos
+      ),
+      tot AS (
+        SELECT count(*)::BIGINT AS n_tokens,
+               sum(CASE WHEN tag_a = tag_b THEN 1 ELSE 0 END)::BIGINT AS n_agree
+        FROM pairs
+      ),
+      ca AS (SELECT tag_a AS c, count(*)::BIGINT AS na FROM pairs GROUP BY tag_a),
+      cb AS (SELECT tag_b AS c, count(*)::BIGINT AS nb FROM pairs GROUP BY tag_b),
+      pe AS (SELECT sum(na * nb)::BIGINT AS pe_num FROM ca JOIN cb USING (c))
+      SELECT n_tokens,
+             round(n_agree::DOUBLE / n_tokens, 6) AS po,
+             round(pe_num::DOUBLE / n_tokens / n_tokens, 6) AS pe,
+             round(CASE WHEN pe_num = n_tokens * n_tokens THEN 1.0
+                        ELSE (n_agree::DOUBLE / n_tokens
+                              - pe_num::DOUBLE / n_tokens / n_tokens)
+                             / (1.0 - pe_num::DOUBLE / n_tokens / n_tokens)
+                   END, 6) AS kappa
+      FROM tot, pe
+    """
+
+    # packing replay: same exclusive-window cumsum per shard; // is
+    # floor for the non-negative cumsums both engines
+    o["q_pack_sequences"] = """
+      WITH d AS (
+        SELECT doc_id, (doc_id % 4)::BIGINT AS shard,
+               len(string_split(text, ' '))::BIGINT AS tok
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      c AS (
+        SELECT shard, tok,
+               coalesce(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        FROM d
+      ),
+      b AS (
+        SELECT shard, tok, (cum_excl // 512)::BIGINT AS bin_id,
+               ((cum_excl + tok - 1) // 512) > (cum_excl // 512) AS straddle
+        FROM c
+      )
+      SELECT shard, bin_id, count(*)::BIGINT AS n_docs,
+             sum(tok)::BIGINT AS n_tokens,
+             sum(CASE WHEN straddle THEN 1 ELSE 0 END)::BIGINT AS n_straddle
+      FROM b GROUP BY shard, bin_id
+    """
+
+    # chunking replay: range() upper bound is exclusive = Spark's
+    # sequence(0, n-1, stride); list_slice is 1-based inclusive both ends
+    o["q_chunk_windows"] = """
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      s AS (
+        SELECT doc_id, t, u.sp AS start_pos
+        FROM d, unnest(range(0, len(t), 16)) AS u(sp)
+      )
+      SELECT doc_id, (start_pos // 16)::BIGINT AS chunk_id,
+             start_pos::BIGINT AS start_pos,
+             len(list_slice(t, start_pos + 1, start_pos + 32))::BIGINT
+               AS n_chunk_tokens,
+             array_to_string(list_slice(t, start_pos + 1, start_pos + 32), ' ')
+               AS chunk_text
+      FROM s
+    """
+
+    o["q_mixture_weights"] = """
+      WITH p AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        FROM documents WHERE coalesce(text, '') != '' GROUP BY source
+      ),
+      t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+                   count(*)::BIGINT AS n_sources FROM p)
+      SELECT source, n_docs, n_tokens,
+             round(n_tokens::DOUBLE / total_tokens, 6) AS actual_share,
+             round(1.0 / n_sources, 6) AS target_share,
+             round(total_tokens::DOUBLE / n_sources / n_tokens, 6) AS weight
+      FROM p, t
+    """
+
+    # AUC replay: identical integer rank numerator and the identical
+    # left-assoc division 2.0 * n_pos * n_neg
+    o["q_auc"] = """
+      WITH g AS (
+        SELECT n_chars AS s,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS p,
+               sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n
+        FROM documents GROUP BY n_chars
+      ),
+      t AS (
+        SELECT p, n,
+               coalesce(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS n_below
+        FROM g
+      ),
+      a AS (
+        SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+               sum(p * (2 * n_below + n))::BIGINT AS num2
+        FROM t
+      )
+      SELECT n_pos, n_neg,
+             round(CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+                        ELSE num2::DOUBLE / (2.0 * n_pos * n_neg) END, 6) AS auc
+      FROM a
+    """
+
+    # calibration replay: integer gap numerators, num/500.0/n division
+    # order fixed on both sides
+    o["q_calibration"] = """
+      WITH d AS (
+        SELECT least(n_chars, 500)::BIGINT AS cap,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM documents
+      ),
+      b AS (
+        SELECT least(cap // 50, 9)::BIGINT AS bin, count(*)::BIGINT AS n,
+               sum(cap)::BIGINT AS sum_cap, sum(y)::BIGINT AS n_pos
+        FROM d GROUP BY 1
+      ),
+      s AS (
+        SELECT bin, n, n_pos,
+               round(sum_cap::DOUBLE / 500.0 / n, 6) AS avg_score,
+               round(n_pos::DOUBLE / n, 6) AS pos_rate,
+               round(abs(sum_cap - 500 * n_pos)::DOUBLE / 500.0 / n, 6) AS abs_gap,
+               abs(sum_cap - 500 * n_pos)::BIGINT AS gnum
+        FROM b
+      ),
+      t AS (SELECT sum(gnum)::BIGINT AS ece_num, sum(n)::BIGINT AS n_total FROM s)
+      SELECT bin, n, n_pos, avg_score, pos_rate, abs_gap,
+             round(ece_num::DOUBLE / 500.0 / n_total, 6) AS ece
+      FROM s, t
     """
 
     return o

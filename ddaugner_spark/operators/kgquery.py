@@ -1,0 +1,189 @@
+"""SPARQL-style pattern queries, schema-integrity screening, and
+AMIE-lite Horn-rule mining over the constructed triple store.
+
+The reference stops at NER mentions (/root/reference/ddaugner/
+utils.py:111-166 spans); the engine constructs (subj, pred, obj)
+triples on top (operators/triples.py).  This module adds the three
+consumers every production KG store runs against that table:
+
+* ``star_pattern`` — the conjunctive basic-graph-pattern core of
+  SPARQL (``?x p1 ?y . ?x p2 ?z``), the sibling of the chain shape in
+  graph.two_hop_paths;
+* ``domain_range_violations`` — integrity screening of every typed
+  signature against the predicate's induced majority signature (the
+  consumer of triples.relation_signatures' schema induction);
+* ``mine_chain_rules`` — AMIE-style mining of
+  ``p(x,y) AND q(y,z) => r(x,z)`` rules with standard and PCA
+  confidence (Galárraga et al., WWW 2013).
+
+Scale notes are per-function; everything is join/aggregate-only, no
+Python rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def edge_support(tri: DataFrame) -> DataFrame:
+    """(subj, pred, obj, support): attestation counts per distinct
+    triple — one hash aggregate with map-side combine."""
+    return tri.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+
+
+def star_pattern(
+    tri: DataFrame, p1: str, p2: str, fanout_cap: int = 8
+) -> DataFrame:
+    """Star basic graph pattern ``?x p1 ?y . ?x p2 ?z`` with ``y != z``:
+    all (x, y, z) bindings, each leg carrying its attestation support.
+
+    Plan: ONE support aggregation feeds both legs (the pred filter and
+    the per-(subj, pred) cap run on the aggregated table, which is
+    orders of magnitude smaller than the raw triple stream), then an
+    equi-join on ``x``.  The cap keeps a hub subject with 10^5
+    p1-objects from squaring inside the star — the same Wikipedia-skew
+    guard as graph.two_hop_paths' fanout_cap, deterministic via
+    (support DESC, obj) ordering.  Both join inputs hash-partition on
+    the same key, so Catalyst plans one exchange per side and AQE can
+    broadcast the smaller leg when a selective predicate shrinks it.
+    """
+    e = edge_support(tri).filter(F.col("pred").isin([p1, p2]))
+    w = Window.partitionBy("subj", "pred").orderBy(F.desc("support"), "obj")
+    capped = (
+        e.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= fanout_cap)
+        .drop("r")
+    )
+    a = capped.filter(F.col("pred") == p1).select(
+        F.col("subj").alias("x"),
+        F.col("obj").alias("y"),
+        F.col("support").alias("support_y"),
+    )
+    b = capped.filter(F.col("pred") == p2).select(
+        F.col("subj").alias("x"),
+        F.col("obj").alias("z"),
+        F.col("support").alias("support_z"),
+    )
+    return a.join(b, "x").filter(F.col("y") != F.col("z"))
+
+
+def domain_range_violations(tri: DataFrame) -> DataFrame:
+    """Schema-integrity screen: every (pred, subj_tag, obj_tag)
+    signature with its mass, the predicate's MAJORITY signature, and
+    per-side ``subj_ok`` / ``obj_ok`` flags plus the combined
+    ``is_violation``.
+
+    The majority pick uses the packed fixed-width key device
+    (lpad(1e9 - n) || '#' || tags): a plain ``min`` both engines agree
+    on bit-for-bit, ties broken lexically by (subj_tag, obj_tag) — a
+    struct/argmax would not be cross-engine deterministic.  The
+    majority table is predicate-sized and broadcast; the only shuffle
+    is the signature aggregation itself.
+    """
+    sigs = tri.groupBy("pred", "subj_tag", "obj_tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    key = F.concat_ws(
+        "#",
+        F.lpad((F.lit(1000000000) - F.col("n")).cast("string"), 10, "0"),
+        F.col("subj_tag"),
+        F.col("obj_tag"),
+    )
+    maj = (
+        sigs.select("pred", key.alias("k"))
+        .groupBy("pred")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "pred",
+            F.split("k", "#").getItem(1).alias("maj_subj_tag"),
+            F.split("k", "#").getItem(2).alias("maj_obj_tag"),
+        )
+    )
+    out = sigs.join(F.broadcast(maj), "pred")
+    subj_ok = F.col("subj_tag") == F.col("maj_subj_tag")
+    obj_ok = F.col("obj_tag") == F.col("maj_obj_tag")
+    return out.select(
+        "pred",
+        "subj_tag",
+        "obj_tag",
+        "n",
+        "maj_subj_tag",
+        "maj_obj_tag",
+        subj_ok.alias("subj_ok"),
+        obj_ok.alias("obj_ok"),
+        (~(subj_ok & obj_ok)).alias("is_violation"),
+    )
+
+
+def mine_chain_rules(tri: DataFrame, min_support: int = 2) -> DataFrame:
+    """AMIE-lite chain-rule mining: for every rule
+    ``p(x,y) AND q(y,z) => r(x,z)`` report
+
+    * ``support``  — #distinct (x, z) satisfying body AND head;
+    * ``n_body``   — #distinct (x, z) satisfying the body;
+    * ``conf``     — support / n_body (standard confidence);
+    * ``n_pca``    — #distinct body (x, z) where x has ANY r-edge;
+    * ``pca_conf`` — support / n_pca (PCA confidence: under the
+      partial-completeness assumption, a body pair whose x has no
+      r-edge at all is unknown, not false — AMIE's key idea).
+
+    Plan: the body chain join shuffles the deduplicated edge table on
+    the shared entity ``y`` (both sides co-partitioned, one exchange
+    each); support/PCA joins run on (x, z) / (x).  The per-rule
+    aggregates are predicate³-sized, so the nbody/pca join-backs are
+    broadcasts.  At web scale the body enumeration is the quadratic
+    risk — production caps per-y fanout exactly like
+    graph.two_hop_paths (or samples bodies, as AMIE+ does); exact here
+    so the SQL oracle can replay it.
+    """
+    e = tri.select("subj", "pred", "obj").distinct()
+    a = e.select(
+        F.col("pred").alias("p"), F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    b = e.select(
+        F.col("pred").alias("q"), F.col("subj").alias("y"), F.col("obj").alias("z")
+    )
+    body = (
+        a.join(b, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("p", "q", "x", "z")
+        .distinct()
+    )
+    n_body = body.groupBy("p", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    head = e.select(
+        F.col("pred").alias("r"), F.col("subj").alias("x"), F.col("obj").alias("z")
+    )
+    supp = (
+        body.join(head, ["x", "z"])
+        .groupBy("p", "q", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    h_subj = e.select(
+        F.col("pred").alias("r"), F.col("subj").alias("x")
+    ).distinct()
+    pca = (
+        body.join(h_subj, "x")
+        .groupBy("p", "q", "r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pca"))
+    )
+    return (
+        supp.filter(F.col("support") >= min_support)
+        .join(F.broadcast(n_body), ["p", "q"])
+        .join(F.broadcast(pca), ["p", "q", "r"])
+        .select(
+            F.col("p").alias("body_pred1"),
+            F.col("q").alias("body_pred2"),
+            F.col("r").alias("head_pred"),
+            "support",
+            "n_body",
+            F.round(F.col("support") / F.col("n_body"), 6).alias("conf"),
+            "n_pca",
+            F.round(F.col("support") / F.col("n_pca"), 6).alias("pca_conf"),
+        )
+    )

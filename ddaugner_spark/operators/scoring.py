@@ -232,3 +232,51 @@ def majority_voting_table(mentions: DataFrame, tokens_long: DataFrame) -> DataFr
             .alias("majority"),
         )
     )
+
+
+def cohens_kappa(pred_tags: DataFrame, gold_tags: DataFrame) -> DataFrame:
+    """Cohen's kappa between two token-level taggings — the
+    inter-annotator-agreement number an annotation campaign reports
+    next to the P/R/F1 of entity_prf (score.py:7-56); here the two
+    "annotators" are any two (doc_id, tags array<string>) runs.
+
+    kappa = (p_o − p_e) / (1 − p_e) with p_o the observed token-level
+    agreement and p_e the chance agreement from the two marginal tag
+    distributions.  One (doc_id, pos) equi-join of the exploded tag
+    streams, then three scalar-sized aggregates (total/agree, per-class
+    marginals, the marginal dot product).  p_e's numerator is exact
+    integer (sum of marginal products) and the IEEE division order is
+    fixed (num/n/n), so both engines agree to 6 digits; p_e = 1
+    (both runs constant on one class) is guarded to kappa = 1.
+    At extreme corpus sizes the integer numerator would overflow int64
+    (n² at n > ~3e9 tokens) — production computes p_e on doubles.
+    """
+    a = pred_tags.select("doc_id", F.posexplode("tags").alias("pos", "tag_a"))
+    b = gold_tags.select("doc_id", F.posexplode("tags").alias("pos", "tag_b"))
+    pairs = a.join(b, ["doc_id", "pos"]).select("tag_a", "tag_b")
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("tag_a") == F.col("tag_b")).cast("long"))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    ca = pairs.groupBy("tag_a").agg(F.count(F.lit(1)).cast("long").alias("na"))
+    cb = pairs.groupBy("tag_b").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    pe = (
+        ca.join(cb, ca["tag_a"] == cb["tag_b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("pe_num"))
+    )
+    n = F.col("n_tokens")
+    po = F.col("n_agree") / n
+    pe_frac = F.col("pe_num") / n / n
+    return tot.crossJoin(pe).select(
+        "n_tokens",
+        F.round(po, 6).alias("po"),
+        F.round(pe_frac, 6).alias("pe"),
+        F.round(
+            F.when(F.col("pe_num") == n * n, F.lit(1.0)).otherwise(
+                (po - pe_frac) / (F.lit(1.0) - pe_frac)
+            ),
+            6,
+        ).alias("kappa"),
+    )

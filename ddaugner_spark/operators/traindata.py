@@ -1,0 +1,253 @@
+"""Training-data assembly operators: sequence packing, RAG chunking,
+domain-mixture weights, and exact evaluation curves (AUC,
+calibration/ECE) for the quality filters upstream of them.
+
+Engine additions beyond the reference (the last mile of a pretraining
+corpus pipeline, after dedup/quality/sampling): the reference's corpus
+loader stops at CoNLL sentences (/root/reference/ddaugner/datas.py);
+a 100 TB pipeline still has to pack documents into fixed-length
+training sequences, chunk them for retrieval, set per-domain mixture
+rates, and report the filter-model quality curves.
+
+Determinism device used throughout: every floating-point output is a
+single division of EXACT INTEGER aggregates (counts, integer token
+sums, integer cross products) with a fixed operand order, so Spark and
+the DuckDB oracle agree bit-for-bit at round-6 — no order-dependent
+double summation anywhere (CLAUDE.md determinism rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _n_tokens(text: str = "text") -> Column:
+    """Whitespace token count of a non-empty text column."""
+    return F.size(F.split(text, " ")).cast("long")
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = 512, n_shards: int = 4
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batch layout): documents are deterministically sharded
+    (``doc_id % n_shards``), concatenated in doc_id order within the
+    shard, and cut into fixed ``seq_len``-token bins; each document is
+    attributed to the bin its FIRST token lands in.
+
+    Returns per (shard, bin_id): ``n_docs``, ``n_tokens`` (tokens of
+    documents starting there), and ``n_straddle`` (documents crossing
+    into the next bin — the count an attention-mask-aware packer would
+    split).  Plan: one narrow projection, one window cumulative sum per
+    shard (each shard's stream is independent — at cluster scale
+    shards ≈ output files and the window parallelizes across them),
+    one hash aggregate.  No Python, no collect; first-fit bin packing
+    is deliberately NOT used — it is inherently sequential per bin and
+    the concat-and-chunk layout is what production tokenizer pipelines
+    ship.
+    """
+    d = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id",
+        (F.col("doc_id") % n_shards).cast("long").alias("shard"),
+        _n_tokens().alias("tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = d.select(
+        "shard",
+        "tok",
+        F.coalesce(F.sum("tok").over(w), F.lit(0)).alias("cum_excl"),
+    )
+    binned = cum.select(
+        "shard",
+        "tok",
+        F.floor(F.col("cum_excl") / seq_len).cast("long").alias("bin_id"),
+        (
+            F.floor((F.col("cum_excl") + F.col("tok") - 1) / seq_len)
+            > F.floor(F.col("cum_excl") / seq_len)
+        ).alias("straddle"),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+        F.sum(F.col("straddle").cast("long")).cast("long").alias("n_straddle"),
+    )
+
+
+def chunk_windows(
+    docs: DataFrame, size: int = 64, stride: int = 32
+) -> DataFrame:
+    """RAG chunking: overlapping ``size``-token windows every
+    ``stride`` tokens, emitted as (doc_id, chunk_id, start_pos,
+    n_chunk_tokens, chunk_text).
+
+    The token array is bound ONCE as a projected column and the chunk
+    starts exploded from an arithmetic ``sequence`` — ``slice`` then
+    runs on the materialized array per chunk row (array work is
+    O(total chunk tokens) ≈ (size/stride)× corpus, the unavoidable
+    overlap factor; nothing is recomputed inside a higher-order-function
+    lambda).  Chunk rows inherit the input partitioning — map-only, no
+    shuffle.
+    """
+    toks = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.size("t") - 1, F.lit(stride))
+        ).alias("start_pos"),
+    )
+    chunk = F.slice(F.col("t"), F.col("start_pos") + 1, size)
+    return starts.select(
+        "doc_id",
+        (F.col("start_pos") / stride).cast("long").alias("chunk_id"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source mixture weights toward a UNIFORM token budget (the
+    static special case of DoReMi-style domain reweighting): for each
+    source, its observed token share and the sampling weight
+    ``target_share / actual_share`` that equalizes domains — weight > 1
+    means the domain is upsampled (epochs repeated), < 1 downsampled.
+
+    One aggregate over (source), the corpus total re-aggregated from
+    the per-source table (source-count-sized, broadcast-scale); shares
+    and weights are single divisions of exact integer token sums in a
+    fixed order.
+    """
+    per_src = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").groupBy(
+        "source"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(_n_tokens()).cast("long").alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias(
+            "actual_share"
+        ),
+        F.round(F.lit(1.0) / F.col("n_sources"), 6).alias("target_share"),
+        F.round(
+            F.col("total_tokens") / F.col("n_sources") / F.col("n_tokens"), 6
+        ).alias("weight"),
+    )
+
+
+def auc_exact(
+    scored: DataFrame, label: Column, score: Column
+) -> DataFrame:
+    """Exact ROC AUC via the rank statistic, with the tie-correct
+    trapezoid: AUC = Σ_s p_s · (2·N_below(s) + n_s) / (2·P·N) over
+    score groups s (p_s positives, n_s negatives at score s, N_below
+    the negatives at strictly lower scores).
+
+    The numerator is an exact INTEGER sum (ties contribute the exact
+    half-credit via the ×2 scaling), so the only float is the final
+    division — no order-dependent double accumulation.  One group-sized
+    aggregate, one window cumsum over score groups, three scalars.
+    Integer range: the numerator is ≤ 2·P·N ≈ n²/2 — overflows int64
+    past ~3e9 rows; production switches the numerator to DOUBLE and
+    accepts last-ulp noise.  Degenerate single-class inputs (P=0 or
+    N=0) return the 0.5 sentinel.
+    """
+    g = scored.select(
+        label.cast("long").alias("y"), score.alias("s")
+    ).groupBy("s").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = g.select(
+        "p",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("n_below"),
+    )
+    agg = terms.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("n").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("n_below") + F.col("n")))
+        .cast("long")
+        .alias("num2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (F.col("n_pos") == 0) | (F.col("n_neg") == 0), F.lit(0.5)
+            ).otherwise(
+                F.col("num2") / (2.0 * F.col("n_pos") * F.col("n_neg"))
+            ),
+            6,
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + ECE for the capped-length quality score
+    ``least(n_chars, 500)/500`` against the lang=='en' label: per score
+    bin, the mean predicted score, the empirical positive rate, their
+    absolute gap, and the corpus ECE (token-free DETERMINISTIC form:
+    every float is one division of integer sums — the per-bin gap
+    numerator is ``|sum_cap − 500·n_pos|`` and the ECE numerator the
+    integer sum of those, so no cross-bin double accumulation).
+
+    One hash aggregate to bin stats; ECE re-aggregated from the
+    bin-count-sized table and broadcast back onto every row.
+    """
+    d = docs.select(
+        F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).select(
+        F.least(F.floor(F.col("cap") / 50), F.lit(n_bins - 1))
+        .cast("long")
+        .alias("bin"),
+        "cap",
+        "y",
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cap").cast("long").alias("sum_cap"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    gap_num = F.abs(F.col("sum_cap") - 500 * F.col("n_pos"))
+    stats = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("sum_cap") / 500.0 / F.col("n"), 6).alias("avg_score"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+        F.round(gap_num / 500.0 / F.col("n"), 6).alias("abs_gap"),
+        gap_num.alias("_gap_num"),
+    )
+    tot = stats.agg(
+        F.sum("_gap_num").cast("long").alias("ece_num"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "avg_score",
+        "pos_rate",
+        "abs_gap",
+        F.round(F.col("ece_num") / 500.0 / F.col("n_total"), 6).alias("ece"),
+    )

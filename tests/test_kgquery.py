@@ -1,0 +1,145 @@
+"""KG-consumption operators: star BGP, schema screening, AMIE-lite
+rule mining (operators/kgquery.py) and Cohen's kappa
+(operators/scoring.py cohens_kappa)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddaugner_spark.operators import kgquery
+from ddaugner_spark.operators.scoring import cohens_kappa
+
+
+def _tri(spark, rows):
+    """rows: (subj, pred, obj[, subj_tag, obj_tag]) triples (instances,
+    duplicates = attestations)."""
+    full = [
+        (r + ("PER", "LOC"))[:5] if len(r) == 3 else r for r in rows
+    ]
+    return spark.createDataFrame(
+        full, ["subj", "pred", "obj", "subj_tag", "obj_tag"]
+    )
+
+
+def test_star_pattern_binds_and_caps(spark):
+    # x=a: p1 edges to y1 (support 2) and y2 (1); p2 edge to z1.
+    rows = (
+        [("a", "p1", "y1")] * 2
+        + [("a", "p1", "y2")]
+        + [("a", "p2", "z1")]
+        + [("b", "p1", "y1")]  # no p2 edge at b -> no binding
+    )
+    out = kgquery.star_pattern(_tri(spark, rows), "p1", "p2", fanout_cap=8)
+    got = {(r.x, r.y, r.z, r.support_y, r.support_z) for r in out.collect()}
+    assert got == {("a", "y1", "z1", 2, 1), ("a", "y2", "z1", 1, 1)}
+
+
+def test_star_pattern_cap_and_self_binding(spark):
+    # 3 p1-objects at x, cap 2 keeps the 2 best-supported (tie -> obj asc);
+    # y == z bindings are excluded.
+    rows = (
+        [("x", "p1", "o1")] * 3
+        + [("x", "p1", "o2")] * 2
+        + [("x", "p1", "o3")] * 2
+        + [("x", "p2", "o1")]
+        + [("x", "p2", "q")]
+    )
+    out = kgquery.star_pattern(_tri(spark, rows), "p1", "p2", fanout_cap=2)
+    got = {(r.y, r.z) for r in out.collect()}
+    # capped p1 objects: o1 (3), o2 (2; beats o3 on obj asc). o1-o1 excluded.
+    assert got == {("o1", "q"), ("o2", "o1"), ("o2", "q")}
+
+
+def test_domain_range_majority_and_flags(spark):
+    rows = [
+        ("a", "p", "b", "PER", "LOC"),
+        ("c", "p", "d", "PER", "LOC"),
+        ("e", "p", "f", "LOC", "LOC"),  # subj off-majority
+        ("g", "p", "h", "PER", "PER"),  # obj off-majority
+    ]
+    out = kgquery.domain_range_violations(_tri(spark, rows))
+    by_sig = {(r.subj_tag, r.obj_tag): r for r in out.collect()}
+    assert all(
+        (r.maj_subj_tag, r.maj_obj_tag) == ("PER", "LOC")
+        for r in by_sig.values()
+    )
+    assert not by_sig[("PER", "LOC")].is_violation
+    v = by_sig[("LOC", "LOC")]
+    assert (v.subj_ok, v.obj_ok, v.is_violation) == (False, True, True)
+    v = by_sig[("PER", "PER")]
+    assert (v.subj_ok, v.obj_ok, v.is_violation) == (True, False, True)
+
+
+def test_domain_range_tie_breaks_lexically(spark):
+    # two signatures with equal mass: packed key picks the lexically
+    # smaller (subj_tag, obj_tag) deterministically
+    rows = [
+        ("a", "p", "b", "PER", "LOC"),
+        ("c", "p", "d", "LOC", "PER"),
+    ]
+    out = kgquery.domain_range_violations(_tri(spark, rows)).collect()
+    assert {(r.maj_subj_tag, r.maj_obj_tag) for r in out} == {("LOC", "PER")}
+
+
+def test_rule_mining_conf_and_pca(spark):
+    # body p(x,y) & q(y,z): pairs (a,c) via b, (a2,c2) via b2.
+    # head r holds for (a,c) only.  a2 has NO r-edge at all ->
+    # PCA denominator = 1, std denominator = 2.
+    rows = [
+        ("a", "p", "b"),
+        ("b", "q", "c"),
+        ("a2", "p", "b2"),
+        ("b2", "q", "c2"),
+        ("a", "r", "c"),
+        # second body+head instantiation so support >= 2 survives:
+        ("a", "p", "b3"),
+        ("b3", "q", "c3"),
+        ("a", "r", "c3"),
+    ]
+    out = kgquery.mine_chain_rules(_tri(spark, rows), min_support=2)
+    rules = {
+        (r.body_pred1, r.body_pred2, r.head_pred): r for r in out.collect()
+    }
+    r = rules[("p", "q", "r")]
+    # body pairs for (p,q): (a,c), (a,c3), (a2,c2) -> n_body 3
+    # support: (a,c), (a,c3) -> 2; PCA: a has r-edges, a2 none -> n_pca 2
+    assert (r.support, r.n_body, r.n_pca) == (2, 3, 2)
+    assert r.conf == pytest.approx(2 / 3, abs=1e-6)
+    assert r.pca_conf == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rule_mining_min_support_filters(spark):
+    rows = [("a", "p", "b"), ("b", "q", "c"), ("a", "r", "c")]
+    out = kgquery.mine_chain_rules(_tri(spark, rows), min_support=2)
+    assert out.count() == 0
+
+
+def _tags(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "tags"])
+
+
+def test_kappa_hand_value(spark):
+    # classic 2-class example: po = 0.6, marginals A: 0.5/0.5, B: 0.7/0.3
+    # pe = 0.5*0.7 + 0.5*0.3 = 0.5 -> kappa = 0.2
+    a = _tags(spark, [(1, ["X"] * 5 + ["O"] * 5)])
+    b = _tags(spark, [(1, ["X", "X", "X", "X", "O", "X", "X", "X", "O", "O"])])
+    row = cohens_kappa(a, b).collect()[0]
+    assert row.n_tokens == 10
+    assert row.po == pytest.approx(0.6)
+    assert row.pe == pytest.approx(0.5)
+    assert row.kappa == pytest.approx(0.2)
+
+
+def test_kappa_perfect_agreement_guard(spark):
+    # both runs constant on one class: pe = 1, guarded to kappa = 1
+    a = _tags(spark, [(1, ["O", "O", "O"])])
+    row = cohens_kappa(a, a).collect()[0]
+    assert (row.po, row.pe, row.kappa) == (1.0, 1.0, 1.0)
+
+
+def test_kappa_multi_doc_alignment(spark):
+    # disagreements only where (doc_id, pos) align
+    a = _tags(spark, [(1, ["X", "O"]), (2, ["O", "O"])])
+    b = _tags(spark, [(1, ["X", "X"]), (2, ["O", "O"])])
+    row = cohens_kappa(a, b).collect()[0]
+    assert row.n_tokens == 4
+    assert row.po == pytest.approx(0.75)
