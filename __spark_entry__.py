@@ -3428,6 +3428,44 @@ def q_calibration(spark, sf):
     return traindata.calibration_bins(_docs(spark, sf), n_bins=10)
 
 
+def q_ams_f2(spark, sf):
+    """AMS F2 (self-join size) sketch over the token stream: 16 ±1
+    estimators with md5-derived signs, each Z an exact integer sum,
+    mean-of-squares vs the exact Σcnt² with relative error — the
+    pre-join statistic an optimizer consults
+    (operators/sketches.py ams_f2)."""
+    from ddaugner_spark.operators import sketches
+
+    toks = mentions.with_tokens(_docs(spark, sf)).select(
+        F.explode("tokens").alias("tok")
+    )
+    return sketches.ams_f2(toks, item_col="tok", n_estimators=16)
+
+
+def q_chi2_tokens(spark, sf):
+    """Chi-square token↔label feature selection (2×2 presence tables
+    vs lang=='en'): all cells exact integers, χ² = N·diff²/m1/m2/m3/m4
+    with a fixed IEEE operand order both engines — the integer
+    single-expression form would overflow int64 at corpus scale
+    (operators/textstats.py chi2_tokens)."""
+    return textstats.chi2_tokens(
+        _docs(spark, sf), label=(F.col("lang") == "en"), min_df=5
+    )
+
+
+def q_jl_project(spark, sf):
+    """Quantized Johnson–Lindenstrauss projection 64→16 dims with a
+    deterministic md5 Rademacher matrix: inputs quantized to 1/1000 so
+    each output coordinate is ONE exact integer dot product (order-free
+    under repartition); production form is a numpy matmul in
+    mapInPandas, this is its oracle-replayable twin
+    (operators/embedding.py jl_project)."""
+    from ddaugner_spark.operators import embedding as embops
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embops.jl_project(emb, out_dim=16, scale=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3665,6 +3703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_auc": q_auc,
         "q_calibration": q_calibration,
+        "q_ams_f2": q_ams_f2,
+        "q_chi2_tokens": q_chi2_tokens,
+        "q_jl_project": q_jl_project,
     }
 
 
@@ -8677,6 +8718,76 @@ sents AS (
       SELECT bin, n, n_pos, avg_score, pos_rate, abs_gap,
              round(ece_num::DOUBLE / 500.0 / n_total, 6) AS ece
       FROM s, t
+    """
+
+    # AMS replay: same md5-bit signs, exact integer Z per estimator,
+    # one division for the mean of squares
+    o["q_ams_f2"] = f"""
+      WITH {_TOKS},
+      cnts AS (SELECT tok AS item, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+      fan AS (SELECT item, cnt, u.e FROM cnts, unnest(range(16)) AS u(e)),
+      z AS (
+        SELECT e,
+               sum((((('0x' || substr(md5(item || '#' || e::VARCHAR), 1, 4))::INTEGER
+                      % 2) * 2 - 1)) * cnt)::BIGINT AS z
+        FROM fan GROUP BY e
+      ),
+      za AS (SELECT count(*)::BIGINT AS k, sum(z * z)::BIGINT AS sum_z2 FROM z),
+      ex AS (SELECT sum(cnt * cnt)::BIGINT AS exact_f2 FROM cnts)
+      SELECT k, round(sum_z2::DOUBLE / k, 6) AS est_f2, exact_f2,
+             round(abs(sum_z2::DOUBLE / k - exact_f2) / exact_f2, 6) AS rel_err
+      FROM za, ex
+    """
+
+    # chi2 replay: same integer cells, same fixed division chain
+    # N·diff·diff / m1 / m2 / m3 / m4
+    o["q_chi2_tokens"] = """
+      WITH base AS (
+        SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y,
+               text
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      toks AS (
+        SELECT y, u.tok
+        FROM base, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+      ),
+      pt AS (
+        SELECT tok, sum(y)::BIGINT AS a, sum(1 - y)::BIGINT AS b
+        FROM toks GROUP BY tok
+      ),
+      tot AS (SELECT sum(y)::BIGINT AS n_pos, count(*)::BIGINT AS n_docs FROM base),
+      cells AS (
+        SELECT tok, a, b, n_pos - a AS c, (n_docs - n_pos) - b AS d, n_docs
+        FROM pt, tot WHERE a + b >= 5
+      )
+      SELECT tok, a, b, c::BIGINT AS c, d::BIGINT AS d,
+             round(CASE WHEN (c + d) = 0 OR (a + c) = 0 OR (b + d) = 0 THEN 0.0
+                        ELSE n_docs::DOUBLE * ((a * d - b * c)::DOUBLE)
+                             * ((a * d - b * c)::DOUBLE)
+                             / (a + b)::DOUBLE / (c + d)::DOUBLE
+                             / (a + c)::DOUBLE / (b + d)::DOUBLE
+                   END, 6) AS chi2
+      FROM cells
+    """
+
+    # JL replay: same quantization (round half away from zero both
+    # engines), same md5 Rademacher bit, num/1000.0/4.0 division order
+    o["q_jl_project"] = """
+      WITH el AS (
+        SELECT vec_id, u.i - 1 AS i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      fan AS (SELECT vec_id, i, q, u.j FROM el, unnest(range(16)) AS u(j)),
+      agg AS (
+        SELECT vec_id, j,
+               sum((((('0x' || substr(md5(i::VARCHAR || '#' || j::VARCHAR), 1, 4))::INTEGER
+                      % 2) * 2 - 1)) * q)::BIGINT AS num
+        FROM fan GROUP BY vec_id, j
+      )
+      SELECT vec_id, j::BIGINT AS j,
+             round(num::DOUBLE / 1000.0 / 4.0, 6) AS value
+      FROM agg
     """
 
     return o

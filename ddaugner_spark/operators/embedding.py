@@ -202,3 +202,52 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("kept"),
         )
     )
+
+
+def jl_project(
+    emb: DataFrame, out_dim: int = 16, scale: int = 1000
+) -> DataFrame:
+    """Quantized Johnson–Lindenstrauss random projection: d-dim float
+    embeddings down to ``out_dim`` via a deterministic Rademacher ±1
+    matrix (md5 bit of (i, j)), with inputs quantized to 1/scale so
+    every output coordinate is ONE exact integer dot product — the
+    engine's standard device for order-free float parity (same idea as
+    the int8 quantized ANN path, similarity.py).
+
+    out_j = (Σ_i round(e_i·scale)·sign(i,j)) / scale / sqrt(out_dim).
+    Plan: posexplode to (vec, i, q), ×out_dim arithmetic fan-out,
+    hash-aggregate back to (vec, j) — shuffle rows = vecs·out_dim, the
+    OUTPUT size.  At production scale the same contract runs as a
+    single numpy matmul inside mapInPandas; this formulation is the
+    oracle-replayable twin that pins it.
+    """
+    norm = float(out_dim) ** 0.5
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        F.round(F.col("v").cast("double") * scale).cast("long").alias("q"),
+    )
+    fan = el.select(
+        "vec_id",
+        "i",
+        "q",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+    )
+    bit = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("i"), F.col("j"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    out = fan.groupBy("vec_id", "j").agg(
+        F.sum((bit * 2 - 1) * F.col("q")).cast("long").alias("num")
+    )
+    return out.select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.round(F.col("num") / float(scale) / norm, 6).alias("value"),
+    )

@@ -436,3 +436,60 @@ def hll_estimate(
     else:
         est = raw
     return out.select(group_col, "n_zero", "harmonic_fp", F.round(est, 4).alias("est"))
+
+
+def ams_f2(
+    tokens_long: DataFrame, item_col: str = "tok", n_estimators: int = 16
+) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996):
+    k independent ±1 estimators Z_e = Σ_item sign_e(item)·count(item);
+    E[Z²] = F2 = Σ count², the self-join-size statistic an optimizer
+    wants before planning an equi-join.
+
+    Signs derive from an md5 bit of (item, e) — pure row arithmetic,
+    replayable by the oracle, deterministic under repartition.  Each
+    Z_e is an exact INTEGER sum (commutative, order-free), the mean of
+    k squares one final division — no float accumulation.  Plan: one
+    count aggregate, a ×k estimator fan-out of the COUNT table (vocab-
+    sized, not corpus-sized), one k-row aggregate.  Returns one row:
+    (k, est_f2, exact_f2, rel_err); the exact F2 is corpus-replayable
+    here — at 100 TB only the sketch side runs and rel_err ~ sqrt(2/k).
+    """
+    cnts = tokens_long.groupBy(item_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    fan = cnts.select(
+        F.col(item_col).alias("item"),
+        "cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1))).alias("e"),
+    )
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("item"), F.col("e"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    z = fan.groupBy("e").agg(
+        F.sum((bit * 2 - 1) * F.col("cnt")).cast("long").alias("z")
+    )
+    zagg = z.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("sum_z2"),
+    )
+    exact = cnts.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("exact_f2")
+    )
+    j = zagg.crossJoin(F.broadcast(exact))
+    est = F.col("sum_z2") / F.col("k")
+    return j.select(
+        "k",
+        F.round(est, 6).alias("est_f2"),
+        "exact_f2",
+        F.round(F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6).alias(
+            "rel_err"
+        ),
+    )

@@ -934,3 +934,61 @@ def burstiness(
             "adaptation"
         ),
     )
+
+
+def chi2_tokens(
+    docs: DataFrame, label, min_df: int = 5, ndigits: int = 6
+) -> DataFrame:
+    """Chi-square feature selection: 2×2 association between document-
+    level token presence and a binary label — the standard filter a
+    classifier pipeline runs to pick its vocabulary.
+
+    Per token: a = positive docs containing it, b = negative docs
+    containing it, c/d the complements; χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)).
+    All eight cells are exact integers; the χ² float is computed with a
+    FIXED operand order (N·diff·diff then four successive divisions) so
+    both engines agree bit-for-bit — the naive single-expression integer
+    form overflows int64 at corpus scale (N²·diff² at N ~ 1e5 already).
+    Plan: distinct-token explode (presence, not counts), one token
+    aggregate, scalar totals broadcast back; min_df bounds the output.
+    Degenerate marginals (token in every doc / label constant) → χ² = 0.
+    """
+    base = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id", label.cast("long").alias("y"), "text"
+    )
+    toks = base.select(
+        "y", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum("y").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("b"),
+    )
+    tot = base.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    j = per_tok.filter(F.col("a") + F.col("b") >= min_df).crossJoin(
+        F.broadcast(tot)
+    )
+    c = F.col("n_pos") - F.col("a")
+    d = (F.col("n_docs") - F.col("n_pos")) - F.col("b")
+    diff = (F.col("a") * d - F.col("b") * c).cast("double")
+    m1 = (F.col("a") + F.col("b")).cast("double")
+    m2 = (c + d).cast("double")
+    m3 = (F.col("a") + c).cast("double")
+    m4 = (F.col("b") + d).cast("double")
+    chi2 = (
+        F.col("n_docs").cast("double") * diff * diff / m1 / m2 / m3 / m4
+    )
+    return j.select(
+        "tok",
+        "a",
+        "b",
+        c.alias("c"),
+        d.alias("d"),
+        F.round(
+            F.when((m1 == 0) | (m2 == 0) | (m3 == 0) | (m4 == 0), F.lit(0.0))
+            .otherwise(chi2),
+            ndigits,
+        ).alias("chi2"),
+    )
