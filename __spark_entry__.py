@@ -3466,6 +3466,186 @@ def q_jl_project(spark, sf):
     return embops.jl_project(emb, out_dim=16, scale=1000)
 
 
+def q_volume_shipping(spark, sf):
+    """TPC-H Q7 shape (bi-nation trade volume by year): the nation
+    filter is pushed INTO the supplier/customer dimensions via
+    broadcast joins BEFORE the fact joins, so lineitem rows from
+    non-qualifying nations never reach the shuffle — the oracle is the
+    literal 6-table flat form."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select("o_orderkey", "o_custkey")
+    n2 = (
+        spark.read.parquet(f"{sf}/nation.parquet")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+        .select("n_nationkey", "n_name")
+    )
+    s2 = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(F.broadcast(n2), F.col("s_nationkey") == n2.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c2 = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .join(F.broadcast(n2), F.col("c_nationkey") == n2.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    j = (
+        li.join(s2, li.l_suppkey == s2.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c2, o.o_custkey == c2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+def q_market_share(spark, sf):
+    """TPC-H Q8 shape (NATION_1 suppliers' share of ASIA's PROMO-part
+    volume by order year): part/region/nation prefilters broadcast
+    into the fact side; the share is one conditional-sum ratio per
+    year.  Supplier is joined on its key (a dimension too wide to
+    broadcast at 100 TB); everything else rides broadcasts."""
+    r = spark.read.parquet(f"{sf}/region.parquet").filter(F.col("r_name") == "ASIA")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    asia_c = (
+        spark.read.parquet(f"{sf}/customer.parquet")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s2 = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    p2 = (
+        spark.read.parquet(f"{sf}/part.parquet")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").join(
+        F.broadcast(p2), F.col("l_partkey") == p2.p_partkey
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(asia_c, o.o_custkey == asia_c.c_custkey)
+        .join(s2, li.l_suppkey == s2.s_suppkey)
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+    tot_vol = F.sum(vol)
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(nat_vol, 4).alias("nation_volume"),
+        F.round(tot_vol, 4).alias("total_volume"),
+        F.round(nat_vol / tot_vol, 6).alias("mkt_share"),
+    )
+
+
+def q_returned_items(spark, sf):
+    """TPC-H Q10 shape (revenue lost to returns per customer in a
+    quarter): returnflag and date filters pushed to the two fact scans,
+    nation broadcast onto the customer dimension, one grouped sum."""
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    n = spark.read.parquet(f"{sf}/nation.parquet")
+    cn = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        cn, o.o_custkey == cn.c_custkey
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+def q_cust_order_dist(spark, sf):
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join against the priority-filtered orders (filter folded into the
+    join input — equivalent to Q13's join-predicate form), two integer
+    aggregations; zero-order customers land in the c_count = 0 bucket."""
+    c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+def q_promo_share(spark, sf):
+    """TPC-H Q14 shape (promo revenue share for one month): date filter
+    at the lineitem scan, part type broadcast in, one conditional-sum
+    ratio — three scalars out."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    p = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)))
+    total = F.sum(vol)
+    return j.agg(
+        F.round(promo, 4).alias("promo_revenue"),
+        F.round(total, 4).alias("total_revenue"),
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3706,6 +3886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ams_f2": q_ams_f2,
         "q_chi2_tokens": q_chi2_tokens,
         "q_jl_project": q_jl_project,
+        "q_volume_shipping": q_volume_shipping,
+        "q_market_share": q_market_share,
+        "q_returned_items": q_returned_items,
+        "q_cust_order_dist": q_cust_order_dist,
+        "q_promo_share": q_promo_share,
     }
 
 
@@ -8788,6 +8973,91 @@ sents AS (
       SELECT vec_id, j::BIGINT AS j,
              round(num::DOUBLE / 1000.0 / 4.0, 6) AS value
       FROM agg
+    """
+
+    # TPC-H Q7 literal flat form (the engine pushes the nation filter
+    # into the dimensions; DuckDB plans the flat join graph itself)
+    o["q_volume_shipping"] = """
+      SELECT supp_nation, cust_nation, l_year,
+             round(sum(volume), 4) AS revenue, count(*)::BIGINT AS n_items
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+      ) GROUP BY supp_nation, cust_nation, l_year
+    """
+
+    # TPC-H Q8 literal flat form
+    o["q_market_share"] = """
+      SELECT o_year,
+             round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END), 4)
+               AS nation_volume,
+             round(sum(volume), 4) AS total_volume,
+             round(sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                   / sum(volume), 6) AS mkt_share
+      FROM (
+        SELECT year(o_orderdate)::BIGINT AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer,
+             nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND s_nationkey = n1.n_nationkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND p_type = 'PROMO'
+      ) GROUP BY o_year
+    """
+
+    # TPC-H Q10 literal form (no LIMIT: the full return-loss table)
+    o["q_returned_items"] = """
+      SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*)::BIGINT AS n_items
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1995-10-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, n_name, c_acctbal
+    """
+
+    # TPC-H Q13 literal form: the filter lives in the outer-join
+    # predicate (the engine folds it into the join input — equivalent)
+    o["q_cust_order_dist"] = """
+      SELECT c_count, count(*)::BIGINT AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+      ) GROUP BY c_count
+    """
+
+    # TPC-H Q14 literal form
+    o["q_promo_share"] = """
+      SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END), 4) AS promo_revenue,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue,
+             round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1995-09-01'
+        AND l_shipdate < TIMESTAMP '1995-10-01'
     """
 
     return o
