@@ -3646,6 +3646,30 @@ def q_promo_share(spark, sf):
     )
 
 
+def q_time_weighted_avg(spark, sf):
+    """LOCF time-weighted average per user over the irregular event
+    stream (the billing/monitoring rollup): cent-quantized values ×
+    integer epoch-ms durations → order-free integer numerator, two
+    final divisions; single-event users → −1 sentinel + degenerate flag
+    (operators/temporal.py time_weighted_avg)."""
+    return temporal.time_weighted_avg(
+        spark.read.parquet(f"{sf}/events.parquet")
+    )
+
+
+def q_debounce(spark, sf):
+    """Gaps-and-islands debounce per (user, event_type) at a 600 s
+    gap: burst heads with collapse counts and spans — one lag window +
+    one running-sum window on the same key/order (single shuffle,
+    reused sort), integer epoch-ms arithmetic
+    (operators/temporal.py debounce)."""
+    return temporal.debounce(
+        spark.read.parquet(f"{sf}/events.parquet"),
+        keys=["user_id", "event_type"],
+        gap_seconds=600,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3891,6 +3915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_returned_items": q_returned_items,
         "q_cust_order_dist": q_cust_order_dist,
         "q_promo_share": q_promo_share,
+        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_debounce": q_debounce,
     }
 
 
@@ -9058,6 +9084,62 @@ sents AS (
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1995-09-01'
         AND l_shipdate < TIMESTAMP '1995-10-01'
+    """
+
+    # TWA replay: cent quantization + integer epoch-ms (// == DIV for
+    # the non-negative epochs), identical lead/aggregate
+    o["q_time_weighted_avg"] = """
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS tms,
+               round(value * 100)::BIGINT AS q, event_id
+        FROM events
+      ),
+      s AS (
+        SELECT user_id, tms, q,
+               lead(tms) OVER (PARTITION BY user_id
+                               ORDER BY tms, event_id) AS t_next
+        FROM e
+      ),
+      a AS (
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               min(tms) AS t_first, max(tms) AS t_last,
+               sum(q * (t_next - tms))::BIGINT AS num
+        FROM s GROUP BY user_id
+      )
+      SELECT user_id, n_events, (t_last - t_first)::BIGINT AS window_ms,
+             round(CASE WHEN t_last > t_first
+                        THEN num::DOUBLE / 100.0 / (t_last - t_first)
+                        ELSE -1.0 END, 6) AS twa,
+             t_last = t_first AS degenerate
+      FROM a
+    """
+
+    # debounce replay: burst starts via lag gap, island id via running
+    # sum over the SAME (key, order); head/size/span per island
+    o["q_debounce"] = """
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) // 1000 AS tms, event_id
+        FROM events
+      ),
+      m AS (
+        SELECT user_id, event_type, tms, event_id,
+               CASE WHEN coalesce(tms - lag(tms) OVER w, 600001) > 600000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tms, event_id)
+      ),
+      i AS (
+        SELECT user_id, event_type, tms,
+               sum(is_start) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY tms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)::BIGINT AS island_id
+        FROM m
+      )
+      SELECT user_id, event_type, island_id,
+             min(tms) AS head_tms, count(*)::BIGINT AS n_collapsed,
+             (max(tms) - min(tms))::BIGINT AS span_ms
+      FROM i GROUP BY user_id, event_type, island_id
     """
 
     return o

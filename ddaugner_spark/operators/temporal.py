@@ -292,3 +292,119 @@ def asof_join(
         F.col("_asof._ts").alias("asof_ts"),
         *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    group: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """LOCF time-weighted average of an irregularly sampled series (the
+    metric a monitoring/billing rollup computes): each observation
+    holds until the next one, so
+    twa = Σ v_i·(t_{i+1} − t_i) / (t_last − t_first) per group.
+
+    Exact-integer numerator: values are quantized to cents
+    (round(v·100)) and durations to epoch MILLISECONDS (integer
+    floor-div both engines), so the per-group sum is order-free integer
+    arithmetic and the only floats are the final two divisions.
+    ms (not µs) keeps q·dur·n inside int64 at bench scale — documented
+    headroom: ~2e4 cents · ~1e10 ms spans · ~1e4 events/group ≈ 2e18.
+    One window (lead) and one aggregate, both on the same (group) key —
+    a single shuffle.  Single-observation groups have no span: twa = −1
+    sentinel + degenerate flag (nullable-double NaN trap, see
+    CLAUDE.md).
+    """
+    e = df.select(
+        group,
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) DIV 1000"
+        ).alias("tms"),
+        F.round(F.col(value) * 100).cast("long").alias("q"),
+        tiebreak,
+    )
+    w = Window.partitionBy(group).orderBy("tms", tiebreak)
+    stepped = e.select(
+        group,
+        "tms",
+        "q",
+        F.lead("tms").over(w).alias("t_next"),
+    )
+    agg = stepped.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("tms").alias("t_first"),
+        F.max("tms").alias("t_last"),
+        F.sum(F.col("q") * (F.col("t_next") - F.col("tms")))
+        .cast("long")
+        .alias("num"),
+    )
+    span = F.col("t_last") - F.col("t_first")
+    return agg.select(
+        group,
+        "n_events",
+        span.alias("window_ms"),
+        F.round(
+            F.when(span > 0, F.col("num") / 100.0 / span).otherwise(
+                F.lit(-1.0)
+            ),
+            6,
+        ).alias("twa"),
+        (span == 0).alias("degenerate"),
+    )
+
+
+def debounce(
+    df: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    gap_seconds: int = 600,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands debounce: within each key, events closer than
+    ``gap_seconds`` to their predecessor collapse into one burst; the
+    burst HEAD survives, annotated with the burst size and span — the
+    batch twin of a streaming rate limiter (and the crawl-politeness
+    collapse a frontier applies per host).
+
+    One lag window to mark burst starts, one running-sum window for the
+    island id (same key+order — Spark plans ONE shuffle and reuses the
+    sort), one aggregate.  All arithmetic is integer epoch-ms.
+    """
+    e = df.select(
+        *keys,
+        F.expr(
+            f"unix_micros(cast({ts} as timestamp)) DIV 1000"
+        ).alias("tms"),
+        tiebreak,
+    )
+    w = Window.partitionBy(*keys).orderBy("tms", tiebreak)
+    gap_ms = gap_seconds * 1000
+    marked = e.select(
+        *keys,
+        "tms",
+        tiebreak,
+        F.when(
+            F.coalesce(
+                F.col("tms") - F.lag("tms").over(w), F.lit(gap_ms + 1)
+            )
+            > gap_ms,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_start"),
+    )
+    islands = marked.select(
+        *keys,
+        "tms",
+        F.sum("is_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    return islands.groupBy(*keys, "island_id").agg(
+        F.min("tms").alias("head_tms"),
+        F.count(F.lit(1)).cast("long").alias("n_collapsed"),
+        (F.max("tms") - F.min("tms")).cast("long").alias("span_ms"),
+    )
