@@ -3670,6 +3670,21 @@ def q_debounce(spark, sf):
     )
 
 
+def q_scc(spark, sf):
+    """Strongly connected components of the DIRECTED KG edge graph
+    (contrast q_canonical_cc, which is undirected co-mention): min-label
+    forward/backward peeling — per peel round two label fixpoints
+    (join + min-agg per iteration, parquet lineage truncation), nodes
+    with f==b peel with scc_id = the component's minimum member; the
+    oracle is the recursive-CTE mutual-reachability closure
+    (operators/canonical.py strongly_connected_components)."""
+    t = triples.triples_df(_docs(spark, sf))
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return canonical.strongly_connected_components(
+        e, stage_dir=_scratch("q_scc_")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3917,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_promo_share": q_promo_share,
         "q_time_weighted_avg": q_time_weighted_avg,
         "q_debounce": q_debounce,
+        "q_scc": q_scc,
     }
 
 
@@ -9140,6 +9156,32 @@ sents AS (
              min(tms) AS head_tms, count(*)::BIGINT AS n_collapsed,
              (max(tms) - min(tms))::BIGINT AS span_ms
       FROM i GROUP BY user_id, event_type, island_id
+    """
+
+    # SCC replay: recursive reachability closure, mutual pairs, scc_id
+    # = min mutual partner (self included via least/coalesce)
+    o["q_scc"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      e AS (SELECT DISTINCT subj AS s, obj AS d FROM tri),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT s AS node FROM e UNION SELECT d AS node FROM e
+        )
+      ),
+      reach(s, d) AS (
+        SELECT s, d FROM e
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN e ON e.s = r.d
+      ),
+      mut AS (
+        SELECT a.s AS v, a.d AS u
+        FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+      )
+      SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
+      FROM nodes n LEFT JOIN mut m ON m.v = n.node
+      GROUP BY n.node
     """
 
     return o
