@@ -3685,6 +3685,24 @@ def q_scc(spark, sf):
     )
 
 
+def q_ams_join_size(spark, sf):
+    """AGMS equi-join cardinality estimate (view ⋈ purchase events on
+    user_id): the same md5 ±1 sign stream on both sides makes
+    E[Za·Zb] = Σ cntA·cntB — two independently-built sketches predict
+    the join size without co-locating the inputs; exact Σ cntA·cntB
+    replayed for the error readout
+    (operators/sketches.py ams_join_size)."""
+    from ddaugner_spark.operators import sketches
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    return sketches.ams_join_size(
+        e.filter(F.col("event_type") == "view").select("user_id"),
+        e.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        n_estimators=16,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3933,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_time_weighted_avg": q_time_weighted_avg,
         "q_debounce": q_debounce,
         "q_scc": q_scc,
+        "q_ams_join_size": q_ams_join_size,
     }
 
 
@@ -9182,6 +9201,43 @@ sents AS (
       SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc_id
       FROM nodes n LEFT JOIN mut m ON m.v = n.node
       GROUP BY n.node
+    """
+
+    # AGMS replay: same sign stream both sides, k-row estimator join
+    o["q_ams_join_size"] = """
+      WITH ca AS (
+        SELECT user_id AS item, count(*)::BIGINT AS cnt
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+      ),
+      cb AS (
+        SELECT user_id AS item, count(*)::BIGINT AS cnt
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      ),
+      za AS (
+        SELECT u.e,
+               sum((((('0x' || substr(md5(item::VARCHAR || '#' || u.e::VARCHAR), 1, 4))::INTEGER
+                      % 2) * 2 - 1)) * cnt)::BIGINT AS z_a
+        FROM ca, unnest(range(16)) AS u(e) GROUP BY u.e
+      ),
+      zb AS (
+        SELECT u.e,
+               sum((((('0x' || substr(md5(item::VARCHAR || '#' || u.e::VARCHAR), 1, 4))::INTEGER
+                      % 2) * 2 - 1)) * cnt)::BIGINT AS z_b
+        FROM cb, unnest(range(16)) AS u(e) GROUP BY u.e
+      ),
+      zz AS (
+        SELECT count(*)::BIGINT AS k, sum(z_a * z_b)::BIGINT AS sum_zz
+        FROM za JOIN zb USING (e)
+      ),
+      ex AS (
+        SELECT coalesce(sum(ca.cnt * cb.cnt), 0)::BIGINT AS exact_join
+        FROM ca JOIN cb USING (item)
+      )
+      SELECT k, round(sum_zz::DOUBLE / k, 6) AS est_join, exact_join,
+             round(CASE WHEN exact_join > 0
+                        THEN abs(sum_zz::DOUBLE / k - exact_join) / exact_join
+                        ELSE -1.0 END, 6) AS rel_err
+      FROM zz, ex
     """
 
     return o

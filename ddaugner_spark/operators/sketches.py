@@ -493,3 +493,75 @@ def ams_f2(
             "rel_err"
         ),
     )
+
+
+def ams_join_size(
+    a: DataFrame, b: DataFrame, item_col: str, n_estimators: int = 16
+) -> DataFrame:
+    """AGMS equi-join size estimation (Alon–Gibbons–Matias–Szegedy
+    1999): with the SAME ±1 sign stream on both sides,
+    E[Za_e · Zb_e] = Σ_k cntA(k)·cntB(k) = |A ⋈ B| — the cardinality an
+    optimizer wants before choosing a join strategy, computable from
+    two independently-built sketches without co-locating the inputs.
+
+    Shares ams_f2's determinism contract: md5-bit signs, exact-integer
+    Z sums per estimator, the estimator mean as one final division.
+    Plan: one count aggregate per side (map-side combined), ×k fan-out
+    of the two COUNT tables, a k-row join on the estimator id.  The
+    exact Σ cntA·cntB is replayed here for the error readout — at
+    100 TB only the two sketch sides run.
+    """
+
+    def _z(df: DataFrame, side: str) -> DataFrame:
+        cnts = df.groupBy(F.col(item_col).alias("item")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        fan = cnts.select(
+            "item",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1))).alias("e"),
+        )
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("item"), F.col("e"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        return fan.groupBy("e").agg(
+            F.sum((bit * 2 - 1) * F.col("cnt")).cast("long").alias(f"z_{side}")
+        )
+
+    z = _z(a, "a").join(_z(b, "b"), "e")
+    zagg = z.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("z_a") * F.col("z_b")).cast("long").alias("sum_zz"),
+    )
+    ca = a.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    cb = b.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    exact = ca.join(cb, "item").agg(
+        F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join")
+    )
+    j = zagg.crossJoin(F.broadcast(exact))
+    est = F.col("sum_zz") / F.col("k")
+    return j.select(
+        "k",
+        F.round(est, 6).alias("est_join"),
+        "exact_join",
+        F.round(
+            F.when(
+                F.col("exact_join") > 0,
+                F.abs(est - F.col("exact_join")) / F.col("exact_join"),
+            ).otherwise(F.lit(-1.0)),
+            6,
+        ).alias("rel_err"),
+    )

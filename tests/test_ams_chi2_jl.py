@@ -92,3 +92,25 @@ def test_jl_preserves_distances_in_expectation(spark):
         p = by_vec[i]
         projected = sum(p[j] * p[j] for j in range(16))
         assert 0.3 < projected / orig < 3.0
+
+
+def test_ams_join_size_single_key_exact(spark):
+    from ddaugner_spark.operators.sketches import ams_join_size
+
+    a = spark.createDataFrame([("k",)] * 3, ["item"])
+    b = spark.createDataFrame([("k",)] * 2, ["item"])
+    row = ams_join_size(a, b, "item", n_estimators=8).collect()[0]
+    # one shared key: Za = ±3 and Zb = ±2 with the SAME sign, so every
+    # estimator yields exactly 6 — the estimate is exact
+    assert (row.k, row.exact_join) == (8, 6)
+    assert row.est_join == pytest.approx(6.0)
+    assert row.rel_err == pytest.approx(0.0)
+
+
+def test_ams_join_size_disjoint_sentinel(spark):
+    from ddaugner_spark.operators.sketches import ams_join_size
+
+    a = spark.createDataFrame([("x",)], ["item"])
+    b = spark.createDataFrame([("y",)], ["item"])
+    row = ams_join_size(a, b, "item", n_estimators=4).collect()[0]
+    assert (row.exact_join, row.rel_err) == (0, -1.0)
