@@ -3335,7 +3335,7 @@ def q_domain_range(spark, sf):
     """KG integrity screen: every (pred, subj_tag, obj_tag) signature
     vs the predicate's majority signature — the consumer of
     q_relation_sigs' schema induction.  Majority picked via the packed
-    lpad(1e9−n)#tags min-key device (cross-engine-deterministic ties),
+    lpad(1e18−n)#tags min-key device (cross-engine-deterministic ties),
     broadcast back onto the signature table
     (operators/kgquery.py domain_range_violations)."""
     from ddaugner_spark.operators import kgquery
@@ -8771,7 +8771,7 @@ sents AS (
       ),
       maj AS (
         SELECT pred,
-               min(lpad((1000000000 - n)::VARCHAR, 10, '0')
+               min(lpad((1000000000000000000 - n)::VARCHAR, 19, '0')
                    || '#' || subj_tag || '#' || obj_tag) AS k
         FROM sigs GROUP BY pred
       ),

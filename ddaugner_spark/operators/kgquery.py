@@ -78,7 +78,7 @@ def domain_range_violations(tri: DataFrame) -> DataFrame:
     ``is_violation``.
 
     The majority pick uses the packed fixed-width key device
-    (lpad(1e9 - n) || '#' || tags): a plain ``min`` both engines agree
+    (lpad(1e18 - n) || '#' || tags — 19 digits, safe for any int64-countable signature mass): a plain ``min`` both engines agree
     on bit-for-bit, ties broken lexically by (subj_tag, obj_tag) — a
     struct/argmax would not be cross-engine deterministic.  The
     majority table is predicate-sized and broadcast; the only shuffle
@@ -89,7 +89,9 @@ def domain_range_violations(tri: DataFrame) -> DataFrame:
     )
     key = F.concat_ws(
         "#",
-        F.lpad((F.lit(1000000000) - F.col("n")).cast("string"), 10, "0"),
+        F.lpad(
+            (F.lit(1000000000000000000) - F.col("n")).cast("string"), 19, "0"
+        ),
         F.col("subj_tag"),
         F.col("obj_tag"),
     )

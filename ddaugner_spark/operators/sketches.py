@@ -451,7 +451,9 @@ def ams_f2(
     Z_e is an exact INTEGER sum (commutative, order-free), the mean of
     k squares one final division — no float accumulation.  Plan: one
     count aggregate, a ×k estimator fan-out of the COUNT table (vocab-
-    sized, not corpus-sized), one k-row aggregate.  Returns one row:
+    sized, not corpus-sized), one k-row aggregate.  Z² stays in int64
+    up to \|stream\| ~ 3e9; past that production keeps Z exact and
+    squares in DOUBLE (one deterministic op, no accumulation).  Returns one row:
     (k, est_f2, exact_f2, rel_err); the exact F2 is corpus-replayable
     here — at 100 TB only the sketch side runs and rel_err ~ sqrt(2/k).
     """
