@@ -8840,7 +8840,8 @@ sents AS (
       ),
       ca AS (SELECT tag_a AS c, count(*)::BIGINT AS na FROM pairs GROUP BY tag_a),
       cb AS (SELECT tag_b AS c, count(*)::BIGINT AS nb FROM pairs GROUP BY tag_b),
-      pe AS (SELECT sum(na * nb)::BIGINT AS pe_num FROM ca JOIN cb USING (c))
+      pe AS (SELECT coalesce(sum(na * nb), 0)::BIGINT AS pe_num
+            FROM ca JOIN cb USING (c))
       SELECT n_tokens,
              round(n_agree::DOUBLE / n_tokens, 6) AS po,
              round(pe_num::DOUBLE / n_tokens / n_tokens, 6) AS pe,

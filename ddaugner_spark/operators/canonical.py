@@ -426,6 +426,11 @@ def strongly_connected_components(
             )
             if n_chg == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"SCC label fixpoint did not converge in {max_fix_rounds} "
+                f"iterations (component diameter exceeds the budget)"
+            )
         return lab.select("node", F.col("lbl").alias(out_col))
 
     parts = []

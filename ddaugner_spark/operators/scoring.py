@@ -262,9 +262,10 @@ def cohens_kappa(pred_tags: DataFrame, gold_tags: DataFrame) -> DataFrame:
     )
     ca = pairs.groupBy("tag_a").agg(F.count(F.lit(1)).cast("long").alias("na"))
     cb = pairs.groupBy("tag_b").agg(F.count(F.lit(1)).cast("long").alias("nb"))
-    pe = (
-        ca.join(cb, ca["tag_a"] == cb["tag_b"])
-        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("pe_num"))
+    pe = ca.join(cb, ca["tag_a"] == cb["tag_b"]).agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("pe_num")
     )
     n = F.col("n_tokens")
     po = F.col("n_agree") / n

@@ -954,7 +954,9 @@ def chi2_tokens(
     Degenerate marginals (token in every doc / label constant) → χ² = 0.
     """
     base = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
-        "doc_id", label.cast("long").alias("y"), "text"
+        "doc_id",
+        F.coalesce(label.cast("long"), F.lit(0)).alias("y"),
+        "text",
     )
     toks = base.select(
         "y", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")

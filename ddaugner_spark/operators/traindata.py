@@ -169,7 +169,7 @@ def auc_exact(
     N=0) return the 0.5 sentinel.
     """
     g = scored.select(
-        label.cast("long").alias("y"), score.alias("s")
+        F.coalesce(label.cast("long"), F.lit(0)).alias("y"), score.alias("s")
     ).groupBy("s").agg(
         F.sum("y").cast("long").alias("p"),
         F.sum(F.lit(1) - F.col("y")).cast("long").alias("n"),
@@ -212,12 +212,17 @@ def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
 
     One hash aggregate to bin stats; ECE re-aggregated from the
     bin-count-sized table and broadcast back onto every row.
+    ``n_bins`` must divide the 500 cap so bin widths stay exact
+    integers (the determinism device depends on it).
     """
+    if 500 % n_bins != 0:
+        raise ValueError("n_bins must divide 500 for exact integer bins")
+    width = 500 // n_bins
     d = docs.select(
         F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
         (F.col("lang") == "en").cast("long").alias("y"),
     ).select(
-        F.least(F.floor(F.col("cap") / 50), F.lit(n_bins - 1))
+        F.least(F.floor(F.col("cap") / width), F.lit(n_bins - 1))
         .cast("long")
         .alias("bin"),
         "cap",

@@ -143,3 +143,11 @@ def test_kappa_multi_doc_alignment(spark):
     row = cohens_kappa(a, b).collect()[0]
     assert row.n_tokens == 4
     assert row.po == pytest.approx(0.75)
+
+
+def test_kappa_disjoint_classes_pe_zero(spark):
+    # no shared tag class: pe = 0, kappa = po = 0 (not NULL)
+    a = _tags(spark, [(1, ["X", "X"])])
+    b = _tags(spark, [(1, ["Y", "Y"])])
+    row = cohens_kappa(a, b).collect()[0]
+    assert (row.po, row.pe, row.kappa) == (0.0, 0.0, 0.0)

@@ -57,3 +57,13 @@ def test_nonconvergence_raises(spark):
             _edges(spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c")]),
             max_peel_rounds=1,
         ).collect()
+
+
+def test_fixpoint_nonconvergence_raises(spark):
+    # a 6-cycle needs ~5 min-propagation hops; a 2-iteration budget
+    # must RAISE, not silently peel wrong components
+    ring = [(f"v{i}", f"v{(i + 1) % 6}") for i in range(6)]
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        strongly_connected_components(
+            _edges(spark, ring), max_fix_rounds=2
+        ).collect()

@@ -126,3 +126,22 @@ def test_calibration_bins_and_ece(spark):
     # ECE = (|40-500| + |490-500|) / (500*3) = 470/1500
     assert b0.ece == pytest.approx(470 / 1500, abs=1e-6)
     assert b9.ece == b0.ece
+
+
+def test_calibration_bins_width_follows_n_bins(spark):
+    rows = [(1, "x" * 120, "en", "a"), (2, "x" * 480, "de", "a")]
+    out = traindata.calibration_bins(_docs(spark, rows), n_bins=5)
+    # width 100: caps 120 and 480 land in bins 1 and 4
+    assert {r.bin for r in out.collect()} == {1, 4}
+    with pytest.raises(ValueError):
+        traindata.calibration_bins(_docs(spark, rows), n_bins=7)
+
+
+def test_auc_null_label_counts_as_negative(spark):
+    df = spark.createDataFrame(
+        [(True, 3), (None, 1), (False, 2)], ["y", "s"]
+    )
+    r = traindata.auc_exact(df, label=F.col("y"), score=F.col("s")).collect()[0]
+    # NULL label is a negative (oracle CASE semantics): n_neg = 2
+    assert (r.n_pos, r.n_neg) == (1, 2)
+    assert r.auc == pytest.approx(1.0)
