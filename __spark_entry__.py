@@ -3703,6 +3703,23 @@ def q_ams_join_size(spark, sf):
     )
 
 
+def q_bpe_train(spark, sf):
+    """BPE merge TRAINING (Sennrich 2016) — 5 learned merges over the
+    corpus word-frequency vocabulary: per step one vocab-sized pair
+    aggregate, argmax via the packed 19-digit min-key, the single merge
+    row collected (the model, like k-means' literal centroids) and
+    applied map-only as an ordered fold; oracle replays the full loop
+    with 5 unrolled list_reduce CTE stages
+    (operators/bpe.py bpe_train)."""
+    from ddaugner_spark.operators import bpe
+
+    return bpe.bpe_train(
+        textstats.vocab_df(_docs(spark, sf)),
+        n_merges=5,
+        stage_dir=_scratch("q_bpe_"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3952,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_debounce": q_debounce,
         "q_scc": q_scc,
         "q_ams_join_size": q_ams_join_size,
+        "q_bpe_train": q_bpe_train,
     }
 
 
@@ -9240,5 +9258,64 @@ sents AS (
                         ELSE -1.0 END, 6) AS rel_err
       FROM zz, ex
     """
+
+    # BPE training replay: n unrolled merge stages; list_reduce folds
+    # in list order with the first element as seed — equivalent to
+    # Spark's empty-seed fold because the first step always appends
+    def _bpe_stage(k: int) -> str:
+        return f"""
+      p{k} AS (
+        SELECT toks[g.i] AS l, toks[g.i + 1] AS r, freq
+        FROM v{k - 1}, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      ),
+      pc{k} AS (SELECT l, r, sum(freq)::BIGINT AS cnt FROM p{k} GROUP BY l, r),
+      b{k} AS (
+        SELECT min(lpad((1000000000000000000 - cnt)::VARCHAR, 19, '0')
+                   || '#' || l || '#' || r) AS key
+        FROM pc{k}
+      ),
+      m{k} AS (
+        SELECT {k}::BIGINT AS step,
+               string_split(key, '#')[2] AS lhs,
+               string_split(key, '#')[3] AS rhs,
+               (1000000000000000000
+                - string_split(key, '#')[1]::BIGINT)::BIGINT AS pair_count
+        FROM b{k}
+      ),
+      v{k} AS (
+        SELECT word, freq,
+               list_reduce(
+                 list_transform(toks, t -> [t]),
+                 (acc, x) -> CASE WHEN acc[len(acc)] = m.lhs AND x[1] = m.rhs
+                                  THEN list_append(
+                                         list_slice(acc, 1, len(acc) - 1),
+                                         m.lhs || m.rhs)
+                                  ELSE list_append(acc, x[1]) END
+               ) AS toks
+        FROM v{k - 1}, m{k} m
+      )"""
+
+    _bpe_n = 5
+    o["q_bpe_train"] = (
+        """
+      WITH counts AS (
+        SELECT token, count(*)::BIGINT AS n
+        FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+        GROUP BY token HAVING count(*) >= 2
+      ),
+      v0 AS (
+        SELECT token AS word, n::BIGINT AS freq,
+               string_split(token, '') AS toks
+        FROM counts
+      ),"""
+        + ",".join(_bpe_stage(k) for k in range(1, _bpe_n + 1))
+        + "\n      "
+        + "\n      UNION ALL ".join(
+            f"SELECT step, lhs, rhs, pair_count FROM m{k}"
+            for k in range(1, _bpe_n + 1)
+        )
+    )
 
     return o
