@@ -3720,6 +3720,25 @@ def q_bpe_train(spark, sf):
     )
 
 
+def q_dbscan(spark, sf):
+    """DBSCAN-lite density triage over the MinHash-LSH verified
+    near-dup graph of the dup-amplified corpus: core = neighborhood
+    (incl. self) ≥ 3, clusters = hash-min CC of the core-core subgraph,
+    border = min adjacent core cluster, noise = −1 — the core/border/
+    noise split a curation pass wants on top of flat canonicalization
+    (operators/density.py dbscan_lite)."""
+    from ddaugner_spark.operators import density
+
+    corpus = dedup.with_dup_corpus(_docs(spark, sf))
+    pairs = dedup.minhash_near_duplicates(corpus).select("a", "b")
+    return density.dbscan_lite(
+        corpus.select(F.col("doc_id").alias("node")),
+        pairs,
+        min_pts=3,
+        stage_dir=_scratch("q_dbscan_"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -3970,6 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc": q_scc,
         "q_ams_join_size": q_ams_join_size,
         "q_bpe_train": q_bpe_train,
+        "q_dbscan": q_dbscan,
     }
 
 
@@ -9317,5 +9337,50 @@ sents AS (
             for k in range(1, _bpe_n + 1)
         )
     )
+
+    # DBSCAN replay: vp = the verified LSH pair set (the same ε-ball),
+    # core by symmetric degree, recursive-walk CC over core-core edges
+    # (numeric min == the engine's lpad-string min), border = min
+    # adjacent core cluster, noise = the rest at −1
+    o["q_dbscan"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      nodes AS (SELECT doc_id AS node FROM corpus),
+      sym AS (
+        SELECT a AS node, b AS nb FROM vp
+        UNION ALL SELECT b AS node, a AS nb FROM vp
+      ),
+      deg AS (SELECT node, count(*)::BIGINT AS n_nb FROM sym GROUP BY node),
+      core AS (SELECT node FROM deg WHERE n_nb + 1 >= 3),
+      ce AS (
+        SELECT v.a, v.b FROM vp v
+        JOIN core ca ON ca.node = v.a
+        JOIN core cb ON cb.node = v.b
+      ),
+      cedges AS (SELECT a, b FROM ce UNION SELECT b AS a, a AS b FROM ce),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT node, node AS lab FROM core
+          UNION
+          SELECT e.b AS node, walk.lab FROM walk JOIN cedges e ON e.a = walk.node
+        )
+        SELECT node, min(lab)::BIGINT AS cluster_id FROM walk GROUP BY node
+      ),
+      border AS (
+        SELECT s.node, min(r.cluster_id)::BIGINT AS cluster_id
+        FROM sym s JOIN rr r ON r.node = s.nb
+        WHERE s.node NOT IN (SELECT node FROM core)
+        GROUP BY s.node
+      ),
+      classified AS (
+        SELECT node, 'core' AS role, cluster_id FROM rr
+        UNION ALL
+        SELECT node, 'border' AS role, cluster_id FROM border
+      )
+      SELECT node, role, cluster_id FROM classified
+      UNION ALL
+      SELECT n.node, 'noise' AS role, (-1)::BIGINT AS cluster_id
+      FROM nodes n WHERE n.node NOT IN (SELECT node FROM classified)
+    """
 
     return o
