@@ -538,3 +538,74 @@ def negative_samples(
         "left_anti",
     )
     return valid
+
+
+def temporal_join_paths(
+    validity: DataFrame, fanout_cap: int = 5
+) -> DataFrame:
+    """Time-respecting 2-hop paths over a TEMPORAL KG: chain
+    a→mid→c where both facts' validity intervals OVERLAP — the
+    temporal-consistency join behind "were these two facts ever true
+    simultaneously", the KG-consumption twin of the atemporal
+    graph.two_hop_paths.
+
+    ``validity``: (subj, pred, obj, fs, ls, n_assertions) with integer
+    day offsets fs ≤ ls (triple_validity output with the caller's
+    epoch).  Join legs are capped per mid entity to their
+    ``fanout_cap`` best-attested edges (n_assertions DESC, pred,
+    endpoint — the hub guard), then equi-joined on mid with the
+    interval-overlap residual; overlap = [max(fs), min(ls)], kept when
+    non-empty.  Pure integer arithmetic end to end.
+    """
+    e = validity.select(
+        "subj", "pred", "obj",
+        F.col("fs").cast("long").alias("fs"),
+        F.col("ls").cast("long").alias("ls"),
+        F.col("n_assertions").cast("long").alias("na"),
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("obj").orderBy(
+        F.desc("na"), "pred", "subj"
+    )
+    h1 = (
+        e.withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= fanout_cap)
+        .select(
+            F.col("subj").alias("entity_a"),
+            F.col("pred").alias("pred1"),
+            F.col("obj").alias("mid"),
+            F.col("fs").alias("fs1"),
+            F.col("ls").alias("ls1"),
+        )
+    )
+    w2 = Window.partitionBy("subj").orderBy(
+        F.desc("na"), "pred", "obj"
+    )
+    h2 = (
+        e.withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= fanout_cap)
+        .select(
+            F.col("subj").alias("mid"),
+            F.col("pred").alias("pred2"),
+            F.col("obj").alias("entity_c"),
+            F.col("fs").alias("fs2"),
+            F.col("ls").alias("ls2"),
+        )
+    )
+    ov_start = F.greatest("fs1", "fs2")
+    ov_end = F.least("ls1", "ls2")
+    return (
+        h1.join(h2, "mid")
+        .filter((F.col("entity_a") != F.col("entity_c")) & (ov_start <= ov_end))
+        .select(
+            "entity_a",
+            "pred1",
+            "mid",
+            "pred2",
+            "entity_c",
+            ov_start.alias("ov_start"),
+            ov_end.alias("ov_end"),
+            (ov_end - ov_start + 1).alias("ov_days"),
+        )
+    )
