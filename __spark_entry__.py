@@ -3814,6 +3814,42 @@ def q_copurchase_lift(spark, sf):
     )
 
 
+def q_readability(spark, sf):
+    """Flesch reading-ease screen per document (vowel-run syllables,
+    terminator-token sentences): exact integer counts, one fixed
+    left-associative float chain, difficulty band compared on the
+    ROUNDED score (operators/textstats.py readability_scores)."""
+    return textstats.readability_scores(_docs(spark, sf))
+
+
+def q_entity_drift(spark, sf):
+    """Entity popularity drift between the two deterministic corpus
+    halves (doc_id parity — the snapshot-pair stand-in): per surface the
+    half counts and the Haldane-corrected log-odds ratio — the KG
+    monitoring readout for 'which entities are trending between
+    crawls'; ln over rationals of exact integers, fixed operand order."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    per = m.groupBy("surface").agg(
+        F.sum(((F.col("doc_id") % 2) == 0).cast("long")).cast("long").alias("a"),
+        F.sum(((F.col("doc_id") % 2) == 1).cast("long")).cast("long").alias("b"),
+    )
+    tot = per.agg(
+        F.sum("a").cast("long").alias("ta"), F.sum("b").cast("long").alias("tb")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    lor = (
+        F.log((F.col("a") + 0.5) / (F.col("ta") - F.col("a") + 0.5))
+        - F.log((F.col("b") + 0.5) / (F.col("tb") - F.col("b") + 0.5))
+    )
+    return j.select(
+        "surface",
+        "a",
+        "b",
+        F.round(lor, 6).alias("log_odds"),
+        (F.round(lor, 6) > 0).alias("rising_in_first_half"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4067,6 +4103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dbscan": q_dbscan,
         "q_temporal_paths": q_temporal_paths,
         "q_copurchase_lift": q_copurchase_lift,
+        "q_readability": q_readability,
+        "q_entity_drift": q_entity_drift,
     }
 
 
@@ -9522,6 +9560,57 @@ sents AS (
       FROM pairs p
       JOIN supp sa ON sa.part = p.pa
       JOIN supp sb ON sb.part = p.pb, n
+    """
+
+    # readability replay: identical vowel-run syllable proxy and the
+    # fixed 206.835 − 1.015·wps − 84.6·spw chain; band on ROUNDED score
+    o["q_readability"] = f"""
+      WITH toks AS (
+        SELECT doc_id, u.w
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE coalesce(text, '') != ''),
+             unnest(t) AS u(w)
+      ),
+      per_doc AS (
+        SELECT doc_id, count(*)::BIGINT AS n_words,
+               greatest(1, sum(CASE WHEN w = '{config.SENT_TERM}' THEN 1
+                                    ELSE 0 END))::BIGINT AS n_sent,
+               sum(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))::BIGINT
+                 AS n_syll
+        FROM toks GROUP BY doc_id
+      ),
+      s AS (
+        SELECT doc_id, n_words, n_sent, n_syll,
+               round(206.835
+                     - 1.015 * (n_words::DOUBLE / n_sent)
+                     - 84.6 * (n_syll::DOUBLE / n_words), 4) AS flesch
+        FROM per_doc
+      )
+      SELECT doc_id, n_words, n_sent, n_syll, flesch,
+             CASE WHEN flesch >= 60.0 THEN 'easy'
+                  WHEN flesch >= 30.0 THEN 'medium'
+                  ELSE 'hard' END AS band
+      FROM s
+    """
+
+    # drift replay: Haldane-corrected log-odds over exact half counts,
+    # same ln operand order
+    o["q_entity_drift"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      per AS (
+        SELECT surface,
+               sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+               sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS b
+        FROM ment GROUP BY surface
+      ),
+      tot AS (SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb FROM per)
+      SELECT surface, a, b,
+             round(ln((a + 0.5) / (ta - a + 0.5))
+                   - ln((b + 0.5) / (tb - b + 0.5)), 6) AS log_odds,
+             round(ln((a + 0.5) / (ta - a + 0.5))
+                   - ln((b + 0.5) / (tb - b + 0.5)), 6) > 0
+               AS rising_in_first_half
+      FROM per, tot
     """
 
     return o

@@ -994,3 +994,55 @@ def chi2_tokens(
             ndigits,
         ).alias("chi2"),
     )
+
+
+def readability_scores(docs: DataFrame, ndigits: int = 4) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    screen a curation pipeline runs next to the length/stopword quality
+    features (quality_features): 206.835 − 1.015·(words/sentences)
+    − 84.6·(syllables/word), with syllables approximated by vowel runs
+    ([aeiouy]+, min 1 per word) and sentences by the corpus terminator
+    token (min 1).
+
+    One corpus-sized explode + per-doc aggregate of exact integer
+    counts; the score is a FIXED left-associative float chain over two
+    divisions, identical on both engines; the difficulty band compares
+    the ROUNDED score so band edges cannot split on an ulp.
+    """
+    toks = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.sum((F.col("w") == config.SENT_TERM).cast("long")),
+        )
+        .cast("long")
+        .alias("n_sent"),
+        F.sum(
+            F.greatest(
+                F.lit(1),
+                F.size(F.expr("regexp_extract_all(w, '[aeiouy]+', 0)")),
+            )
+        )
+        .cast("long")
+        .alias("n_syll"),
+    )
+    score = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words") / F.col("n_sent"))
+        - F.lit(84.6) * (F.col("n_syll") / F.col("n_words")),
+        ndigits,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_sent",
+        "n_syll",
+        score.alias("flesch"),
+        F.when(score >= 60.0, F.lit("easy"))
+        .when(score >= 30.0, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )
