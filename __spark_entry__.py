@@ -3850,6 +3850,55 @@ def q_entity_drift(spark, sf):
     )
 
 
+def q_rfm(spark, sf):
+    """RFM user segmentation over purchase events (the classic
+    consumer-analytics composite): recency in whole days from the
+    corpus max timestamp, frequency, monetary in exact cents; quintile
+    scores via ntile over TOTAL orders (metric, user_id) so bucket
+    edges are engine-reproducible (the q_ccnet_buckets device), segment
+    = the concatenated R/F/M digits."""
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    ms = F.expr("unix_micros(cast(ts as timestamp)) DIV 1000")
+    per = e.select("user_id", ms.alias("tms"),
+                   F.round(F.col("value") * 100).cast("long").alias("cents"))
+    mx = per.agg(F.max("tms").alias("max_ms"))
+    agg = per.groupBy("user_id").agg(
+        F.max("tms").alias("last_ms"),
+        F.count(F.lit(1)).cast("long").alias("f"),
+        F.sum("cents").cast("long").alias("m_cents"),
+    ).crossJoin(F.broadcast(mx))
+    base = agg.select(
+        "user_id",
+        F.floor((F.col("max_ms") - F.col("last_ms")) / 86400000)
+        .cast("long")
+        .alias("r_days"),
+        "f",
+        "m_cents",
+    )
+    r_w = Window.orderBy(F.desc("r_days"), "user_id")
+    f_w = Window.orderBy(F.asc("f"), "user_id")
+    m_w = Window.orderBy(F.asc("m_cents"), "user_id")
+    scored = base.select(
+        "user_id",
+        "r_days",
+        "f",
+        "m_cents",
+        F.ntile(5).over(r_w).cast("long").alias("r_score"),
+        F.ntile(5).over(f_w).cast("long").alias("f_score"),
+        F.ntile(5).over(m_w).cast("long").alias("m_score"),
+    )
+    return scored.select(
+        "*",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4105,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_copurchase_lift": q_copurchase_lift,
         "q_readability": q_readability,
         "q_entity_drift": q_entity_drift,
+        "q_rfm": q_rfm,
     }
 
 
@@ -9611,6 +9661,37 @@ sents AS (
                    - ln((b + 0.5) / (tb - b + 0.5)), 6) > 0
                AS rising_in_first_half
       FROM per, tot
+    """
+
+    # RFM replay: identical total-ordered ntile quintiles (both engines
+    # put the larger buckets first), integer day/cent arithmetic
+    o["q_rfm"] = """
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS tms,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+      ),
+      mx AS (SELECT max(tms) AS max_ms FROM p),
+      agg AS (
+        SELECT user_id, max(tms) AS last_ms, count(*)::BIGINT AS f,
+               sum(cents)::BIGINT AS m_cents
+        FROM p GROUP BY user_id
+      ),
+      base AS (
+        SELECT user_id, ((max_ms - last_ms) // 86400000)::BIGINT AS r_days,
+               f, m_cents
+        FROM agg, mx
+      ),
+      scored AS (
+        SELECT user_id, r_days, f, m_cents,
+               ntile(5) OVER (ORDER BY r_days DESC, user_id)::BIGINT AS r_score,
+               ntile(5) OVER (ORDER BY f ASC, user_id)::BIGINT AS f_score,
+               ntile(5) OVER (ORDER BY m_cents ASC, user_id)::BIGINT AS m_score
+        FROM base
+      )
+      SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+             r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+      FROM scored
     """
 
     return o
