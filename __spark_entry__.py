@@ -3899,6 +3899,50 @@ def q_rfm(spark, sf):
     )
 
 
+def q_psi_drift(spark, sf):
+    """Population Stability Index between the two deterministic corpus
+    halves over length deciles (the model-monitoring drift metric next
+    to q_ks_test's two-sample KS): per bucket the Haldane-smoothed
+    shares and the PSI term (pa−pb)·ln(pa/pb) — emitted PER BUCKET so
+    no cross-bucket float accumulation exists; the bucket universe is
+    generated (0..9) so empty buckets appear with smoothed shares.
+    Every float derives from exact integers + 0.5 halves (binary-exact)
+    through a fixed operand chain."""
+    d = _docs(spark, sf).select(
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        ((F.col("doc_id") % 2) == 0).alias("in_a"),
+    )
+    counts = d.groupBy("bucket").agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("ca"),
+        F.sum((~F.col("in_a")).cast("long")).cast("long").alias("cb"),
+    )
+    buckets = spark.range(10).select(F.col("id").cast("long").alias("bucket"))
+    filled = buckets.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+    )
+    tot = filled.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    j = filled.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 0.5) / (F.col("na") + 5.0)
+    pb = (F.col("cb") + 0.5) / (F.col("nb") + 5.0)
+    ratio = ((F.col("ca") + 0.5) * (F.col("nb") + 5.0)) / (
+        (F.col("cb") + 0.5) * (F.col("na") + 5.0)
+    )
+    return j.select(
+        "bucket",
+        "ca",
+        "cb",
+        F.round(pa, 6).alias("pa"),
+        F.round(pb, 6).alias("pb"),
+        F.round((pa - pb) * F.log(ratio), 6).alias("psi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4155,6 +4199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_readability": q_readability,
         "q_entity_drift": q_entity_drift,
         "q_rfm": q_rfm,
+        "q_psi_drift": q_psi_drift,
     }
 
 
@@ -9692,6 +9737,35 @@ sents AS (
       SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
              r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
       FROM scored
+    """
+
+    # PSI replay: generated bucket universe, Haldane-smoothed shares,
+    # per-bucket terms (no cross-bucket float sum), same ln ratio form
+    o["q_psi_drift"] = """
+      WITH d AS (
+        SELECT least(n_chars // 100, 9)::BIGINT AS bucket,
+               (doc_id % 2 = 0) AS in_a
+        FROM documents
+      ),
+      counts AS (
+        SELECT bucket,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+               sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS cb
+        FROM d GROUP BY bucket
+      ),
+      filled AS (
+        SELECT u.b::BIGINT AS bucket, coalesce(c.ca, 0)::BIGINT AS ca,
+               coalesce(c.cb, 0)::BIGINT AS cb
+        FROM unnest(range(10)) AS u(b) LEFT JOIN counts c ON c.bucket = u.b
+      ),
+      tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM filled)
+      SELECT bucket, ca, cb,
+             round((ca + 0.5) / (na + 5.0), 6) AS pa,
+             round((cb + 0.5) / (nb + 5.0), 6) AS pb,
+             round(((ca + 0.5) / (na + 5.0) - (cb + 0.5) / (nb + 5.0))
+                   * ln(((ca + 0.5) * (nb + 5.0))
+                        / ((cb + 0.5) * (na + 5.0))), 6) AS psi_term
+      FROM filled, tot
     """
 
     return o
