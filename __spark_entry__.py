@@ -3943,6 +3943,22 @@ def q_psi_drift(spark, sf):
     )
 
 
+def q_harmonic(spark, sf):
+    """Seed-sampled harmonic centrality over the co-mention graph (the
+    pivot-sampling estimator for closeness-family centralities): 3
+    lexicographically-smallest seeds (a DataFrame — no collect),
+    multi-source frontier BFS keyed (node, seed), distances ≤ 4 so
+    12/d is an exact integer (lcm device) and the per-node sum is
+    order-free (operators/graph.py harmonic_centrality_sample)."""
+    from ddaugner_spark.operators.graph import harmonic_centrality_sample
+
+    m = mentions.mentions_df(_docs(spark, sf))
+    return harmonic_centrality_sample(
+        canonical.co_mention_edges(m), n_seeds=3, max_depth=4,
+        stage_dir=_scratch("q_harmonic_"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4200,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_drift": q_entity_drift,
         "q_rfm": q_rfm,
         "q_psi_drift": q_psi_drift,
+        "q_harmonic": q_harmonic,
     }
 
 
@@ -9766,6 +9783,36 @@ sents AS (
                    * ln(((ca + 0.5) * (nb + 5.0))
                         / ((cb + 0.5) * (na + 5.0))), 6) AS psi_term
       FROM filled, tot
+    """
+
+    # harmonic replay: bounded recursive walk, per-(node,seed) min,
+    # 12//dist exact-integer terms (lcm 1..4)
+    o["q_harmonic"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      seeds AS (
+        SELECT node FROM (
+          SELECT node, row_number() OVER (ORDER BY node) AS r FROM nodes
+        ) WHERE r <= 3
+      ),
+      walk(node, seed, dist) AS (
+        SELECT node, node, 0 FROM seeds
+        UNION
+        SELECT s.b, w.seed, w.dist + 1
+        FROM walk w JOIN sym s ON s.a = w.node WHERE w.dist < 4
+      ),
+      d AS (SELECT node, seed, min(dist) AS dist FROM walk GROUP BY node, seed),
+      r AS (SELECT node, dist FROM d WHERE dist > 0)
+      SELECT node, count(*)::BIGINT AS n_reached,
+             sum(12 // dist)::BIGINT AS hx12,
+             round(sum(12 // dist)::DOUBLE / 12.0, 6) AS harmonic
+      FROM r GROUP BY node
     """
 
     return o

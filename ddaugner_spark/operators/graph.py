@@ -1123,3 +1123,99 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.col("n_reciprocal").cast("double") / F.col("n_edges"), 6
         ).alias("reciprocity"),
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """(node, seed, dist) — minimum hop distance from EACH seed
+    separately (bfs_distances collapses to "any seed"; centrality needs
+    the per-seed distances).  Same frontier idiom: state rows are keyed
+    (node, seed), first discovery per key = minimum distance, visited/
+    frontier parquet-round-trip per level with A/B path alternation."""
+    spark = edges.sparkSession
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_msbfs_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    frontier = _roundtrip(
+        seeds.select("node").distinct().select(
+            "node", F.col("node").alias("seed"), F.lit(0).cast("int").alias("dist")
+        ),
+        "ms_frontier_0",
+    )
+    visited = frontier
+    n_frontier = frontier.count()
+    for depth in range(1, max_depth + 1):
+        fr = (
+            F.broadcast(frontier)
+            if n_frontier <= BROADCAST_AUTO_THRESHOLD
+            else frontier
+        )
+        nxt = (
+            sym.join(fr, sym.a == fr.node)
+            .select(F.col("b").alias("node"), "seed")
+            .distinct()
+            .join(visited, ["node", "seed"], "left_anti")
+            .withColumn("dist", F.lit(depth).cast("int"))
+        )
+        nxt = _roundtrip(nxt, f"ms_frontier_{depth % 2}")
+        n_frontier = nxt.count()
+        if n_frontier == 0:
+            break
+        visited = _roundtrip(
+            visited.unionByName(nxt), f"ms_visited_{depth % 2}"
+        )
+        frontier = nxt
+    return visited
+
+
+def harmonic_centrality_sample(
+    edges: DataFrame,
+    n_seeds: int = 3,
+    max_depth: int = 4,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Seed-sampled harmonic centrality: C_H(v) = Σ_seeds 1/d(seed, v)
+    over the ``n_seeds`` lexicographically-smallest nodes (deterministic,
+    NO driver collect — the seed set stays a DataFrame), distances
+    bounded at ``max_depth`` (the standard pivot-sampling estimator for
+    closeness-family centralities at graph scale).
+
+    Exactness device: with max_depth = 4, 1/d ∈ {1, 1/2, 1/3, 1/4} —
+    12/d is an exact INTEGER (12 = lcm 1..4), so the per-node sum
+    accumulates order-free integers and the only float is one final
+    /12.0.  Returns (node, n_reached, hx12, harmonic)."""
+    if max_depth != 4:
+        raise ValueError("the x12 integer device requires max_depth == 4")
+    sym_nodes = symmetrize(edges).select(F.col("a").alias("node")).distinct()
+    from pyspark.sql.window import Window
+
+    seeds = (
+        sym_nodes.withColumn(
+            "r", F.row_number().over(Window.orderBy("node"))
+        )
+        .filter(F.col("r") <= n_seeds)
+        .select("node")
+    )
+    d = multi_source_bfs(edges, seeds, max_depth=max_depth, stage_dir=stage_dir)
+    reached = d.filter(F.col("dist") > 0)
+    agg = reached.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.sum(F.expr("12 DIV dist")).cast("long").alias("hx12"),
+    )
+    return agg.select(
+        "node", "n_reached", "hx12",
+        F.round(F.col("hx12") / 12.0, 6).alias("harmonic"),
+    )
