@@ -3959,6 +3959,17 @@ def q_harmonic(spark, sf):
     )
 
 
+def q_medoids(spark, sf):
+    """Exact per-label 1-medoid over quantized embeddings (the actual-
+    member representative next to q_label_centroids' mean): integer
+    pairwise distance sums from 1/1000-quantized coordinates, packed
+    min-key argmin, within-label grouped-quadratic join only
+    (operators/embedding.py label_medoids)."""
+    from ddaugner_spark.operators import embedding as embops
+
+    return embops.label_medoids(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4217,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rfm": q_rfm,
         "q_psi_drift": q_psi_drift,
         "q_harmonic": q_harmonic,
+        "q_medoids": q_medoids,
     }
 
 
@@ -9813,6 +9825,42 @@ sents AS (
              sum(12 // dist)::BIGINT AS hx12,
              round(sum(12 // dist)::DOUBLE / 12.0, 6) AS harmonic
       FROM r GROUP BY node
+    """
+
+    # medoid replay: same quantization, integer distance sums, packed
+    # lpad(sum)#lpad(id) argmin; singleton labels -> self at 0
+    o["q_medoids"] = """
+      WITH el AS (
+        SELECT vec_id, label, u.i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      tot AS (
+        SELECT a.label, a.vec_id AS a,
+               sum((a.q - b.q) * (a.q - b.q))::BIGINT AS sum_d2
+        FROM el a JOIN el b
+          ON a.label = b.label AND a.i = b.i AND a.vec_id != b.vec_id
+        GROUP BY a.label, a.vec_id
+      ),
+      best AS (
+        SELECT label,
+               min(lpad(sum_d2::VARCHAR, 19, '0') || '#'
+                   || lpad(a::VARCHAR, 10, '0')) AS k
+        FROM tot GROUP BY label
+      ),
+      nm AS (
+        SELECT label, count(*)::BIGINT AS n_members,
+               min(vec_id)::BIGINT AS min_id
+        FROM embeddings GROUP BY label
+      )
+      SELECT b.label,
+             string_split(b.k, '#')[2]::BIGINT AS medoid_vec_id,
+             string_split(b.k, '#')[1]::BIGINT AS sum_d2,
+             nm.n_members
+      FROM best b JOIN nm USING (label)
+      UNION ALL
+      SELECT label, min_id AS medoid_vec_id, 0::BIGINT AS sum_d2, n_members
+      FROM nm WHERE n_members = 1
     """
 
     return o

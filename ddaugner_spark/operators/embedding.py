@@ -251,3 +251,71 @@ def jl_project(
         F.col("j").cast("long").alias("j"),
         F.round(F.col("num") / float(scale) / norm, 6).alias("value"),
     )
+
+
+def label_medoids(emb: DataFrame, scale: int = 1000) -> DataFrame:
+    """Exact 1-medoid per label: the member minimizing the sum of
+    squared L2 distances to its label-mates — the REPRESENTATIVE
+    selection a curation/inspection pass wants where label_centroids'
+    mean vector is not an actual member.
+
+    Determinism device: coordinates quantize to 1/scale (the jl_project
+    / quantized-ANN idiom), so every pairwise squared distance and its
+    per-member sum are exact integers; the argmin is the packed
+    lpad(sum)#lpad(vec_id) min-key (ties → smallest id).  Plan: one
+    posexplode, one within-label dimension-aligned self-join (quadratic
+    ONLY in label size — the grouped-quadratic shape of semantic_dedup's
+    per-cell verify), one hash aggregate per (label, member), a
+    label-sized argmin.  Singleton labels yield themselves with
+    sum_d2 = 0.  Returns (label, medoid_vec_id, sum_d2, n_members).
+    """
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.round(F.col("v").cast("double") * scale).cast("long").alias("q"),
+    )
+    a = el.select(
+        "label", "i", F.col("vec_id").alias("a"), F.col("q").alias("qa")
+    )
+    b = el.select(
+        "label", "i", F.col("vec_id").alias("b"), F.col("q").alias("qb")
+    )
+    dq = F.col("qa") - F.col("qb")
+    tot = (
+        a.join(b, ["label", "i"])
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("label", "a")
+        .agg(F.sum(dq * dq).cast("long").alias("sum_d2"))
+    )
+    key = F.concat_ws(
+        "#",
+        F.lpad(F.col("sum_d2").cast("string"), 19, "0"),
+        F.lpad(F.col("a").cast("string"), 10, "0"),
+    )
+    best = (
+        tot.select("label", key.alias("k"))
+        .groupBy("label")
+        .agg(F.min("k").alias("k"))
+        .select(
+            "label",
+            F.split("k", "#").getItem(1).cast("long").alias("medoid_vec_id"),
+            F.split("k", "#").getItem(0).cast("long").alias("sum_d2"),
+        )
+    )
+    nm = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("vec_id").cast("long").alias("min_id"),
+    )
+    multi = best.join(F.broadcast(nm), "label").select(
+        "label", "medoid_vec_id", "sum_d2", "n_members"
+    )
+    singles = nm.filter(F.col("n_members") == 1).select(
+        "label",
+        F.col("min_id").alias("medoid_vec_id"),
+        F.lit(0).cast("long").alias("sum_d2"),
+        "n_members",
+    )
+    return multi.unionByName(singles)
