@@ -3970,6 +3970,51 @@ def q_medoids(spark, sf):
     return embops.label_medoids(spark.read.parquet(f"{sf}/embeddings.parquet"))
 
 
+def q_ktruss(spark, sf):
+    """4-TRUSS of the co-mention graph (Cohen 2008): the maximal
+    subgraph where every edge closes ≥ 2 triangles within it — the
+    community-core detector one notch stronger than k-core (drops the
+    bridge edges k-core keeps).  Bounded 3-round peel of the
+    degree-oriented edge-support pass; the SQL twin unrolls the same
+    3 peels with the naive x<y<z triangle join, so the bounded forms
+    are identical by construction even before the fixed point
+    (operators/graph.py k_truss, edge_support)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.k_truss(
+        canonical.co_mention_edges(m), k=4, max_rounds=3,
+        stage_dir=_scratch("q_ktruss_"),
+    )
+
+
+def q_kg_conflicts(spark, sf):
+    """Functional-predicate conflict screen over the constructed KG:
+    induce fun(p) = |subj| / |(subj, obj)| per predicate, then list
+    every subject of a ≥ 0.3-functional predicate that still carries
+    multiple objects, with the 3 lexicographically smallest objects as
+    the bounded evidence sample — the KG-repair worklist (Galárraga
+    WWW'13 functionality; operators/kgquery.py functional_conflicts).
+    The sample is computed only for surviving conflict groups (semi-
+    join + rank window on that subset), never over the full store."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.functional_conflicts(
+        triples.triples_df(_docs(spark, sf)), min_functionality=0.3, sample_k=3
+    )
+
+
+def q_kanon(spark, sf):
+    """k-anonymity (k=5) release screen with a minimal-generalization
+    ladder over the quasi-identifiers (lang, source, length-decile):
+    each level-0 group reports the first generalization level at which
+    it reaches size ≥ 5 (0 = as-is, 1 = drop decile, 2 = lang only,
+    3 = suppress) and the group size there.  One shuffle; levels 1/2
+    re-aggregate the level-0 table and broadcast back
+    (operators/privacy.py k_anonymity_ladder)."""
+    from ddaugner_spark.operators import privacy
+
+    return privacy.k_anonymity_ladder(_docs(spark, sf), k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4229,6 +4274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_psi_drift": q_psi_drift,
         "q_harmonic": q_harmonic,
         "q_medoids": q_medoids,
+        "q_ktruss": q_ktruss,
+        "q_kg_conflicts": q_kg_conflicts,
+        "q_kanon": q_kanon,
     }
 
 
@@ -9530,15 +9578,16 @@ sents AS (
       pc{k} AS (SELECT l, r, sum(freq)::BIGINT AS cnt FROM p{k} GROUP BY l, r),
       b{k} AS (
         SELECT min(lpad((1000000000000000000 - cnt)::VARCHAR, 19, '0')
-                   || '#' || l || '#' || r) AS key
+                   || '#' || lpad(length(l)::VARCHAR, 4, '0')
+                   || '#' || l || r) AS key
         FROM pc{k}
       ),
       m{k} AS (
         SELECT {k}::BIGINT AS step,
-               string_split(key, '#')[2] AS lhs,
-               string_split(key, '#')[3] AS rhs,
+               substring(key, 26, substring(key, 21, 4)::INT) AS lhs,
+               substring(key, 26 + substring(key, 21, 4)::INT) AS rhs,
                (1000000000000000000
-                - string_split(key, '#')[1]::BIGINT)::BIGINT AS pair_count
+                - substring(key, 1, 19)::BIGINT)::BIGINT AS pair_count
         FROM b{k}
       ),
       v{k} AS (
@@ -9572,7 +9621,9 @@ sents AS (
         + ",".join(_bpe_stage(k) for k in range(1, _bpe_n + 1))
         + "\n      "
         + "\n      UNION ALL ".join(
-            f"SELECT step, lhs, rhs, pair_count FROM m{k}"
+            # lhs IS NULL = the pair supply dried up at this stage (min
+            # over empty pc is NULL): the engine's `break` — emit nothing
+            f"SELECT step, lhs, rhs, pair_count FROM m{k} WHERE lhs IS NOT NULL"
             for k in range(1, _bpe_n + 1)
         )
     )
@@ -9845,7 +9896,7 @@ sents AS (
       best AS (
         SELECT label,
                min(lpad(sum_d2::VARCHAR, 19, '0') || '#'
-                   || lpad(a::VARCHAR, 10, '0')) AS k
+                   || lpad(a::VARCHAR, 19, '0')) AS k
         FROM tot GROUP BY label
       ),
       nm AS (
@@ -9862,5 +9913,97 @@ sents AS (
       SELECT label, min_id AS medoid_vec_id, 0::BIGINT AS sum_d2, n_members
       FROM nm WHERE n_members = 1
     """
+
+    # k-truss replay: 3 unrolled support-peel rounds over the co-mention
+    # edges (naive x<y<z triangle join — same multiset as the engine's
+    # degree-oriented pass); bounded forms identical by construction.
+    # Every stage CTE is MATERIALIZED: DuckDB INLINES plain CTEs, and
+    # each stage references the previous edge set 4 times, so without
+    # pinning, the mentsent chain under e0 re-expands ~4^3 times across
+    # the unroll (measured: the inlined form spun for 15+ min at
+    # sf0.001; materialized it is sub-second)
+    def _truss_stage(r: int) -> str:
+        return f"""
+      t{r} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e{r - 1} e1
+        JOIN e{r - 1} e2 ON e2.a = e1.b
+        JOIN e{r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b
+      ),
+      s{r} AS MATERIALIZED (
+        SELECT a, b, count(*)::BIGINT AS support FROM (
+          SELECT x AS a, y AS b FROM t{r}
+          UNION ALL SELECT y AS a, z AS b FROM t{r}
+          UNION ALL SELECT x AS a, z AS b FROM t{r}
+        ) GROUP BY a, b
+      ),
+      se{r} AS MATERIALIZED (
+        SELECT e.a, e.b, coalesce(s.support, 0)::BIGINT AS support
+        FROM e{r - 1} e LEFT JOIN s{r} s USING (a, b)
+      ),
+      e{r} AS MATERIALIZED (SELECT a, b FROM se{r} WHERE support >= 2)"""
+
+    # k-anonymity replay: level-0 aggregate + two re-aggregations, the
+    # same CASE ladder; suppressed groups carry the -1 sentinel
+    o["q_kanon"] = """
+      WITH g0 AS (
+        SELECT lang, source,
+               least(9, n_chars // 100)::BIGINT AS len_decile,
+               count(*)::BIGINT AS n0
+        FROM documents GROUP BY 1, 2, 3
+      ),
+      g1 AS (SELECT lang, source, sum(n0)::BIGINT AS n1 FROM g0 GROUP BY 1, 2),
+      g2 AS (SELECT lang, sum(n1)::BIGINT AS n2 FROM g1 GROUP BY 1)
+      SELECT g0.lang, g0.source, g0.len_decile, g0.n0,
+             (CASE WHEN n0 >= 5 THEN 0 WHEN n1 >= 5 THEN 1
+                   WHEN n2 >= 5 THEN 2 ELSE 3 END)::BIGINT AS level,
+             (CASE WHEN n0 >= 5 THEN n0 WHEN n1 >= 5 THEN n1
+                   WHEN n2 >= 5 THEN n2 ELSE -1 END)::BIGINT AS anon_n
+      FROM g0 JOIN g1 USING (lang, source) JOIN g2 USING (lang)
+    """
+
+    # functional-conflict replay: same distinct + (pred, subj) counts,
+    # one exact-integer division for functionality, bounded obj sample
+    # via list_sort + list_slice (the conflict filter makes the full
+    # sample table cheap at oracle scale)
+    o["q_kg_conflicts"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri0 AS ({_TRI_SELECT}),
+      t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM tri0),
+      counts AS (
+        SELECT pred, subj, count(*)::BIGINT AS n_objs FROM t GROUP BY pred, subj
+      ),
+      fun AS (
+        SELECT pred, count(*)::DOUBLE / sum(n_objs) AS functionality
+        FROM counts GROUP BY pred
+      ),
+      conf AS (
+        SELECT c.pred, f.functionality, c.subj, c.n_objs
+        FROM counts c JOIN fun f USING (pred)
+        WHERE f.functionality >= 0.3 AND c.n_objs > 1
+      ),
+      samp AS (
+        SELECT pred, subj,
+               array_to_string(
+                 list_slice(list_sort(list(DISTINCT obj)), 1, 3), '|') AS objs
+        FROM t GROUP BY pred, subj
+      )
+      SELECT c.pred, round(c.functionality, 6) AS functionality, c.subj,
+             c.n_objs, s.objs
+      FROM conf c JOIN samp s USING (pred, subj)
+    """
+
+    o["q_ktruss"] = (
+        f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+      ),"""
+        + ",".join(_truss_stage(r) for r in range(1, 4))
+        + "\n      SELECT a, b, support FROM se3 WHERE support >= 2"
+    )
 
     return o

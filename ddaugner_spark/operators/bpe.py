@@ -21,8 +21,11 @@ Scale design:
   greedy leftmost non-overlapping, the BPE contract; words are short
   (bounded by max word length), so the O(len²) array-append fold is
   constant-bounded per row;
-* the argmax pair uses the packed lpad(1e18−cnt)#l#r min-key (ties →
-  lexicographic (l, r), cross-engine deterministic);
+* the argmax pair uses a packed fixed-position min-key
+  lpad(1e18−cnt)#lpad(len(l),4)#l||r — count and len(l) are fixed-width
+  fields, so the unpack is content-independent (a '#' inside a symbol
+  cannot corrupt it) and ties break on (len(l), l||r), deterministic on
+  both engines;
 * lineage is truncated by a parquet round-trip of the vocabulary per
   merge step (CC rule: never localCheckpoint).
 
@@ -109,6 +112,10 @@ def bpe_train(
         pc = pairs.groupBy(
             F.col("p.l").alias("l"), F.col("p.r").alias("r")
         ).agg(F.sum("freq").cast("long").alias("cnt"))
+        # content-independent pack: count and len(l) are FIXED-WIDTH
+        # fields, so '#' inside a symbol cannot corrupt the unpack and
+        # the tie-break is (count, len(l), l||r) — deterministic both
+        # engines regardless of symbol alphabet
         key = F.concat_ws(
             "#",
             F.lpad(
@@ -116,14 +123,15 @@ def bpe_train(
                 19,
                 "0",
             ),
-            F.col("l"),
-            F.col("r"),
+            F.lpad(F.length("l").cast("string"), 4, "0"),
+            F.concat(F.col("l"), F.col("r")),
         )
         best = pc.agg(F.min(key).alias("k")).collect()[0]["k"]
         if best is None:
             break
-        packed, lhs, rhs = best.split("#")
-        cnt = 1000000000000000000 - int(packed)
+        cnt = 1000000000000000000 - int(best[:19])
+        llen = int(best[20:24])
+        lhs, rhs = best[25 : 25 + llen], best[25 + llen :]
         merges.append((k, lhs, rhs, cnt))
         words = _rt(
             words.select(

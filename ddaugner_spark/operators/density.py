@@ -31,8 +31,10 @@ from .canonical import connected_components
 
 
 def _lp(col: str):
-    """lpad node ids so lexicographic CC min == numeric min."""
-    return F.lpad(F.col(col).cast("string"), 12, "0")
+    """lpad node ids so lexicographic CC min == numeric min — 19 digits
+    covers every non-negative int64 (Spark lpad TRUNCATES longer
+    strings, so a narrower pad would silently collapse distinct ids)."""
+    return F.lpad(F.col(col).cast("string"), 19, "0")
 
 
 def dbscan_lite(

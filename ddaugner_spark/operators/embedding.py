@@ -293,7 +293,7 @@ def label_medoids(emb: DataFrame, scale: int = 1000) -> DataFrame:
     key = F.concat_ws(
         "#",
         F.lpad(F.col("sum_d2").cast("string"), 19, "0"),
-        F.lpad(F.col("a").cast("string"), 10, "0"),
+        F.lpad(F.col("a").cast("string"), 19, "0"),
     )
     best = (
         tot.select("label", key.alias("k"))

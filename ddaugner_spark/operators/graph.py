@@ -1199,16 +1199,16 @@ def harmonic_centrality_sample(
     /12.0.  Returns (node, n_reached, hx12, harmonic)."""
     if max_depth != 4:
         raise ValueError("the x12 integer device requires max_depth == 4")
-    sym_nodes = symmetrize(edges).select(F.col("a").alias("node")).distinct()
-    from pyspark.sql.window import Window
-
-    seeds = (
-        sym_nodes.withColumn(
-            "r", F.row_number().over(Window.orderBy("node"))
-        )
-        .filter(F.col("r") <= n_seeds)
-        .select("node")
+    # node set from both endpoint columns directly (no symmetrize — the
+    # node sets are identical and multi_source_bfs builds sym itself);
+    # orderBy().limit() compiles to TakeOrderedAndProject: parallel
+    # per-partition top-K, no single-partition global sort
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select(F.col("b").alias("node")))
+        .distinct()
     )
+    seeds = nodes.orderBy("node").limit(n_seeds)
     d = multi_source_bfs(edges, seeds, max_depth=max_depth, stage_dir=stage_dir)
     reached = d.filter(F.col("dist") > 0)
     agg = reached.groupBy("node").agg(
@@ -1218,4 +1218,120 @@ def harmonic_centrality_sample(
     return agg.select(
         "node", "n_reached", "hx12",
         F.round(F.col("hx12") / 12.0, 6).alias("harmonic"),
+    )
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(a, b, support): number of triangles each canonical a < b edge
+    participates in (edges in no triangle get support 0).
+
+    Same degree-oriented wedge enumeration as ``triangle_counts`` —
+    each triangle materializes exactly once at its minimum-(deg, node)
+    vertex, out-degree capped at O(√m) — but the inner closure JOIN
+    keeps the triangle's corners so the three member edges can be
+    re-canonicalized (least/greatest) and counted.  Three shuffles
+    (degrees, wedges, support aggregate); no driver state."""
+    e = edges.select("a", "b").distinct()
+    deg = degrees(e)
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = (
+        x.join(y, "src")
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .select("src", F.col("x.dst").alias("v"), F.col("y.dst").alias("w"))
+    )
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    member = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("src", "v").alias("a"), F.greatest("src", "v").alias("b")
+                ),
+                F.struct(
+                    F.least("src", "w").alias("a"), F.greatest("src", "w").alias("b")
+                ),
+                F.struct(F.col("v").alias("a"), F.col("w").alias("b")),
+            )
+        ).alias("m")
+    ).select("m.a", "m.b")
+    sup = member.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("support"))
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce(F.col("support"), F.lit(0)).cast("long").alias("support")
+        )
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 4,
+    max_rounds: int = 3,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(a, b, support) edges of the k-TRUSS: the maximal subgraph in
+    which every edge participates in ≥ k−2 triangles *within the
+    subgraph* — the community-core detector one notch stronger than
+    k-core (a k-truss is always inside the (k−1)-core, but filters out
+    bridge edges that k-core keeps).  Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis" (public tech report).
+
+    Iterative peel, same bounded contract as ``k_core``: per round one
+    ``edge_support`` pass over the surviving edges, drop edges with
+    support < k−2, stop at the fixed point or after ``max_rounds``
+    (the form the SQL oracle twin unrolls; co-mention graphs — cliques
+    per sentence glued at hub entities — reach the fixed point in a
+    handful of rounds, asserted per-round in `stats`).  Support in the
+    emitted rows is the induced support at the fixed point.
+
+    Scale: each round is the degree-oriented triangle pass (m^{3/2}
+    work bound) over a strictly-shrinking edge table, parquet
+    round-tripped to truncate lineage — never localCheckpoint."""
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_ktruss_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    alive = _roundtrip(edges.select("a", "b").distinct(), "truss_init")
+    n_alive = alive.count()
+    sup = None
+    for _round in range(1, max_rounds + 1):
+        r_t0 = time.time()
+        sup = _roundtrip(edge_support(alive), f"truss_sup_{_round % 2}")
+        survivors = sup.filter(F.col("support") >= k - 2)
+        n_new = survivors.count()
+        stats["rounds"].append(
+            {"round": _round, "sec": round(time.time() - r_t0, 3), "n_edges": n_new}
+        )
+        alive = _roundtrip(survivors.select("a", "b"), f"truss_{_round % 2}")
+        if n_new == n_alive or n_new == 0:
+            n_alive = n_new
+            break
+        n_alive = n_new
+    # fixed point (or bound): sup rows for the surviving edges carry the
+    # induced support of the final set
+    return sup.filter(F.col("support") >= k - 2).select(
+        "a", "b", F.col("support").cast("long").alias("support")
     )

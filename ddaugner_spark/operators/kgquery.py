@@ -189,3 +189,58 @@ def mine_chain_rules(tri: DataFrame, min_support: int = 2) -> DataFrame:
             F.round(F.col("support") / F.col("n_pca"), 6).alias("pca_conf"),
         )
     )
+
+
+def functional_conflicts(
+    tri: DataFrame, min_functionality: float = 0.5, sample_k: int = 3
+) -> DataFrame:
+    """Functional-predicate conflict screen: induce each predicate's
+    FUNCTIONALITY fun(p) = |distinct subj| / |distinct (subj, obj)|
+    (Galárraga et al., WWW 2013 §4 — 1.0 means every subject has one
+    object), then report, for predicates at or above
+    ``min_functionality``, every subject that still carries multiple
+    objects — the contradiction candidates a KG-repair pass reviews
+    first (born_in(x, 2 cities) is an error; member_of(x, 2 orgs) is
+    not, and its low functionality keeps it out of the report).
+
+    Returns (pred, functionality, subj, n_objs, objs) with ``objs`` a
+    deterministic bounded sample: the ``sample_k`` lexicographically
+    smallest distinct objects, '|'-joined.
+
+    Scale: one distinct + one (pred, subj) count aggregate over the
+    triple store (the same shuffle key family as edge_support); the
+    per-pred functionality table is tiny and broadcast back.  The
+    ``objs`` sample is computed ONLY for the surviving conflict groups
+    (a semi-join back against the distinct triples, then a rank-≤ k
+    window on that small subset) — no unbounded collect_set ever runs
+    over the full store, so a hub subject cannot blow an agg buffer."""
+    t = tri.select("subj", "pred", "obj").distinct()
+    counts = t.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objs")
+    )
+    fun = counts.groupBy("pred").agg(
+        (F.count(F.lit(1)) / F.sum("n_objs")).alias("functionality")
+    )
+    conflicts = (
+        counts.join(F.broadcast(fun), "pred")
+        .filter(
+            (F.col("functionality") >= min_functionality) & (F.col("n_objs") > 1)
+        )
+    )
+    src = t.join(
+        conflicts.select("pred", "subj"), ["pred", "subj"], "left_semi"
+    )
+    w = Window.partitionBy("pred", "subj").orderBy("obj")
+    samp = (
+        src.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= sample_k)
+        .groupBy("pred", "subj")
+        .agg(F.array_join(F.sort_array(F.collect_list("obj")), "|").alias("objs"))
+    )
+    return conflicts.join(samp, ["pred", "subj"]).select(
+        "pred",
+        F.round("functionality", 6).alias("functionality"),
+        "subj",
+        "n_objs",
+        "objs",
+    )

@@ -47,3 +47,57 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         cur = F.regexp_replace(cur, pat, placeholder)
     out_cols.append(cur.alias("clean_text"))
     return docs.select(*out_cols)
+
+
+def k_anonymity_ladder(docs: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity screen with a minimal-generalization ladder over the
+    quasi-identifier triple (lang, source, length-decile) — the release
+    check a privacy pass runs before publishing per-group statistics of
+    a crawl (Sweeney 2002; groups smaller than k re-identify their
+    members).
+
+    For every observed level-0 combination the ladder reports the
+    FIRST generalization at which its group reaches size ≥ k:
+    level 0 = (lang, source, len_decile), level 1 drops the decile,
+    level 2 keeps only lang, level 3 = suppress (never reaches k).
+    Returns (lang, source, len_decile, n0, level, anon_n) where
+    ``anon_n`` is the group size at the chosen level (−1 when
+    suppressed — NULL would come back NaN through DuckDB's pandas
+    bridge and break type-tagged parity).
+
+    Scale: ONE shuffle — the level-0 aggregate; levels 1/2 are
+    re-aggregations of that (tiny) table, broadcast back onto it.  The
+    decile is fixed-width arithmetic (least(9, n_chars div 100)), not a
+    quantile pass."""
+    dec = F.least(F.lit(9), F.floor(F.col("n_chars") / 100)).cast("long")
+    g0 = (
+        docs.select("lang", "source", dec.alias("len_decile"))
+        .groupBy("lang", "source", "len_decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    )
+    g1 = g0.groupBy("lang", "source").agg(F.sum("n0").cast("long").alias("n1"))
+    g2 = g1.groupBy("lang").agg(F.sum("n1").cast("long").alias("n2"))
+    lvl = (
+        F.when(F.col("n0") >= k, F.lit(0))
+        .when(F.col("n1") >= k, F.lit(1))
+        .when(F.col("n2") >= k, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    anon = (
+        F.when(F.col("n0") >= k, F.col("n0"))
+        .when(F.col("n1") >= k, F.col("n1"))
+        .when(F.col("n2") >= k, F.col("n2"))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        g0.join(F.broadcast(g1), ["lang", "source"])
+        .join(F.broadcast(g2), "lang")
+        .select(
+            "lang",
+            "source",
+            "len_decile",
+            "n0",
+            lvl.cast("long").alias("level"),
+            anon.cast("long").alias("anon_n"),
+        )
+    )

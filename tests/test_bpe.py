@@ -36,3 +36,31 @@ def test_bpe_train_tie_breaks_lexically(spark):
     v = _vocab(spark, [("ab", 2), ("cd", 2)])
     rows = bpe.bpe_train(v, n_merges=1).collect()
     assert [(r.lhs, r.rhs) for r in rows] == [("a", "b")]
+
+
+def test_bpe_oracle_early_stop_matches_engine(spark):
+    """The unrolled DuckDB oracle must ALSO stop emitting merge rows
+    when the pair supply dries up (empty pc -> NULL key dropped, vocab
+    passes through the LEFT JOIN) — pinned on a vocab that fuses after
+    one merge."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from ddaugner_spark.operators.textstats import vocab_df
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "en", "s")], ["doc_id", "text", "lang", "source"]
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    engine = [
+        (r.step, r.lhs, r.rhs, r.pair_count)
+        for r in bpe.bpe_train(vocab_df(docs), n_merges=5).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab', 'en', 's', 5)) t(doc_id, text, lang, source, n_chars)"
+    )
+    oracle = [tuple(r) for r in con.execute(E.oracle_sql()["q_bpe_train"]).fetchall()]
+    assert engine == [(1, "a", "b", 2)]
+    assert sorted(oracle) == sorted(engine)

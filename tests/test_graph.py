@@ -525,3 +525,51 @@ def test_assortativity_star_is_negative_one(spark):
     )
     row = degree_assortativity(cycle).collect()[0]
     assert row["r"] is None  # zero variance -> undefined
+
+
+def test_edge_support_fixture(spark):
+    # K4: every edge closes 2 triangles... no — each K4 edge is in
+    # exactly 2 triangles (the two other vertices); square: 0
+    v = ["a", "b", "c", "d"]
+    k4 = [(x, y) for i, x in enumerate(v) for y in v[i + 1:]]
+    got = {(r.a, r.b): r.support for r in graph.edge_support(_edges(spark, k4)).collect()}
+    assert got == {(x, y): 2 for i, x in enumerate(v) for y in v[i + 1:]}
+    sq = [("f", "g"), ("g", "h"), ("h", "i"), ("f", "i")]
+    got = {(r.a, r.b): r.support for r in graph.edge_support(_edges(spark, sq)).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_k_truss_keeps_core_drops_pendant_triangle(spark):
+    # K4 on a..d (+: every edge support 2) plus a pendant triangle
+    # (d,e,f) whose edges have support 1 -> 4-truss == the K4 alone
+    v = ["a", "b", "c", "d"]
+    k4 = [(x, y) for i, x in enumerate(v) for y in v[i + 1:]]
+    pend = [("d", "e"), ("e", "f"), ("d", "f")]
+    out = {
+        (r.a, r.b): r.support
+        for r in graph.k_truss(_edges(spark, k4 + pend), k=4).collect()
+    }
+    assert out == {(x, y): 2 for i, x in enumerate(v) for y in v[i + 1:]}
+
+
+def test_k_truss_peel_cascade_to_empty(spark):
+    # two triangles sharing edge (a,b): outer edges support 1 drop in
+    # round 1, the shared edge's support then falls 2 -> 0 in round 2
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    stats = {}
+    out = graph.k_truss(e, k=4, max_rounds=3, stats=stats).collect()
+    assert out == []
+    assert [r["n_edges"] for r in stats["rounds"]][:2] == [1, 0]
+
+
+def test_k_truss_k3_is_triangle_closure(spark):
+    # k=3 (support >= 1): exactly the edges in at least one triangle,
+    # recursively - here the pendant edge drops, both triangles stay
+    e = _edges(
+        spark,
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"), ("d", "e"),
+         ("e", "z")],
+    )
+    out = {(r.a, r.b) for r in graph.k_truss(e, k=3).collect()}
+    assert out == {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"),
+                   ("d", "e")}

@@ -151,3 +151,33 @@ def test_kappa_disjoint_classes_pe_zero(spark):
     b = _tags(spark, [(1, ["Y", "Y"])])
     row = cohens_kappa(a, b).collect()[0]
     assert (row.po, row.pe, row.kappa) == (0.0, 0.0, 0.0)
+
+
+def test_functional_conflicts_reports_only_functional_preds(spark):
+    from ddaugner_spark.operators.kgquery import functional_conflicts
+
+    tri = spark.createDataFrame(
+        # born_in: 2 subjects, 3 (subj,obj) pairs -> fun 0.667; s2 conflicts
+        # member: 2 subjects, 5 pairs -> fun 0.4, filtered at 0.5 despite conflicts
+        [("s1", "born_in", "a"), ("s2", "born_in", "b"), ("s2", "born_in", "c"),
+         ("s2", "born_in", "c"),  # duplicate attestation must not count twice
+         ("t1", "member", "x"), ("t1", "member", "y"), ("t1", "member", "z"),
+         ("t2", "member", "w"), ("t2", "member", "v")],
+        "subj string, pred string, obj string",
+    )
+    rows = functional_conflicts(tri, min_functionality=0.5, sample_k=3).collect()
+    assert [(r.pred, r.subj, r.n_objs, r.objs, r.functionality) for r in rows] == [
+        ("born_in", "s2", 2, "b|c", 0.666667)
+    ]
+
+
+def test_functional_conflicts_sample_is_bounded_and_sorted(spark):
+    from ddaugner_spark.operators.kgquery import functional_conflicts
+
+    tri = spark.createDataFrame(
+        [("s", "p", o) for o in ["d", "b", "e", "a", "c"]]
+        + [(f"u{i}", "p", "x") for i in range(20)],
+        "subj string, pred string, obj string",
+    )
+    rows = functional_conflicts(tri, min_functionality=0.5, sample_k=3).collect()
+    assert [(r.subj, r.n_objs, r.objs) for r in rows] == [("s", 5, "a|b|c")]

@@ -207,3 +207,42 @@ class TestRrfFuse:
         out = retrieval.rrf_fuse(a, b, k=5).collect()
         assert [r.doc_id for r in out] == [1, 2, 3, 4, 5]
         assert [r.fused_rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_k_anonymity_ladder_levels(spark):
+    from ddaugner_spark.operators.privacy import k_anonymity_ladder
+
+    rows = []
+    did = 0
+    def add(n, lang, source, n_chars):
+        nonlocal did
+        for _ in range(n):
+            rows.append((did, "t", lang, source, n_chars)); did += 1
+    add(6, "en", "s1", 50)    # level 0 group (n0 = 6)
+    add(3, "en", "s2", 50)    # n0 3, n1 4 -> level 2 via lang total 10
+    add(1, "en", "s2", 150)
+    add(2, "fr", "s1", 50)    # suppressed: lang total 2
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        (r.lang, r.source, r.len_decile): (r.n0, r.level, r.anon_n)
+        for r in k_anonymity_ladder(docs, k=5).collect()
+    }
+    assert got == {
+        ("en", "s1", 0): (6, 0, 6),
+        ("en", "s2", 0): (3, 2, 10),
+        ("en", "s2", 1): (1, 2, 10),
+        ("fr", "s1", 0): (2, 3, -1),
+    }
+
+
+def test_k_anonymity_decile_caps_at_nine(spark):
+    from ddaugner_spark.operators.privacy import k_anonymity_ladder
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 5000) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = k_anonymity_ladder(docs, k=5).collect()
+    assert [(r.len_decile, r.level, r.anon_n) for r in rows] == [(9, 0, 5)]
