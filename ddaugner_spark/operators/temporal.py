@@ -408,3 +408,77 @@ def debounce(
         F.count(F.lit(1)).cast("long").alias("n_collapsed"),
         (F.max("tms") - F.min("tms")).cast("long").alias("span_ms"),
     )
+
+
+def interpolate_grid(obs: DataFrame, tick_s: int = 3600) -> DataFrame:
+    """Linear gap interpolation of an irregular time series onto a
+    regular grid — the resampling sibling of ``locf`` (TimescaleDB
+    ``interpolate``, pandas ``resample().interpolate()``): per series,
+    every tick between the first and last observation gets the straight-
+    line value between its surrounding observations.
+
+    ``obs`` must be one row per (series, epoch): ``series`` string,
+    ``epoch`` long (seconds), ``vc`` long (value in integer cents — the
+    caller quantizes, so the interpolation numerator
+    ``pv·(ne−t) + nv·(t−pe)`` is EXACT integer arithmetic and the only
+    float is one final division, bit-identical across engines).
+
+    Returns (series, tick, value, kind) — kind 'exact' when an
+    observation sits on the tick, 'interp' otherwise; ticks before the
+    first / after the last observation are dropped (no extrapolation).
+
+    Plan: grid ticks come from one per-series min/max aggregate +
+    ``sequence`` explode (no driver loop); the surrounding observations
+    come from the same union + running-window as-of device as
+    ``asof_join`` — obs and grid rows interleave once per direction, so
+    the whole operator is two window passes over (obs + grid), no
+    join of the series against itself."""
+    bounds = obs.groupBy("series").agg(
+        (((F.min("epoch") + tick_s - 1) / tick_s).cast("long") * tick_s).alias("lo"),
+        ((F.max("epoch") / tick_s).cast("long") * tick_s).alias("hi"),
+    )
+    grid = (
+        bounds.filter(F.col("hi") >= F.col("lo"))
+        .select(
+            "series",
+            F.explode(F.expr(f"sequence(lo, hi, {int(tick_s)})")).alias("e"),
+        )
+    )
+    o1 = obs.select("series", F.col("epoch").alias("e"), "vc", F.lit(0).alias("_g"))
+    g1 = grid.select(
+        "series", "e", F.lit(None).cast("long").alias("vc"), F.lit(1).alias("_g")
+    )
+    u = o1.unionByName(g1)
+    stamp = F.when(F.col("_g") == 0, F.struct(F.col("e").alias("oe"), F.col("vc").alias("ov")))
+    w_fwd = (
+        Window.partitionBy("series")
+        .orderBy(F.col("e").asc(), F.col("_g").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_bwd = (
+        Window.partitionBy("series")
+        .orderBy(F.col("e").desc(), F.col("_g").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.select(
+        "series",
+        "e",
+        "_g",
+        F.last(stamp, ignorenulls=True).over(w_fwd).alias("p"),
+        F.last(stamp, ignorenulls=True).over(w_bwd).alias("n"),
+    )
+    t, pe, pv, ne, nv = (
+        F.col("e"), F.col("p.oe"), F.col("p.ov"), F.col("n.oe"), F.col("n.ov")
+    )
+    value = F.when(pe == ne, pv / 100.0).otherwise(
+        (pv * (ne - t) + nv * (t - pe)) / (100.0 * (ne - pe))
+    )
+    return (
+        carried.filter((F.col("_g") == 1) & pe.isNotNull() & ne.isNotNull())
+        .select(
+            "series",
+            F.col("e").alias("tick"),
+            F.round(value, 6).alias("value"),
+            F.when(pe == ne, F.lit("exact")).otherwise(F.lit("interp")).alias("kind"),
+        )
+    )

@@ -243,3 +243,42 @@ def test_locf_fills_and_keeps_leading_nulls(spark):
     assert out[(1, 3)] == 5.0 and out[(1, 4)] == 5.0
     assert out[(1, 5)] == 7.0
     assert out[(2, 1)] is None
+
+
+def test_interpolate_grid_straight_line(spark):
+    from ddaugner_spark.operators.temporal import interpolate_grid
+
+    # series s: obs at 0s = 1.00 and 7200s = 3.00 -> ticks 0/3600/7200
+    obs = spark.createDataFrame(
+        [("s", 0, 100), ("s", 7200, 300)], "series string, epoch long, vc long"
+    )
+    got = {
+        r.tick: (r.value, r.kind)
+        for r in interpolate_grid(obs, tick_s=3600).collect()
+    }
+    assert got == {0: (1.0, "exact"), 3600: (2.0, "interp"), 7200: (3.0, "exact")}
+
+
+def test_interpolate_grid_no_extrapolation_and_offgrid_obs(spark):
+    from ddaugner_spark.operators.temporal import interpolate_grid
+
+    # obs off-grid at 1800 and 5400: only tick 3600 falls inside;
+    # value = (100*(5400-3600) + 200*(3600-1800)) / (100*(5400-1800)) = 1.5
+    obs = spark.createDataFrame(
+        [("s", 1800, 100), ("s", 5400, 200)], "series string, epoch long, vc long"
+    )
+    rows = interpolate_grid(obs, tick_s=3600).collect()
+    assert [(r.tick, r.value, r.kind) for r in rows] == [(3600, 1.5, "interp")]
+
+
+def test_interpolate_grid_single_obs_series(spark):
+    from ddaugner_spark.operators.temporal import interpolate_grid
+
+    # single on-grid obs -> exactly that tick, 'exact'; single off-grid
+    # obs -> no tick inside [ceil, floor] window -> empty
+    on = spark.createDataFrame([("a", 3600, 250)], "series string, epoch long, vc long")
+    off = spark.createDataFrame([("b", 3000, 250)], "series string, epoch long, vc long")
+    rows = interpolate_grid(on.union(off), tick_s=3600).collect()
+    assert [(r.series, r.tick, r.value, r.kind) for r in rows] == [
+        ("a", 3600, 2.5, "exact")
+    ]
