@@ -4037,6 +4037,21 @@ def q_interpolate(spark, sf):
     return temporal.interpolate_grid(obs, tick_s=3600)
 
 
+def q_mmr(spark, sf):
+    """Maximal Marginal Relevance diversified top-5 (Carbonell SIGIR'98)
+    over the embeddings table, query = the min-vec_id row: greedy
+    λ=1/2 re-rank where every comparison is an INTEGER (quantized dot
+    products; score = rel − max_sim), so engine and the 5-stage
+    unrolled oracle agree bit-for-bit.  Selected vectors ride the plan
+    as literals (k-means centroid device) — candidates are scanned
+    map-only, never shuffled (operators/retrieval.py mmr_select)."""
+    from ddaugner_spark.operators import retrieval
+
+    return retrieval.mmr_select(
+        spark.read.parquet(f"{sf}/embeddings.parquet"), k=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4300,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_conflicts": q_kg_conflicts,
         "q_kanon": q_kanon,
         "q_interpolate": q_interpolate,
+        "q_mmr": q_mmr,
     }
 
 
@@ -9965,6 +9981,72 @@ sents AS (
         FROM e{r - 1} e LEFT JOIN s{r} s USING (a, b)
       ),
       e{r} AS MATERIALIZED (SELECT a, b FROM se{r} WHERE support >= 2)"""
+
+    # MMR replay: 5 unrolled greedy stages — rel = integer dot vs the
+    # min-vec_id query row, per-stage dp{r} = dots vs the newest pick
+    # only (ms accumulates via greatest), argmax via the packed
+    # lpad(1e15−score)#lpad(vec_id) min-key.  MATERIALIZED throughout:
+    # each stage references its predecessors repeatedly and DuckDB
+    # would otherwise re-inline the whole chain
+    def _mmr_stage(r: int) -> str:
+        prev = ", ".join(f"(SELECT vid FROM v{j})" for j in range(1, r))
+        return f"""
+      dp{r} AS MATERIALIZED (
+        SELECT a.vec_id AS x, sum(a.q * b.q)::BIGINT AS d
+        FROM el a JOIN el b ON a.i = b.i
+        WHERE b.vec_id = (SELECT vid FROM v{r - 1}) AND a.vec_id != b.vec_id
+        GROUP BY a.vec_id
+      ),
+      ms{r} AS MATERIALIZED (
+        {"SELECT x, d AS ms FROM dp2" if r == 2 else
+         f"SELECT m.x, greatest(m.ms, d.d) AS ms FROM ms{r - 1} m JOIN dp{r} d USING (x)"}
+      ),
+      m{r} AS MATERIALIZED (
+        SELECT min(lpad((1000000000000000 - (r.rel - s.ms))::VARCHAR, 16, '0')
+                   || '#' || lpad(r.vec_id::VARCHAR, 19, '0')) AS k
+        FROM rel r JOIN ms{r} s ON s.x = r.vec_id
+        WHERE r.vec_id NOT IN ({prev})
+      ),
+      v{r} AS MATERIALIZED (
+        SELECT substring(k, 18)::BIGINT AS vid,
+               (1000000000000000 - substring(k, 1, 16)::BIGINT)::BIGINT AS score
+        FROM m{r}
+      )"""
+
+    _mmr_k = 5
+    o["q_mmr"] = (
+        """
+      WITH qid AS (SELECT min(vec_id) AS qid FROM embeddings),
+      el AS MATERIALIZED (
+        SELECT vec_id, u.i, round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      rel AS MATERIALIZED (
+        SELECT e.vec_id, sum(e.q * v.q)::BIGINT AS rel
+        FROM el e JOIN el v ON e.i = v.i
+        WHERE v.vec_id = (SELECT qid FROM qid)
+          AND e.vec_id != (SELECT qid FROM qid)
+        GROUP BY e.vec_id
+      ),
+      m1 AS MATERIALIZED (
+        SELECT min(lpad((1000000000000000 - rel)::VARCHAR, 16, '0')
+                   || '#' || lpad(vec_id::VARCHAR, 19, '0')) AS k
+        FROM rel
+      ),
+      v1 AS MATERIALIZED (
+        SELECT substring(k, 18)::BIGINT AS vid,
+               (1000000000000000 - substring(k, 1, 16)::BIGINT)::BIGINT AS score
+        FROM m1
+      ),"""
+        + ",".join(_mmr_stage(r) for r in range(2, _mmr_k + 1))
+        + "\n      "
+        + "\n      UNION ALL ".join(
+            f"SELECT {r}::BIGINT AS step, v.vid AS vec_id, r.rel,"
+            f" (r.rel - v.score)::BIGINT AS max_sim, v.score"
+            f" FROM v{r} v JOIN rel r ON r.vec_id = v.vid"
+            for r in range(1, _mmr_k + 1)
+        )
+    )
 
     # interpolation replay: the engine's union+window as-of device
     # becomes two DuckDB ASOF joins (next = ASOF on the negated axis);

@@ -211,3 +211,77 @@ def rrf_fuse(
         F.coalesce(F.col("rank_a"), F.lit(0)).cast("long").alias("rank_a"),
         F.coalesce(F.col("rank_b"), F.lit(0)).cast("long").alias("rank_b"),
     )
+
+
+def mmr_select(emb: DataFrame, k: int = 5, scale: int = 1000) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998)
+    diversified top-k over an embedding table: greedily pick the vector
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` with λ = 1/2 —
+    the diversity re-ranker between retrieval and a RAG/training-mix
+    context window (near-duplicate passages waste the budget).
+
+    Exactness device: coordinates quantize to round(x·scale) integers
+    (the label_medoids device), similarities are raw integer dot
+    products, and at λ = 1/2 the argmax of λ·rel − (1−λ)·sim equals the
+    argmax of the INTEGER ``rel − max_sim`` — no float enters any
+    comparison, so engine and oracle agree bit-for-bit; ties break on
+    the packed lpad min-key (score, then vec_id).
+
+    The query is the corpus row with the smallest vec_id (excluded from
+    candidacy); rel = dot(query, d).
+
+    Scale: the selected set is ≤ k rows and rides the plan as LITERAL
+    arrays (the k-means literal-centroid device) — every iteration is
+    one map-only scan of the candidates (k−1 literal dots + a greatest)
+    feeding a single min-aggregate; candidates are never shuffled and
+    never re-join themselves.  Only the k picked rows (k·dim ints) ever
+    reach the driver."""
+    qcol = F.transform(
+        F.col("embedding"), lambda x: F.round(x * scale).cast("long")
+    )
+    base = emb.select("vec_id", qcol.alias("q"))
+    qrow = base.orderBy("vec_id").limit(1).collect()[0]
+    qid, qv = qrow["vec_id"], [int(v) for v in qrow["q"]]
+
+    def dot_lit(vec: list[int]):
+        lit = F.array(*[F.lit(v) for v in vec])
+        return F.aggregate(
+            F.zip_with(F.col("q"), lit, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    cands = base.filter(F.col("vec_id") != qid).select(
+        "vec_id", "q", dot_lit(qv).alias("rel")
+    )
+    selected: list[tuple[int, list[int]]] = []
+    out: list[tuple[int, int, int, int, int]] = []
+    for step in range(1, k + 1):
+        if selected:
+            sims = [dot_lit(v) for (_, v) in selected]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        else:
+            maxsim = F.lit(0).cast("long")
+        score = F.col("rel") - maxsim
+        key = F.concat_ws(
+            "#",
+            F.lpad((F.lit(10**15) - score).cast("string"), 16, "0"),
+            F.lpad(F.col("vec_id").cast("string"), 19, "0"),
+        )
+        alive = cands.filter(
+            ~F.col("vec_id").isin([vid for vid, _ in selected])
+        )
+        best = alive.select(F.min(key).alias("k")).collect()[0]["k"]
+        if best is None:
+            break
+        score_v = 10**15 - int(best[:16])
+        picked = int(best[17:])
+        prow = base.filter(F.col("vec_id") == picked).collect()[0]
+        pv = [int(v) for v in prow["q"]]
+        # exact integer replay of rel / max_sim for the emitted row
+        rel_v = sum(a * b for a, b in zip(qv, pv))
+        out.append((step, picked, rel_v, rel_v - score_v, score_v))
+        selected.append((picked, pv))
+    return emb.sparkSession.createDataFrame(
+        out, "step long, vec_id long, rel long, max_sim long, score long"
+    )

@@ -246,3 +246,24 @@ def test_k_anonymity_decile_caps_at_nine(spark):
     )
     rows = k_anonymity_ladder(docs, k=5).collect()
     assert [(r.len_decile, r.level, r.anon_n) for r in rows] == [(9, 0, 5)]
+
+
+def test_mmr_select_hand_fixture(spark):
+    """2-D fixture, hand-computed: the duplicate-of-query wins step 1,
+    then diversity takes over; ties break on vec_id; negative scores
+    flow through the packed key; supply exhaustion stops early."""
+    from ddaugner_spark.operators.retrieval import mmr_select
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+         (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = [(r.step, r.vec_id, r.rel, r.max_sim, r.score)
+            for r in mmr_select(emb, k=5).collect()]
+    assert rows == [
+        (1, 1, 1000000, 0, 1000000),
+        (2, 2, 900000, 900000, 0),
+        (3, 3, 0, 100000, -100000),
+        (4, 4, -1000000, 0, -1000000),
+    ]
