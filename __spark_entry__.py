@@ -4052,6 +4052,52 @@ def q_mmr(spark, sf):
     )
 
 
+def q_quality_classifier(spark, sf):
+    """CCNet/fastText-style linear quality filter, trained AND evaluated
+    in one job: per-token Laplace-smoothed class propensity learned on
+    the even-doc_id half (positive class = lang 'en'), odd-half docs
+    scored by mean token weight, reported as a 2×2 confusion table.
+    Everything is fixed-point integer arithmetic (weights per-million,
+    decision 2·Σw ≥ 10⁶·n) so no float-summation order exists; the
+    vocabulary-sized weight table broadcasts onto the exploded eval
+    tokens (operators/traindata.py quality_classifier_eval)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.quality_classifier_eval(_docs(spark, sf))
+
+
+def q_ohlc(spark, sf):
+    """OHLC candlestick bars per (event_type, hour): open/close are
+    time-ordered argmin/argmax taken INSIDE the hash aggregate via a
+    packed (epoch_us, event_id, cents) lpad key — one map-side-combined
+    aggregate, no per-bucket window sort — values as exact integer
+    cents (operators/temporal.py ohlc_bars)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.ohlc_bars(ev, bucket_s=3600)
+
+
+def q_cusum(spark, sf):
+    """CUSUM level-shift changepoint per event_type over the DENSE
+    hourly count grid (missing hours count 0): peak |n·S_i| with
+    n·S_i = n·prefix_i − i·total kept in exact integers — the mean is
+    never formed — argmax packed into a lpad min-key, earliest bucket
+    on ties (operators/temporal.py cusum_changepoint)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.cusum_changepoint(ev, bucket_s=3600)
+
+
+_PHRASES = config.ORG_BIGRAMS + ["window window"]
+
+
+def q_phrase_search(spark, sf):
+    """Inverted-index phrase search (Lucene ``match_phrase`` plan):
+    two-word phrases matched by intersecting the terms' positional
+    postings on (doc_id, pos+1) — two InSet prefilters make the join
+    posting-sized, not corpus-sized (operators/retrieval.py
+    phrase_search)."""
+    return retrieval.phrase_search(_docs(spark, sf), _PHRASES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4316,6 +4362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kanon": q_kanon,
         "q_interpolate": q_interpolate,
         "q_mmr": q_mmr,
+        "q_quality_classifier": q_quality_classifier,
+        "q_ohlc": q_ohlc,
+        "q_cusum": q_cusum,
+        "q_phrase_search": q_phrase_search,
     }
 
 
@@ -10149,5 +10199,129 @@ sents AS (
         + ",".join(_truss_stage(r) for r in range(1, 4))
         + "\n      SELECT a, b, support FROM se3 WHERE support >= 2"
     )
+
+    # quality-classifier replay: same fixed-point propensity weights
+    # (per-million, Laplace-smoothed) + mean-≥-½ decision; HUGEINT sums
+    # cast back to BIGINT
+    o["q_quality_classifier"] = """
+      WITH ltoks AS (
+        SELECT doc_id, coalesce(lang, '') AS lang, u.tok
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE text IS NOT NULL AND text != '') u(doc_id, lang, tok)
+        WHERE tok != ''
+      ),
+      counts AS (
+        SELECT tok,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_pos,
+               count(*)::BIGINT AS c_all
+        FROM ltoks WHERE doc_id % 2 = 0 GROUP BY tok
+      ),
+      w AS (
+        SELECT tok, ((c_pos + 1) * 1000000 // (c_all + 2))::BIGINT AS w_ppm
+        FROM counts
+      ),
+      prior AS (
+        SELECT ((sum(c_pos) + 1) * 1000000 // (sum(c_all) + 2))::BIGINT
+          AS prior_ppm FROM counts
+      ),
+      sc AS (
+        SELECT t.doc_id, t.lang, p.prior_ppm,
+               sum(coalesce(w.w_ppm, p.prior_ppm))::BIGINT AS score,
+               count(*)::BIGINT AS n_tok
+        FROM ltoks t LEFT JOIN w ON t.tok = w.tok CROSS JOIN prior p
+        WHERE t.doc_id % 2 = 1 GROUP BY t.doc_id, t.lang, p.prior_ppm
+      )
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+             CASE WHEN score >= prior_ppm * n_tok THEN 'en' ELSE 'other' END
+               AS predicted,
+             count(*)::BIGINT AS n_docs,
+             (sum(score) // sum(n_tok))::BIGINT AS mean_score_ppm
+      FROM sc GROUP BY 1, 2
+    """
+
+    # OHLC replay: identical packed (epoch_us, event_id, cents) lpad
+    # keys, open/close sliced back out of min/max
+    o["q_ohlc"] = """
+      WITH e AS (
+        SELECT event_type AS series,
+               (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                 || lpad(event_id::VARCHAR, 10, '0')
+                 || lpad(round(value * 100)::BIGINT::VARCHAR, 6, '0') AS k,
+               round(value * 100)::BIGINT AS c
+        FROM events
+      )
+      SELECT series, bucket,
+             substring(min(k), 31, 6)::BIGINT AS open_c,
+             max(c)::BIGINT AS high_c,
+             min(c)::BIGINT AS low_c,
+             substring(max(k), 31, 6)::BIGINT AS close_c,
+             count(*)::BIGINT AS n,
+             sum(c)::BIGINT AS sum_c
+      FROM e GROUP BY series, bucket
+    """
+
+    # CUSUM replay: dense grid via range(), same integer n·S_i and the
+    # same 19+12+1 packed argmax key
+    o["q_cusum"] = """
+      WITH cnt AS (
+        SELECT event_type AS series,
+               (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+      ),
+      grid AS (
+        SELECT series, unnest(range(min(bucket), max(bucket) + 1, 3600)) AS bucket
+        FROM cnt GROUP BY series
+      ),
+      dense AS (
+        SELECT g.series, g.bucket, coalesce(cnt.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN cnt ON g.series = cnt.series AND g.bucket = cnt.bucket
+      ),
+      walked AS (
+        SELECT series, bucket,
+               sum(c) OVER (PARTITION BY series ORDER BY bucket)::BIGINT AS pref,
+               row_number() OVER (PARTITION BY series ORDER BY bucket)::BIGINT AS i
+        FROM dense
+      ),
+      tot AS (
+        SELECT series, max(i)::BIGINT AS n_buckets, max(pref)::BIGINT AS total
+        FROM walked GROUP BY series
+      ),
+      keyed AS (
+        SELECT w.series, t.n_buckets, t.total,
+               w.pref * t.n_buckets - w.i * t.total AS s,
+               w.bucket
+        FROM walked w JOIN tot t USING (series)
+      )
+      SELECT series, n_buckets, total,
+             (1000000000000000000
+              - substring(min(k), 1, 19)::BIGINT)::BIGINT AS cusum_peak,
+             substring(min(k), 20, 12)::BIGINT AS cp_bucket,
+             (CASE WHEN substring(min(k), 32, 1) = '1' THEN 1 ELSE -1 END)::BIGINT
+               AS side
+      FROM (SELECT series, n_buckets, total,
+                   lpad((1000000000000000000 - abs(s))::VARCHAR, 19, '0')
+                     || lpad(bucket::VARCHAR, 12, '0')
+                     || (CASE WHEN s >= 0 THEN '1' ELSE '0' END) AS k
+            FROM keyed)
+      GROUP BY series, n_buckets, total
+    """
+
+    # phrase-search replay: positional postings self-join on pos+1 over
+    # the raw-split token positions (_TOKS keeps empty slots)
+    _PH = sql_str_list(_PHRASES)
+    _PH1 = sql_str_list(sorted({p.split(" ")[0] for p in _PHRASES}))
+    _PH2 = sql_str_list(sorted({p.split(" ")[1] for p in _PHRASES}))
+    o["q_phrase_search"] = f"""
+      WITH {_TOKS},
+      p1 AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PH1})),
+      p2 AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PH2}))
+      SELECT p1.tok || ' ' || p2.tok AS phrase, p1.doc_id,
+             count(*)::BIGINT AS n_occ, min(p1.pos)::BIGINT AS first_pos
+      FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+      WHERE p1.tok || ' ' || p2.tok IN ({_PH})
+      GROUP BY 1, 2
+    """
 
     return o

@@ -285,3 +285,46 @@ def mmr_select(emb: DataFrame, k: int = 5, scale: int = 1000) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         out, "step long, vec_id long, rel long, max_sim long, score long"
     )
+
+
+def phrase_search(docs: DataFrame, phrases: list[str]) -> DataFrame:
+    """Positional-postings phrase search: exact two-word phrase matches
+    via intersection of the two terms' position lists (the classic
+    inverted-index phrase plan — Lucene/ES ``match_phrase``), NOT a
+    substring scan of the corpus.
+
+    Scale shape: tokenize-explode once, keep ONLY postings of tokens
+    that lead (or trail) some phrase — two tiny InSet prefilters, so
+    the join operands are posting-sized, not corpus-sized — then one
+    equi-join on (doc_id, adjacent position) and a hash aggregate.
+    Document-frequency-bounded output; an n-word phrase chains n−1 of
+    the same join.  Positions index the RAW split array (empty tokens
+    keep their slot), matching the corpus tokenizer contract.
+
+    Returns (phrase, doc_id, n_occ, first_pos).
+    """
+    for p in phrases:
+        if len(p.split(" ")) != 2:
+            raise ValueError(f"two-word phrases only: {p!r}")
+    firsts = sorted({p.split(" ")[0] for p in phrases})
+    seconds = sorted({p.split(" ")[1] for p in phrases})
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    )
+    p1 = toks.filter(F.col("tok").isin(firsts)).select(
+        "doc_id", "pos", F.col("tok").alias("w1")
+    )
+    p2 = toks.filter(F.col("tok").isin(seconds)).select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("w2")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .withColumn("phrase", F.concat_ws(" ", "w1", "w2"))
+        .filter(F.col("phrase").isin(phrases))
+        .groupBy("phrase", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )

@@ -482,3 +482,146 @@ def interpolate_grid(obs: DataFrame, tick_s: int = 3600) -> DataFrame:
             F.when(pe == ne, F.lit("exact")).otherwise(F.lit("interp")).alias("kind"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    series: str = "event_type",
+    tiebreak: str = "event_id",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """OHLC candlestick bars (the TimescaleDB/kdb ``ohlc`` rollup):
+    per (series, time bucket) the first/max/min/last value plus count
+    and sum.
+
+    Open/close are time-ordered argmin/argmax — computed INSIDE the
+    hash aggregate by packing ``(epoch_us, tiebreak, cents)`` into one
+    fixed-width lpad string and taking ``min``/``max`` of it, then
+    slicing the cents back out.  No per-bucket window sort: hot series
+    cost O(rows), the aggregate map-side combines, and the byte-wise
+    string order is identical across engines (the anchor_summary /
+    funnel argmax device).  Values ride as exact integer cents; the
+    caller's precondition (pinned in pytest) is value ≥ 0 so the lpad
+    key orders numerically.
+
+    Returns (series, bucket, open_c, high_c, low_c, close_c, n, sum_c)
+    with ``bucket`` as epoch seconds.
+    """
+    us = bucket_s * 1_000_000
+    e = events.select(
+        F.col(series).alias("series"),
+        F.expr(f"unix_micros(cast({ts} as timestamp))").alias("eus"),
+        F.col(tiebreak).cast("long").alias("tb"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    ).select(
+        "series",
+        (F.expr(f"eus DIV {us}") * bucket_s).alias("bucket"),
+        F.concat(
+            F.lpad(F.col("eus").cast("string"), 20, "0"),
+            F.lpad(F.col("tb").cast("string"), 10, "0"),
+            F.lpad(F.col("c").cast("string"), 6, "0"),
+        ).alias("k"),
+        "c",
+    )
+    cents = lambda col: F.substring(col, 31, 6).cast("long")  # noqa: E731
+    return e.groupBy("series", "bucket").agg(
+        cents(F.min("k")).alias("open_c"),
+        F.max("c").alias("high_c"),
+        F.min("c").alias("low_c"),
+        cents(F.max("k")).alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sum_c"),
+    )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    ts: str = "ts",
+    series: str = "event_type",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954) over per-bucket event counts:
+    for each series, the bucket where the cumulative deviation from the
+    series mean peaks — the standard level-shift detector for crawl /
+    ingest volume anomalies.
+
+    Exact integers throughout: with per-bucket counts c_j on the DENSE
+    bucket grid (missing buckets count 0 — a gap IS a level shift),
+    n·S_i = n·Σ_{j≤i} c_j − i·T never forms the fractional mean T/n.
+    The argmax of |n·S_i| (tie → earliest bucket) is a packed-lpad-key
+    ``min`` inside the final hash aggregate — no per-series sort beyond
+    the one cumsum window.  Scale shape: the corpus-sized work is the
+    bucket-count aggregate (map-side combines); the cumsum window
+    partitions by series over the bounded bucket grid; per-series
+    (n, T) is a series-sized dimension broadcast back onto the grid.
+
+    Returns (series, n_buckets, total, cusum_peak, cp_bucket, side):
+    ``cusum_peak`` = max |n·S_i|, ``cp_bucket`` the bucket (epoch s)
+    where it lands, ``side`` +1/-1 for the deviation sign there.
+    """
+    cnt = (
+        events.select(
+            F.col(series).alias("series"),
+            F.expr(
+                f"(unix_micros(cast({ts} as timestamp))"
+                f" DIV {bucket_s * 1_000_000}) * {bucket_s}"
+            ).alias("bucket"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        cnt.groupBy("series")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence("lo", "hi", F.lit(bucket_s))).alias("bucket"),
+        )
+    )
+    dense = grid.join(cnt, ["series", "bucket"], "left").select(
+        "series", "bucket", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("series").orderBy("bucket")
+    walked = dense.select(
+        "series",
+        "bucket",
+        F.sum("c").over(w).alias("pref"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    tot = walked.groupBy("series").agg(
+        F.max("i").alias("n_buckets"), F.max("pref").alias("total")
+    )
+    keyed = walked.join(F.broadcast(tot), "series").select(
+        "series",
+        "bucket",
+        "n_buckets",
+        "total",
+        (F.col("pref") * F.col("n_buckets") - F.col("i") * F.col("total")).alias("s"),
+    )
+    key = F.concat(
+        F.lpad(
+            (F.lit(1_000_000_000_000_000_000) - F.abs("s")).cast("string"), 19, "0"
+        ),
+        F.lpad(F.col("bucket").cast("string"), 12, "0"),
+        F.when(F.col("s") >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return (
+        keyed.groupBy("series", "n_buckets", "total")
+        .agg(F.min(key).alias("_k"))
+        .select(
+            "series",
+            "n_buckets",
+            "total",
+            (
+                F.lit(1_000_000_000_000_000_000)
+                - F.substring("_k", 1, 19).cast("long")
+            ).alias("cusum_peak"),
+            F.substring("_k", 20, 12).cast("long").alias("cp_bucket"),
+            F.when(F.substring("_k", 32, 1) == "1", F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("side"),
+        )
+    )

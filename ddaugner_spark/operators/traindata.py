@@ -256,3 +256,83 @@ def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
         "abs_gap",
         F.round(F.col("ece_num") / 500.0 / F.col("n_total"), 6).alias("ece"),
     )
+
+
+def quality_classifier_eval(
+    docs: DataFrame, pos_lang: str = "en", scale: int = 1_000_000
+) -> DataFrame:
+    """Train + evaluate a CCNet/fastText-style linear quality filter in
+    one job: per-token class-propensity weights learned on the even
+    ``doc_id`` half, documents of the odd half scored by their mean
+    token weight, reported as a 2×2 confusion table.
+
+    The weight is Laplace-smoothed P(pos | token) in FIXED POINT —
+    ``((c_pos+1)·scale) DIV (c_pos+c_neg+2)`` — and the decision
+    compares the document's mean weight against the TRAINED PRIOR
+    (``Σw ≥ prior_ppm·n_tokens`` with the prior in the same fixed
+    point), i.e. "does this document's token mix lean more positive
+    than the corpus at large" — so an unbalanced corpus doesn't
+    collapse to one class.  Training, scoring, and the decision are all
+    exact integer arithmetic: no log-sum float whose summation order
+    could split engines (CLAUDE.md determinism rule).  Tokens unseen in
+    training back off to the prior itself via the left join's NULL.
+    (On the synthetic corpus text is independent of lang — like
+    langid_predictions, this measures the operator, not model
+    accuracy.)
+
+    Scale shape: two corpus scans (count train tokens, score eval
+    tokens), both explode→hash-aggregate with map-side combine; the
+    weight table is vocabulary-sized — a dimension — and is broadcast
+    onto the exploded eval tokens, so the scoring stage is map-only.
+    The returned table is (actual, predicted) — 4 rows, any corpus.
+
+    Returns (actual, predicted, n_docs, mean_score_ppm).
+    """
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    pos = (F.col("lang") == pos_lang).cast("long")
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    counts = train.groupBy("token").agg(
+        F.sum(pos).alias("c_pos"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    w = counts.select(
+        "token",
+        F.expr(f"((c_pos + 1) * {scale}) DIV (c_all + 2)").alias("w_ppm"),
+    )
+    prior = counts.agg(
+        F.expr(f"((sum(c_pos) + 1) * {scale}) DIV (sum(c_all) + 2)")
+        .cast("long")
+        .alias("prior_ppm")
+    )
+    scored = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(w), "token", "left")
+        .crossJoin(F.broadcast(prior))
+        .groupBy("doc_id", "lang", "prior_ppm")
+        .agg(
+            F.sum(F.coalesce(F.col("w_ppm"), F.col("prior_ppm")))
+            .cast("long")
+            .alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    lbl = F.when(F.col("lang") == pos_lang, pos_lang).otherwise("other")
+    prd = F.when(
+        F.col("score") >= F.col("prior_ppm") * F.col("n_tok"), pos_lang
+    ).otherwise("other")
+    return (
+        scored.select(lbl.alias("actual"), prd.alias("predicted"), "score", "n_tok")
+        .groupBy("actual", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(score) DIV sum(n_tok)").cast("long").alias("mean_score_ppm"),
+        )
+    )
