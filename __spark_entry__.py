@@ -4098,6 +4098,81 @@ def q_phrase_search(spark, sf):
     return retrieval.phrase_search(_docs(spark, sf), _PHRASES)
 
 
+def q_spearman(spark, sf):
+    """Spearman rank correlation (ties → average ranks) between
+    per-user event count and per-user spend: doubled average ranks are
+    exact integers derived from each column's VALUE-FREQUENCY table
+    (distinct-value-sized, joined back by value — no row-sized sort),
+    then the exact-sums Pearson device; degenerate variance → the -9.9
+    sentinel (operators/stats.py spearman_corr)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("y"),
+    )
+    return stats.spearman_corr(per_user, "x", "y")
+
+
+def q_knn_classify(spark, sf):
+    """k-NN majority-vote classification of the 5 ANN query vectors:
+    inner product on round(x·1000) integer coordinates, top-5 ties on
+    vec_id, vote ties on the smaller label — all comparisons exact.
+    The query set rides the plan as literal structs (map-only corpus
+    scan; IVF composes in for corpus-sized query sets)
+    (operators/similarity.py knn_classify)."""
+    return similarity.knn_classify(_emb(spark, sf), QUERY_IDS, k=5)
+
+
+def q_mime_sniff(spark, sf):
+    """Magic-byte MIME sniffing over opaque BINARY payloads (the
+    file(1) routing step before typed decoders): per distinct magic
+    LENGTH one fixed-width hex-prefix key exploded map-side (the
+    bigdict per-length prefilter idiom), equi-joined against the
+    broadcast magic dimension, longest match argmaxed inside the
+    aggregate; unmatched → octet-stream (operators/multimodal.py
+    sniff_mime; payloads synthesized by doc_id % 7 with a nested
+    zip/openxml prefix pair making longest-match load-bearing)."""
+    from ddaugner_spark.operators import multimodal
+
+    return multimodal.sniff_mime(multimodal.synthesize_media(_docs(spark, sf)))
+
+
+def q_golden_record(spark, sf):
+    """Survivorship merge (MDM golden record) over matched customer
+    record clusters — base row + a newer partial variant (custkey%3)
+    + a stale richer variant (custkey%5): latest-non-null name/nation,
+    max balance, conflict counts, all in ONE cluster-keyed hash
+    aggregate via packed lpad(ts)‖lpad(rid)‖value string argmax (no
+    max_by NULL-semantics dependence) (operators/er.py golden_record)."""
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = c.select(
+        F.col("c_custkey").alias("cluster_id"),
+        (F.col("c_custkey") * 10).alias("rid"),
+        F.lit(1).alias("ts"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        cents.alias("acctbal_c"),
+    )
+    dup = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cluster_id"),
+        (F.col("c_custkey") * 10 + 1).alias("rid"),
+        F.lit(2).alias("ts"),
+        F.concat(F.col("c_name"), F.lit(" jr")).alias("name"),
+        F.lit(None).cast("long").alias("nationkey"),
+        F.lit(None).cast("long").alias("acctbal_c"),
+    )
+    stale = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("cluster_id"),
+        (F.col("c_custkey") * 10 + 2).alias("rid"),
+        F.lit(0).alias("ts"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        (cents + 500).alias("acctbal_c"),
+    )
+    return er.golden_record(base.unionByName(dup).unionByName(stale))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4366,6 +4441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ohlc": q_ohlc,
         "q_cusum": q_cusum,
         "q_phrase_search": q_phrase_search,
+        "q_spearman": q_spearman,
+        "q_knn_classify": q_knn_classify,
+        "q_mime_sniff": q_mime_sniff,
+        "q_golden_record": q_golden_record,
     }
 
 
@@ -10322,6 +10401,134 @@ sents AS (
       FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
       WHERE p1.tok || ' ' || p2.tok IN ({_PH})
       GROUP BY 1, 2
+    """
+
+    # Spearman replay: doubled average ranks from each value-frequency
+    # table (cumulative window over DISTINCT values, default frame =
+    # unbounded..current on both engines), then the assortativity
+    # exact-sums float chain
+    o["q_spearman"] = """
+      WITH pu AS (
+        SELECT user_id, count(*)::BIGINT AS x,
+               sum(round(value * 100)::BIGINT)::BIGINT AS y
+        FROM events GROUP BY user_id
+      ),
+      fx AS (SELECT x, count(*)::BIGINT AS c FROM pu GROUP BY x),
+      rx AS (SELECT x, (2 * (sum(c) OVER (ORDER BY x) - c) + c + 1)::BIGINT
+               AS r_x FROM fx),
+      fy AS (SELECT y, count(*)::BIGINT AS c FROM pu GROUP BY y),
+      ry AS (SELECT y, (2 * (sum(c) OVER (ORDER BY y) - c) + c + 1)::BIGINT
+               AS r_y FROM fy),
+      j AS (SELECT r_x, r_y FROM pu JOIN rx USING (x) JOIN ry USING (y)),
+      g AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(r_x::HUGEINT)::DOUBLE AS sx, sum(r_y::HUGEINT)::DOUBLE AS sy,
+               sum(r_x::HUGEINT * r_y::HUGEINT)::DOUBLE AS sxy,
+               sum(r_x::HUGEINT * r_x::HUGEINT)::DOUBLE AS sxx,
+               sum(r_y::HUGEINT * r_y::HUGEINT)::DOUBLE AS syy
+        FROM j
+      )
+      SELECT n,
+             coalesce(
+               CASE WHEN (n::DOUBLE * sxx - sx * sx) > 0
+                     AND (n::DOUBLE * syy - sy * sy) > 0
+                    THEN round((n::DOUBLE * sxy - sx * sy)
+                               / sqrt(n::DOUBLE * sxx - sx * sx)
+                               / sqrt(n::DOUBLE * syy - sy * sy), 6)
+               END, -9.9) AS rho
+      FROM g
+    """
+
+    # kNN replay: same integer dots, same (dot desc, vec_id) top-5 and
+    # the same packed (1e6−votes, label) vote argmax
+    o["q_knn_classify"] = f"""
+      WITH el AS MATERIALIZED (
+        SELECT vec_id, label, u.i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      dots AS (
+        SELECT qe.vec_id AS query_id, qe.label AS true_label,
+               c.vec_id, c.label, sum(c.q * qe.q)::BIGINT AS dot
+        FROM el c JOIN el qe ON c.i = qe.i
+        WHERE qe.vec_id IN ({_QIDS}) AND c.vec_id != qe.vec_id
+        GROUP BY 1, 2, 3, 4
+      ),
+      topk AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rn
+          FROM dots) WHERE rn <= 5
+      ),
+      votes AS (
+        SELECT query_id, true_label, label, count(*)::BIGINT AS v
+        FROM topk GROUP BY 1, 2, 3
+      )
+      SELECT query_id, true_label::BIGINT AS true_label,
+             substring(min(k), 8, 6)::BIGINT AS pred_label,
+             (1000000 - substring(min(k), 1, 7)::BIGINT)::BIGINT AS n_votes
+      FROM (SELECT query_id, true_label,
+                   lpad((1000000 - v)::VARCHAR, 7, '0')
+                     || lpad(label::VARCHAR, 6, '0') AS k
+            FROM votes)
+      GROUP BY 1, 2
+    """
+
+    # MIME-sniff replay: payload hex = CASE-selected magic ‖ hex(text
+    # bytes); longest match via the same lpad(len)‖mime argmax
+    from ddaugner_spark.operators.multimodal import MAGIC_MIMES
+
+    _MAGIC_VALUES = ", ".join(f"('{h}', '{m}')" for h, m in MAGIC_MIMES)
+    _MAGIC_CASE = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _m) in enumerate(MAGIC_MIMES[:6])
+    )
+    o["q_mime_sniff"] = f"""
+      WITH m(h, mime) AS (VALUES {_MAGIC_VALUES}),
+      p AS (
+        SELECT doc_id,
+               (CASE (doc_id % 7) {_MAGIC_CASE} ELSE '' END)
+                 || hex(text::BLOB) AS ph
+        FROM documents WHERE text IS NOT NULL AND text != ''
+      ),
+      hits AS (
+        SELECT p.doc_id,
+               max(lpad((len(m.h) // 2)::VARCHAR, 2, '0') || m.mime) AS km
+        FROM p JOIN m ON substring(p.ph, 1, len(m.h)) = m.h
+        GROUP BY p.doc_id
+      )
+      SELECT coalesce(substring(h.km, 3), 'application/octet-stream') AS mime,
+             count(*)::BIGINT AS n_docs,
+             sum(len(p.ph) // 2)::BIGINT AS sum_bytes
+      FROM p LEFT JOIN hits h USING (doc_id) GROUP BY 1
+    """
+
+    # golden-record replay: same synthetic record stack and the same
+    # packed lpad(ts)‖lpad(rid)‖value latest-non-null argmax
+    o["q_golden_record"] = """
+      WITH recs AS (
+        SELECT c_custkey AS cluster_id, c_custkey * 10 AS rid, 1 AS ts,
+               c_name AS name, c_nationkey::BIGINT AS nationkey,
+               round(c_acctbal * 100)::BIGINT AS acctbal_c
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 10 + 1, 2, c_name || ' jr', NULL, NULL
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_custkey * 10 + 2, 0, NULL, c_nationkey::BIGINT,
+               round(c_acctbal * 100)::BIGINT + 500
+        FROM customer WHERE c_custkey % 5 = 0
+      )
+      SELECT cluster_id,
+             substring(max(CASE WHEN name IS NOT NULL THEN
+               lpad(ts::VARCHAR, 2, '0') || lpad(rid::VARCHAR, 12, '0') || name
+               END), 15) AS name,
+             substring(max(CASE WHEN nationkey IS NOT NULL THEN
+               lpad(ts::VARCHAR, 2, '0') || lpad(rid::VARCHAR, 12, '0')
+                 || nationkey::VARCHAR END), 15)::BIGINT AS nationkey,
+             max(acctbal_c)::BIGINT AS acctbal_c,
+             count(*)::BIGINT AS n_records,
+             count(DISTINCT name)::BIGINT AS n_names
+      FROM recs GROUP BY cluster_id
     """
 
     return o

@@ -172,3 +172,46 @@ def resolve_pronouns(
             F.max_by("surface", "start_idx").alias("antecedent"),
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    cluster: str = "cluster_id",
+    ts: str = "ts",
+    rid: str = "rid",
+) -> DataFrame:
+    """(cluster_id, name, nationkey, acctbal_c, n_records, n_names) —
+    survivorship / golden-record merge over matched record clusters:
+    per-field merge policies applied in ONE hash aggregate (the MDM
+    step after entity resolution picks WHICH rows co-refer, this picks
+    WHAT the merged entity says).
+
+    Policies: ``name``/``nationkey`` = latest non-null (ts desc, rid
+    desc tiebreak), ``acctbal_c`` = max, plus record/conflict counts.
+    The latest-non-null argmax is a packed fixed-width
+    ``lpad(ts)‖lpad(rid)`` key with the (variable-length) value as the
+    SUFFIX of a plain string ``max`` — key uniqueness (rid) means the
+    suffix never decides a comparison, and NULL fields simply drop out
+    of the CASE, so no engine-specific max_by/arg_max NULL semantics
+    are load-bearing.  One shuffle on the cluster key, map-side
+    combined.
+    """
+    key = F.concat(
+        F.lpad(F.col(ts).cast("string"), 2, "0"),
+        F.lpad(F.col(rid).cast("string"), 12, "0"),
+    )
+
+    def latest(col: str):
+        return F.substring(
+            F.max(F.when(F.col(col).isNotNull(), F.concat(key, F.col(col).cast("string")))),
+            15,
+            256,
+        )
+
+    return records.groupBy(F.col(cluster).alias("cluster_id")).agg(
+        latest("name").alias("name"),
+        latest("nationkey").cast("long").alias("nationkey"),
+        F.max("acctbal_c").cast("long").alias("acctbal_c"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("name").cast("long").alias("n_names"),
+    )

@@ -153,3 +153,94 @@ def frame_sample_plan(pages: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(every_n_bytes))
     ).otherwise(F.array().cast("array<int>"))
     return pages.select("url", F.explode(offs).alias("frame_offset"))
+
+
+# (magic-bytes hex prefix, mime) — longest matching prefix wins; the
+# openxml entry deliberately extends the zip entry so the sniffer's
+# longest-match rule is load-bearing, and the riff entry matches nothing
+# in the synthetic corpus (dimension entries without hits must be inert)
+MAGIC_MIMES = [
+    ("FFD8FF", "image/jpeg"),
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("504B030414000600", "application/vnd.openxmlformats"),
+    ("52494646", "audio/x-riff"),
+]
+
+DEFAULT_MIME = "application/octet-stream"
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload BINARY) — deterministic opaque payloads for the
+    sniffing tests: doc_id % 7 picks a magic prefix (slot 6 = bare body,
+    no magic), body = the document text bytes.  NULL/empty text docs
+    carry no payload row (a crawl's media table only has rows for
+    fetched blobs)."""
+    magic_hex = F.element_at(
+        F.array(*[F.lit(h) for h, _ in MAGIC_MIMES[:6]], F.lit("")),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    return docs.filter(F.col("text").isNotNull() & (F.col("text") != "")).select(
+        "doc_id",
+        F.concat(F.unhex(magic_hex), F.col("text").cast("binary")).alias("payload"),
+    )
+
+
+def sniff_mime(media: DataFrame, magics: list[tuple[str, str]] | None = None) -> DataFrame:
+    """(mime, n_docs, sum_bytes) — container-format detection from
+    binary magic bytes (the `file(1)` / HTTP MIME-sniffing step a crawl
+    pipeline runs before routing payloads to typed decoders).
+
+    Longest-match semantics over a magic-prefix dictionary.  Scale
+    shape: the payload is touched ONCE per row to slice max-magic-bytes
+    and hex them (map-only — the blob itself never shuffles); each
+    distinct magic LENGTH contributes one fixed-width prefix key,
+    exploded map-side (≤ distinct-length rows per payload, the bigdict
+    per-length prefilter idiom), equi-joined against the broadcast
+    magic dimension; the longest hit per doc is an argmax INSIDE the
+    hash aggregate.  Unmatched payloads fall to application/octet-stream
+    via the final left join.
+    """
+    magics = MAGIC_MIMES if magics is None else magics
+    lengths = sorted({len(h) // 2 for h, _ in magics})
+    max_b = max(lengths)
+    head = F.hex(F.expr(f"substring(payload, 1, {max_b})"))
+    cands = media.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.substring(head, 1, 2 * n).alias("p"),
+                    )
+                    for n in lengths
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.n").alias("n"), F.col("c.p").alias("p"))
+    dim = media.sparkSession.createDataFrame(
+        [(h, m, len(h) // 2) for h, m in magics], "p string, mime string, n int"
+    )
+    hits = (
+        cands.join(F.broadcast(dim), ["p", "n"])
+        .groupBy("doc_id")
+        .agg(
+            F.substring(
+                F.max(F.concat(F.lpad(F.col("n").cast("string"), 2, "0"), "mime")),
+                3,
+                64,
+            ).alias("mime")
+        )
+    )
+    return (
+        media.select("doc_id", F.length("payload").cast("long").alias("n_bytes"))
+        .join(hits, "doc_id", "left")
+        .groupBy(F.coalesce("mime", F.lit(DEFAULT_MIME)).alias("mime"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        )
+    )

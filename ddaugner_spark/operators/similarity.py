@@ -526,3 +526,76 @@ def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
     return pick.groupBy(
         "true_label", F.col("b.c").alias("pred_label")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    scale: int = 1000,
+) -> DataFrame:
+    """(query_id, true_label, pred_label, n_votes) — k-nearest-neighbor
+    majority-vote classification over the embedding table, similarity =
+    inner product on round(x·scale) integer coordinates (the
+    label_medoids / mmr_select quantization), so every ranking
+    comparison is exact: top-k breaks ties on vec_id, the vote breaks
+    ties on the smaller label — engine and oracle agree bit-for-bit.
+
+    Scale shape: the query set is tiny and rides the plan as a LITERAL
+    array of (id, vector) structs — one map-only explode turns the
+    corpus scan into (candidate × query) rows with zero shuffle; the
+    only exchanges are the per-query top-k window (|Q| partitions) and
+    the vote aggregate.  For corpus-sized query sets, compose with the
+    IVF index (ann_ivf_kmeans) instead of this literal device.
+    """
+    base = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: F.round(x * scale).cast("long")).alias(
+            "q"
+        ),
+    )
+    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                F.lit(int(r["label"])).alias("qlabel"),
+                F.array(*[F.lit(int(v)) for v in r["q"]]).alias("qv"),
+            )
+            for r in sorted(qrows, key=lambda r: r["vec_id"])
+        ]
+    )
+    pairs = (
+        base.select("vec_id", "label", "q", F.explode(qlit).alias("qs"))
+        .filter(F.col("vec_id") != F.col("qs.qid"))
+        .select(
+            F.col("qs.qid").alias("query_id"),
+            F.col("qs.qlabel").alias("true_label"),
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("qs.qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    # majority with smaller-label tiebreak, inside the aggregate
+    key = F.concat(
+        F.lpad((F.lit(1_000_000) - F.col("v")).cast("string"), 7, "0"),
+        F.lpad(F.col("label").cast("string"), 6, "0"),
+    )
+    return votes.groupBy("query_id", "true_label").agg(
+        F.substring(F.min(key), 8, 6).cast("long").alias("pred_label"),
+        (F.lit(1_000_000) - F.substring(F.min(key), 1, 7).cast("long")).alias(
+            "n_votes"
+        ),
+    )

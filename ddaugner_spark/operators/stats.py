@@ -12,7 +12,7 @@ single-pass aggregates / map-only expressions, no per-row Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -161,3 +161,60 @@ def logistic_score(
     for c, w in weights.items():
         z = z + F.lit(float(w)) * F.col(c)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def spearman_corr(
+    df: DataFrame, x: str, y: str, ndigits: int = 6
+) -> DataFrame:
+    """One-row ``(n, rho)`` — Spearman rank correlation of two
+    integer-valued columns, ties → average ranks (the standard
+    fractional-rank estimator; the monotone-association readout for
+    quality-signal vs engagement style screens where Pearson is
+    distorted by heavy tails).
+
+    Exactness: DOUBLED average ranks are integers —
+    2·avgrank(v) = 2·|{u < v}| + cnt(v) + 1 — and the constant factor
+    cancels in the correlation, so rho reduces to the exact-sums
+    Pearson device (graph.degree_assortativity): Σr accumulates in
+    decimal(38,0), one double cast per sum, a fixed-order float chain.
+    Degenerate (zero variance) ⇒ the -9.9 NULL sentinel.
+
+    Scale shape: each column's rank map is derived from its
+    VALUE-FREQUENCY table (distinct-value-sized, not row-sized); the
+    cumulative window runs over that dimension, and the map joins back
+    onto the rows by value — two row-sized hash joins, no row-sized
+    sort anywhere.
+    """
+    base = df.select(
+        F.col(x).cast("long").alias("x"), F.col(y).cast("long").alias("y")
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        freq = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy(col)
+        return freq.select(
+            col,
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1)
+            .cast("long")
+            .alias(f"r_{col}"),
+        )
+
+    j = base.join(rank_map("x"), "x").join(rank_map("y"), "y")
+    xd = F.col("r_x").cast("decimal(38,0)")
+    yd = F.col("r_y").cast("decimal(38,0)")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.when((vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy))
+    return g.select(
+        "n", F.coalesce(F.round(rho, ndigits), F.lit(-9.9)).alias("rho")
+    )
