@@ -4173,6 +4173,56 @@ def q_golden_record(spark, sf):
     return er.golden_record(base.unionByName(dup).unionByName(stale))
 
 
+def q_type_confusion(spark, sf):
+    """Span-level type-confusion matrix between the naive unigram
+    tagger and the gold dictionary mentions: spans matched on POSITION
+    so right-span-wrong-type shows as (gold→pred) mass, missed spans in
+    the 'O' column, spurious in the 'O' row — one full-outer hash join
+    on the position key, |tags|² output rows (operators/scoring.py
+    type_confusion)."""
+    d = _docs(spark, sf)
+    return scoring.type_confusion(
+        mentions.naive_mentions_df(d), mentions.mentions_df(d)
+    )
+
+
+def q_bitext_mine(spark, sf):
+    """Cross-lingual parallel-pair mining (WikiMatrix-shape): docs of
+    DIFFERENT langs sharing ≥2 rare-anchor tokens (df ≤ 12).  Anchors
+    are injected deterministically (two block ids per doc: doc_id DIV 8
+    and (doc_id+4) DIV 8 — upper-half docs of each block share both) so
+    the synthetic corpus exercises the df-bounded inverted-index
+    self-join: C(max_df, 2) fan-out per anchor, never corpus²
+    (operators/overlap.py bitext_candidates)."""
+    amp = _docs(spark, sf).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" ent"),
+            F.expr("doc_id DIV 8").cast("string"),
+            F.lit(" ent"),
+            F.expr("(doc_id + 4) DIV 8").cast("string"),
+        ),
+    )
+    return overlap.bitext_candidates(amp, max_df=12, min_shared=2)
+
+
+def q_itemsets3(spark, sf):
+    """Frequent 3-itemsets over order baskets — the A-priori level-3
+    pass above q_copurchase_lift's pair pass, with downward closure in
+    the PLAN: candidates self-joined from frequent pairs and pruned by
+    the (b,c) pair, baskets cut to frequent-pair items before the
+    triple enumeration, candidate set broadcast into the semi-join
+    (operators/events.py frequent_triples).  Oracle enumerates triples
+    directly — A-priori must be a pure optimization."""
+    li = (
+        spark.read.parquet(f"{sf}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return evops.frequent_triples(li, min_support=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4445,6 +4495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_classify": q_knn_classify,
         "q_mime_sniff": q_mime_sniff,
         "q_golden_record": q_golden_record,
+        "q_type_confusion": q_type_confusion,
+        "q_bitext_mine": q_bitext_mine,
+        "q_itemsets3": q_itemsets3,
     }
 
 
@@ -10529,6 +10582,62 @@ sents AS (
              count(*)::BIGINT AS n_records,
              count(DISTINCT name)::BIGINT AS n_names
       FROM recs GROUP BY cluster_id
+    """
+
+    # type-confusion replay: position-keyed full outer of the naive and
+    # dictionary mention sets, 'O' for the unmatched side
+    o["q_type_confusion"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT}, {_NAIVE},
+      p AS (SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, tag FROM naive),
+      g AS (SELECT DISTINCT doc_id, sent_id, start_idx, end_idx, tag
+            FROM mentsent)
+      SELECT coalesce(g.tag, 'O') AS gold_tag,
+             coalesce(p.tag, 'O') AS pred_tag,
+             count(*)::BIGINT AS n
+      FROM p FULL OUTER JOIN g
+        ON p.doc_id = g.doc_id AND p.sent_id = g.sent_id
+       AND p.start_idx = g.start_idx AND p.end_idx = g.end_idx
+      GROUP BY 1, 2
+    """
+
+    # bitext replay: same injected block anchors, df ≤ 12 rare filter,
+    # cross-lingual pair aggregate
+    o["q_bitext_mine"] = """
+      WITH amp AS (
+        SELECT doc_id, coalesce(lang, '') AS lang,
+               text || ' ent' || (doc_id // 8)::VARCHAR
+                    || ' ent' || ((doc_id + 4) // 8)::VARCHAR AS text
+        FROM documents WHERE text IS NOT NULL AND text != ''
+      ),
+      dt AS (
+        SELECT DISTINCT doc_id, lang, u.tok
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM amp) u(doc_id, lang, tok)
+        WHERE tok != ''
+      ),
+      dfk AS (SELECT tok, count(*)::BIGINT AS df FROM dt GROUP BY tok),
+      an AS (SELECT dt.doc_id, dt.lang, dt.tok
+             FROM dt JOIN dfk USING (tok) WHERE dfk.df <= 12)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.lang AS lang_a, b.lang AS lang_b,
+             count(*)::BIGINT AS n_shared
+      FROM an a JOIN an b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.lang != b.lang
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+    """
+
+    # 3-itemset replay: direct within-basket triple enumeration — the
+    # engine's A-priori candidate pruning must be a pure optimization
+    o["q_itemsets3"] = """
+      WITH bk AS (
+        SELECT DISTINCT l_orderkey AS bid, l_partkey AS item FROM lineitem
+      )
+      SELECT a.item AS pa, b.item AS pb, c.item AS pc,
+             count(*)::BIGINT AS support
+      FROM bk a
+      JOIN bk b ON a.bid = b.bid AND a.item < b.item
+      JOIN bk c ON a.bid = c.bid AND b.item < c.item
+      GROUP BY 1, 2, 3 HAVING count(*) >= 2
     """
 
     return o

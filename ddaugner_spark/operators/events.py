@@ -276,3 +276,87 @@ def coengagement(events: DataFrame) -> DataFrame:
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def frequent_triples(baskets: DataFrame, min_support: int = 2) -> DataFrame:
+    """(pa, pb, pc, support) — frequent 3-itemsets over (basket_id,
+    item) rows, the A-priori level-3 pass on top of the pair pass
+    (q_copurchase_lift).  Downward closure is load-bearing in the PLAN:
+    candidate triples are generated by self-joining the FREQUENT-pair
+    table on a shared first item and pruned by requiring the (b, c)
+    pair frequent too, and baskets are cut to items that appear in some
+    frequent pair BEFORE the triple enumeration — so the within-basket
+    triple fan-out runs over the pruned item set, not the raw basket.
+
+    Shuffles: pair count (basket-keyed enumeration + pair aggregate),
+    candidate generation over the frequent-pair DIMENSION (broadcast),
+    one triple aggregate.  Support counting re-enumerates triples only
+    for baskets' pruned items and semi-joins the candidate set before
+    the count, keeping the aggregate input candidate-bounded.
+    """
+    bk = baskets.select(
+        F.col(baskets.columns[0]).alias("bid"),
+        F.col(baskets.columns[1]).alias("item"),
+    ).distinct()
+    l = bk.select("bid", F.col("item").alias("a"))
+    r = bk.select("bid", F.col("item").alias("b"))
+    pairs = (
+        l.join(r, "bid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_support)
+        .select("a", "b")
+    )
+    # candidates: (a,b) ⋈ (a,c), b < c, with (b,c) frequent (downward closure)
+    cand = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(
+            F.col("x.a").alias("ca"), F.col("x.b").alias("cb"),
+            F.col("y.b").alias("cc"),
+        )
+        .join(
+            pairs.select(F.col("a").alias("cb"), F.col("b").alias("cc")),
+            ["cb", "cc"],
+        )
+    )
+    # prune baskets to items in some frequent pair, then enumerate
+    freq_items = (
+        pairs.select(F.col("a").alias("item"))
+        .union(pairs.select("b"))
+        .distinct()
+    )
+    bkf = bk.join(F.broadcast(freq_items), "item").select("bid", "item")
+    t1 = bkf.select("bid", F.col("item").alias("pa"))
+    t2 = bkf.select("bid", F.col("item").alias("pb"))
+    t3 = bkf.select("bid", F.col("item").alias("pc"))
+    tri = (
+        t1.join(t2, "bid")
+        .filter(F.col("pa") < F.col("pb"))
+        .join(
+            F.broadcast(
+                cand.select(
+                    F.col("ca").alias("pa"), F.col("cb").alias("pb")
+                ).distinct()
+            ),
+            ["pa", "pb"],
+        )
+        .join(t3, "bid")
+        .filter(F.col("pb") < F.col("pc"))
+        .join(
+            F.broadcast(
+                cand.select(
+                    F.col("ca").alias("pa"), F.col("cb").alias("pb"),
+                    F.col("cc").alias("pc"),
+                )
+            ),
+            ["pa", "pb", "pc"],
+        )
+    )
+    return (
+        tri.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -69,3 +69,49 @@ def overlap_subsets(target: DataFrame, other: DataFrame, ndigits: int = 4) -> Da
             ndigits,
         ).alias("new_ratio"),
     )
+
+
+def bitext_candidates(
+    docs: DataFrame, max_df: int = 10, min_shared: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, lang_a, lang_b, n_shared) — cross-lingual
+    document-pair mining via shared RARE tokens (the hunt for
+    translation/parallel pairs in a multilingual crawl, WikiMatrix-style
+    but anchor-based): a token is an anchor iff its document frequency
+    is ≤ ``max_df`` (names, numbers, codes survive translation; common
+    words don't), and a candidate pair is two docs of DIFFERENT
+    languages sharing ≥ ``min_shared`` anchors.
+
+    Scale shape: distinct (doc, token) once (hash aggregate), df per
+    token re-aggregated from that output (shuffle reuse), anchors kept
+    by an ≤ max_df filter — so the self-join fans out at most
+    C(max_df, 2) pairs per anchor, df-bounded by construction, never
+    corpus².  The pair aggregate is the only further shuffle.
+    """
+    dt = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            "doc_id",
+            F.coalesce("lang", F.lit("")).alias("lang"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_tok = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    anchors = dt.join(
+        df_tok.filter(F.col("df") <= max_df).select("token"), "token"
+    )
+    a = anchors.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"), "token"
+    )
+    b = anchors.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"), "token"
+    )
+    return (
+        a.join(b, "token")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("lang_a") != F.col("lang_b")))
+        .groupBy("doc_a", "doc_b", "lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

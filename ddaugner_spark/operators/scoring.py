@@ -281,3 +281,29 @@ def cohens_kappa(pred_tags: DataFrame, gold_tags: DataFrame) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+def type_confusion(pred: DataFrame, gold: DataFrame) -> DataFrame:
+    """(gold_tag, pred_tag, n) — span-level type-confusion matrix (the
+    seqeval-style readout behind A5/A6: not just HOW MANY errors but
+    WHICH classes trade mass).  Spans are matched on POSITION
+    (doc, sent, start, end) so a right-span-wrong-type prediction counts
+    as (gold_tag → pred_tag) rather than disappearing into one FP and
+    one FN; unmatched gold spans land in the 'O' pred column, unmatched
+    predictions in the 'O' gold row.
+
+    One full-outer hash join on the position key (both sides distinct
+    first — map-side combinable) + one tiny aggregate; output is
+    |tags|² rows regardless of corpus size.
+    """
+    key = ["doc_id", "sent_id", "start_idx", "end_idx"]
+    p = pred.select(*key, F.col("tag").alias("pred_tag")).distinct()
+    g = gold.select(*key, F.col("tag").alias("gold_tag")).distinct()
+    return (
+        p.join(g, key, "full_outer")
+        .groupBy(
+            F.coalesce("gold_tag", F.lit("O")).alias("gold_tag"),
+            F.coalesce("pred_tag", F.lit("O")).alias("pred_tag"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
