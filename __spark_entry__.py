@@ -4223,6 +4223,46 @@ def q_itemsets3(spark, sf):
     return evops.frequent_triples(li, min_support=2)
 
 
+def q_wl_refine(spark, sf):
+    """1-Weisfeiler-Leman color refinement (2 rounds) over the
+    co-mention graph: per-round label = md5(own ‖ sorted neighbor
+    labels) — the structural-fingerprint canonical form for
+    KG-neighborhood dedup; output is the refined color-class histogram.
+    Each round is one edge⋈label equi-join + node-keyed aggregate (the
+    HITS half-step shape) (operators/graph.py wl_refinement)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.wl_refinement(canonical.co_mention_edges(m), rounds=2)
+
+
+def q_blocking_quality(spark, sf):
+    """Pair completeness + reduction ratio of the ER blocking scheme
+    (Christen 2012) measured against the deterministic typo-variant
+    truth set: exact integer counts, one division each; candidates via
+    the blocked equi-join, never a crossJoin (operators/er.py
+    blocking_quality)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.blocking_quality(er.distinct_surfaces(m), max_dist=2)
+
+
+def q_ewma(spark, sf):
+    """Truncated exponentially weighted moving average (α = ½, 16
+    terms) of hourly event counts per type: integer numerator
+    Σ c·2^(15−j), ONE final division by 2^16 (the HITS normalize-once
+    device) — no compounding float recurrence; dense grid, early ticks
+    zero-padded (operators/temporal.py ewma_truncated)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.ewma_truncated(ev, bucket_s=3600, window=16)
+
+
+def q_l_diversity(spark, sf):
+    """l-diversity audit of the k-anonymity ladder's quasi-identifier
+    classes (source × length decile), sensitive attribute = lang:
+    distinct-sensitive count, dominant value via packed argmax, safe
+    flag at l ≥ 3 — two exact-integer hash aggregates
+    (operators/privacy.py l_diversity)."""
+    return privacy.l_diversity(_docs(spark, sf), l_req=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4498,6 +4538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_type_confusion": q_type_confusion,
         "q_bitext_mine": q_bitext_mine,
         "q_itemsets3": q_itemsets3,
+        "q_wl_refine": q_wl_refine,
+        "q_blocking_quality": q_blocking_quality,
+        "q_ewma": q_ewma,
+        "q_l_diversity": q_l_diversity,
     }
 
 
@@ -10638,6 +10682,134 @@ sents AS (
       JOIN bk b ON a.bid = b.bid AND a.item < b.item
       JOIN bk c ON a.bid = c.bid AND b.item < c.item
       GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """
+
+    # WL replay: degree seed labels + two unrolled md5 refinement
+    # rounds, sorted neighbor multisets via list(ORDER BY)
+    o["q_wl_refine"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS (SELECT a AS node, count(*)::VARCHAR AS lbl FROM sym GROUP BY a),
+      s1 AS (
+        SELECT s.a AS node,
+               array_to_string(list(l.lbl ORDER BY l.lbl), ',') AS sig
+        FROM sym s JOIN l0 l ON l.node = s.b GROUP BY s.a
+      ),
+      l1 AS (SELECT l0.node, md5(l0.lbl || '|' || s1.sig) AS lbl
+             FROM l0 JOIN s1 USING (node)),
+      s2 AS (
+        SELECT s.a AS node,
+               array_to_string(list(l.lbl ORDER BY l.lbl), ',') AS sig
+        FROM sym s JOIN l1 l ON l.node = s.b GROUP BY s.a
+      ),
+      l2 AS (SELECT l1.node, md5(l1.lbl || '|' || s2.sig) AS lbl
+             FROM l1 JOIN s2 USING (node))
+      SELECT lbl AS wl_label, count(*)::BIGINT AS n_nodes
+      FROM l2 GROUP BY 1
+    """
+
+    # blocking-quality replay: the same typo amplifier, blocked
+    # candidate join, truth projection and single-division metrics
+    o["q_blocking_quality"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      surf AS (SELECT surface, tag, count(*)::BIGINT AS n_mentions
+               FROM mentsent GROUP BY 1, 2),
+      var AS (SELECT substring(surface, 1, 1) || substring(surface, 3)
+                       AS surface, tag, 1::BIGINT AS n_mentions
+              FROM surf WHERE len(surface) >= 4),
+      amp AS (SELECT surface, tag FROM
+              (SELECT surface, tag FROM surf
+               UNION ALL SELECT surface, tag FROM var)
+              GROUP BY 1, 2),
+      cand AS (
+        SELECT l.tag, least(l.surface, r.surface) AS a,
+               greatest(l.surface, r.surface) AS b
+        FROM amp l JOIN amp r
+          ON l.tag = r.tag
+         AND lower(substring(l.surface, 1, 1)) = lower(substring(r.surface, 1, 1))
+         AND l.surface < r.surface
+         AND abs(len(l.surface) - len(r.surface)) <= 2
+         AND levenshtein(l.surface, r.surface) <= 2
+      ),
+      truth AS (
+        SELECT DISTINCT tag,
+               least(surface, substring(surface, 1, 1) || substring(surface, 3))
+                 AS a,
+               greatest(surface, substring(surface, 1, 1) || substring(surface, 3))
+                 AS b
+        FROM surf WHERE len(surface) >= 4
+      ),
+      ns AS (SELECT tag, count(*)::BIGINT AS n_surfaces FROM amp GROUP BY tag),
+      nt AS (SELECT tag, count(*)::BIGINT AS n_truth FROM truth GROUP BY tag),
+      nc AS (SELECT tag, count(*)::BIGINT AS n_cand FROM cand GROUP BY tag),
+      nh AS (SELECT c.tag, count(*)::BIGINT AS n_hit
+             FROM cand c JOIN truth t USING (tag, a, b) GROUP BY c.tag)
+      SELECT ns.tag, ns.n_surfaces,
+             coalesce(nt.n_truth, 0)::BIGINT AS n_truth,
+             coalesce(nc.n_cand, 0)::BIGINT AS n_cand,
+             coalesce(nh.n_hit, 0)::BIGINT AS n_hit,
+             coalesce(CASE WHEN coalesce(nt.n_truth, 0) > 0 THEN
+               round(coalesce(nh.n_hit, 0) / nt.n_truth, 6) END, -1.0) AS pc,
+             coalesce(CASE WHEN ns.n_surfaces * (ns.n_surfaces - 1) // 2 > 0 THEN
+               round(1.0 - coalesce(nc.n_cand, 0)
+                     / (ns.n_surfaces * (ns.n_surfaces - 1) // 2), 6) END,
+               -1.0) AS rr
+      FROM ns LEFT JOIN nt USING (tag) LEFT JOIN nc USING (tag)
+              LEFT JOIN nh USING (tag)
+    """
+
+    # EWMA replay: identical integer contributions c·2^(15−j) fanned to
+    # future grid ticks, one division by 2^16
+    o["q_ewma"] = """
+      WITH cnt AS (
+        SELECT event_type AS series,
+               (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+      ),
+      grid AS (
+        SELECT series, unnest(range(min(bucket), max(bucket) + 1, 3600))
+                 AS bucket
+        FROM cnt GROUP BY series
+      ),
+      contrib AS (
+        SELECT series, bucket + j.j * 3600 AS bucket,
+               c * (1::BIGINT << (15 - j.j)) AS w
+        FROM cnt, unnest(range(0, 16)) AS j(j)
+      ),
+      num AS (SELECT series, bucket, sum(w)::BIGINT AS ewma_num
+              FROM contrib GROUP BY 1, 2)
+      SELECT g.series, g.bucket,
+             coalesce(n.ewma_num, 0)::BIGINT AS ewma_num,
+             round(coalesce(n.ewma_num, 0) / 65536.0, 6) AS ewma
+      FROM grid g LEFT JOIN num n USING (series, bucket)
+    """
+
+    # l-diversity replay: same classes, same packed dominant-value key
+    o["q_l_diversity"] = """
+      WITH cl AS (
+        SELECT source, least(9, n_chars // 100)::BIGINT AS len_decile,
+               coalesce(lang, '') AS lang, count(*)::BIGINT AS nl
+        FROM documents GROUP BY 1, 2, 3
+      ),
+      keyed AS (
+        SELECT source, len_decile, nl,
+               lpad((1000000000000 - nl)::VARCHAR, 13, '0') || lang AS k
+        FROM cl
+      )
+      SELECT source, len_decile, sum(nl)::BIGINT AS n,
+             count(*)::BIGINT AS l_distinct,
+             substring(min(k), 14) AS top_sensitive,
+             (1000000000000 - substring(min(k), 1, 13)::BIGINT)::BIGINT
+               AS top_n,
+             count(*) >= 3 AS diverse
+      FROM keyed GROUP BY 1, 2
     """
 
     return o

@@ -215,3 +215,79 @@ def golden_record(
         F.count(F.lit(1)).cast("long").alias("n_records"),
         F.countDistinct("name").cast("long").alias("n_names"),
     )
+
+
+def blocking_quality(
+    surfaces: DataFrame, max_dist: int = 2, ndigits: int = 6
+) -> DataFrame:
+    """(tag, n_surfaces, n_truth, n_cand, n_hit, pc, rr) — the two
+    numbers every blocking scheme is judged by (Christen 2012): pair
+    completeness PC = |candidates ∩ truth| / |truth| (how many real
+    matches survive blocking) and reduction ratio RR = 1 − |candidates|
+    / C(n, 2) (how much of the quadratic pair space blocking prunes).
+
+    Truth pairs come from the same deterministic noise amplifier the ER
+    benchmark uses (with_typo_surfaces: delete-second-char variants,
+    edit distance exactly 1, same block by construction), so PC is
+    measurable without labels.  All counts are exact integers; PC and
+    RR are each ONE division.  Scale shape: candidates via the blocked
+    equi-join (er_candidate_pairs — never a crossJoin); truth is a
+    map-only projection of the surface table; the metric aggregate is
+    per-tag sized.
+    """
+    amp = with_typo_surfaces(surfaces)
+    cand = er_candidate_pairs(amp, max_dist=max_dist).select(
+        "tag",
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+    )
+    variant = F.concat(
+        F.substring("surface", 1, 1), F.expr("substring(surface, 3)")
+    )
+    truth = (
+        surfaces.filter(F.length("surface") >= 4)
+        .select(
+            "tag",
+            F.least(F.col("surface"), variant).alias("a"),
+            F.greatest(F.col("surface"), variant).alias("b"),
+        )
+        .distinct()
+    )
+    n_surf = amp.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_surfaces")
+    )
+    n_truth = truth.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    n_cand = cand.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    n_hit = (
+        cand.join(truth, ["tag", "a", "b"])
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    allpairs = F.expr("n_surfaces * (n_surfaces - 1) DIV 2")
+    return (
+        n_surf.join(n_truth, "tag", "left")
+        .join(n_cand, "tag", "left")
+        .join(n_hit, "tag", "left")
+        .select(
+            "tag",
+            "n_surfaces",
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_hit") / F.col("n_truth"), ndigits),
+            ).otherwise(F.lit(-1.0)).alias("pc"),
+            F.when(
+                allpairs > 0,
+                F.round(1.0 - F.col("n_cand") / allpairs, ndigits),
+            ).otherwise(F.lit(-1.0)).alias("rr"),
+        )
+    )

@@ -1335,3 +1335,45 @@ def k_truss(
     return sup.filter(F.col("support") >= k - 2).select(
         "a", "b", F.col("support").cast("long").alias("support")
     )
+
+
+def wl_refinement(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """(wl_label, n_nodes) — 1-Weisfeiler-Leman color refinement over
+    the undirected graph: every node's label is iteratively rehashed as
+    ``md5(own ‖ '|' ‖ sorted(neighbor labels))``, and the output is the
+    refined color-class histogram — the graph-canonical-form device
+    behind structural entity dedup / KG-neighborhood fingerprinting
+    (two nodes share a color ⇒ their r-hop neighborhoods are
+    WL-indistinguishable).
+
+    Determinism: labels start as degree strings, each round is a pure
+    string/md5 function of the sorted neighbor multiset
+    (array_sort(collect_list) ↔ list_sort(list()) — byte-wise order is
+    engine-identical on ASCII hex), so color ids match the oracle
+    exactly.  Scale shape: each round is ONE edge⋈label equi-join on
+    the label table's key + one node-keyed hash aggregate (the
+    hits/pagerank half-step); the label table is node-sized and the
+    comma-joined signature is degree-bounded per node.  Fixed
+    ``rounds`` keeps the plan bounded (WL stabilizes in ≤ diameter
+    rounds; 2 matches the oracle's unrolled stages).
+    """
+    if rounds < 1:
+        raise ValueError("wl_refinement: rounds must be >= 1")
+    sym = symmetrize(edges.select("a", "b").distinct())
+    lbl = degrees(edges.select("a", "b").distinct()).select(
+        "node", F.col("deg").cast("string").alias("lbl")
+    )
+    for _ in range(rounds):
+        nb = (
+            sym.join(lbl.select(F.col("node").alias("b"), "lbl"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("lbl")), ",").alias("sig")
+            )
+        )
+        lbl = lbl.join(nb, "node").select(
+            "node", F.md5(F.concat_ws("|", "lbl", "sig")).alias("lbl")
+        )
+    return lbl.groupBy(F.col("lbl").alias("wl_label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

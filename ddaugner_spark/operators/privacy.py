@@ -101,3 +101,40 @@ def k_anonymity_ladder(docs: DataFrame, k: int = 5) -> DataFrame:
             anon.cast("long").alias("anon_n"),
         )
     )
+
+
+def l_diversity(docs: DataFrame, l_req: int = 3) -> DataFrame:
+    """(source, len_decile, n, l_distinct, top_sensitive, top_n,
+    diverse) — l-diversity audit of the quasi-identifier classes the
+    k-anonymity ladder uses (source × length decile), sensitive
+    attribute = lang: a class is safe only if ≥ ``l_req`` DISTINCT
+    sensitive values appear (k-anonymity alone lets a homogeneous class
+    leak the attribute — Machanavajjhala et al. 2007).  ``top_*`` report
+    the dominant sensitive value (argmax packed into the aggregate,
+    ties → lexicographically smaller lang).
+
+    Two hash aggregates (per (class, lang) counts, then per class) —
+    the same re-aggregation shape as the ladder; exact integers only.
+    """
+    dec = F.least(F.lit(9), F.expr("n_chars DIV 100")).cast("long")
+    cl = (
+        docs.select(
+            "source", dec.alias("len_decile"),
+            F.coalesce("lang", F.lit("")).alias("lang"),
+        )
+        .groupBy("source", "len_decile", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("nl"))
+    )
+    key = F.concat(
+        F.lpad((F.lit(10**12) - F.col("nl")).cast("string"), 13, "0"),
+        F.col("lang"),
+    )
+    return cl.groupBy("source", "len_decile").agg(
+        F.sum("nl").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        F.substring(F.min(key), 14, 32).alias("top_sensitive"),
+        (F.lit(10**12) - F.substring(F.min(key), 1, 13).cast("long"))
+        .cast("long")
+        .alias("top_n"),
+        (F.count(F.lit(1)) >= l_req).alias("diverse"),
+    )

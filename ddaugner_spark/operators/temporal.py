@@ -625,3 +625,77 @@ def cusum_changepoint(
             .alias("side"),
         )
     )
+
+
+def ewma_truncated(
+    events: DataFrame,
+    ts: str = "ts",
+    series: str = "event_type",
+    bucket_s: int = 3600,
+    window: int = 16,
+) -> DataFrame:
+    """(series, bucket, ewma_num, ewma) — exponentially weighted moving
+    average (α = ½) of per-bucket event counts, TRUNCATED at ``window``
+    terms so it stays EXACT: s_i = Σ_{j<window} c_{i−j}·2^{window−1−j}
+    is an integer numerator and the only float is the single final
+    division by 2^window (the HITS normalize-once device) — no
+    compounding float recurrence whose evaluation order could split
+    engines.  With α = ½ the dropped tail is < 2^-window of the mass.
+
+    Dense grid (missing buckets are zeros, exactly as cusum_changepoint
+    builds it); buckets before the series start contribute implicit
+    zeros, so the early ramp matches a zero-padded stream.  Scale
+    shape: the corpus-sized work is one bucket-count aggregate; the
+    window is materialized as a ``window``-way offset explode on the
+    GRID (bounded by time span × window, independent of event count)
+    feeding one hash aggregate — a segmented-scan stand-in that keeps
+    both engines on identical integer sums.
+    """
+    cnt = (
+        events.select(
+            F.col(series).alias("series"),
+            F.expr(
+                f"(unix_micros(cast({ts} as timestamp))"
+                f" DIV {bucket_s * 1_000_000}) * {bucket_s}"
+            ).alias("bucket"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    grid = (
+        cnt.groupBy("series")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "series",
+            F.explode(F.sequence("lo", "hi", F.lit(bucket_s))).alias("bucket"),
+        )
+    )
+    # each observation c at bucket b contributes c·2^(window−1−j) to the
+    # grid tick b + j·bucket_s for j < window
+    contrib = (
+        cnt.select(
+            "series",
+            "bucket",
+            "c",
+            F.explode(F.sequence(F.lit(0), F.lit(window - 1))).alias("j"),
+        )
+        .select(
+            "series",
+            (F.col("bucket") + F.col("j") * bucket_s).alias("bucket"),
+            F.expr(f"c * shiftleft(1L, {window - 1} - j)").alias("w"),
+        )
+    )
+    num = contrib.groupBy("series", "bucket").agg(
+        F.sum("w").cast("long").alias("ewma_num")
+    )
+    return (
+        grid.join(num, ["series", "bucket"], "left")
+        .select(
+            "series",
+            "bucket",
+            F.coalesce("ewma_num", F.lit(0)).cast("long").alias("ewma_num"),
+        )
+        .withColumn(
+            "ewma", F.round(F.col("ewma_num") / F.lit(float(2**window)), 6)
+        )
+    )
