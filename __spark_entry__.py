@@ -4263,6 +4263,57 @@ def q_l_diversity(spark, sf):
     return privacy.l_diversity(_docs(spark, sf), l_req=3)
 
 
+def q_bpe_encode(spark, sf):
+    """The production TOKENIZE step: train 5 BPE merges (q_bpe_train's
+    loop), then emit every vocabulary word's final segmentation and
+    symbol count — the per-word fertility the token-budget planner
+    consumes.  Merges ride as literals; the encode fold is map-only
+    over the word-type table (operators/bpe.py bpe_encode)."""
+    from ddaugner_spark.operators import bpe
+
+    return bpe.bpe_encode(
+        textstats.vocab_df(_docs(spark, sf)),
+        n_merges=5,
+        stage_dir=_scratch("q_bpe_enc_"),
+    )
+
+
+def q_transitive_reduction(spark, sf):
+    """Transitive reduction of a 200-node type DAG (the q_type_closure
+    tree + redundant grandparent shortcuts on i%4 nodes): minimal edge
+    set with the same reachability — closure by repeated squaring, one
+    closure∘closure self-join, one anti-join; the shortcuts (and only
+    they) must vanish (operators/graph.py transitive_reduction)."""
+    d = (
+        _docs(spark, sf)
+        .select((F.col("doc_id") % 200).alias("i"))
+        .distinct()
+        .filter(F.col("i") >= 1)
+    )
+    t = F.concat(F.lit("t"), F.col("i").cast("string"))
+    parent = F.expr("(i - 1) DIV 3")
+    tree = d.select(
+        t.alias("src"),
+        F.concat(F.lit("t"), parent.cast("string")).alias("dst"),
+    )
+    gp = F.expr("((i - 1) DIV 3 - 1) DIV 3")
+    short = d.filter((F.col("i") % 4 == 0) & (parent >= 1)).select(
+        t.alias("src"), F.concat(F.lit("t"), gp.cast("string")).alias("dst")
+    )
+    return graph.transitive_reduction(tree.unionByName(short), max_depth=8)
+
+
+def q_contrastive_pairs(spark, sf):
+    """Contrastive pair mining over the RAG chunk table: positive =
+    successor chunk of the same doc (self-equi-join on the chunk key),
+    negative = same chunk position of the next doc (one lead window per
+    chunk position) — deterministic in-batch negatives that survive
+    repartition/resume (operators/traindata.py contrastive_pairs)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.contrastive_pairs(_docs(spark, sf), size=64, stride=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4542,6 +4593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_blocking_quality": q_blocking_quality,
         "q_ewma": q_ewma,
         "q_l_diversity": q_l_diversity,
+        "q_bpe_encode": q_bpe_encode,
+        "q_transitive_reduction": q_transitive_reduction,
+        "q_contrastive_pairs": q_contrastive_pairs,
     }
 
 
@@ -9869,7 +9923,7 @@ sents AS (
       )"""
 
     _bpe_n = 5
-    o["q_bpe_train"] = (
+    _bpe_head = (
         """
       WITH counts AS (
         SELECT token, count(*)::BIGINT AS n
@@ -9884,6 +9938,9 @@ sents AS (
         FROM counts
       ),"""
         + ",".join(_bpe_stage(k) for k in range(1, _bpe_n + 1))
+    )
+    o["q_bpe_train"] = (
+        _bpe_head
         + "\n      "
         + "\n      UNION ALL ".join(
             # lhs IS NULL = the pair supply dried up at this stage (min
@@ -10810,6 +10867,74 @@ sents AS (
                AS top_n,
              count(*) >= 3 AS diverse
       FROM keyed GROUP BY 1, 2
+    """
+
+    # BPE-encode replay: the training stages verbatim (_bpe_head), then
+    # the final word table's segmentation instead of the merge rows
+    o["q_bpe_encode"] = (
+        _bpe_head
+        + f"""
+      SELECT word, freq, array_to_string(toks, ' ') AS encoded,
+             len(toks)::BIGINT AS n_symbols
+      FROM v{_bpe_n}
+    """
+    )
+
+    # transitive-reduction replay: recursive-CTE closure, composed once,
+    # anti-joined against the edge set
+    o["q_transitive_reduction"] = """
+      WITH d AS (SELECT DISTINCT (doc_id % 200)::BIGINT AS i
+                 FROM documents WHERE doc_id % 200 >= 1),
+      tree AS (SELECT 't' || i::VARCHAR AS src,
+                      't' || ((i - 1) // 3)::VARCHAR AS dst FROM d),
+      short AS (SELECT 't' || i::VARCHAR AS src,
+                       't' || (((i - 1) // 3 - 1) // 3)::VARCHAR AS dst
+                FROM d WHERE i % 4 = 0 AND (i - 1) // 3 >= 1),
+      e AS (SELECT DISTINCT src, dst FROM
+            (SELECT * FROM tree UNION ALL SELECT * FROM short)),
+      clo AS (
+        WITH RECURSIVE c AS (
+          SELECT src, dst, 1 AS d FROM e
+          UNION
+          SELECT c.src, e.dst, c.d + 1 FROM c JOIN e ON c.dst = e.src
+          WHERE c.d < 8
+        )
+        SELECT DISTINCT src, dst FROM c
+      ),
+      two AS (SELECT DISTINCT x.src, y.dst
+              FROM clo x JOIN clo y ON x.dst = y.src)
+      SELECT e.src, e.dst
+      FROM e LEFT JOIN two ON e.src = two.src AND e.dst = two.dst
+      WHERE two.src IS NULL
+    """
+
+    # contrastive-pair replay: same chunk grid, successor-chunk
+    # positive, lead-over-chunk-position negative
+    o["q_contrastive_pairs"] = """
+      WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE coalesce(text, '') != ''),
+      ch AS (
+        SELECT doc_id, (s.s // 32)::BIGINT AS chunk_id,
+               least(64, len(t) - s.s)::BIGINT AS n_tok
+        FROM tl, unnest(range(0, len(t), 32)) AS s(s)
+      ),
+      neg AS (
+        SELECT doc_id, chunk_id, n_tok,
+               lead(doc_id) OVER (PARTITION BY chunk_id ORDER BY doc_id)
+                 AS neg_doc_id,
+               lead(n_tok) OVER (PARTITION BY chunk_id ORDER BY doc_id)
+                 AS neg_tokens
+        FROM ch
+      ),
+      pos AS (
+        SELECT doc_id, chunk_id - 1 AS chunk_id,
+               chunk_id AS pos_chunk_id, n_tok AS pos_tokens
+        FROM ch
+      )
+      SELECT n.doc_id, n.chunk_id, p.pos_chunk_id, n.neg_doc_id,
+             n.n_tok AS anchor_tokens, p.pos_tokens, n.neg_tokens
+      FROM neg n JOIN pos p USING (doc_id, chunk_id)
+      WHERE n.neg_doc_id IS NOT NULL
     """
 
     return o

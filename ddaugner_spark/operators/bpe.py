@@ -63,14 +63,11 @@ def apply_merge(toks, p1: str, p2: str):
     )
 
 
-def bpe_train(
-    vocab: DataFrame, n_merges: int = 5, stage_dir: str | None = None
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from a (token, n) word-frequency
-    table; returns the merge table (step, lhs, rhs, pair_count) — the
-    model a tokenizer ships.
-
-    Stops early if no adjacent pair remains (all words fused)."""
+def _bpe_loop(
+    vocab: DataFrame, n_merges: int, stage_dir: str | None
+):
+    """Shared train/encode core: returns (merges list, final word
+    table) — the merge loop documented on bpe_train."""
     spark = vocab.sparkSession
     own_dir = stage_dir is None
     if own_dir:
@@ -139,6 +136,41 @@ def bpe_train(
             ),
             f"v{k}",
         )
-    return spark.createDataFrame(
+    return merges, words
+
+
+def bpe_train(
+    vocab: DataFrame, n_merges: int = 5, stage_dir: str | None = None
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from a (token, n) word-frequency
+    table; returns the merge table (step, lhs, rhs, pair_count) — the
+    model a tokenizer ships.
+
+    Stops early if no adjacent pair remains (all words fused)."""
+    merges, _ = _bpe_loop(vocab, n_merges, stage_dir)
+    return vocab.sparkSession.createDataFrame(
         merges, schema="step long, lhs string, rhs string, pair_count long"
+    )
+
+
+def bpe_encode(
+    vocab: DataFrame, n_merges: int = 5, stage_dir: str | None = None
+) -> DataFrame:
+    """(word, freq, encoded, n_symbols) — the production TOKENIZE step:
+    train ``n_merges`` merges, then report every vocabulary word's
+    final symbol segmentation (symbols space-joined — words contain no
+    spaces) and symbol count (the per-word fertility the token-budget
+    planner consumes).
+
+    Scale shape: the merge loop is bpe_train's (vocab-sized aggregates,
+    one literal merge collected per step, fold applied map-only); the
+    encode output is simply the loop's final word table — a corpus
+    tokenizer then applies the same ``apply_merge`` fold chain to raw
+    text map-only, no extra shuffle."""
+    _, words = _bpe_loop(vocab, n_merges, stage_dir)
+    return words.select(
+        "word",
+        "freq",
+        F.array_join("toks", " ").alias("encoded"),
+        F.size("toks").cast("long").alias("n_symbols"),
     )

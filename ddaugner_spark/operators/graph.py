@@ -1377,3 +1377,36 @@ def wl_refinement(edges: DataFrame, rounds: int = 2) -> DataFrame:
     return lbl.groupBy(F.col("lbl").alias("wl_label")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+def transitive_reduction(edges: DataFrame, max_depth: int = 8) -> DataFrame:
+    """(src, dst) — transitive reduction of a DAG edge table: the
+    minimal edge set with the same reachability (Aho/Garey/Ullman 1972)
+    — the ontology-hygiene pass that strips redundant subsumption
+    shortcuts (``subClassOf`` edges implied by the chain) before a KG
+    type hierarchy ships.
+
+    An edge is redundant iff some z has paths src→z and z→dst — i.e.
+    iff (src, dst) appears in closure∘closure.  The closure comes from
+    :func:`ancestor_closure`'s repeated squaring (⌈log₂ depth⌉ join
+    rounds; output-bounded for bounded-depth DAGs), the composition is
+    one self-join of that closure, and the verdict is one left-anti
+    join of the (dimension-sized) edge table — taxonomies are
+    vocabulary-scale, so every operand here broadcasts comfortably.
+    """
+    e = edges.select("src", "dst").distinct()
+    clo = (
+        ancestor_closure(
+            e.select(F.col("src").alias("node"), F.col("dst").alias("parent")),
+            max_depth=max_depth,
+        )
+        .select(F.col("node").alias("src"), F.col("anc").alias("dst"))
+        .distinct()
+    )
+    two = (
+        clo.alias("x")
+        .join(clo.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        .distinct()
+    )
+    return e.join(two, ["src", "dst"], "left_anti")

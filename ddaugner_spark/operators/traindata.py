@@ -336,3 +336,56 @@ def quality_classifier_eval(
             F.expr("sum(score) DIV sum(n_tok)").cast("long").alias("mean_score_ppm"),
         )
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame, size: int = 64, stride: int = 32
+) -> DataFrame:
+    """(doc_id, chunk_id, pos_chunk_id, neg_doc_id, anchor_tokens,
+    pos_tokens, neg_tokens) — contrastive training pairs for a
+    retrieval/embedding model over the RAG chunk table: the POSITIVE of
+    an anchor chunk is its successor chunk in the same document
+    (overlapping-window locality — the standard self-supervised
+    positive), the NEGATIVE is the SAME chunk position of the next
+    document that has one (the in-batch-negative discipline made
+    deterministic: ``lead(doc_id) over (partition by chunk_id order by
+    doc_id)``, so it survives repartition/resume).
+
+    Scale shape: chunking is map-only (chunk_windows); the positive is
+    a self-equi-join on (doc_id, chunk_id+1) — same shuffle key as the
+    chunk table; the negative is one window over the chunk_id
+    partitioning (chunk positions are few, documents many — the window
+    partitions are corpus-wide but the state per row is one lead).
+    Anchors lacking a positive (last chunk) or a negative (last doc at
+    that position) are dropped.
+    """
+    ch = chunk_windows(docs, size=size, stride=stride).select(
+        "doc_id", "chunk_id", F.col("n_chunk_tokens").alias("n_tok")
+    )
+    pos = ch.select(
+        "doc_id",
+        (F.col("chunk_id") - 1).alias("chunk_id"),
+        F.col("chunk_id").alias("pos_chunk_id"),
+        F.col("n_tok").alias("pos_tokens"),
+    )
+    w = Window.partitionBy("chunk_id").orderBy("doc_id")
+    neg = ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_tok",
+        F.lead("doc_id").over(w).alias("neg_doc_id"),
+        F.lead("n_tok").over(w).alias("neg_tokens"),
+    )
+    return (
+        neg.join(pos, ["doc_id", "chunk_id"])
+        .filter(F.col("neg_doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "chunk_id",
+            "pos_chunk_id",
+            "neg_doc_id",
+            F.col("n_tok").alias("anchor_tokens"),
+            "pos_tokens",
+            "neg_tokens",
+        )
+    )
