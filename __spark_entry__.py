@@ -4314,6 +4314,41 @@ def q_contrastive_pairs(spark, sf):
     return traindata.contrastive_pairs(_docs(spark, sf), size=64, stride=32)
 
 
+def q_group_median(spark, sf):
+    """EXACT per-type order statistics (median, p90) over value cents —
+    the ground truth the mergeable quantile sketch is judged against:
+    median·2 = os(⌈n/2⌉)+os(⌈(n+1)/2⌉) stays integer, the cumulative
+    window runs on the VALUE-FREQUENCY dimension, one conditional-min
+    aggregate reads off all order statistics (operators/stats.py
+    group_order_stats)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.group_order_stats(ev)
+
+
+def q_seasonal_naive(spark, sf):
+    """Forecast-baseline backtest on hourly event volume: seasonal
+    naive (t−24h) vs persistence (t−1h) on the dense grid, exact
+    integer absolute-error sums over the common eval window, one
+    division per MAE (operators/temporal.py seasonal_naive_backtest)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.seasonal_naive_backtest(ev, bucket_s=3600, season=24)
+
+
+def q_stream_ohlc(spark, sf):
+    """Streaming OHLC: the packed-key candlestick aggregate run as a
+    watermarked windowed STREAMING aggregation — min/max of the packed
+    key are decomposable, so per-(window, series) state is one key pair
+    + four scalars; append mode emits exactly the windows the final
+    watermark closed, which the batch oracle replicates
+    (streaming/incremental.py incremental_ohlc)."""
+    from ddaugner_spark.streaming import incremental_ohlc
+
+    ck = _scratch("q_stream_ohlc_")
+    return incremental_ohlc(
+        spark, f"{sf}/events.parquet", ck, window="1 hour", watermark="2 hours"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4596,6 +4631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_transitive_reduction": q_transitive_reduction,
         "q_contrastive_pairs": q_contrastive_pairs,
+        "q_group_median": q_group_median,
+        "q_seasonal_naive": q_seasonal_naive,
+        "q_stream_ohlc": q_stream_ohlc,
     }
 
 
@@ -10935,6 +10973,100 @@ sents AS (
              n.n_tok AS anchor_tokens, p.pos_tokens, n.neg_tokens
       FROM neg n JOIN pos p USING (doc_id, chunk_id)
       WHERE n.neg_doc_id IS NOT NULL
+    """
+
+    # exact order-statistics replay: cumulative frequency over distinct
+    # cents, conditional-min selection at the same k targets
+    o["q_group_median"] = """
+      WITH base AS (
+        SELECT event_type AS series, round(value * 100)::BIGINT AS c
+        FROM events
+      ),
+      freq AS (SELECT series, c, count(*)::BIGINT AS f
+               FROM base GROUP BY 1, 2),
+      cum AS (
+        SELECT series, c,
+               sum(f) OVER (PARTITION BY series ORDER BY c)::BIGINT AS cum
+        FROM freq
+      ),
+      n AS (SELECT series, count(*)::BIGINT AS n FROM base GROUP BY series),
+      j AS (
+        SELECT cum.series, cum.c, cum.cum, n.n,
+               (n.n + 1) // 2 AS k1, (n.n + 2) // 2 AS k2,
+               (9 * n.n + 9) // 10 AS k90
+        FROM cum JOIN n USING (series)
+      ),
+      sel AS (
+        SELECT series, n,
+               (min(CASE WHEN cum >= k1 THEN c END)
+                + min(CASE WHEN cum >= k2 THEN c END))::BIGINT AS median2_c,
+               min(CASE WHEN cum >= k90 THEN c END)::BIGINT AS p90_c
+        FROM j GROUP BY series, n
+      )
+      SELECT series, n, median2_c, round(median2_c / 200.0, 6) AS median,
+             p90_c
+      FROM sel
+    """
+
+    # seasonal-naive replay: dense grid + two lag self-joins on the
+    # common eval window, integer SAE sums
+    o["q_seasonal_naive"] = """
+      WITH cnt AS (
+        SELECT event_type AS series,
+               (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+      ),
+      bounds AS (SELECT series, min(bucket) AS lo, max(bucket) AS hi
+                 FROM cnt GROUP BY series),
+      grid AS (SELECT series, unnest(range(lo, hi + 1, 3600)) AS bucket
+               FROM bounds),
+      dense AS (
+        SELECT g.series, g.bucket, coalesce(cnt.c, 0)::BIGINT AS c
+        FROM grid g LEFT JOIN cnt
+          ON g.series = cnt.series AND g.bucket = cnt.bucket
+      ),
+      ev AS (
+        SELECT d.series, d.c, s.c AS f_seasonal, p.c AS f_naive
+        FROM dense d
+        JOIN bounds b ON d.series = b.series
+         AND d.bucket >= b.lo + 24 * 3600
+        JOIN dense s ON d.series = s.series
+         AND s.bucket = d.bucket - 24 * 3600
+        JOIN dense p ON d.series = p.series
+         AND p.bucket = d.bucket - 3600
+      )
+      SELECT series, count(*)::BIGINT AS n_eval,
+             sum(abs(c - f_seasonal))::BIGINT AS sae_seasonal,
+             sum(abs(c - f_naive))::BIGINT AS sae_naive,
+             round(sum(abs(c - f_seasonal)) / count(*), 6) AS mae_seasonal,
+             round(sum(abs(c - f_naive)) / count(*), 6) AS mae_naive
+      FROM ev GROUP BY series
+    """
+
+    # streaming OHLC replay: the batch OHLC restricted to the windows
+    # the final watermark closed, as in q_stream_event_counts
+    o["q_stream_ohlc"] = """
+      WITH mx AS (SELECT max(ts) AS m FROM events),
+      e AS (
+        SELECT event_type AS series,
+               (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0')
+                 || lpad(event_id::VARCHAR, 10, '0')
+                 || lpad(round(value * 100)::BIGINT::VARCHAR, 6, '0') AS k,
+               round(value * 100)::BIGINT AS c
+        FROM events
+      )
+      SELECT series, bucket,
+             substring(min(k), 31, 6)::BIGINT AS open_c,
+             max(c)::BIGINT AS high_c,
+             min(c)::BIGINT AS low_c,
+             substring(max(k), 31, 6)::BIGINT AS close_c,
+             count(*)::BIGINT AS n,
+             sum(c)::BIGINT AS sum_c
+      FROM e, mx
+      WHERE (bucket + 3600) * 1000000 <= epoch_us(m) - 7200000000
+      GROUP BY series, bucket
     """
 
     return o

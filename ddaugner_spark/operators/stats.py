@@ -218,3 +218,57 @@ def spearman_corr(
     return g.select(
         "n", F.coalesce(F.round(rho, ndigits), F.lit(-9.9)).alias("rho")
     )
+
+
+def group_order_stats(
+    events: DataFrame,
+    series: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """(series, n, median2_c, median, p90_c) — EXACT per-group order
+    statistics (median with the even-n half-point, p90) over integer
+    cents, the ground-truth counterpart to the mergeable
+    quantile_sketch: median·2 = os(⌈n/2⌉) + os(⌈(n+1)/2⌉) stays an
+    integer, p90 = os(⌈0.9·n⌉), and the only float is ONE division
+    rendering the median in currency units.
+
+    Scale shape: the row-sized work is one (series, cents) frequency
+    aggregate (map-side combined); the cumulative window and the
+    order-statistic selection run on the VALUE-FREQUENCY table —
+    distinct-value-sized, the spearman_corr rank-map device — and the
+    k-targets join back from a series-sized (broadcast) count table.
+    One conditional-min aggregate reads off all three order statistics.
+    """
+    base = events.select(
+        F.col(series).alias("series"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    freq = base.groupBy("series", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    w = Window.partitionBy("series").orderBy("c")
+    cum = freq.select("series", "c", F.sum("f").over(w).alias("cum"))
+    n = base.groupBy("series").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = cum.join(F.broadcast(n), "series").select(
+        "series",
+        "c",
+        "cum",
+        "n",
+        F.expr("(n + 1) DIV 2").alias("k1"),
+        F.expr("(n + 2) DIV 2").alias("k2"),
+        F.expr("(9 * n + 9) DIV 10").alias("k90"),
+    )
+    out = j.groupBy("series", "n").agg(
+        (
+            F.min(F.when(F.col("cum") >= F.col("k1"), F.col("c")))
+            + F.min(F.when(F.col("cum") >= F.col("k2"), F.col("c")))
+        ).alias("median2_c"),
+        F.min(F.when(F.col("cum") >= F.col("k90"), F.col("c"))).alias("p90_c"),
+    )
+    return out.select(
+        "series",
+        "n",
+        "median2_c",
+        F.round(F.col("median2_c") / 200.0, 6).alias("median"),
+        "p90_c",
+    )

@@ -699,3 +699,72 @@ def ewma_truncated(
             "ewma", F.round(F.col("ewma_num") / F.lit(float(2**window)), 6)
         )
     )
+
+
+def seasonal_naive_backtest(
+    events: DataFrame,
+    ts: str = "ts",
+    series: str = "event_type",
+    bucket_s: int = 3600,
+    season: int = 24,
+) -> DataFrame:
+    """(series, n_eval, sae_seasonal, sae_naive, mae_seasonal,
+    mae_naive) — the standard forecasting SANITY BASELINE backtest for
+    capacity planning on event volume: seasonal-naive (ŷ_t = y_{t−24h})
+    vs persistence (ŷ_t = y_{t−1h}) over the dense hourly count grid,
+    scored by mean absolute error on the common eval window
+    (t ≥ start + season) so the two MAEs are comparable.
+
+    Absolute errors are exact integer counts summed exactly; each MAE
+    is ONE division.  Scale shape: one corpus-sized bucket-count
+    aggregate; the two lag lookups are grid self-equi-joins on
+    (series, bucket − lag·bucket_s) — the grid is time-span-sized, not
+    event-count-sized.
+    """
+    cnt = (
+        events.select(
+            F.col(series).alias("series"),
+            F.expr(
+                f"(unix_micros(cast({ts} as timestamp))"
+                f" DIV {bucket_s * 1_000_000}) * {bucket_s}"
+            ).alias("bucket"),
+        )
+        .groupBy("series", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = cnt.groupBy("series").agg(F.min("bucket").alias("lo"),
+                                       F.max("bucket").alias("hi"))
+    grid = bounds.select(
+        "series",
+        F.explode(F.sequence("lo", "hi", F.lit(bucket_s))).alias("bucket"),
+    )
+    dense = (
+        grid.join(cnt, ["series", "bucket"], "left")
+        .select("series", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    def lagged(k: int, alias: str) -> DataFrame:
+        return dense.select(
+            "series",
+            (F.col("bucket") + k * bucket_s).alias("bucket"),
+            F.col("c").alias(alias),
+        )
+    ev = (
+        dense.join(F.broadcast(bounds.select("series", "lo")), "series")
+        .filter(F.col("bucket") >= F.col("lo") + season * bucket_s)
+        .join(lagged(season, "f_seasonal"), ["series", "bucket"])
+        .join(lagged(1, "f_naive"), ["series", "bucket"])
+    )
+    return ev.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("c") - F.col("f_seasonal"))).cast("long")
+        .alias("sae_seasonal"),
+        F.sum(F.abs(F.col("c") - F.col("f_naive"))).cast("long")
+        .alias("sae_naive"),
+    ).select(
+        "series",
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive",
+        F.round(F.col("sae_seasonal") / F.col("n_eval"), 6).alias("mae_seasonal"),
+        F.round(F.col("sae_naive") / F.col("n_eval"), 6).alias("mae_naive"),
+    )

@@ -7,6 +7,7 @@ from .incremental import (
     incremental_link_scores,
     incremental_links,
     incremental_mentions,
+    incremental_ohlc,
     incremental_trending,
     incremental_triples,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "incremental_link_scores",
     "incremental_links",
     "incremental_mentions",
+    "incremental_ohlc",
     "incremental_trending",
     "incremental_triples",
 ]

@@ -515,3 +515,66 @@ def incremental_attribution(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def incremental_ohlc(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the packed-key argmin/argmax candlestick
+    aggregate (temporal.ohlc_bars) run as a watermarked windowed
+    streaming aggregation — open/close are ``min``/``max`` of the
+    (epoch_us, event_id, cents) lpad key, which are DECOMPOSABLE, so
+    the incremental state per (window, series) is one key pair + four
+    scalars and late data folds in exactly like batch.  AvailableNow to
+    completion; append mode emits the windows the final watermark
+    closed (window_end ≤ max ts − watermark), as in
+    incremental_event_counts."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = _read_stream(spark, events_dir, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lpad(cents.cast("string"), 6, "0"),
+    )
+    slot = lambda col: F.substring(col, 31, 6).cast("long")  # noqa: E731
+    agg = (
+        stream.withColumn("k", key)
+        .withColumn("c", cents)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min("k").alias("ok"),
+            F.max("c").alias("high_c"),
+            F.min("c").alias("low_c"),
+            F.max("k").alias("ck"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_c"),
+        )
+        .select(
+            F.col("event_type").alias("series"),
+            F.expr("unix_micros(w.start) DIV 1000000").alias("bucket"),
+            slot(F.col("ok")).alias("open_c"),
+            "high_c",
+            "low_c",
+            slot(F.col("ck")).alias("close_c"),
+            "n",
+            "sum_c",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_ohlc")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM incr_ohlc")
