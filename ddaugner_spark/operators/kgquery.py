@@ -244,3 +244,41 @@ def functional_conflicts(
         "n_objs",
         "objs",
     )
+
+
+def optional_pattern(
+    tri: DataFrame, p_req: str, p_opt: str, p_not: str
+) -> DataFrame:
+    """(x, y, z_min, n_z) — the SPARQL OPTIONAL / FILTER-NOT-EXISTS
+    basic graph pattern over the constructed KG::
+
+        SELECT ?x ?y WHERE { ?x p_req ?y .
+                             OPTIONAL { ?x p_opt ?z }
+                             FILTER NOT EXISTS { ?x p_not ?w } }
+
+    OPTIONAL binds as a LEFT join (subjects keep their row with NULL z
+    when no p_opt fact exists); the optional leg is pre-aggregated per
+    subject (min obj + count) so a hub subject cannot multiply the
+    required bindings — the star_pattern fanout discipline; NOT EXISTS
+    is a left-anti join on the subject key.  All three legs filter the
+    DISTINCT triple table by predicate first, so each join operand is
+    predicate-selective, and they share the subject shuffle key.
+    """
+    t = tri.select("subj", "pred", "obj").distinct()
+    req = t.filter(F.col("pred") == p_req).select(
+        F.col("subj").alias("x"), F.col("obj").alias("y")
+    )
+    opt = (
+        t.filter(F.col("pred") == p_opt)
+        .groupBy(F.col("subj").alias("x"))
+        .agg(
+            F.min("obj").alias("z_min"),
+            F.count(F.lit(1)).cast("long").alias("n_z"),
+        )
+    )
+    neg = t.filter(F.col("pred") == p_not).select(F.col("subj").alias("x"))
+    return (
+        req.join(neg, "x", "left_anti")
+        .join(opt, "x", "left")
+        .select("x", "y", "z_min", F.coalesce("n_z", F.lit(0)).alias("n_z"))
+    )

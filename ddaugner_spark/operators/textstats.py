@@ -1046,3 +1046,89 @@ def readability_scores(docs: DataFrame, ndigits: int = 4) -> DataFrame:
         .otherwise(F.lit("hard"))
         .alias("band"),
     )
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """(src_idx, n_docs_cum, new_tokens, vocab_cum) — vocabulary
+    saturation curve by domain prefix (the Heaps-law readout a
+    tokenizer-coverage / corpus-diversity review reads): adding sources
+    in index order, how many NEVER-SEEN-BEFORE token types each one
+    contributes and the running vocabulary size.  A flattening curve
+    says new domains stop paying for tokenizer coverage.
+
+    Exact and scale-safe: per token ONE min(src_idx) aggregate (the
+    corpus-sized pass, map-side combined); first-occurrence counts and
+    document counts are then SOURCE-dimension tables (tens of rows), so
+    the cumulative window is a dimension sort, never a row sort.
+    Source ids follow the corpus contract ``src<N>`` (pinned in
+    tests over every /root/testdata sf dir).
+    """
+    toks = (
+        docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select(
+            F.expr("cast(substring(source, 4) as long)").alias("src_idx"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    firsts = (
+        toks.groupBy("token")
+        .agg(F.min("src_idx").alias("src_idx"))
+        .groupBy("src_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    ndocs = docs.groupBy(
+        F.expr("cast(substring(source, 4) as long)").alias("src_idx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.orderBy("src_idx")
+    return (
+        ndocs.join(firsts, "src_idx", "left")
+        .select(
+            "src_idx",
+            "n_docs",
+            F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"),
+        )
+        .select(
+            "src_idx",
+            F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+            F.col("new_tokens").cast("long").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+
+
+def ngram_novelty(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(lang, n_docs, n_ngrams, n_novel, novelty) — the memorization /
+    contamination-rate readout (Lee et al. 2022 flavor): what fraction
+    of the odd-doc_id half's distinct k-gram shingles never occur in
+    the even half.  High novelty = the eval split genuinely exercises
+    generalization; low = the splits leak.
+
+    Plan: one shingle explode per side (per-doc distinct — the dedup
+    shingle kernel with its let-bound token array), the train side
+    collapsed to a distinct shingle DIMENSION, one left join + per-lang
+    aggregate; novelty is a single division of exact counts.
+    """
+    from ddaugner_spark.operators import dedup
+
+    base = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    sh = dedup.shingles(base, k=k, extra_cols=("lang",))
+    train = (
+        sh.filter(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") % 2 == 1)
+    j = ev.join(train, "shingle", "left")
+    return (
+        j.groupBy(F.coalesce("lang", F.lit("")).alias("lang"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_ngrams"), 6)
+        )
+    )
