@@ -4382,6 +4382,116 @@ def q_kg_optional(spark, sf):
     )
 
 
+def q_acf(spark, sf):
+    """Autocorrelation function of the hourly event-count series at
+    lags 1..6 — the seasonality readout run before picking
+    q_seasonal_naive's season length: one corpus bucket-count shuffle,
+    then spine/mean/denominator/lag-joins all on the bucket-sized table
+    (operators/temporal.py autocorrelation)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.autocorrelation(ev, bucket_s=3600, max_lag=6)
+
+
+def q_t_closeness(spark, sf):
+    """t-closeness audit (ordered-EMD form) of per-event-type value
+    distributions vs the table-wide marginal — one (type, bucket) hash
+    aggregate, then spine/cumulative windows on the class-count table
+    (operators/privacy.py t_closeness)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return privacy.t_closeness(ev, t=0.2)
+
+
+def q_naive_bayes(spark, sf):
+    """Multinomial naive-Bayes language classification, even-doc_id
+    half trains, odd half scores; Laplace-smoothed exact-integer count
+    arithmetic inside the ln, rounded before the argmax
+    (operators/textstats.py naive_bayes_langid)."""
+    return textstats.naive_bayes_langid(_docs(spark, sf))
+
+
+def q_ndcg(spark, sf):
+    """nDCG@10 of the exact-cosine retriever with label-match relevance
+    — integer-quantized dots (exact ranking), position-indexed log₂
+    constants for the gain sums (operators/similarity.py ndcg_at_k)."""
+    return similarity.ndcg_at_k(_emb(spark, sf), QUERY_IDS, k=10)
+
+
+def q_product_profit(spark, sf):
+    """TPC-H Q9 shape (profit by nation × order-year for a part family):
+    lineitem joined to the filtered part dimension and the
+    supplier→nation chain — every dimension BROADCAST into the fact
+    scan (the filter on p_name prunes part before the join), profit =
+    revenue − 0.6·retailprice·qty as the supplycost proxy (this corpus
+    has no partsupp table), ONE (nation, year) shuffle after map-side
+    partial aggregation.  The literal form writes the same joins as a
+    5-table WHERE list."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_name").startswith("red")
+    )
+    supp = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    sn = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "n_name"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+def q_disjunctive_revenue(spark, sf):
+    """TPC-H Q19 shape (disjunctive brand/size/quantity predicates):
+    revenue over three OR-ed (brand, size-range, qty-range) clauses.
+    Spark-first: part is pre-filtered to the brand UNION (partition-
+    prunable conjunct) and BROADCAST; the residual disjunction runs on
+    the joined row where all columns are local — one scan, no shuffle
+    beyond the final 1-row aggregate.  The literal form is the classic
+    three-way OR of AND-blocks."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf}/part.parquet").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    # coalesce: the empty-match aggregate must agree across engines
+    # (Spark NULL vs DuckDB-through-pandas NaN at tiny scale factors)
+    return j.filter(clause).agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4670,6 +4780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vocab_growth": q_vocab_growth,
         "q_ngram_novelty": q_ngram_novelty,
         "q_kg_optional": q_kg_optional,
+        # --- NEW round-5 session 9: ACF, t-closeness, naive Bayes,
+        # nDCG, TPC-H Q9/Q19 shapes ---
+        "q_acf": q_acf,
+        "q_t_closeness": q_t_closeness,
+        "q_naive_bayes": q_naive_bayes,
+        "q_ndcg": q_ndcg,
+        "q_product_profit": q_product_profit,
+        "q_disjunctive_revenue": q_disjunctive_revenue,
     }
 
 
@@ -11165,6 +11283,182 @@ sents AS (
       SELECT r.x, r.y, o2.z_min, coalesce(o2.n_z, 0)::BIGINT AS n_z
       FROM req r LEFT JOIN opt o2 USING (x)
       WHERE r.x NOT IN (SELECT x FROM neg)
+    """
+
+    # ACF replay: identical bucket/spine/mean/deviation chain; lag
+    # numerators via the same b2 = b + lag self-join of the deviation
+    # table (floor() on both engines — DuckDB's double→BIGINT cast
+    # rounds while Spark's truncates)
+    o["q_acf"] = """
+      WITH counts AS (
+        SELECT floor(epoch_us(ts) / 3600000000)::BIGINT AS b,
+               count(*)::BIGINT AS x
+        FROM events GROUP BY 1
+      ),
+      rng AS (SELECT min(b) AS lo, max(b) AS hi FROM counts),
+      spine AS (SELECT unnest(range(lo, hi + 1))::BIGINT AS b FROM rng),
+      filled AS (SELECT s.b, coalesce(c.x, 0)::DOUBLE AS x
+                 FROM spine s LEFT JOIN counts c USING (b)),
+      m AS (SELECT avg(x) AS m, count(*)::BIGINT AS n FROM filled),
+      dev AS (SELECT b, x - m.m AS d FROM filled, m),
+      den AS (SELECT sum(d * d) AS den FROM dev),
+      lags AS (SELECT unnest(range(1, 7))::BIGINT AS lag)
+      SELECT l.lag, m.n AS n_buckets,
+             round(sum(d1.d * d2.d) / max(den.den), 6) AS r
+      FROM lags l
+      CROSS JOIN dev d1
+      JOIN dev d2 ON d2.b = d1.b + l.lag
+      CROSS JOIN den CROSS JOIN m
+      GROUP BY l.lag, m.n
+    """
+
+    # t-closeness replay: same fixed-width buckets, spine, and ordered
+    # cumulative EMD; t_close compares the ROUNDED emd on both engines
+    o["q_t_closeness"] = """
+      WITH cl AS (
+        SELECT event_type, least(9, floor(value / 5))::BIGINT AS bucket,
+               count(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+      ),
+      spine AS (
+        SELECT t.event_type, u.bucket
+        FROM (SELECT DISTINCT event_type FROM cl) t,
+             (SELECT unnest(range(10))::BIGINT AS bucket) u
+      ),
+      filled AS (
+        SELECT s.event_type, s.bucket, coalesce(cl.c, 0)::BIGINT AS c
+        FROM spine s LEFT JOIN cl USING (event_type, bucket)
+      ),
+      tot AS (SELECT event_type, sum(c)::BIGINT AS n FROM filled GROUP BY 1),
+      gmarg AS (SELECT bucket, sum(c)::BIGINT AS g FROM filled GROUP BY 1),
+      gn AS (SELECT sum(g)::BIGINT AS gN FROM gmarg),
+      cum AS (
+        SELECT f.event_type, t.n,
+               sum(f.c) OVER (PARTITION BY f.event_type ORDER BY f.bucket)
+                 ::DOUBLE / t.n
+               - sum(g.g) OVER (PARTITION BY f.event_type ORDER BY f.bucket)
+                 ::DOUBLE / gn.gN AS cum_diff
+        FROM filled f
+        JOIN tot t USING (event_type)
+        JOIN gmarg g USING (bucket)
+        CROSS JOIN gn
+      )
+      SELECT event_type, max(n)::BIGINT AS n,
+             round(sum(abs(cum_diff)) / 9, 6) AS emd,
+             (round(sum(abs(cum_diff)) / 9, 6) <= 0.2) AS t_close
+      FROM cum GROUP BY event_type
+    """
+
+    # naive-Bayes replay: identical Laplace-count arithmetic inside the
+    # ln, identical rounding BEFORE the argmax, ties to the smaller lang
+    o["q_naive_bayes"] = """
+      WITH toks AS (
+        SELECT doc_id, coalesce(lang, '') AS lang, token
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS token
+              FROM documents)
+        WHERE token != ''
+      ),
+      test AS (
+        SELECT doc_id, lang, token, count(*)::BIGINT AS n
+        FROM toks WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+      ),
+      tc AS (
+        SELECT lang AS p_lang, token, count(*)::BIGINT AS c
+        FROM toks WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      ),
+      lt AS (SELECT p_lang, sum(c)::BIGINT AS ntok FROM tc GROUP BY 1),
+      voc AS (SELECT count(DISTINCT token)::BIGINT AS V FROM tc),
+      prior AS (
+        SELECT coalesce(lang, '') AS p_lang, count(*)::BIGINT AS nd
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+      ),
+      dtot AS (SELECT count(*)::BIGINT AS D FROM documents WHERE doc_id % 2 = 0),
+      fan AS (SELECT t.*, l.p_lang, l.ntok, voc.V FROM test t, lt l, voc),
+      lik AS (
+        SELECT f.doc_id, f.lang, f.p_lang,
+               sum(f.n * ln((coalesce(tc.c, 0) + 1.0) / (f.ntok + f.V))) AS ll
+        FROM fan f LEFT JOIN tc ON tc.p_lang = f.p_lang AND tc.token = f.token
+        GROUP BY 1, 2, 3
+      ),
+      scored AS (
+        SELECT l.doc_id, l.lang, l.p_lang,
+               round(ln(p.nd::DOUBLE / dtot.D) + l.ll, 4) AS score
+        FROM lik l JOIN prior p USING (p_lang) CROSS JOIN dtot
+      )
+      SELECT doc_id, lang AS true_lang, p_lang AS pred_lang, score
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, p_lang ASC) AS rn
+            FROM scored)
+      WHERE rn = 1
+    """
+
+    # nDCG replay over the knn_classify integer-dot CTE chain; gain
+    # terms are position-indexed constants
+    o["q_ndcg"] = f"""
+      WITH el AS MATERIALIZED (
+        SELECT vec_id, label, u.i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      dots AS (
+        SELECT qe.vec_id AS query_id,
+               CASE WHEN c.label = qe.label THEN 1 ELSE 0 END::BIGINT AS rel,
+               c.vec_id, sum(c.q * qe.q)::BIGINT AS dot
+        FROM el c JOIN el qe ON c.i = qe.i
+        WHERE qe.vec_id IN ({_QIDS}) AND c.vec_id != qe.vec_id
+        GROUP BY 1, 2, 3
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM dots
+      ),
+      nrel AS (SELECT query_id, sum(rel)::BIGINT AS n_rel FROM dots GROUP BY 1),
+      dcg AS (
+        SELECT query_id, round(sum(rel / log2(rn + 1.0)), 6) AS dcg
+        FROM ranked WHERE rn <= 10 GROUP BY 1
+      ),
+      idcg AS (
+        SELECT n.query_id,
+               CASE WHEN n.n_rel > 0 THEN round((
+                 SELECT sum(1.0 / log2(i + 1.0))
+                 FROM unnest(range(1, least(n.n_rel, 10) + 1)) AS u(i)
+               ), 6) ELSE 0.0 END AS idcg
+        FROM nrel n
+      )
+      SELECT n.query_id, n.n_rel, d.dcg, i.idcg,
+             CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 6)
+                  ELSE 0.0 END AS ndcg
+      FROM nrel n JOIN dcg d USING (query_id) JOIN idcg i USING (query_id)
+    """
+
+    # literal Q9 form: 5-table WHERE-list join, profit with the
+    # 0.6·retailprice·qty supplycost proxy (no partsupp in this corpus)
+    o["q_product_profit"] = """
+      SELECT n_name AS nation,
+             year(l_shipdate)::BIGINT AS o_year,
+             round(sum(l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+      FROM lineitem, part, supplier, nation
+      WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+        AND s_nationkey = n_nationkey AND p_name LIKE 'red%'
+      GROUP BY 1, 2
+    """
+
+    # literal Q19 form: three OR-ed AND-blocks
+    o["q_disjunctive_revenue"] = """
+      SELECT round(coalesce(sum(l_extendedprice * (1 - l_discount)), 0.0), 4)
+               AS revenue,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey AND (
+          (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30))
     """
 
     return o

@@ -103,6 +103,78 @@ def k_anonymity_ladder(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def t_closeness(
+    events: DataFrame, t: float = 0.2, n_buckets: int = 10, ndigits: int = 6
+) -> DataFrame:
+    """(event_type, n, emd, t_close) — t-closeness audit (Li, Li &
+    Venkatasubramanian 2007, the step past [[l-diversity]]): a
+    quasi-identifier class leaks the *distribution* of an ordered
+    sensitive attribute when its in-class distribution strays from the
+    table-wide one.  QI class = event_type; sensitive attribute = the
+    event value, fixed-width-bucketed into ``n_buckets`` ordered bins
+    (least(n-1, value div 5) — arithmetic, no quantile pass).  For an
+    ordered attribute the Earth-Mover distance has the closed form
+    EMD(P,Q) = Σᵢ |cumᵢ(P) − cumᵢ(Q)| / (n_buckets − 1); a class is
+    t-close when the ROUNDED emd ≤ t (rounding before the comparison so
+    an engine ulp cannot flip the boolean).
+
+    Scale shape: ONE corpus shuffle — the (event_type, bucket) hash
+    aggregate with map-side combine.  The bucket spine (classes ×
+    n_buckets), the global marginal, and the cumulative window all run
+    on that class-count table (|types| × n_buckets rows); the window
+    partitions by event_type, so no single-partition sort ever sees
+    more than n_buckets rows per class.
+    """
+    from pyspark.sql import Window
+
+    # floor (not cast) — DuckDB's double→BIGINT cast rounds-to-nearest
+    # while Spark's truncates; floor() agrees on both engines
+    b = F.least(F.lit(n_buckets - 1).cast("long"), F.floor(F.col("value") / 5))
+    cl = (
+        events.select("event_type", b.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    spine = (
+        cl.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(n_buckets - 1).cast("long")
+                )
+            ).alias("bucket"),
+        )
+    )
+    filled = spine.join(cl, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    tot = filled.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    glob = filled.groupBy("bucket").agg(F.sum("c").cast("long").alias("g"))
+    gn = glob.agg(F.sum("g").cast("long").alias("gN"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = (
+        filled.join(F.broadcast(glob), "bucket")
+        .join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(gn))
+        .select(
+            "event_type",
+            "n",
+            (
+                F.sum("c").over(w).cast("double") / F.col("n")
+                - F.sum("g").over(w).cast("double") / F.col("gN")
+            ).alias("cum_diff"),
+        )
+    )
+    emd = F.round(F.sum(F.abs(F.col("cum_diff"))) / (n_buckets - 1), ndigits)
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        emd.alias("emd"),
+        (emd <= t).alias("t_close"),
+    )
+
+
 def l_diversity(docs: DataFrame, l_req: int = 3) -> DataFrame:
     """(source, len_decile, n, l_distinct, top_sensitive, top_n,
     diverse) — l-diversity audit of the quasi-identifier classes the

@@ -599,3 +599,110 @@ def knn_classify(
             "n_votes"
         ),
     )
+
+
+def ndcg_at_k(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    scale: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(query_id, n_rel, dcg, idcg, ndcg) — ranking-quality evaluation
+    (Järvelin & Kekäläinen 2002) of the exact cosine retriever: for each
+    query vector, rank the corpus by inner product on round(x·scale)
+    integer coordinates (the knn_classify quantization — every ranking
+    comparison is exact, ties break on vec_id), mark a candidate
+    relevant when its label matches the query's, and report
+    DCG@k = Σ relᵢ/log₂(i+1) against the ideal DCG of min(n_rel, k)
+    leading ones.  The judge a retrieval stack runs after any index
+    change ([[q_ann_recall]] measures the index, this measures the
+    metric).
+
+    Scale shape: identical to knn_classify — the query set rides the
+    plan as a literal struct array, one map-only explode (zero corpus
+    shuffle), one |Q|-partition top-k window, one tiny aggregate; n_rel
+    is a per-query relevant-count aggregate on the same pair stream.
+    Float parity: ranks and rel flags are exact integers; the log₂
+    terms are position-indexed constants, so both engines sum the same
+    ≤k doubles."""
+    base = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: F.round(x * scale).cast("long")).alias(
+            "q"
+        ),
+    )
+    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                F.lit(int(r["label"])).alias("qlabel"),
+                F.array(*[F.lit(int(v)) for v in r["q"]]).alias("qv"),
+            )
+            for r in sorted(qrows, key=lambda r: r["vec_id"])
+        ]
+    )
+    pairs = (
+        base.select("vec_id", "label", "q", F.explode(qlit).alias("qs"))
+        .filter(F.col("vec_id") != F.col("qs.qid"))
+        .select(
+            F.col("qs.qid").alias("query_id"),
+            (F.col("label") == F.col("qs.qlabel")).cast("long").alias("rel"),
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("qs.qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    n_rel = pairs.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel")
+    )
+    dcg = (
+        ranked.filter(F.col("rn") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("rn") + F.lit(1.0))), ndigits
+            ).alias("dcg")
+        )
+    )
+    # ideal DCG: min(n_rel, k) leading ones — a sequence sum, no data
+    # pass.  n_rel = 0 is guarded explicitly: Spark's sequence(1, 0)
+    # yields a DESCENDING [1, 0], not an empty array.
+    idcg_expr = F.when(
+        F.col("n_rel") > 0,
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k)).cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.lit(1.0) / F.log2(i + F.lit(1.0)),
+            ),
+            ndigits,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_rel.join(dcg, "query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg",
+            idcg_expr.alias("idcg"),
+        )
+        .select(
+            "query_id",
+            "n_rel",
+            "dcg",
+            "idcg",
+            F.when(F.col("idcg") > 0, F.round(F.col("dcg") / F.col("idcg"), ndigits))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

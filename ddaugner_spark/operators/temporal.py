@@ -768,3 +768,63 @@ def seasonal_naive_backtest(
         F.round(F.col("sae_seasonal") / F.col("n_eval"), 6).alias("mae_seasonal"),
         F.round(F.col("sae_naive") / F.col("n_eval"), 6).alias("mae_naive"),
     )
+
+
+def autocorrelation(
+    events: DataFrame,
+    ts: str = "ts",
+    bucket_s: int = 3600,
+    max_lag: int = 6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(lag, n_buckets, r) — sample autocorrelation of the event-count
+    time series at lags 1..``max_lag``: bucket the stream into
+    fixed-width bins, zero-fill the gaps over the [min, max] bucket
+    span, and compute  r_k = Σ (xₜ−x̄)(xₜ₊ₖ−x̄) / Σ (xₜ−x̄)² — the ACF a
+    seasonality detector reads before choosing the [[q_seasonal_naive]]
+    season length (Box & Jenkins; the same series q_interpolate /
+    q_seasonal_naive build).
+
+    Scale shape: ONE corpus shuffle — the bucket-count hash aggregate
+    with map-side combine; everything after runs on the bucket table
+    (span/bucket_s rows): the spine is a sequence explode of the 1-row
+    min/max aggregate, the mean/denominator are 1-row broadcasts, and
+    the lag numerators are |lags| equi-joins of the small deviation
+    table with itself (b₂ = b₁ + k).  Float parity: deviations are
+    identical doubles on both engines (mean = exact-int sum / count);
+    only the final sums reorder, ~1e-15 relative, far under the
+    rounding grain."""
+    us = bucket_s * 1_000_000
+    b = F.floor(F.unix_micros(F.col(ts).cast("timestamp")) / us).cast("long")
+    counts = (
+        events.select(b.alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    rng = counts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("b"))
+    filled = spine.join(counts, "b", "left").select(
+        "b", F.coalesce("x", F.lit(0)).cast("double").alias("x")
+    )
+    m = filled.agg(
+        F.avg("x").alias("m"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dev = filled.crossJoin(F.broadcast(m)).select(
+        "b", (F.col("x") - F.col("m")).alias("d"), "n"
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    lags = dev.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    d2 = dev.select(F.col("b").alias("b2"), F.col("d").alias("d2"))
+    return (
+        lags.crossJoin(dev)
+        .join(d2, F.col("b2") == F.col("b") + F.col("lag"))
+        .crossJoin(F.broadcast(den))
+        .groupBy("lag")
+        .agg(
+            F.max("n").cast("long").alias("n_buckets"),
+            F.round(F.sum(F.col("d") * F.col("d2")) / F.max("den"), ndigits)
+            .alias("r"),
+        )
+    )

@@ -1132,3 +1132,93 @@ def ngram_novelty(docs: DataFrame, k: int = 5) -> DataFrame:
             "novelty", F.round(F.col("n_novel") / F.col("n_ngrams"), 6)
         )
     )
+
+
+def naive_bayes_langid(docs: DataFrame, ndigits: int = 4) -> DataFrame:
+    """(doc_id, true_lang, pred_lang, score) — multinomial naive-Bayes
+    language classification with a corpus-internal train/test split:
+    even doc_ids train per-(lang, token) Laplace-smoothed counts, odd
+    doc_ids are scored with
+    score(d, L) = ln(docs_L/D) + Σ_tok n_tok·ln((c_{tok,L}+1)/(N_L+V))
+    and classified by argmax (rounded score desc, lang asc — rounding
+    BEFORE the argmax so an engine ulp cannot flip the winner; the same
+    self-trained-model contract as [[q_lm_bigram]]).  Test docs with no
+    tokens drop out (no likelihood evidence) on both engines.  On the
+    synthetic corpus text is independent of lang, so this measures the
+    operator, not model accuracy.
+
+    Scale shape: two corpus-token hash aggregates (test doc·token,
+    train lang·token) with map-side combine — exploded rows never
+    shuffle; the 5-way language fan rides a broadcast of the tiny
+    (lang, N, prior) table, and the likelihood join on (lang, token) is
+    a plain shuffled equi-join (vocab×|langs| rows — model-sized, NOT
+    broadcast at crawl scale; AQE may still elect broadcast when
+    small).  Float parity: every ln argument is exact integer
+    arithmetic, per-doc sums reorder at ~1e-13 against a 1e-4 grain."""
+    toks = docs.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.explode(F.split(F.coalesce("text", F.lit("")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    test = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tc = train.groupBy(F.col("lang").alias("p_lang"), "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lt = tc.groupBy("p_lang").agg(F.sum("c").cast("long").alias("ntok"))
+    vocab = tc.select("token").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("V")
+    )
+    prior = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy(F.coalesce("lang", F.lit("")).alias("p_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    )
+    dtot = docs.filter(F.col("doc_id") % 2 == 0).agg(
+        F.count(F.lit(1)).cast("long").alias("D")
+    )
+    langs = lt.crossJoin(F.broadcast(vocab))
+    like = (
+        test.crossJoin(F.broadcast(langs))
+        .join(tc, ["p_lang", "token"], "left")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ntok") + F.col("V"))
+                )
+            ).alias("ll")
+        )
+    )
+    scored = (
+        like.join(F.broadcast(prior), "p_lang")
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "doc_id",
+            "lang",
+            "p_lang",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("D")) + F.col("ll"),
+                ndigits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("p_lang").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.col("p_lang").alias("pred_lang"),
+            "score",
+        )
+    )
