@@ -4492,6 +4492,64 @@ def q_disjunctive_revenue(spark, sf):
     )
 
 
+#: Milli-weight screen lexicon (corpus-native words; integer weights so
+#: the per-doc fold is order-free and engine-exact).
+_LEXICON = {
+    "fast": 1000,
+    "vector": 500,
+    "merge": 250,
+    "slow": -1000,
+    "spill": -500,
+    "skew": -750,
+}
+
+
+def q_fd_profile(spark, sf):
+    """Approximate functional-dependency profile over events: one exact
+    pair (event_id → event_type, the key) and the two approximate
+    orientations of (user_id, event_type) with their g3 kept-fractions
+    — per pair one (det, dep) hash aggregate + det-sized fold
+    (operators/stats.py fd_profile)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.fd_profile(
+        ev,
+        [
+            ("event_id", "event_type"),
+            ("user_id", "event_type"),
+            ("event_type", "user_id"),
+        ],
+    )
+
+
+def q_lexicon_screen(spark, sf):
+    """Weighted-lexicon sentiment/quality screen of every document: the
+    lexicon is a MapType literal probed inside one fold over the token
+    array — map-only, no explode, no join
+    (operators/textstats.py lexicon_screen)."""
+    return textstats.lexicon_screen(_docs(spark, sf), _LEXICON)
+
+
+def q_bootstrap_ci(spark, sf):
+    """Deterministic Poisson-bootstrap 90% CI for the mean event value:
+    64 replicates, weights from the md5(id|b) uniform through the
+    Poisson(1) inverse CDF, integer-cents partial sums — rows×64
+    map-side explode into one 64-way aggregate
+    (operators/stats.py bootstrap_mean_ci)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.bootstrap_mean_ci(
+        ev, "event_id", "value", n_boot=64, alpha_pm=100
+    )
+
+
+def q_winsorize(spark, sf):
+    """Per-event-type winsorized mean at the exact p05/p95 order
+    statistics — frequency-table cumulative device for the bounds,
+    broadcast back, integer cents throughout
+    (operators/stats.py winsorize)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.winsorize(ev, "event_type", "value", lo_pm=50, hi_pm=950)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4788,6 +4846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ndcg": q_ndcg,
         "q_product_profit": q_product_profit,
         "q_disjunctive_revenue": q_disjunctive_revenue,
+        # --- NEW round-5 session 10: FD discovery, lexicon screen,
+        # bootstrap CI, winsorization ---
+        "q_fd_profile": q_fd_profile,
+        "q_lexicon_screen": q_lexicon_screen,
+        "q_bootstrap_ci": q_bootstrap_ci,
+        "q_winsorize": q_winsorize,
     }
 
 
@@ -11459,6 +11523,131 @@ sents AS (
            AND l_quantity BETWEEN 10 AND 20)
        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 20 AND 30))
+    """
+
+    # FD profile replay: one (det, dep) count block per candidate pair,
+    # ndv-equality exactness + the g3 kept-fraction, UNION ALL'd
+    _fd_pairs = [
+        ("event_id", "event_type"),
+        ("user_id", "event_type"),
+        ("event_type", "user_id"),
+    ]
+    o["q_fd_profile"] = "\nUNION ALL\n".join(
+        f"""
+      SELECT '{det}' AS determinant, '{dep}' AS dependent,
+             sum(n_det)::BIGINT AS n_rows, count(*)::BIGINT AS ndv_det,
+             sum(ndv_dep)::BIGINT AS ndv_pair,
+             (sum(ndv_dep) = count(*)) AS exact_fd,
+             round(sum(maxc) / sum(n_det), 6) AS g3_conf
+      FROM (
+        SELECT det_v, sum(c)::BIGINT AS n_det, max(c)::BIGINT AS maxc,
+               count(*)::BIGINT AS ndv_dep
+        FROM (SELECT {det}::VARCHAR AS det_v, {dep}::VARCHAR AS dep_v,
+                     count(*)::BIGINT AS c
+              FROM events GROUP BY 1, 2)
+        GROUP BY det_v)
+    """
+        for det, dep in _fd_pairs
+    )
+
+    # lexicon-screen replay: the map-literal fold becomes explode +
+    # LEFT JOIN + group; integer milli-weights make the sums order-free
+    _lex_vals = ", ".join(f"('{w}', {m})" for w, m in _LEXICON.items())
+    o["q_lexicon_screen"] = f"""
+      WITH lex AS (SELECT * FROM (VALUES {_lex_vals}) l(word, wmil)),
+      toks AS (
+        SELECT doc_id, lower(t) AS w
+        FROM (SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS t
+              FROM documents)
+        WHERE t != ''
+      ),
+      per AS (
+        SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+               count(l.word)::BIGINT AS n_hits,
+               coalesce(sum(l.wmil), 0)::BIGINT AS smil
+        FROM toks t LEFT JOIN lex l ON l.word = t.w
+        GROUP BY 1
+      )
+      SELECT doc_id, n_tokens, n_hits, score,
+             CASE WHEN score > 0 THEN 'pos'
+                  WHEN score < 0 THEN 'neg'
+                  ELSE 'neutral' END AS label
+      FROM (
+        SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+               round(coalesce(p.smil, 0) / 1000.0, 3) AS score
+        FROM documents d LEFT JOIN per p USING (doc_id))
+    """
+
+    # bootstrap replay: identical md5(id|b) uniform, identical
+    # Poisson(1) inverse-CDF literals, identical division order
+    _pc = "\n".join(
+        f"         WHEN u < {t!r} THEN {k}"
+        for k, t in enumerate(stats._POIS1_CDF)
+    )
+    o["q_bootstrap_ci"] = f"""
+      WITH rows0 AS (SELECT event_id::VARCHAR AS id,
+                            round(value * 100)::BIGINT AS c FROM events),
+      reps AS (SELECT id, c, unnest(range(0, 64))::BIGINT AS b FROM rows0),
+      uw AS (
+        SELECT b, c,
+               ('0x' || substr(md5(id || '|' || b::VARCHAR), 1, 12))
+                 ::UBIGINT::DOUBLE / 281474976710656.0 AS u
+        FROM reps
+      ),
+      ww AS (
+        SELECT b, c,
+               (CASE
+{_pc}
+                ELSE 6 END)::BIGINT AS w
+        FROM uw
+      ),
+      bm AS (
+        SELECT b,
+               coalesce(round(sum(w * c)::DOUBLE / sum(w) / 100.0, 6), 0.0)
+                 AS mean_b
+        FROM ww GROUP BY b
+      ),
+      ranked AS (SELECT mean_b,
+                        row_number() OVER (ORDER BY mean_b, b) AS rn
+                 FROM bm),
+      ci AS (SELECT min(CASE WHEN rn = 4 THEN mean_b END) AS ci_lo,
+                    min(CASE WHEN rn = 61 THEN mean_b END) AS ci_hi
+             FROM ranked),
+      fullt AS (SELECT count(*)::BIGINT AS n_rows,
+                       round(sum(c)::DOUBLE / count(*) / 100.0, 6) AS mean
+                FROM rows0)
+      SELECT n_rows, 64::BIGINT AS n_boot, mean, ci_lo, ci_hi
+      FROM fullt, ci
+    """
+
+    # winsorize replay: same freq-table cumulative bounds (ceil via
+    # integer DIV), same greatest/least clamp, same integer cents
+    o["q_winsorize"] = """
+      WITH base AS (SELECT event_type AS series,
+                           round(value * 100)::BIGINT AS c FROM events),
+      freq AS (SELECT series, c, count(*)::BIGINT AS f
+               FROM base GROUP BY 1, 2),
+      cum AS (SELECT series, c,
+                     sum(f) OVER (PARTITION BY series ORDER BY c) AS cum
+              FROM freq),
+      nt AS (SELECT series, count(*)::BIGINT AS n FROM base GROUP BY 1),
+      b AS (
+        SELECT series, n,
+               min(CASE WHEN cum >= (50 * n + 999) // 1000 THEN c END)
+                 AS lo_c,
+               min(CASE WHEN cum >= (950 * n + 999) // 1000 THEN c END)
+                 AS hi_c
+        FROM cum JOIN nt USING (series) GROUP BY 1, 2
+      )
+      SELECT b.series, b.n, b.lo_c, b.hi_c,
+             round(sum(c)::DOUBLE / b.n / 100.0, 6) AS mean_raw,
+             round(sum(greatest(lo_c, least(hi_c, c)))::DOUBLE
+                   / b.n / 100.0, 6) AS mean_winsor,
+             sum((c < lo_c OR c > hi_c)::BIGINT)::BIGINT AS n_clipped
+      FROM base JOIN b USING (series)
+      GROUP BY 1, 2, 3, 4
     """
 
     return o

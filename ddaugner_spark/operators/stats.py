@@ -272,3 +272,232 @@ def group_order_stats(
         F.round(F.col("median2_c") / 200.0, 6).alias("median"),
         "p90_c",
     )
+
+
+def fd_profile(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Approximate functional-dependency discovery (TANE/g3 style): one
+    row per candidate ``determinant → dependent`` pair with
+    ``(n_rows, ndv_det, ndv_pair, exact_fd, g3_conf)``.
+
+    ``exact_fd`` is the classic count-distinct criterion
+    (ndv(det) == ndv(det, dep)); ``g3_conf`` is the kept fraction under
+    the minimal g3 repair — Σ_groups max-per-dependent-count / n — i.e.
+    how close the pair is to a real FD when it isn't exact.  The
+    profile a catalog runs before declaring constraints / choosing
+    clustering keys on a 100 TB table.
+
+    Scale shape per pair: one (det, dep) hash aggregate (map-side
+    combined), one det-sized re-aggregate, one 1-row fold — never a
+    row-sized sort or join.  Pairs are independent branches of one
+    union; Catalyst schedules the shared scan per branch (at production
+    scale, persist the projected columns once).  NULL is a value (its
+    own group) on both engines.  Columns are compared as strings so
+    heterogeneous pairs union into one report.
+    """
+    from functools import reduce
+
+    outs = []
+    for det, dep in pairs:
+        pairct = df.groupBy(
+            F.col(det).cast("string").alias("det_v"),
+            F.col(dep).cast("string").alias("dep_v"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        per_det = pairct.groupBy("det_v").agg(
+            F.sum("c").cast("long").alias("n_det"),
+            F.max("c").cast("long").alias("maxc"),
+            F.count(F.lit(1)).cast("long").alias("ndv_dep"),
+        )
+        outs.append(
+            per_det.agg(
+                F.sum("n_det").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("ndv_det"),
+                F.sum("ndv_dep").cast("long").alias("ndv_pair"),
+                F.sum("maxc").cast("long").alias("kept"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_rows",
+                "ndv_det",
+                "ndv_pair",
+                (F.col("ndv_pair") == F.col("ndv_det")).alias("exact_fd"),
+                F.round(F.col("kept") / F.col("n_rows"), 6).alias("g3_conf"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+#: Poisson(1) inverse-CDF thresholds P(X <= k), k = 0..5 (tail -> 6).
+#: Written as full-precision literals so Spark (Java) and DuckDB (C++)
+#: parse the identical nearest double and the u-comparisons agree.
+_POIS1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    n_boot: int = 64,
+    alpha_pm: int = 100,
+) -> DataFrame:
+    """One-row deterministic Poisson-bootstrap CI for the mean:
+    ``(n_rows, n_boot, mean, ci_lo, ci_hi)`` at coverage
+    ``1 − alpha_pm/1000``.
+
+    The resample is the streaming-friendly Poisson bootstrap (each row
+    enters replicate b with weight ~ Poisson(1)) — no global resample
+    shuffle, no need to know n up front.  Determinism contract: the
+    weight is a pure function of row identity — u = 12-hex md5 prefix
+    of ``id|b`` scaled to (0,1], folded through the Poisson(1) inverse
+    CDF — so the CI survives repartition/resume and replays exactly in
+    SQL.  Exactness: per-replicate sums accumulate integer cents in
+    decimal(38,0); the only floats are one division per replicate mean
+    and the md5-uniform draw, both order-free.
+
+    Scale shape: rows × n_boot map-side explode feeding ONE n_boot-way
+    hash aggregate (map-side combined — the shuffle carries n_boot
+    partial rows per task, not rows × n_boot); the order-statistic
+    pick for the CI runs on the n_boot-row replicate table.  n_boot is
+    a constant, so the plan is constant-size in the corpus.
+    """
+    idc = F.col(id_col).cast("string")
+    cents = F.round(F.col(value) * 100).cast("long")
+    reps = df.select(
+        idc.alias("_id"), cents.alias("c")
+    ).withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.col("_id"), F.col("b").cast("string"))
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    w = F.when(u < _POIS1_CDF[0], F.lit(0))
+    for k in range(1, 6):
+        w = w.when(u < _POIS1_CDF[k], F.lit(k))
+    w = w.otherwise(F.lit(6)).cast("long")
+    bm = (
+        reps.select("b", w.alias("w"), F.col("c"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c"))
+            .cast("decimal(38,0)")
+            .alias("swc"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .select(
+            "b",
+            F.coalesce(
+                F.round(F.col("swc").cast("double") / F.col("sw") / 100.0, 6),
+                F.lit(0.0),
+            ).alias("mean_b"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy("mean_b", "b"))
+    k_lo = (n_boot * alpha_pm // 2 + 999) // 1000
+    k_hi = (n_boot * (1000 - alpha_pm // 2) + 999) // 1000
+    ci = bm.withColumn("rn", rn).agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("mean_b"))).alias("ci_hi"),
+    )
+    full = df.select(cents.alias("c")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum("c").cast("decimal(38,0)").cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            6,
+        ).alias("mean"),
+    )
+    return full.crossJoin(ci).select(
+        "n_rows", F.lit(n_boot).cast("long").alias("n_boot"),
+        "mean", "ci_lo", "ci_hi",
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lo_pm: int = 50,
+    hi_pm: int = 950,
+) -> DataFrame:
+    """Per-group winsorized mean at exact per-mille order statistics:
+    ``(series, n, lo_c, hi_c, mean_raw, mean_winsor, n_clipped)`` —
+    values clamped to [os(⌈lo_pm·n/1000⌉), os(⌈hi_pm·n/1000⌉)] in
+    integer cents before the mean.  The tail-robust readout for
+    heavy-tailed value columns where trimming discards data a mean
+    should still count.
+
+    Scale shape: the row-sized work is one (group, cents) frequency
+    aggregate; the cumulative window and the order-statistic pick run
+    on the VALUE-FREQUENCY table (distinct-value-sized — the
+    group_order_stats device); the group-sized bound table broadcasts
+    back and the final pass is one more map-side-combined aggregate.
+    All arithmetic is integer until the two rendering divisions.
+    """
+    base = df.select(
+        F.col(group).alias("series"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    freq = base.groupBy("series", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    w = Window.partitionBy("series").orderBy("c")
+    cum = freq.select("series", "c", "f", F.sum("f").over(w).alias("cum"))
+    n = base.groupBy("series").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = cum.join(F.broadcast(n), "series")
+    bounds = j.groupBy("series", "n").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({lo_pm} * n + 999) DIV 1000"),
+                F.col("c"),
+            )
+        ).alias("lo_c"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({hi_pm} * n + 999) DIV 1000"),
+                F.col("c"),
+            )
+        ).alias("hi_c"),
+    )
+    wc = F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), F.col("c")))
+    return (
+        base.join(F.broadcast(bounds), "series")
+        .groupBy("series", "n", "lo_c", "hi_c")
+        .agg(
+            F.round(
+                F.sum("c").cast("decimal(38,0)").cast("double")
+                / F.col("n")
+                / 100.0,
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(wc).cast("decimal(38,0)").cast("double")
+                / F.col("n")
+                / 100.0,
+                6,
+            ).alias("mean_winsor"),
+            F.sum(
+                ((F.col("c") < F.col("lo_c")) | (F.col("c") > F.col("hi_c")))
+                .cast("long")
+            ).alias("n_clipped"),
+        )
+        .select(
+            "series", "n", "lo_c", "hi_c",
+            "mean_raw", "mean_winsor", "n_clipped",
+        )
+    )

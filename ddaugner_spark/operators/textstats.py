@@ -1222,3 +1222,59 @@ def naive_bayes_langid(docs: DataFrame, ndigits: int = 4) -> DataFrame:
             "score",
         )
     )
+
+
+def lexicon_screen(
+    docs: DataFrame, lexicon: dict[str, int], ndigits: int = 3
+) -> DataFrame:
+    """Weighted-lexicon document screen: ``(doc_id, n_tokens, n_hits,
+    score, label)`` — per-doc sum of integer MILLI-weights for tokens
+    (lowercased) found in a small fixed lexicon, rendered to a float
+    score by ONE division, labelled pos/neg/neutral by its sign.  The
+    dictionary-scoring half of a VADER/AFINN-style sentiment or
+    domain-quality screen (toxicity lists, boilerplate markers) a
+    filtering run applies to every crawled page.
+
+    Spark-first: the lexicon compiles to a MapType LITERAL probed
+    per-token inside one fold over the token array — map-only,
+    whole-stage codegen, no explode, no join, nothing shuffled.  The
+    lambdas touch only their own element plus the literal map (the
+    no-computed-array-in-lambda rule).  Integer milli-weights keep the
+    sum order-free, so the SQL twin (explode + LEFT JOIN + group) lands
+    on identical values.  At 100 TB this is the cheapest possible
+    shape: a single scan-local pass; for a 10^6-entry lexicon swap the
+    literal for a broadcast map-side join on exploded tokens.
+    """
+    m = F.create_map(
+        *[
+            x
+            for word, wmil in lexicon.items()
+            for x in (F.lit(word), F.lit(int(wmil)))
+        ]
+    )
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+        lambda t: t != "",
+    )
+    smil = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.coalesce(
+            F.element_at(m, F.lower(t)).cast("long"), F.lit(0).cast("long")
+        ),
+    )
+    n_hits = F.size(
+        F.filter(toks, lambda t: F.element_at(m, F.lower(t)).isNotNull())
+    )
+    score = F.round(smil / 1000.0, ndigits)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_hits.cast("long").alias("n_hits"),
+        score.alias("score"),
+        F.when(score > 0, F.lit("pos"))
+        .when(score < 0, F.lit("neg"))
+        .otherwise(F.lit("neutral"))
+        .alias("label"),
+    )
