@@ -210,3 +210,60 @@ def l_diversity(docs: DataFrame, l_req: int = 3) -> DataFrame:
         .alias("top_n"),
         (F.count(F.lit(1)) >= l_req).alias("diverse"),
     )
+
+
+def dp_histogram(
+    df: DataFrame,
+    group: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+) -> DataFrame:
+    """ε-DP histogram release with DETERMINISTIC pseudo-noise:
+    ``(group, n, noise, released)`` — per-group counts plus
+    Laplace(1/ε) noise drawn by inverse CDF from the md5(salt|group)
+    uniform, released as ``max(0, n + round(noise))``.  The Laplace
+    mechanism's arithmetic and post-processing exactly as a DP release
+    pipeline runs it; the DRAW is a pure function of the group key (the
+    house determinism contract — results survive repartition/resume and
+    replay in SQL).  A production release swaps the md5 uniform for a
+    calibrated RNG; everything else is unchanged.
+
+    Count sensitivity is 1, so scale b = 1/ε.  noise =
+    −b·sign(u−½)·ln(1−2|u−½|), rounded to 6 before the integer
+    post-processing so both engines release the identical integer
+    (ln is the one libm call — the naive_bayes round-before-compare
+    idiom).  One group-sized aggregate; the noise is map-only on the
+    group-count table.
+    """
+    counts = df.groupBy(F.col(group).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(salt), F.col("grp"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    b = 1.0 / float(epsilon)
+    # clamp u away from exact 0 (an all-zero md5 prefix would put
+    # 1-2|u-1/2| at 0 and the ln at -inf); same clamp in the SQL twin
+    u = F.greatest(u, F.lit(2.0**-48))
+    half = u - F.lit(0.5)
+    noise = F.round(
+        -F.lit(b)
+        * F.signum(half)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(half)),
+        6,
+    )
+    return counts.select(
+        F.col("grp").alias(group),
+        "n",
+        noise.alias("noise"),
+        F.greatest(F.lit(0), F.col("n") + F.round(noise).cast("long"))
+        .cast("long")
+        .alias("released"),
+    )

@@ -501,3 +501,102 @@ def winsorize(
             "mean_raw", "mean_winsor", "n_clipped",
         )
     )
+
+
+def ind_profile(
+    pairs: list[tuple[DataFrame, str, str, DataFrame, str, str]],
+) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) discovery: one row
+    per candidate ``from ⊆ to`` pair with ``(from_col, to_col,
+    ndv_from, n_covered, coverage, is_ind)`` — the fraction of the
+    from-side's distinct non-NULL values present in the to-side.  The
+    catalog pass that proposes join keys / FK constraints before anyone
+    declares them; the complement of fd_profile (FDs within a table,
+    INDs across tables).
+
+    Each pair element is ``(from_df, from_col, from_label, to_df,
+    to_col, to_label)``.  NULLs are excluded on both sides (standard
+    IND semantics).  Scale shape per pair: two distinct-value
+    aggregates (map-side combined) and ONE distinct-sized hash join —
+    never row-sized; at production scale the to-side dimension
+    broadcasts or becomes a bloom pre-filter.  Values compare as
+    strings so heterogeneous pairs union into one report.
+    """
+    from functools import reduce
+
+    outs = []
+    for fdf, fcol, flabel, tdf, tcol, tlabel in pairs:
+        f = (
+            fdf.select(F.col(fcol).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        t = (
+            tdf.select(F.col(tcol).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        outs.append(
+            f.join(t, "v", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("ndv_from"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_covered"),
+            )
+            .select(
+                F.lit(flabel).alias("from_col"),
+                F.lit(tlabel).alias("to_col"),
+                "ndv_from",
+                "n_covered",
+                F.round(F.col("n_covered") / F.col("ndv_from"), 6).alias(
+                    "coverage"
+                ),
+                (F.col("n_covered") == F.col("ndv_from")).alias("is_ind"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), computed ONCE in
+#: Python and injected as literals into BOTH engines — no libm log10
+#: call at query time, so no cross-engine ulp divergence.
+BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digits(df: DataFrame, value: str) -> DataFrame:
+    """Benford's-law first-digit audit: ``(digit, n, obs_p, exp_p,
+    chi_term)`` for digits 1-9 over the positive values of ``value`` —
+    the classic fabricated-data / extraction-bug screen (a scraped
+    price or count column that fails Benford hard is usually synthetic
+    or truncated).  chi_term is the per-digit χ² contribution
+    ``(n − N·e)² / (N·e)``; Σ chi_term vs χ²₈ is the test.
+
+    The first digit is read off the INTEGER-cents string (substring,
+    not log10), so digit extraction is exact and engine-identical; the
+    expected probabilities are Python-computed literals.  One 9-group
+    hash aggregate + a broadcast 1-row total — nothing else.
+    """
+    c = F.round(F.col(value) * 100).cast("long")
+    base = df.select(c.alias("c")).where(F.col("c") > 0)
+    d1 = F.substring(F.col("c").cast("string"), 1, 1).cast("long")
+    counts = base.select(d1.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("ntot"))
+    exp_p = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        exp_p = F.when(F.col("digit") == d, F.lit(BENFORD_P[d])).otherwise(
+            exp_p
+        )
+    ne = F.col("ntot") * exp_p
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("ntot"), 6).alias("obs_p"),
+        F.round(exp_p, 6).alias("exp_p"),
+        F.round((F.col("n") - ne) * (F.col("n") - ne) / ne, 6).alias(
+            "chi_term"
+        ),
+    )
