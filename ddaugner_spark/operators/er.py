@@ -291,3 +291,61 @@ def blocking_quality(
             ).otherwise(F.lit(-1.0)).alias("rr"),
         )
     )
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    label: str,
+    features: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter match/non-match weight estimation from a labeled
+    candidate-pair table: one row per comparison feature with
+    ``(feature, n_match, n_nonmatch, agree_match, agree_nonmatch, m, u,
+    w_agree, w_disagree)`` — m = P(agree|match), u = P(agree|non-match)
+    (Laplace +1/+2 smoothed), and the log₂ agreement/disagreement
+    weights a probabilistic record-linkage scorer sums per pair.  The
+    supervised half of classic ER: blocking proposes pairs
+    (er_candidate_pairs), a labeled sample estimates the weights, the
+    weights score the rest of the corpus.
+
+    ``label`` and every ``features`` entry are boolean columns of
+    ``pairs``.  ONE aggregate pass over the pair table (2 + 2·|features|
+    conditional sums, map-side combined) exploded to per-feature rows —
+    the pair table is touched once regardless of feature count.  The
+    log₂ is the single libm call, rounded (the naive_bayes idiom).
+    """
+    aggs = [
+        F.sum(F.col(label).cast("long")).cast("long").alias("_nm"),
+        F.sum((~F.col(label)).cast("long")).cast("long").alias("_nu"),
+    ]
+    for f in features:
+        aggs += [
+            F.sum((F.col(label) & F.col(f)).cast("long"))
+            .cast("long")
+            .alias(f"_am_{f}"),
+            F.sum(((~F.col(label)) & F.col(f)).cast("long"))
+            .cast("long")
+            .alias(f"_au_{f}"),
+        ]
+    row = pairs.agg(*aggs)
+    structs = []
+    for f in features:
+        m = (F.col(f"_am_{f}") + 1) / (F.col("_nm") + 2)
+        u = (F.col(f"_au_{f}") + 1) / (F.col("_nu") + 2)
+        structs.append(
+            F.struct(
+                F.lit(f).alias("feature"),
+                F.col("_nm").alias("n_match"),
+                F.col("_nu").alias("n_nonmatch"),
+                F.col(f"_am_{f}").alias("agree_match"),
+                F.col(f"_au_{f}").alias("agree_nonmatch"),
+                F.round(m, ndigits).alias("m"),
+                F.round(u, ndigits).alias("u"),
+                F.round(F.log2(m / u), ndigits).alias("w_agree"),
+                F.round(
+                    F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), ndigits
+                ).alias("w_disagree"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

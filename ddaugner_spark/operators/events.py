@@ -360,3 +360,75 @@ def frequent_triples(baskets: DataFrame, min_support: int = 2) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    death_type: str = "purchase",
+    min_value: float = 400.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival curve with right-censoring over user
+    time-to-event: ``(t_h, n_risk, d, c, survival)`` — the duration is
+    whole hours from a user's FIRST event to their first "death" event
+    (``event_type == death_type AND value >= min_value``); users who
+    never hit one are CENSORED at their last observed event.  The
+    product-limit estimator S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with the
+    standard convention that same-time censorings stay at risk for the
+    deaths at that time.  The time-to-conversion / churn readout that a
+    plain conversion rate gets wrong whenever observation windows
+    differ per user.
+
+    Durations are exact integer hours (``unix_micros`` arithmetic, no
+    float time); the survival product is the only float — a windowed
+    ``product`` over the duration-sized KM table, same frame order on
+    both engines, rounded to ``ndigits``.
+
+    Scale shape: one user-keyed aggregate (3 timestamp min/max), then
+    everything — the (t, d, c) table, the at-risk window, the product
+    — runs on the DISTINCT-DURATION table.  N broadcasts back as a
+    1-row literal.
+    """
+    cond = (F.col("event_type") == death_type) & (
+        F.col("value") >= min_value
+    )
+    per = events.groupBy("user_id").agg(
+        F.min("ts").alias("fst"),
+        F.max("ts").alias("lst"),
+        F.min(F.when(cond, F.col("ts"))).alias("dth"),
+    )
+    per2 = per.select(
+        # cast: parquet timestamps arrive as TIMESTAMP_NTZ, which
+        # unix_micros rejects; the difference is timezone-invariant
+        F.expr(
+            "(unix_micros(cast(coalesce(dth, lst) as timestamp))"
+            " - unix_micros(cast(fst as timestamp))) DIV 3600000000"
+        ).alias("t_h"),
+        F.col("dth").isNotNull().alias("obs"),
+    )
+    tbl = per2.groupBy("t_h").agg(
+        F.sum(F.col("obs").cast("long")).cast("long").alias("d"),
+        F.sum((~F.col("obs")).cast("long")).cast("long").alias("c"),
+    )
+    n = per2.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w = Window.orderBy("t_h")
+    prior = F.coalesce(
+        F.sum(F.col("d") + F.col("c")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    j = tbl.crossJoin(F.broadcast(n)).withColumn(
+        "n_risk", (F.col("n_users") - prior).cast("long")
+    )
+    factor = F.lit(1.0) - F.col("d") / F.col("n_risk")
+    surv = F.product(factor).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "t_h",
+        "n_risk",
+        "d",
+        "c",
+        F.round(surv, ndigits).alias("survival"),
+    )

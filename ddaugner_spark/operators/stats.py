@@ -600,3 +600,116 @@ def benford_digits(df: DataFrame, value: str) -> DataFrame:
             "chi_term"
         ),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group: str,
+    value: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-row Mann-Whitney rank-sum test between two groups' value
+    distributions: ``(n_a, n_b, u_a, u_b, z)`` — the U statistics with
+    tie-averaged ranks and the tie-corrected normal-approximation z.
+    The nonparametric two-sample screen (quality score of source A vs
+    source B, latency of variant A vs B) where the t-test's normality
+    assumption is indefensible.
+
+    Exactness: the spearman_corr doubled-rank device — 2·avgrank is an
+    integer off the combined VALUE-FREQUENCY table, so 2·U₁ =
+    Σ_a 2r − n₁(n₁+1) is computed entirely in integers (decimal(38,0)
+    partials); ties feed Σ(t³−t) from the same frequency table.  The
+    only floats are the variance/z rendering chain, written in one
+    fixed order on both engines.  Degenerate (zero variance) ⇒ the
+    -9.9 NULL sentinel.
+
+    Scale shape: one row-sized (value-cents) frequency aggregate; the
+    cumulative rank window runs on the distinct-value table; one final
+    fold.  No row-sized sort or join anywhere.
+    """
+    is_a = F.col(group) == group_a
+    base = df.where(F.col(group).isin([group_a, group_b])).select(
+        is_a.alias("is_a"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    freq = base.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("is_a").cast("long")).cast("long").alias("cnt_a"),
+    )
+    w = Window.orderBy("c")
+    r2 = (
+        2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1
+    ).cast("long")
+    g = freq.select(
+        "cnt",
+        "cnt_a",
+        (F.col("cnt_a").cast("decimal(38,0)") * r2).alias("ra2"),
+        (
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    ).agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("long").alias("n_b"),
+        F.sum("ra2").cast("decimal(38,0)").alias("ra2"),
+        F.sum("tie").cast("decimal(38,0)").alias("tsum"),
+    )
+    n1 = F.col("n_a").cast("double")
+    n2 = F.col("n_b").cast("double")
+    nd = n1 + n2
+    # 2·U1, exact in decimal; U2 from U1+U2 = n1·n2
+    u1_2 = F.col("ra2").cast("double") - n1 * (n1 + 1.0)
+    var = (n1 * n2 / 12.0) * (
+        (nd + 1.0) - F.col("tsum").cast("double") / (nd * (nd - 1.0))
+    )
+    z = F.when(var > 0, (u1_2 - n1 * n2) / (2.0 * F.sqrt(var)))
+    return g.select(
+        "n_a",
+        "n_b",
+        (u1_2 / 2.0).alias("u_a"),
+        ((n1 * n2) - u1_2 / 2.0).alias("u_b"),
+        F.coalesce(F.round(z, ndigits), F.lit(-9.9)).alias("z"),
+    )
+
+
+def skew_report(
+    df: DataFrame, key: str, n_buckets: int = 32
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/agg key: hash the
+    key into ``n_buckets`` virtual reducers (the md5 device — a pure
+    function of the key, so the report is the same on any physical
+    partitioning) and report ``(bucket, n_rows, n_keys, share,
+    imbalance)`` where ``imbalance = max_bucket / mean_bucket``.  This
+    is the pre-flight check that decides whether a 100 TB join needs
+    salting BEFORE it runs — imbalance ≈ 1 is uniform; a hub key shows
+    up as one bucket holding a large multiple of the mean.
+
+    One key-hashed aggregate (map-side combined) + a broadcast 1-row
+    total; the countDistinct runs per bucket on the same shuffle.
+    """
+    b = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+    counts = df.select(b.alias("bucket"), F.col(key).alias("k")).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("k").cast("long").alias("n_keys"),
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.max("n_rows").cast("long").alias("mx"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        "n_keys",
+        F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("mx") * F.lit(n_buckets) / F.col("total"), 6
+        ).alias("imbalance"),
+    )
