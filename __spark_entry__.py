@@ -4657,6 +4657,36 @@ def q_fs_weights(spark, sf):
     )
 
 
+def q_kleene_path(spark, sf):
+    """Bounded SPARQL property path ?a filter/group*/order ?b over the
+    constructed KG (star ≤ 3): unrolled frontier extensions with a
+    DISTINCT per hop, min star depth per pair; recursive-CTE twin
+    (operators/kgquery.py kleene_path)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.kleene_path(
+        triples.triples_df(_docs(spark, sf)), "filter", "group", "order"
+    )
+
+
+def q_link_audit(spark, sf):
+    """Crawl link-integrity audit over the synthetic link crawl:
+    resolved / host-mismatch / dangling links plus orphan pages — one
+    pass over the link table, distinct-sized dimension joins
+    (operators/crawl.py link_audit)."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    return crawl.link_audit(pages, crawl.extract_links(pages))
+
+
+def q_attribution(spark, sf):
+    """U-shaped multi-touch attribution of purchase value to preceding
+    click/view touches within 72 h (40/20/40 position credit, integer
+    micro-shares × integer cents so channel sums are exact)
+    (operators/events.py multi_touch_attribution)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.multi_touch_attribution(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -4967,6 +4997,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kaplan_meier": q_kaplan_meier,
         "q_skew_report": q_skew_report,
         "q_fs_weights": q_fs_weights,
+        "q_kleene_path": q_kleene_path,
+        "q_link_audit": q_link_audit,
+        "q_attribution": q_attribution,
     }
 
 
@@ -12080,6 +12113,101 @@ sents AS (
         FROM lab
       )
 {_fs_rows}
+    """
+
+    # Kleene-path replay: recursive star frontier with SET semantics
+    # (UNION) == the engine's per-level DISTINCT, min depth per pair
+    o["q_kleene_path"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks
+                WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      t AS (SELECT DISTINCT subj, pred, obj FROM tri),
+      e1 AS (SELECT subj AS a, obj AS x FROM t WHERE pred = 'filter'),
+      es AS (SELECT subj, obj FROM t WHERE pred = 'group'),
+      e3 AS (SELECT subj AS y, obj AS b FROM t WHERE pred = 'order'),
+      r AS (
+        SELECT a, x, 0 AS d FROM e1
+        UNION
+        SELECT r.a, es.obj AS x, r.d + 1 AS d
+        FROM r JOIN es ON es.subj = r.x WHERE r.d < 3
+      )
+      SELECT r.a AS subj, e3.b AS obj, min(r.d)::BIGINT AS star_depth
+      FROM r JOIN e3 ON e3.y = r.x
+      GROUP BY 1, 2
+    """
+
+    # link-audit replay: same href extraction, same url/doc-id
+    # dimension joins, same NOT EXISTS orphan test
+    o["q_link_audit"] = f"""
+      WITH {_link_pages_sql(_SRC_TAG_SQL)},
+      links AS (
+        SELECT unnest(regexp_extract_all(h, 'href="([^"]*)"', 1))
+                 AS target_url
+        FROM html2
+      ),
+      pk AS (SELECT 'https://' || source || '.example.com/doc/'
+                      || doc_id::VARCHAR AS url,
+                    doc_id AS pid
+             FROM documents),
+      tgt AS (SELECT target_url AS turl,
+                     nullif(regexp_extract(target_url,
+                                           '/doc/([0-9]+)$', 1), '')
+                       ::BIGINT AS tid
+              FROM links),
+      lk AS (
+        SELECT CASE WHEN u.url IS NOT NULL THEN 'resolved_link'
+                    WHEN i.pid IS NOT NULL THEN 'host_mismatch_link'
+                    ELSE 'dangling_link' END AS kind
+        FROM tgt LEFT JOIN pk u ON u.url = tgt.turl
+                 LEFT JOIN (SELECT DISTINCT pid FROM pk) i
+                   ON i.pid = tgt.tid
+      )
+      SELECT kind, count(*)::BIGINT AS n FROM lk GROUP BY 1
+      UNION ALL
+      SELECT 'orphan_page' AS kind, count(*)::BIGINT AS n FROM pk p
+      WHERE NOT EXISTS (SELECT 1 FROM tgt WHERE tgt.tid = p.pid)
+    """
+
+    # attribution replay: same window join, same position credits in
+    # integer micro-shares, same exact channel sums
+    o["q_attribution"] = """
+      WITH conv AS (
+        SELECT user_id AS cu, event_id AS cid, ts AS cts,
+               round(value * 100)::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase'
+      ),
+      touch AS (
+        SELECT user_id AS tu, event_id AS tid, ts AS tts,
+               event_type AS channel
+        FROM events WHERE event_type IN ('click', 'view')
+      ),
+      j AS (
+        SELECT c.cid, c.cents, t.tid, t.tts, t.channel
+        FROM conv c LEFT JOIN touch t
+          ON t.tu = c.cu AND t.tts < c.cts
+         AND epoch_us(t.tts) >= epoch_us(c.cts) - 259200000000
+      ),
+      pos AS (
+        SELECT *, count(tid) OVER (PARTITION BY cid) AS k,
+               row_number() OVER (PARTITION BY cid ORDER BY tts, tid)
+                 AS rn
+        FROM j
+      ),
+      cr AS (
+        SELECT coalesce(channel, 'direct') AS channel,
+               (tid IS NOT NULL)::BIGINT AS is_touch,
+               (CASE WHEN tid IS NULL THEN 1000000
+                     WHEN k = 1 THEN 1000000
+                     WHEN k = 2 THEN 500000
+                     WHEN rn = 1 OR rn = k THEN 400000
+                     ELSE round(200000 / (k - 2))::BIGINT END)::HUGEINT
+                 * cents AS cv
+        FROM pos
+      )
+      SELECT channel, sum(is_touch)::BIGINT AS n_touchpoints,
+             round(sum(cv)::DOUBLE / 1000000.0 / 100.0, 4) AS credited
+      FROM cr GROUP BY 1
     """
 
     return o

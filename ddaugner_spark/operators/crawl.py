@@ -655,3 +655,59 @@ def robots_eval(urls: DataFrame, rules: DataFrame) -> DataFrame:
         F.coalesce(F.col("b.allow"), F.lit(True)).alias("allowed"),
         F.col("b.prefix").alias("matched_rule"),
     )
+
+
+def link_audit(pages: DataFrame, links: DataFrame) -> DataFrame:
+    """Crawl link-integrity audit: ``(kind, n)`` — every extracted link
+    classified as ``resolved_link`` (target url IS a corpus page),
+    ``host_mismatch_link`` (the target PATH's doc exists but under a
+    different host — the alias/soft-redirect signal), or
+    ``dangling_link`` (no such doc anywhere), plus ``orphan_page``
+    (corpus pages no link's path references at all).  The integrity
+    dashboard a crawl operator reads before trusting the web graph:
+    dangling mass says the frontier is stale; orphan mass says the
+    seed list, not the link graph, is carrying coverage.
+
+    Shapes: the exact-url check is a left join of the link table onto
+    the DISTINCT page-url dimension (hash join on the url key at crawl
+    scale); the path check and the orphan anti-join run on the
+    distinct-doc-id dimension (broadcastable).  The link table is
+    touched once; no row-sized sort.
+    """
+    raw_tid = F.regexp_extract(F.col("target_url"), "/doc/([0-9]+)$", 1)
+    tgt = links.select(
+        F.col("target_url").alias("turl"),
+        # '' on no-match: guard the cast so ANSI mode cannot throw
+        F.when(raw_tid != "", raw_tid).cast("long").alias("tid"),
+    )
+    raw_pid = F.regexp_extract(F.col("url"), "/doc/([0-9]+)$", 1)
+    pk = pages.select(
+        F.col("url"),
+        F.when(raw_pid != "", raw_pid).cast("long").alias("pid"),
+    ).distinct()
+    urls = pk.select(F.col("url").alias("turl")).withColumn(
+        "exact", F.lit(1)
+    )
+    ids = (
+        pk.select(F.col("pid").alias("tid"))
+        .distinct()
+        .withColumn("idhit", F.lit(1))
+    )
+    kind = (
+        F.when(F.col("exact") == 1, F.lit("resolved_link"))
+        .when(F.col("idhit") == 1, F.lit("host_mismatch_link"))
+        .otherwise(F.lit("dangling_link"))
+    )
+    linkrows = (
+        tgt.join(urls, "turl", "left")
+        .join(F.broadcast(ids), "tid", "left")
+        .groupBy(kind.alias("kind"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tids = tgt.select("tid").where(F.col("tid").isNotNull()).distinct()
+    orphans = (
+        pk.join(F.broadcast(tids), pk["pid"] == tids["tid"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("orphan_page").alias("kind"), "n")
+    )
+    return linkrows.unionByName(orphans)

@@ -432,3 +432,80 @@ def kaplan_meier(
         "c",
         F.round(surv, ndigits).alias("survival"),
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_h: int = 72,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution:
+    ``(channel, n_touchpoints, credited)`` — every conversion's value
+    is split across the touch events of the same user inside the
+    preceding ``window_h`` hours: 40% first touch, 40% last touch, 20%
+    spread over the middles (one touch takes 100%, two split 50/50);
+    conversions with no touch in the window credit a ``direct``
+    channel.  The credit model a marketing/referral dashboard runs
+    where last-touch alone misstates discovery channels.
+
+    Exactness: credits are integer MICRO-shares (the only division is
+    rounded to an integer per touch, identically on both engines) and
+    values integer cents, so the channel sums are exact integer
+    arithmetic with two rendering divisions at the end.
+
+    Scale shape: one user-keyed equi-join of conversions onto touches
+    with the time window as a join-stage filter (per-user fan-out is
+    session-bounded); the position window partitions by conversion id;
+    channel sums are map-side-combined aggregates.  At crawl scale the
+    join pre-buckets both sides on user_id.
+    """
+    conv = events.where(F.col("event_type") == conv_type).select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = events.where(
+        F.col("event_type").isin(list(touch_types))
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("event_id").alias("tid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    win_us = window_h * 3600 * 1000000
+    j = conv.join(
+        touch,
+        (F.col("cu") == F.col("tu"))
+        & (F.col("tts") < F.col("cts"))
+        & (
+            F.expr("unix_micros(cast(tts as timestamp))")
+            >= F.expr("unix_micros(cast(cts as timestamp))") - F.lit(win_us)
+        ),
+        "left",
+    )
+    w = Window.partitionBy("cid").orderBy("tts", "tid")
+    k = F.count("tid").over(Window.partitionBy("cid"))
+    rn = F.row_number().over(w)
+    credit_u = (
+        F.when(F.col("tid").isNull(), F.lit(1000000))
+        .when(k == 1, F.lit(1000000))
+        .when(k == 2, F.lit(500000))
+        .when((rn == 1) | (rn == k), F.lit(400000))
+        .otherwise(F.round(F.lit(200000) / (k - 2)).cast("long"))
+    ).cast("long")
+    rows = j.select(
+        F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+        (F.col("tid").isNotNull()).cast("long").alias("is_touch"),
+        (credit_u.cast("decimal(38,0)") * F.col("cents")).alias("cv"),
+    )
+    return rows.groupBy("channel").agg(
+        F.sum("is_touch").cast("long").alias("n_touchpoints"),
+        F.round(
+            F.sum("cv").cast("decimal(38,0)").cast("double")
+            / 1000000.0
+            / 100.0,
+            4,
+        ).alias("credited"),
+    )

@@ -282,3 +282,57 @@ def optional_pattern(
         .join(opt, "x", "left")
         .select("x", "y", "z_min", F.coalesce("n_z", F.lit(0)).alias("n_z"))
     )
+
+
+def kleene_path(
+    tri: DataFrame,
+    p1: str,
+    p_star: str,
+    p3: str,
+    max_star: int = 3,
+) -> DataFrame:
+    """Bounded SPARQL property-path query ``?a p1/p_star*/p3 ?b`` over
+    the constructed KG: ``(subj, obj, star_depth)`` — every (a, b) pair
+    connected by one p1 edge, 0..max_star p_star edges, and one p3
+    edge, with the MINIMAL star depth used.  The Kleene-star member of
+    the path-query family (two_hop_paths = fixed length 2,
+    bfs_distances = predicate-blind reachability); the bound makes the
+    plan finite and is what a production path engine enforces anyway.
+
+    Spark-first: the star is unrolled into ``max_star`` frontier
+    extensions with a DISTINCT after each hop (the BFS device — the
+    frontier is a set, so a diamond in the graph cannot double rows),
+    and the per-level frontiers union into one min-depth aggregate.
+    Each leg filters the DISTINCT predicate-selective edge table first,
+    so every join operand is small; all joins share entity keys.  The
+    plan is constant-size in the corpus (max_star joins), no iteration
+    checkpointing needed at this depth.
+    """
+    t = tri.select("subj", "pred", "obj").distinct()
+    e1 = t.filter(F.col("pred") == p1).select(
+        F.col("subj").alias("a"), F.col("obj").alias("x")
+    )
+    es = t.filter(F.col("pred") == p_star).select(
+        F.col("subj").alias("sx"), F.col("obj").alias("sy")
+    )
+    e3 = t.filter(F.col("pred") == p3).select(
+        F.col("subj").alias("y"), F.col("obj").alias("b")
+    )
+    levels = []
+    cur = e1.distinct()
+    for k in range(max_star + 1):
+        levels.append(cur.withColumn("star_depth", F.lit(k).cast("long")))
+        if k < max_star:
+            cur = (
+                cur.join(es, cur["x"] == es["sx"])
+                .select("a", F.col("sy").alias("x"))
+                .distinct()
+            )
+    from functools import reduce
+
+    reach = reduce(DataFrame.unionByName, levels)
+    return (
+        reach.join(e3, reach["x"] == e3["y"])
+        .groupBy(F.col("a").alias("subj"), F.col("b").alias("obj"))
+        .agg(F.min("star_depth").alias("star_depth"))
+    )
