@@ -1410,3 +1410,69 @@ def transitive_reduction(edges: DataFrame, max_depth: int = 8) -> DataFrame:
         .distinct()
     )
     return e.join(two, ["src", "dst"], "left_anti")
+
+
+def rich_club(
+    edges: DataFrame, ks: tuple[int, ...] = (1, 2, 4, 8)
+) -> DataFrame:
+    """Rich-club coefficients of an undirected graph: one row per
+    degree threshold k with ``(k, n_nodes, n_edges, phi)`` — phi(k) =
+    2·E_{>k} / (N_{>k}·(N_{>k}−1)), the edge density among the nodes of
+    degree > k.  phi(k) ≫ the graph's global density says the hubs form
+    a club (they preferentially link to each other) — exactly the
+    hub-entity structure the kg_construct skew handling exists for, so
+    this is the diagnostic that MEASURES it.  N_{>k} < 2 ⇒ the -1.0
+    sentinel.
+
+    Edges are distinct a < b rows.  One degree aggregate; each edge
+    picks up both endpoint degrees from the broadcast degree dimension
+    in one pass, and ALL thresholds are conditional sums inside one
+    aggregate (the edge table is touched once regardless of |ks|).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ncnt = deg.agg(
+        *[
+            F.sum((F.col("deg") > k).cast("long"))
+            .cast("long")
+            .alias(f"_n_{k}")
+            for k in ks
+        ]
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    ecnt = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(
+            *[
+                F.sum(
+                    ((F.col("da") > k) & (F.col("db") > k)).cast("long")
+                )
+                .cast("long")
+                .alias(f"_e_{k}")
+                for k in ks
+            ]
+        )
+    )
+    row = ncnt.crossJoin(ecnt)
+    structs = []
+    for k in ks:
+        n = F.col(f"_n_{k}")
+        e = F.col(f"_e_{k}")
+        phi = F.when(
+            n >= 2, F.round(2 * e / (n * (n - 1)), 6)
+        ).otherwise(F.lit(-1.0))
+        structs.append(
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                n.alias("n_nodes"),
+                e.alias("n_edges"),
+                phi.alias("phi"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -328,3 +328,62 @@ def phrase_search(docs: DataFrame, phrases: list[str]) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+def ql_dirichlet(
+    docs: DataFrame,
+    terms: list[str],
+    mu: int = 2000,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Query-likelihood ranking with Dirichlet smoothing: the top-k
+    documents by ``Σ_t ln((tf_t,d + μ·cf_t/|C|) / (|d| + μ))`` — the
+    classic LM alternative to BM25 (Zhai/Lafferty); μ is the Dirichlet
+    prior mass.  Returned as ``(rank, doc_id, score)`` with the rank
+    decided by the ROUNDED score (doc_id tiebreak) so both engines
+    rank identically.
+
+    Shapes: corpus stats are two aggregates (per-term collection
+    frequencies — a |terms|-row dimension — and per-doc lengths); the
+    per-(doc, term) tf table comes from the one token explode the
+    corpus pays anyway, filtered to the query terms BEFORE the
+    aggregate.  The scoring fan-out is docs × |terms| slim rows; the
+    ln is the libm call, rounded (the naive_bayes idiom).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    qt = toks.where(F.col("tok").isin(terms))
+    cf = qt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    ctot = toks.agg(F.count(F.lit(1)).cast("long").alias("C"))
+    tf = qt.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    fan = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(ctot))
+        .join(tf, ["doc_id", "tok"], "left")
+    )
+    term_ll = F.log(
+        (
+            F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+            + F.lit(float(mu)) * F.col("cf") / F.col("C")
+        )
+        / (F.col("dl") + F.lit(float(mu)))
+    )
+    scored = fan.groupBy("doc_id").agg(
+        F.round(F.sum(term_ll), ndigits).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "score")
+    )

@@ -416,3 +416,70 @@ def paired_bootstrap_f1(
         F.round(f1_a - f1_b, ndigits).alias("delta"),
     )
     return full.crossJoin(verdict)
+
+
+def fleiss_kappa(
+    ratings: DataFrame,
+    item_cols: list[str],
+    cat_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa for R raters over N items: one row ``(n_items,
+    n_raters, balanced, p_bar, p_e, kappa)`` — the multi-rater
+    agreement statistic (Cohen's kappa generalizes only to 2 raters;
+    an annotation campaign with 3+ taggers reports Fleiss).  ``ratings``
+    is the long table: one row per (item, rater) holding the chosen
+    category; ``balanced`` flags whether every item really received the
+    same R ratings (the statistic assumes it).
+
+    Exactness: kappa reduces to pure integer aggregates —
+    P̄ = (Σᵢ Σ_c n²ᵢ_c − N·R)/(N·R·(R−1)) and
+    P_e = Σ_c m²_c/(N·R)² — so both engines compute identical doubles
+    from identical integers in one fixed chain (divisions written
+    sequentially so no long overflow at web scale).  Degenerate
+    P_e = 1 ⇒ the -9.9 sentinel.
+
+    Scale shape: one (item, category) hash aggregate over the ratings
+    (map-side combined), folded once per item and once per category —
+    both second-stage tables are dimension-sized.
+    """
+    nic = ratings.groupBy(
+        *item_cols, F.col(cat_col).alias("_cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    per_item = nic.groupBy(*item_cols).agg(
+        F.sum("_n").cast("long").alias("_r"),
+        F.sum(F.col("_n").cast("decimal(38,0)") * F.col("_n")).alias("_s2"),
+    )
+    istats = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.max("_r").cast("long").alias("n_raters"),
+        (F.min("_r") == F.max("_r")).alias("balanced"),
+        F.sum("_s2").cast("decimal(38,0)").alias("_S"),
+    )
+    cstats = (
+        nic.groupBy("_cat")
+        .agg(F.sum("_n").cast("long").alias("_m"))
+        .agg(
+            F.sum(F.col("_m").cast("decimal(38,0)") * F.col("_m")).alias(
+                "_SM2"
+            ),
+            F.sum("_m").cast("long").alias("_NR"),
+        )
+    )
+    j = istats.crossJoin(cstats)
+    nd = F.col("n_items").cast("double")
+    rd = F.col("n_raters").cast("double")
+    nrd = F.col("_NR").cast("double")
+    p_bar = (F.col("_S").cast("double") - nd * rd) / (
+        nd * rd * (rd - 1.0)
+    )
+    p_e = F.col("_SM2").cast("double") / nrd / nrd
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        "n_items",
+        "n_raters",
+        "balanced",
+        F.round(p_bar, ndigits).alias("p_bar"),
+        F.round(p_e, ndigits).alias("p_e"),
+        F.coalesce(F.round(kappa, ndigits), F.lit(-9.9)).alias("kappa"),
+    )

@@ -828,3 +828,40 @@ def autocorrelation(
             .alias("r"),
         )
     )
+
+
+def lateness_audit(
+    events: DataFrame, watermark_s: int = 3600
+) -> DataFrame:
+    """Watermark-lateness audit (batch replay of one ingest partition):
+    ``(event_type, n, n_late, n_dropped, max_lateness_s)`` — for each
+    event, lateness = (max event-time seen so far in ARRIVAL order) −
+    its own event-time; ``n_dropped`` counts events a streaming job
+    with a ``watermark_s`` watermark would discard.  This is the
+    number to look at BEFORE picking a watermark: the dropped mass at
+    candidate thresholds, per event type.
+
+    Arrival order here is event_id (the synthetic ingest sequence); in
+    production this audit runs per source partition (Kafka partition /
+    file) with the identical expressions — the running max is a
+    prefix-window over the arrival sequence, exact integer micros
+    throughout, one final per-type aggregate.
+    """
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = (F.max(us).over(w) - us).alias("late_us")
+    base = events.select("event_type", late)
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("late_us") > 0).cast("long"))
+        .cast("long")
+        .alias("n_late"),
+        F.sum(
+            (F.col("late_us") > watermark_s * 1000000).cast("long")
+        )
+        .cast("long")
+        .alias("n_dropped"),
+        F.expr("max(late_us) DIV 1000000").alias("max_lateness_s"),
+    )
