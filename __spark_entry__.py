@@ -4742,6 +4742,50 @@ def q_lateness(spark, sf):
     return temporal.lateness_audit(ev, watermark_s=3600)
 
 
+def q_pca_top(spark, sf):
+    """Dominant principal direction of the embedding cloud by INTEGER
+    power iteration — Gram matrix of milli-quantized vectors, vector
+    re-quantized to integers after every iteration so both engines
+    walk the identical integer sequence; Rayleigh eigenvalue
+    (operators/embedding.py power_iteration_pca)."""
+    from ddaugner_spark.operators import embedding
+
+    return embedding.power_iteration_pca(_emb(spark, sf), iters=3)
+
+
+def q_theil_sen(spark, sf):
+    """Theil-Sen robust trend of the hourly event-count series —
+    all-pairs on the spine-filled BUCKET table (quadratic in hours,
+    never in events), medians by the order-statistic window with full
+    tiebreak (operators/regression.py theil_sen_hourly)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return regression.theil_sen_hourly(ev)
+
+
+def q_avg_precision(spark, sf):
+    """Average precision of the length score against the lang=='en'
+    label under the deterministic (score desc, doc_id) order — the
+    PR-curve companion to q_auc
+    (operators/traindata.py average_precision)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.average_precision(
+        _docs(spark, sf),
+        label=(F.col("lang") == "en"),
+        score=F.col("n_chars").cast("long"),
+        id_col="doc_id",
+    )
+
+
+def q_conversion_lag(spark, sf):
+    """Exact signup→purchase conversion-lag order statistics (median
+    half-point device + p90) over whole hours; one user-keyed
+    aggregate then the value-frequency machinery
+    (operators/events.py conversion_lag)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.conversion_lag(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5059,6 +5103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rich_club": q_rich_club,
         "q_ql_rank": q_ql_rank,
         "q_lateness": q_lateness,
+        "q_pca_top": q_pca_top,
+        "q_theil_sen": q_theil_sen,
+        "q_avg_precision": q_avg_precision,
+        "q_conversion_lag": q_conversion_lag,
     }
 
 
@@ -12394,6 +12442,125 @@ sents AS (
              sum((late_us > 3600000000)::BIGINT)::BIGINT AS n_dropped,
              (max(late_us) // 1000000)::BIGINT AS max_lateness_s
       FROM base GROUP BY 1
+    """
+
+    # power-iteration replay: identical integer Gram matrix, three
+    # unrolled iterations with identical integer re-quantization
+    _pit = "\n".join(
+        f"""      w{k} AS (SELECT cov.i, sum(c * v{k - 1}.v)::HUGEINT AS wi
+              FROM cov JOIN v{k - 1} ON v{k - 1}.j = cov.j GROUP BY 1),
+      m{k} AS (SELECT max(abs(wi))::HUGEINT AS m FROM w{k}),
+      v{k} AS (SELECT i AS j,
+                      round(wi::DOUBLE * 1000 / m::DOUBLE)::BIGINT AS v
+               FROM w{k}, m{k}),"""
+        for k in (1, 2, 3)
+    )
+    o["q_pca_top"] = f"""
+      WITH el AS MATERIALIZED (
+        SELECT vec_id, u.i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      cov AS (SELECT a.i AS i, b.i AS j,
+                     sum(a.q::HUGEINT * b.q)::HUGEINT AS c
+              FROM el a JOIN el b ON a.vec_id = b.vec_id
+              GROUP BY 1, 2),
+      v0 AS (SELECT DISTINCT i AS j, 1000::BIGINT AS v FROM el),
+{_pit}
+      vv AS (SELECT sum(v::HUGEINT * v)::HUGEINT AS vv FROM v3),
+      num AS (SELECT sum(cov.c * vi.v * vj.v)::HUGEINT AS num
+              FROM cov JOIN v3 vi ON vi.j = cov.i
+                       JOIN v3 vj ON vj.j = cov.j)
+      SELECT v3.j AS dim, v3.v AS v,
+             round(num::DOUBLE / vv::DOUBLE, 6) AS lam
+      FROM v3, num, vv
+    """
+
+    # Theil-Sen replay: same spine fill, same exact-integer slope
+    # divisions, same order-statistic medians with full tiebreak
+    o["q_theil_sen"] = """
+      WITH counts AS (SELECT epoch_us(ts) // 3600000000 AS b,
+                             count(*)::BIGINT AS y
+                      FROM events GROUP BY 1),
+      rng AS (SELECT min(b) AS lo, max(b) AS hi FROM counts),
+      spine AS (SELECT unnest(range(lo, hi + 1))::BIGINT AS b FROM rng),
+      filled AS (SELECT s.b, coalesce(c.y, 0)::BIGINT AS y
+                 FROM spine s LEFT JOIN counts c USING (b)),
+      pairs AS (SELECT l.b AS b1, r.b AS b2,
+                       (r.y - l.y)::DOUBLE / (r.b - l.b)::DOUBLE AS s
+                FROM filled l JOIN filled r ON l.b < r.b),
+      ranked AS (SELECT s, row_number() OVER (ORDER BY s, b1, b2) AS rn
+                 FROM pairs),
+      np AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+      nb AS (SELECT count(*)::BIGINT AS n_buckets FROM filled),
+      ms AS (SELECT (min(CASE WHEN rn = (n_pairs + 1) // 2 THEN s END)
+                     + min(CASE WHEN rn = (n_pairs + 2) // 2 THEN s END))
+                    / 2.0 AS slope_raw
+             FROM ranked, np),
+      resid AS (SELECT b, y - slope_raw * b AS r FROM filled, ms),
+      rr AS (SELECT r, row_number() OVER (ORDER BY r, b) AS rn
+             FROM resid),
+      mi AS (SELECT (min(CASE WHEN rn = (n_buckets + 1) // 2 THEN r END)
+                     + min(CASE WHEN rn = (n_buckets + 2) // 2 THEN r END))
+                    / 2.0 AS intercept_raw
+             FROM rr, nb)
+      SELECT n_buckets, n_pairs,
+             round(slope_raw, 6) AS slope,
+             round(intercept_raw, 6) AS intercept
+      FROM nb, np, ms, mi
+    """
+
+    # average-precision replay: same deterministic total order, same
+    # per-positive precision terms
+    o["q_avg_precision"] = """
+      WITH ranked AS (
+        SELECT coalesce((lang = 'en')::BIGINT, 0) AS y,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                 AS rank,
+               sum(coalesce((lang = 'en')::BIGINT, 0)) OVER (
+                 ORDER BY n_chars DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_pos
+        FROM documents
+      )
+      SELECT sum(y)::BIGINT AS n_pos, count(*)::BIGINT AS n_total,
+             round(sum(CASE WHEN y = 1 THEN cum_pos::DOUBLE / rank END)
+                   / sum(y), 6) AS ap
+      FROM ranked
+    """
+
+    # conversion-lag replay: same strictly-after first-event pairing,
+    # same half-point median / p90 selection
+    o["q_conversion_lag"] = """
+      WITH per AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS fs
+        FROM events GROUP BY 1
+      ),
+      tp AS (
+        SELECT e.user_id, min(e.ts) AS tp, min(p.fs) AS fs
+        FROM events e JOIN per p ON p.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > p.fs
+        GROUP BY 1
+      ),
+      lags AS (SELECT (epoch_us(tp) - epoch_us(fs)) // 3600000000 AS h
+               FROM tp),
+      freq AS (SELECT h, count(*)::BIGINT AS f FROM lags GROUP BY 1),
+      cum AS (SELECT h, sum(f) OVER (ORDER BY h) AS cum FROM freq),
+      nt AS (SELECT count(*)::BIGINT AS n_converted FROM lags),
+      nf AS (SELECT count(*)::BIGINT AS n_from FROM per
+             WHERE fs IS NOT NULL),
+      stats AS (
+        SELECT (min(CASE WHEN cum >= (n_converted + 1) // 2 THEN h END)
+                + min(CASE WHEN cum >= (n_converted + 2) // 2 THEN h END))
+                 AS median2_h,
+               min(CASE WHEN cum >= (9 * n_converted + 9) // 10 THEN h END)
+                 AS p90_h
+        FROM cum, nt
+      )
+      SELECT n_from, n_converted, median2_h,
+             round(median2_h / 2.0, 6) AS median_h, p90_h
+      FROM nf, nt, stats
     """
 
     return o

@@ -319,3 +319,97 @@ def label_medoids(emb: DataFrame, scale: int = 1000) -> DataFrame:
         "n_members",
     )
     return multi.unionByName(singles)
+
+
+def power_iteration_pca(
+    emb: DataFrame,
+    iters: int = 3,
+    scale: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Dominant principal direction of the embedding cloud by INTEGER
+    power iteration: ``(dim, v, lam)`` — the top eigenvector of the
+    (uncentered) Gram matrix ΣxxT, components scaled to max |v| =
+    ``scale``, plus the Rayleigh-quotient eigenvalue estimate.  The
+    drift/whitening direction an embedding-quality monitor tracks; a
+    cloud whose top component explains almost everything has collapsed.
+
+    Exactness end-to-end: vectors quantize to integer milli-units, the
+    Gram matrix is an exact integer table, and after every iteration
+    the vector is RE-QUANTIZED to integers (round(w·scale/max|w|)), so
+    matrix-vector products never accumulate floats — both engines walk
+    the identical integer sequence; the two final divisions render lam.
+
+    Scale shape: ONE self-join of the exploded (vec, dim, q) table on
+    vec_id (map-side combinable into the dim²-sized Gram aggregate);
+    every iteration is a join+groupBy on the dim²-row Gram table and a
+    dim-row vector — driver never holds data, plan is constant-size in
+    the corpus.  Uncentered by design: centering would float the Gram
+    entries; run it on residuals if a mean-free direction is needed.
+    """
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("i"),
+        F.round(F.col("x").cast("double") * scale).cast("long").alias("q"),
+    )
+    a = el.select("vec_id", F.col("i"), F.col("q"))
+    b = el.select(
+        "vec_id", F.col("i").alias("j"), F.col("q").alias("qb")
+    )
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("qb")).alias(
+                "c"
+            )
+        )
+    )
+    spark = emb.sparkSession
+    dims = emb.select(F.max(F.size("embedding"))).first()[0]
+    v = spark.range(1, dims + 1).select(
+        F.col("id").alias("j"), F.lit(scale).cast("long").alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).alias("wi"))
+        )
+        m = w.agg(F.max(F.abs(F.col("wi"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.round(
+                    F.col("wi").cast("double")
+                    * scale
+                    / F.col("m").cast("double")
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v.select("j", F.col("v").alias("vj"))
+    num = (
+        cov.join(F.broadcast(vi), "i")
+        .join(F.broadcast(vj), "j")
+        .agg(
+            F.sum(F.col("c") * F.col("vi") * F.col("vj")).alias("num")
+        )
+    )
+    vv = v.agg(
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("vv")
+    )
+    lam = num.crossJoin(vv).select(
+        F.round(
+            F.col("num").cast("double") / F.col("vv").cast("double"),
+            ndigits,
+        ).alias("lam")
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("j").alias("dim"), "v", "lam"
+    )

@@ -509,3 +509,80 @@ def multi_touch_attribution(
             4,
         ).alias("credited"),
     )
+
+
+def conversion_lag(
+    events: DataFrame,
+    from_type: str = "signup",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Exact conversion-lag order statistics: one row ``(n_from,
+    n_converted, median2_h, median_h, p90_h)`` — whole hours from a
+    user's first ``from_type`` event to their first ``to_type`` event
+    STRICTLY after it; users who never convert are excluded (pair with
+    kaplan_meier when censoring must count).  median·2 stays an
+    integer (the group_order_stats half-point device), p90 is
+    os(⌈0.9·n⌉); the only float is the one rendering division.
+
+    One user-keyed aggregate for the two first-event times, then the
+    frequency/cumulative order-statistic machinery on the
+    DISTINCT-LAG table.
+    """
+    fs = F.min(
+        F.when(F.col("event_type") == from_type, F.col("ts"))
+    ).alias("fs")
+    per = events.groupBy("user_id").agg(fs)
+    tp = (
+        events.where(F.col("event_type") == to_type)
+        .join(per, "user_id")
+        .where(F.col("ts") > F.col("fs"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"), F.min("fs").alias("fs"))
+    )
+    lags = tp.select(
+        F.expr(
+            "(unix_micros(cast(tp as timestamp))"
+            " - unix_micros(cast(fs as timestamp))) DIV 3600000000"
+        ).alias("h")
+    )
+    freq = lags.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    w = Window.orderBy("h")
+    cum = freq.select("h", F.sum("f").over(w).alias("cum"))
+    n = lags.agg(F.count(F.lit(1)).cast("long").alias("n_converted"))
+    nf = per.where(F.col("fs").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_from")
+    )
+    j = cum.crossJoin(F.broadcast(n))
+    stats = j.agg(
+        (
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n_converted + 1) DIV 2"),
+                    F.col("h"),
+                )
+            )
+            + F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n_converted + 2) DIV 2"),
+                    F.col("h"),
+                )
+            )
+        ).alias("median2_h"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n_converted + 9) DIV 10"),
+                F.col("h"),
+            )
+        ).alias("p90_h"),
+    )
+    return (
+        nf.crossJoin(n)
+        .crossJoin(stats)
+        .select(
+            "n_from",
+            "n_converted",
+            "median2_h",
+            F.round(F.col("median2_h") / 2.0, 6).alias("median_h"),
+            "p90_h",
+        )
+    )

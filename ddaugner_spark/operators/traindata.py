@@ -389,3 +389,53 @@ def contrastive_pairs(
             "neg_tokens",
         )
     )
+
+
+def average_precision(
+    scored: DataFrame,
+    label: Column,
+    score: Column,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Average precision (the PR-curve area companion to auc_exact):
+    one row ``(n_pos, n_total, ap)`` — mean over the positives of the
+    precision at their rank, under the DETERMINISTIC total order
+    (score desc, id asc).  AP is the retrieval/imbalanced-screen metric
+    ROC AUC overstates when negatives dwarf positives (exactly the
+    near-dup / quality-screen regime).
+
+    Each term P@k = cum_pos/k is one division of exact integers; the
+    final mean is the naive_bayes rounded-Σ idiom.  One global ranking
+    window (an EVAL metric over a ranking is inherently ordered — at
+    production scale AP is computed per query partition with identical
+    expressions) plus a 1-row fold.
+    """
+    base = scored.select(
+        F.coalesce(label.cast("long"), F.lit(0)).alias("y"),
+        score.alias("s"),
+        F.col(id_col).alias("id"),
+    )
+    w = Window.orderBy(F.col("s").desc(), F.col("id").asc())
+    ranked = base.select(
+        "y",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum_pos"),
+    )
+    return ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y") == 1,
+                    F.col("cum_pos").cast("double") / F.col("rank"),
+                )
+            )
+            / F.sum("y"),
+            ndigits,
+        ).alias("ap"),
+    )
