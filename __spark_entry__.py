@@ -4786,6 +4786,62 @@ def q_conversion_lag(spark, sf):
     return evops.conversion_lag(ev)
 
 
+def q_er_incremental(spark, sf):
+    """Incremental ER maintenance: base map from the 90% old-doc
+    corpus, new candidate edges from the crawl increment (full-corpus
+    pairs minus old pairs), then star(touched components) ∪ new edges
+    re-resolved and unioned with the untouched majority.  The oracle
+    is the FULL BATCH recompute — the gate proves incremental ==
+    batch (operators/er.py er_incremental)."""
+    from ddaugner_spark.operators.canonical import connected_components
+
+    d = _docs(spark, sf)
+
+    def _edges(dd):
+        surf = er.distinct_surfaces(mentions.mentions_df(dd))
+        pairs = er.er_candidate_pairs(
+            er.with_typo_surfaces(surf), max_dist=2
+        )
+        return pairs.select(
+            F.concat_ws("|", "tag", "a").alias("a"),
+            F.concat_ws("|", "tag", "b").alias("b"),
+        )
+
+    e_old = _edges(d.filter(F.col("doc_id") % 10 != 0))
+    new_edges = _edges(d).subtract(e_old)
+    old_assign = connected_components(
+        e_old, stage_dir=_scratch("q_er_inc_old_")
+    )
+    inc = er.er_incremental(
+        old_assign, new_edges, stage_dir=_scratch("q_er_inc_")
+    )
+    sp = F.split(F.col("entity"), r"\|", 2)
+    cp = F.split(F.col("component"), r"\|", 2)
+    return inc.select(
+        sp.getItem(0).alias("tag"),
+        sp.getItem(1).alias("surface"),
+        cp.getItem(1).alias("canonical"),
+        (F.col("entity") != F.col("component")).alias("is_alias"),
+    )
+
+
+def q_item_recs(spark, sf):
+    """Item-item CF recommendations over the (user, props.k) graph:
+    squared-cosine similarities rounded ONCE per pair to integer
+    milli-units, user scores exact integer sums, top-3 unseen items
+    per user (operators/events.py item_recs)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.item_recs(ev, k_top=3)
+
+
+def q_pct_rank(spark, sf):
+    """Per-event-type mean-rank percentile normalization of values —
+    doubled tie-averaged ranks off the value-frequency table, one
+    division per row (operators/stats.py percentile_rank)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.percentile_rank(ev, "event_type", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5107,6 +5163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theil_sen": q_theil_sen,
         "q_avg_precision": q_avg_precision,
         "q_conversion_lag": q_conversion_lag,
+        "q_er_incremental": q_er_incremental,
+        "q_item_recs": q_item_recs,
+        "q_pct_rank": q_pct_rank,
     }
 
 
@@ -12561,6 +12620,60 @@ sents AS (
       SELECT n_from, n_converted, median2_h,
              round(median2_h / 2.0, 6) AS median_h, p90_h
       FROM nf, nt, stats
+    """
+
+    # incremental ER must converge to the batch map — identical oracle
+    # (the q_stream_links == q_link_graph convergence idiom)
+    o["q_er_incremental"] = o["q_er_resolve"]
+
+    # itemCF replay: same integer squared-cosine milli-similarities,
+    # same NOT EXISTS seen filter, same (score desc, item) top-3
+    o["q_item_recs"] = """
+      WITH ui AS (
+        SELECT DISTINCT user_id,
+               json_extract_string(props, '$.k')::BIGINT AS item
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+      ),
+      ci AS (SELECT item, count(*)::BIGINT AS c FROM ui GROUP BY 1),
+      cij AS (SELECT a.item AS i, b.item AS j, count(*)::BIGINT AS cij
+              FROM ui a JOIN ui b
+                ON a.user_id = b.user_id AND a.item != b.item
+              GROUP BY 1, 2),
+      sim AS (SELECT i, j,
+                     round(1000000 * (cij * cij)::DOUBLE
+                           / (ca.c * cb.c))::BIGINT AS s_milli
+              FROM cij JOIN ci ca ON ca.item = cij.i
+                       JOIN ci cb ON cb.item = cij.j),
+      cand AS (
+        SELECT u.user_id, s.j AS item, sum(s.s_milli)::BIGINT
+                 AS score_milli
+        FROM ui u JOIN sim s ON s.i = u.item
+        WHERE NOT EXISTS (SELECT 1 FROM ui v
+                          WHERE v.user_id = u.user_id AND v.item = s.j)
+        GROUP BY 1, 2
+      )
+      SELECT user_id, item, score_milli,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY score_milli DESC, item ASC)::BIGINT AS rank
+      FROM cand
+      QUALIFY rank <= 3
+    """
+
+    # percentile-rank replay: same doubled tie-averaged ranks
+    o["q_pct_rank"] = """
+      WITH base AS (SELECT event_id AS id, event_type AS grp,
+                           round(value * 100)::BIGINT AS c FROM events),
+      freq AS (SELECT grp, c, count(*)::BIGINT AS f
+               FROM base GROUP BY 1, 2),
+      rmap AS (SELECT grp, c,
+                      2 * (sum(f) OVER (PARTITION BY grp ORDER BY c) - f)
+                        + f + 1 AS r2
+               FROM freq),
+      nt AS (SELECT grp, count(*)::BIGINT AS n FROM base GROUP BY 1)
+      SELECT b.id, b.grp AS event_type,
+             round(r2 / (2.0 * n), 6) AS pct
+      FROM base b JOIN rmap USING (grp, c) JOIN nt USING (grp)
     """
 
     return o

@@ -349,3 +349,54 @@ def fellegi_sunter_weights(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def er_incremental(
+    old_assign: DataFrame, new_edges: DataFrame, stage_dir: str
+) -> DataFrame:
+    """Incremental entity-resolution maintenance: given the PREVIOUS
+    canonicalization map ``old_assign (entity, component)`` and the
+    NEW candidate-pair edges of a crawl increment, return the map that
+    full batch CC over (old ∪ new) edges would produce — WITHOUT
+    re-running CC on the old graph.
+
+    Device: an old component is already a connected set, so its star
+    edges (entity → component id) preserve exactly its connectivity;
+    only components TOUCHED by a new edge can change.  Recompute CC on
+    ``star(touched components) ∪ new_edges`` and union the untouched
+    assignments back.  Component ids stay the reachable-min entity
+    (the component id is itself an entity of the cluster), so the
+    result is bit-identical to the batch map — the correctness gate
+    compares this against the full batch recompute.
+
+    Scale shape: the crawl increment drives the cost — the touched-
+    component dimension is new-edge-sized (broadcast semi-joins), the
+    CC reruns on a subgraph proportional to the increment's blast
+    radius, and the untouched (typically overwhelming) majority of the
+    map is passed through with one anti-join.  This is what makes a
+    10^12-document KG maintainable: per-increment work scales with the
+    increment, not the corpus.
+    """
+    from ddaugner_spark.operators.canonical import connected_components
+
+    nodes_new = (
+        new_edges.select(F.col("a").alias("e"))
+        .unionAll(new_edges.select(F.col("b").alias("e")))
+        .distinct()
+    )
+    tc = (
+        old_assign.join(
+            nodes_new, old_assign["entity"] == nodes_new["e"]
+        )
+        .select("component")
+        .distinct()
+    )
+    affected = old_assign.join(F.broadcast(tc), "component")
+    star = affected.select(
+        F.col("entity").alias("a"), F.col("component").alias("b")
+    )
+    redone = connected_components(
+        star.unionByName(new_edges.select("a", "b")), stage_dir=stage_dir
+    )
+    unaffected = old_assign.join(F.broadcast(tc), "component", "left_anti")
+    return unaffected.select("entity", "component").unionByName(redone)

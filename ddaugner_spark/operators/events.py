@@ -586,3 +586,78 @@ def conversion_lag(
             "p90_h",
         )
     )
+
+
+def item_recs(events: DataFrame, k_top: int = 3) -> DataFrame:
+    """Item-item collaborative-filtering recommendations over the
+    (user, item) engagement graph, item = the ``k`` property of the
+    event payload: ``(user_id, item, score_milli, rank)`` — top
+    ``k_top`` unseen items per user, scored by the summed squared-
+    cosine similarity to the user's own items.  The classic itemCF
+    recommender (Sarwar et al.) in its exact-integer form: sim_milli =
+    round(10⁶·c²ᵢⱼ/(cᵢ·cⱼ)) is rounded ONCE per item pair, so user
+    scores are integer sums — no float accumulation anywhere.
+
+    Scale shape: reduce to DISTINCT (user, item) first; co-occurrence
+    is a per-user self-join whose fan-out is (items per user)² —
+    production caps items-per-user, the exact two_hop_paths
+    discipline; item-count and similarity tables are item²-bounded and
+    broadcast; the rec join fans each user's items into the similarity
+    rows once, with seen items removed by one anti-join-shaped filter.
+    """
+    ui = (
+        events.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
+    ci = ui.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = ui.select("user_id", F.col("item").alias("i"))
+    b = ui.select("user_id", F.col("item").alias("j"))
+    cij = (
+        a.join(b, "user_id")
+        .where(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("cij"))
+    )
+    sim = (
+        cij.join(F.broadcast(ci.selectExpr("item as i", "c as c_i")), "i")
+        .join(F.broadcast(ci.selectExpr("item as j", "c as c_j")), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.lit(1000000)
+                * (F.col("cij") * F.col("cij")).cast("double")
+                / (F.col("c_i") * F.col("c_j"))
+            )
+            .cast("long")
+            .alias("s_milli"),
+        )
+    )
+    cand = (
+        ui.select("user_id", F.col("item").alias("i"))
+        .join(sim, "i")
+        .join(
+            ui.selectExpr("user_id", "item as j").withColumn(
+                "seen", F.lit(1)
+            ),
+            ["user_id", "j"],
+            "left",
+        )
+        .where(F.col("seen").isNull())
+        .groupBy("user_id", F.col("j").alias("item"))
+        .agg(F.sum("s_milli").cast("long").alias("score_milli"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score_milli").desc(), F.col("item").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_top)
+        .select("user_id", "item", "score_milli", "rank")
+    )

@@ -713,3 +713,52 @@ def skew_report(
             F.col("mx") * F.lit(n_buckets) / F.col("total"), 6
         ).alias("imbalance"),
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    group: str,
+    value: str,
+    id_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group mean-rank percentile normalization: every row gets
+    ``(id, group, pct)`` with pct = avgrank/n ∈ (0, 1] computed from
+    tie-averaged ranks — the rank-based feature scaling that makes
+    heavy-tailed signals comparable across groups (quality scores per
+    language, engagement per source).
+
+    The doubled-rank device keeps it exact: 2·avgrank =
+    2·cum_before + f + 1 is an integer off the per-group
+    VALUE-FREQUENCY table, and pct = r2/(2n) is one division.  Rows
+    join the rank map back by value — one row-sized hash join; the
+    window runs on the distinct-value table only.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group).alias("grp"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    freq = base.groupBy("grp", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    w = Window.partitionBy("grp").orderBy("c")
+    rmap = freq.select(
+        "grp",
+        "c",
+        (2 * (F.sum("f").over(w) - F.col("f")) + F.col("f") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    n = base.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        base.join(rmap, ["grp", "c"])
+        .join(F.broadcast(n), "grp")
+        .select(
+            "id",
+            F.col("grp").alias(group),
+            F.round(F.col("r2") / (2.0 * F.col("n")), ndigits).alias(
+                "pct"
+            ),
+        )
+    )
