@@ -4842,6 +4842,70 @@ def q_pct_rank(spark, sf):
     return stats.percentile_rank(ev, "event_type", "value", "event_id")
 
 
+def q_cluster_sizes(spark, sf):
+    """Duplicate-cluster size distribution of the verified MinHash-LSH
+    pair graph — the dedup-QA readout that catches a boilerplate
+    shingle gluing the corpus into one giant cluster before keep-one
+    deletes it (operators/dedup.py cluster_size_histogram)."""
+    from ddaugner_spark.operators.canonical import connected_components
+
+    corpus = dedup.with_dup_corpus(_docs(spark, sf))
+    pairs = dedup.minhash_near_duplicates(corpus).select("a", "b")
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), 12, "0").alias("a"),
+        F.lpad(F.col("b").cast("string"), 12, "0").alias("b"),
+    )
+    comps = connected_components(
+        edges, stage_dir=_scratch("q_cluster_sizes_")
+    )
+    return dedup.cluster_size_histogram(comps)
+
+
+def q_revote(spark, sf):
+    """Reliability-weighted label aggregation (one Dawid-Skene
+    iteration) across the three deterministic taggers: per-rater
+    Laplace agreement with the raw majority as integer milli-weights,
+    weighted re-vote with full tiebreaks — no float compare decides a
+    label (operators/scoring.py weighted_revote)."""
+    t = mentions.with_tokens(_docs(spark, sf)).selectExpr(
+        "doc_id", "posexplode(tokens) as (pos, tok)"
+    )
+    per = F.col("tok").isin(config.PER_WORDS)
+    loc = F.col("tok").isin(config.LOC_WORDS)
+    votes = (
+        t.select(
+            "doc_id",
+            "pos",
+            F.lit("full").alias("rater"),
+            F.when(per, "PER").when(loc, "LOC").otherwise("O").alias("lab"),
+        )
+        .unionAll(
+            t.select(
+                "doc_id",
+                "pos",
+                F.lit("per_only").alias("rater"),
+                F.when(per, "PER").otherwise("O").alias("lab"),
+            )
+        )
+        .unionAll(
+            t.select(
+                "doc_id",
+                "pos",
+                F.lit("loc_only").alias("rater"),
+                F.when(loc, "LOC").otherwise("O").alias("lab"),
+            )
+        )
+    )
+    return scoring.weighted_revote(votes, ["doc_id", "pos"], "rater", "lab")
+
+
+def q_topk_others(spark, sf):
+    """Top-3 sources per language + OTHER rollup — bounded output
+    cardinality no matter the key vocabulary; rank window on the
+    aggregated table only (operators/stats.py topk_others)."""
+    return stats.topk_others(_docs(spark, sf), "lang", "source", k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5166,6 +5230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_er_incremental": q_er_incremental,
         "q_item_recs": q_item_recs,
         "q_pct_rank": q_pct_rank,
+        "q_cluster_sizes": q_cluster_sizes,
+        "q_revote": q_revote,
+        "q_topk_others": q_topk_others,
     }
 
 
@@ -12674,6 +12741,93 @@ sents AS (
       SELECT b.id, b.grp AS event_type,
              round(r2 / (2.0 * n), 6) AS pct
       FROM base b JOIN rmap USING (grp, c) JOIN nt USING (grp)
+    """
+
+    # cluster-size histogram off the q_dedup_clusters reachability map
+    o["q_cluster_sizes"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      nodes AS (SELECT a AS n FROM vp UNION SELECT b FROM vp),
+      edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM nodes
+          UNION
+          SELECT e.b AS node, walk.lab
+          FROM walk JOIN edges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
+      ),
+      csz AS (SELECT canonical, count(*)::BIGINT AS size
+              FROM rr GROUP BY 1),
+      hist AS (SELECT size, count(*)::BIGINT AS n_clusters
+               FROM csz GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS total FROM rr)
+      SELECT size, n_clusters,
+             (size * n_clusters)::BIGINT AS n_docs,
+             round(size * n_clusters / total, 6) AS pct_docs
+      FROM hist, tot
+    """
+
+    # weighted-revote replay: identical majority/weight/revote rounds,
+    # integer milli-weights, full tiebreaks
+    o["q_revote"] = f"""
+      WITH {_TOKS},
+      votes AS (
+        SELECT doc_id, pos, 'full' AS rater,
+               CASE WHEN tok IN ({_PER}) THEN 'PER'
+                    WHEN tok IN ({_LOC}) THEN 'LOC'
+                    ELSE 'O' END AS lab
+        FROM toks
+        UNION ALL
+        SELECT doc_id, pos, 'per_only',
+               CASE WHEN tok IN ({_PER}) THEN 'PER' ELSE 'O' END
+        FROM toks
+        UNION ALL
+        SELECT doc_id, pos, 'loc_only',
+               CASE WHEN tok IN ({_LOC}) THEN 'LOC' ELSE 'O' END
+        FROM toks
+      ),
+      cnt AS (SELECT doc_id, pos, lab, count(*)::BIGINT AS c
+              FROM votes GROUP BY 1, 2, 3),
+      maj AS (SELECT doc_id, pos, lab AS maj FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                  ORDER BY c DESC, lab ASC) AS rn FROM cnt)
+              WHERE rn = 1),
+      pr AS (SELECT rater, count(*)::BIGINT AS n_votes,
+                    sum((v.lab = m.maj)::BIGINT)::BIGINT AS n_agree
+             FROM votes v JOIN maj m USING (doc_id, pos) GROUP BY 1),
+      wt AS (SELECT rater, n_votes, n_agree,
+                    round(1000000 * (n_agree + 1)::DOUBLE
+                          / (n_votes + 2))::BIGINT AS acc_milli
+             FROM pr),
+      ws AS (SELECT v.doc_id, v.pos, v.lab,
+                    sum(wt.acc_milli)::BIGINT AS s
+             FROM votes v JOIN wt USING (rater) GROUP BY 1, 2, 3),
+      newlab AS (SELECT doc_id, pos, lab AS lab1 FROM (
+                   SELECT *, row_number() OVER (PARTITION BY doc_id, pos
+                     ORDER BY s DESC, lab ASC) AS rn FROM ws)
+                 WHERE rn = 1),
+      rel AS (SELECT sum((n.lab1 != m.maj)::BIGINT)::BIGINT
+                       AS n_relabeled
+              FROM newlab n JOIN maj m USING (doc_id, pos))
+      SELECT rater, n_votes, n_agree, acc_milli, n_relabeled
+      FROM wt, rel
+    """
+
+    # top-k + OTHER replay: same deterministic rank, same fold
+    o["q_topk_others"] = """
+      WITH counts AS (SELECT lang AS grp, source AS k,
+                             count(*)::BIGINT AS n
+                      FROM documents GROUP BY 1, 2),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY grp
+                   ORDER BY n DESC, k ASC) AS rn FROM counts),
+      b AS (SELECT grp, CASE WHEN rn <= 3 THEN k::VARCHAR
+                             ELSE 'OTHER' END AS bucket, n
+            FROM ranked)
+      SELECT grp AS lang, bucket, sum(n)::BIGINT AS n_rows,
+             count(*)::BIGINT AS n_keys
+      FROM b GROUP BY 1, 2
     """
 
     return o

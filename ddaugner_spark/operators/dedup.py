@@ -1026,3 +1026,32 @@ def bloom_contaminated(
             (F.col("n_maybe_shingles") >= min_shared).alias("flagged"),
         )
     )
+
+
+def cluster_size_histogram(comps: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution from a (entity, component)
+    canonicalization map: ``(size, n_clusters, n_docs, pct_docs)`` —
+    the dedup-QA readout.  A healthy near-dup pass shows a steep
+    power-law tail; one giant cluster means a boilerplate shingle (or
+    an over-eager threshold) glued the corpus together and the keep-one
+    pass is about to delete it.  Scope is the pair graph's nodes
+    (singleton documents never enter the map).
+
+    Two dimension-sized aggregates (component → size, size → count)
+    after the map — nothing row-sized beyond the input itself.
+    """
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    hist = sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = comps.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "size",
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.round(
+            (F.col("size") * F.col("n_clusters")) / F.col("total"), 6
+        ).alias("pct_docs"),
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Iterable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SPAN_KEY = ["doc_id", "sent_id", "start_idx", "end_idx", "tag"]
@@ -482,4 +482,96 @@ def fleiss_kappa(
         F.round(p_bar, ndigits).alias("p_bar"),
         F.round(p_e, ndigits).alias("p_e"),
         F.coalesce(F.round(kappa, ndigits), F.lit(-9.9)).alias("kappa"),
+    )
+
+
+def weighted_revote(
+    votes: DataFrame,
+    item_cols: list[str],
+    rater_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Reliability-weighted label aggregation (one fixed iteration of
+    the Dawid-Skene idea): one row per rater with ``(rater, n_votes,
+    n_agree, acc_milli, n_relabeled)`` — round 0 takes the plain
+    majority per item (ties → lexicographic min label), each rater's
+    reliability is their Laplace-smoothed agreement with that majority
+    (rounded ONCE to integer milli-units), and a weighted re-vote with
+    those integer weights relabels items where reliable raters
+    disagree with the raw majority.  ``n_relabeled`` (same on every
+    row) is how many items moved.  The label-aggregation step every
+    multi-annotator NER campaign runs before training.
+
+    Exactness: weights are integers after one rounded division per
+    rater; both vote rounds are integer-count argmaxes with full
+    (count desc, label asc) tiebreaks — no float compare decides a
+    label.  Scale shape: two (item, label) hash aggregates and two
+    item-partitioned windows on the count tables; rater weights are a
+    raters-sized broadcast.
+    """
+    v = votes.select(
+        *item_cols,
+        F.col(rater_col).alias("_rater"),
+        F.col(label_col).alias("_lab"),
+    )
+    cnt = v.groupBy(*item_cols, "_lab").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wmaj = Window.partitionBy(*item_cols).orderBy(
+        F.col("_c").desc(), F.col("_lab").asc()
+    )
+    maj = (
+        cnt.withColumn("_rn", F.row_number().over(wmaj))
+        .where(F.col("_rn") == 1)
+        .select(*item_cols, F.col("_lab").alias("_maj"))
+    )
+    pr = (
+        v.join(maj, item_cols)
+        .groupBy("_rater")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.sum((F.col("_lab") == F.col("_maj")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+        )
+    )
+    wt = pr.select(
+        "_rater",
+        "n_votes",
+        "n_agree",
+        F.round(
+            F.lit(1000000)
+            * (F.col("n_agree") + 1).cast("double")
+            / (F.col("n_votes") + 2)
+        )
+        .cast("long")
+        .alias("acc_milli"),
+    )
+    ws = (
+        v.join(F.broadcast(wt.select("_rater", "acc_milli")), "_rater")
+        .groupBy(*item_cols, "_lab")
+        .agg(F.sum("acc_milli").cast("long").alias("_s"))
+    )
+    wnew = Window.partitionBy(*item_cols).orderBy(
+        F.col("_s").desc(), F.col("_lab").asc()
+    )
+    new = (
+        ws.withColumn("_rn", F.row_number().over(wnew))
+        .where(F.col("_rn") == 1)
+        .select(*item_cols, F.col("_lab").alias("_lab1"))
+    )
+    rel = (
+        new.join(maj, item_cols)
+        .agg(
+            F.sum((F.col("_lab1") != F.col("_maj")).cast("long"))
+            .cast("long")
+            .alias("n_relabeled")
+        )
+    )
+    return wt.crossJoin(F.broadcast(rel)).select(
+        F.col("_rater").alias("rater"),
+        "n_votes",
+        "n_agree",
+        "acc_milli",
+        "n_relabeled",
     )

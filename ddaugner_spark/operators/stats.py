@@ -762,3 +762,37 @@ def percentile_rank(
             ),
         )
     )
+
+
+def topk_others(
+    df: DataFrame, group: str, key: str, k: int = 3
+) -> DataFrame:
+    """Reporting rollup "top-k keys per group + OTHER": ``(group,
+    bucket, n_rows, n_keys)`` — the k most frequent keys of each group
+    keep their identity (rank by count desc, key asc — deterministic),
+    everything else folds into one ``OTHER`` bucket per group.  The
+    shape every dashboard query wants and naive GROUP BY can't give:
+    bounded output cardinality (k+1 rows per group) no matter how many
+    distinct keys the corpus has.
+
+    One (group, key) hash aggregate; the rank window runs on that
+    aggregated table (never on rows); the fold is a second
+    dimension-sized aggregate.
+    """
+    counts = df.groupBy(
+        F.col(group).alias("grp"), F.col(key).alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("grp").orderBy(
+        F.col("n").desc(), F.col("k").asc()
+    )
+    bucket = F.when(
+        F.row_number().over(w) <= k, F.col("k").cast("string")
+    ).otherwise(F.lit("OTHER"))
+    return (
+        counts.withColumn("bucket", bucket)
+        .groupBy(F.col("grp").alias(group), "bucket")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    )
