@@ -4906,6 +4906,37 @@ def q_topk_others(spark, sf):
     return stats.topk_others(_docs(spark, sf), "lang", "source", k=3)
 
 
+def q_cluster_split(spark, sf):
+    """Near-dup-cluster-aware train/eval split over the dup-amplified
+    corpus: the md5 split draw is taken on the CANONICAL cluster id,
+    so duplicate clusters can never straddle the train/eval fence —
+    leakage prevented by construction, not audited after the fact
+    (operators/traindata.py cluster_aware_split)."""
+    from ddaugner_spark.operators import traindata
+    from ddaugner_spark.operators.canonical import connected_components
+
+    corpus = dedup.with_dup_corpus(_docs(spark, sf))
+    pairs = dedup.minhash_near_duplicates(corpus).select("a", "b")
+    edges = pairs.select(
+        F.lpad(F.col("a").cast("string"), 12, "0").alias("a"),
+        F.lpad(F.col("b").cast("string"), 12, "0").alias("b"),
+    )
+    comps = connected_components(
+        edges, stage_dir=_scratch("q_cluster_split_")
+    )
+    return traindata.cluster_aware_split(corpus, comps)
+
+
+def q_qnorm(spark, sf):
+    """Cross-group quantile normalization of event values onto the
+    pooled distribution — doubled-rank percentiles, pooled order
+    statistics read off by the sort-merge probe device (no range
+    join), exact integers throughout
+    (operators/stats.py quantile_normalize)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.quantile_normalize(ev, "event_type", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5233,6 +5264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cluster_sizes": q_cluster_sizes,
         "q_revote": q_revote,
         "q_topk_others": q_topk_others,
+        "q_cluster_split": q_cluster_split,
+        "q_qnorm": q_qnorm,
     }
 
 
@@ -12828,6 +12861,70 @@ sents AS (
       SELECT grp AS lang, bucket, sum(n)::BIGINT AS n_rows,
              count(*)::BIGINT AS n_keys
       FROM b GROUP BY 1, 2
+    """
+
+    # cluster-aware split replay: reachability map + the md5 bucket
+    # rule applied to the canonical key
+    o["q_cluster_split"] = f"""
+      WITH {_CORPUS},
+      {_MH_CHAIN},
+      nodes AS (SELECT a AS n FROM vp UNION SELECT b FROM vp),
+      edges AS (SELECT a, b FROM vp UNION SELECT b AS a, a AS b FROM vp),
+      rr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM nodes
+          UNION
+          SELECT e.b AS node, walk.lab
+          FROM walk JOIN edges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
+      ),
+      m AS (SELECT node::BIGINT AS doc_id,
+                   lpad(canonical::VARCHAR, 12, '0') AS canonical
+            FROM rr),
+      j AS (SELECT c.doc_id,
+                   coalesce(m.canonical,
+                            lpad(c.doc_id::VARCHAR, 12, '0')) AS canonical
+            FROM corpus c LEFT JOIN m USING (doc_id))
+      SELECT doc_id, canonical,
+             CASE WHEN ('0x' || substr(md5(canonical), 1, 4))
+                         ::UBIGINT % 1000 < 100
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM j
+    """
+
+    # quantile-normalization replay: identical doubled-rank probes and
+    # sort-merge window over the pooled cumulative stream
+    o["q_qnorm"] = """
+      WITH base AS (SELECT event_id AS id, event_type AS grp,
+                           round(value * 100)::BIGINT AS c FROM events),
+      freq AS (SELECT grp, c, count(*)::BIGINT AS f
+               FROM base GROUP BY 1, 2),
+      rmap AS (SELECT grp, c,
+                      2 * (sum(f) OVER (PARTITION BY grp ORDER BY c) - f)
+                        + f + 1 AS r2
+               FROM freq),
+      ngt AS (SELECT grp, count(*)::BIGINT AS ng FROM base GROUP BY 1),
+      pool0 AS (SELECT c, count(*)::BIGINT AS pf FROM base GROUP BY 1),
+      pcum AS (SELECT c AS pc, sum(pf) OVER (ORDER BY c) AS cum
+               FROM pool0),
+      nt AS (SELECT count(*)::BIGINT AS N FROM base),
+      probes AS (SELECT r.grp, r.c,
+                        ((r2 * N + 2 * g.ng - 1) // (2 * g.ng))::BIGINT
+                          AS pos,
+                        1 AS tag, NULL::BIGINT AS pc
+                 FROM rmap r JOIN ngt g USING (grp) CROSS JOIN nt),
+      pool AS (SELECT NULL::VARCHAR AS grp, NULL::BIGINT AS c,
+                      cum::BIGINT AS pos, 0 AS tag, pc
+               FROM pcum),
+      u AS (SELECT *,
+                   min(pc) OVER (ORDER BY pos, tag DESC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS norm_c
+            FROM (SELECT * FROM probes UNION ALL SELECT * FROM pool))
+      SELECT b.id, b.grp AS event_type, b.c, u.norm_c
+      FROM base b
+      JOIN u ON u.grp = b.grp AND u.c = b.c AND u.tag = 1
     """
 
     return o

@@ -796,3 +796,91 @@ def topk_others(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Cross-group quantile normalization: every row gets ``(id, group,
+    c, norm_c)`` where ``norm_c`` is the POOLED distribution's order
+    statistic at the row's within-group mean-rank percentile — after
+    it, every group has (up to ties) the same marginal distribution.
+    The cross-source calibration step for scores that drift by source
+    (one crawl's quality scores run hot; rank-map them onto the pooled
+    scale before a global threshold is applied).
+
+    Exact end-to-end: within-group percentiles are the doubled
+    tie-averaged rank device (integers), and the pooled quantile
+    os(⌈q·N⌉) is read off by the SORT-MERGE PROBE device — the k
+    probes union into the pooled cumulative stream (probes sort before
+    pooled rows at equal position) and one forward-looking window min
+    picks each probe's first pooled value with cum ≥ k.  Every
+    arithmetic step integer, zero libm, no range join.  Row-sized
+    work: one (group, cents) aggregate and one value-keyed join back;
+    the union/window runs on distinct-value-sized tables only.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group).cast("string").alias("grp"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    freq = base.groupBy("grp", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    wg = Window.partitionBy("grp").orderBy("c")
+    n_g = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng")
+    )
+    # k = ceil(q·N) with q = r2/(2·ng): k = ceil(r2·N / (2·ng)) —
+    # exact integer arithmetic via DIV
+    rmap = (
+        freq.select(
+            "grp",
+            "c",
+            (2 * (F.sum("f").over(wg) - F.col("f")) + F.col("f") + 1)
+            .cast("long")
+            .alias("r2"),
+        )
+        .join(F.broadcast(n_g), "grp")
+    )
+    pooled = base.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("pf")
+    )
+    wp = Window.orderBy("c")
+    pcum = pooled.select(
+        F.col("c").alias("pc"), F.sum("pf").over(wp).alias("cum")
+    )
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    k = F.expr("(r2 * N + 2 * ng - 1) DIV (2 * ng)")
+    probes = (
+        rmap.crossJoin(F.broadcast(n_tot))
+        .select(
+            "grp",
+            "c",
+            k.cast("long").alias("pos"),
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("pc"),
+        )
+    )
+    pool = pcum.select(
+        F.lit(None).cast("string").alias("grp"),
+        F.lit(None).cast("long").alias("c"),
+        F.col("cum").cast("long").alias("pos"),
+        F.lit(0).alias("tag"),
+        F.col("pc").cast("long").alias("pc"),
+    )
+    wseq = Window.orderBy(F.col("pos"), F.col("tag").desc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    targets = (
+        probes.unionByName(pool)
+        .withColumn("norm_c", F.min("pc").over(wseq))
+        .where(F.col("tag") == 1)
+        .select("grp", "c", "norm_c")
+    )
+    return base.join(targets, ["grp", "c"]).select(
+        "id", F.col("grp").alias(group), "c", "norm_c"
+    )

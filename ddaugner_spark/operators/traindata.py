@@ -439,3 +439,43 @@ def average_precision(
             ndigits,
         ).alias("ap"),
     )
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    comps: DataFrame,
+    eval_permille: int = 100,
+) -> DataFrame:
+    """Near-dup-cluster-aware train/eval split: ``(doc_id, canonical,
+    split)`` — the md5 split draw is taken on the CANONICAL cluster id
+    (own id for singletons), so every member of a duplicate cluster
+    lands in the same split by construction.  This PREVENTS the
+    leakage the split-leakage audit detects after the fact: a plain
+    per-doc split puts near-copies of one page on both sides of the
+    train/eval fence and the eval silently measures memorization.
+
+    ``comps`` is a (entity, component) canonicalization map over
+    zero-padded doc-id strings (the q_dedup_clusters shape); docs
+    absent from the map are their own singleton clusters.  One left
+    join onto the map (pair-graph-sized, broadcastable) + the md5
+    bucket rule of sampling.train_eval_split applied to the cluster
+    key — map-only after the join.
+    """
+    m = comps.select(
+        F.col("entity").cast("long").alias("doc_id"),
+        F.col("component").alias("canonical"),
+    )
+    j = docs.select("doc_id").join(F.broadcast(m), "doc_id", "left")
+    canon = F.coalesce(
+        F.col("canonical"), F.lpad(F.col("doc_id").cast("string"), 12, "0")
+    )
+    bucket = F.conv(F.substring(F.md5(canon), 1, 4), 16, 10).cast(
+        "long"
+    ) % 1000
+    return j.select(
+        "doc_id",
+        canon.alias("canonical"),
+        F.when(bucket < eval_permille, F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
