@@ -4937,6 +4937,34 @@ def q_qnorm(spark, sf):
     return stats.quantile_normalize(ev, "event_type", "value", "event_id")
 
 
+def q_hub_robustness(spark, sf):
+    """Hub-removal robustness of the co-mention graph: component
+    census before and after deleting the top-3 degree hubs — measures
+    how load-bearing the skew-handled hub entities are
+    (operators/graph.py hub_robustness)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.hub_robustness(
+        canonical.co_mention_edges(m), k=3,
+        stage_dir=_scratch("q_hub_rob_"),
+    )
+
+
+def q_peak_concurrency(spark, sf):
+    """Peak concurrent sessions by the ±1 interval sweep (ends before
+    starts at equal instants), exact integer micros, earliest peak
+    instant (operators/events.py peak_concurrency)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.peak_concurrency(ev, gap_s=1800)
+
+
+def q_dispersion(spark, sf):
+    """Per-event-type variance-to-mean ratio (index of dispersion) —
+    the Poisson-ness screen; exact-sums integer variance, two
+    rendering divisions (operators/stats.py dispersion_index)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.dispersion_index(ev, "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5266,6 +5294,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_others": q_topk_others,
         "q_cluster_split": q_cluster_split,
         "q_qnorm": q_qnorm,
+        "q_hub_robustness": q_hub_robustness,
+        "q_peak_concurrency": q_peak_concurrency,
+        "q_dispersion": q_dispersion,
     }
 
 
@@ -12925,6 +12956,118 @@ sents AS (
       SELECT b.id, b.grp AS event_type, b.c, u.norm_c
       FROM base b
       JOIN u ON u.grp = b.grp AND u.c = b.c AND u.tag = 1
+    """
+
+    # hub-robustness replay: two reachability-min walks (full / cut)
+    o["q_hub_robustness"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      e AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      deg AS (SELECT v, count(*)::BIGINT AS deg
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+      hubs AS (SELECT v FROM (
+                 SELECT v, row_number() OVER (ORDER BY deg DESC, v ASC)
+                   AS rn FROM deg)
+               WHERE rn <= 3),
+      cut AS (SELECT a, b FROM e
+              WHERE a NOT IN (SELECT v FROM hubs)
+                AND b NOT IN (SELECT v FROM hubs)),
+      n1 AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+      ed1 AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      w1 AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM n1
+          UNION
+          SELECT e2.b AS node, walk.lab
+          FROM walk JOIN ed1 e2 ON e2.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
+      ),
+      s1 AS (SELECT canonical, count(*)::BIGINT AS size
+             FROM w1 GROUP BY 1),
+      n2 AS (SELECT a AS n FROM cut UNION SELECT b FROM cut),
+      ed2 AS (SELECT a, b FROM cut UNION SELECT b AS a, a AS b FROM cut),
+      w2 AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM n2
+          UNION
+          SELECT e2.b AS node, walk.lab
+          FROM walk JOIN ed2 e2 ON e2.a = walk.node
+        )
+        SELECT node, min(lab) AS canonical FROM walk GROUP BY node
+      ),
+      s2 AS (SELECT canonical, count(*)::BIGINT AS size
+             FROM w2 GROUP BY 1)
+      SELECT 'full' AS phase,
+             (SELECT count(*) FROM w1)::BIGINT AS n_nodes,
+             (SELECT count(*) FROM e)::BIGINT AS n_edges,
+             (SELECT count(*) FROM s1)::BIGINT AS n_components,
+             (SELECT coalesce(max(size), 0) FROM s1)::BIGINT AS largest
+      UNION ALL
+      SELECT 'hubs_removed',
+             (SELECT count(*) FROM w2)::BIGINT,
+             (SELECT count(*) FROM cut)::BIGINT,
+             (SELECT count(*) FROM s2)::BIGINT,
+             (SELECT coalesce(max(size), 0) FROM s2)::BIGINT
+    """
+
+    # peak-concurrency replay: same session rule, same ±1 sweep with
+    # starts before ends at equal instants (closed intervals)
+    o["q_peak_concurrency"] = """
+      WITH us AS (SELECT user_id, event_id, epoch_us(ts) AS u
+                  FROM events),
+      g AS (SELECT user_id, event_id, u,
+                   CASE WHEN u - lag(u) OVER (PARTITION BY user_id
+                          ORDER BY u, event_id) > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM us),
+      sq AS (SELECT user_id, u,
+                    sum(is_new) OVER (PARTITION BY user_id
+                      ORDER BY u, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS sid
+             FROM g),
+      sess AS (SELECT user_id, sid, min(u) AS s, max(u) AS e
+               FROM sq GROUP BY 1, 2),
+      deltas AS (SELECT s AS t, 1 AS d FROM sess
+                 UNION ALL SELECT e AS t, -1 AS d FROM sess),
+      run AS (SELECT t, d,
+                     sum(d) OVER (ORDER BY t, d DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cur
+              FROM deltas),
+      nt AS (SELECT count(*)::BIGINT AS n_sessions FROM sess),
+      pk AS (SELECT max(cur)::BIGINT AS peak FROM run),
+      at AS (SELECT min(t)::BIGINT AS peak_at_us
+             FROM run, pk WHERE cur = peak)
+      SELECT n_sessions, peak, peak_at_us FROM nt, pk, at
+    """
+
+    # dispersion replay: exact-sums variance, identical float chain
+    o["q_dispersion"] = """
+      WITH base AS (SELECT event_type AS series,
+                           round(value * 100)::BIGINT AS c FROM events),
+      g AS (SELECT series, count(*)::BIGINT AS n,
+                   sum(c)::HUGEINT AS sc,
+                   sum(c::HUGEINT * c)::HUGEINT AS sc2
+            FROM base GROUP BY 1)
+      SELECT series, n,
+             round(sc::DOUBLE / n::DOUBLE / 100.0, 6) AS mean,
+             coalesce(round(CASE WHEN sc > 0 THEN
+               ((n::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+                / (n::DOUBLE * n::DOUBLE))
+               / (sc::DOUBLE / n::DOUBLE) / 100.0 END, 6), -9.9) AS vmr,
+             coalesce(CASE WHEN sc > 0 THEN
+               ((n::DOUBLE * sc2::DOUBLE - sc::DOUBLE * sc::DOUBLE)
+                / (n::DOUBLE * n::DOUBLE))
+               / (sc::DOUBLE / n::DOUBLE) / 100.0 > 1.5 END, false)
+               AS overdispersed
+      FROM g
     """
 
     return o

@@ -661,3 +661,56 @@ def item_recs(events: DataFrame, k_top: int = 3) -> DataFrame:
         .where(F.col("rank") <= k_top)
         .select("user_id", "item", "score_milli", "rank")
     )
+
+
+def peak_concurrency(
+    events: DataFrame, gap_s: int = 1800
+) -> DataFrame:
+    """Peak concurrent sessions by the ±1 sweep: one row
+    ``(n_sessions, peak, peak_at_us)`` — sessionize per user with the
+    standard ``gap_s`` inactivity rule, turn each session into a
+    CLOSED [start, end] interval (a session is active at its
+    last-event instant, and a single-event session is a point
+    interval), and sweep the endpoints in time order with starts
+    processed before ends at equal instants — the closed-interval
+    convention; point sessions count.  ``peak_at_us`` is the EARLIEST
+    instant achieving the peak — deterministic.  The capacity number
+    an ingestion/serving planner actually needs; a per-hour GROUP BY
+    undercounts whenever sessions straddle bucket edges.
+
+    Exact integer micros throughout.  Shapes: the session reduction is
+    the one user-keyed window the session family already pays; the
+    sweep's cumulative window runs over the 2·sessions endpoint table
+    (session-sized, not event-sized).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    sess = (
+        events.withColumn(
+            "sid",
+            F.coalesce(
+                F.sum((gap > gap_s * 1_000_000).cast("long")).over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min(us).alias("s"), F.max(us).alias("e"))
+    )
+    deltas = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+    ws = Window.orderBy(F.col("t"), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.withColumn("cur", F.sum("d").over(ws))
+    n = sess.agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    peak = run.agg(F.max("cur").cast("long").alias("peak"))
+    at = (
+        run.crossJoin(F.broadcast(peak))
+        .where(F.col("cur") == F.col("peak"))
+        .agg(F.min("t").cast("long").alias("peak_at_us"))
+    )
+    return n.crossJoin(peak).crossJoin(at)

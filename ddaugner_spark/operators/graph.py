@@ -1476,3 +1476,76 @@ def rich_club(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def hub_robustness(
+    edges: DataFrame, k: int = 3, stage_dir: str | None = None
+) -> DataFrame:
+    """Hub-removal robustness probe: two rows ``(phase, n_nodes,
+    n_edges, n_components, largest)`` for the full graph and the graph
+    with its top-k degree hubs deleted (ties → lexicographic node).  A
+    graph whose component count explodes when k hubs leave is held
+    together by exactly the entities the kg_construct skew handling
+    salts — this MEASURES how load-bearing the hubs are (percolation /
+    attack-tolerance, Albert-Barabási style).
+
+    Edges are distinct a < b strings.  One degree aggregate picks the
+    hubs (top-k window on the node-sized table); the filtered graph is
+    two hash anti-joins; components come from the same hash-min CC
+    operator the canonicalizer uses, so the probe exercises the
+    production path twice on graph-sized inputs.
+    """
+    from pyspark.sql import Window
+
+    from ddaugner_spark.operators.canonical import connected_components
+
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    w = Window.orderBy(F.col("deg").desc(), F.col("v").asc())
+    hubs = (
+        deg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("v")
+    )
+    cut = (
+        edges.join(hubs, edges["a"] == hubs["v"], "left_anti")
+        .join(hubs, F.col("b") == hubs["v"], "left_anti")
+        .select("a", "b")
+    )
+
+    def _stats(e: DataFrame, phase: str, sub: str) -> DataFrame:
+        comps = connected_components(
+            e, stage_dir=None if stage_dir is None else f"{stage_dir}/{sub}"
+        )
+        sizes = comps.groupBy("component").agg(
+            F.count(F.lit(1)).cast("long").alias("size")
+        )
+        cstats = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.coalesce(F.max("size"), F.lit(0))
+            .cast("long")
+            .alias("largest"),
+        )
+        estats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        nstats = comps.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        )
+        return (
+            nstats.crossJoin(estats)
+            .crossJoin(cstats)
+            .select(
+                F.lit(phase).alias("phase"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "largest",
+            )
+        )
+
+    return _stats(edges, "full", "full").unionByName(
+        _stats(cut, "hubs_removed", "cut")
+    )

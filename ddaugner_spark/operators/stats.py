@@ -884,3 +884,46 @@ def quantile_normalize(
     return base.join(targets, ["grp", "c"]).select(
         "id", F.col("grp").alias(group), "c", "norm_c"
     )
+
+
+def dispersion_index(
+    df: DataFrame, group: str, value: str, ndigits: int = 6
+) -> DataFrame:
+    """Per-group index of dispersion (variance-to-mean ratio) over
+    integer cents: ``(series, n, mean, vmr, overdispersed)`` — the
+    Poisson-ness check run before trusting count/value models (VMR ≈ 1
+    Poisson-like, ≫ 1 bursty/overdispersed — the usual state of web
+    traffic, and the reason naive rate alarms misfire).
+
+    Exact-sums device: Σc and Σc² accumulate in decimal(38,0), the
+    population variance n·Σc² − (Σc)² stays integer, and the two
+    rendering divisions run in one fixed order on both engines.
+    Degenerate mean = 0 ⇒ the -9.9 sentinel.  One map-side-combined
+    aggregate; nothing else.
+    """
+    base = df.select(
+        F.col(group).alias("series"),
+        F.round(F.col(value) * 100).cast("long").alias("c"),
+    )
+    g = base.groupBy("series").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sc2"),
+    )
+    nd = F.col("n").cast("double")
+    sc = F.col("sc").cast("double")
+    sc2 = F.col("sc2").cast("double")
+    mean_c = sc / nd
+    var_c = (nd * sc2 - sc * sc) / (nd * nd)
+    vmr = F.when(sc > 0, var_c / mean_c)
+    return g.select(
+        "series",
+        "n",
+        F.round(mean_c / 100.0, ndigits).alias("mean"),
+        F.coalesce(F.round(vmr / 100.0, ndigits), F.lit(-9.9)).alias(
+            "vmr"
+        ),
+        F.coalesce(vmr / 100.0 > 1.5, F.lit(False)).alias(
+            "overdispersed"
+        ),
+    )
