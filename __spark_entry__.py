@@ -11181,15 +11181,15 @@ sents AS (
                (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
                lpad(epoch_us(ts)::VARCHAR, 20, '0')
                  || lpad(event_id::VARCHAR, 10, '0')
-                 || lpad(round(value * 100)::BIGINT::VARCHAR, 6, '0') AS k,
+                 || lpad(round(value * 100)::BIGINT::VARCHAR, 12, '0') AS k,
                round(value * 100)::BIGINT AS c
         FROM events
       )
       SELECT series, bucket,
-             substring(min(k), 31, 6)::BIGINT AS open_c,
+             substring(min(k), 31, 12)::BIGINT AS open_c,
              max(c)::BIGINT AS high_c,
              min(c)::BIGINT AS low_c,
-             substring(max(k), 31, 6)::BIGINT AS close_c,
+             substring(max(k), 31, 12)::BIGINT AS close_c,
              count(*)::BIGINT AS n,
              sum(c)::BIGINT AS sum_c
       FROM e GROUP BY series, bucket
@@ -11268,13 +11268,14 @@ sents AS (
                sum(round(value * 100)::BIGINT)::BIGINT AS y
         FROM events GROUP BY user_id
       ),
-      fx AS (SELECT x, count(*)::BIGINT AS c FROM pu GROUP BY x),
+      cp AS (SELECT x, y FROM pu WHERE x IS NOT NULL AND y IS NOT NULL),
+      fx AS (SELECT x, count(*)::BIGINT AS c FROM cp GROUP BY x),
       rx AS (SELECT x, (2 * (sum(c) OVER (ORDER BY x) - c) + c + 1)::BIGINT
                AS r_x FROM fx),
-      fy AS (SELECT y, count(*)::BIGINT AS c FROM pu GROUP BY y),
+      fy AS (SELECT y, count(*)::BIGINT AS c FROM cp GROUP BY y),
       ry AS (SELECT y, (2 * (sum(c) OVER (ORDER BY y) - c) + c + 1)::BIGINT
                AS r_y FROM fy),
-      j AS (SELECT r_x, r_y FROM pu JOIN rx USING (x) JOIN ry USING (y)),
+      j AS (SELECT r_x, r_y FROM cp JOIN rx USING (x) JOIN ry USING (y)),
       g AS (
         SELECT count(*)::BIGINT AS n,
                sum(r_x::HUGEINT)::DOUBLE AS sx, sum(r_y::HUGEINT)::DOUBLE AS sy,
@@ -11375,11 +11376,11 @@ sents AS (
       )
       SELECT cluster_id,
              substring(max(CASE WHEN name IS NOT NULL THEN
-               lpad(ts::VARCHAR, 2, '0') || lpad(rid::VARCHAR, 12, '0') || name
-               END), 15) AS name,
+               lpad(ts::VARCHAR, 20, '0') || lpad(rid::VARCHAR, 12, '0') || name
+               END), 33) AS name,
              substring(max(CASE WHEN nationkey IS NOT NULL THEN
-               lpad(ts::VARCHAR, 2, '0') || lpad(rid::VARCHAR, 12, '0')
-                 || nationkey::VARCHAR END), 15)::BIGINT AS nationkey,
+               lpad(ts::VARCHAR, 20, '0') || lpad(rid::VARCHAR, 12, '0')
+                 || nationkey::VARCHAR END), 33)::BIGINT AS nationkey,
              max(acctbal_c)::BIGINT AS acctbal_c,
              count(*)::BIGINT AS n_records,
              count(DISTINCT name)::BIGINT AS n_names
@@ -11716,15 +11717,15 @@ sents AS (
                (epoch_us(ts) // 3600000000 * 3600)::BIGINT AS bucket,
                lpad(epoch_us(ts)::VARCHAR, 20, '0')
                  || lpad(event_id::VARCHAR, 10, '0')
-                 || lpad(round(value * 100)::BIGINT::VARCHAR, 6, '0') AS k,
+                 || lpad(round(value * 100)::BIGINT::VARCHAR, 12, '0') AS k,
                round(value * 100)::BIGINT AS c
         FROM events
       )
       SELECT series, bucket,
-             substring(min(k), 31, 6)::BIGINT AS open_c,
+             substring(min(k), 31, 12)::BIGINT AS open_c,
              max(c)::BIGINT AS high_c,
              min(c)::BIGINT AS low_c,
-             substring(max(k), 31, 6)::BIGINT AS close_c,
+             substring(max(k), 31, 12)::BIGINT AS close_c,
              count(*)::BIGINT AS n,
              sum(c)::BIGINT AS sum_c
       FROM e, mx
@@ -11825,7 +11826,7 @@ sents AS (
     # cumulative EMD; t_close compares the ROUNDED emd on both engines
     o["q_t_closeness"] = """
       WITH cl AS (
-        SELECT event_type, least(9, floor(value / 5))::BIGINT AS bucket,
+        SELECT event_type, greatest(0, least(9, floor(value / 5)))::BIGINT AS bucket,
                count(*)::BIGINT AS c
         FROM events GROUP BY 1, 2
       ),

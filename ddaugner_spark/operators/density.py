@@ -54,8 +54,11 @@ def dbscan_lite(
     non-core adjacent to ≥ 1 core, assigned the minimum adjacent core
     cluster; noise: everything else, cluster_id = −1.
     """
+    # dedupe defensively (the convention every graph operator here
+    # follows): duplicate (a, b) rows would inflate n_nb and promote
+    # 1-neighbor points to core
     p = pairs.select(F.col("a").cast("long").alias("a"),
-                     F.col("b").cast("long").alias("b"))
+                     F.col("b").cast("long").alias("b")).distinct()
     sym = p.select(F.col("a").alias("node"), F.col("b").alias("nb")).union(
         p.select(F.col("b").alias("node"), F.col("a").alias("nb"))
     )

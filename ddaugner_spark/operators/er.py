@@ -196,15 +196,19 @@ def golden_record(
     are load-bearing.  One shuffle on the cluster key, map-side
     combined.
     """
+    # width 20 holds any epoch-micros timestamp; lpad TRUNCATES inputs
+    # wider than the pad (both engines), which would silently invert
+    # the latest-non-null ordering — so the widths must dominate the
+    # columns' value domains, not just the gate fixture's
     key = F.concat(
-        F.lpad(F.col(ts).cast("string"), 2, "0"),
+        F.lpad(F.col(ts).cast("string"), 20, "0"),
         F.lpad(F.col(rid).cast("string"), 12, "0"),
     )
 
     def latest(col: str):
         return F.substring(
             F.max(F.when(F.col(col).isNotNull(), F.concat(key, F.col(col).cast("string")))),
-            15,
+            33,
             256,
         )
 

@@ -128,8 +128,14 @@ def t_closeness(
     from pyspark.sql import Window
 
     # floor (not cast) — DuckDB's double→BIGINT cast rounds-to-nearest
-    # while Spark's truncates; floor() agrees on both engines
-    b = F.least(F.lit(n_buckets - 1).cast("long"), F.floor(F.col("value") / 5))
+    # while Spark's truncates; floor() agrees on both engines.
+    # greatest(0, …) clamps negative values into the bottom bucket the
+    # way least clamps the top — without it a negative-valued row falls
+    # outside the spine and silently vanishes from both distributions
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_buckets - 1).cast("long"), F.floor(F.col("value") / 5)),
+    )
     cl = (
         events.select("event_type", b.alias("bucket"))
         .groupBy("event_type", "bucket")

@@ -185,9 +185,13 @@ def spearman_corr(
     onto the rows by value — two row-sized hash joins, no row-sized
     sort anywhere.
     """
+    # complete pairs ONLY, filtered BEFORE the rank maps: ranks taken
+    # over a column's full marginal and then inner-joined would carry
+    # non-uniform gaps from rows whose OTHER column is NULL, which
+    # does not cancel in the correlation the way a constant shift does
     base = df.select(
         F.col(x).cast("long").alias("x"), F.col(y).cast("long").alias("y")
-    )
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
 
     def rank_map(col: str) -> DataFrame:
         freq = base.groupBy(col).agg(F.count(F.lit(1)).alias("c"))

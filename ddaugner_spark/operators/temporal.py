@@ -521,11 +521,14 @@ def ohlc_bars(
         F.concat(
             F.lpad(F.col("eus").cast("string"), 20, "0"),
             F.lpad(F.col("tb").cast("string"), 10, "0"),
-            F.lpad(F.col("c").cast("string"), 6, "0"),
+            # width 12 ≈ $10B in cents; lpad TRUNCATES wider inputs
+            # (silently corrupting open/close), so the pad must
+            # dominate the value domain, not just the gate fixture's
+            F.lpad(F.col("c").cast("string"), 12, "0"),
         ).alias("k"),
         "c",
     )
-    cents = lambda col: F.substring(col, 31, 6).cast("long")  # noqa: E731
+    cents = lambda col: F.substring(col, 31, 12).cast("long")  # noqa: E731
     return e.groupBy("series", "bucket").agg(
         cents(F.min("k")).alias("open_c"),
         F.max("c").alias("high_c"),
@@ -831,7 +834,7 @@ def autocorrelation(
 
 
 def lateness_audit(
-    events: DataFrame, watermark_s: int = 3600
+    events: DataFrame, watermark_s: int = 3600, ingest_partition: str | None = None
 ) -> DataFrame:
     """Watermark-lateness audit (batch replay of one ingest partition):
     ``(event_type, n, n_late, n_dropped, max_lateness_s)`` — for each
@@ -841,14 +844,22 @@ def lateness_audit(
     number to look at BEFORE picking a watermark: the dropped mass at
     candidate thresholds, per event type.
 
-    Arrival order here is event_id (the synthetic ingest sequence); in
-    production this audit runs per source partition (Kafka partition /
-    file) with the identical expressions — the running max is a
-    prefix-window over the arrival sequence, exact integer micros
-    throughout, one final per-type aggregate.
+    Arrival order is event_id (the ingest sequence).  Watermarks are
+    tracked PER SOURCE PARTITION (Kafka partition / file) in a real
+    stream, so pass that column as ``ingest_partition`` and each
+    partition's prefix-max window sorts only its own rows; the
+    ``None`` default (single global sequence) replays one ingest
+    partition and funnels the table through one sort — gate-scale
+    only.  Exact integer micros throughout, one final per-type
+    aggregate either way.
     """
     us = F.expr("unix_micros(cast(ts as timestamp))")
-    w = Window.orderBy("event_id").rowsBetween(
+    w = (
+        Window.partitionBy(ingest_partition)
+        if ingest_partition is not None
+        else Window.partitionBy()
+    )
+    w = w.orderBy("event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     late = (F.max(us).over(w) - us).alias("late_us")

@@ -541,9 +541,10 @@ def incremental_ohlc(
     key = F.concat(
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.lpad(F.col("event_id").cast("string"), 10, "0"),
-        F.lpad(cents.cast("string"), 6, "0"),
+        # width 12: lpad truncates wider inputs — see temporal.ohlc_bars
+        F.lpad(cents.cast("string"), 12, "0"),
     )
-    slot = lambda col: F.substring(col, 31, 6).cast("long")  # noqa: E731
+    slot = lambda col: F.substring(col, 31, 12).cast("long")  # noqa: E731
     agg = (
         stream.withColumn("k", key)
         .withColumn("c", cents)

@@ -133,3 +133,13 @@ def test_tpch_shapes_smoke(spark, sf_dir):
     assert pp.count() > 0
     dr = E.q_disjunctive_revenue(spark, sf_dir).collect()
     assert len(dr) == 1 and dr[0].n_lines >= 0
+
+
+def test_t_closeness_negative_values_clamp_to_bottom_bucket(spark):
+    # regression: floor(value/5) on a negative value used to produce
+    # bucket −1, off the 0..9 spine, silently dropping the rows from
+    # both distributions; greatest(0, …) clamps them into bucket 0
+    rows = [(0, "a", -3.0), (0, "a", -1.0), (0, "b", 5.0), (0, "b", 6.0)]
+    out = {r.event_type: r for r in t_closeness(_events(spark, rows)).collect()}
+    assert out["a"].n == 2
+    assert out["a"].emd == round(0.5 / 9, 6)

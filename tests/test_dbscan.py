@@ -57,3 +57,11 @@ def test_singleton_core_cluster(spark):
     got = _run(spark, [1, 2, 3], [(1, 2), (1, 3)])
     assert got[1] == ("core", 1)
     assert got[2] == ("border", 1) and got[3] == ("border", 1)
+
+
+def test_duplicate_pairs_do_not_inflate_degree(spark):
+    # regression: the pair input is deduped — a duplicated (1,2) edge
+    # used to count node 1's single neighbour twice, promoting a
+    # degree-1 point to core at min_pts=3
+    got = _run(spark, [1, 2], [(1, 2), (1, 2)])
+    assert got[1] == ("noise", -1) and got[2] == ("noise", -1)

@@ -96,3 +96,23 @@ def test_lateness_audit_counts(spark):
     r = lateness_audit(ev, watermark_s=3600).collect()[0]
     assert (r.n, r.n_late, r.n_dropped) == (4, 2, 1)
     assert r.max_lateness_s == 7200
+
+
+def test_lateness_audit_per_partition_watermark(spark):
+    # watermarks are per source partition: p1's events arrive in-order
+    # within p1, so they are not late against p1's own running max even
+    # though p0 has already seen a much later event time
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("p0", 0, base + dt.timedelta(hours=10)),
+        ("p1", 1, base + dt.timedelta(hours=0)),
+        ("p1", 2, base + dt.timedelta(hours=1)),
+    ]
+    ev = spark.createDataFrame(
+        [(p, i, ts, 1, "e", 1.0, "{}") for p, i, ts in rows],
+        ["part", "event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    g = lateness_audit(ev, watermark_s=3600).collect()[0]
+    assert (g.n, g.n_late, g.n_dropped, g.max_lateness_s) == (3, 2, 2, 36000)
+    p = lateness_audit(ev, watermark_s=3600, ingest_partition="part").collect()[0]
+    assert (p.n, p.n_late, p.n_dropped, p.max_lateness_s) == (3, 0, 0, 0)

@@ -147,7 +147,7 @@ def test_phrase_search_rejects_non_bigrams(spark):
 
 def test_event_values_fit_ohlc_packed_key():
     """Precondition of the OHLC/funnel lpad keys: every gate corpus has
-    0 ≤ value and cents < 10^6 (6-digit lpad) — scanned over every
+    0 ≤ value and cents < 10^12 (12-digit lpad) — scanned over every
     /root/testdata/sf* dir the driver could point at."""
     import duckdb
 
@@ -155,4 +155,20 @@ def test_event_values_fit_ohlc_packed_key():
         lo, hi = duckdb.sql(
             f"SELECT min(value), max(value) FROM '{d}/events.parquet'"
         ).fetchone()
-        assert lo >= 0 and round(hi * 100) < 10**6, d
+        assert lo >= 0 and round(hi * 100) < 10**12, d
+
+
+def test_ohlc_wide_cents_not_truncated(spark):
+    # regression: lpad TRUNCATES inputs wider than the pad, so a
+    # 10-digit cents value under the old width-6 key came back as its
+    # first 6 digits in open_c/close_c; width 12 must round-trip it
+    rows = [
+        (1, _ts(9, 15), "u", "t", 12345678.90),  # 1234567890 cents
+        (2, _ts(9, 55), "u", "t", 1.00),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    r = temporal.ohlc_bars(ev).collect()[0]
+    assert r["open_c"] == 1234567890 and r["close_c"] == 100
+    assert r["high_c"] == 1234567890 and r["low_c"] == 100

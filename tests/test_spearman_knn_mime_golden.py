@@ -127,3 +127,34 @@ def test_golden_record_same_ts_tiebreaks_on_rid(spark):
         "nationkey long, acctbal_c long"
     )
     assert er.golden_record(recs).collect()[0]["name"] == "b"
+
+
+def test_spearman_ignores_incomplete_pairs(spark):
+    # regression: ranks must be taken over COMPLETE pairs only — a row
+    # with a NULL on one side used to enter the other column's rank map
+    # (shifting ranks by a non-uniform gap) and then drop at the join
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (5, 50), (4, None), (None, 60)],
+        "x long, y long",
+    )
+    r = stats.spearman_corr(df, "x", "y").collect()[0]
+    assert r["n"] == 4 and r["rho"] == 1.0
+
+
+def test_golden_record_ts_width_dominates_value_domain(spark):
+    # regression: the packed key's ts pad must dominate the ts domain —
+    # the old width-2 pad truncated "100" to "10" < "99", silently
+    # inverting latest-non-null; width 20 holds any epoch-micros ts
+    rows = [
+        (1, 1, 99, "old", 1, 1),
+        (1, 2, 100, "new", 1, 1),
+        # epoch-micros magnitude (16 digits) vs a small ts
+        (2, 1, 999, "stale", 1, 1),
+        (2, 2, 1_700_000_000_000_000, "fresh", 1, 1),
+    ]
+    recs = spark.createDataFrame(
+        rows, "cluster_id long, rid long, ts long, name string, "
+        "nationkey long, acctbal_c long"
+    )
+    out = {r["cluster_id"]: r["name"] for r in er.golden_record(recs).collect()}
+    assert out == {1: "new", 2: "fresh"}
