@@ -847,6 +847,21 @@ def q_stream_dedup(spark, sf):
     return spark.read.parquet(out).select("text_hash")
 
 
+def q_stream_join(spark, sf):
+    """Watermarked STREAM-STREAM interval join run to completion inside
+    the correctness gate: every view matched to the same user's
+    purchases within 24 h after it (the attribution-join shape, two
+    unbounded inputs with symmetric watermarked state).  Inner-join
+    matches emit as soon as both sides arrive, so the completed
+    AvailableNow run equals the batch join exactly — the oracle IS the
+    batch join.  Integer outputs only (lag in whole seconds, value in
+    cents)."""
+    from ddaugner_spark.streaming import incremental_stream_join
+
+    ck = _scratch("q_stream_join_ck_")
+    return incremental_stream_join(spark, f"{sf}/events.parquet", ck)
+
+
 def q_stream_cm(spark, sf):
     """Streaming Count-Min sketch: state bounded by the sketch's
     depth×width cell space (not the vocabulary) — after an AvailableNow
@@ -5297,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hub_robustness": q_hub_robustness,
         "q_peak_concurrency": q_peak_concurrency,
         "q_dispersion": q_dispersion,
+        "q_stream_join": q_stream_join,
     }
 
 
@@ -8717,6 +8733,20 @@ sents AS (
     o["q_stream_dedup"] = f"""
       WITH {_CORPUS}
       SELECT DISTINCT md5(text) AS text_hash FROM corpus
+    """
+
+    # stream-stream interval join: inner matches emit as both sides
+    # arrive, so the completed AvailableNow run == the batch join
+    o["q_stream_join"] = """
+      SELECT v.user_id::BIGINT AS user_id,
+             v.event_id::BIGINT AS view_id,
+             c.event_id::BIGINT AS purchase_id,
+             ((epoch_us(c.ts) - epoch_us(v.ts)) // 1000000)::BIGINT AS lag_s,
+             round(c.value * 100)::BIGINT AS purchase_value_c
+      FROM events v JOIN events c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'purchase'
+       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 24 HOUR
     """
 
     # common-neighbor link prediction: naive wedge self-join through the

@@ -8,6 +8,7 @@ from .incremental import (
     incremental_links,
     incremental_mentions,
     incremental_ohlc,
+    incremental_stream_join,
     incremental_trending,
     incremental_triples,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "incremental_links",
     "incremental_mentions",
     "incremental_ohlc",
+    "incremental_stream_join",
     "incremental_trending",
     "incremental_triples",
 ]

@@ -579,3 +579,78 @@ def incremental_ohlc(
     )
     q.awaitTermination()
     return spark.sql("SELECT * FROM incr_ohlc")
+
+
+def incremental_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    max_delay: str = "24 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (the attribution-join
+    shape: every ``left_type`` event matched to the same user's
+    ``right_type`` events within ``max_delay`` after it) run to
+    completion under AvailableNow and returned as a batch DataFrame —
+    ``(user_id, view_id, purchase_id, lag_s, purchase_value_c)``.
+
+    This is the one stateful-streaming surface the repo's other
+    incremental operators don't exercise: TWO unbounded inputs joined
+    with symmetric state.  Both sides carry a watermark and the join
+    condition carries an explicit time range (``p_ts`` in
+    ``[v_ts, v_ts + max_delay]``), which is what lets Spark expire
+    buffered rows — left state older than
+    ``watermark + max_delay``, right state older than ``watermark`` —
+    so state is bounded regardless of stream length.  Inner-join
+    matches emit as soon as both sides arrive (no watermark-close
+    delay), so the completed run equals the batch join exactly; the
+    oracle is that batch join.  At crawl scale both sides shuffle on
+    the equality key (user_id) only — the range predicate is evaluated
+    inside the per-key state store, never as a fan-out.
+
+    Integer outputs only: lag in whole seconds (micros floor-div) and
+    the purchase value in cents, per the repo's no-float-compare rule.
+    """
+    schema = spark.read.parquet(events_dir).schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        s = _read_stream(spark, events_dir, schema)
+        s = s.where(F.col("event_type") == event_type)
+        return s.select(
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+            F.round(F.col("value") * 100).cast("long").alias(f"{prefix}_value_c"),
+        ).withWatermark(f"{prefix}_ts", watermark)
+
+    left = side(left_type, "v")
+    right = side(right_type, "p")
+    joined = left.join(
+        right,
+        F.expr(
+            "v_user = p_user AND p_ts >= v_ts AND "
+            f"p_ts <= v_ts + INTERVAL {max_delay}"
+        ),
+        "inner",
+    )
+    out = joined.select(
+        F.col("v_user").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
+        .cast("long")
+        .alias("lag_s"),
+        F.col("p_value_c").alias("purchase_value_c"),
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incr_stream_join")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql("SELECT * FROM incr_stream_join")

@@ -418,3 +418,46 @@ def test_incremental_trending_sliding_matches_batch(spark, sf_dir, tmp_path):
         .agg(F.count("*").alias("n")).agg(F.sum("n")).first()[0]
     )
     assert total == 2 * ev.count()
+
+
+def test_incremental_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the batch join: inner matches emit
+    as both sides arrive (no watermark-close delay), so the completed
+    AvailableNow run over one file must reproduce every (view, purchase)
+    pair within the 24h bound, with exact integer lag/value columns."""
+    from ddaugner_spark.streaming import incremental_stream_join
+
+    got = {
+        tuple(r)
+        for r in incremental_stream_join(
+            spark, f"{sf_dir}/events.parquet", str(tmp_path / "ck_ssj")
+        ).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    c = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("purchase_value_c"),
+    )
+    batch = v.join(
+        c,
+        (v.user_id == c.c_user)
+        & (c.p_ts >= v.v_ts)
+        & (c.p_ts <= v.v_ts + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
+        .cast("long")
+        .alias("lag_s"),
+        "purchase_value_c",
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert want and got == want
