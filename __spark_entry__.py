@@ -2877,6 +2877,16 @@ def q_stupid_backoff(spark, sf):
     return textstats.stupid_backoff_scores(_docs(spark, sf))
 
 
+def q_kn_bigram(spark, sf):
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995) —
+    the smoothed counterpart to q_stupid_backoff: discounted seen mass
+    + continuation-probability backoff, probes = corpus bigrams ∪
+    corrupted (w2←w1) twins.  One corpus-sized shuffle (the bigram
+    count); every other model table is a tiny re-aggregation of it
+    (operators/textstats.py kneser_ney_scores)."""
+    return textstats.kneser_ney_scores(_docs(spark, sf))
+
+
 def q_scd2(spark, sf):
     """Slowly-changing-dimension type-2 build from a deterministic
     recrawl history: each url is captured 1 + doc_id%4 times one minute
@@ -3441,6 +3451,19 @@ def q_calibration(spark, sf):
     from ddaugner_spark.operators import traindata
 
     return traindata.calibration_bins(_docs(spark, sf), n_bins=10)
+
+
+def q_isotonic(spark, sf):
+    """Isotonic (PAV) calibration map over the same score/label setup
+    as q_calibration, via the minimax characterization
+    iso(k) = max_{i≤k} min_{j≥k} pooled_rate(i..j) — no iterative
+    pooling, every pooled rate one division of exact integer
+    prefix-sum differences, the whole lattice on broadcast
+    bin-count-sized frames (operators/traindata.py
+    isotonic_calibration)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.isotonic_calibration(_docs(spark, sf), n_bins=10)
 
 
 def q_ams_f2(spark, sf):
@@ -5313,6 +5336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_peak_concurrency": q_peak_concurrency,
         "q_dispersion": q_dispersion,
         "q_stream_join": q_stream_join,
+        "q_kn_bigram": q_kn_bigram,
+        "q_isotonic": q_isotonic,
     }
 
 
@@ -9785,6 +9810,85 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # interpolated Kneser-Ney bigram: identical expression tree over
+    # exact integer counts on both engines, rounded once at 6 digits
+    o["q_kn_bigram"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               CASE WHEN coalesce(text, '') = '' THEN []::VARCHAR[]
+                    ELSE string_split(text, ' ') END AS t
+        FROM documents
+      ),
+      bgx AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) u(i)
+      ),
+      c2 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgx GROUP BY 1, 2),
+      lft AS (SELECT w1, sum(c12)::BIGINT AS cl, count(*)::BIGINT AS n1f
+              FROM c2 GROUP BY w1),
+      rgt AS (SELECT w2, count(*)::BIGINT AS n1r FROM c2 GROUP BY w2),
+      nbg AS (SELECT count(*)::DOUBLE AS n_bg FROM c2),
+      probes AS (
+        SELECT DISTINCT w1, w2 FROM (
+          SELECT w1, w2 FROM c2
+          UNION ALL SELECT w1, w1 AS w2 FROM c2
+        )
+      ),
+      j AS (
+        SELECT p.w1, p.w2, c2.c12, lft.cl, lft.n1f, rgt.n1r
+        FROM probes p
+        LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        JOIN lft ON lft.w1 = p.w1
+        LEFT JOIN rgt ON rgt.w2 = p.w2
+      )
+      SELECT w1, w2,
+             (CASE WHEN c12 IS NOT NULL THEN 2 ELSE 1 END)::INT AS level,
+             round(greatest(coalesce(c12, 0)::DOUBLE - 0.75, 0.0) / cl
+                   + 0.75 * n1f / cl
+                     * (coalesce(n1r, 0)::DOUBLE / (SELECT n_bg FROM nbg)),
+                   6) AS score
+      FROM j
+    """
+
+    # isotonic (PAV) calibration via the minimax formula: every pooled
+    # rate one division of exact integer prefix-sum differences
+    o["q_isotonic"] = """
+      WITH d AS (
+        SELECT least(n_chars, 500)::BIGINT AS cap,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM documents
+      ),
+      b AS (
+        SELECT least(cap // 50, 9)::BIGINT AS bin, y FROM d
+      ),
+      bins AS (
+        SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+        FROM b GROUP BY bin
+      ),
+      pre AS (
+        SELECT bin, n, n_pos,
+               sum(n) OVER (ORDER BY bin)::BIGINT AS cn,
+               sum(n_pos) OVER (ORDER BY bin)::BIGINT AS cp
+        FROM bins
+      ),
+      seg AS (
+        SELECT lo.bin AS i, hi.bin AS j,
+               (hi.cp - (lo.cp - lo.n_pos))::DOUBLE
+                 / (hi.cn - (lo.cn - lo.n)) AS avg
+        FROM pre lo, pre hi WHERE lo.bin <= hi.bin
+      ),
+      inner_min AS (
+        SELECT k.bin AS k, s.i, min(s.avg) AS mn
+        FROM bins k JOIN seg s ON s.i <= k.bin AND s.j >= k.bin
+        GROUP BY k.bin, s.i
+      ),
+      fit AS (SELECT k, max(mn) AS iso FROM inner_min GROUP BY k)
+      SELECT bins.bin, bins.n, bins.n_pos,
+             round(bins.n_pos::DOUBLE / bins.n, 6) AS pos_rate,
+             round(fit.iso, 6) AS iso_rate
+      FROM bins JOIN fit ON fit.k = bins.bin
     """
 
     # SCD2 replay: same recrawl amplifier, window form of the engine's

@@ -1278,3 +1278,75 @@ def lexicon_screen(
         .otherwise(F.lit("neutral"))
         .alias("label"),
     )
+
+
+def kneser_ney_scores(
+    docs: DataFrame, discount: float = 0.75, ndigits: int = 6
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    & Goodman 1999's interpolated form) — the smoothed LM that Stupid
+    Backoff traded away at MapReduce scale, here in its exact
+    distributed-count form:
+
+        P(w2 | w1) = max(c(w1 w2) − D, 0) / c(w1·)
+                     + D · N1+(w1 ·) / c(w1·) · P_cont(w2)
+        P_cont(w2) = N1+(· w2) / |distinct bigram types|
+
+    with D = 0.75 and c(w1·) = Σ_w2 c(w1 w2) (bigram-left mass, so the
+    distribution normalizes exactly — doc-final tokens never enter a
+    denominator they don't enter a numerator of).  The continuation
+    probability is KN's point: a word's unigram weight is how many
+    CONTEXTS it follows, not how often it occurs.
+
+    Probes = the corpus's distinct bigrams plus a deterministic
+    corrupted twin per bigram (w2 ← w1), which exercises the unseen
+    path (discounted term zero, continuation-only mass).  Output one
+    row per distinct probe: ``(w1, w2, level, score)``, level 2 = seen
+    bigram, 1 = continuation-only.
+
+    Scale shape: ONE corpus-sized shuffle (the bigram count); the
+    left-mass/fan-out tables and the continuation table are tiny
+    re-aggregations of it keyed on w1 / w2, the type count a one-row
+    broadcast — the same sharded-count architecture as
+    ``stupid_backoff_scores``, no node ever holds the model.  Floats:
+    both engines evaluate the identical expression tree over exact
+    integer counts, rounded once at ``ndigits``.
+    """
+    bg = word_bigrams(docs)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = c2.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("cl"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    right = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1r"))
+    n_bg = c2.agg(F.count(F.lit(1)).cast("double").alias("n_bg"))
+
+    probes = (
+        c2.select("w1", "w2")
+        .unionByName(c2.select("w1", F.col("w1").alias("w2")))
+        .distinct()
+    )
+    d = F.lit(float(discount))
+    j = (
+        probes.join(c2, ["w1", "w2"], "left")
+        .join(left, "w1")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(n_bg))
+    )
+    pcont = F.coalesce(F.col("n1r"), F.lit(0)).cast("double") / F.col("n_bg")
+    score = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / F.col("cl")
+        + d * F.col("n1f") / F.col("cl") * pcont
+    )
+    level = (
+        F.when(F.col("c12").isNotNull(), F.lit(2)).otherwise(F.lit(1)).cast("int")
+    )
+    return j.select(
+        "w1",
+        "w2",
+        level.alias("level"),
+        F.round(score, ndigits).alias("score"),
+    )

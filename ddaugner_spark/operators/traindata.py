@@ -479,3 +479,91 @@ def cluster_aware_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def isotonic_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Isotonic-regression calibration map (PAV fit) for the
+    capped-length quality score vs the lang=='en' label — the monotone
+    companion to ``calibration_bins``: per score bin, the raw positive
+    rate and the isotonically fitted rate ``iso_rate``, computed by the
+    minimax characterization of the pool-adjacent-violators solution
+
+        iso(k) = max_{i ≤ k} min_{j ≥ k} pooled_rate(i..j)
+
+    which needs no iterative pooling: every pooled rate is ONE division
+    of two exact integer prefix-sum differences (Σ n_pos / Σ n over the
+    bin segment), so both engines produce bit-identical doubles and the
+    min/max lattice picks identical values — the repo's no-float-
+    accumulation rule, extended to an optimization problem.
+
+    Scale shape: one corpus-sized hash aggregate to the B-bin table;
+    everything after (prefix sums, the B² segment table, the B³
+    minimax) lives on broadcast bin-count-sized frames — B = 10 here,
+    and even B = 10⁴ keeps the lattice at driver-trivial size.  The
+    global-order window runs on the B-row aggregate only, never the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    if 500 % n_bins != 0:
+        raise ValueError("n_bins must divide 500 for exact integer bins")
+    width = 500 // n_bins
+    d = docs.select(
+        F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).select(
+        F.least(F.floor(F.col("cap") / width), F.lit(n_bins - 1))
+        .cast("long")
+        .alias("bin"),
+        "y",
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("n_pos").over(w).cast("long").alias("cp"),
+    )
+    lo = pre.select(
+        F.col("bin").alias("i"),
+        (F.col("cn") - F.col("n")).alias("cn_lo"),
+        (F.col("cp") - F.col("n_pos")).alias("cp_lo"),
+    )
+    hi = pre.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cn_hi"),
+        F.col("cp").alias("cp_hi"),
+    )
+    seg = (
+        lo.crossJoin(F.broadcast(hi))
+        .where(F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            (
+                (F.col("cp_hi") - F.col("cp_lo")).cast("double")
+                / (F.col("cn_hi") - F.col("cn_lo"))
+            ).alias("avg"),
+        )
+    )
+    ks = bins.select(F.col("bin").alias("k"))
+    m = ks.join(
+        F.broadcast(seg), (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k"))
+    )
+    inner = m.groupBy("k", "i").agg(F.min("avg").alias("mn"))
+    fit = inner.groupBy("k").agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(F.broadcast(fit), bins.bin == fit.k)
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+            F.round(F.col("iso"), 6).alias("iso_rate"),
+        )
+    )
