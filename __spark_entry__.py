@@ -2850,6 +2850,16 @@ def q_funnel(spark, sf):
     return evops.funnel_counts(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def q_seq_patterns(spark, sf):
+    """Length-3 sequential-pattern mining (PrefixSpan readout): support
+    = distinct users containing the subsequence e1 < e2 < e3 under the
+    composite (ts, event_id) key, for ALL ordered type triples at once;
+    greedy-earliest matching is exact for subsequence existence.  All
+    stages share the user_id shuffle key; fan-out bounded by the type
+    vocabulary (operators/events.py seq_pattern_support)."""
+    return evops.seq_pattern_support(spark.read.parquet(f"{sf}/events.parquet"))
+
+
 def q_retention(spark, sf):
     """Weekly cohort retention: cohort = ISO week of first activity,
     one distinct-user count per (cohort, week offset).  Events reduce
@@ -5338,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_join": q_stream_join,
         "q_kn_bigram": q_kn_bigram,
         "q_isotonic": q_isotonic,
+        "q_seq_patterns": q_seq_patterns,
     }
 
 
@@ -9810,6 +9821,26 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # sequential-pattern support: greedy-earliest subsequence matching
+    # on the packed (ts, event_id) key — exact for existence
+    o["q_seq_patterns"] = """
+      WITH ev AS (
+        SELECT user_id, event_type,
+               lpad(epoch_us(ts)::VARCHAR, 20, '0') || '#' ||
+               lpad(event_id::VARCHAR, 10, '0') AS k
+        FROM events
+      ),
+      t1 AS (SELECT user_id, event_type AS e1, min(k) AS t1
+             FROM ev GROUP BY 1, 2),
+      t2 AS (SELECT ev.user_id, t1.e1, ev.event_type AS e2, min(ev.k) AS t2
+             FROM ev JOIN t1 ON t1.user_id = ev.user_id AND ev.k > t1.t1
+             GROUP BY 1, 2, 3),
+      t3 AS (SELECT DISTINCT ev.user_id, t2.e1, t2.e2, ev.event_type AS e3
+             FROM ev JOIN t2 ON t2.user_id = ev.user_id AND ev.k > t2.t2)
+      SELECT e1, e2, e3, count(*)::BIGINT AS support
+      FROM t3 GROUP BY 1, 2, 3
     """
 
     # interpolated Kneser-Ney bigram: identical expression tree over

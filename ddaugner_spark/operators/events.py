@@ -714,3 +714,54 @@ def peak_concurrency(
         .agg(F.min("t").cast("long").alias("peak_at_us"))
     )
     return n.crossJoin(peak).crossJoin(at)
+
+
+def seq_pattern_support(events: DataFrame, min_support: int = 1) -> DataFrame:
+    """Sequential-pattern support (the length-3 PrefixSpan readout):
+    ``(e1, e2, e3, support)`` — for every ordered event-type triple
+    (repeats allowed), the number of distinct users whose history
+    contains the SUBSEQUENCE e1 < e2 < e3 under the composite
+    (ts, event_id) key (funnel_counts' packed-string device, so ties
+    are deterministic).
+
+    Greedy-earliest matching is exact for subsequence EXISTENCE: a
+    user supports the pattern iff taking t1 = min key of e1, then the
+    min e2 key strictly after t1, then any e3 strictly after that,
+    succeeds.  Unlike funnel_counts (one fixed stage chain) this mines
+    ALL |T|³ chains at once.
+
+    Scale shape: three aggregates and two joins, all on the SAME
+    user_id shuffle key; fan-out is |events| × |T| then × |T|² —
+    bounded by the TYPE VOCABULARY (five here), never by users or by
+    pattern count, so the plan survives arbitrary corpus growth as
+    long as the event-type alphabet stays small (the PrefixSpan
+    projected-database trick in DataFrame form).
+    """
+    key = F.concat(
+        F.lpad(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"
+        ),
+        F.lit("#"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    ).alias("k")
+    ev = events.select("user_id", "event_type", key)
+    t1 = ev.groupBy("user_id", F.col("event_type").alias("e1")).agg(
+        F.min("k").alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter(F.col("k") > F.col("t1"))
+        .groupBy("user_id", "e1", F.col("event_type").alias("e2"))
+        .agg(F.min("k").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2, "user_id")
+        .filter(F.col("k") > F.col("t2"))
+        .select("user_id", "e1", "e2", F.col("event_type").alias("e3"))
+        .distinct()
+    )
+    return (
+        t3.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

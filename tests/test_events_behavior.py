@@ -110,3 +110,39 @@ def test_markov_transitions(spark):
     assert got[("view", "click")] == (1, pytest.approx(round(1 / 3, 6)))
     assert got[("view", "purchase")] == (1, pytest.approx(round(1 / 3, 6)))
     assert len(got) == 3  # click/purchase are terminal in this fixture
+
+
+def test_seq_pattern_support_matches_python_greedy(spark, sf_dir):
+    """Engine support counts == eager per-user greedy subsequence scan
+    (greedy-earliest is exact for subsequence existence), over every
+    ordered type triple, ties broken by the same (ts, event_id) key."""
+    from collections import defaultdict
+    from itertools import product
+
+    from ddaugner_spark.operators.events import seq_pattern_support
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["e1"], r["e2"], r["e3"]): r["support"]
+        for r in seq_pattern_support(ev).collect()
+    }
+    hist = defaultdict(list)
+    for r in ev.select("user_id", "event_type", "ts", "event_id").collect():
+        hist[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    for h in hist.values():
+        h.sort()
+    types = sorted({t for h in hist.values() for _, _, t in h})
+    want = {}
+    for pat in product(types, repeat=3):
+        n = 0
+        for h in hist.values():
+            i = 0
+            for _, _, t in h:
+                if t == pat[i]:
+                    i += 1
+                    if i == 3:
+                        break
+            n += i == 3
+        if n:
+            want[pat] = n
+    assert got and got == want
