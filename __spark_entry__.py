@@ -2605,6 +2605,27 @@ def q_ab_test(spark, sf):
     return evops.ab_test(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def q_did(spark, sf):
+    """Two-period difference-in-differences: deterministic user_id%2
+    treatment, periods split mid-month, outcome purchases per
+    user-period; every cell mean ONE division of exact integer sums
+    over the arm's user count, effect three subtractions of those
+    doubles (operators/stats.py did_effect)."""
+    from ddaugner_spark.operators import stats as statops
+
+    return statops.did_effect(spark.read.parquet(f"{sf}/events.parquet"))
+
+
+def q_wilson_rank(spark, sf):
+    """Wilson-score lower-bound rate ranking: per-part return rate
+    ranked by the 95% LOWER bound so tiny-n flukes can't top the
+    leaderboard; rank window on the part-sized aggregate only
+    (operators/stats.py wilson_rates)."""
+    from ddaugner_spark.operators import stats as statops
+
+    return statops.wilson_rates(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+
 def q_ann_recall(spark, sf):
     """ANN index EVALUATION as a first-class operator: recall@k of the
     k-means IVF index (64 cells, nprobe=24) against the brute-force
@@ -5349,6 +5370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kn_bigram": q_kn_bigram,
         "q_isotonic": q_isotonic,
         "q_seq_patterns": q_seq_patterns,
+        "q_did": q_did,
+        "q_wilson_rank": q_wilson_rank,
     }
 
 
@@ -9821,6 +9844,64 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # difference-in-differences: cell means = one division of exact
+    # integer sums over the arm's user count; identical float chain
+    o["q_did"] = """
+      WITH e AS (
+        SELECT (user_id % 2 = 1)::INT AS treat,
+               (ts >= TIMESTAMP '2024-01-16 00:00:00')::INT AS post,
+               (event_type = 'purchase')::BIGINT AS y,
+               user_id
+        FROM events
+      ),
+      cells AS (SELECT treat, post, sum(y)::BIGINT AS s
+                FROM e GROUP BY 1, 2),
+      arms AS (SELECT treat, count(DISTINCT user_id)::BIGINT AS n_users
+               FROM e GROUP BY treat),
+      m AS (
+        SELECT c.treat, c.post, c.s::DOUBLE / a.n_users AS mean
+        FROM cells c JOIN arms a USING (treat)
+      ),
+      four AS (
+        SELECT max(CASE WHEN treat = 0 AND post = 0 THEN mean END) AS pc,
+               max(CASE WHEN treat = 0 AND post = 1 THEN mean END) AS qc,
+               max(CASE WHEN treat = 1 AND post = 0 THEN mean END) AS pt,
+               max(CASE WHEN treat = 1 AND post = 1 THEN mean END) AS qt
+        FROM m
+      )
+      SELECT round(pc, 6) AS pre_ctrl, round(qc, 6) AS post_ctrl,
+             round(pt, 6) AS pre_treat, round(qt, 6) AS post_treat,
+             round((qt - pt) - (qc - pc), 6) AS did
+      FROM four
+    """
+
+    # Wilson lower bound: identical fixed expression tree over exact
+    # integer (n, n_ret); rank window on the part-sized aggregate
+    o["q_wilson_rank"] = """
+      WITH g AS (
+        SELECT l_partkey, count(*)::BIGINT AS n,
+               sum((l_returnflag = 'R')::BIGINT)::BIGINT AS n_ret
+        FROM lineitem GROUP BY l_partkey
+      ),
+      s AS (
+        SELECT l_partkey, n, n_ret,
+               round(n_ret::DOUBLE / n::DOUBLE, 6) AS rate,
+               round(
+                 (n_ret::DOUBLE / n::DOUBLE
+                    + (1.96 * 1.96) / (2.0 * n::DOUBLE)
+                    - 1.96 * sqrt(
+                        (n_ret::DOUBLE / n::DOUBLE)
+                          * (1.0 - n_ret::DOUBLE / n::DOUBLE) / n::DOUBLE
+                        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / n::DOUBLE),
+                 6) AS lb
+        FROM g
+      )
+      SELECT l_partkey, n, n_ret, rate, lb
+      FROM s
+      QUALIFY row_number() OVER (ORDER BY lb DESC, l_partkey) <= 20
     """
 
     # sequential-pattern support: greedy-earliest subsequence matching

@@ -931,3 +931,109 @@ def dispersion_index(
             "overdispersed"
         ),
     )
+
+
+def wilson_rates(
+    lineitem: DataFrame, z: float = 1.96, k: int = 20, ndigits: int = 6
+) -> DataFrame:
+    """Wilson-score lower-bound rate ranking (Wilson 1927; the
+    "sort by lower bound, not by rate" device): per part, the return
+    rate (share of lines with l_returnflag = 'R') ranked by the
+    z-confidence LOWER bound
+
+        LB = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    so a 1/1 part cannot outrank a 40/50 part — the small-n correction
+    every rate leaderboard needs.  Returns the top ``k`` parts by
+    (rounded LB desc, partkey): ``(l_partkey, n, n_ret, rate, lb)``.
+
+    Determinism: n and n_ret are exact integer sums; p̂ and LB are one
+    fixed expression tree over them (sqrt is IEEE-correctly-rounded on
+    both engines), rounded once; the rank window runs on the
+    part-sized AGGREGATE, never the fact table.
+    """
+    g = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("n_ret"),
+    )
+    zz = F.lit(float(z)) * F.lit(float(z))
+    nd = F.col("n").cast("double")
+    p = F.col("n_ret").cast("double") / nd
+    lb = (
+        p
+        + zz / (F.lit(2.0) * nd)
+        - F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + zz / (F.lit(4.0) * nd * nd))
+    ) / (F.lit(1.0) + zz / nd)
+    s = g.select(
+        "l_partkey",
+        "n",
+        "n_ret",
+        F.round(p, ndigits).alias("rate"),
+        F.round(lb, ndigits).alias("lb"),
+    )
+    w = Window.orderBy(F.col("lb").desc(), F.col("l_partkey"))
+    return (
+        s.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
+def did_effect(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
+    """Two-period difference-in-differences over the events table:
+    deterministic treatment assignment (user_id % 2 = 1), periods split
+    at ``split_ts``, outcome = purchases per user-period.  One row:
+    the four cell means and
+
+        effect = (post_t − pre_t) − (post_c − pre_c)
+
+    Every mean is ONE division of exact integer sums (purchase counts /
+    distinct users in the arm — the arm's user count, not the cell's,
+    so users inactive in a period count as zero, the panel convention);
+    the effect is three subtractions of those identical doubles.  One
+    corpus pass for the cell sums + one tiny distinct-user aggregate.
+    """
+    e = events.select(
+        (F.col("user_id") % 2 == 1).cast("int").alias("treat"),
+        (F.col("ts").cast("timestamp") >= F.lit(split_ts).cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+        "user_id",
+    )
+    cells = e.groupBy("treat", "post").agg(F.sum("y").cast("long").alias("s"))
+    arms = (
+        e.select("treat", "user_id")
+        .distinct()
+        .groupBy("treat")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    j = cells.join(F.broadcast(arms), "treat")
+    m = j.select(
+        "treat",
+        "post",
+        (F.col("s").cast("double") / F.col("n_users")).alias("mean"),
+        "s",
+        "n_users",
+    )
+    def cell(t: int, p: int):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    four = m.groupBy().agg(
+        cell(0, 0).alias("pc"),
+        cell(0, 1).alias("qc"),
+        cell(1, 0).alias("pt"),
+        cell(1, 1).alias("qt"),
+    )
+    return four.select(
+        F.round(F.col("pc"), 6).alias("pre_ctrl"),
+        F.round(F.col("qc"), 6).alias("post_ctrl"),
+        F.round(F.col("pt"), 6).alias("pre_treat"),
+        F.round(F.col("qt"), 6).alias("post_treat"),
+        F.round(
+            (F.col("qt") - F.col("pt")) - (F.col("qc") - F.col("pc")), 6
+        ).alias("did"),
+    )
