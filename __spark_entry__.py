@@ -2616,6 +2616,19 @@ def q_did(spark, sf):
     return statops.did_effect(spark.read.parquet(f"{sf}/events.parquet"))
 
 
+def q_eb_rates(spark, sf):
+    """Empirical-Bayes beta-binomial shrinkage of per-part return
+    rates toward the method-of-moments corpus prior — the
+    "rank domains by spam rate without being fooled by tiny domains"
+    curation device.  Cross-group moments are EXACT INTEGER sums of
+    once-quantized micro-unit rates (no order-dependent double
+    accumulation); the shrinkage is a fixed expression tree
+    (operators/stats.py eb_shrunk_rates)."""
+    from ddaugner_spark.operators import stats as statops
+
+    return statops.eb_shrunk_rates(spark.read.parquet(f"{sf}/lineitem.parquet"))
+
+
 def q_wilson_rank(spark, sf):
     """Wilson-score lower-bound rate ranking: per-part return rate
     ranked by the 95% LOWER bound so tiny-n flukes can't top the
@@ -5372,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seq_patterns": q_seq_patterns,
         "q_did": q_did,
         "q_wilson_rank": q_wilson_rank,
+        "q_eb_rates": q_eb_rates,
     }
 
 
@@ -9875,6 +9889,46 @@ sents AS (
              round(pt, 6) AS pre_treat, round(qt, 6) AS post_treat,
              round((qt - pt) - (qc - pc), 6) AS did
       FROM four
+    """
+
+    # empirical-Bayes shrinkage: moments are exact integer sums of
+    # once-quantized micro-unit rates; fixed float tree after
+    o["q_eb_rates"] = """
+      WITH g AS (
+        SELECT l_partkey, count(*)::BIGINT AS n,
+               sum((l_returnflag = 'R')::BIGINT)::BIGINT AS x
+        FROM lineitem GROUP BY l_partkey
+      ),
+      gq AS (
+        SELECT l_partkey, n, x,
+               round(x::DOUBLE / n * 1000000.0, 0)::BIGINT AS q
+        FROM g
+      ),
+      mom AS (
+        SELECT count(*)::BIGINT AS k, sum(q)::BIGINT AS s1,
+               sum(q * q)::BIGINT AS s2
+        FROM gq
+      ),
+      j AS (
+        SELECT gq.*, mom.k, mom.s1, mom.s2 FROM gq, mom
+      ),
+      c AS (
+        SELECT l_partkey, n, x,
+               s1::DOUBLE / k::DOUBLE / 1000000.0 AS m,
+               s2::DOUBLE / k::DOUBLE / 1000000000000.0 AS msq
+        FROM j
+      ),
+      p AS (
+        SELECT l_partkey, n, x, m,
+               greatest(m * (1.0 - m)
+                          / greatest(msq - m * m, 1e-12)
+                        - 1.0, 0.0) AS s
+        FROM c
+      )
+      SELECT l_partkey, n, x,
+             round(x::DOUBLE / n::DOUBLE, 6) AS rate,
+             round((x::DOUBLE + m * s) / (n::DOUBLE + s), 6) AS shrunk
+      FROM p
     """
 
     # Wilson lower bound: identical fixed expression tree over exact

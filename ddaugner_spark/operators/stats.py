@@ -1037,3 +1037,57 @@ def did_effect(events: DataFrame, split_ts: str = "2024-01-16") -> DataFrame:
             (F.col("qt") - F.col("pt")) - (F.col("qc") - F.col("pc")), 6
         ).alias("did"),
     )
+
+
+def eb_shrunk_rates(lineitem: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) rate shrinkage — the other half
+    of the small-n toolkit next to ``wilson_rates``: per part, the
+    return rate shrunk toward the corpus prior fitted by method of
+    moments,
+
+        shrunk_i = (x_i + α) / (n_i + α + β),   α = m·s,  β = (1−m)·s,
+        s = m(1−m)/v − 1
+
+    with m, v the mean/variance of the per-group rates.  High-n groups
+    keep their rate; 1/1 groups collapse to the prior — the standard
+    "rank domains by spam rate without being fooled by tiny domains"
+    device in corpus curation.
+
+    Determinism device: each group's rate is quantized ONCE to integer
+    micro-units (one rounded division), so the cross-group moment sums
+    are EXACT INTEGER sums (Σq, Σq²) — no order-dependent double
+    accumulation anywhere; m and v are then single divisions of those
+    integers and the shrinkage a fixed expression tree, identical on
+    both engines.  v is floored at 1e-12: a (near-)constant rate table
+    yields s ≤ 0, clamped to 0 ⇒ no shrinkage.  Plan: one group
+    aggregate (the only corpus-sized shuffle) + a one-row moment
+    broadcast back onto the group table.
+    """
+    g = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("x"),
+    )
+    q = F.round(F.col("x").cast("double") / F.col("n") * F.lit(1000000.0), 0).cast(
+        "long"
+    )
+    gq = g.withColumn("q", q)
+    mom = gq.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+    )
+    j = gq.crossJoin(F.broadcast(mom))
+    kd = F.col("k").cast("double")
+    m = F.col("s1").cast("double") / kd / F.lit(1000000.0)
+    msq = F.col("s2").cast("double") / kd / F.lit(1000000000000.0)
+    v = F.greatest(msq - m * m, F.lit(1e-12))
+    s = F.greatest(m * (F.lit(1.0) - m) / v - F.lit(1.0), F.lit(0.0))
+    alpha = m * s
+    shrunk = (F.col("x").cast("double") + alpha) / (F.col("n").cast("double") + s)
+    return j.select(
+        "l_partkey",
+        "n",
+        "x",
+        F.round(F.col("x").cast("double") / F.col("n"), ndigits).alias("rate"),
+        F.round(shrunk, ndigits).alias("shrunk"),
+    )

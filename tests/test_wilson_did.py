@@ -66,3 +66,40 @@ def test_did_effect_matches_python(spark, sf_dir):
     assert row["did"] == round(
         (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)]), 6
     )
+
+
+def test_eb_shrunk_rates_matches_python_and_shrinks(spark, sf_dir):
+    """Bit-exact vs the eager MoM reference; shrinkage property: every
+    group's shrunk rate sits between its raw rate and the prior mean,
+    and small-n groups move proportionally more."""
+    from ddaugner_spark.operators.stats import eb_shrunk_rates
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_partkey"]: (r["n"], r["x"], r["rate"], r["shrunk"])
+        for r in eb_shrunk_rates(li).collect()
+    }
+    agg = {
+        r["l_partkey"]: (r["n"], r["x"])
+        for r in li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("x"),
+        )
+        .collect()
+    }
+    qs = {pk: round(x / n * 1000000.0) for pk, (n, x) in agg.items()}
+    k = len(qs)
+    s1, s2 = sum(qs.values()), sum(q * q for q in qs.values())
+    m = s1 / k / 1000000.0
+    msq = s2 / k / 1000000000000.0
+    v = max(msq - m * m, 1e-12)
+    s = max(m * (1.0 - m) / v - 1.0, 0.0)
+    want = {
+        pk: (n, x, round(x / n, 6), round((x + m * s) / (n + s), 6))
+        for pk, (n, x) in agg.items()
+    }
+    assert got == want and s > 0
+    for n, x, rate, shrunk in got.values():
+        lo, hi = sorted((rate, round(m, 6)))
+        assert lo - 1e-6 <= shrunk <= hi + 1e-6
