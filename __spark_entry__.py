@@ -10959,14 +10959,16 @@ sents AS (
       WITH {_CORPUS},
       {_MH_CHAIN},
       nodes AS (SELECT doc_id AS node FROM corpus),
+      -- mirror the engine's defensive pair dedupe (density.py dbscan_lite)
+      vpd AS (SELECT DISTINCT a, b FROM vp),
       sym AS (
-        SELECT a AS node, b AS nb FROM vp
-        UNION ALL SELECT b AS node, a AS nb FROM vp
+        SELECT a AS node, b AS nb FROM vpd
+        UNION ALL SELECT b AS node, a AS nb FROM vpd
       ),
       deg AS (SELECT node, count(*)::BIGINT AS n_nb FROM sym GROUP BY node),
       core AS (SELECT node FROM deg WHERE n_nb + 1 >= 3),
       ce AS (
-        SELECT v.a, v.b FROM vp v
+        SELECT v.a, v.b FROM vpd v
         JOIN core ca ON ca.node = v.a
         JOIN core cb ON cb.node = v.b
       ),

@@ -933,6 +933,18 @@ def dispersion_index(
     )
 
 
+def _part_return_counts(lineitem: DataFrame) -> DataFrame:
+    """Shared per-part rate aggregate of wilson_rates /
+    eb_shrunk_rates: ``(l_partkey, n, n_ret)`` — line count and
+    returned-line (l_returnflag = 'R') count, exact integers.  ONE
+    definition so the predicate/cast chain can't drift between the two
+    small-n rate operators."""
+    return lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("n_ret"),
+    )
+
+
 def wilson_rates(
     lineitem: DataFrame, z: float = 1.96, k: int = 20, ndigits: int = 6
 ) -> DataFrame:
@@ -952,10 +964,7 @@ def wilson_rates(
     both engines), rounded once; the rank window runs on the
     part-sized AGGREGATE, never the fact table.
     """
-    g = lineitem.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("n_ret"),
-    )
+    g = _part_return_counts(lineitem)
     zz = F.lit(float(z)) * F.lit(float(z))
     nd = F.col("n").cast("double")
     p = F.col("n_ret").cast("double") / nd
@@ -1063,10 +1072,7 @@ def eb_shrunk_rates(lineitem: DataFrame, ndigits: int = 6) -> DataFrame:
     aggregate (the only corpus-sized shuffle) + a one-row moment
     broadcast back onto the group table.
     """
-    g = lineitem.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("x"),
-    )
+    g = _part_return_counts(lineitem).withColumnRenamed("n_ret", "x")
     q = F.round(F.col("x").cast("double") / F.col("n") * F.lit(1000000.0), 0).cast(
         "long"
     )

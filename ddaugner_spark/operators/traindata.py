@@ -201,6 +201,27 @@ def auc_exact(
     )
 
 
+def _score_bins(docs: DataFrame, n_bins: int) -> DataFrame:
+    """Shared binning prelude of calibration_bins / isotonic_calibration
+    — ONE definition of the capped-length score, the lang=='en' label,
+    and the exact-integer bin spine: ``(bin, cap, y)`` per row.
+    ``n_bins`` must divide the 500 cap so bin widths stay exact
+    integers (the determinism device depends on it)."""
+    if 500 % n_bins != 0:
+        raise ValueError("n_bins must divide 500 for exact integer bins")
+    width = 500 // n_bins
+    return docs.select(
+        F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).select(
+        F.least(F.floor(F.col("cap") / width), F.lit(n_bins - 1))
+        .cast("long")
+        .alias("bin"),
+        "cap",
+        "y",
+    )
+
+
 def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     """Reliability diagram + ECE for the capped-length quality score
     ``least(n_chars, 500)/500`` against the lang=='en' label: per score
@@ -213,21 +234,10 @@ def calibration_bins(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     One hash aggregate to bin stats; ECE re-aggregated from the
     bin-count-sized table and broadcast back onto every row.
     ``n_bins`` must divide the 500 cap so bin widths stay exact
-    integers (the determinism device depends on it).
+    integers (the determinism device depends on it, enforced in
+    ``_score_bins``).
     """
-    if 500 % n_bins != 0:
-        raise ValueError("n_bins must divide 500 for exact integer bins")
-    width = 500 // n_bins
-    d = docs.select(
-        F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
-        (F.col("lang") == "en").cast("long").alias("y"),
-    ).select(
-        F.least(F.floor(F.col("cap") / width), F.lit(n_bins - 1))
-        .cast("long")
-        .alias("bin"),
-        "cap",
-        "y",
-    )
+    d = _score_bins(docs, n_bins)
     bins = d.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cap").cast("long").alias("sum_cap"),
@@ -505,18 +515,7 @@ def isotonic_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    if 500 % n_bins != 0:
-        raise ValueError("n_bins must divide 500 for exact integer bins")
-    width = 500 // n_bins
-    d = docs.select(
-        F.least("n_chars", F.lit(500)).cast("long").alias("cap"),
-        (F.col("lang") == "en").cast("long").alias("y"),
-    ).select(
-        F.least(F.floor(F.col("cap") / width), F.lit(n_bins - 1))
-        .cast("long")
-        .alias("bin"),
-        "y",
-    )
+    d = _score_bins(docs, n_bins)
     bins = d.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("n_pos"),
