@@ -379,6 +379,21 @@ def q_triples(spark, sf):
     return triples.triples_df(_docs(spark, sf))
 
 
+def q_kg_completion(spark, sf):
+    """KG link-prediction eval harness (TransE protocol, Bordes
+    NIPS'13): rank every entity as candidate tail by the integer L1
+    translation score of HASH-DERIVED embeddings (the container-gated
+    trained-model swap point), report MRR / hits@k for a deterministic
+    1/10 fact sample.  Candidate fan-out = facts × broadcast entity
+    vocab × broadcast dim spine, map-only md5 arithmetic, one
+    (fact, candidate) hash aggregate + fact-keyed rank window; MRR via
+    integer micro-quantized reciprocal ranks (operators/kgquery.py
+    kg_completion_eval)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.kg_completion_eval(triples.triples_df(_docs(spark, sf)))
+
+
 def q_entity_link(spark, sf):
     return linking.link_scores(
         mentions.mentions_df(_docs(spark, sf)), gazetteer_df(spark)
@@ -5386,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_did": q_did,
         "q_wilson_rank": q_wilson_rank,
         "q_eb_rates": q_eb_rates,
+        "q_kg_completion": q_kg_completion,
     }
 
 
@@ -11396,6 +11412,61 @@ sents AS (
     # one exact-integer division for functionality, bounded obj sample
     # via list_sort + list_slice (the conflict filter makes the full
     # sample table cheap at oracle scale)
+    # TransE-protocol KG completion eval: integer L1 scores of
+    # hash-derived vectors, rank by (score, candidate), MRR via
+    # micro-quantized reciprocal ranks
+    o["q_kg_completion"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri0 AS ({_TRI_SELECT}),
+      facts0 AS (SELECT DISTINCT subj AS h, pred AS r, obj AS t FROM tri0),
+      facts AS (
+        SELECT h, r, t FROM facts0
+        WHERE ('0x' || substr(md5(h || '#' || r || '#' || t), 1, 4))::INTEGER
+                % 10 = 0
+      ),
+      ents AS (
+        SELECT DISTINCT e FROM (
+          SELECT subj AS e FROM tri0 UNION SELECT obj AS e FROM tri0
+        )
+      ),
+      dims AS (SELECT u.i FROM unnest(range(16)) AS u(i)),
+      fan AS (SELECT f.h, f.r, f.t, ents.e, dims.i FROM facts f, ents, dims),
+      scores AS (
+        SELECT h, r, t, e,
+               sum(abs(
+                 (('0x' || substr(md5(h || '#' || i::VARCHAR), 1, 4))::INTEGER
+                    % 17 - 8)
+                 + (('0x' || substr(md5(r || '#' || i::VARCHAR), 1, 4))::INTEGER
+                      % 17 - 8)
+                 - (('0x' || substr(md5(e || '#' || i::VARCHAR), 1, 4))::INTEGER
+                      % 17 - 8)
+               ))::BIGINT AS score
+        FROM fan GROUP BY h, r, t, e
+      ),
+      ranked AS (
+        SELECT h, r, t, e,
+               row_number() OVER (PARTITION BY h, r, t ORDER BY score, e) AS rnk
+        FROM scores
+        QUALIFY e = t
+      ),
+      ne AS (SELECT count(*)::BIGINT AS n_entities FROM ents),
+      agg AS (
+        SELECT count(*)::BIGINT AS n_facts,
+               sum(round(1000000.0 / rnk, 0)::BIGINT)::BIGINT AS rr_sum,
+               sum((rnk <= 1)::BIGINT)::BIGINT AS h1,
+               sum((rnk <= 3)::BIGINT)::BIGINT AS h3,
+               sum((rnk <= 10)::BIGINT)::BIGINT AS h10
+        FROM ranked
+      )
+      SELECT n_facts, n_entities,
+             round(rr_sum::DOUBLE / n_facts / 1000000.0, 6) AS mrr,
+             round(h1::DOUBLE / n_facts, 6) AS hits1,
+             round(h3::DOUBLE / n_facts, 6) AS hits3,
+             round(h10::DOUBLE / n_facts, 6) AS hits10
+      FROM agg, ne
+    """
+
     o["q_kg_conflicts"] = f"""
       WITH {_TOKS}, {_SENTID}, {_MENT},
       preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),

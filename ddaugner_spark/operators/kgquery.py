@@ -336,3 +336,111 @@ def kleene_path(
         .groupBy(F.col("a").alias("subj"), F.col("b").alias("obj"))
         .agg(F.min("star_depth").alias("star_depth"))
     )
+
+
+def kg_completion_eval(
+    tri: DataFrame,
+    dim: int = 16,
+    mod: int = 17,
+    sample_mod: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """KG link-prediction evaluation harness (the TransE eval protocol,
+    Bordes et al. NIPS'13): for a deterministic sample of facts
+    (h, r, t), rank EVERY entity t′ as a candidate tail by the L1
+    translation score  Σ_i |v(h)_i + v(r)_i − v(t′)_i|  and report the
+    gold tail's rank — one row: ``(n_facts, n_entities, mrr, hits1,
+    hits3, hits10)``.
+
+    Embeddings are HASH-DERIVED integer vectors (v(x)_i = md5 of
+    ``x#i`` mod ``mod``, centered) — the same container-gated-model
+    stance as the BERT stub: the EVAL HARNESS (candidate fan-out,
+    ranking, filtered-metric aggregation) is the real distributed
+    artifact a trained-embedding table drops into; scores are exact
+    integers so ranks are engine-reproducible (ties broken by
+    candidate string).
+
+    Raw (unfiltered) protocol; gold rank by (score, candidate) total
+    order.  MRR avoids cross-fact float accumulation by integer
+    micro-quantized reciprocal ranks (round once per fact, exact
+    integer sum, ONE final division).
+
+    Scale shape: the facts sample (1/``sample_mod`` by md5) crossJoins
+    the BROADCAST entity vocabulary and a BROADCAST dim spine, then
+    everything is map-only md5 arithmetic + one (fact, candidate)
+    hash aggregate + a fact-keyed rank window.  Production swaps the
+    all-entities candidate set for an ANN-bucketed one exactly like
+    the declared brute-force ANN baseline.
+    """
+    facts = (
+        tri.select(F.col("subj").alias("h"), F.col("pred").alias("r"),
+                   F.col("obj").alias("t"))
+        .distinct()
+        .filter(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("#", "h", "r", "t")), 1, 4), 16, 10
+            ).cast("long")
+            % sample_mod
+            == 0
+        )
+    )
+    ents = (
+        tri.select(F.col("subj").alias("e"))
+        .unionByName(tri.select(F.col("obj").alias("e")))
+        .distinct()
+    )
+
+    def vec(col, i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", col, i.cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("long")
+            % mod
+            - mod // 2
+        )
+
+    dims = facts.sparkSession.range(dim).select(F.col("id").alias("i"))
+    fan = facts.crossJoin(F.broadcast(ents)).crossJoin(F.broadcast(dims))
+    term = F.abs(
+        vec(F.col("h"), F.col("i"))
+        + vec(F.col("r"), F.col("i"))
+        - vec(F.col("e"), F.col("i"))
+    )
+    scores = fan.groupBy("h", "r", "t", "e").agg(
+        F.sum(term).cast("long").alias("score")
+    )
+    w = Window.partitionBy("h", "r", "t").orderBy("score", "e")
+    ranked = scores.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("e") == F.col("t")
+    )
+    n_ents = ents.agg(F.count(F.lit(1)).cast("long").alias("n_entities"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum(F.round(F.lit(1000000.0) / F.col("rnk"), 0).cast("long"))
+        .cast("long")
+        .alias("rr_sum"),
+        F.sum((F.col("rnk") <= 1).cast("long")).cast("long").alias("h1"),
+        F.sum((F.col("rnk") <= 3).cast("long")).cast("long").alias("h3"),
+        F.sum((F.col("rnk") <= 10).cast("long")).cast("long").alias("h10"),
+    )
+    return agg.crossJoin(F.broadcast(n_ents)).select(
+        "n_facts",
+        "n_entities",
+        F.round(
+            F.col("rr_sum").cast("double") / F.col("n_facts") / F.lit(1000000.0),
+            ndigits,
+        ).alias("mrr"),
+        F.round(F.col("h1").cast("double") / F.col("n_facts"), ndigits).alias(
+            "hits1"
+        ),
+        F.round(F.col("h3").cast("double") / F.col("n_facts"), ndigits).alias(
+            "hits3"
+        ),
+        F.round(F.col("h10").cast("double") / F.col("n_facts"), ndigits).alias(
+            "hits10"
+        ),
+    )
