@@ -4341,6 +4341,20 @@ def q_blocking_quality(spark, sf):
     return er.blocking_quality(er.distinct_surfaces(m), max_dist=2)
 
 
+def q_b3_eval(spark, sf):
+    """B-cubed cluster evaluation of the ER resolution against the
+    amplifier's construction truth (Bagga & Baldwin 1998; Amigó 2009):
+    gold = CC of origin↔variant truth edges, predicted = CC of the
+    blocked candidate-pair graph, record-averaged P/R via the cell
+    identity Σ I²/|C| with per-cell micro-quantized integer
+    contributions (operators/er.py b3_cluster_eval).  The CLUSTER
+    complement to the pairwise q_blocking_quality."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.b3_cluster_eval(
+        er.distinct_surfaces(m), max_dist=2, stage_dir=_scratch("q_b3_")
+    )
+
+
 def q_ewma(spark, sf):
     """Truncated exponentially weighted moving average (α = ½, 16
     terms) of hourly event counts per type: integer numerator
@@ -5402,6 +5416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wilson_rank": q_wilson_rank,
         "q_eb_rates": q_eb_rates,
         "q_kg_completion": q_kg_completion,
+        "q_b3_eval": q_b3_eval,
     }
 
 
@@ -6319,6 +6334,69 @@ def oracle_sql() -> dict[str, str]:
     o["q_er_pairs"] = f"""
       WITH {_ER_SURF}
       SELECT tag, a, b, dist FROM p
+    """
+
+    # B³ replay: gold = recursive CC over the origin↔variant truth
+    # edges, predicted = recursive CC over the candidate-pair graph,
+    # cell identity with per-cell micro-quantized contributions
+    o["q_b3_eval"] = f"""
+      WITH {_ER_SURF},
+      rec AS (SELECT tag || '|' || surface AS rid FROM surf),
+      tv AS (
+        SELECT tag || '|' || substr(surface, 1, 1) || substr(surface, 3) AS a,
+               tag || '|' || surface AS b
+        FROM surf0 WHERE length(surface) >= 4
+      ),
+      gnodes AS (SELECT a AS n FROM tv UNION SELECT b FROM tv),
+      gedges AS (SELECT a, b FROM tv UNION SELECT b AS a, a AS b FROM tv),
+      grr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM gnodes
+          UNION
+          SELECT e.b AS node, walk.lab FROM walk JOIN gedges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS cid FROM walk GROUP BY node
+      ),
+      e0 AS (SELECT tag || '|' || a AS a, tag || '|' || b AS b FROM p),
+      pnodes AS (SELECT a AS n FROM e0 UNION SELECT b FROM e0),
+      pedges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      prr AS (
+        WITH RECURSIVE walk AS (
+          SELECT n AS node, n AS lab FROM pnodes
+          UNION
+          SELECT e.b AS node, walk.lab FROM walk JOIN pedges e ON e.a = walk.node
+        )
+        SELECT node, min(lab) AS cid FROM walk GROUP BY node
+      ),
+      r AS (
+        SELECT rec.rid, coalesce(g.cid, rec.rid) AS g, coalesce(pp.cid, rec.rid) AS p
+        FROM rec
+        LEFT JOIN grr g ON g.node = rec.rid
+        LEFT JOIN prr pp ON pp.node = rec.rid
+      ),
+      cells AS (SELECT p, g, count(*)::BIGINT AS i FROM r GROUP BY 1, 2),
+      psz AS (SELECT p, sum(i)::BIGINT AS pc FROM cells GROUP BY p),
+      gsz AS (SELECT g, sum(i)::BIGINT AS gc FROM cells GROUP BY g),
+      cont AS (
+        SELECT round(1000000.0 * c.i * c.i / psz.pc, 0)::BIGINT AS pq,
+               round(1000000.0 * c.i * c.i / gsz.gc, 0)::BIGINT AS rq,
+               c.i
+        FROM cells c JOIN psz USING (p) JOIN gsz USING (g)
+      ),
+      tot AS (
+        SELECT sum(pq)::BIGINT AS pqs, sum(rq)::BIGINT AS rqs,
+               sum(i)::BIGINT AS n
+        FROM cont
+      )
+      SELECT n AS n_records,
+             round(pqs::DOUBLE / n::DOUBLE / 1000000.0, 6) AS b3_precision,
+             round(rqs::DOUBLE / n::DOUBLE / 1000000.0, 6) AS b3_recall,
+             round(2.0 * (pqs::DOUBLE / n::DOUBLE / 1000000.0)
+                       * (rqs::DOUBLE / n::DOUBLE / 1000000.0)
+                   / ((pqs::DOUBLE / n::DOUBLE / 1000000.0)
+                      + (rqs::DOUBLE / n::DOUBLE / 1000000.0)),
+                   6) AS b3_f1
+      FROM tot
     """
 
     # recursive reachability-min over the tag-prefixed pair graph (the

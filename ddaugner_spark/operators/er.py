@@ -36,6 +36,8 @@ distance, 'kitten'→'sitting' = 3 on both engines).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -404,3 +406,110 @@ def er_incremental(
     )
     unaffected = old_assign.join(F.broadcast(tc), "component", "left_anti")
     return unaffected.select("entity", "component").unionByName(redone)
+
+
+def b3_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """B-cubed cluster evaluation of the ER resolution (Bagga & Baldwin
+    1998; the record-level metric Amigó et al. 2009 showed is the one
+    that satisfies all four clustering-eval constraints) — the CLUSTER
+    complement to the PAIRWISE ``blocking_quality``: one row
+    ``(n_records, b3_precision, b3_recall, b3_f1)``.
+
+    Gold clusters = connected components of the amplifier's
+    CONSTRUCTION-TRUTH edges (origin ↔ delete-second-char variant, the
+    same truth set blocking_quality scores against); predicted
+    clusters = components of the blocked candidate-pair graph; records
+    in neither graph are singletons of themselves.  Per record r,
+    P(r) = |C(r) ∩ G(r)| / |C(r)| and R(r) swaps G for C; averaging
+    uses the cell identity  Σ_r P(r) = Σ_{(p,g)} I²/|C_p|  so the work
+    is CELL-sized, with each cell's contribution micro-quantized ONCE
+    to an integer (the repo's no-float-accumulation device) and
+    integer-summed; P, R, F1 are a fixed float tree over those sums.
+
+    Scale shape: two pair-graph-sized CC runs (the production
+    canonicalization operator, exercised twice like hub_robustness),
+    two record-sized hash joins onto the label maps, then everything
+    lives on the (pred, gold) CELL table.
+    """
+    amp = with_typo_surfaces(surfaces)
+    rec = amp.select(F.concat_ws("|", "tag", "surface").alias("rid"))
+    truth_edges = (
+        surfaces.filter(F.length("surface") >= 4)
+        .select(
+            F.concat_ws(
+                "|",
+                "tag",
+                F.concat(
+                    F.substring("surface", 1, 1), F.expr("substring(surface, 3)")
+                ),
+            ).alias("a"),
+            F.concat_ws("|", "tag", "surface").alias("b"),
+        )
+    )
+    pred_edges = er_candidate_pairs(amp, max_dist=max_dist).select(
+        F.concat_ws("|", "tag", "a").alias("a"),
+        F.concat_ws("|", "tag", "b").alias("b"),
+    )
+    from .canonical import connected_components
+
+    if stage_dir is None:
+        # one dir for both CC runs, reclaimed at exit (the /tmp-hygiene
+        # contract — no leaked dir per invocation)
+        import atexit
+        import shutil
+
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_b3_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    gold_cc = connected_components(truth_edges, stage_dir=f"{stage_dir}/gold")
+    pred_cc = connected_components(pred_edges, stage_dir=f"{stage_dir}/pred")
+    r = (
+        rec.join(
+            gold_cc.select(F.col("entity").alias("rid"), F.col("component").alias("g")),
+            "rid",
+            "left",
+        )
+        .join(
+            pred_cc.select(F.col("entity").alias("rid"), F.col("component").alias("p")),
+            "rid",
+            "left",
+        )
+        .select(
+            "rid",
+            F.coalesce("g", F.col("rid")).alias("g"),
+            F.coalesce("p", F.col("rid")).alias("p"),
+        )
+    )
+    cells = r.groupBy("p", "g").agg(F.count(F.lit(1)).cast("long").alias("i"))
+    psz = cells.groupBy("p").agg(F.sum("i").cast("long").alias("pc"))
+    gsz = cells.groupBy("g").agg(F.sum("i").cast("long").alias("gc"))
+    j = cells.join(psz, "p").join(gsz, "g")
+    cont = j.select(
+        F.round(F.lit(1000000.0) * F.col("i") * F.col("i") / F.col("pc"), 0)
+        .cast("long")
+        .alias("pq"),
+        F.round(F.lit(1000000.0) * F.col("i") * F.col("i") / F.col("gc"), 0)
+        .cast("long")
+        .alias("rq"),
+        "i",
+    )
+    tot = cont.agg(
+        F.sum("pq").cast("long").alias("pqs"),
+        F.sum("rq").cast("long").alias("rqs"),
+        F.sum("i").cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    p_expr = F.col("pqs").cast("double") / nd / F.lit(1000000.0)
+    r_expr = F.col("rqs").cast("double") / nd / F.lit(1000000.0)
+    return tot.select(
+        F.col("n").alias("n_records"),
+        F.round(p_expr, ndigits).alias("b3_precision"),
+        F.round(r_expr, ndigits).alias("b3_recall"),
+        F.round(
+            F.lit(2.0) * p_expr * r_expr / (p_expr + r_expr), ndigits
+        ).alias("b3_f1"),
+    )

@@ -377,3 +377,77 @@ class TestFrontierSchedule:
         out = crawl.frontier_schedule(fr, max_per_host=3)
         assert out.count() == 3
         assert {r.priority for r in out.collect()} == {9, 8, 7}
+
+
+def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
+    """B³ P/R/F1 == eager union-find reference (same truth edges, same
+    candidate graph, same per-cell micro-quantization)."""
+    from ddaugner_spark.operators import er as er_mod
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
+    row = (
+        er_mod.b3_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "b3"))
+        .collect()[0]
+        .asDict()
+    )
+
+    surfaces = [(r["surface"], r["tag"]) for r in surf.collect()]
+    amp_pairs = [
+        (r["tag"], r["a"], r["b"])
+        for r in er_mod.er_candidate_pairs(
+            er_mod.with_typo_surfaces(surf), max_dist=2
+        ).collect()
+    ]
+    recs = sorted(
+        {f"{t}|{s}" for s, t in surfaces}
+        | {f"{t}|{s[0]}{s[2:]}" for s, t in surfaces if len(s) >= 4}
+    )
+    parent = {}
+
+    def find(x, p):
+        while p.setdefault(x, x) != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    def union(a, b, p):
+        ra, rb = find(a, p), find(b, p)
+        if ra != rb:
+            p[max(ra, rb)] = min(ra, rb)
+
+    gp, pp = {}, {}
+    for s, t in surfaces:
+        if len(s) >= 4:
+            union(f"{t}|{s[0]}{s[2:]}", f"{t}|{s}", gp)
+    for t, a, b in amp_pairs:
+        union(f"{t}|{a}", f"{t}|{b}", pp)
+    # canonical = lexicographic min of each component (path-compress then
+    # re-minimize per component)
+    def labels(p):
+        comp = defaultdict(list)
+        for x in recs:
+            comp[find(x, p)].append(x)
+        return {x: min(members) for members in comp.values() for x in members}
+
+    from collections import defaultdict
+
+    gl, pl = labels(gp), labels(pp)
+    cells = defaultdict(int)
+    for x in recs:
+        cells[(pl[x], gl[x])] += 1
+    pc, gc = defaultdict(int), defaultdict(int)
+    for (p, g), i in cells.items():
+        pc[p] += i
+        gc[g] += i
+    pqs = sum(round(1000000.0 * i * i / pc[p]) for (p, g), i in cells.items())
+    rqs = sum(round(1000000.0 * i * i / gc[g]) for (p, g), i in cells.items())
+    n = len(recs)
+    P = pqs / n / 1000000.0
+    R = rqs / n / 1000000.0
+    assert row["n_records"] == n
+    assert row["b3_precision"] == round(P, 6)
+    assert row["b3_recall"] == round(R, 6)
+    assert row["b3_f1"] == round(2.0 * P * R / (P + R), 6)
+    assert 0.0 < row["b3_f1"] <= 1.0
