@@ -416,6 +416,22 @@ def q_canonical_cc(spark, sf):
     )
 
 
+def q_canonical_star(spark, sf):
+    """Connected components by alternating LARGE-STAR/SMALL-STAR
+    contraction (Kiveris SoCC'14) — the O(log² n)-round,
+    diameter-independent A/B to q_canonical_cc's hash-min label
+    propagation, contract-identical labels (equality pinned in
+    test_operators; shares q_canonical_cc's oracle).  Measured 2.1×
+    slower than hash-min+pointer-jumping at 5.9M edges (docs/PLANS.md)
+    — kept as the correctness A/B and for the non-broadcastable-label
+    hub-skew regime (operators/canonical.py
+    connected_components_star)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return canonical.connected_components_star(
+        canonical.co_mention_edges(m), stage_dir=_scratch("q_canonical_star_")
+    )
+
+
 def q_triangles(spark, sf):
     """Per-entity triangle counts on the co-mention graph
     (degree-oriented wedge join — each triangle generated once at its
@@ -5417,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_eb_rates": q_eb_rates,
         "q_kg_completion": q_kg_completion,
         "q_b3_eval": q_b3_eval,
+        "q_canonical_star": q_canonical_star,
     }
 
 
@@ -8891,6 +8908,8 @@ sents AS (
              (1 + coalesce(sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END), 0))::BIGINT AS n_sessions
       FROM g GROUP BY user_id
     """
+    # star-contraction CC is contract-identical to hash-min: same oracle
+    o["q_canonical_star"] = o["q_canonical_cc"]
     o["q_stream_sessions"] = o["q_events_sessions"]
     o["q_stream_triples"] = o["q_triples"]
     o["q_stream_mentions"] = o["q_mentions"]

@@ -467,3 +467,131 @@ def strongly_connected_components(
     for p in parts[1:]:
         out = out.union(p)
     return _rt(out, "scc_final")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 50,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(entity, component) by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the O(log² n)-round alternative to
+    :func:`connected_components`' hash-min label propagation, kept as
+    a contract-identical A/B: same string node ids, same
+    lexicographic-min component labels, same edge-list input.
+
+    Per round over the current edge set E:
+
+    * large-star: for every node u, m = min(Γ(u) ∪ {u}); re-hang every
+      STRICTLY LARGER neighbor v > u onto m — long chains collapse
+      toward minima without ever moving a smaller node;
+    * small-star: orient every edge to its larger endpoint, m = min of
+      u's smaller neighbors ∪ {u}; re-hang those neighbors and u onto
+      m — local stars flatten.
+
+    The fixpoint is a forest of depth-1 stars rooted at each
+    component's minimum; the star edges ARE the label table.  Rounds
+    are O(log² n) independent of diameter — the classic MapReduce
+    argument against plain label propagation.  MEASURED VERDICT
+    (local[32], the 6M-node/5.9M-edge chain-64 graph from the
+    SPARK_GRAFT_CC_SCALE leg, interleaved quiet-box run, stats in
+    docs/PLANS.md): star 111.7 s / 7 rounds vs
+    :func:`connected_components` 53.6 s / 6 iterations — OUR hash-min
+    is not plain label-prop: it pointer-jumps (log rounds, not
+    diameter) and broadcasts the label table, while star contraction's
+    edge set stays ≈|V| on chain graphs (every non-root keeps exactly
+    one star edge), so its per-round cost never shrinks.  Kept as the
+    contract-identical correctness A/B and for the regime the
+    measurement doesn't cover (label tables too big to broadcast with
+    skewed hub degrees, where rewriting edges toward minima relieves
+    the join skew hash-min re-pays every round).
+    Convergence is detected by (count, sum-of-hashes) of the edge set
+    — exact for set equality up to hash collision on the 64-bit
+    xxhash, and one cheap aggregate per round instead of a subtract.
+
+    Same determinism/checkpoint contract as hash-min: parquet
+    round-trip per round under ``stage_dir``, results invariant under
+    repartition.
+    """
+    import atexit
+    import shutil
+
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    stats["rounds"] = []
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_ccstar_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.select("a", "b").unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = mins.select("a", F.least("mn", F.col("a")).alias("m"))
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).distinct()
+        mins = o.groupBy("a").agg(F.min("b").alias("m"))
+        hang_nbrs = o.join(mins, "a").select(F.col("b").alias("a"), "m")
+        hang_self = mins.select("a", "m")
+        return (
+            hang_nbrs.unionByName(hang_self.select(F.col("a"), F.col("m")))
+            .where(F.col("a") != F.col("m"))
+            .select("a", F.col("m").alias("b"))
+            .distinct()
+        )
+
+    nodes = _rt(
+        edges.select(F.col("a").alias("entity"))
+        .unionByName(edges.select(F.col("b").alias("entity")))
+        .distinct(),
+        "nodes",
+    )
+    e = _rt(
+        edges.select("a", "b").where(F.col("a") != F.col("b")).distinct(), "e_0"
+    )
+    sig = _sig(e)
+    for it in range(1, max_iter + 1):
+        t0 = time.time()
+        e = _rt(small_star(large_star(e)), f"e_{it % 2 + 1}")
+        new_sig = _sig(e)
+        stats["rounds"].append(
+            {"round": it, "sec": round(time.time() - t0, 3), "n_edges": new_sig[0]}
+        )
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: e is (child, root) star edges; roots label themselves
+    labels = e.select(F.col("a").alias("entity"), F.col("b").alias("component"))
+    return _rt(
+        nodes.join(labels, "entity", "left").select(
+            "entity", F.coalesce("component", F.col("entity")).alias("component")
+        ),
+        "labels_final",
+    )

@@ -293,3 +293,44 @@ def test_cc_broadcast_and_shuffle_paths_agree(spark):
         ).collect()
     }
     assert bc == sh
+
+
+def test_cc_star_equals_hash_min(spark, sf_dir, tmp_path):
+    """Large-star/small-star contraction is contract-identical to
+    hash-min label propagation: same labels on the real co-mention
+    graph AND on an adversarial long-chain + islands graph (the shape
+    star contraction exists for)."""
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = canonical.co_mention_edges(mentions_mod.mentions_df(docs))
+    want = {
+        tuple(r)
+        for r in canonical.connected_components(
+            e, stage_dir=str(tmp_path / "hm")
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in canonical.connected_components_star(
+            e, stage_dir=str(tmp_path / "st")
+        ).collect()
+    }
+    assert want and got == want
+
+    # 200-node chain + two islands + a self-loop + duplicate/reversed edges
+    rows = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(199)]
+    rows += [("z1", "z2"), ("z2", "z1"), ("solo", "solo"), ("y1", "y2")]
+    edges = spark.createDataFrame(rows, ["a", "b"])
+    stats = {}
+    got2 = {
+        tuple(r)
+        for r in canonical.connected_components_star(
+            edges, stage_dir=str(tmp_path / "st2"), stats=stats
+        ).collect()
+    }
+    want2 = {(f"n{i:03d}", "n000") for i in range(200)}
+    want2 |= {("z1", "z1"), ("z2", "z1"), ("y1", "y1"), ("y2", "y1"), ("solo", "solo")}
+    assert got2 == want2
+    # O(log^2 n) rounds on a 200-chain, far under the diameter
+    assert 1 <= len(stats["rounds"]) <= 12
