@@ -38,7 +38,7 @@ def test_no_complex_types_in_query_schemas(spark, sf_dir):
     """Construct every registered query at sf0.001 and assert its final
     schema is flat.  Construction alone executes the heavier queries'
     staging (streams, UDF embeddings), so this doubles as a smoke test
-    that all 82 build against the gate corpus."""
+    that every registered query builds against the gate corpus."""
     bad = {}
     for name, fn in E.queries().items():
         df = fn(spark, sf_dir)
