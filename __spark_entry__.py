@@ -2627,6 +2627,29 @@ def q_modularity(spark, sf):
     return graph.modularity(edges, labels)
 
 
+def q_conformal(spark, sf):
+    """Split-conformal prediction interval (Lei et al. 2018): per-type
+    mean predictor, |residual| nonconformity, deterministic md5
+    calibration split, q̂ = exact ⌈(n+1)(1−α)⌉-th order statistic via
+    the value-frequency device, guaranteed-coverage check on the
+    held-out half; the rank k is pure integer arithmetic
+    (operators/traindata.py conformal_interval)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.conformal_interval(
+        spark.read.parquet(f"{sf}/events.parquet")
+    )
+
+
+def q_segments(spark, sf):
+    """TextTiling-style topic segmentation (Hearst CL'97): adjacent
+    20-token blocks scored by exact-integer token-count cosine, dips
+    below 0.15 marked as boundaries — the semantic complement to
+    fixed-stride chunking; blocks meet only their immediate neighbor
+    (operators/textstats.py topic_segments)."""
+    return textstats.topic_segments(_docs(spark, sf))
+
+
 def q_ab_test(spark, sf):
     """Two-proportion z-test over the deterministic user_id%2 split
     (conversion = ≥15 purchase events — the operator's min_events
@@ -5434,6 +5457,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kg_completion": q_kg_completion,
         "q_b3_eval": q_b3_eval,
         "q_canonical_star": q_canonical_star,
+        "q_conformal": q_conformal,
+        "q_segments": q_segments,
     }
 
 
@@ -9971,6 +9996,82 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # split conformal: exact integer residuals, value-frequency order
+    # statistic, integer rank arithmetic
+    o["q_conformal"] = """
+      WITH e AS (
+        SELECT event_id, event_type, round(value * 100)::BIGINT AS c,
+               (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INTEGER
+                  % 2 = 0) AS is_cal
+        FROM events
+      ),
+      means AS (
+        SELECT event_type,
+               round(sum(c)::DOUBLE / count(*), 0)::BIGINT AS mean_c
+        FROM e GROUP BY event_type
+      ),
+      r AS (
+        SELECT e.is_cal, abs(e.c - m.mean_c)::BIGINT AS res
+        FROM e JOIN means m USING (event_type)
+      ),
+      cal AS (SELECT res FROM r WHERE is_cal),
+      nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+      freq AS (SELECT res, count(*)::BIGINT AS cnt FROM cal GROUP BY res),
+      cum AS (SELECT res, sum(cnt) OVER (ORDER BY res)::BIGINT AS cum FROM freq),
+      q AS (
+        SELECT min(res)::BIGINT AS qhat_c
+        FROM cum, nc
+        WHERE cum >= least(n_cal, ((n_cal + 1) * 9 + 9) // 10)
+      ),
+      ev AS (SELECT res FROM r WHERE NOT is_cal),
+      cov AS (
+        SELECT count(*)::BIGINT AS n_eval,
+               sum((res <= (SELECT qhat_c FROM q))::BIGINT)::BIGINT AS n_in
+        FROM ev
+      )
+      SELECT nc.n_cal, cov.n_eval, q.qhat_c,
+             round(cov.n_in::DOUBLE / cov.n_eval, 6) AS coverage
+      FROM cov, q, nc
+    """
+
+    # TextTiling block cosine: exact integer dot/norms, fixed
+    # dot / sqrt(n1*n2) tree
+    o["q_segments"] = """
+      WITH toks AS (
+        SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tok
+        FROM (
+          SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents WHERE coalesce(text, '') <> ''
+        ), unnest(range(1, len(t) + 1)) AS u(i)
+      ),
+      counts AS (
+        SELECT doc_id, (pos // 20)::BIGINT AS b, tok, count(*)::BIGINT AS c
+        FROM toks GROUP BY 1, 2, 3
+      ),
+      dot AS (
+        SELECT l.doc_id, l.b, sum(l.c * r.c)::BIGINT AS dot
+        FROM counts l JOIN counts r
+          ON r.doc_id = l.doc_id AND r.b = l.b + 1 AND r.tok = l.tok
+        GROUP BY 1, 2
+      ),
+      norms AS (
+        SELECT doc_id, b, sum(c * c)::BIGINT AS nsq
+        FROM counts GROUP BY doc_id, b
+      ),
+      pairs AS (
+        SELECT n1.doc_id, n1.b AS left_block,
+               coalesce(d.dot, 0)::BIGINT AS dot, n1.nsq, n2.nsq AS nsq2
+        FROM norms n1
+        JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.b = n1.b + 1
+        LEFT JOIN dot d ON d.doc_id = n1.doc_id AND d.b = n1.b
+      )
+      SELECT doc_id, left_block,
+             round(dot::DOUBLE / sqrt(nsq::DOUBLE * nsq2::DOUBLE), 6) AS sim,
+             round(dot::DOUBLE / sqrt(nsq::DOUBLE * nsq2::DOUBLE), 6) < 0.15
+               AS is_boundary
+      FROM pairs
     """
 
     # difference-in-differences: cell means = one division of exact

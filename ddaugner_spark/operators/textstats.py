@@ -1350,3 +1350,74 @@ def kneser_ney_scores(
         level.alias("level"),
         F.round(score, ndigits).alias("score"),
     )
+
+
+def topic_segments(
+    docs: DataFrame, block: int = 20, threshold: float = 0.15, ndigits: int = 6
+) -> DataFrame:
+    """TextTiling-style topic-boundary detection (Hearst CL'97, the
+    block-comparison form) — the SEMANTIC complement to fixed-stride
+    ``chunk_windows``: per document, tokens are grouped into
+    ``block``-token blocks and each adjacent block pair scored by the
+    cosine of their token-count vectors; a similarity dip below
+    ``threshold`` marks a topic boundary (where a chunking pipeline
+    should prefer to cut).  Output one row per adjacent pair:
+    ``(doc_id, left_block, sim, is_boundary)``.
+
+    Determinism: dot products and squared norms are EXACT INTEGER
+    aggregates of the per-(doc, block, token) count table; the cosine
+    is the fixed tree dot / sqrt(n1 · n2), rounded once.
+
+    Scale shape: one narrow explode to (doc, block, token) counts (the
+    only corpus-sized shuffle, keyed like every other n-gram
+    aggregate), a self-equi-join on (doc_id, token, block+1) for the
+    dot product — blocks only meet their immediate neighbor, never a
+    quadratic pair space — and two slim block-norm joins.
+    """
+    toks = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    counts = (
+        toks.select(
+            "doc_id",
+            F.floor(F.col("pos") / block).cast("long").alias("b"),
+            "tok",
+        )
+        .groupBy("doc_id", "b", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    right = counts.select(
+        "doc_id", (F.col("b") - 1).alias("b"), "tok", F.col("c").alias("c2")
+    )
+    dot = (
+        counts.join(right, ["doc_id", "b", "tok"])
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("dot"))
+    )
+    norms = counts.groupBy("doc_id", "b").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nsq")
+    )
+    n2 = norms.select(
+        "doc_id", (F.col("b") - 1).alias("b"), F.col("nsq").alias("nsq2")
+    )
+    pairs = (
+        norms.join(n2, ["doc_id", "b"])
+        .join(dot, ["doc_id", "b"], "left")
+        .select(
+            "doc_id",
+            F.col("b").alias("left_block"),
+            F.coalesce(F.col("dot"), F.lit(0)).alias("dot"),
+            "nsq",
+            "nsq2",
+        )
+    )
+    sim = F.col("dot").cast("double") / F.sqrt(
+        F.col("nsq").cast("double") * F.col("nsq2").cast("double")
+    )
+    return pairs.select(
+        "doc_id",
+        "left_block",
+        F.round(sim, ndigits).alias("sim"),
+        (F.round(sim, ndigits) < threshold).alias("is_boundary"),
+    )

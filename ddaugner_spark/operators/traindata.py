@@ -566,3 +566,93 @@ def isotonic_calibration(docs: DataFrame, n_bins: int = 10) -> DataFrame:
             F.round(F.col("iso"), 6).alias("iso_rate"),
         )
     )
+
+
+def conformal_interval(
+    events: DataFrame, alpha_num: int = 1, alpha_den: int = 10
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018 —
+    the distribution-free finite-sample coverage recipe every model
+    eval should ship with): predictor = per-event-type mean value
+    (integer cents, quantized once), nonconformity = |value − mean|,
+    calibration half = the deterministic md5(event_id) split,
+    q̂ = the ⌈(n_cal + 1)(1 − α)⌉-th smallest calibration residual
+    (EXACT order statistic), then the guaranteed-≥(1 − α) empirical
+    coverage measured on the held-out half.  One row:
+    ``(n_cal, n_eval, qhat_c, coverage)``.  α is passed as the
+    RATIONAL ``alpha_num/alpha_den`` so the rank k is pure integer
+    arithmetic — ⌈x·a/b⌉ = (x·a + b − 1) div b — never a float ceil
+    (whose decimal-vs-double literal semantics differ across engines
+    exactly at the integral products that decide k).
+
+    Determinism: residuals are exact integers (cents vs a
+    once-rounded integer mean); the order statistic is taken by the
+    value-frequency device (cumulative counts over the DISTINCT
+    residual-value table, never a row-sized sort); coverage is one
+    division of integer counts.
+
+    Scale shape: one corpus pass for the type means (broadcast back),
+    one for residuals; the quantile runs on the distinct-residual
+    dimension table; the coverage check is a map-side conditional sum.
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        (
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+            .cast("long")
+            % 2
+            == 0
+        ).alias("is_cal"),
+    )
+    means = e.groupBy("event_type").agg(
+        F.round(F.sum("c").cast("double") / F.count(F.lit(1)), 0)
+        .cast("long")
+        .alias("mean_c")
+    )
+    r = e.join(F.broadcast(means), "event_type").select(
+        "is_cal", F.abs(F.col("c") - F.col("mean_c")).alias("res")
+    )
+    cal = r.filter("is_cal")
+    n_cal_df = cal.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    freq = cal.groupBy("res").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy("res").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = freq.select("res", F.sum("cnt").over(w).cast("long").alias("cum"))
+    # k = ceil((n_cal + 1) * (den - num) / den), clamped to n_cal —
+    # exact integer arithmetic (see docstring)
+    cov_num, cov_den = alpha_den - alpha_num, alpha_den
+    k = F.least(
+        F.col("n_cal"),
+        (
+            ((F.col("n_cal") + 1) * F.lit(cov_num) + F.lit(cov_den - 1))
+            / F.lit(cov_den)
+        )
+        .cast("long"),
+    )
+    qhat = (
+        cum.crossJoin(F.broadcast(n_cal_df))
+        .filter(F.col("cum") >= k)
+        .agg(F.min("res").cast("long").alias("qhat_c"))
+    )
+    ev = r.filter(~F.col("is_cal"))
+    cov = ev.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum((F.col("res") <= F.col("qhat_c")).cast("long"))
+        .cast("long")
+        .alias("n_in"),
+    )
+    return (
+        cov.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(n_cal_df))
+        .select(
+            "n_cal",
+            "n_eval",
+            "qhat_c",
+            F.round(F.col("n_in").cast("double") / F.col("n_eval"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
