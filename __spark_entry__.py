@@ -5126,10 +5126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries NEW this round (dedup/decontamination, TPC-H shapes,
     repetition, line dedup, sampling, quantile sketch, vocab, graph
     analytics, PII redaction, TF-IDF, bigram-LM scoring) up to the
-    50-slot boundary.  The tail — round-4-green entries plus the three
+    50-slot boundary.  The tail — round-4-green entries plus the
     newest queries that didn't fit the window (q_pmi_edges, q_postings,
-    q_bm25; rotate in next round) — stays covered by
-    tools/parity_check.py locally."""
+    q_bm25, and the session-14 additions: q_stream_join, q_kn_bigram,
+    q_isotonic, q_seq_patterns, q_did, q_wilson_rank, q_eb_rates,
+    q_kg_completion, q_b3_eval, q_canonical_star, q_conformal,
+    q_segments; rotate in next round) — stays covered by
+    tools/parity_check.py locally (ALL OK at sf0.001 + sf0.01 for
+    every tail query this session)."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
