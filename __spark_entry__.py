@@ -2627,6 +2627,19 @@ def q_modularity(spark, sf):
     return graph.modularity(edges, labels)
 
 
+def q_rr_freq(spark, sf):
+    """LOCAL-DP frequency estimation by k-ary randomized response
+    (Warner 1965 / RAPPOR shape): deterministic hash-coin perturbation
+    (p = 3/4 truth), exact-integer unbiased de-bias per type — the
+    local-model counterpart to q_dp_histogram's central release
+    (operators/privacy.py randomized_response)."""
+    from ddaugner_spark.operators import privacy
+
+    return privacy.randomized_response(
+        spark.read.parquet(f"{sf}/events.parquet")
+    )
+
+
 def q_conformal(spark, sf):
     """Split-conformal prediction interval (Lei et al. 2018): per-type
     mean predictor, |residual| nonconformity, deterministic md5
@@ -5463,6 +5476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_canonical_star": q_canonical_star,
         "q_conformal": q_conformal,
         "q_segments": q_segments,
+        "q_rr_freq": q_rr_freq,
     }
 
 
@@ -10000,6 +10014,49 @@ sents AS (
                         ELSE 0.4 * 0.4 * cw3::DOUBLE / (SELECT n_total FROM nt)
                    END, 6) AS score
       FROM j
+    """
+
+    # k-ary randomized response: hash-coin perturbation replayed
+    # exactly, integer-exact unbiased de-bias
+    o["q_rr_freq"] = """
+      WITH types AS (
+        SELECT event_type,
+               (row_number() OVER (ORDER BY event_type) - 1)::BIGINT AS tidx
+        FROM (SELECT DISTINCT event_type FROM events)
+      ),
+      kk AS (SELECT count(*)::BIGINT AS k FROM types),
+      e AS (
+        SELECT ev.event_id, t.tidx, kk.k
+        FROM events ev JOIN types t USING (event_type), kk
+      ),
+      pert AS (
+        SELECT CASE
+          WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::INTEGER % 4 < 3
+          THEN tidx
+          ELSE CASE
+            WHEN (('0x' || substr(md5(event_id::VARCHAR || '|lie'), 1, 4))::INTEGER
+                    % (k - 1)) >= tidx
+            THEN (('0x' || substr(md5(event_id::VARCHAR || '|lie'), 1, 4))::INTEGER
+                    % (k - 1)) + 1
+            ELSE (('0x' || substr(md5(event_id::VARCHAR || '|lie'), 1, 4))::INTEGER
+                    % (k - 1))
+          END
+        END AS tidx
+        FROM e
+      ),
+      rep AS (
+        SELECT t.event_type, r.n_reported
+        FROM (SELECT tidx, count(*)::BIGINT AS n_reported FROM pert GROUP BY tidx) r
+        JOIN types t USING (tidx)
+      ),
+      tc AS (SELECT event_type, count(*)::BIGINT AS n_true
+             FROM events GROUP BY event_type),
+      tot AS (SELECT count(*)::BIGINT AS n_total FROM events)
+      SELECT rep.event_type, tc.n_true, rep.n_reported,
+             round(((kk.k - 1) * 4 * rep.n_reported
+                      - tot.n_total * 1)::DOUBLE
+                   / ((kk.k - 1) * 3 - 1), 6) AS n_est
+      FROM rep JOIN tc USING (event_type), tot, kk
     """
 
     # split conformal: exact integer residuals, value-frequency order

@@ -273,3 +273,100 @@ def dp_histogram(
         .cast("long")
         .alias("released"),
     )
+
+
+def randomized_response(
+    events: DataFrame, p_num: int = 3, p_den: int = 4, ndigits: int = 6
+) -> DataFrame:
+    """LOCAL-DP frequency estimation by randomized response (Warner
+    1965; the k-ary generalized RR of RAPPOR-style telemetry) — the
+    local-model counterpart to :func:`dp_histogram`'s central release:
+    each row reports its TRUE event_type with probability
+    ``p = p_num/p_den`` and otherwise a uniformly drawn other type;
+    the collector sees only the noisy stream and de-biases per type
+    with the unbiased estimator
+
+        n̂_t = (r_t − n·q) / (p − q),   q = (1 − p) / (k − 1)
+
+    Output per type: ``(event_type, n_true, n_reported, n_est)`` —
+    ground truth (for the gate's error readout), the noisy count, and
+    the rounded estimate.
+
+    House determinism contract: both "coins" are pure functions of
+    row identity — report-truth iff md5(event_id) mod p_den < p_num,
+    and the lie is the md5(event_id|lie)-th OTHER type in the sorted
+    type vocabulary — so the mechanism replays bit-identically in SQL
+    and survives repartition (a production deployment swaps the md5
+    draws for client RNGs; the estimator and plan are unchanged).
+
+    De-bias arithmetic is EXACT integers scaled by (k−1)·p_den:
+    n̂_t = ((k−1)·p_den·r_t − n·(p_den−p_num)) / ((k−1)·p_num −
+    (p_den−p_num)) — one division per type, no float chain.
+
+    Scale shape: the type vocabulary is a sorted broadcast dimension;
+    the perturbation is map-only on the event stream; two type-sized
+    aggregates (true and reported counts) joined on the tiny key.
+    """
+    from pyspark.sql import Window
+
+    types = (
+        events.select("event_type")
+        .distinct()
+        .withColumn(
+            "tidx",
+            F.row_number().over(Window.orderBy("event_type")) - 1,
+        )
+    )
+    k_df = types.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    e = (
+        events.select("event_id", "event_type")
+        .join(F.broadcast(types), "event_type")
+        .crossJoin(F.broadcast(k_df))
+    )
+    coin = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % p_den
+    )
+    lie_draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("event_id").cast("string"), F.lit("lie"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (F.col("k") - 1)
+    )
+    # the lie is the draw-th type in sorted order, skipping the truth
+    lie_idx = F.when(lie_draw >= F.col("tidx"), lie_draw + 1).otherwise(lie_draw)
+    reported_idx = F.when(coin < p_num, F.col("tidx")).otherwise(lie_idx)
+    rep = (
+        e.select(reported_idx.alias("tidx"))
+        .groupBy("tidx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reported"))
+        .join(F.broadcast(types), "tidx")
+    )
+    true_counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    tot = events.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    j = (
+        rep.join(true_counts, "event_type")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(k_df))
+    )
+    q_den = p_den - p_num
+    est = (
+        ((F.col("k") - 1) * p_den * F.col("n_reported") - F.col("n_total") * q_den)
+        .cast("double")
+        / ((F.col("k") - 1) * p_num - q_den)
+    )
+    return j.select(
+        "event_type",
+        "n_true",
+        "n_reported",
+        F.round(est, ndigits).alias("n_est"),
+    )

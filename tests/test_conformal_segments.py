@@ -61,3 +61,34 @@ def test_topic_segments_matches_python(spark, sf_dir):
             sim = round(dot / math.sqrt(float(n1) * float(n2)), 6)
             want[(r["doc_id"], b)] = (sim, sim < 0.15)
     assert got and got == want
+
+
+def test_randomized_response_matches_python_and_debiases(spark, sf_dir):
+    """Engine output == hashlib replay of the deterministic mechanism;
+    the de-biased estimate tracks the true count (the estimator is
+    unbiased; the md5 coin is uniform enough for a <10% check here)."""
+    from ddaugner_spark.operators.privacy import randomized_response
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["event_type"]: (r["n_true"], r["n_reported"], r["n_est"])
+        for r in randomized_response(ev).collect()
+    }
+    rows = [(r["event_id"], r["event_type"]) for r in ev.select("event_id", "event_type").collect()]
+    types = sorted({t for _, t in rows})
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    rep = Counter()
+    true = Counter()
+    for eid, t in rows:
+        true[t] += 1
+        if int(hashlib.md5(str(eid).encode()).hexdigest()[:4], 16) % 4 < 3:
+            rep[idx[t]] += 1
+        else:
+            d = int(hashlib.md5(f"{eid}|lie".encode()).hexdigest()[:4], 16) % (k - 1)
+            rep[d + 1 if d >= idx[t] else d] += 1
+    n = len(rows)
+    for t in types:
+        est = round(((k - 1) * 4 * rep[idx[t]] - n * 1) / ((k - 1) * 3 - 1), 6)
+        assert got[t] == (true[t], rep[idx[t]], est)
+        assert abs(est - true[t]) / true[t] < 0.10
