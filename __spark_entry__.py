@@ -5112,6 +5112,22 @@ def q_hub_robustness(spark, sf):
     )
 
 
+def q_neighborhood_fn(spark, sf):
+    """HyperBall-style neighborhood function of the co-mention graph
+    (Boldi & Vigna WWW'13, with the repo's deterministic KMV sketches
+    in place of HLL counters): per radius r = 0..4, the estimated
+    number of (node, reachable-node) pairs within r hops — the
+    effective-diameter statistic.  One node-keyed shuffle per round;
+    the oracle replays the exact ball sets (bounded recursive CTE) and
+    takes the k smallest md5 hashes, equal by the KMV union algebra
+    (operators/graph.py neighborhood_function)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.neighborhood_function(
+        canonical.co_mention_edges(m), rounds=4, k=32,
+        stage_dir=_scratch("q_nf_"),
+    )
+
+
 def q_peak_concurrency(spark, sf):
     """Peak concurrent sessions by the ±1 interval sweep (ends before
     starts at equal instants), exact integer micros, earliest peak
@@ -5477,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conformal": q_conformal,
         "q_segments": q_segments,
         "q_rr_freq": q_rr_freq,
+        "q_neighborhood_fn": q_neighborhood_fn,
     }
 
 
@@ -13701,6 +13718,54 @@ sents AS (
                / (sc::DOUBLE / n::DOUBLE) / 100.0 > 1.5 END, false)
                AS overdispersed
       FROM g
+    """
+
+    # neighborhood-function replay: KMV union algebra — the merged
+    # round-r sketch IS the sketch of the exact ball B(v, r), so the
+    # oracle computes bounded-hop reachability (recursive CTE), hashes
+    # each reached node exactly as the engine (leading-8-hex md5 →
+    # 32-bit int), keeps the 32 smallest DISTINCT hashes per (node, r),
+    # and applies the same (k−1)·2³² / u_k estimator with the same
+    # one-round-then-integer-sum discipline; 133143986176 = 31·2³²
+    o["q_neighborhood_fn"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+      nodes AS (SELECT DISTINCT a AS node FROM sym),
+      walk(node, reach, dist) AS (
+        SELECT node, node, 0 FROM nodes
+        UNION
+        SELECT w.node, s.b, w.dist + 1
+        FROM walk w JOIN sym s ON s.a = w.reach WHERE w.dist < 4
+      ),
+      d AS (SELECT node, reach, min(dist) AS dist FROM walk GROUP BY 1, 2),
+      h AS (
+        SELECT DISTINCT d.node, u.r,
+               ('0x' || substr(md5(d.reach), 1, 8))::UBIGINT::BIGINT AS hx
+        FROM d, unnest(range(5)) AS u(r)
+        WHERE d.dist <= u.r
+      ),
+      rk AS (
+        SELECT node, r, hx,
+               row_number() OVER (PARTITION BY node, r ORDER BY hx) AS rn,
+               count(*) OVER (PARTITION BY node, r) AS nd
+        FROM h
+      ),
+      est AS (
+        SELECT node, r,
+               CASE WHEN max(nd) < 32 THEN max(nd)::BIGINT
+                    ELSE round(133143986176.0
+                               / max(CASE WHEN rn = 32 THEN hx END), 0)::BIGINT
+               END AS e
+        FROM rk WHERE rn <= 32 GROUP BY 1, 2
+      )
+      SELECT r::BIGINT AS r, sum(e)::BIGINT AS nf_est
+      FROM est GROUP BY 1
     """
 
     return o

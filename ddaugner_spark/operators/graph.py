@@ -1549,3 +1549,95 @@ def hub_robustness(
     return _stats(edges, "full", "full").unionByName(
         _stats(cut, "hubs_removed", "cut")
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    rounds: int = 4,
+    k: int = 32,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """HyperBall-style neighborhood function (Boldi & Vigna WWW'13 —
+    HyperBall runs HyperLogLog counters; this runs the repo's
+    DETERMINISTIC KMV sketches, same merge algebra): per radius r,
+    the estimated number of (node, reachable-node) pairs within r
+    hops, ``(r, nf_est)`` for r = 0..``rounds`` — THE statistic behind
+    effective-diameter / "degrees of separation" readouts at web
+    scale, where exact per-node BFS closures are quadratic and
+    sketches are the only game.
+
+    Per node, a KMV sketch of its ball: the k smallest 32-bit md5
+    hashes of reached nodes.  One round merges every neighbor's
+    sketch — flatten → distinct → sort → first k, the exact KMV union
+    — so round r's sketch covers B(v, r) exactly like HyperBall's
+    counter union.  |ball| estimate: the sketch itself while it holds
+    < k hashes (EXACT count, collision-merged), else the classic
+    (k−1)/u_k with u_k the k-th smallest normalized hash.  Per-node
+    estimates are rounded ONCE to integers and integer-summed (no
+    float accumulation); every hash is md5-derived so the whole run
+    replays bit-identically in SQL and survives repartition.
+
+    Scale shape: one shuffle per round on the node key (the HyperBall
+    plan — state is nodes × k hashes, never pair-sized); each round is
+    parquet-round-tripped under ``stage_dir`` (lineage truncation, the
+    CC checkpoint contract).  Collisions in the 32-bit hash space
+    merge identically on both engines (a slight undercount, exactly as
+    sketch theory prices in).
+    """
+    import atexit
+
+    spark = edges.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_nf_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    h = F.conv(F.substring(F.md5("node"), 1, 8), 16, 10).cast("long")
+    cur = _rt(nodes.select("node", F.array(h).alias("sk")), "nf_0")
+    sym = _rt(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .unionByName(edges.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .unionByName(nodes.select("node", F.col("node").alias("nb")))
+        .distinct(),
+        "nf_sym",
+    )
+
+    # per-node estimate, rounded once to a long; 133143986176 = (k−1)·2³²
+    scale = float((k - 1) * 4294967296)
+    est = F.when(F.size("sk") < k, F.size("sk").cast("long")).otherwise(
+        F.round(F.lit(scale) / F.element_at("sk", k), 0).cast("long")
+    )
+
+    def nf_row(df: DataFrame, r: int) -> DataFrame:
+        return df.agg(
+            F.lit(r).cast("long").alias("r"),
+            F.sum(est).cast("long").alias("nf_est"),
+        ).select("r", "nf_est")
+
+    out = nf_row(cur, 0)
+    for r in range(1, rounds + 1):
+        merged = (
+            sym.join(cur.select(F.col("node").alias("nb"), "sk"), "nb")
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.flatten(F.collect_list("sk")))),
+                    1,
+                    k,
+                ).alias("sk")
+            )
+        )
+        # one dir PER ROUND: the returned union lazily reads every
+        # round's parquet at collection time, so rounds must not
+        # overwrite each other (sketch tables are node×k — tiny)
+        cur = _rt(merged, f"nf_r{r}")
+        out = out.unionByName(nf_row(cur, r))
+    return out

@@ -573,3 +573,51 @@ def test_k_truss_k3_is_triangle_closure(spark):
     out = {(r.a, r.b) for r in graph.k_truss(e, k=3).collect()}
     assert out == {("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("c", "e"),
                    ("d", "e")}
+
+
+def _nf_map(df):
+    return {r["r"]: r["nf_est"] for r in df.collect()}
+
+
+def test_neighborhood_function_exact_on_path(spark, tmp_path):
+    """Path a-b-c-d with k=32 >= n: every sketch holds the whole ball,
+    so the 'estimate' is the exact ball-size sum: r=0 -> 4 (self only),
+    r=1 -> 2+3+3+2, r=2 -> 3+4+4+3, then saturation at n^2 = 16."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    got = _nf_map(graph.neighborhood_function(
+        e, rounds=4, k=32, stage_dir=str(tmp_path / "nf")))
+    assert got == {0: 4, 1: 10, 2: 14, 3: 16, 4: 16}
+
+
+def test_neighborhood_function_estimator_differential(spark, tmp_path):
+    """Star with 60 leaves at k=8 (balls larger than k): differential
+    against an exact Python KMV replay — same leading-8-hex md5 hash,
+    same (k-1)*2^32/u_k estimator, same HALF_UP one-shot rounding —
+    pinning the estimator path, not just the exact path."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    k = 8
+    leaves = [f"l{i:02d}" for i in range(60)]
+    e = _edges(spark, [("c", l) for l in leaves])
+    got = _nf_map(graph.neighborhood_function(
+        e, rounds=2, k=k, stage_dir=str(tmp_path / "nf")))
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def est(ball):
+        hs = sorted({h32(x) for x in ball})[:k]
+        if len(hs) < k:
+            return len(hs)
+        v = (k - 1) * 2**32 / hs[k - 1]
+        return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    nodes = ["c"] + leaves
+    balls = {
+        0: {v: {v} for v in nodes},
+        1: {v: ({v, "c"} if v != "c" else set(nodes)) for v in nodes},
+        2: {v: set(nodes) for v in nodes},
+    }
+    want = {r: sum(est(balls[r][v]) for v in nodes) for r in balls}
+    assert got == want
