@@ -1665,6 +1665,29 @@ def q_exact_substr(spark, sf):
     )
 
 
+def q_suffix_array(spark, sf):
+    """Corpus suffix array by Manber-Myers prefix doubling — the exact
+    structure behind ExactSubstr dedup at scale (Lee et al. 2022 build
+    one over the training corpus; q_exact_substr is the windowed-hash
+    approximation).  Per-doc token suffixes, dense lexicographic rank
+    (equal suffixes share one), sa_idx under (rank, doc_id, pos); every
+    global rank uses the range-partition + broadcast-offset discipline,
+    never a one-task window (operators/suffix.py suffix_array).  The
+    oracle sorts the materialized token-list suffixes directly — the
+    definition the doubling loop converges to."""
+    from ddaugner_spark.operators.suffix import suffix_array
+
+    toks = (
+        _docs(spark, sf)
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return suffix_array(toks, stage_dir=_scratch("q_sa_"))
+
+
 def q_dsir_weights(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): per-document
     log-likelihood ratio between the English-target and raw-corpus
@@ -5494,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_segments": q_segments,
         "q_rr_freq": q_rr_freq,
         "q_neighborhood_fn": q_neighborhood_fn,
+        "q_suffix_array": q_suffix_array,
     }
 
 
@@ -13718,6 +13742,26 @@ sents AS (
                / (sc::DOUBLE / n::DOUBLE) / 100.0 > 1.5 END, false)
                AS overdispersed
       FROM g
+    """
+
+    # suffix-array replay: the direct definition — materialize every
+    # per-doc token-list suffix (t[i:]) and sort; DuckDB LIST compare
+    # is element-wise with shorter-prefix-first, exactly the order the
+    # prefix-doubling loop converges to (rank 0 = past-end sentinel)
+    o["q_suffix_array"] = """
+      WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND text != ''
+      ),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos, t[i:] AS s
+        FROM arr, unnest(range(1, len(t) + 1)) AS u(i)
+      )
+      SELECT row_number() OVER (ORDER BY s, doc_id, pos)::BIGINT AS sa_idx,
+             doc_id,
+             pos::BIGINT AS pos,
+             dense_rank() OVER (ORDER BY s)::BIGINT AS rank
+      FROM suf
     """
 
     # neighborhood-function replay: KMV union algebra — the merged
