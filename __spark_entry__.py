@@ -5151,6 +5151,21 @@ def q_neighborhood_fn(spark, sf):
     )
 
 
+def q_eff_diameter(spark, sf):
+    """Effective diameter (q=0.9) of the co-mention graph — the
+    readout the neighborhood function exists for: smallest radius
+    reaching 90% of the reachable pairs, linearly interpolated
+    (Boldi & Vigna's convention).  One scalar row; the readout window
+    runs on the 5-row nf table (operators/graph.py
+    effective_diameter)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    nf = graph.neighborhood_function(
+        canonical.co_mention_edges(m), rounds=4, k=32,
+        stage_dir=_scratch("q_effd_"),
+    )
+    return graph.effective_diameter(nf, q=0.9)
+
+
 def q_peak_concurrency(spark, sf):
     """Peak concurrent sessions by the ±1 interval sweep (ends before
     starts at equal instants), exact integer micros, earliest peak
@@ -5518,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rr_freq": q_rr_freq,
         "q_neighborhood_fn": q_neighborhood_fn,
         "q_suffix_array": q_suffix_array,
+        "q_eff_diameter": q_eff_diameter,
     }
 
 
@@ -13771,7 +13787,7 @@ sents AS (
     # 32-bit int), keeps the 32 smallest DISTINCT hashes per (node, r),
     # and applies the same (k−1)·2³² / u_k estimator with the same
     # one-round-then-integer-sum discipline; 133143986176 = 31·2³²
-    o["q_neighborhood_fn"] = f"""
+    _nf_core = f"""
       WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
       edges AS (
         SELECT DISTINCT a.surface AS a, b.surface AS b
@@ -13807,9 +13823,33 @@ sents AS (
                                / max(CASE WHEN rn = 32 THEN hx END), 0)::BIGINT
                END AS e
         FROM rk WHERE rn <= 32 GROUP BY 1, 2
-      )
-      SELECT r::BIGINT AS r, sum(e)::BIGINT AS nf_est
-      FROM est GROUP BY 1
+      ),
+      nf AS (
+        SELECT r::BIGINT AS r, sum(e)::BIGINT AS nf_est
+        FROM est GROUP BY 1
+      )"""
+
+    o["q_neighborhood_fn"] = _nf_core + """
+      SELECT r, nf_est FROM nf
+    """
+
+    # effective-diameter readout over the same nf core: smallest r with
+    # nf(r) >= 0.9*nf_max, linearly interpolated; same float chain
+    # (0.9*long -> double threshold, one division) on both engines
+    o["q_eff_diameter"] = _nf_core + """,
+      mx AS (SELECT max(nf_est) AS nf_max FROM nf),
+      x AS (
+        SELECT nf.r, nf.nf_est,
+               coalesce(lag(nf.nf_est) OVER (ORDER BY nf.r), 0) AS prev,
+               mx.nf_max, mx.nf_max * 0.9 AS thr
+        FROM nf, mx
+      ),
+      c AS (SELECT * FROM x WHERE nf_est >= thr ORDER BY r LIMIT 1)
+      SELECT nf_max::BIGINT AS nf_max,
+             round(CASE WHEN r = 0 THEN 0.0
+                        ELSE r - 1 + (thr - prev) / (nf_est - prev)
+                   END, 6) AS eff_diameter
+      FROM c
     """
 
     return o

@@ -42,7 +42,7 @@ import shutil
 import tempfile
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ddaugner_spark.operators.canonical import BROADCAST_AUTO_THRESHOLD
@@ -1641,3 +1641,37 @@ def neighborhood_function(
         cur = _rt(merged, f"nf_r{r}")
         out = out.unionByName(nf_row(cur, r))
     return out
+
+
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> DataFrame:
+    """Effective diameter at quantile ``q`` from a neighborhood-
+    function table ``(r, nf_est)`` — the readout HyperBall exists for
+    ("90% of connected pairs are within d_eff hops"): the smallest r
+    with nf(r) ≥ q·nf(r_max), linearly interpolated between r−1 and r
+    (Boldi & Vigna's convention), 0.0 if radius 0 already crosses.
+
+    One row out; the window runs on the rounds-sized nf table (≤ a
+    dozen rows however big the graph), the broadcast carries one
+    scalar — nothing here touches corpus-scale data.
+    """
+    mx = nf.agg(F.max("nf_est").alias("nf_max"))
+    w = Window.orderBy("r")
+    crossing = (
+        nf.withColumn("prev", F.coalesce(F.lag("nf_est").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(mx))
+        .withColumn("thr", F.col("nf_max") * F.lit(q))
+        .filter(F.col("nf_est") >= F.col("thr"))
+        .orderBy("r")
+        .limit(1)
+    )
+    return crossing.select(
+        "nf_max",
+        F.round(
+            F.when(F.col("r") == 0, F.lit(0.0)).otherwise(
+                F.col("r") - 1
+                + (F.col("thr") - F.col("prev"))
+                / (F.col("nf_est") - F.col("prev"))
+            ),
+            6,
+        ).alias("eff_diameter"),
+    )

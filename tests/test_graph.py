@@ -621,3 +621,19 @@ def test_neighborhood_function_estimator_differential(spark, tmp_path):
     }
     want = {r: sum(est(balls[r][v]) for v in nodes) for r in balls}
     assert got == want
+
+
+def test_effective_diameter_interpolation(spark, tmp_path):
+    """Path a-b-c-d (exact nf 4,10,14,16,16): nf_max=16, thr=14.4 —
+    crossing at r=3 interpolates 2 + (14.4-14)/(16-14) = 2.2; at q=0.4
+    the threshold (6.4) is crossed at r=1: 0 + (6.4-4)/(10-4) = 0.4;
+    at q=0.2 radius 0 already crosses -> 0.0."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    nf = graph.neighborhood_function(e, rounds=4, k=32,
+                                     stage_dir=str(tmp_path / "nf"))
+    row = graph.effective_diameter(nf, q=0.9).collect()[0]
+    assert row["nf_max"] == 16 and row["eff_diameter"] == 2.2
+    row = graph.effective_diameter(nf, q=0.4).collect()[0]
+    assert row["eff_diameter"] == 0.4
+    row = graph.effective_diameter(nf, q=0.2).collect()[0]
+    assert row["eff_diameter"] == 0.0
