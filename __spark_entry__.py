@@ -1688,6 +1688,27 @@ def q_suffix_array(spark, sf):
     return suffix_array(toks, stage_dir=_scratch("q_sa_"))
 
 
+def q_lcp_array(spark, sf):
+    """LCP array over the corpus suffix array — SA + LCP is the exact
+    repeated-substring machine under ExactSubstr dedup (a verbatim
+    cross-doc run of length L shows up as adjacent suffixes with
+    lcp ≥ L).  Distributed O(log L) rank-walk over the prefix-doubling
+    level tables: two slim hash equi-joins per level, never a per-pair
+    token scan — that direct scan is the oracle's replay
+    (operators/suffix.py lcp_array)."""
+    from ddaugner_spark.operators.suffix import lcp_array
+
+    toks = (
+        _docs(spark, sf)
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    return lcp_array(toks, stage_dir=_scratch("q_lcp_"))
+
+
 def q_dsir_weights(spark, sf):
     """DSIR-style data selection (Xie et al. 2023): per-document
     log-likelihood ratio between the English-target and raw-corpus
@@ -5534,6 +5555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neighborhood_fn": q_neighborhood_fn,
         "q_suffix_array": q_suffix_array,
         "q_eff_diameter": q_eff_diameter,
+        "q_lcp_array": q_lcp_array,
     }
 
 
@@ -13778,6 +13800,41 @@ sents AS (
              pos::BIGINT AS pos,
              dense_rank() OVER (ORDER BY s)::BIGINT AS rank
       FROM suf
+    """
+
+    # LCP replay: the direct definition — lag the sorted suffix lists
+    # and count leading equal tokens (nullif: DuckDB list_position
+    # returns 0, not NULL, when no mismatch exists → full min length)
+    o["q_lcp_array"] = """
+      WITH arr AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND text != ''
+      ),
+      suf AS (
+        SELECT doc_id, i - 1 AS pos, t[i:] AS s
+        FROM arr, unnest(range(1, len(t) + 1)) AS u(i)
+      ),
+      r AS (
+        SELECT doc_id, pos, s,
+               row_number() OVER (ORDER BY s, doc_id, pos) AS sa_idx
+        FROM suf
+      ),
+      p AS (
+        SELECT sa_idx, doc_id, pos, s AS sa,
+               lag(s) OVER (ORDER BY sa_idx) AS sb
+        FROM r
+      )
+      SELECT sa_idx::BIGINT AS sa_idx, doc_id, pos::BIGINT AS pos,
+             (CASE WHEN sb IS NULL THEN 0
+                   ELSE coalesce(
+                     nullif(list_position(
+                       list_transform(
+                         range(1, least(len(sa), len(sb)) + 1),
+                         j -> sa[j] = sb[j]),
+                       false), 0) - 1,
+                     least(len(sa), len(sb)))
+              END)::BIGINT AS lcp
+      FROM p
     """
 
     # neighborhood-function replay: KMV union algebra — the merged

@@ -113,6 +113,7 @@ def suffix_array(
     toks: DataFrame,
     stage_dir: str | None = None,
     max_rounds: int = 32,
+    _levels: list | None = None,
 ) -> DataFrame:
     """Global suffix array of a (doc_id, pos, tok) token table —
     ``(sa_idx, doc_id, pos, rank)`` with ``rank`` the dense
@@ -120,6 +121,11 @@ def suffix_array(
     wise comparison, shorter-prefix-first) and ``sa_idx`` its row
     number under (rank, doc_id, pos).  Prefix doubling; see module
     docstring for the scale argument.
+
+    ``_levels``: internal accumulator for ``lcp_array`` — when a list
+    is passed, every doubling level's rank table is appended as
+    ``(resolution_tokens, df)`` (level k orders suffixes by their
+    first ``resolution`` tokens).
     """
     if stage_dir is None:
         stage_dir = tempfile.mkdtemp(prefix="ddaugner_sa_")
@@ -132,6 +138,8 @@ def suffix_array(
         toks.select("doc_id", "pos", "tok"), ["tok"],
         stage_path=f"{stage_dir}/sa_0",
     ).select("doc_id", "pos", "rank")
+    if _levels is not None:
+        _levels.append((1, cur))
 
     byte_pos = Window.partitionBy("doc_id").orderBy("pos")
     gap = 1
@@ -155,8 +163,121 @@ def suffix_array(
             stage_path=f"{stage_dir}/sa_{r}",
         ).select("doc_id", "pos", F.col("nr").alias("rank"))
         gap *= 2
+        if _levels is not None:
+            _levels.append((gap, cur))
 
     return global_dense_rank(
         cur, ["rank", "doc_id", "pos"], out="sa_idx",
         stage_path=f"{stage_dir}/sa_final",
     ).select("sa_idx", "doc_id", "pos", "rank")
+
+
+def lcp_array(
+    toks: DataFrame,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """LCP array over the suffix array — ``(sa_idx, doc_id, pos, lcp)``
+    with ``lcp`` the longest-common-prefix token count between suffix
+    SA[sa_idx] and SA[sa_idx − 1] (0 for sa_idx 1).  SA + LCP is the
+    exact repeated-substring machine ExactSubstr dedup is built on: a
+    verbatim run shared by two documents appears as adjacent suffixes
+    with lcp ≥ its length.
+
+    Distributed LCP via the prefix-doubling level tables (the classic
+    O(log L) rank-walk, join form): adjacent SA pairs come from one
+    equi-join on sa_idx; pairs whose FINAL ranks are equal are
+    identical suffixes (lcp = full remaining length — the fixed-point
+    rank already certifies it).  The rest walk the levels top-down:
+    at resolution 2^k, if the level ranks at both cursors (pos + lcp
+    so far) are equal, the suffixes agree on the next
+    ``min(2^k, tokens left)`` tokens — add it and keep walking; a
+    cursor past its doc end left-joins to NULL and never matches.
+
+    Scale shape: O(log L) passes, each two hash equi-joins of the
+    slim (n−1)-row pair state against a materialized level table —
+    never a per-pair token scan (that is the oracle's job); state
+    parquet-round-trips per level.
+    """
+    spark = toks.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_lcp_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    levels: list = []
+    sa = _rt(
+        suffix_array(toks, stage_dir=f"{stage_dir}/sa", _levels=levels),
+        "sa_m",
+    )
+    nlen = toks.groupBy("doc_id").agg(
+        (F.max("pos") + 1).cast("long").alias("n")
+    )
+
+    cur = sa.select("sa_idx", "doc_id", "pos", "rank")
+    prev = sa.select(
+        (F.col("sa_idx") + 1).alias("sa_idx"),
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("rank").alias("rb"),
+    )
+    state = (
+        cur.join(prev, "sa_idx", "left")
+        .join(nlen, "doc_id")
+        .withColumnRenamed("n", "na")
+        .join(
+            nlen.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
+            "left",
+        )
+        .withColumn(
+            "lcp",
+            F.when(
+                F.col("rank") == F.col("rb"),
+                F.least(
+                    F.col("na") - F.col("pos"), F.col("nb") - F.col("pb")
+                ),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn("open", F.col("rank") != F.col("rb"))
+        .select("sa_idx", "doc_id", "pos", "db", "pb", "na", "nb",
+                "lcp", "open")
+    )
+
+    # the LAST level's classes equal the final ranks on both exit paths
+    # (fixed point: count stopped growing; all-distinct: nothing equal),
+    # so its pass can never add — skip it.  Open pairs then have
+    # lcp ≤ (top remaining resolution)·2 − 1, exactly representable by
+    # the remaining binary ladder.
+    for i, (res, lvl) in enumerate(reversed(levels[:-1])):
+        lv = _rt(lvl, f"lv_{res}")
+        ra_k = lv.select(
+            F.col("doc_id").alias("doc_id"),
+            F.col("pos").alias("_qa"),
+            F.col("rank").alias("_ra"),
+        )
+        rb_k = lv.select(
+            F.col("doc_id").alias("db"),
+            F.col("pos").alias("_qb"),
+            F.col("rank").alias("_rbk"),
+        )
+        state = (
+            state.withColumn("_qa", F.col("pos") + F.col("lcp"))
+            .withColumn("_qb", F.col("pb") + F.col("lcp"))
+            .join(ra_k, ["doc_id", "_qa"], "left")
+            .join(rb_k, ["db", "_qb"], "left")
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(
+                    F.col("open") & (F.col("_ra") == F.col("_rbk")),
+                    F.least(F.lit(res), F.col("na") - F.col("_qa")),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_qa", "_qb", "_ra", "_rbk")
+        )
+        state = _rt(state, f"st_{i}")
+
+    return state.select("sa_idx", "doc_id", "pos", "lcp")

@@ -10,7 +10,11 @@ import random
 
 from pyspark.sql import functions as F
 
-from ddaugner_spark.operators.suffix import global_dense_rank, suffix_array
+from ddaugner_spark.operators.suffix import (
+    global_dense_rank,
+    lcp_array,
+    suffix_array,
+)
 
 
 def _toks(spark, docs):
@@ -106,3 +110,56 @@ def test_global_dense_rank_boundary_freeze(spark, tmp_path):
         assert got.setdefault(r["tok"], r["rank"]) == r["rank"], "split key"
     want = {k: i + 1 for i, k in enumerate(sorted(got))}
     assert got == want
+
+
+def _py_lcp(docs):
+    """Direct LCP: sort suffixes, compare each to its predecessor."""
+    suf = []
+    for d, text in enumerate(docs):
+        t = text.split(" ")
+        for p in range(len(t)):
+            suf.append((t[p:], d, p))
+    suf.sort()
+    out = []
+    for i, (s, d, p) in enumerate(suf):
+        if i == 0:
+            out.append((d, p, 0))
+            continue
+        prev = suf[i - 1][0]
+        l = 0
+        while l < min(len(s), len(prev)) and s[l] == prev[l]:
+            l += 1
+        out.append((d, p, l))
+    return out
+
+
+def _lcp(df):
+    return [
+        (r["doc_id"], r["pos"], r["lcp"])
+        for r in df.orderBy("sa_idx").collect()
+    ]
+
+
+def test_lcp_banana(spark, tmp_path):
+    got = _lcp(lcp_array(_toks(spark, ["b a n a n a"]),
+                         stage_dir=str(tmp_path / "lcp")))
+    # SA: a, ana, anana, banana, na, nana -> LCP 0,1,3,0,0,2
+    assert got == [(0, 5, 0), (0, 3, 1), (0, 1, 3), (0, 0, 0),
+                   (0, 4, 0), (0, 2, 2)]
+
+
+def test_lcp_identical_suffixes_across_docs(spark, tmp_path):
+    got = _lcp(lcp_array(_toks(spark, ["x y", "x y"]),
+                         stage_dir=str(tmp_path / "lcp")))
+    # SA: (0,0)[x y], (1,0)[x y], (0,1)[y], (1,1)[y] -> LCP 0,2,0,1
+    assert got == [(0, 0, 0), (1, 0, 2), (0, 1, 0), (1, 1, 1)]
+
+
+def test_lcp_differential_vs_python(spark, tmp_path):
+    rng = random.Random(42)
+    docs = [
+        " ".join(rng.choice(["a", "b"]) for _ in range(rng.randint(20, 40)))
+        for _ in range(12)
+    ]
+    got = _lcp(lcp_array(_toks(spark, docs), stage_dir=str(tmp_path / "lcp")))
+    assert got == _py_lcp(docs)
