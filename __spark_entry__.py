@@ -75,6 +75,19 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _sa_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, tok) token table for the suffix-array family —
+    whitespace split, matching the oracles' string_split exactly."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
 # ======================================================================
 # entry
 # ======================================================================
@@ -1677,15 +1690,7 @@ def q_suffix_array(spark, sf):
     definition the doubling loop converges to."""
     from ddaugner_spark.operators.suffix import suffix_array
 
-    toks = (
-        _docs(spark, sf)
-        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
-        .select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-        )
-        .withColumn("pos", F.col("pos").cast("long"))
-    )
-    return suffix_array(toks, stage_dir=_scratch("q_sa_"))
+    return suffix_array(_sa_toks(spark, sf), stage_dir=_scratch("q_sa_"))
 
 
 def q_lcp_array(spark, sf):
@@ -1698,15 +1703,34 @@ def q_lcp_array(spark, sf):
     (operators/suffix.py lcp_array)."""
     from ddaugner_spark.operators.suffix import lcp_array
 
-    toks = (
-        _docs(spark, sf)
-        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
-        .select(
-            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-        )
-        .withColumn("pos", F.col("pos").cast("long"))
+    return lcp_array(_sa_toks(spark, sf), stage_dir=_scratch("q_lcp_"))
+
+
+def q_repeat_coverage(spark, sf):
+    """Per-document ExactSubstr coverage: fraction of tokens inside a
+    ≥5-token span that occurs at least twice in the corpus — the
+    statistic the Lee et al. 2022 cut rule acts on.  Exact via the SA
+    block argument (every occurrence of a repeated span is one side of
+    an adjacent SA pair with lcp ≥ L); interval-union window per doc
+    (operators/suffix.py repeat_coverage)."""
+    from ddaugner_spark.operators.suffix import repeat_coverage
+
+    return repeat_coverage(
+        _sa_toks(spark, sf), min_len=5, stage_dir=_scratch("q_cov_")
     )
-    return lcp_array(toks, stage_dir=_scratch("q_lcp_"))
+
+
+def q_distinct_substrings(spark, sf):
+    """Corpus distinct-substring count via the SA identity
+    Σ suffix lengths − Σ lcp — a one-row repetitiveness readout (the
+    lower this is relative to Σ lengths, the more templated the
+    corpus), two integer sums over the LCP table
+    (operators/suffix.py distinct_substring_count)."""
+    from ddaugner_spark.operators.suffix import distinct_substring_count
+
+    return distinct_substring_count(
+        _sa_toks(spark, sf), stage_dir=_scratch("q_dss_")
+    )
 
 
 def q_dsir_weights(spark, sf):
@@ -5556,6 +5580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_suffix_array": q_suffix_array,
         "q_eff_diameter": q_eff_diameter,
         "q_lcp_array": q_lcp_array,
+        "q_repeat_coverage": q_repeat_coverage,
+        "q_distinct_substrings": q_distinct_substrings,
     }
 
 
@@ -13805,7 +13831,7 @@ sents AS (
     # LCP replay: the direct definition — lag the sorted suffix lists
     # and count leading equal tokens (nullif: DuckDB list_position
     # returns 0, not NULL, when no mismatch exists → full min length)
-    o["q_lcp_array"] = """
+    _lcp_core = """
       WITH arr AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE text IS NOT NULL AND text != ''
@@ -13823,18 +13849,70 @@ sents AS (
         SELECT sa_idx, doc_id, pos, s AS sa,
                lag(s) OVER (ORDER BY sa_idx) AS sb
         FROM r
+      ),
+      lcpd AS (
+        SELECT sa_idx, doc_id, pos, len(sa)::BIGINT AS rem,
+               (CASE WHEN sb IS NULL THEN 0
+                     ELSE coalesce(
+                       nullif(list_position(
+                         list_transform(
+                           range(1, least(len(sa), len(sb)) + 1),
+                           j -> sa[j] = sb[j]),
+                         false), 0) - 1,
+                       least(len(sa), len(sb)))
+                END)::BIGINT AS lcp
+        FROM p
+      )"""
+
+    o["q_lcp_array"] = _lcp_core + """
+      SELECT sa_idx::BIGINT AS sa_idx, doc_id, pos::BIGINT AS pos, lcp
+      FROM lcpd
+    """
+
+    # ExactSubstr coverage replay: per suffix the max match is
+    # max(own lcp, successor's lcp); interval-union window per doc
+    o["q_repeat_coverage"] = _lcp_core + """,
+      m AS (
+        SELECT doc_id, pos,
+               greatest(lcp,
+                        coalesce(lead(lcp) OVER (ORDER BY sa_idx), 0)) AS mm
+        FROM lcpd
+      ),
+      iv AS (SELECT doc_id, pos AS s, pos + mm AS e FROM m WHERE mm >= 5),
+      x AS (
+        SELECT doc_id, s, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM iv
+      ),
+      g AS (
+        SELECT doc_id, s, e,
+               sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM x
+      ),
+      c AS (SELECT doc_id, grp, max(e) - min(s) AS clen
+            FROM g GROUP BY 1, 2),
+      cov AS (SELECT doc_id, sum(clen)::BIGINT AS covered
+              FROM c GROUP BY 1),
+      nn AS (
+        SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents WHERE text IS NOT NULL AND text != ''
       )
-      SELECT sa_idx::BIGINT AS sa_idx, doc_id, pos::BIGINT AS pos,
-             (CASE WHEN sb IS NULL THEN 0
-                   ELSE coalesce(
-                     nullif(list_position(
-                       list_transform(
-                         range(1, least(len(sa), len(sb)) + 1),
-                         j -> sa[j] = sb[j]),
-                       false), 0) - 1,
-                     least(len(sa), len(sb)))
-              END)::BIGINT AS lcp
-      FROM p
+      SELECT nn.doc_id, nn.n_tokens,
+             coalesce(cov.covered, 0)::BIGINT AS covered,
+             round(coalesce(cov.covered, 0)::DOUBLE / nn.n_tokens, 6)
+               AS ratio
+      FROM nn LEFT JOIN cov USING (doc_id)
+    """
+
+    # distinct-substring identity: sum of suffix lengths minus lcp sum
+    o["q_distinct_substrings"] = _lcp_core + """
+      SELECT sum(rem)::BIGINT AS n_suffix_tokens,
+             sum(lcp)::BIGINT AS lcp_sum,
+             (sum(rem) - sum(lcp))::BIGINT AS n_distinct
+      FROM lcpd
     """
 
     # neighborhood-function replay: KMV union algebra — the merged

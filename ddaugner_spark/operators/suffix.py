@@ -281,3 +281,117 @@ def lcp_array(
         state = _rt(state, f"st_{i}")
 
     return state.select("sa_idx", "doc_id", "pos", "lcp")
+
+
+def repeat_coverage(
+    toks: DataFrame,
+    min_len: int = 5,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Per-document ExactSubstr coverage — ``(doc_id, n_tokens,
+    covered, ratio)`` where ``covered`` counts tokens inside a span of
+    ≥ ``min_len`` tokens that occurs at least twice in the corpus
+    (anywhere, including the same document).  This is the statistic
+    the ExactSubstr cut rule acts on (Lee et al. 2022 remove one copy
+    of every such span).
+
+    Exactness via the SA block argument: all suffixes sharing a
+    length-L prefix are contiguous in the suffix array with adjacent
+    lcp ≥ L, so EVERY occurrence of a repeated span appears as one
+    side of an adjacent pair with lcp ≥ L — emitting the interval
+    [pos, pos + lcp) for both sides of each qualifying pair covers
+    exactly the repeated-span tokens, no block expansion needed.
+
+    Scale shape: one sa_idx equi-join to rebuild pairs, then the
+    standard interval-union window per doc (sort by start, running
+    max end, group flag + sum — one doc-keyed exchange); the coverage
+    sum is a per-doc aggregate.
+    """
+    spark = toks.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_cov_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    lcp = lcp_array(toks, stage_dir=f"{stage_dir}/lcp")
+    lcp.write.mode("overwrite").parquet(f"{stage_dir}/lcp_m")
+    lcp = spark.read.parquet(f"{stage_dir}/lcp_m")
+
+    # both sides of every qualifying adjacent pair (i−1, i): row i
+    # covers [pos_i, pos_i + lcp_i); row i−1 covers its OWN position
+    # for the SUCCESSOR's lcp — shift the lcp back one slot and join
+    hits = lcp.filter(F.col("lcp") >= min_len)
+    nxt = lcp.filter(F.col("lcp") >= min_len).select(
+        (F.col("sa_idx") - 1).alias("sa_idx"),
+        F.col("lcp").alias("next_lcp"),
+    )
+    spans = (
+        hits.select("doc_id", F.col("pos").alias("s"),
+                    (F.col("pos") + F.col("lcp")).alias("e"))
+        .unionByName(
+            lcp.join(nxt, "sa_idx")
+            .select("doc_id", F.col("pos").alias("s"),
+                    (F.col("pos") + F.col("next_lcp")).alias("e"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    run = Window.partitionBy("doc_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    merged = (
+        spans.withColumn("pmax", F.max("e").over(run))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("pmax").isNull() | (F.col("s") > F.col("pmax")),
+                    1,
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "grp")
+        .agg((F.max("e") - F.min("s")).alias("clen"))
+        .groupBy("doc_id")
+        .agg(F.sum("clen").cast("long").alias("covered"))
+    )
+    nlen = toks.groupBy("doc_id").agg(
+        (F.max("pos") + 1).cast("long").alias("n_tokens")
+    )
+    return (
+        nlen.join(merged, "doc_id", "left")
+        .withColumn("covered", F.coalesce("covered", F.lit(0)).cast("long"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "covered",
+            F.round(F.col("covered") / F.col("n_tokens"), 6).alias("ratio"),
+        )
+    )
+
+
+def distinct_substring_count(
+    toks: DataFrame,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Number of DISTINCT token substrings in the corpus — one row
+    ``(n_suffix_tokens, lcp_sum, n_distinct)`` via the classic SA
+    identity: Σ suffix lengths − Σ lcp (each suffix contributes its
+    prefixes, minus the ones already contributed by its SA
+    predecessor).  The whole readout is two corpus-pass integer sums
+    over tables the LCP construction already materializes.
+    """
+    spark = toks.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_dss_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    lcp = lcp_array(toks, stage_dir=f"{stage_dir}/lcp")
+    nlen = toks.groupBy("doc_id").agg(
+        (F.max("pos") + 1).cast("long").alias("n")
+    )
+    per = lcp.join(nlen, "doc_id").select(
+        (F.col("n") - F.col("pos")).alias("rem"), "lcp"
+    )
+    return per.agg(
+        F.sum("rem").cast("long").alias("n_suffix_tokens"),
+        F.sum("lcp").cast("long").alias("lcp_sum"),
+        (F.sum("rem") - F.sum("lcp")).cast("long").alias("n_distinct"),
+    )

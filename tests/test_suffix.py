@@ -163,3 +163,82 @@ def test_lcp_differential_vs_python(spark, tmp_path):
     ]
     got = _lcp(lcp_array(_toks(spark, docs), stage_dir=str(tmp_path / "lcp")))
     assert got == _py_lcp(docs)
+
+
+def test_repeat_coverage_fixtures(spark, tmp_path):
+    from ddaugner_spark.operators.suffix import repeat_coverage
+
+    docs = [
+        "a b c d e f",          # exact dup of doc 1 -> fully covered
+        "a b c d e f",
+        "x y z q x y z w",      # internal repeat "x y z" at 0 and 4
+        "p0 p1 p2 p3 p4 p5",    # all-distinct tokens -> zero coverage
+    ]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["ratio"])
+        for r in repeat_coverage(
+            _toks(spark, docs), min_len=3, stage_dir=str(tmp_path / "cov")
+        ).collect()
+    }
+    assert got[0] == (6, 6, 1.0) and got[1] == (6, 6, 1.0)
+    assert got[2] == (8, 6, 0.75)
+    assert got[3] == (6, 0, 0.0)
+
+
+def test_repeat_coverage_differential(spark, tmp_path):
+    """Brute-force ground truth: per suffix, the max shared prefix with
+    ANY other suffix; interval [q, q+m) when m >= L; union per doc."""
+    from ddaugner_spark.operators.suffix import repeat_coverage
+
+    rng = random.Random(9)
+    docs = [
+        " ".join(rng.choice(["a", "b", "c"]) for _ in range(rng.randint(10, 25)))
+        for _ in range(8)
+    ]
+    L = 4
+    suf = []
+    for d, text in enumerate(docs):
+        t = text.split(" ")
+        for p in range(len(t)):
+            suf.append((d, p, t[p:]))
+    want = {}
+    for d, text in enumerate(docs):
+        n = len(text.split(" "))
+        cov = set()
+        for dd, p, s in suf:
+            if dd != d:
+                continue
+            m = 0
+            for d2, p2, s2 in suf:
+                if (d2, p2) == (dd, p):
+                    continue
+                l = 0
+                while l < min(len(s), len(s2)) and s[l] == s2[l]:
+                    l += 1
+                m = max(m, l)
+            if m >= L:
+                cov.update(range(p, p + m))
+        want[d] = (n, len(cov), round(len(cov) / n, 6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered"], r["ratio"])
+        for r in repeat_coverage(
+            _toks(spark, docs), min_len=L, stage_dir=str(tmp_path / "cov")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distinct_substring_count(spark, tmp_path):
+    from ddaugner_spark.operators.suffix import distinct_substring_count
+
+    row = distinct_substring_count(
+        _toks(spark, ["b a n a n a"]), stage_dir=str(tmp_path / "d1")
+    ).collect()[0]
+    # banana: 21 suffix tokens, lcp sum 6, 15 distinct substrings
+    assert (row["n_suffix_tokens"], row["lcp_sum"], row["n_distinct"]) == (21, 6, 15)
+
+    row = distinct_substring_count(
+        _toks(spark, ["x y", "x y"]), stage_dir=str(tmp_path / "d2")
+    ).collect()[0]
+    # {x, y, x y} across the two identical docs
+    assert (row["n_suffix_tokens"], row["lcp_sum"], row["n_distinct"]) == (6, 3, 3)
