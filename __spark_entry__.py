@@ -1323,6 +1323,22 @@ def q_er_pairs(spark, sf):
     return er.er_candidate_pairs(amp, max_dist=2)
 
 
+def q_snm_pairs(spark, sf):
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo SIGMOD'95)
+    over the typo-amplified surface vocabulary — the complementary
+    strategy to q_er_pairs' equality blocks: sort by the normalized
+    key, compare each record to its 3 successors only (O(V·w)
+    candidates, catches pairs equality blocking's first-char key
+    misses).  Sort position via the boundary-frozen range-partition
+    rank, window join as a bounded explode + one hash equi-join
+    (operators/er.py sorted_neighborhood_pairs)."""
+    surf = er.distinct_surfaces(mentions.mentions_df(_docs(spark, sf)))
+    amp = er.with_typo_surfaces(surf).select("surface", "tag").distinct()
+    return er.sorted_neighborhood_pairs(
+        amp, window=3, max_dist=2, stage_dir=_scratch("q_snm_")
+    )
+
+
 def q_er_resolve(spark, sf):
     """ER pairs → surface canonicalization map: connected components
     (hash-min label propagation) over the typo-pair graph, node ids
@@ -5582,6 +5598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lcp_array": q_lcp_array,
         "q_repeat_coverage": q_repeat_coverage,
         "q_distinct_substrings": q_distinct_substrings,
+        "q_snm_pairs": q_snm_pairs,
     }
 
 
@@ -6499,6 +6516,30 @@ def oracle_sql() -> dict[str, str]:
     o["q_er_pairs"] = f"""
       WITH {_ER_SURF}
       SELECT tag, a, b, dist FROM p
+    """
+
+    # SNM replay: same normalized key, row_number sort position, band
+    # self-join bounded by the window (the engine's explode+equi-join
+    # produces exactly these pairs)
+    o["q_snm_pairs"] = f"""
+      WITH {_ER_SURF},
+      k AS (
+        SELECT surface, tag,
+               regexp_replace(lower(surface), '[^a-z0-9]', '', 'g')
+                 AS snm_key
+        FROM surf
+      ),
+      r AS (
+        SELECT surface, tag, snm_key,
+               row_number() OVER (ORDER BY snm_key, surface, tag) AS idx
+        FROM k
+      )
+      SELECT a.surface AS surface_a, a.tag AS tag_a,
+             b.surface AS surface_b, b.tag AS tag_b,
+             (b.idx - a.idx)::BIGINT AS gap,
+             levenshtein(a.surface, b.surface)::BIGINT AS dist,
+             levenshtein(a.surface, b.surface) <= 2 AS is_match
+      FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3
     """
 
     # B³ replay: gold = recursive CC over the origin↔variant truth

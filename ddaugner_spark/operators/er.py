@@ -513,3 +513,72 @@ def b3_cluster_eval(
             F.lit(2.0) * p_expr * r_expr / (p_expr + r_expr), ndigits
         ).alias("b3_f1"),
     )
+
+
+def sorted_neighborhood_pairs(
+    surfaces: DataFrame,
+    window: int = 3,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo SIGMOD'95) —
+    the OTHER classical blocking strategy next to
+    :func:`er_candidate_pairs`' equality blocks: sort the vocabulary by
+    a normalized key and compare each record only to its ``window``
+    successors in sort order.  Where equality blocking misses pairs
+    whose first characters differ (``oscar``/``0scar`` style noise,
+    here ``spark``/``sark``), SNM catches any pair the key sorts near
+    each other, with a hard O(V·w) candidate bound instead of a hot
+    block's O(|block|²).
+
+    Key: surface lowercased with non-alphanumerics stripped (the usual
+    SNM key discipline), tie-broken by (surface, tag) so the order is
+    total and engine-reproducible.  Output: candidate pairs within the
+    window plus their edit distance and ``is_match`` under
+    ``max_dist`` — the downstream CC merge consumes the matches.
+
+    Scale shape: the sort position comes from the boundary-frozen
+    range-partition rank (operators/suffix.py global_dense_rank — no
+    one-task window over the vocabulary); the window join is a
+    bounded-fan-out explode of each row to its next ``window`` slots
+    followed by ONE hash equi-join on the slot index — never a band
+    or theta join; levenshtein runs on exactly V·w pairs.
+    """
+    from ddaugner_spark.operators.suffix import global_dense_rank
+
+    key = F.regexp_replace(F.lower(F.col("surface")), "[^a-z0-9]", "")
+    ranked = global_dense_rank(
+        surfaces.withColumn("snm_key", key),
+        ["snm_key", "surface", "tag"],
+        out="idx",
+        stage_path=None if stage_dir is None else f"{stage_dir}/rank",
+    ).select("idx", "snm_key", "surface", "tag")
+
+    probes = ranked.select(
+        F.col("idx").alias("pidx"),
+        F.col("snm_key").alias("key_a"),
+        F.col("surface").alias("surface_a"),
+        F.col("tag").alias("tag_a"),
+        F.explode(
+            F.sequence(F.col("idx") + 1, F.col("idx") + window)
+        ).alias("idx"),
+    )
+    right = ranked.select(
+        "idx",
+        F.col("snm_key").alias("key_b"),
+        F.col("surface").alias("surface_b"),
+        F.col("tag").alias("tag_b"),
+    )
+    dist = F.levenshtein("surface_a", "surface_b")
+    return (
+        probes.join(right, "idx")
+        .select(
+            "surface_a",
+            "tag_a",
+            "surface_b",
+            "tag_b",
+            (F.col("idx") - F.col("pidx")).cast("long").alias("gap"),
+            dist.cast("long").alias("dist"),
+            (dist <= max_dist).alias("is_match"),
+        )
+    )

@@ -451,3 +451,62 @@ def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
     assert row["b3_recall"] == round(R, 6)
     assert row["b3_f1"] == round(2.0 * P * R / (P + R), 6)
     assert 0.0 < row["b3_f1"] <= 1.0
+
+
+class TestSortedNeighborhood:
+    def _surf(self, spark, names):
+        return spark.createDataFrame(
+            [(s, "PER") for s in names], "surface string, tag string"
+        )
+
+    def test_window_bound_and_gaps(self, spark, tmp_path):
+        from ddaugner_spark.operators.er import sorted_neighborhood_pairs
+
+        out = sorted_neighborhood_pairs(
+            self._surf(spark, ["a", "b", "c", "d", "e"]),
+            window=3, stage_dir=str(tmp_path / "snm"),
+        ).collect()
+        # n=5, w=3: 3+3+2+1 = 9 candidate pairs, gaps within the window
+        assert len(out) == 9
+        assert all(1 <= r["gap"] <= 3 for r in out)
+        got = {(r["surface_a"], r["surface_b"]) for r in out}
+        assert ("a", "d") in got and ("a", "e") not in got
+
+    def test_catches_pair_equality_blocking_misses(self, spark, tmp_path):
+        """'oscar'/'qscar' share no first char (the q_er_pairs block
+        key) but sort adjacent under the SNM key -> candidate with
+        dist 1, flagged as a match."""
+        from ddaugner_spark.operators.er import sorted_neighborhood_pairs
+
+        out = sorted_neighborhood_pairs(
+            self._surf(spark, ["oscar", "qscar", "zzz top", "aaa"]),
+            window=1, max_dist=2, stage_dir=str(tmp_path / "snm"),
+        ).collect()
+        m = {(r["surface_a"], r["surface_b"]): r for r in out}
+        assert m[("oscar", "qscar")]["dist"] == 1
+        assert m[("oscar", "qscar")]["is_match"] is True
+
+    def test_key_normalization_differential(self, spark, tmp_path):
+        """Python replay: lowercase + strip non-alphanumerics, sort by
+        (key, surface, tag), pairs within the window."""
+        import re
+        from ddaugner_spark.operators.er import sorted_neighborhood_pairs
+
+        names = ["Ab-c", "abc", "A B C", "abd", "xy!z", "xyz", "w0rd",
+                 "word", "Word Inc."]
+        w = 2
+        rows = sorted(
+            (re.sub(r"[^a-z0-9]", "", s.lower()), s, "PER") for s in names
+        )
+        want = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, min(i + w + 1, len(rows))):
+                want.add((rows[i][1], rows[j][1], j - i))
+        got = {
+            (r["surface_a"], r["surface_b"], r["gap"])
+            for r in sorted_neighborhood_pairs(
+                self._surf(spark, names), window=w,
+                stage_dir=str(tmp_path / "snm"),
+            ).collect()
+        }
+        assert got == want
