@@ -1323,6 +1323,25 @@ def q_er_pairs(spark, sf):
     return er.er_candidate_pairs(amp, max_dist=2)
 
 
+def q_skyline(spark, sf):
+    """Skyline / Pareto front of orders maximizing (o_totalprice,
+    order recency): the grid-pruned two-phase plan — per-dim stats
+    inlined as literals, 16² cell census, cell-level certain-dominance
+    pruning on the census alone, exact dominance anti-join only inside
+    the surviving Pareto band.  The corpus is never self-joined
+    (operators/skyline.py skyline)."""
+    from ddaugner_spark.operators.skyline import skyline
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("o_days"),
+    )
+    return skyline(o, ["o_totalprice", "o_days"])
+
+
 def q_snm_pairs(spark, sf):
     """Sorted-neighborhood ER blocking (Hernández & Stolfo SIGMOD'95)
     over the typo-amplified surface vocabulary — the complementary
@@ -5599,6 +5618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repeat_coverage": q_repeat_coverage,
         "q_distinct_substrings": q_distinct_substrings,
         "q_snm_pairs": q_snm_pairs,
+        "q_skyline": q_skyline,
     }
 
 
@@ -6516,6 +6536,24 @@ def oracle_sql() -> dict[str, str]:
     o["q_er_pairs"] = f"""
       WITH {_ER_SURF}
       SELECT tag, a, b, dist FROM p
+    """
+
+    # skyline replay: the definition — NOT EXISTS a row >= on both
+    # dims and > on one (the engine's grid pruning is purely physical)
+    o["q_skyline"] = """
+      WITH od AS (
+        SELECT o_orderkey, o_totalprice,
+               date_diff('day', DATE '1992-01-01',
+                         o_orderdate::DATE)::BIGINT AS o_days
+        FROM orders
+      )
+      SELECT r.o_orderkey, r.o_totalprice, r.o_days
+      FROM od r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM od s
+        WHERE s.o_totalprice >= r.o_totalprice AND s.o_days >= r.o_days
+          AND (s.o_totalprice > r.o_totalprice OR s.o_days > r.o_days)
+      )
     """
 
     # SNM replay: same normalized key, row_number sort position, band
