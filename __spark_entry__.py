@@ -5278,9 +5278,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_bm25, and the session-14 additions: q_stream_join, q_kn_bigram,
     q_isotonic, q_seq_patterns, q_did, q_wilson_rank, q_eb_rates,
     q_kg_completion, q_b3_eval, q_canonical_star, q_conformal,
-    q_segments; rotate in next round) — stays covered by
-    tools/parity_check.py locally (ALL OK at sf0.001 + sf0.01 for
-    every tail query this session)."""
+    q_segments, and the session-15 suffix-array/graph/ER/skyline
+    family: q_neighborhood_fn, q_eff_diameter, q_suffix_array,
+    q_lcp_array, q_repeat_coverage, q_distinct_substrings,
+    q_snm_pairs, q_skyline; rotate in next round) — stays covered by
+    tools/parity_check.py locally (full 317-query gate ALL OK at
+    sf0.01 this session, plus per-query runs at sf0.001 + sf0.01 for
+    every query added after that gate snapshot)."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
