@@ -1323,6 +1323,30 @@ def q_er_pairs(spark, sf):
     return er.er_candidate_pairs(amp, max_dist=2)
 
 
+def q_msf(spark, sf):
+    """Minimum spanning forest (distributed Borůvka) of the co-mention
+    graph weighted by 1/co-occurrence-count — the KG relation BACKBONE
+    (the spanning structure keeping the strongest co-mention links).
+    O(log V) rounds: packed-argmin per component + hash-min CC as the
+    contraction.  Oracle via the cut property: an edge is in the MSF
+    iff its endpoints are not connected by strictly smaller edges
+    under the (w, a, b) total order (operators/graph.py
+    minimum_spanning_forest)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    a = m.select("doc_id", "sent_id", F.col("surface").alias("a"))
+    b = m.select("doc_id", "sent_id", F.col("surface").alias("b"))
+    wedges = (
+        a.join(b, ["doc_id", "sent_id"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("a", "b", (F.lit(1.0) / F.col("cnt")).alias("w"))
+    )
+    return graph.minimum_spanning_forest(
+        wedges, stage_dir=_scratch("q_msf_")
+    )
+
+
 def q_skyline(spark, sf):
     """Skyline / Pareto front of orders maximizing (o_totalprice,
     order recency): the grid-pruned two-phase plan — per-dim stats
@@ -5623,6 +5647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_substrings": q_distinct_substrings,
         "q_snm_pairs": q_snm_pairs,
         "q_skyline": q_skyline,
+        "q_msf": q_msf,
     }
 
 
@@ -6540,6 +6565,41 @@ def oracle_sql() -> dict[str, str]:
     o["q_er_pairs"] = f"""
       WITH {_ER_SURF}
       SELECT tag, a, b, dist FROM p
+    """
+
+    # MSF replay: the cut property — edge e is in the forest iff its
+    # endpoints are NOT connected using strictly smaller edges under
+    # the (w, a, b) total order (Kruskal's invariant; the engine's
+    # Borůvka yields the identical unique forest under that order).
+    # Per-edge bounded reachability: walk state is Σ|component| rows,
+    # fine at the gate's co-mention-graph size.
+    o["q_msf"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      ew AS (
+        SELECT a.surface AS a, b.surface AS b, count(*)::BIGINT AS cnt
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+        GROUP BY 1, 2
+      ),
+      ranked AS (
+        SELECT a, b, 1.0 / cnt AS w,
+               row_number() OVER (ORDER BY 1.0 / cnt, a, b) AS rnk
+        FROM ew
+      ),
+      walk(rnk, node) AS (
+        SELECT rnk, a FROM ranked
+        UNION
+        SELECT w.rnk,
+               CASE WHEN s.a = w.node THEN s.b ELSE s.a END
+        FROM walk w JOIN ranked s
+          ON s.rnk < w.rnk AND (s.a = w.node OR s.b = w.node)
+      )
+      SELECT r.a, r.b, r.w
+      FROM ranked r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM walk w WHERE w.rnk = r.rnk AND w.node = r.b
+      )
     """
 
     # skyline replay: the definition — NOT EXISTS a row >= on both

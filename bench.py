@@ -356,6 +356,36 @@ def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
         q,
     )
 
+    # suffix array + LCP (round-5 operators: the EXACT ExactSubstr
+    # machinery) on the unamplified corpus: O(log L) prefix-doubling
+    # rounds, each one range exchange + one per-doc window + a parquet
+    # lineage cut — the leg prices the whole ladder including the
+    # boundary-freeze materializations
+    from ddaugner_spark.operators.suffix import lcp_array
+
+    sa_toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.coalesce(F.col("text"), F.lit("")) != "")
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    sa_toks.write.mode("overwrite").parquet("/tmp/ddaugner_bench_satoks")
+    sa_toks = spark.read.parquet("/tmp/ddaugner_bench_satoks")
+    aux["suffix_tokens"] = sa_toks.count()
+    n_lcp = leg(
+        "dedup_suffix_lcp",
+        lambda: lcp_array(
+            sa_toks, stage_dir="/tmp/ddaugner_bench_sa"
+        ).count(),
+        q,
+    )
+    thr["suffix_lcp_tokens_per_sec"] = round(
+        aux["suffix_tokens"] / max(q["dedup_suffix_lcp"], 1e-9), 1
+    )
+    aux["suffix_lcp_rows"] = n_lcp
+
     # cross-doc exact-substring dedup (windowed-hash ExactSubstr) on the
     # dup-amplified gate-shape corpus: the cost is the window explode +
     # the df-capped shared-hash self-join; measured here so the claim
@@ -698,7 +728,8 @@ def write_baseline_md(q, thr, scaling, total, reference=None, aux=None):
         " min-of-reps legs with per-leg loadavg make the record robust"
         " to box contention — the r4 driver record ran at loadavg 15-17"
         " and regressed 28% while its fixed-workload canary slowed 40%)."
-        " kg_mentions_bigdict_30k*, graph_*, dedup_exact_substr and the"
+        " kg_mentions_bigdict_30k*, graph_*, dedup_exact_substr,"
+        " dedup_suffix_lcp and the"
         " dedup_snapshot_* A/B are aux lines measured OUTSIDE this sum"
         " (the headline is the flagship pipeline + the original query"
         " set, round-over-round comparable)",

@@ -1675,3 +1675,111 @@ def effective_diameter(nf: DataFrame, q: float = 0.9) -> DataFrame:
             6,
         ).alias("eff_diameter"),
     )
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight_col: str = "w",
+    max_rounds: int = 20,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Minimum spanning forest by distributed Borůvka (1926; the
+    MapReduce formulation) — the weighted counterpart of connected
+    components and the classic O(log V)-round MST at scale, where
+    Kruskal's sequential union-find cannot run.
+
+    Per round: every current component picks its minimum outgoing edge
+    under the strict total edge order ``(w, a, b)`` (with distinct
+    weights that is the unique MST; with ties a consistent total order
+    keeps Borůvka cycle-free — the standard argument), picked edges
+    join the forest, and components contract by hash-min CC over the
+    forest so far (:func:`~ddaugner_spark.operators.canonical.
+    connected_components` doing double duty as the contraction).
+    Components at least halve per round.
+
+    Scale shape: each round is one component-keyed packed-argmin
+    aggregate (``min(struct(w, a, b))`` — map-side combinable) over
+    the live edge set, two slim label joins to recompute component
+    endpoints from the ORIGINAL endpoints, and one forest-sized CC;
+    intra-component edges are dropped each round so the live set
+    shrinks with the contraction.  Output: the forest's original
+    ``(a, b, w)`` edges.
+
+    The Borůvka FIXPOINT itself is not SQL-replayable (union-find
+    state), but the RESULT is: under a strict total edge order,
+    e ∈ MSF ⟺ e's endpoints are not connected using strictly smaller
+    edges (the cut/cycle property — Kruskal's invariant), which the
+    DuckDB oracle checks with a per-edge bounded reachability CTE;
+    pytest pins a Kruskal differential on top.
+    """
+    from ddaugner_spark.operators.canonical import connected_components
+
+    spark = edges.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_msf_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    # live edge state: component endpoints (ca, cb) + original
+    # normalized endpoints (a, b) + weight; components start as selves
+    live = _rt(
+        edges.select(
+            F.least(F.col("a").cast("string"), F.col("b").cast("string"))
+            .alias("a"),
+            F.greatest(F.col("a").cast("string"), F.col("b").cast("string"))
+            .alias("b"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(F.col("a").alias("ca"), F.col("b").alias("cb"),
+                "a", "b", "w"),
+        "live_0",
+    )
+    forest = None
+    rounds = []
+    for r in range(1, max_rounds + 1):
+        n_live = live.count()
+        if n_live == 0:
+            break
+        rounds.append({"round": r, "n_live": n_live})
+        both = live.select("ca", "w", "a", "b").unionByName(
+            live.select(F.col("cb").alias("ca"), "w", "a", "b")
+        )
+        pick = (
+            both.groupBy("ca")
+            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
+            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                    F.col("m.w").alias("w"))
+            .distinct()
+        )
+        forest = pick if forest is None else forest.unionByName(pick)
+        forest = _rt(forest.distinct(), f"forest_{r}")
+
+        labels = connected_components(
+            forest.select("a", "b"), stage_dir=f"{stage_dir}/cc_{r}"
+        )
+        la = labels.select(F.col("entity").alias("a"),
+                           F.col("component").alias("nca"))
+        lb = labels.select(F.col("entity").alias("b"),
+                           F.col("component").alias("ncb"))
+        live = _rt(
+            live.select("a", "b", "w")
+            .join(la, "a", "left")
+            .join(lb, "b", "left")
+            .select(
+                F.coalesce("nca", "a").alias("ca"),
+                F.coalesce("ncb", "b").alias("cb"),
+                "a", "b", "w",
+            )
+            .filter(F.col("ca") != F.col("cb")),
+            f"live_{r}",
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    if forest is None:
+        return live.select("a", "b", "w").limit(0)
+    return forest

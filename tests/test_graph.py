@@ -10,6 +10,8 @@ against an independent numpy power iteration of the same transition
 matrix, plus the invariants (Σ rank = 1, symmetry classes equal).
 """
 
+import random
+
 import numpy as np
 import pytest
 
@@ -637,3 +639,68 @@ def test_effective_diameter_interpolation(spark, tmp_path):
     assert row["eff_diameter"] == 0.4
     row = graph.effective_diameter(nf, q=0.2).collect()[0]
     assert row["eff_diameter"] == 0.0
+
+
+def _kruskal(pairs):
+    """Reference MSF under the (w, a, b) total edge order."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for w, a, b in sorted((w, min(a, b), max(a, b)) for a, b, w in pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.append((a, b, w))
+    return sorted(out)
+
+
+def _msf(spark, pairs, tmp_path):
+    df = spark.createDataFrame(pairs, "a string, b string, w double")
+    got = graph.minimum_spanning_forest(df, stage_dir=str(tmp_path / "msf"))
+    return sorted((r["a"], r["b"], r["w"]) for r in got.collect())
+
+
+def test_msf_hand_fixture(spark, tmp_path):
+    pairs = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0),
+             ("a", "d", 4.0), ("a", "c", 5.0)]
+    assert _msf(spark, pairs, tmp_path) == [
+        ("a", "b", 1.0), ("b", "c", 2.0), ("c", "d", 3.0)]
+
+
+def test_msf_forest_two_components(spark, tmp_path):
+    pairs = [("a", "b", 3.0), ("b", "c", 1.0), ("a", "c", 2.0),
+             ("x", "y", 9.0)]
+    assert _msf(spark, pairs, tmp_path) == [
+        ("a", "c", 2.0), ("b", "c", 1.0), ("x", "y", 9.0)]
+
+
+def test_msf_kruskal_differential_distinct_weights(spark, tmp_path):
+    rng = random.Random(21)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    seen = set()
+    while len(seen) < 120:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    ws = rng.sample(range(1, 10000), len(seen))
+    pairs = [(a, b, float(w)) for (a, b), w in zip(sorted(seen), ws)]
+    assert _msf(spark, pairs, tmp_path) == _kruskal(pairs)
+
+
+def test_msf_ties_match_kruskal_total_order(spark, tmp_path):
+    """All-equal weights: the (w, a, b) total order is the effective
+    weight on both sides, so even the edge SET matches Kruskal."""
+    rng = random.Random(22)
+    nodes = [f"m{i}" for i in range(15)]
+    seen = set()
+    while len(seen) < 40:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    pairs = [(a, b, 1.0) for a, b in sorted(seen)]
+    got = _msf(spark, pairs, tmp_path)
+    assert got == _kruskal(pairs)
