@@ -1332,19 +1332,71 @@ def q_msf(spark, sf):
     iff its endpoints are not connected by strictly smaller edges
     under the (w, a, b) total order (operators/graph.py
     minimum_spanning_forest)."""
+    return graph.minimum_spanning_forest(
+        _coment_wedges(spark, sf), stage_dir=_scratch("q_msf_")
+    )
+
+
+def _coment_wedges(spark, sf):
+    """Co-mention edges weighted by 1/co-occurrence-count (distance
+    semantics: frequent co-mention = close) — shared by q_msf and
+    q_single_link so engine and oracles agree on one edge definition."""
     m = mentions.mentions_df(_docs(spark, sf))
     a = m.select("doc_id", "sent_id", F.col("surface").alias("a"))
     b = m.select("doc_id", "sent_id", F.col("surface").alias("b"))
-    wedges = (
+    return (
         a.join(b, ["doc_id", "sent_id"])
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("a", "b", (F.lit(1.0) / F.col("cnt")).alias("w"))
     )
-    return graph.minimum_spanning_forest(
-        wedges, stage_dir=_scratch("q_msf_")
+
+
+def q_single_link(spark, sf):
+    """Single-linkage clustering of the co-mention graph at distance
+    0.5 (= entities co-mentioned ≥ 2×ever merge), cut from the Borůvka
+    MSF — the SLINK dendrogram semantics in the MST formulation: the
+    forest is computed ONCE, every threshold after that is a filter +
+    forest-sized CC (never re-touching the O(E) edges; cycle-property
+    equivalence in the operator docstring).  Oracle: reachability over
+    the ≤0.5 subgraph of the FULL edge set — the equivalence the
+    operator's test pins (operators/graph.py single_link_clusters)."""
+    msf = graph.minimum_spanning_forest(
+        _coment_wedges(spark, sf), stage_dir=_scratch("q_slink_msf_")
     )
+    return graph.single_link_clusters(
+        msf, threshold=0.5, stage_dir=_scratch("q_slink_cc_")
+    )
+
+
+def q_densest(spark, sf):
+    """Densest-subgraph 2(1+ε)-approximation (Bahmani et al. VLDB'12
+    bulk peeling, ε=1 → ≤ log₂V rounds) on the co-mention graph — the
+    community-core / link-farm detector.  Each round: one degree
+    aggregate + two semi-joins; best-density round's node set returned.
+    Oracle: the peel sequence unrolled round-by-round in SQL with the
+    identical (2·(1+ε)·m)/n double threshold (operators/graph.py
+    densest_subgraph)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.densest_subgraph(
+        canonical.co_mention_edges(m),
+        eps=1.0,
+        max_rounds=12,
+        stage_dir=_scratch("q_densest_"),
+    )
+
+
+def q_silhouette(spark, sf):
+    """Per-cluster simplified silhouette (a = dist to own centroid,
+    b = nearest other centroid; the O(n·k) surrogate for the O(n²)
+    mean-pairwise silhouette) over the SAME deterministic k-means cells
+    as the IVF index — the cluster-quality gate for embedding-space
+    partitions.  One map-only scoring pass against 64 centroid
+    literals + one k-row aggregate; assignment arithmetic bit-identical
+    to q_ann_ivf_kmeans (operators/similarity.py
+    simplified_silhouette)."""
+    return similarity.simplified_silhouette(_emb(spark, sf))
 
 
 def q_skyline(spark, sf):
@@ -5305,7 +5357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_segments, and the session-15 suffix-array/graph/ER/skyline
     family: q_neighborhood_fn, q_eff_diameter, q_suffix_array,
     q_lcp_array, q_repeat_coverage, q_distinct_substrings,
-    q_snm_pairs, q_skyline; rotate in next round) — stays covered by
+    q_snm_pairs, q_skyline, and the session-16 additions: q_msf,
+    q_single_link, q_densest, q_silhouette; rotate in next round) —
+    stays covered by
     tools/parity_check.py locally (full 317-query gate ALL OK at
     sf0.01 this session, plus per-query runs at sf0.001 + sf0.01 for
     every query added after that gate snapshot)."""
@@ -5648,6 +5702,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_snm_pairs": q_snm_pairs,
         "q_skyline": q_skyline,
         "q_msf": q_msf,
+        "q_single_link": q_single_link,
+        "q_densest": q_densest,
+        "q_silhouette": q_silhouette,
     }
 
 
@@ -6600,6 +6657,121 @@ def oracle_sql() -> dict[str, str]:
       WHERE NOT EXISTS (
         SELECT 1 FROM walk w WHERE w.rnk = r.rnk AND w.node = r.b
       )
+    """
+
+    # single-linkage replay: the SLINK≡MST-cut equivalence — clusters
+    # at threshold t are the connected components of the ≤t subgraph of
+    # the FULL graph (the engine cuts the Borůvka forest; the cycle
+    # property makes the two identical), min-member labels, cut-off
+    # nodes as singletons
+    o["q_single_link"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      ew AS (
+        SELECT a.surface AS a, b.surface AS b, count(*)::BIGINT AS cnt
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+        GROUP BY 1, 2
+      ),
+      keep AS (SELECT a, b FROM ew WHERE 1.0 / cnt <= 0.5),
+      sym AS (SELECT a, b FROM keep UNION SELECT b, a FROM keep),
+      reach(src, dst) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON r.dst = e.a
+      ),
+      labels AS (SELECT src AS entity, min(dst) AS cluster
+                 FROM reach GROUP BY src),
+      -- DISTINCT over UNION ALL, not bare UNION: inside a WITH
+      -- RECURSIVE clause DuckDB 1.0 does not dedup a non-recursive
+      -- CTE's UNION (observed: 42+42 rows survive)
+      nodes AS (SELECT DISTINCT entity FROM (
+        SELECT a AS entity FROM ew UNION ALL SELECT b FROM ew))
+      SELECT n.entity, coalesce(l.cluster, n.entity) AS cluster
+      FROM nodes n LEFT JOIN labels l USING (entity)
+    """
+
+    # densest-subgraph replay: the Bahmani peel unrolled round-by-round
+    # with the IDENTICAL (2·(1+ε)·m)/n double threshold expression as
+    # the engine loop; best round = ORDER BY density DESC, round ASC
+    # (≡ the engine's strictly-greater earliest-wins argmax)
+    _dsg_rounds = 12
+    # every per-round CTE is MATERIALIZED: each references the previous
+    # round several times, and DuckDB's default inlining re-evaluates
+    # per reference — exponential rescans across 12 rounds (observed as
+    # "Too many open files" on the documents scan)
+    _dsg = ["""e0 AS MATERIALIZED (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      n0 AS MATERIALIZED (SELECT DISTINCT node FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0))"""]
+    for _i in range(_dsg_rounds + 1):
+        _dsg.append(f"""
+      st{_i} AS MATERIALIZED (
+        SELECT {_i}::BIGINT AS round,
+               (SELECT count(*)::DOUBLE FROM e{_i}) AS m,
+               (SELECT count(*)::DOUBLE FROM n{_i}) AS n)""")
+        if _i < _dsg_rounds:
+            _dsg.append(f"""
+      d{_i} AS MATERIALIZED (
+        SELECT node, count(*)::BIGINT AS deg FROM (
+          SELECT a AS node FROM e{_i} UNION ALL SELECT b FROM e{_i}
+        ) GROUP BY node),
+      n{_i + 1} AS MATERIALIZED (
+        SELECT d.node FROM d{_i} d, st{_i} s
+        WHERE d.deg > (2.0 * (1.0 + 1.0) * s.m) / s.n),
+      e{_i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{_i} e
+        JOIN n{_i + 1} x ON e.a = x.node
+        JOIN n{_i + 1} y ON e.b = y.node)""")
+    _dsg_stats = " UNION ALL ".join(
+        f"SELECT * FROM st{_i}" for _i in range(_dsg_rounds + 1)
+    )
+    _dsg_members = " UNION ALL ".join(
+        f"SELECT {_i}::BIGINT AS round, node FROM n{_i}"
+        for _i in range(_dsg_rounds + 1)
+    )
+    o["q_densest"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {",".join(_dsg)},
+      stats AS (SELECT round, m / n AS density
+                FROM ({_dsg_stats}) WHERE m > 0 AND n > 0),
+      best AS (SELECT round, density FROM stats
+               ORDER BY density DESC, round ASC LIMIT 1),
+      members AS ({_dsg_members})
+      SELECT mb.node AS entity, round(b.density, 6) AS density
+      FROM members mb JOIN best b USING (round)
+    """
+
+    # simplified-silhouette replay: the SAME k-means CTE chain as
+    # q_ann_ivf_kmeans (qids picks nothing — the query/rank CTEs go
+    # unreferenced and are pruned), then per-vector distances to the
+    # final centroids, (d2, cell)-ranked: a = rank-1 (the assignment),
+    # b = rank-2, s = (√b−√a)/max — per-cell means
+    o["q_silhouette"] = f"""
+      WITH {_kmeans_ivf_sql("NULL", final=False)},
+      sdists AS (
+        SELECT e.vec_id, c.cell,
+               round(list_aggregate(list_transform(range(1, 65),
+                 d -> (e.embedding[d]::DOUBLE - c.cv[d])
+                    * (e.embedding[d]::DOUBLE - c.cv[d])), 'sum'), 8) AS d2
+        FROM e, c3 c
+      ),
+      srk AS (SELECT vec_id, cell, d2,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY d2 ASC, cell ASC) AS rn
+              FROM sdists),
+      sab AS (SELECT a.vec_id, a.cell, sqrt(a.d2) AS da, sqrt(b.d2) AS db
+              FROM srk a JOIN srk b
+                ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2)
+      SELECT cell, count(*)::BIGINT AS n,
+             round(avg(CASE WHEN greatest(da, db) = 0 THEN 0.0
+                            ELSE (db - da) / greatest(da, db) END), 6)
+               AS mean_silhouette
+      FROM sab GROUP BY cell
     """
 
     # skyline replay: the definition — NOT EXISTS a row >= on both

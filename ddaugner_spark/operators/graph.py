@@ -1716,6 +1716,8 @@ def minimum_spanning_forest(
 
     spark = edges.sparkSession
     if stage_dir is None:
+        import atexit
+
         stage_dir = tempfile.mkdtemp(prefix="ddaugner_msf_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
 
@@ -1783,3 +1785,140 @@ def minimum_spanning_forest(
     if forest is None:
         return live.select("a", "b", "w").limit(0)
     return forest
+
+
+def single_link_clusters(
+    forest: DataFrame,
+    threshold: float,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Single-linkage clustering at distance ``threshold``, cut from a
+    minimum spanning forest — the SLINK/dendrogram semantics (Sibson
+    1973) in the MST formulation every distributed implementation uses.
+
+    Single-linkage clusters at threshold t are EXACTLY the connected
+    components of the ≤t subgraph of the full graph, and by the cycle
+    property the MSF preserves per-threshold connectivity (the forest
+    path between the endpoints of any graph edge (u, v, w) uses only
+    edges ≤ w), so cutting the FOREST at t gives the same components —
+    that equivalence is what makes this scale: compute
+    :func:`minimum_spanning_forest` once (O(log V) Borůvka rounds over
+    the full edge set), then EVERY threshold is a filter plus a
+    forest-sized (≤ V−1 edges) hash-min CC, never re-touching the
+    O(E) co-mention edges.  Pinned in tests by a union-find
+    differential on the thresholded FULL graph.
+
+    Input is the ``(a, b, w)`` forest; output ``(entity, cluster)``
+    with cluster = min member id, forest nodes only (nodes whose every
+    forest edge is cut stay as singletons).
+    """
+    from ddaugner_spark.operators.canonical import connected_components
+
+    kept = forest.filter(F.col("w") <= F.lit(float(threshold)))
+    labels = connected_components(kept.select("a", "b"), stage_dir=stage_dir)
+    nodes = (
+        forest.select(F.col("a").alias("entity"))
+        .unionByName(forest.select(F.col("b").alias("entity")))
+        .distinct()
+    )
+    return nodes.join(labels, "entity", "left").select(
+        "entity", F.coalesce("component", "entity").alias("cluster")
+    )
+
+
+def densest_subgraph(
+    edges: DataFrame,
+    eps: float = 1.0,
+    max_rounds: int = 12,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Densest-subgraph 2(1+ε)-approximation by greedy bulk peeling
+    (Bahmani, Kumar & Vassilvitskii, VLDB'12) — the MapReduce-round
+    answer to Goldberg's exact max-flow formulation, which cannot run
+    distributed.  Finds the community core of the co-mention graph
+    (the spam/boilerplate-cluster detector at crawl scale: template
+    link farms surface as abnormally dense subgraphs).
+
+    Per round over the current node set S: density ρ = \\|E(S)\\|/\\|S\\|,
+    remove every node with induced degree ≤ 2(1+ε)ρ (at least an
+    ε/(1+ε) fraction — avg degree is 2ρ — so O(log_{1+ε} V) rounds),
+    remember the best-ρ round; return its node set.  Each round is one
+    degree aggregate (map-side combinable) and two semi-joins to
+    induce the surviving edge set, with a parquet round-trip cutting
+    lineage; the best round's node set is re-read from its checkpoint,
+    so the driver holds only counters.
+
+    DETERMINISM/REPLAY: integer degrees compare against the threshold
+    computed as ``(2.0·(1+ε)·m)/n`` in IEEE double — the identical
+    expression order the DuckDB oracle unrolls round-by-round, so the
+    peel sequence matches exactly; best round = strictly-greater ρ,
+    earliest wins (oracle: ORDER BY density DESC, round ASC LIMIT 1).
+    Output: ``(entity, density)`` — members of the best round's node
+    set with its (round-6) density.
+    """
+    spark = edges.sparkSession
+    if stage_dir is None:
+        import atexit
+
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_dsg_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    live = _rt(
+        edges.select(
+            F.col("a").cast("string").alias("a"),
+            F.col("b").cast("string").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        "e_0",
+    )
+    nodes = _rt(
+        live.select(F.col("a").alias("node"))
+        .unionByName(live.select(F.col("b").alias("node")))
+        .distinct(),
+        "n_0",
+    )
+    best_rho, best_round, rounds = None, None, []
+    for r in range(max_rounds + 1):
+        m = live.count()
+        n = nodes.count()
+        if m == 0 or n == 0:
+            break
+        rho = m / n
+        rounds.append({"round": r, "n": n, "m": m, "density": rho})
+        if best_rho is None or rho > best_rho:
+            best_rho, best_round = rho, r
+        if r == max_rounds:
+            break
+        thr = (2.0 * (1.0 + eps) * m) / n
+        deg = (
+            live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nodes = _rt(
+            deg.filter(F.col("deg") > F.lit(thr)).select("node"), f"n_{r + 1}"
+        )
+        keep_a = nodes.select(F.col("node").alias("a"))
+        keep_b = nodes.select(F.col("node").alias("b"))
+        live = _rt(
+            live.join(keep_a, "a", "left_semi").join(keep_b, "b", "left_semi"),
+            f"e_{r + 1}",
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["best_round"] = best_round
+    if best_round is None:
+        return nodes.select(
+            F.col("node").alias("entity"), F.lit(0.0).alias("density")
+        ).limit(0)
+    return spark.read.parquet(f"{stage_dir}/n_{best_round}").select(
+        F.col("node").alias("entity"),
+        F.round(F.lit(best_rho), 6).alias("density"),
+    )

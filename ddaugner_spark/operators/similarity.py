@@ -706,3 +706,80 @@ def ndcg_at_k(
             .alias("ndcg"),
         )
     )
+
+
+def simplified_silhouette(
+    embeddings: DataFrame,
+    n_cells: int = 64,
+    iters: int = 3,
+    dim: int = 64,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-cluster simplified silhouette over the deterministic k-means
+    cells — the standard O(n·k) silhouette surrogate (Hruschka et al.
+    2004; sklearn's score is the O(n²) mean-pairwise original) and the
+    cluster-quality gate for embedding-space dedup/topic partitions:
+    a(x) = distance to OWN centroid, b(x) = distance to the nearest
+    OTHER centroid, s = (b−a)/max(a,b) ∈ [−1, 1].
+
+    Scale shape: :func:`kmeans_centroids` fits the coarse quantizer
+    (map-only assignment per Lloyd round, k×dim floats on the driver),
+    then ONE map-only projection scores every vector against the k
+    centroid literals — same `_nearest_cells` arithmetic (squared-L2
+    rounded to 8 digits, (dist, cell) tiebreak) so the assignment is
+    bit-identical to the IVF index — and one k-row aggregate renders
+    per-cell means.  No join, no shuffle beyond the final k-row
+    hash-agg; at 10^12 vectors this is a single pass.
+
+    Empty cells produce no row (nothing is assigned to them); a = the
+    FIRST sorted distance because assignment IS nearest-centroid.
+    Output: ``(cell, n, mean_silhouette)``.
+    """
+    cents = kmeans_centroids(embeddings, n_cells, iters, dim, ndigits)
+    cent_lit = F.array(
+        *[
+            F.struct(F.lit(c).alias("cell"), F.array(*[F.lit(x) for x in v]).alias("cv"))
+            for c, v in cents
+        ]
+    )
+    emb = F.col("embedding")
+    scored = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda s: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            emb,
+                            s["cv"],
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    8,
+                ).alias("dist"),
+                s["cell"].alias("cell"),
+            ),
+        )
+    )
+    # materialize the scored array in its own projection so the two
+    # element_at's below read a real column (CLAUDE.md: no computed
+    # arrays re-derived per consumer)
+    pts = embeddings.select(scored.alias("sc"))
+    da = F.sqrt(F.element_at("sc", 1)["dist"])
+    db = F.sqrt(F.element_at("sc", 2)["dist"])
+    sil = F.when(F.greatest(da, db) == F.lit(0.0), F.lit(0.0)).otherwise(
+        (db - da) / F.greatest(da, db)
+    )
+    return (
+        pts.select(
+            F.element_at("sc", 1)["cell"].cast("long").alias("cell"),
+            sil.alias("s"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), ndigits).alias("mean_silhouette"),
+        )
+    )

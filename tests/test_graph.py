@@ -704,3 +704,129 @@ def test_msf_ties_match_kruskal_total_order(spark, tmp_path):
     pairs = [(a, b, 1.0) for a, b in sorted(seen)]
     got = _msf(spark, pairs, tmp_path)
     assert got == _kruskal(pairs)
+
+
+def _uf_components(pairs):
+    """Union-find CC over (a, b) pairs → {node: min-member label}."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    groups = {}
+    for n in list(parent):
+        groups.setdefault(find(n), []).append(n)
+    out = {}
+    for members in groups.values():
+        lab = min(members)
+        for m in members:
+            out[m] = lab
+    return out
+
+
+def test_single_link_equals_thresholded_full_graph_cc(spark, tmp_path):
+    """The SLINK≡MST-cut equivalence the oracle relies on: cutting the
+    FOREST at t gives the connected components of the ≤t subgraph of
+    the FULL graph (cycle property), singletons included."""
+    rng = random.Random(31)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    seen = set()
+    while len(seen) < 90:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    pairs = [(a, b, rng.choice([0.2, 0.4, 0.6, 0.9])) for a, b in sorted(seen)]
+    df = spark.createDataFrame(pairs, "a string, b string, w double")
+    msf = graph.minimum_spanning_forest(df, stage_dir=str(tmp_path / "m"))
+    got = {
+        (r["entity"], r["cluster"])
+        for r in graph.single_link_clusters(
+            msf, 0.5, stage_dir=str(tmp_path / "c")
+        ).collect()
+    }
+    labels = _uf_components([(a, b) for a, b, w in pairs if w <= 0.5])
+    graph_nodes = {x for a, b, _ in pairs for x in (a, b)}
+    want = {(n, labels.get(n, n)) for n in graph_nodes}
+    assert got == want
+
+
+def test_single_link_all_cut_is_all_singletons(spark, tmp_path):
+    pairs = [("a", "b", 2.0), ("b", "c", 3.0)]
+    df = spark.createDataFrame(pairs, "a string, b string, w double")
+    msf = graph.minimum_spanning_forest(df, stage_dir=str(tmp_path / "m"))
+    got = sorted(
+        (r["entity"], r["cluster"])
+        for r in graph.single_link_clusters(
+            msf, 0.5, stage_dir=str(tmp_path / "c")
+        ).collect()
+    )
+    assert got == [("a", "a"), ("b", "b"), ("c", "c")]
+
+
+def _peel_replay(pairs, eps, max_rounds):
+    """Pure-python replay of the Bahmani bulk peel (the operator's
+    exact contract: identical threshold arithmetic, strict-> argmax)."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    nodes = {x for e in edges for x in e}
+    best_rho, best_set, rounds = None, None, []
+    for r in range(max_rounds + 1):
+        m, n = len(edges), len(nodes)
+        if m == 0 or n == 0:
+            break
+        rho = m / n
+        rounds.append((r, n, m, rho))
+        if best_rho is None or rho > best_rho:
+            best_rho, best_set = rho, set(nodes)
+        if r == max_rounds:
+            break
+        thr = (2.0 * (1.0 + eps) * m) / n
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nodes = {v for v, d in deg.items() if d > thr}
+        edges = {(a, b) for a, b in edges if a in nodes and b in nodes}
+    return best_rho, best_set, rounds
+
+
+def test_densest_isolates_clique_from_pendant_path(spark, tmp_path):
+    """K6 + attached 10-path, ε=0.1: round 1 peels the path (deg ≤ 2 <
+    2.2·ρ₀), leaving the clique as the best-density round."""
+    k6 = [f"k{i}" for i in range(6)]
+    pairs = [(a, b) for i, a in enumerate(k6) for b in k6[i + 1:]]
+    path = ["k0"] + [f"p{i}" for i in range(10)]
+    pairs += list(zip(path, path[1:]))
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = graph.densest_subgraph(
+        df, eps=0.1, max_rounds=12, stage_dir=str(tmp_path / "d")
+    ).collect()
+    assert sorted(r["entity"] for r in got) == sorted(k6)
+    assert all(r["density"] == 2.5 for r in got)  # 15 edges / 6 nodes
+
+
+def test_densest_python_replay_differential(spark, tmp_path):
+    rng = random.Random(33)
+    nodes = [f"n{i:02d}" for i in range(36)]
+    seen = set()
+    while len(seen) < 110:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    pairs = sorted(seen)
+    stats = {}
+    got = graph.densest_subgraph(
+        spark.createDataFrame(pairs, "a string, b string"),
+        eps=1.0,
+        max_rounds=12,
+        stage_dir=str(tmp_path / "d"),
+        stats=stats,
+    ).collect()
+    best_rho, best_set, rounds = _peel_replay(pairs, 1.0, 12)
+    assert {r["entity"] for r in got} == best_set
+    assert all(r["density"] == round(best_rho, 6) for r in got)
+    assert [
+        (s["round"], s["n"], s["m"], s["density"]) for s in stats["rounds"]
+    ] == rounds

@@ -98,3 +98,49 @@ def test_quantized_recall_vs_float(spark, emb):
         F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("m")
     ).collect()[0]["m"]
     assert mx <= 127
+
+
+def test_simplified_silhouette_numpy_replay(spark, emb):
+    """Per-cell means must equal a numpy replay of the definition from
+    the SAME deterministic centroids (assignment = rank-1 of the
+    8-digit-rounded squared-L2 with cell tiebreak, s = (√b−√a)/max)."""
+    import numpy as np
+
+    n_cells, iters = 16, 2
+    cents = similarity.kmeans_centroids(emb, n_cells=n_cells, iters=iters, dim=64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    rows = emb.select("vec_id", "embedding").collect()
+    per_cell = {}
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        d2 = np.round(((x - C) ** 2).sum(axis=1), 8)
+        order = sorted(range(len(cents)), key=lambda i: (d2[i], cents[i][0]))
+        a, b = np.sqrt(d2[order[0]]), np.sqrt(d2[order[1]])
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        per_cell.setdefault(cents[order[0]][0], []).append(s)
+    got = {
+        r["cell"]: (r["n"], r["mean_silhouette"])
+        for r in similarity.simplified_silhouette(
+            emb, n_cells=n_cells, iters=iters
+        ).collect()
+    }
+    want = {c: (len(v), round(sum(v) / len(v), 6)) for c, v in per_cell.items()}
+    assert set(got) == set(want)
+    for c in want:
+        assert got[c][0] == want[c][0]
+        assert abs(got[c][1] - want[c][1]) <= 1e-6, (c, got[c], want[c])
+
+
+def test_simplified_silhouette_separated_blobs(spark):
+    """Two far-apart tight blobs with k=2 → mean silhouette ≈ 1 in both
+    cells; the score range invariant holds."""
+    rows = []
+    for i in range(20):
+        base = 0.0 if i < 10 else 100.0
+        rows.append((i, [base + 0.01 * (i % 10)] + [0.0] * 63))
+    emb2 = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = similarity.simplified_silhouette(emb2, n_cells=2, iters=2).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n"] == 10
+        assert 0.9 <= r["mean_silhouette"] <= 1.0
