@@ -1399,6 +1399,51 @@ def q_silhouette(spark, sf):
     return similarity.simplified_silhouette(_emb(spark, sf))
 
 
+def q_mis(spark, sf):
+    """Maximal independent set by Luby's algorithm on the co-mention
+    graph — the symmetry-breaking primitive (conflict-free KG update
+    batches: MIS nodes' writes can commit in parallel).  Deterministic
+    md5||node priorities, one neighbor-min aggregate + two anti-joins
+    per round; oracle unrolls the identical rounds
+    (operators/graph.py luby_mis)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.luby_mis(
+        canonical.co_mention_edges(m), stage_dir=_scratch("q_mis_")
+    )
+
+
+def q_edge_cut(spark, sf):
+    """Hash-partition edge-cut of the co-mention graph at k ∈
+    {4, 8, 16} workers — the communication-volume readout that prices
+    a distributed graph layout before running it (ONE edge scan for
+    all k; random-partition expectation is 1−1/k).
+    (operators/graph.py partition_edge_cut)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.partition_edge_cut(canonical.co_mention_edges(m))
+
+
+def q_decompose(spark, sf):
+    """Classical additive seasonal decomposition of the per-type daily
+    event-value series (centered 7-row MA trend, re-centered
+    day-of-week seasonal, remainder) — "traffic grew" vs "Mondays are
+    like that" for crawl-volume anomaly screens.  One stream-shrinking
+    pre-aggregate, then windows over the tiny series table
+    (operators/events.py seasonal_decompose)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    dec = evops.seasonal_decompose(ev)
+    # full-MA-window rows only, date rendered as string: the driver
+    # canonicalizer treats NULL-double vs NaN and DATE vs TIMESTAMP as
+    # mismatches; the edge rows carry no decomposition anyway
+    return dec.filter(F.col("trend").isNotNull()).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "daily",
+        "trend",
+        "seasonal",
+        "remainder",
+    )
+
+
 def q_skyline(spark, sf):
     """Skyline / Pareto front of orders maximizing (o_totalprice,
     order recency): the grid-pruned two-phase plan — per-dim stats
@@ -5705,6 +5750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_single_link": q_single_link,
         "q_densest": q_densest,
         "q_silhouette": q_silhouette,
+        "q_mis": q_mis,
+        "q_edge_cut": q_edge_cut,
+        "q_decompose": q_decompose,
     }
 
 
@@ -6772,6 +6820,110 @@ def oracle_sql() -> dict[str, str]:
                             ELSE (db - da) / greatest(da, db) END), 6)
                AS mean_silhouette
       FROM sab GROUP BY cell
+    """
+
+    # Luby-MIS replay: the deterministic md5||node priorities make every
+    # round a pure function of the graph — unroll them (MATERIALIZED:
+    # each round references the previous several times)
+    _mis_rounds = 12
+    _mis = ["""l0 AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT DISTINCT a.surface AS a, b.surface AS b
+          FROM mentsent a JOIN mentsent b
+            ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+           AND a.surface != b.surface
+        )
+      ),
+      u0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM l0)"""]
+    for _i in range(_mis_rounds):
+        _mis.append(f"""
+      mis{_i} AS MATERIALIZED (
+        SELECT u.node, {_i}::BIGINT AS round
+        FROM u{_i} u LEFT JOIN (
+          SELECT a AS node, min(md5(b) || b) AS nb FROM l{_i} GROUP BY a
+        ) nm USING (node)
+        WHERE nm.nb IS NULL OR (md5(u.node) || u.node) < nm.nb
+      ),
+      rem{_i} AS MATERIALIZED (
+        SELECT DISTINCT node FROM (
+          SELECT node FROM mis{_i}
+          UNION ALL
+          SELECT l.b AS node FROM l{_i} l JOIN mis{_i} m ON l.a = m.node
+        )
+      ),
+      u{_i + 1} AS MATERIALIZED (
+        SELECT u.node FROM u{_i} u
+        WHERE NOT EXISTS (SELECT 1 FROM rem{_i} r WHERE r.node = u.node)
+      ),
+      l{_i + 1} AS MATERIALIZED (
+        SELECT l.a, l.b FROM l{_i} l
+        JOIN u{_i + 1} x ON l.a = x.node
+        JOIN u{_i + 1} y ON l.b = y.node
+      )""")
+    _mis_out = " UNION ALL ".join(
+        f"SELECT node, round FROM mis{_i}" for _i in range(_mis_rounds)
+    )
+    o["q_mis"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {",".join(_mis)}
+      SELECT node AS entity, round FROM ({_mis_out})
+    """
+
+    # edge-cut replay: the established md5-12-hex ↔ conv(hex,16,10)
+    # bucket identity, one flag per (edge, k)
+    o["q_edge_cut"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      fl AS (
+        SELECT t.k,
+               CASE WHEN (('0x' || substr(md5(a), 1, 12))::UBIGINT % t.k)
+                      != (('0x' || substr(md5(b), 1, 12))::UBIGINT % t.k)
+                    THEN 1 ELSE 0 END AS cut
+        FROM edges, unnest([4, 8, 16]) t(k)
+      )
+      SELECT k::BIGINT AS k, count(*)::BIGINT AS edges,
+             sum(cut)::BIGINT AS cut_edges,
+             round(sum(cut)::DOUBLE / count(*), 6) AS cut_frac
+      FROM fl GROUP BY k
+    """
+
+    # seasonal-decomposition replay: exact-integer-sums contract —
+    # cents-scaled BIGINT daily totals, integer window SUM, integer
+    # seasonal numerator; every emitted number is ONE double division,
+    # so JVM/DuckDB aggregation order cannot move it.  dow numbering
+    # differs per side (Spark 1-7, DuckDB 0-6) but is internal-only;
+    # the GROUPS are identical
+    o["q_decompose"] = """
+      WITH daily AS (
+        SELECT event_type, ts::DATE AS d,
+               round(sum(value) * 100, 0)::BIGINT AS daily_c
+        FROM events GROUP BY 1, 2
+      ),
+      tr AS (
+        SELECT event_type, d, daily_c,
+               CASE WHEN count(*) OVER w = 7
+                    THEN sum(daily_c) OVER w END AS sum_c,
+               dayofweek(d) AS dow
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ),
+      tn AS (SELECT *, 7 * daily_c - sum_c AS num FROM tr),
+      sm AS (SELECT event_type, dow,
+                    sum(num)::DOUBLE / (700.0 * count(*)) AS s_raw
+             FROM tn WHERE sum_c IS NOT NULL GROUP BY 1, 2)
+      SELECT t.event_type, strftime(t.d, '%Y-%m-%d') AS d,
+             round(t.daily_c / 100.0, 6) AS daily,
+             round(t.sum_c / 700.0, 6) AS trend,
+             round(s.s_raw, 6) AS seasonal,
+             round(t.num / 700.0 - s.s_raw, 6) AS remainder
+      FROM tn t JOIN sm s USING (event_type, dow)
+      WHERE t.sum_c IS NOT NULL
     """
 
     # skyline replay: the definition — NOT EXISTS a row >= on both

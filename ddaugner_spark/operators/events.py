@@ -765,3 +765,81 @@ def seq_pattern_support(events: DataFrame, min_support: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def seasonal_decompose(
+    events: DataFrame,
+    period: int = 7,
+    ndigits: int = 6,
+    cents: int = 100,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind STL's initial pass) of the per-type daily event-value
+    series: trend = centered ``period``-day moving average over
+    observed days (full windows only — edges stay NULL rather than
+    biased), seasonal = the per-(type, day-of-week) mean of the
+    detrended series, remainder = daily − trend − seasonal.  The
+    drift/anomaly screen that separates "traffic grew" from "Mondays
+    are like that" before alerting on crawl volume.
+
+    DETERMINISM (the repo's exact-sums contract): daily totals are
+    ``cents``-scaled BIGINTs, the MA is an integer window SUM, and the
+    seasonal mean is an integer numerator Σ(period·daily_c − sum_c)
+    over an integer denominator — so every emitted number is ONE
+    double division of exact integers, bit-identical regardless of
+    aggregation order (a float-mean formulation measurably straddles
+    the 1e-6 rounding grid between JVM and DuckDB partial-agg orders).
+    The conventional zero-centering of the seasonal indices is a
+    presentation offset (a float mean of the per-dow means) and is
+    deliberately omitted to keep that property; daily = trend +
+    seasonal + remainder still holds exactly.
+
+    Scale shape: one (type, day) pre-aggregate shrinks the event
+    stream to |types|·|days| rows; everything after — the centered MA
+    window, the seasonal means, the final join — runs on that tiny
+    series table (window partitioned by type, never a global sort).
+
+    Output: ``(event_type, d, daily, trend, seasonal, remainder)``;
+    trend/seasonal/remainder NULL outside full MA windows.
+    """
+    half = period // 2
+    den = period * cents
+    daily = events.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value") * cents, 0).cast("long").alias("daily_c")
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-half, half)
+    t = daily.select(
+        "event_type",
+        "d",
+        "daily_c",
+        F.when(
+            F.count(F.lit(1)).over(w) == period, F.sum("daily_c").over(w)
+        ).alias("sum_c"),
+    ).select(
+        "*",
+        F.dayofweek("d").alias("dow"),
+        (F.lit(period) * F.col("daily_c") - F.col("sum_c")).alias("num"),
+    )
+    sm = (
+        t.filter(F.col("sum_c").isNotNull())
+        .groupBy("event_type", "dow")
+        .agg(F.sum("num").alias("s_num"), F.count(F.lit(1)).alias("n_w"))
+        .select(
+            "event_type",
+            "dow",
+            (F.col("s_num") / (F.lit(den) * F.col("n_w"))).alias("s_raw"),
+        )
+    )
+    return t.join(sm, ["event_type", "dow"], "left").select(
+        "event_type",
+        "d",
+        F.round(F.col("daily_c") / F.lit(float(cents)), ndigits).alias("daily"),
+        F.round(F.col("sum_c") / F.lit(float(den)), ndigits).alias("trend"),
+        F.when(F.col("sum_c").isNotNull(), F.round("s_raw", ndigits)).alias(
+            "seasonal"
+        ),
+        F.when(
+            F.col("sum_c").isNotNull(),
+            F.round(F.col("num") / F.lit(float(den)) - F.col("s_raw"), ndigits),
+        ).alias("remainder"),
+    )

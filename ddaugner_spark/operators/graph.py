@@ -1922,3 +1922,152 @@ def densest_subgraph(
         F.col("node").alias("entity"),
         F.round(F.lit(best_rho), 6).alias("density"),
     )
+
+
+def luby_mis(
+    edges: DataFrame,
+    max_rounds: int = 12,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby 1986, the
+    symmetry-breaking primitive of distributed graph computing;
+    O(log V) rounds w.h.p.) with the repo's determinism contract:
+    the random priority is ``md5(node) || node`` — a pure function of
+    row identity (no RNG; the fixed-width md5 prefix makes plain
+    string comparison ≡ the (hash, node) tuple order), so the chosen
+    set survives repartition/resume and the DuckDB oracle replays the
+    exact rounds.
+
+    Per round, every undecided node whose priority is a strict local
+    minimum among its undecided neighbors joins the MIS; winners and
+    their neighbors leave the undecided set.  Each round is ONE
+    neighbor-min aggregate (map-side combinable) over the live edge
+    set + two anti-joins to shrink it; parquet round-trips cut
+    lineage.  No two adjacent nodes can both win a round (one of them
+    has the larger priority) ⇒ independence; a node only leaves
+    undecided by winning or having a winning neighbor ⇒ maximality at
+    the fixpoint.  The global minimum always wins ⇒ progress.
+
+    Input: canonical ``(a, b)`` edges; universe = edge endpoints.
+    Output: ``(entity, round)`` — MIS members and the round they won.
+    """
+    spark = edges.sparkSession
+    if stage_dir is None:
+        import atexit
+
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_mis_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    def _prio(c):
+        return F.concat(F.md5(c), c)
+
+    base = edges.select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    live = _rt(
+        base.unionByName(
+            base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        "live_0",
+    )
+    und = _rt(live.select(F.col("a").alias("node")).distinct(), "und_0")
+    mis = None
+    rounds = []
+    for r in range(max_rounds):
+        n_und = und.count()
+        if n_und == 0:
+            break
+        nb_min = live.groupBy(F.col("a").alias("node")).agg(
+            F.min(_prio(F.col("b"))).alias("nb_prio")
+        )
+        win = (
+            und.join(nb_min, "node", "left")
+            .filter(
+                F.col("nb_prio").isNull()
+                | (_prio(F.col("node")) < F.col("nb_prio"))
+            )
+            .select("node", F.lit(r).cast("long").alias("round"))
+        )
+        win = _rt(win, f"mis_{r}")
+        rounds.append({"round": r, "undecided": n_und, "won": win.count()})
+        mis = win if mis is None else mis.unionByName(win)
+        removed = (
+            win.select("node")
+            .unionByName(
+                live.join(
+                    win.select(F.col("node").alias("a")), "a", "left_semi"
+                ).select(F.col("b").alias("node"))
+            )
+            .distinct()
+        )
+        und = _rt(und.join(removed, "node", "left_anti"), f"und_{r + 1}")
+        live = _rt(
+            live.join(und.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(und.select(F.col("node").alias("b")), "b", "left_semi"),
+            f"live_{r + 1}",
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    if mis is None:
+        return und.select(
+            F.col("node").alias("entity"), F.lit(0).cast("long").alias("round")
+        ).limit(0)
+    return mis.select(F.col("node").alias("entity"), "round")
+
+
+def partition_edge_cut(edges: DataFrame, ks: list[int] = (4, 8, 16)) -> DataFrame:
+    """Expected shuffle/communication volume of hash-partitioning the
+    graph: for each executor count k, the fraction of edges whose
+    endpoints land on different workers under the md5 vertex partition
+    — the standard edge-cut readout that prices a 1000-executor
+    Pregel/GraphX layout before running it (random vertex-cut lower
+    bound: 1 − 1/k).  One map-only projection per k folded into a
+    single pass (the k memberships are independent columns) + one
+    3-row aggregate; the edge set is scanned ONCE for all k.
+
+    Output: ``(k, edges, cut_edges, cut_frac)``, cut_frac round-6.
+    """
+
+    def _part(c, k):
+        return (
+            F.conv(F.substring(F.md5(c), 1, 12), 16, 10).cast("long") % k
+        )
+
+    base = edges.select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    flags = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("k"),
+                        (_part(F.col("a"), k) != _part(F.col("b"), k))
+                        .cast("long")
+                        .alias("cut"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("e")
+    )
+    return (
+        flags.groupBy(F.col("e.k").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("edges"),
+            F.sum("e.cut").cast("long").alias("cut_edges"),
+        )
+        .select(
+            "k",
+            "edges",
+            "cut_edges",
+            F.round(F.col("cut_edges") / F.col("edges"), 6).alias("cut_frac"),
+        )
+    )

@@ -146,3 +146,68 @@ def test_seq_pattern_support_matches_python_greedy(spark, sf_dir):
         if n:
             want[pat] = n
     assert got and got == want
+
+
+def _evv(spark, rows):
+    # rows: (event_id, ts_str, user_id, event_type, value)
+    data = [
+        (i, dt.datetime.fromisoformat(ts), u, et, v)
+        for (i, ts, u, et, v) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double",
+    )
+
+
+def test_seasonal_decompose_identity_and_windows(spark):
+    """daily = trend + seasonal + remainder exactly on full-window
+    rows; edge rows (incomplete 7-day MA) stay NULL; a constant series
+    decomposes to trend = the constant, seasonal = remainder = 0."""
+    rows = []
+    eid = 0
+    for day in range(1, 15):  # 14 days
+        rows.append(
+            (eid, f"2024-01-{day:02d}T12:00:00", 1, "view", 10.0)
+        )
+        eid += 1
+    out = evops.seasonal_decompose(_evv(spark, rows)).collect()
+    assert len(out) == 14
+    full = [r for r in out if r["trend"] is not None]
+    edge = [r for r in out if r["trend"] is None]
+    assert len(full) == 8 and len(edge) == 6  # days 4..11 have full MAs
+    for r in full:
+        assert r["trend"] == 10.0
+        assert r["seasonal"] == 0.0
+        assert r["remainder"] == 0.0
+        assert r["seasonal"] is not None
+    for r in edge:
+        assert r["seasonal"] is None and r["remainder"] is None
+
+
+def test_seasonal_decompose_weekly_pattern(spark):
+    """A pure weekly pattern rides entirely in the seasonal component:
+    value = 100 + 20·[monday].  Trend (7-day MA) is flat = 100 + 20/7;
+    seasonal picks up the per-dow deviation; remainder 0."""
+    rows = []
+    eid = 0
+    for day in range(1, 29):  # 4 weeks, 2024-01-01 is a Monday
+        v = 120.0 if (day - 1) % 7 == 0 else 100.0
+        rows.append((eid, f"2024-01-{day:02d}T08:00:00", 1, "view", v))
+        eid += 1
+    out = {
+        r["d"]: r
+        for r in evops.seasonal_decompose(_evv(spark, rows)).collect()
+        if r["trend"] is not None
+    }
+    trend = round(100 + 20 / 7, 6)
+    for d, r in out.items():
+        assert r["trend"] == trend, (d, r)
+        is_monday = (d.day - 1) % 7 == 0
+        want_season = round(120 - (100 + 20 / 7), 6) if is_monday else round(
+            100 - (100 + 20 / 7), 6
+        )
+        assert abs(r["seasonal"] - want_season) < 1e-6, (d, r)
+        assert abs(r["remainder"]) < 1e-6, (d, r)
+        assert abs(r["daily"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 2e-6

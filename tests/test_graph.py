@@ -830,3 +830,72 @@ def test_densest_python_replay_differential(spark, tmp_path):
     assert [
         (s["round"], s["n"], s["m"], s["density"]) for s in stats["rounds"]
     ] == rounds
+
+
+def test_luby_mis_invariants_and_replay(spark, tmp_path):
+    """Independence (no MIS edge), maximality (every non-member has a
+    member neighbor), and exact round-by-round equality with a pure
+    python replay of the md5||node priority rounds."""
+    import hashlib
+
+    rng = random.Random(41)
+    nodes = [f"v{i:02d}" for i in range(30)]
+    seen = set()
+    while len(seen) < 70:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    pairs = sorted(seen)
+    df = spark.createDataFrame(pairs, "a string, b string")
+    stats = {}
+    got = {
+        r["entity"]: r["round"]
+        for r in graph.luby_mis(
+            df, stage_dir=str(tmp_path / "m"), stats=stats
+        ).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # independence + maximality
+    for v in got:
+        assert not (adj[v] & got.keys()), v
+    for v in set(adj) - set(got):
+        assert adj[v] & got.keys(), v
+    # exact replay
+    prio = {v: hashlib.md5(v.encode()).hexdigest() + v for v in adj}
+    und, want, r = set(adj), {}, 0
+    while und:
+        win = {
+            v
+            for v in und
+            if all(prio[v] < prio[u] for u in adj[v] & und)
+        }
+        for v in win:
+            want[v] = r
+        und -= win | {u for v in win for u in adj[v]}
+        r += 1
+    assert got == want
+    assert [s["won"] for s in stats["rounds"]] == [
+        sum(1 for v in want if want[v] == i) for i in range(r)
+    ]
+
+
+def test_partition_edge_cut_replay(spark):
+    import hashlib
+
+    pairs = [(f"n{i}", f"n{(i * 7 + 3) % 40}") for i in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        r["k"]: (r["edges"], r["cut_edges"], r["cut_frac"])
+        for r in graph.partition_edge_cut(df).collect()
+    }
+
+    def part(v, k):
+        return int(hashlib.md5(v.encode()).hexdigest()[:12], 16) % k
+
+    uniq = {(a, b) for a, b in pairs}
+    for k in (4, 8, 16):
+        cut = sum(1 for a, b in uniq if part(a, k) != part(b, k))
+        assert got[k] == (len(uniq), cut, round(cut / len(uniq), 6))
