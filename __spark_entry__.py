@@ -1444,6 +1444,38 @@ def q_decompose(spark, sf):
     )
 
 
+def q_mann_kendall(spark, sf):
+    """Mann–Kendall monotonic-trend test per event type over the daily
+    value series — the non-parametric significance companion to
+    q_theil_sen's slope (exact-integer S and tie-corrected variance;
+    the pair join runs on the |types|·|days| pre-aggregate, a constant
+    in corpus size).  (operators/stats.py mann_kendall)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.mann_kendall(ev)
+
+
+def q_cdc_chunks(spark, sf):
+    """Content-defined chunking dedup stats (token-anchor CDC:
+    md5(token) % 8 == 0 opens a chunk — boundaries are stateless and
+    resynchronize after edits, unlike fixed-stride blocks): per-doc
+    chunk counts and the share of chunks whose hash appears in >1 doc.
+    Map-only anchors + one per-doc cumsum window + hash-keyed counts
+    (operators/dedup.py cdc_chunk_stats)."""
+    return dedup.cdc_chunk_stats(_docs(spark, sf))
+
+
+def q_greedy_coverage(spark, sf):
+    """Greedy maximum-coverage subset selection: the 10 documents that
+    together cover the most distinct 3-gram shingles (Nemhauser et al. (1−1/e)
+    greedy; sequential greedy with distributed marginal-gain
+    evaluation — one anti-join + one count per round, single-row
+    argmax).  Oracle unrolls the identical 10 rounds
+    (operators/traindata.py greedy_coverage)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.greedy_coverage(_docs(spark, sf), k=10)
+
+
 def q_skyline(spark, sf):
     """Skyline / Pareto front of orders maximizing (o_totalprice,
     order recency): the grid-pruned two-phase plan — per-dim stats
@@ -5753,6 +5785,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mis": q_mis,
         "q_edge_cut": q_edge_cut,
         "q_decompose": q_decompose,
+        "q_mann_kendall": q_mann_kendall,
+        "q_cdc_chunks": q_cdc_chunks,
+        "q_greedy_coverage": q_greedy_coverage,
     }
 
 
@@ -6924,6 +6959,108 @@ def oracle_sql() -> dict[str, str]:
              round(t.num / 700.0 - s.s_raw, 6) AS remainder
       FROM tn t JOIN sm s USING (event_type, dow)
       WHERE t.sum_c IS NOT NULL
+    """
+
+    # Mann–Kendall replay: exact-integer S / tie terms, one division
+    # for Var, division+sqrt for z — identical arithmetic order
+    o["q_mann_kendall"] = """
+      WITH daily AS (
+        SELECT event_type, ts::DATE AS d,
+               round(sum(value) * 100, 0)::BIGINT AS x
+        FROM events GROUP BY 1, 2
+      ),
+      s AS (SELECT a.event_type, sum(sign(b.x - a.x))::BIGINT AS s_stat
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+            GROUP BY 1),
+      nn AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+      ties AS (SELECT event_type,
+                      sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+               FROM (SELECT event_type, x, count(*)::BIGINT AS t
+                     FROM daily GROUP BY 1, 2)
+               GROUP BY 1),
+      v AS (SELECT n.event_type, n.n, s.s_stat,
+                   (n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) / 18.0
+                     AS var_raw
+            FROM nn n JOIN s USING (event_type) JOIN ties t USING (event_type))
+      SELECT event_type, n, s_stat, round(var_raw, 6) AS var_s,
+             round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_raw)
+                        WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_raw)
+                        ELSE 0.0 END, 6) AS z
+      FROM v
+    """
+
+    # CDC replay: same stateless token-anchor predicate (md5-4-hex ↔
+    # conv identity), same per-doc cumulative boundary sum, chunk text
+    # re-assembled in pos order on both sides
+    o["q_cdc_chunks"] = """
+      WITH tk AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS l
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      grid AS (
+        SELECT doc_id, i AS pos, l[i] AS tok
+        FROM tk, unnest(range(1, len(l) + 1)) u(i)
+      ),
+      anch AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN ('0x' || substr(md5(tok), 1, 4))::UBIGINT % 8 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM grid
+      ),
+      cid AS (
+        SELECT *, sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS chunk_id
+        FROM anch
+      ),
+      ch AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        FROM cid GROUP BY 1, 2
+      ),
+      fr AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs
+             FROM ch GROUP BY 1)
+      SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+             sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS dup_chunks,
+             round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)::DOUBLE
+                   / count(*), 6) AS dup_ratio
+      FROM ch c JOIN fr f USING (chunk_hash) GROUP BY 1
+    """
+
+    # greedy-coverage replay: the 10 rounds unrolled (MATERIALIZED —
+    # each references dt and the previous covered set repeatedly);
+    # argmax = ORDER BY gain DESC, doc_id ASC LIMIT 1 ≡ the engine's
+    # packed-min
+    _cov_k = 10
+    _cov = ["""dt AS MATERIALIZED (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) ct,
+             unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+      ),
+      cov0 AS MATERIALIZED (SELECT tok FROM dt WHERE 1 = 0)"""]
+    for _i in range(_cov_k):
+        _cov.append(f"""
+      g{_i} AS MATERIALIZED (
+        SELECT doc_id, count(*)::BIGINT AS gain
+        FROM dt d
+        WHERE NOT EXISTS (SELECT 1 FROM cov{_i} c WHERE c.tok = d.tok)
+        GROUP BY doc_id),
+      w{_i} AS MATERIALIZED (
+        SELECT {_i}::BIGINT AS rank, doc_id, gain FROM g{_i}
+        ORDER BY gain DESC, doc_id ASC LIMIT 1),
+      cov{_i + 1} AS MATERIALIZED (
+        SELECT DISTINCT tok FROM (
+          SELECT tok FROM cov{_i}
+          UNION ALL
+          SELECT d.tok FROM dt d JOIN w{_i} w ON d.doc_id = w.doc_id))""")
+    _cov_out = " UNION ALL ".join(
+        f"SELECT rank, doc_id, gain FROM w{_i}" for _i in range(_cov_k)
+    )
+    o["q_greedy_coverage"] = f"""
+      WITH {",".join(_cov)}
+      SELECT rank, doc_id, gain FROM ({_cov_out})
     """
 
     # skyline replay: the definition — NOT EXISTS a row >= on both

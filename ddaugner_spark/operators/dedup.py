@@ -1055,3 +1055,79 @@ def cluster_size_histogram(comps: DataFrame) -> DataFrame:
             (F.col("size") * F.col("n_clusters")) / F.col("total"), 6
         ).alias("pct_docs"),
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    modulus: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Content-defined chunking dedup stats at token granularity — the
+    anchor-point formulation (a token opens a new chunk when
+    ``md5(token) % modulus == 0``), the stateless cousin of Rabin/Gear
+    CDC used for text: boundaries depend only on local content, so an
+    insertion resynchronizes within one chunk instead of shifting every
+    fixed-stride block (the failure mode fixed-size chunking has and
+    ExactSubstr-style suffix machinery pays O(L log L) to avoid).
+
+    Scale shape: boundary flags are a pure map (no state — unlike
+    byte-rolling Gear, the anchor predicate is per-token), chunk ids
+    are ONE per-doc cumulative-sum window, chunk hashes one
+    (doc, chunk) aggregate with order restored by array_sort (no
+    collect_list order dependence), and cross-doc duplication one
+    hash-keyed count.  Every stage is a narrow shuffle on keys that
+    exist anyway (doc_id, chunk_hash).
+
+    Output per doc: ``(doc_id, n_chunks, dup_chunks, dup_ratio)``
+    where dup = the chunk's hash occurs in >1 document.
+    """
+    toks = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    anchored = toks.withColumn(
+        "boundary",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % modulus
+            == 0
+        ).cast("long"),
+    ).withColumn(
+        "chunk_id",
+        F.sum("boundary").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    chunks = (
+        anchored.groupBy("doc_id", "chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("ps"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform("ps", lambda s: s["tok"])
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    freq = chunks.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("long"))
+            .cast("long")
+            .alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), ndigits).alias(
+                "dup_ratio"
+            ),
+        )
+    )

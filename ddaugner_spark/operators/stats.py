@@ -1097,3 +1097,80 @@ def eb_shrunk_rates(lineitem: DataFrame, ndigits: int = 6) -> DataFrame:
         F.round(F.col("x").cast("double") / F.col("n"), ndigits).alias("rate"),
         F.round(shrunk, ndigits).alias("shrunk"),
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    cents: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per key over the daily series
+    (Mann 1945 / Kendall 1975; the non-parametric significance
+    companion to the repo's Theil–Sen slope): S = Σ_{i<j}
+    sign(x_j − x_i), tie-corrected Var(S) = [n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)]/18, z = (S∓1)/√Var with the standard continuity
+    correction.  Flags drifting crawl/ingest volumes without assuming
+    normality.
+
+    Exact-sums contract: daily totals are cents-scaled BIGINTs, S and
+    both variance terms are exact integers (sum of ±1s / polynomial
+    tie counts), so Var is one division and z one division + sqrt —
+    bit-identical across engines.
+
+    Scale shape: the event stream collapses to |keys|·|days| rows
+    first; the i<j pair join runs per key on that bounded series
+    (days² per key, a constant in corpus size), one shuffle on the
+    shared key.  Output: ``(key, n, s_stat, var_s, z)``.
+    """
+    daily = events.groupBy(key, F.to_date("ts").alias("d")).agg(
+        F.round(F.sum(value) * cents, 0).cast("long").alias("x")
+    )
+    a = daily.select(key, F.col("d").alias("di"), F.col("x").alias("xi"))
+    b = daily.select(key, F.col("d").alias("dj"), F.col("x").alias("xj"))
+    s = (
+        a.join(b, key)
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy(key)
+        .agg(F.sum(F.signum(F.col("xj") - F.col("xi"))).cast("long").alias("s_stat"))
+    )
+    nn = daily.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy(key, "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    out = (
+        nn.join(s, key)
+        .join(ties, key)
+        .select(
+            key,
+            "n",
+            "s_stat",
+            (
+                (
+                    F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                    - F.col("tie_term")
+                )
+                / F.lit(18.0)
+            ).alias("var_raw"),
+        )
+    )
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_raw"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_raw"))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        key,
+        "n",
+        "s_stat",
+        F.round("var_raw", ndigits).alias("var_s"),
+        F.round(z, ndigits).alias("z"),
+    )

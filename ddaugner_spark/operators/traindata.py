@@ -656,3 +656,81 @@ def conformal_interval(
             ),
         )
     )
+
+
+def greedy_coverage(
+    docs: DataFrame,
+    k: int = 10,
+    ngram: int = 3,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Greedy maximum-coverage data-subset selection: pick ``k``
+    documents that together cover the most distinct ``ngram``-token
+    shingles (unigrams at ``ngram=1`` — too coarse on a shared-vocab
+    corpus, where one document can cover the whole unigram set) — the
+    Nemhauser–Wolsey–Fisher (1978) (1−1/e) greedy for the canonical
+    submodular objective, the formal core of coverage-driven corpus
+    curation (select the few docs that buy the most vocabulary).  The
+    SEQUENTIAL greedy with distributed marginal-gain evaluation: k
+    bounded rounds, each ONE anti-join of the (doc, token) pairs
+    against the covered-token table + one per-doc count, argmax via a
+    1-row packed-min aggregate (the GreeDi two-round variant —
+    Mirzasoleiman et al. NeurIPS'13 — trades the approximation factor
+    for round count; at k ≈ 10 the exact loop is the better plan).
+
+    Determinism: ties broken by min doc_id; stops early when nothing
+    is uncovered.  Only k single-row results ever reach the driver.
+
+    Output: ``(rank, doc_id, gain)`` — selection order and marginal
+    new-token count.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = docs.sparkSession
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_cov_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    if ngram == 1:
+        pairs = (
+            docs.filter(F.coalesce(F.col("text"), F.lit("")) != "")
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+    else:
+        from ddaugner_spark.operators import dedup as _dedup
+
+        pairs = _dedup.shingles(docs, k=ngram).select(
+            "doc_id", F.col("shingle").alias("tok")
+        )
+    dt = _rt(pairs, "dt")
+    covered = None
+    picks = []
+    for r in range(k):
+        remaining = (
+            dt if covered is None else dt.join(covered, "tok", "left_anti")
+        )
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+            .agg(F.min(F.struct((-F.col("gain")).alias("ng"), "doc_id")).alias("m"))
+            .select(F.col("m.doc_id").alias("doc_id"), (-F.col("m.ng")).alias("gain"))
+            .collect()
+        )
+        if not top or top[0]["doc_id"] is None:
+            break
+        doc_id, gain = top[0]["doc_id"], top[0]["gain"]
+        picks.append((r, doc_id, gain))
+        won = remaining.filter(F.col("doc_id") == doc_id).select("tok")
+        covered = _rt(
+            won if covered is None else covered.unionByName(won), f"cov_{r}"
+        )
+    return spark.createDataFrame(
+        picks, "rank long, doc_id long, gain long"
+    )

@@ -270,3 +270,49 @@ def test_minhash_estimate_error_bounds_and_exactness(spark):
     for r in out.values():
         assert r["n_match"] % 1 == 0 and 0 <= r["n_match"] <= 8
         assert abs(r["abs_err"] - abs(r["j_est"] - r["j_exact"])) < 2e-6
+
+
+def test_cdc_chunk_stats_replay_and_resync(spark):
+    """Python hashlib replay of the token-anchor CDC, plus the CDC
+    selling point: duplicated docs share ALL chunk hashes (dup_ratio 1
+    on both copies), and a prefix insertion leaves the post-anchor
+    chunks shared (fixed-stride chunking would shift every block)."""
+    import hashlib
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    shifted = "INSERTED " + base
+    rows = [(1, base), (2, base), (3, shifted), (4, "solo only words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_ratio"])
+        for r in dedup.cdc_chunk_stats(docs).collect()
+    }
+
+    def chunks(text):
+        out, cur = [], []
+        for tok in text.split(" "):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:4], 16)
+            if h % 8 == 0:
+                if cur:
+                    out.append(" ".join(cur))
+                cur = [tok]
+            else:
+                cur.append(tok)
+        if cur:
+            out.append(" ".join(cur))
+        return [hashlib.md5(c.encode()).hexdigest() for c in out]
+
+    per_doc = {d: chunks(t) for d, t in rows}
+    from collections import Counter
+
+    docs_per_hash = Counter()
+    for d, hs in per_doc.items():
+        for h in set(hs):
+            docs_per_hash[h] += 1
+    for d, hs in per_doc.items():
+        dup = sum(1 for h in hs if docs_per_hash[h] > 1)
+        assert got[d] == (len(hs), dup, round(dup / len(hs), 6)), d
+    # exact duplicates share everything
+    assert got[1][2] == 1.0 and got[2][2] == 1.0
+    # the shifted doc re-synchronizes: most of its chunks are shared
+    assert got[3][1] >= got[3][0] - 2

@@ -211,3 +211,35 @@ def test_seasonal_decompose_weekly_pattern(spark):
         assert abs(r["seasonal"] - want_season) < 1e-6, (d, r)
         assert abs(r["remainder"]) < 1e-6, (d, r)
         assert abs(r["daily"] - (r["trend"] + r["seasonal"] + r["remainder"])) < 2e-6
+
+
+def test_mann_kendall_monotone_and_ties(spark):
+    """Strictly increasing series: S = n(n−1)/2, no ties, z matches the
+    closed form; a constant series: S = 0, Var = 0-adjacent tie term,
+    z = 0."""
+    import math
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):  # strictly increasing
+        rows.append((eid, f"2024-01-{day:02d}T01:00:00", 1, "up", float(day)))
+        eid += 1
+    for day in range(1, 11):  # constant (all ties)
+        rows.append((eid, f"2024-01-{day:02d}T01:00:00", 1, "flat", 5.0))
+        eid += 1
+    out = {
+        r["event_type"]: r
+        for r in __import__("ddaugner_spark.operators.stats", fromlist=["s"])
+        .mann_kendall(_evv(spark, rows))
+        .collect()
+    }
+    n = 10
+    up = out["up"]
+    assert up["n"] == n and up["s_stat"] == n * (n - 1) // 2
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert up["var_s"] == round(var, 6)
+    assert up["z"] == round((up["s_stat"] - 1) / math.sqrt(var), 6)
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["z"] == 0.0
+    # all 10 values tie -> tie term equals the n term -> Var = 0
+    assert flat["var_s"] == 0.0

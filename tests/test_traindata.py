@@ -145,3 +145,43 @@ def test_auc_null_label_counts_as_negative(spark):
     # NULL label is a negative (oracle CASE semantics): n_neg = 2
     assert (r.n_pos, r.n_neg) == (1, 2)
     assert r.auc == pytest.approx(1.0)
+
+
+def test_greedy_coverage_python_replay(spark, tmp_path):
+    """Exact round-by-round equality with the sequential greedy
+    (3-gram shingle universe, min-doc_id tie-break), including the
+    early stop when everything is covered."""
+    rows = [
+        (0, "a b c d e f"),
+        (1, "a b c d e f g h"),      # superset of 0's shingles + more
+        (2, "x y z w v"),
+        (3, "x y z"),
+        (4, "p q r s"),
+        (5, "a b c"),                # fully inside 1
+    ]
+    got = [
+        (r["rank"], r["doc_id"], r["gain"])
+        for r in traindata.greedy_coverage(
+            _docs(spark, rows), k=10, stage_dir=str(tmp_path / "cov")
+        ).collect()
+    ]
+    got.sort()
+
+    def sh(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    uni = {d: sh(t) for d, t, *_ in [(r[0], r[1]) for r in rows]}
+    covered, want, rank = set(), [], 0
+    while True:
+        gains = {d: len(s - covered) for d, s in uni.items() if s - covered}
+        if not gains:
+            break
+        best = min(gains, key=lambda d: (-gains[d], d))
+        want.append((rank, best, gains[best]))
+        covered |= uni[best]
+        rank += 1
+    assert got == want
+    # sanity on the fixture: selection is 1 (8 shingles... covers 0,5),
+    # then 2, then 4, then 3 contributes nothing
+    assert [d for _, d, _ in want][:3] == [1, 2, 4]
