@@ -1476,6 +1476,39 @@ def q_greedy_coverage(spark, sf):
     return traindata.greedy_coverage(_docs(spark, sf), k=10)
 
 
+def q_kcenter(spark, sf):
+    """k-center / farthest-point traversal (Gonzalez 1985 2-approx) —
+    8 maximally-spread embedding exemplars, the diversity/coreset
+    selector: each round ONE map-only scoring pass against ≤k chosen
+    literals + a 1-row argmax (the k-means-quantizer plan shape).
+    Oracle unrolls the rounds (operators/similarity.py
+    kcenter_select)."""
+    return similarity.kcenter_select(_emb(spark, sf), k=8)
+
+
+def q_coloring(spark, sf):
+    """Greedy distance-1 coloring by iterated independent sets
+    (Jones–Plassmann schedule, md5||node priorities) on the co-mention
+    graph — color classes = conflict-free KG mutation batches.  Same
+    per-round plan as q_mis but winners' neighbors stay in play;
+    properness pinned in tests (operators/graph.py jp_coloring)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.jp_coloring(
+        canonical.co_mention_edges(m), stage_dir=_scratch("q_jp_")
+    )
+
+
+def q_rolling_active(spark, sf):
+    """Trailing 7-day distinct active users per day and event type —
+    the rolling-WAU readout.  No sliding COUNT(DISTINCT) exists at
+    scale; the fan-out rewrite dedups (user, day) FIRST, then explodes
+    each pair into the ≤7 bucket-days it is visible in and hash
+    count-distincts per bucket — map-side combinable, no ordered state
+    (operators/events.py rolling_active_users)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.rolling_active_users(ev)
+
+
 def q_skyline(spark, sf):
     """Skyline / Pareto front of orders maximizing (o_totalprice,
     order recency): the grid-pruned two-phase plan — per-dim stats
@@ -5788,6 +5821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mann_kendall": q_mann_kendall,
         "q_cdc_chunks": q_cdc_chunks,
         "q_greedy_coverage": q_greedy_coverage,
+        "q_kcenter": q_kcenter,
+        "q_coloring": q_coloring,
+        "q_rolling_active": q_rolling_active,
     }
 
 
@@ -7061,6 +7097,97 @@ def oracle_sql() -> dict[str, str]:
     o["q_greedy_coverage"] = f"""
       WITH {",".join(_cov)}
       SELECT rank, doc_id, gain FROM ({_cov_out})
+    """
+
+    # k-center replay: the farthest-point rounds unrolled — same
+    # 8-digit squared-L2, same (d2 DESC, vec_id ASC) argmax, growing
+    # selected set re-materialized per round
+    _kc_d2 = (
+        "round(list_aggregate(list_transform(range(1, 65), "
+        "d -> (e.embedding[d]::DOUBLE - s.embedding[d]::DOUBLE) * "
+        "(e.embedding[d]::DOUBLE - s.embedding[d]::DOUBLE)), 'sum'), 8)"
+    )
+    _kc = ["""e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+      sel0 AS MATERIALIZED (
+        SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+      w0 AS MATERIALIZED (
+        SELECT 0::BIGINT AS rank, vec_id, 0.0 AS dist FROM sel0)"""]
+    for _i in range(1, 8):
+        _kc.append(f"""
+      md{_i} AS MATERIALIZED (
+        SELECT e.vec_id, min({_kc_d2}) AS d2
+        FROM e, sel{_i - 1} s GROUP BY e.vec_id),
+      w{_i} AS MATERIALIZED (
+        SELECT {_i}::BIGINT AS rank, vec_id, round(d2, 6) AS dist
+        FROM md{_i} WHERE d2 > 0
+        ORDER BY d2 DESC, vec_id ASC LIMIT 1),
+      sel{_i} AS MATERIALIZED (
+        SELECT vec_id, embedding FROM sel{_i - 1}
+        UNION ALL
+        SELECT e.vec_id, e.embedding FROM e JOIN w{_i} USING (vec_id))""")
+    _kc_out = " UNION ALL ".join(
+        f"SELECT rank, vec_id, dist FROM w{_i}" for _i in range(8)
+    )
+    o["q_kcenter"] = f"""
+      WITH {",".join(_kc)}
+      SELECT rank, vec_id, dist FROM ({_kc_out})
+    """
+
+    # Jones–Plassmann replay: the MIS unroll with winners-only removal
+    _jp_rounds = 16
+    _jp = ["""jl0 AS MATERIALIZED (
+        SELECT a, b FROM (
+          SELECT DISTINCT a.surface AS a, b.surface AS b
+          FROM mentsent a JOIN mentsent b
+            ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+           AND a.surface != b.surface
+        )
+      ),
+      ju0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM jl0)"""]
+    for _i in range(_jp_rounds):
+        _jp.append(f"""
+      jw{_i} AS MATERIALIZED (
+        SELECT u.node, {_i}::BIGINT AS color
+        FROM ju{_i} u LEFT JOIN (
+          SELECT a AS node, min(md5(b) || b) AS nb FROM jl{_i} GROUP BY a
+        ) nm USING (node)
+        WHERE nm.nb IS NULL OR (md5(u.node) || u.node) < nm.nb
+      ),
+      ju{_i + 1} AS MATERIALIZED (
+        SELECT u.node FROM ju{_i} u
+        WHERE NOT EXISTS (SELECT 1 FROM jw{_i} w WHERE w.node = u.node)
+      ),
+      jl{_i + 1} AS MATERIALIZED (
+        SELECT l.a, l.b FROM jl{_i} l
+        JOIN ju{_i + 1} x ON l.a = x.node
+        JOIN ju{_i + 1} y ON l.b = y.node
+      )""")
+    _jp_out = " UNION ALL ".join(
+        f"SELECT node, color FROM jw{_i}" for _i in range(_jp_rounds)
+    )
+    o["q_coloring"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      {",".join(_jp)}
+      SELECT node AS entity, color FROM ({_jp_out})
+    """
+
+    # rolling-active replay: identical dedup-first fan-out
+    o["q_rolling_active"] = """
+      WITH pairs AS (
+        SELECT DISTINCT event_type, ts::DATE AS ud, user_id FROM events
+      ),
+      span AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+      fanned AS (
+        SELECT event_type, user_id, ud + i::INTEGER AS d
+        FROM pairs, unnest(range(0, 7)) u(i)
+      ),
+      agg AS (
+        SELECT event_type, d, count(DISTINCT user_id)::BIGINT AS active_users
+        FROM fanned GROUP BY 1, 2
+      )
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS d, active_users
+      FROM agg, span
+      WHERE d >= lo + 6 AND d <= hi
     """
 
     # skyline replay: the definition — NOT EXISTS a row >= on both

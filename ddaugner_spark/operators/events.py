@@ -843,3 +843,56 @@ def seasonal_decompose(
             F.round(F.col("num") / F.lit(float(den)) - F.col("s_raw"), ndigits),
         ).alias("remainder"),
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per day and
+    event type — the rolling-DAU/WAU family.  Spark (and SQL generally)
+    has no COUNT(DISTINCT) over a sliding frame, and holding per-day
+    user sets in window state explodes; the scale answer is the
+    FAN-OUT rewrite: each (user, day) first collapses to one row (the
+    big cardinality drop happens before any widening), then contributes
+    itself to the ``window_days`` bucket-days it is visible in (a
+    bounded ×w explode of the ALREADY-DEDUPED pairs), and a plain
+    hash count-distinct per bucket finishes — map-side combinable, no
+    ordered state, no per-day set materialization.
+
+    Only buckets whose full trailing window lies inside the observed
+    date span are emitted (edge days would under-count).
+
+    Output: ``(event_type, d, active_users)``.
+    """
+    pairs = events.select(
+        "event_type", F.to_date("ts").alias("ud"), "user_id"
+    ).distinct()
+    span = events.select(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    fanned = pairs.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("ud"), F.date_add(F.col("ud"), window_days - 1)
+            )
+        ).alias("d"),
+    )
+    return (
+        fanned.groupBy("event_type", "d")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users"))
+        .crossJoin(F.broadcast(span))
+        .filter(
+            (F.col("d") >= F.date_add(F.col("lo"), window_days - 1))
+            & (F.col("d") <= F.col("hi"))
+        )
+        # ISO string for canonicalizer parity (the retention_cohorts
+        # lesson: DATE → pandas Timestamp tag mismatch)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("d"),
+            "active_users",
+        )
+    )

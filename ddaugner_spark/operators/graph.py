@@ -2071,3 +2071,90 @@ def partition_edge_cut(edges: DataFrame, ks: list[int] = (4, 8, 16)) -> DataFram
             F.round(F.col("cut_edges") / F.col("edges"), 6).alias("cut_frac"),
         )
     )
+
+
+def jp_coloring(
+    edges: DataFrame,
+    max_rounds: int = 16,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Greedy distance-1 graph coloring by iterated independent sets
+    (the Jones–Plassmann 1993 schedule with the repo's deterministic
+    md5||node priorities): per round, every UNCOLORED node whose
+    priority is a strict local minimum among its uncolored neighbors
+    takes color = round index.  Two adjacent nodes can never win the
+    same round (one has the larger priority) ⇒ the coloring is proper;
+    only winners leave, so the fixpoint colors every node.  The use:
+    conflict-free scheduling of KG mutations — all nodes of one color
+    commit concurrently.
+
+    Identical per-round plan to :func:`luby_mis` (ONE neighbor-min
+    aggregate + anti-joins; parquet round-trips cut lineage) except
+    winners' NEIGHBORS stay in play — so rounds = the longest
+    priority-decreasing path, O(log V / log log V) w.h.p. for random
+    priorities rather than Luby's O(log V).
+
+    Output: ``(entity, color)``; nodes still uncolored after
+    ``max_rounds`` are omitted (the SQL twin unrolls the same bound).
+    """
+    spark = edges.sparkSession
+    if stage_dir is None:
+        import atexit
+
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_jp_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _rt(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    def _prio(c):
+        return F.concat(F.md5(c), c)
+
+    base = edges.select(
+        F.col("a").cast("string").alias("a"),
+        F.col("b").cast("string").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    live = _rt(
+        base.unionByName(
+            base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct(),
+        "live_0",
+    )
+    unc = _rt(live.select(F.col("a").alias("node")).distinct(), "unc_0")
+    colored = None
+    rounds = []
+    for r in range(max_rounds):
+        n_unc = unc.count()
+        if n_unc == 0:
+            break
+        nb_min = live.groupBy(F.col("a").alias("node")).agg(
+            F.min(_prio(F.col("b"))).alias("nb_prio")
+        )
+        win = (
+            unc.join(nb_min, "node", "left")
+            .filter(
+                F.col("nb_prio").isNull()
+                | (_prio(F.col("node")) < F.col("nb_prio"))
+            )
+            .select("node", F.lit(r).cast("long").alias("color"))
+        )
+        win = _rt(win, f"col_{r}")
+        rounds.append({"round": r, "uncolored": n_unc, "won": win.count()})
+        colored = win if colored is None else colored.unionByName(win)
+        unc = _rt(
+            unc.join(win.select("node"), "node", "left_anti"), f"unc_{r + 1}"
+        )
+        live = _rt(
+            live.join(unc.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(unc.select(F.col("node").alias("b")), "b", "left_semi"),
+            f"live_{r + 1}",
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+    if colored is None:
+        return unc.select(
+            F.col("node").alias("entity"), F.lit(0).cast("long").alias("color")
+        ).limit(0)
+    return colored.select(F.col("node").alias("entity"), "color")

@@ -783,3 +783,86 @@ def simplified_silhouette(
             F.round(F.avg("s"), ndigits).alias("mean_silhouette"),
         )
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """k-center / farthest-point traversal (Gonzalez 1985; the
+    2-approximation for the k-center objective and the standard
+    diversity/coreset selector for training data): start from the
+    minimum vec_id, then repeatedly add the point FARTHEST from the
+    selected set (min-distance to any chosen point, squared-L2 rounded
+    to 8 digits, max-distance argmax with min-vec_id tiebreak).
+
+    Scale shape: the chosen set is ≤ k vectors held on the driver
+    (exactly like the k-means quantizer), so every round is ONE
+    map-only scoring pass against ≤ k centroid literals + a 1-row
+    packed-min argmax — k passes total, no join, no shuffle beyond
+    k single rows.  The same arithmetic as `_nearest_cells`, so the
+    DuckDB oracle replays rounds exactly.
+
+    Output: ``(rank, vec_id, dist)`` — selection order and the
+    (rounded) squared distance to the previously-selected set
+    (0.0 for the seed).
+    """
+    first = (
+        embeddings.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    chosen = [(int(first["vec_id"]), [float(x) for x in first["embedding"]])]
+    out = [(0, chosen[0][0], 0.0)]
+    for r in range(1, k):
+        cent_lit = F.array(
+            *[F.array(*[F.lit(x) for x in v]) for _, v in chosen]
+        )
+        d2 = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda cv: F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            cv,
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ),
+                    8,
+                ),
+            )
+        )
+        top = (
+            embeddings.select("vec_id", d2.alias("d2"))
+            .agg(
+                F.min(
+                    F.struct((-F.col("d2")).alias("nd"), "vec_id")
+                ).alias("m")
+            )
+            .select(
+                F.col("m.vec_id").alias("vec_id"),
+                (-F.col("m.nd")).alias("d2"),
+            )
+            .collect()[0]
+        )
+        if top["vec_id"] is None or top["d2"] <= 0.0:
+            break
+        vrow = (
+            embeddings.filter(F.col("vec_id") == top["vec_id"])
+            .select("embedding")
+            .collect()[0]
+        )
+        chosen.append(
+            (int(top["vec_id"]), [float(x) for x in vrow["embedding"]])
+        )
+        out.append((r, int(top["vec_id"]), float(top["d2"])))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        out, "rank long, vec_id long, dist double"
+    ).select("rank", "vec_id", F.round("dist", 6).alias("dist"))

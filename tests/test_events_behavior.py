@@ -243,3 +243,25 @@ def test_mann_kendall_monotone_and_ties(spark):
     assert flat["s_stat"] == 0 and flat["z"] == 0.0
     # all 10 values tie -> tie term equals the n term -> Var = 0
     assert flat["var_s"] == 0.0
+
+
+def test_rolling_active_users_hand_fixture(spark):
+    """10 observed days, users overlapping across a 7-day window; only
+    buckets with a full trailing window inside the span are emitted."""
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        # user = day mod 3 -> 3 users cycling; plus user 99 on day 1 only
+        rows.append((eid, f"2024-01-{day:02d}T10:00:00", day % 3, "view", 1.0))
+        eid += 1
+    rows.append((eid, "2024-01-01T11:00:00", 99, "view", 1.0))
+    out = {
+        r["d"]: r["active_users"]
+        for r in evops.rolling_active_users(_evv(spark, rows)).collect()
+    }
+    # span 01..10 -> buckets 07..10
+    assert sorted(out) == [f"2024-01-{d:02d}" for d in (7, 8, 9, 10)]
+    # window 01-07 contains users {0,1,2,99}; 02-08..04-10 contain {0,1,2}
+    assert out["2024-01-07"] == 4
+    assert out["2024-01-08"] == 3
+    assert out["2024-01-10"] == 3

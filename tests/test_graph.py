@@ -899,3 +899,38 @@ def test_partition_edge_cut_replay(spark):
     for k in (4, 8, 16):
         cut = sum(1 for a, b in uniq if part(a, k) != part(b, k))
         assert got[k] == (len(uniq), cut, round(cut / len(uniq), 6))
+
+
+def test_jp_coloring_proper_complete_and_replay(spark, tmp_path):
+    import hashlib
+
+    rng = random.Random(51)
+    nodes = [f"v{i:02d}" for i in range(25)]
+    seen = set()
+    while len(seen) < 60:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    pairs = sorted(seen)
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {
+        r["entity"]: r["color"]
+        for r in graph.jp_coloring(df, stage_dir=str(tmp_path / "jp")).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # complete + proper
+    assert set(got) == set(adj)
+    for a, b in pairs:
+        assert got[a] != got[b], (a, b)
+    # exact replay of the priority schedule
+    prio = {v: hashlib.md5(v.encode()).hexdigest() + v for v in adj}
+    unc, want, c = set(adj), {}, 0
+    while unc:
+        win = {v for v in unc if all(prio[v] < prio[u] for u in adj[v] & unc)}
+        for v in win:
+            want[v] = c
+        unc -= win
+        c += 1
+    assert got == want

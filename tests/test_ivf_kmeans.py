@@ -144,3 +144,37 @@ def test_simplified_silhouette_separated_blobs(spark):
     for r in out:
         assert r["n"] == 10
         assert 0.9 <= r["mean_silhouette"] <= 1.0
+
+
+def test_kcenter_numpy_replay_and_spread(spark, emb):
+    """Exact numpy replay of the farthest-point rounds; the farthest
+    distance is non-increasing (min-dist to a growing set shrinks
+    pointwise); seed = min vec_id."""
+    import numpy as np
+
+    k = 6
+    got = [
+        (r["rank"], r["vec_id"], r["dist"])
+        for r in similarity.kcenter_select(emb, k=k).collect()
+    ]
+    got.sort()
+    rows = sorted(
+        ((r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+         for r in emb.select("vec_id", "embedding").collect()),
+    )
+    ids = [v for v, _ in rows]
+    X = np.stack([x for _, x in rows])
+    chosen = [0]  # index of min vec_id
+    want = [(0, ids[0], 0.0)]
+    for r in range(1, k):
+        d2 = np.round(
+            ((X[:, None, :] - X[None, chosen, :]) ** 2).sum(axis=2), 8
+        ).min(axis=1)
+        best = min(range(len(ids)), key=lambda i: (-d2[i], ids[i]))
+        if d2[best] <= 0:
+            break
+        chosen.append(best)
+        want.append((r, ids[best], round(float(d2[best]), 6)))
+    assert got == want
+    dists = [d for _, _, d in got[1:]]
+    assert dists == sorted(dists, reverse=True)
