@@ -1476,6 +1476,16 @@ def q_greedy_coverage(spark, sf):
     return traindata.greedy_coverage(_docs(spark, sf), k=10)
 
 
+def q_kruskal_wallis(spark, sf):
+    """Kruskal–Wallis H across event types over cents-scaled values —
+    the k-sample rank test completing the non-parametric family
+    (Mann–Whitney 2-sample, Mann–Kendall trend).  Exact doubled-rank
+    integer sums from the distinct-value table; H + tie-corrected H'
+    repeated per group row (operators/stats.py kruskal_wallis)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return stats.kruskal_wallis(ev)
+
+
 def q_kcenter(spark, sf):
     """k-center / farthest-point traversal (Gonzalez 1985 2-approx) —
     8 maximally-spread embedding exemplars, the diversity/coreset
@@ -5824,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kcenter": q_kcenter,
         "q_coloring": q_coloring,
         "q_rolling_active": q_rolling_active,
+        "q_kruskal_wallis": q_kruskal_wallis,
     }
 
 
@@ -7097,6 +7108,52 @@ def oracle_sql() -> dict[str, str]:
     o["q_greedy_coverage"] = f"""
       WITH {",".join(_cov)}
       SELECT rank, doc_id, gain FROM ({_cov_out})
+    """
+
+    # Kruskal–Wallis replay: doubled integer ranks off the
+    # distinct-value table, exact group sums, the same one-division
+    # terms; the Σ over ~5 group terms is the only float sum (error
+    # ~1e-15 relative, below the 1e-6 rounding)
+    o["q_kruskal_wallis"] = """
+      WITH vals AS (
+        SELECT event_type AS k, round(value * 100, 0)::BIGINT AS x
+        FROM events
+      ),
+      vc AS (SELECT x, count(*)::BIGINT AS c FROM vals GROUP BY x),
+      ranked AS (
+        SELECT x, c,
+               2 * coalesce(sum(c) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rank2
+        FROM vc
+      ),
+      gx AS (SELECT k, x, count(*)::BIGINT AS cnt FROM vals GROUP BY 1, 2),
+      groups AS (
+        SELECT k, sum(cnt)::BIGINT AS n,
+               sum(cnt * rank2)::BIGINT AS rank_sum2
+        FROM gx JOIN ranked USING (x) GROUP BY k
+      ),
+      tot AS (
+        SELECT sum(c)::BIGINT AS bign, sum(c * c * c - c)::BIGINT AS ties
+        FROM ranked
+      ),
+      hsum AS (
+        SELECT 3.0 * sum(rank_sum2::DOUBLE * rank_sum2 / n)
+                 / (bign * (bign + 1)) - 3.0 * (bign + 1) AS h_raw,
+               bign, ties
+        FROM groups, tot GROUP BY bign, ties
+      ),
+      hh AS (
+        SELECT h_raw,
+               CASE WHEN ties < bign * bign * bign - bign
+                    THEN h_raw / (1.0 - ties
+                         / (bign * bign * bign - bign))
+                    ELSE 0.0 END AS hc_raw
+        FROM hsum
+      )
+      SELECT g.k AS event_type, g.n, g.rank_sum2,
+             round(h.h_raw, 6) AS h, round(h.hc_raw, 6) AS h_corrected
+      FROM groups g, hh h
     """
 
     # k-center replay: the farthest-point rounds unrolled — same

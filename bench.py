@@ -356,6 +356,47 @@ def run_aux_benchmarks(spark, q: dict, thr: dict, aux: dict) -> None:
         q,
     )
 
+    # Borůvka MSF (session-16) on a synthetic 20k-node / 64-node-chain
+    # weighted graph — the co-mention graph contracts in ONE round, so
+    # a multi-round contraction needs a deeper structure; weights are
+    # md5-derived so the per-component argmin is non-trivial.  Prices
+    # the full ladder: per-round packed-argmin + forest-sized CC
+    msf_nodes = 20_000
+    msf_ids = spark.range(msf_nodes).select(
+        F.lpad(F.col("id").cast("string"), 7, "0").alias("a"),
+        F.when(
+            (F.col("id") + 1) % 64 != 0,
+            F.lpad((F.col("id") + 1).cast("string"), 7, "0"),
+        ).alias("b"),
+    )
+    msf_edges = msf_ids.filter(F.col("b").isNotNull()).select(
+        "a",
+        "b",
+        (
+            F.conv(F.substring(F.md5(F.concat("a", "b")), 1, 8), 16, 10)
+            .cast("double")
+            / F.lit(4294967296.0)
+        ).alias("w"),
+    )
+    msf_edges.write.mode("overwrite").parquet("/tmp/ddaugner_bench_msf_e")
+    msf_edges = spark.read.parquet("/tmp/ddaugner_bench_msf_e")
+    # single rep, no warm pass: the leg is ~45 s of round overhead (5
+    # contractions × an inner CC each) — a min-of-2 would double the
+    # bench for a number whose variance is job-scheduling, not data
+    msf_stats: dict = {}
+    n_msf = leg(
+        "graph_msf_20k",
+        lambda: graph.minimum_spanning_forest(
+            msf_edges, stage_dir="/tmp/ddaugner_bench_msf", stats=msf_stats
+        ).count(),
+        q,
+        reps=1,
+    )
+    aux["msf_20k"] = {
+        "forest_edges": n_msf,
+        "rounds": msf_stats.get("rounds"),
+    }
+
     # suffix array + LCP (round-5 operators: the EXACT ExactSubstr
     # machinery) on the unamplified corpus: O(log L) prefix-doubling
     # rounds, each one range exchange + one per-doc window + a parquet

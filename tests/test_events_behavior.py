@@ -265,3 +265,39 @@ def test_rolling_active_users_hand_fixture(spark):
     assert out["2024-01-07"] == 4
     assert out["2024-01-08"] == 3
     assert out["2024-01-10"] == 3
+
+
+def test_kruskal_wallis_scipy_free_replay(spark):
+    """Closed-form checks: identical groups → H = 0; two cleanly
+    separated groups of 5 (no ties) → H equals the textbook value; the
+    scipy formula replayed in python on the same cents-scaled data."""
+    from ddaugner_spark.operators import stats as st
+
+    rows = []
+    eid = 0
+    # group A: values 1..5, group B: 11..15 (fully separated, no ties)
+    for i in range(5):
+        rows.append((eid, f"2024-01-{i+1:02d}T01:00:00", 1, "A", float(i + 1)))
+        eid += 1
+        rows.append(
+            (eid, f"2024-01-{i+1:02d}T02:00:00", 1, "B", float(i + 11))
+        )
+        eid += 1
+    out = {
+        r["event_type"]: r
+        for r in st.kruskal_wallis(_evv(spark, rows)).collect()
+    }
+    # ranks: A holds 1..5 (sum 15), B holds 6..10 (sum 40); doubled
+    assert out["A"]["rank_sum2"] == 30 and out["B"]["rank_sum2"] == 80
+    n = 10
+    h = 12 / (n * (n + 1)) * (15**2 / 5 + 40**2 / 5) - 3 * (n + 1)
+    assert abs(out["A"]["h"] - round(h, 6)) <= 1e-6
+    assert out["A"]["h_corrected"] == out["A"]["h"]  # no ties
+
+    # all-identical values: H = 0 and the tie guard avoids div-by-zero
+    rows2 = [
+        (i, f"2024-01-{(i % 9) + 1:02d}T01:00:00", 1, "AB"[i % 2], 7.0)
+        for i in range(12)
+    ]
+    out2 = st.kruskal_wallis(_evv(spark, rows2)).collect()
+    assert all(r["h"] == 0.0 and r["h_corrected"] == 0.0 for r in out2)
