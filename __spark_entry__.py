@@ -1476,6 +1476,35 @@ def q_greedy_coverage(spark, sf):
     return traindata.greedy_coverage(_docs(spark, sf), k=10)
 
 
+#: Horvitz–Thompson per-source sampling rates (per mille) for
+#: q_ht_estimate — distinct rates per stratum so the estimator is
+#: exercised at three different inclusion probabilities
+HT_RATES = {"src0": 500, "src1": 250, "src2": 125}
+
+
+def q_ht_estimate(spark, sf):
+    """Horvitz–Thompson estimation of per-source token totals from the
+    deterministic md5-bucket Bernoulli sample — the design-based audit
+    for downsampled mixtures (estimate vs true total vs design
+    variance).  π is exact by construction; every output number is one
+    division of exact integer aggregates (operators/sampling.py
+    horvitz_thompson)."""
+    from ddaugner_spark.operators import sampling
+
+    return sampling.horvitz_thompson(_docs(spark, sf), HT_RATES)
+
+
+def q_sprt(spark, sf):
+    """Wald SPRT (1945) on the daily view→purchase conversion stream:
+    cumulative log-likelihood ratio vs the Wald boundaries — the
+    earliest-stopping online experiment (vs the fixed-horizon
+    q_ab_test).  Both logs are python-evaluated literals, so llr is
+    exact-integer×literal arithmetic (operators/events.py
+    sprt_daily)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.sprt_daily(ev)
+
+
 def q_kruskal_wallis(spark, sf):
     """Kruskal–Wallis H across event types over cents-scaled values —
     the k-sample rank test completing the non-parametric family
@@ -5835,6 +5864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_coloring": q_coloring,
         "q_rolling_active": q_rolling_active,
         "q_kruskal_wallis": q_kruskal_wallis,
+        "q_ht_estimate": q_ht_estimate,
+        "q_sprt": q_sprt,
     }
 
 
@@ -7108,6 +7139,80 @@ def oracle_sql() -> dict[str, str]:
     o["q_greedy_coverage"] = f"""
       WITH {",".join(_cov)}
       SELECT rank, doc_id, gain FROM ({_cov_out})
+    """
+
+    # Horvitz–Thompson replay: exact π from the md5-bucket membership,
+    # integer Σx/Σx² per stratum, one division per output number in
+    # the engine's expression order
+    _ht_rate = "CASE stratum " + " ".join(
+        f"WHEN '{s}' THEN {m}" for s, m in sorted(HT_RATES.items())
+    ) + " ELSE 0 END"
+    o["q_ht_estimate"] = f"""
+      WITH base AS (
+        SELECT source AS stratum, doc_id,
+               len(string_split(coalesce(text, ''), ' '))::BIGINT AS x
+        FROM documents
+      ),
+      tagged AS (
+        SELECT stratum, x, ({_ht_rate})::BIGINT AS pi_mille,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::UBIGINT
+                % 1000)::BIGINT AS bucket
+        FROM base
+      ),
+      est AS (
+        SELECT stratum, pi_mille, count(*)::BIGINT AS n_sampled,
+               sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+        FROM tagged WHERE bucket < pi_mille GROUP BY 1, 2
+      ),
+      truth AS (
+        SELECT stratum, sum(x)::BIGINT AS true_tokens FROM base GROUP BY 1
+      )
+      SELECT e.stratum, e.pi_mille, e.n_sampled,
+             round(e.sx / (e.pi_mille / 1000.0), 6) AS est_tokens,
+             t.true_tokens,
+             round(e.sxx * (1.0 - e.pi_mille / 1000.0)
+                   / ((e.pi_mille / 1000.0) * (e.pi_mille / 1000.0)), 6)
+               AS var_est,
+             round((e.sx / (e.pi_mille / 1000.0) - t.true_tokens)
+                   / t.true_tokens, 6) AS rel_err
+      FROM est e JOIN truth t USING (stratum)
+    """
+
+    # SPRT replay: the Wald constants are python literals embedded at
+    # full repr precision — neither engine takes a log
+    import math as _math
+
+    _sp_c1 = _math.log(0.04 / 0.02)
+    _sp_c0 = _math.log((1.0 - 0.04) / (1.0 - 0.02))
+    _sp_up = _math.log((1.0 - 0.05) / 0.05)
+    _sp_lo = _math.log(0.05 / (1.0 - 0.05))
+    o["q_sprt"] = f"""
+      WITH daily AS (
+        SELECT ts::DATE AS d,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+                 AS nt,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+                 AS ns
+        FROM events GROUP BY 1
+      ),
+      cum AS (
+        SELECT d, (sum(nt) OVER w)::BIGINT AS n_trials,
+               (sum(ns) OVER w)::BIGINT AS n_success
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      )
+      SELECT strftime(d, '%Y-%m-%d') AS d, n_trials, n_success,
+             round(n_success * {_sp_c1!r}
+                   + (n_trials - n_success) * {_sp_c0!r}, 6) AS llr,
+             CASE WHEN n_success * {_sp_c1!r}
+                       + (n_trials - n_success) * {_sp_c0!r} >= {_sp_up!r}
+                  THEN 'accept_h1'
+                  WHEN n_success * {_sp_c1!r}
+                       + (n_trials - n_success) * {_sp_c0!r} <= {_sp_lo!r}
+                  THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM cum
     """
 
     # Kruskal–Wallis replay: doubled integer ranks off the

@@ -896,3 +896,72 @@ def rolling_active_users(
             "active_users",
         )
     )
+
+
+def sprt_daily(
+    events: DataFrame,
+    p0: float = 0.02,
+    p1: float = 0.04,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    trial_type: str = "view",
+    success_type: str = "purchase",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test (1945) on the daily
+    conversion stream: after each day, the cumulative log-likelihood
+    ratio for H1: p = p1 vs H0: p = p0 over (trials = ``trial_type``
+    events, successes = ``success_type`` events) is compared to the
+    Wald boundaries ln((1−β)/α), ln(β/(1−α)) — the earliest-possible
+    stop for an online experiment (vs the fixed-horizon q_ab_test).
+
+    DETERMINISM: llr = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) — both
+    logs are PYTHON-EVALUATED LITERALS (the engines never take a log),
+    so every llr is two exact-integer×literal products and one sum,
+    bit-identical; the boundary comparisons are against literal
+    doubles.
+
+    Scale shape: the event stream collapses to one row per day FIRST
+    (map-side-combinable conditional counts); the cumulative window and
+    the decision flags run on the day-count table.
+
+    Output per day: ``(d, n_trials, n_success, llr, decision)`` with
+    decision ∈ {accept_h1, accept_h0, continue} — the state as of that
+    day (first crossing day carries the first non-continue label).
+    """
+    import math
+
+    c1 = math.log(p1 / p0)
+    c0 = math.log((1.0 - p1) / (1.0 - p0))
+    upper = math.log((1.0 - beta) / alpha)
+    lower = math.log(beta / (1.0 - alpha))
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum((F.col("event_type") == trial_type).cast("long"))
+        .cast("long")
+        .alias("nt"),
+        F.sum((F.col("event_type") == success_type).cast("long"))
+        .cast("long")
+        .alias("ns"),
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        F.sum("nt").over(w).alias("n_trials"),
+        F.sum("ns").over(w).alias("n_success"),
+    )
+    llr = F.col("n_success") * F.lit(c1) + (
+        F.col("n_trials") - F.col("n_success")
+    ) * F.lit(c0)
+    return cum.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "n_trials",
+        "n_success",
+        F.round(llr, ndigits).alias("llr"),
+        F.when(llr >= F.lit(upper), F.lit("accept_h1"))
+        .when(llr <= F.lit(lower), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -409,3 +409,80 @@ def rendezvous_assign(
         key_col,
         F.array_max(F.array(*elems))["s"].cast("int").alias("shard"),
     )
+
+
+def horvitz_thompson(
+    docs: DataFrame,
+    rates_mille: dict[str, int],
+    default_mille: int = 0,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Horvitz–Thompson (1952) estimation of per-stratum token totals
+    from the deterministic md5-bucket Bernoulli sample — the
+    design-based answer to "how big is the corpus we sampled from",
+    the audit that keeps downsampled mixture pipelines honest: the
+    estimate must cover the true total it was thinned from.
+
+    Inclusion probability π_h = rate_mille/1000 is EXACT by
+    construction (the sampler keeps buckets < rate of 1000), so
+    the estimator total̂ = Σ_sampled x_i/π_h and the Bernoulli-design
+    variance estimate var̂ = Σ_sampled x_i²·(1−π_h)/π_h² are integer
+    aggregates divided by literal rationals — one division per output
+    number, engine/oracle bit-identical.  (x_i² ≤ (10⁵)² per doc and
+    Σ fits int64 to ~10⁸ docs per stratum; beyond that switch the
+    numerators to DECIMAL(38).)
+
+    Scale shape: sampled rows only (map-only membership predicate →
+    one stratum-keyed aggregate); the true totals for the coverage
+    readout come from one more aggregate over the full table.
+
+    Output: ``(stratum, pi_mille, n_sampled, est_tokens, true_tokens,
+    var_est, rel_err)``.
+    """
+    ntok = F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).cast(
+        "long"
+    )
+    base = docs.select(
+        F.col(strat_col).alias("stratum"),
+        F.col(id_col).alias("id"),
+        ntok.alias("x"),
+    )
+    rate = F.lit(default_mille)
+    for s, m in sorted(rates_mille.items()):
+        rate = F.when(F.col("stratum") == s, F.lit(m)).otherwise(rate)
+    tagged = base.select(
+        "stratum",
+        "x",
+        rate.cast("long").alias("pi_mille"),
+        sample_bucket("id").alias("bucket"),
+    )
+    sampled = tagged.filter(F.col("bucket") < F.col("pi_mille"))
+    est = sampled.groupBy("stratum", "pi_mille").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    truth = base.groupBy("stratum").agg(
+        F.sum("x").cast("long").alias("true_tokens")
+    )
+    pi = F.col("pi_mille") / F.lit(1000.0)
+    est_tokens = F.col("sx") / pi
+    return (
+        est.join(truth, "stratum")
+        .select(
+            "stratum",
+            "pi_mille",
+            "n_sampled",
+            F.round(est_tokens, ndigits).alias("est_tokens"),
+            "true_tokens",
+            F.round(
+                F.col("sxx") * (1.0 - pi) / (pi * pi), ndigits
+            ).alias("var_est"),
+            F.round(
+                (est_tokens - F.col("true_tokens")) / F.col("true_tokens"),
+                ndigits,
+            ).alias("rel_err"),
+        )
+    )

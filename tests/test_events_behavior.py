@@ -301,3 +301,42 @@ def test_kruskal_wallis_scipy_free_replay(spark):
     ]
     out2 = st.kruskal_wallis(_evv(spark, rows2)).collect()
     assert all(r["h"] == 0.0 and r["h_corrected"] == 0.0 for r in out2)
+
+
+def test_sprt_crossing_and_llr_arithmetic(spark):
+    """A stream converting at exactly p1 = 4% crosses the H1 boundary;
+    per-day llr equals the closed form; the decision labels flip at
+    the Wald thresholds."""
+    import math
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        for i in range(100):  # 100 views/day
+            rows.append(
+                (eid, f"2024-01-{day:02d}T01:{i % 60:02d}:00", i, "view", 1.0)
+            )
+            eid += 1
+        for i in range(4):  # 4 purchases/day = p1 exactly
+            rows.append(
+                (eid, f"2024-01-{day:02d}T02:{i:02d}:00", i, "purchase", 1.0)
+            )
+            eid += 1
+    out = sorted(
+        (r["d"], r["n_trials"], r["n_success"], r["llr"], r["decision"])
+        for r in evops.sprt_daily(_evv(spark, rows)).collect()
+    )
+    c1 = math.log(0.04 / 0.02)
+    c0 = math.log(0.96 / 0.98)
+    upper = math.log(0.95 / 0.05)
+    crossed = False
+    for day, (d, nt, ns, llr, dec) in enumerate(out, start=1):
+        assert nt == 100 * day and ns == 4 * day
+        want = round(ns * c1 + (nt - ns) * c0, 6)
+        assert llr == want, (d, llr, want)
+        if ns * c1 + (nt - ns) * c0 >= upper:
+            crossed = True
+            assert dec == "accept_h1", d
+        else:
+            assert dec == "continue", d
+    assert crossed  # 20 days at true p1 is plenty to cross

@@ -65,3 +65,47 @@ def test_holdout_split_deterministic_and_near_80(spark):
     assert s1 == s2  # identity-derived: partitioning-invariant
     frac = sum(1 for v in s1.values() if v == "train") / len(s1)
     assert 0.75 < frac < 0.85
+
+
+def test_horvitz_thompson_exact_replay_and_unbiasedness_shape(spark):
+    """hashlib replay of the sampler membership + the estimator
+    formulas; a rate-1000 stratum is a census: estimate == truth,
+    variance 0, rel_err 0."""
+    import hashlib
+
+    from ddaugner_spark.operators import sampling
+
+    rows = [
+        (i, " ".join(["w"] * (5 + i % 7)), "en", f"src{i % 2}")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    rates = {"src0": 1000, "src1": 400}
+    got = {
+        r["stratum"]: r
+        for r in sampling.horvitz_thompson(docs, rates).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 1000
+
+    for s, mille in rates.items():
+        xs = [5 + i % 7 for i, _, _, src in rows if src == s]
+        sampled = [
+            5 + i % 7
+            for i, _, _, src in rows
+            if src == s and bucket(i) < mille
+        ]
+        pi = mille / 1000.0
+        r = got[s]
+        assert r["n_sampled"] == len(sampled)
+        assert r["true_tokens"] == sum(xs)
+        assert r["est_tokens"] == round(sum(sampled) / pi, 6)
+        assert r["var_est"] == round(
+            sum(x * x for x in sampled) * (1.0 - pi) / (pi * pi), 6
+        )
+    census = got["src0"]
+    assert census["est_tokens"] == float(census["true_tokens"])
+    assert census["var_est"] == 0.0 and census["rel_err"] == 0.0
