@@ -5487,6 +5487,27 @@ def q_dispersion(spark, sf):
     return stats.dispersion_index(ev, "event_type", "value")
 
 
+def q_chi2_independence(spark, sf):
+    """Pearson χ² independence test + Cramér's V over the lang × source
+    contingency table — the omnibus categorical-association readout
+    (vs q_chi2_tokens' per-token 2×2 screens): one corpus-touching
+    count aggregate, zero-cells restored by a dimension-sized level
+    cross, exact-BIGINT cell numerators (operators/stats.py
+    chi2_independence)."""
+    return stats.chi2_independence(_docs(spark, sf), "lang", "source")
+
+
+def q_page_hinkley(spark, sf):
+    """Page–Hinkley upward change-point detection on the daily mean
+    event value: running-mean deviations accumulated under a fixed
+    ORDER BY d window (both engines fold the identical float sequence)
+    with the min-referenced PH statistic and the λ alarm — the
+    sequential drift monitor next to the windowed CUSUM
+    (operators/events.py page_hinkley)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.page_hinkley(ev, delta=0.5, lam=50.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5866,6 +5887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kruskal_wallis": q_kruskal_wallis,
         "q_ht_estimate": q_ht_estimate,
         "q_sprt": q_sprt,
+        "q_chi2_independence": q_chi2_independence,
+        "q_page_hinkley": q_page_hinkley,
     }
 
 
@@ -7213,6 +7236,85 @@ def oracle_sql() -> dict[str, str]:
                   THEN 'accept_h0'
                   ELSE 'continue' END AS decision
       FROM cum
+    """
+
+    # χ² independence replay: same integer contingency cells, the
+    # level cross restoring zero cells, the same long→double square
+    # and single division per cell
+    o["q_chi2_independence"] = """
+      WITH base AS (
+        SELECT lang::VARCHAR AS r, source::VARCHAR AS c FROM documents
+        WHERE lang IS NOT NULL AND source IS NOT NULL
+      ),
+      obs AS (SELECT r, c, count(*)::BIGINT AS o FROM base GROUP BY 1, 2),
+      rmarg AS (SELECT r, sum(o)::BIGINT AS rn FROM obs GROUP BY 1),
+      cmarg AS (SELECT c, sum(o)::BIGINT AS cn FROM obs GROUP BY 1),
+      tot AS (SELECT count(*)::BIGINT AS n FROM base),
+      cells AS (
+        SELECT rmarg.r, cmarg.c, rn, cn, coalesce(o, 0)::BIGINT AS o
+        FROM rmarg CROSS JOIN cmarg
+        LEFT JOIN obs ON obs.r = rmarg.r AND obs.c = cmarg.c
+      ),
+      terms AS (
+        SELECT n, r, c,
+               ((o * n - rn * cn)::DOUBLE * (o * n - rn * cn)::DOUBLE)
+                 / (n::DOUBLE * rn::DOUBLE * cn::DOUBLE) AS term
+        FROM cells CROSS JOIN tot
+      ),
+      folded AS (
+        SELECT max(n)::BIGINT AS n,
+               count(DISTINCT r)::BIGINT AS r_levels,
+               count(DISTINCT c)::BIGINT AS c_levels,
+               sum(term) AS chi2_raw
+        FROM terms
+      )
+      SELECT n, r_levels, c_levels,
+             ((r_levels - 1) * (c_levels - 1))::BIGINT AS dof,
+             round(CASE WHEN (r_levels - 1) * (c_levels - 1) > 0
+                        THEN chi2_raw ELSE 0.0 END, 6) AS chi2,
+             round(CASE WHEN least(r_levels - 1, c_levels - 1) > 0
+                             AND n > 0
+                        THEN sqrt(chi2_raw
+                                  / (n::DOUBLE
+                                     * least(r_levels - 1, c_levels - 1)))
+                        ELSE 0.0 END, 6) AS cramers_v
+      FROM folded
+    """
+
+    # Page–Hinkley replay: identical day-level exact-integer sums, the
+    # same ordered cumulative windows (fixed fold order on both
+    # engines), literal delta/lambda
+    o["q_page_hinkley"] = """
+      WITH daily AS (
+        SELECT ts::DATE AS d,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+      ),
+      cum AS (
+        SELECT d, cents / 100.0 / cnt AS x,
+               (sum(cents) OVER w) / 100.0 / (sum(cnt) OVER w) AS run_mean
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ),
+      stepped AS (
+        SELECT d, x, run_mean, x - run_mean - 0.5 AS term FROM cum
+      ),
+      mt AS (
+        SELECT d, x, run_mean, sum(term) OVER w AS m_t FROM stepped
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      ),
+      ph AS (
+        SELECT d, x, run_mean, m_t, m_t - min(m_t) OVER w AS ph FROM mt
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+      )
+      SELECT strftime(d, '%Y-%m-%d') AS d, round(x, 6) AS x,
+             round(run_mean, 6) AS run_mean, round(m_t, 6) AS m_t,
+             round(ph, 6) AS ph, ph > 50.0 AS alarm
+      FROM ph
     """
 
     # Kruskal–Wallis replay: doubled integer ranks off the

@@ -965,3 +965,70 @@ def sprt_daily(
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+def page_hinkley(
+    events: DataFrame,
+    delta: float = 0.5,
+    lam: float = 50.0,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Page–Hinkley (Page 1954 / Hinkley 1971) upward change-point
+    detection on the daily mean of ``value_col``: per day ``(d, x,
+    run_mean, m_t, ph, alarm)`` where ``m_t = Σ_{s≤t}(x_s − μ̂_s − δ)``
+    (μ̂_s the running mean up to s), ``ph = m_t − min_{s≤t} m_s``, and
+    ``alarm`` fires when ph > λ — the drift monitor a crawl-quality
+    dashboard runs on ingest metrics, complementing the windowed CUSUM
+    (temporal.py) with the classic self-normalizing sequential form.
+
+    Determinism: the stream collapses to one exact-integer (cents) row
+    per day FIRST; x_s and μ̂_s are each ONE division of exact integer
+    cumulative sums; the cumulative Σ of the float terms and the
+    running min both run under ``ORDER BY d ROWS UNBOUNDED PRECEDING``
+    — a fixed evaluation order, so both engines fold the identical
+    float sequence and every output bit matches before the render
+    round.
+
+    Scale shape: map-side-combinable (day) aggregate; every window
+    runs on the day-count table (≤ a few thousand rows for years of
+    data) — the corpus is touched once, nothing row-sized is sorted.
+    """
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w = (
+        Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        (F.col("cents") / F.lit(100.0) / F.col("cnt")).alias("x"),
+        (
+            F.sum("cents").over(w) / F.lit(100.0) / F.sum("cnt").over(w)
+        ).alias("run_mean"),
+    )
+    term = F.col("x") - F.col("run_mean") - F.lit(delta)
+    stepped = cum.select("d", "x", "run_mean", term.alias("term"))
+    m_t = F.sum("term").over(w)
+    ph_rows = stepped.select(
+        "d", "x", "run_mean", m_t.alias("m_t")
+    ).select(
+        "d",
+        "x",
+        "run_mean",
+        "m_t",
+        (F.col("m_t") - F.min("m_t").over(w)).alias("ph"),
+    )
+    return ph_rows.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round("x", ndigits).alias("x"),
+        F.round("run_mean", ndigits).alias("run_mean"),
+        F.round("m_t", ndigits).alias("m_t"),
+        F.round("ph", ndigits).alias("ph"),
+        (F.col("ph") > F.lit(lam)).alias("alarm"),
+    )
+

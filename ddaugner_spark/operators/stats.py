@@ -1283,3 +1283,96 @@ def kruskal_wallis(
         F.round("h_raw", ndigits).alias("h"),
         F.round("hc_raw", ndigits).alias("h_corrected"),
     )
+
+
+def chi2_independence(
+    df: DataFrame, row_col: str, col_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Pearson χ² test of independence over the ``row_col × col_col``
+    contingency table, one output row: ``(n, r_levels, c_levels, dof,
+    chi2, cramers_v)`` — the categorical-association screen (is a
+    document's language independent of its crawl source? is event type
+    independent of weekday?) that belongs next to the two-sample tests
+    (mann_whitney_u, kruskal_wallis) in the quality toolbox.
+
+    Exactness: the corpus collapses to ONE hash aggregate of observed
+    cell counts; zero-observed cells are restored by crossing the two
+    level dimensions (levels × levels rows — dimension-sized).  Each
+    cell term is written as ``(O·N − R·C)² / (N·R·C)``: the inner
+    difference is EXACT BIGINT (|O·N|, |R·C| ≤ N² — exact to N ≈ 3·10⁹;
+    beyond that switch the margins to DECIMAL), squared after ONE
+    identical long→double cast on both engines (IEEE round-to-nearest
+    is deterministic, so even past 2⁵³ both engines square the same
+    double), then ONE division per cell; the only cross-engine
+    order-divergent float op is the Σ over the ≤ levels² cell terms
+    (terms are O(N) magnitude; the render rounds to ``ndigits``).
+    Cramér's V = √(χ²/(N·min(r−1,c−1))) is a single IEEE sqrt of that
+    sum.  Degenerate 1-level margins ⇒ dof 0, chi2 0, V = 0.
+
+    Scale shape: map-side-combined count aggregate (levels² rows out),
+    two tiny margin aggregates, one dimension-sized cross join.  The
+    corpus is touched exactly once.
+    """
+    base = df.select(
+        F.col(row_col).cast("string").alias("r"),
+        F.col(col_col).cast("string").alias("c"),
+    ).where(F.col("r").isNotNull() & F.col("c").isNotNull())
+    obs = base.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = obs.groupBy("r").agg(F.sum("o").cast("long").alias("rn"))
+    cols = obs.groupBy("c").agg(F.sum("o").cast("long").alias("cn"))
+    full = (
+        rows.crossJoin(cols)
+        .join(obs, ["r", "c"], "left")
+        .select(
+            "r",
+            "c",
+            "rn",
+            "cn",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = (
+        F.col("o") * F.col("n") - F.col("rn") * F.col("cn")
+    ).cast("double")
+    term = (d * d) / (
+        F.col("n").cast("double")
+        * F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+    )
+    folded = (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            term.alias("term"),
+            F.col("r").alias("rl"),
+            F.col("c").alias("cl"),
+        )
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.countDistinct("rl").cast("long").alias("r_levels"),
+            F.countDistinct("cl").cast("long").alias("c_levels"),
+            F.sum("term").alias("chi2_raw"),
+        )
+    )
+    dof = (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    mindim = F.least(F.col("r_levels") - 1, F.col("c_levels") - 1)
+    v = F.when(
+        (mindim > 0) & (F.col("n") > 0),
+        F.sqrt(
+            F.col("chi2_raw") / (F.col("n").cast("double") * mindim)
+        ),
+    ).otherwise(F.lit(0.0))
+    return folded.select(
+        "n",
+        "r_levels",
+        "c_levels",
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.when(dof > 0, F.col("chi2_raw")).otherwise(F.lit(0.0)),
+            ndigits,
+        ).alias("chi2"),
+        F.round(v, ndigits).alias("cramers_v"),
+    )

@@ -340,3 +340,38 @@ def test_sprt_crossing_and_llr_arithmetic(spark):
         else:
             assert dec == "continue", d
     assert crossed  # 20 days at true p1 is plenty to cross
+
+
+def test_page_hinkley_step_change_alarms(spark):
+    """A level shift from mean 1.00 to mean 61.00 drives ph past
+    λ = 50; the pre-shift segment never alarms; per-day x, running
+    mean, m_t and ph replay the recurrence by hand."""
+    rows = []
+    eid = 0
+    for day in range(1, 11):  # 10 quiet days at value 1.00
+        for i in range(5):
+            rows.append((eid, f"2024-01-{day:02d}T01:{i:02d}:00", i, "e", 1.0))
+            eid += 1
+    for day in range(11, 21):  # 10 shifted days at value 61.00
+        for i in range(5):
+            rows.append((eid, f"2024-01-{day:02d}T01:{i:02d}:00", i, "e", 61.0))
+            eid += 1
+    out = sorted(
+        (r["d"], r["x"], r["run_mean"], r["m_t"], r["ph"], r["alarm"])
+        for r in evops.page_hinkley(_evv(spark, rows)).collect()
+    )
+    assert len(out) == 20
+    # hand replay
+    cum_c, cum_n, m, mmin = 0, 0, 0.0, None
+    for idx, (d, x, rm, m_t, ph, alarm) in enumerate(out, start=1):
+        val = 1.0 if idx <= 10 else 61.0
+        cum_c += int(round(val * 100)) * 5
+        cum_n += 5
+        want_rm = cum_c / 100.0 / cum_n
+        assert x == round(val, 6) and rm == round(want_rm, 6)
+        m += val - want_rm - 0.5
+        mmin = m if mmin is None else min(mmin, m)
+        assert m_t == round(m, 6) and ph == round(m - mmin, 6)
+        assert alarm == ((m - mmin) > 50.0), d
+    assert not any(a for (_, _, _, _, _, a) in out[:10])
+    assert out[-1][5]  # shifted regime ends in alarm

@@ -180,3 +180,42 @@ def test_filter_stack_reason_precedence_and_dedup(spark):
     assert set(r["reason"] for r in out.values()) <= {
         "short", "long", "low_ttr", "low_stopword", "duplicate", "keep"
     }
+
+
+def test_chi2_independence_exact_and_degenerate(spark):
+    """2×2 table with known χ² (hand formula) and Cramér's V = √(χ²/n);
+    a perfectly independent table gives χ² = 0; a single-level margin
+    gives dof 0 / chi2 0 / V 0."""
+    from ddaugner_spark.operators.stats import chi2_independence
+
+    def tbl(cells):
+        rows = []
+        for (r, c), k in cells.items():
+            rows.extend([(r, c)] * k)
+        return spark.createDataFrame(rows, "lang string, source string")
+
+    # dependent 2x2: [[10, 20], [30, 5]]
+    out = chi2_independence(
+        tbl({("a", "x"): 10, ("a", "y"): 20, ("b", "x"): 30, ("b", "y"): 5}),
+        "lang",
+        "source",
+    ).collect()[0]
+    n, cells = 65, [(10, 30, 40), (20, 30, 25), (30, 35, 40), (5, 35, 25)]
+    chi2 = sum((o * n - rn * cn) ** 2 / (n * rn * cn) for o, rn, cn in cells)
+    assert out["n"] == 65 and out["dof"] == 1
+    assert out["chi2"] == round(chi2, 6)
+    assert out["cramers_v"] == round(math.sqrt(chi2 / n), 6)
+
+    # independent: counts proportional to row x col margins
+    ind = chi2_independence(
+        tbl({("a", "x"): 4, ("a", "y"): 8, ("b", "x"): 2, ("b", "y"): 4}),
+        "lang",
+        "source",
+    ).collect()[0]
+    assert ind["chi2"] == 0.0 and ind["cramers_v"] == 0.0
+
+    # degenerate: one column level only
+    deg = chi2_independence(
+        tbl({("a", "x"): 3, ("b", "x"): 7}), "lang", "source"
+    ).collect()[0]
+    assert deg["dof"] == 0 and deg["chi2"] == 0.0 and deg["cramers_v"] == 0.0
