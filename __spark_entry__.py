@@ -1913,6 +1913,26 @@ def q_relation_sigs(spark, sf):
     return relation_signatures(triples.triples_df(_docs(spark, sf)))
 
 
+def q_pred_cardinality(spark, sf):
+    """KG relation cardinality profiling: each predicate classified
+    1:1 / 1:N / N:1 / N:M from exact distinct-pair fan-outs (the
+    Bordes/FB15k 1.5 threshold) — one slim dedup shuffle, then
+    predicate-sized arithmetic (operators/triples.py
+    predicate_cardinality)."""
+    return triples.predicate_cardinality(triples.triples_df(_docs(spark, sf)))
+
+
+def q_entity_summary(spark, sf):
+    """Entity summarization: top-3 rarest-predicate facts per subject
+    (RELIN/FACES-style informativeness, exact-count form) — distinct
+    facts + a predicate-frequency broadcast + one per-subject window,
+    hub output bounded by k (operators/kgquery.py
+    entity_fact_summary)."""
+    from ddaugner_spark.operators.kgquery import entity_fact_summary
+
+    return entity_fact_summary(triples.triples_df(_docs(spark, sf)), k=3)
+
+
 def q_two_hop(spark, sf):
     """KG consumption: two-hop path enumeration over the constructed
     triple graph — support-weighted edges (≥2 attestations), each mid
@@ -5889,6 +5909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sprt": q_sprt,
         "q_chi2_independence": q_chi2_independence,
         "q_page_hinkley": q_page_hinkley,
+        "q_pred_cardinality": q_pred_cardinality,
+        "q_entity_summary": q_entity_summary,
     }
 
 
@@ -7902,6 +7924,54 @@ def oracle_sql() -> dict[str, str]:
       SELECT subj_tag, pred, obj_tag, n, n_subj_entities, n_obj_entities,
              pred_total, round(n / pred_total::DOUBLE, 6) AS sig_frac
       FROM sigs JOIN tot USING (pred)
+    """
+
+    # predicate cardinality replay: same distinct-pair counts, one
+    # division each for tph/hpt, literal 1.5 class thresholds
+    o["q_pred_cardinality"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      pairs AS (SELECT DISTINCT subj, pred, obj FROM tri),
+      agg AS (
+        SELECT pred, count(*)::BIGINT AS n_pairs,
+               count(DISTINCT subj)::BIGINT AS n_subj,
+               count(DISTINCT obj)::BIGINT AS n_obj
+        FROM pairs GROUP BY pred
+      )
+      SELECT pred, n_pairs, n_subj, n_obj,
+             round(n_pairs / n_subj::DOUBLE, 6) AS tails_per_head,
+             round(n_pairs / n_obj::DOUBLE, 6) AS heads_per_tail,
+             CASE
+               WHEN n_pairs / n_subj::DOUBLE < 1.5
+                    AND n_pairs / n_obj::DOUBLE < 1.5 THEN '1:1'
+               WHEN n_pairs / n_subj::DOUBLE >= 1.5
+                    AND n_pairs / n_obj::DOUBLE < 1.5 THEN '1:N'
+               WHEN n_pairs / n_subj::DOUBLE < 1.5
+                    AND n_pairs / n_obj::DOUBLE >= 1.5 THEN 'N:1'
+               ELSE 'N:M'
+             END AS cardinality
+      FROM agg
+    """
+
+    # entity summary replay: same distinct facts, predicate-frequency
+    # join, identical total-order row_number
+    o["q_entity_summary"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      facts AS (SELECT DISTINCT subj, pred, obj FROM tri),
+      pf AS (SELECT pred, count(*)::BIGINT AS pred_freq FROM facts
+             GROUP BY pred),
+      ranked AS (
+        SELECT subj,
+               row_number() OVER (PARTITION BY subj
+                                  ORDER BY pred_freq, pred, obj)::BIGINT
+                 AS rank,
+               pred, obj, pred_freq
+        FROM facts JOIN pf USING (pred)
+      )
+      SELECT subj, rank, pred, obj, pred_freq FROM ranked WHERE rank <= 3
     """
 
     o["q_two_hop"] = f"""

@@ -444,3 +444,37 @@ def kg_completion_eval(
             "hits10"
         ),
     )
+
+
+def entity_fact_summary(triples: DataFrame, k: int = 3) -> DataFrame:
+    """(subj, rank, pred, obj, pred_freq) — the top-``k`` most
+    INFORMATIVE facts per subject entity: distinct facts ranked
+    rarest-predicate-first (global predicate frequency ascending, ties
+    by (pred, obj) text), the degenerate-but-exact core of RELIN/
+    FACES-style entity summarization — a hub entity's card shows its
+    distinguishing facts, not its thousand generic ones.
+
+    Determinism: predicate frequency is an exact long; the per-entity
+    rank is a row_number over the TOTAL order (pred_freq, pred, obj).
+
+    Shape at scale: one distinct-fact dedup (slim keys), a
+    predicate-count-sized broadcast back onto the facts, one
+    per-subject window — partitioned by subj, so no global sort; the
+    fan cap k bounds every entity's output including hubs.
+    """
+    facts = triples.select("subj", "pred", "obj").distinct()
+    pf = facts.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("pred_freq")
+    )
+    w = Window.partitionBy("subj").orderBy("pred_freq", "pred", "obj")
+    return (
+        facts.join(F.broadcast(pf), "pred")
+        .select(
+            "subj",
+            F.row_number().over(w).cast("long").alias("rank"),
+            "pred",
+            "obj",
+            "pred_freq",
+        )
+        .where(F.col("rank") <= k)
+    )

@@ -609,3 +609,45 @@ def temporal_join_paths(
             (ov_end - ov_start + 1).alias("ov_days"),
         )
     )
+
+
+def predicate_cardinality(triples: DataFrame, ndigits: int = 6) -> DataFrame:
+    """(pred, n_pairs, n_subj, n_obj, tails_per_head, heads_per_tail,
+    cardinality) — relation cardinality profiling over the constructed
+    KG: each predicate classified 1:1 / 1:N / N:1 / N:M from its
+    average distinct-tail fan-out per head (tph = pairs/heads) and
+    distinct-head fan-in per tail (hpt = pairs/tails), the Bordes/
+    FB15k convention (threshold 1.5).  The schema-induction readout
+    embedding-model selection and functional-constraint proposals
+    (functional_conflicts' `pred` argument) are driven by.
+
+    Exactness: counts are exact longs off ONE distinct-pair aggregate;
+    tph/hpt are one division each; the class compares those quotients
+    to the literal 1.5 — identical doubles on both engines.
+
+    Shape at scale: dedup shuffles slim (s,p,o) keys once (map-side
+    combined); everything after runs on predicate-count-sized rows.
+    """
+    pairs = triples.select("subj", "pred", "obj").distinct()
+    agg = pairs.groupBy("pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("subj").cast("long").alias("n_subj"),
+        F.count_distinct("obj").cast("long").alias("n_obj"),
+    )
+    tph = F.col("n_pairs") / F.col("n_subj")
+    hpt = F.col("n_pairs") / F.col("n_obj")
+    card = (
+        F.when((tph < 1.5) & (hpt < 1.5), F.lit("1:1"))
+        .when((tph >= 1.5) & (hpt < 1.5), F.lit("1:N"))
+        .when((tph < 1.5) & (hpt >= 1.5), F.lit("N:1"))
+        .otherwise(F.lit("N:M"))
+    )
+    return agg.select(
+        "pred",
+        "n_pairs",
+        "n_subj",
+        "n_obj",
+        F.round(tph, ndigits).alias("tails_per_head"),
+        F.round(hpt, ndigits).alias("heads_per_tail"),
+        card.alias("cardinality"),
+    )

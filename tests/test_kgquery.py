@@ -181,3 +181,51 @@ def test_functional_conflicts_sample_is_bounded_and_sorted(spark):
     )
     rows = functional_conflicts(tri, min_functionality=0.5, sample_k=3).collect()
     assert [(r.subj, r.n_objs, r.objs) for r in rows] == [("s", 5, "a|b|c")]
+
+
+def test_predicate_cardinality_classes(spark):
+    """Hand-built predicates hitting all four classes; duplicates are
+    attestations (deduped before counting); fan-out ratios exact."""
+    from ddaugner_spark.operators.triples import predicate_cardinality
+
+    rows = (
+        # one_one: 3 heads -> 3 distinct tails bijectively
+        [("a", "one_one", "x"), ("b", "one_one", "y"), ("c", "one_one", "z")]
+        # one_n: 1 head -> 3 tails (tph 3, hpt 1)
+        + [("h", "one_n", t) for t in ("t1", "t2", "t3")]
+        # n_one: 3 heads -> 1 tail (tph 1, hpt 3)
+        + [(s, "n_one", "hub") for s in ("s1", "s2", "s3")]
+        # n_m: 2 heads x 2 tails full bipartite (tph 2, hpt 2)
+        + [(s, "n_m", t) for s in ("u", "v") for t in ("p", "q")]
+        # duplicate attestation must not change counts
+        + [("a", "one_one", "x")]
+    )
+    out = {
+        r["pred"]: r for r in predicate_cardinality(_tri(spark, rows)).collect()
+    }
+    assert out["one_one"]["cardinality"] == "1:1"
+    assert out["one_n"]["cardinality"] == "1:N"
+    assert out["n_one"]["cardinality"] == "N:1"
+    assert out["n_m"]["cardinality"] == "N:M"
+    assert out["one_one"]["n_pairs"] == 3  # dup deduped
+    assert out["one_n"]["tails_per_head"] == 3.0
+    assert out["n_one"]["heads_per_tail"] == 3.0
+    assert out["n_m"]["tails_per_head"] == 2.0
+
+
+def test_entity_fact_summary_rarest_first_and_cap(spark):
+    """Facts rank rarest-predicate-first with (pred, obj) tiebreak;
+    output per entity capped at k."""
+    rows = (
+        [("e", "common", t) for t in ("c1", "c2", "c3", "c4")]
+        + [("e", "rare", "r1")]
+        + [("f", "common", "c1")]
+    )
+    out = kgquery.entity_fact_summary(_tri(spark, rows), k=2).collect()
+    by_e = sorted(
+        [(r["rank"], r["pred"], r["obj"]) for r in out if r["subj"] == "e"]
+    )
+    # rare (freq 1) outranks common (freq 5); common ties break by obj
+    assert by_e == [(1, "rare", "r1"), (2, "common", "c1")]
+    assert all(r["rank"] <= 2 for r in out)
+    assert [r for r in out if r["subj"] == "f"][0]["rank"] == 1
