@@ -5507,6 +5507,15 @@ def q_dispersion(spark, sf):
     return stats.dispersion_index(ev, "event_type", "value")
 
 
+def q_gopher_rules(spark, sf):
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1): per-doc
+    pass/fail on word count, mean word length, symbol ratio, bullet /
+    ellipsis line shares, alphabetic-word share, required stop words —
+    every threshold cross-multiplied to an exact-integer comparison,
+    map-only (operators/textstats.py gopher_rules)."""
+    return textstats.gopher_rules(_docs(spark, sf))
+
+
 def q_chi2_independence(spark, sf):
     """Pearson χ² independence test + Cramér's V over the lang × source
     contingency table — the omnibus categorical-association readout
@@ -5911,6 +5920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_page_hinkley": q_page_hinkley,
         "q_pred_cardinality": q_pred_cardinality,
         "q_entity_summary": q_entity_summary,
+        "q_gopher_rules": q_gopher_rules,
     }
 
 
@@ -7258,6 +7268,55 @@ def oracle_sql() -> dict[str, str]:
                   THEN 'accept_h0'
                   ELSE 'continue' END AS decision
       FROM cum
+    """
+
+    # Gopher rule-gate replay: identical integer counts (length-diff
+    # symbol occurrences, list filters, stop-word intersection) and the
+    # same cross-multiplied thresholds — no float anywhere
+    _gstops = ", ".join(
+        f"'{w}'" for w in textstats.GOPHER_STOPS
+    )
+    o["q_gopher_rules"] = f"""
+      WITH base AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+      ),
+      m AS (
+        SELECT doc_id,
+          len(string_split(t, ' '))::BIGINT AS n,
+          len(string_split(t, chr(10)))::BIGINT AS n_lines,
+          (length(t) - (len(string_split(t, ' ')) - 1))::BIGINT
+            AS chars_in_words,
+          (length(t) - length(replace(t, '#', '')))::BIGINT AS n_hash,
+          ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT
+            AS n_ellipsis,
+          len(list_filter(string_split(t, chr(10)),
+              l -> starts_with(l, '- ') OR starts_with(l, '* ')))::BIGINT
+            AS n_bullet,
+          len(list_filter(string_split(t, chr(10)),
+              l -> ends_with(l, '...')))::BIGINT AS n_ell_end,
+          len(list_filter(string_split(t, ' '),
+              x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+          len(list_intersect(list_distinct(string_split(t, ' ')),
+              [{_gstops}]))::BIGINT AS n_stops
+        FROM base
+      )
+      SELECT doc_id, n AS n_words,
+        (n >= 50 AND n <= 100000) AS ok_words,
+        (chars_in_words >= 3 * n AND chars_in_words <= 10 * n)
+          AS ok_mean_len,
+        ((n_hash + n_ellipsis) * 10 <= n) AS ok_symbols,
+        (n_bullet * 10 <= n_lines * 9) AS ok_bullets,
+        (n_ell_end * 10 <= n_lines * 3) AS ok_ellipsis,
+        (n_alpha * 5 >= n * 4) AS ok_alpha,
+        (n_stops >= 2) AS ok_stops,
+        ((n >= 50 AND n <= 100000)
+         AND (chars_in_words >= 3 * n AND chars_in_words <= 10 * n)
+         AND ((n_hash + n_ellipsis) * 10 <= n)
+         AND (n_bullet * 10 <= n_lines * 9)
+         AND (n_ell_end * 10 <= n_lines * 3)
+         AND (n_alpha * 5 >= n * 4)
+         AND (n_stops >= 2)) AS keep
+      FROM m
     """
 
     # χ² independence replay: same integer contingency cells, the

@@ -1421,3 +1421,106 @@ def topic_segments(
         F.round(sim, ndigits).alias("sim"),
         (F.round(sim, ndigits) < threshold).alias("is_boundary"),
     )
+
+
+#: Gopher (Rae et al. 2021, §A1.1) "required words": a document must
+#: contain at least ``GOPHER_MIN_STOPS`` of these to pass ok_stops.
+#: Python tuple injected as literals into BOTH engines.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+) -> DataFrame:
+    """Gopher document-level quality-rule gate (Rae et al. 2021 §A1.1),
+    one row per doc: ``(doc_id, n_words, ok_words, ok_mean_len,
+    ok_symbols, ok_bullets, ok_ellipsis, ok_alpha, ok_stops, keep)`` —
+    the rule-based pre-filter every LLM curation pipeline runs before
+    the learned quality classifiers (complementing quality_features'
+    raw ratios and repetition_stats' dup signals with the canonical
+    pass/fail form):
+
+    * word count in [min_words, max_words];
+    * mean word length in [min_mean_len, max_mean_len];
+    * symbol-to-word ratio (``#`` + ``...``) ≤ 0.1;
+    * ≤ 90% of lines starting with a bullet (``- `` / ``* ``);
+    * ≤ 30% of lines ending with ``...``;
+    * ≥ 80% of words containing an alphabetic character;
+    * ≥ GOPHER_MIN_STOPS of the GOPHER_STOPS list present.
+
+    EVERY rule is an exact-integer comparison — each ratio threshold is
+    cross-multiplied (``10·symbols ≤ n_words``, ``5·alpha ≥ 4·n``), so
+    no float exists anywhere and both engines agree bit-for-bit.
+    Counts come from length-diff (symbol occurrences) and
+    higher-order-function filters over the split arrays (the split is
+    the HOF's direct target, never a computed column referenced inside
+    a lambda body).  Map-only: one projection pass, no shuffle.
+    """
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    toks = F.split(F.col("text"), " ")
+    lines = F.split(F.col("text"), "\n")
+    n = F.size(toks).cast("long")
+    n_lines = F.size(lines).cast("long")
+    chars_in_words = (F.length("text") - (n - 1)).cast("long")
+    n_hash = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ).cast("long")
+    n_ellipsis = (
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit("...")))
+        )
+        / 3
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ") | l.startswith("* "),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stops = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPS]),
+        )
+    ).cast("long")
+    ok_words = (n >= min_words) & (n <= max_words)
+    ok_mean_len = (chars_in_words >= min_mean_len * n) & (
+        chars_in_words <= max_mean_len * n
+    )
+    ok_symbols = (n_hash + n_ellipsis) * 10 <= n
+    ok_bullets = n_bullet * 10 <= n_lines * 9
+    ok_ellipsis = n_ell_end * 10 <= n_lines * 3
+    ok_alpha = n_alpha * 5 >= n * 4
+    ok_stops = n_stops >= GOPHER_MIN_STOPS
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        ok_words.alias("ok_words"),
+        ok_mean_len.alias("ok_mean_len"),
+        ok_symbols.alias("ok_symbols"),
+        ok_bullets.alias("ok_bullets"),
+        ok_ellipsis.alias("ok_ellipsis"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (
+            ok_words
+            & ok_mean_len
+            & ok_symbols
+            & ok_bullets
+            & ok_ellipsis
+            & ok_alpha
+            & ok_stops
+        ).alias("keep"),
+    )

@@ -739,3 +739,41 @@ class TestUrlTemplates:
             ("a.com", "/doc/{n}"): 2,
             ("a.com", "/u/{hex}"): 2,
         }
+
+
+def test_gopher_rules_each_rule_fails_independently(spark):
+    """One synthetic doc per rule violation; a canonical good doc
+    passes everything.  All thresholds are integer comparisons."""
+    good_words = ("the be to of and that have with word " * 8).strip()
+    line = "the be to of and that have with word wind park"
+    ell_doc = "\n".join(
+        [line + "..." for _ in range(4)] + [line for _ in range(6)]
+    )
+    rows = [
+        (1, good_words),                                   # passes all
+        (2, "the be short"),                               # too few words
+        (3, " ".join(["abcdefghijklmnop"] * 60) + " the be"),  # mean len > 10
+        (4, " ".join(["c#####"] * 3) + " " + good_words),  # symbol ratio
+        (5, "- the be\n- to of\n- and that\n- have with"),  # all bullets
+        (6, ell_doc),                                      # ellipsis line ends
+        (7, " ".join(["12345"] * 80) + " the be"),         # non-alpha words
+        (8, ("zig zag " * 40).strip()),                    # no stop words
+    ]
+    out = {r["doc_id"]: r for r in
+           textstats.gopher_rules(_docs(spark, rows), min_words=5).collect()}
+    assert out[1]["keep"] and all(
+        out[1][c] for c in out[1].asDict() if c.startswith("ok_")
+    )
+    assert not out[2]["ok_words"] and not out[2]["keep"]
+    assert not out[3]["ok_mean_len"] and not out[3]["keep"]
+    assert not out[4]["ok_symbols"] and not out[4]["keep"]
+    assert not out[5]["ok_bullets"] and not out[5]["keep"]
+    assert not out[6]["ok_ellipsis"] and not out[6]["keep"]
+    assert not out[7]["ok_alpha"] and not out[7]["keep"]
+    assert not out[8]["ok_stops"] and not out[8]["keep"]
+    # the failed rule is the ONLY failed rule for docs 4-8
+    for d, rule in [(4, "ok_symbols"), (5, "ok_bullets"),
+                    (6, "ok_ellipsis"), (7, "ok_alpha"), (8, "ok_stops")]:
+        fails = [c for c in out[d].asDict()
+                 if c.startswith("ok_") and not out[d][c]]
+        assert fails == [rule], (d, fails)
