@@ -5516,6 +5516,20 @@ def q_gopher_rules(spark, sf):
     return textstats.gopher_rules(_docs(spark, sf))
 
 
+def q_c4_clean(spark, sf):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    line-structured view of the corpus (lines synthesized by turning
+    ' the ' boundaries into '.\\n' — deterministic on both engines, the
+    q_url_templates device): terminal-punctuation / min-words /
+    javascript line gates + the lorem-ipsum / brace / min-lines doc
+    gate, pure string predicates, map-only (operators/textstats.py
+    c4_line_clean)."""
+    d = _docs(spark, sf).withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(".\n"))
+    )
+    return textstats.c4_line_clean(d, min_line_words=5, min_kept_lines=3)
+
+
 def q_chi2_independence(spark, sf):
     """Pearson χ² independence test + Cramér's V over the lang × source
     contingency table — the omnibus categorical-association readout
@@ -5921,6 +5935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pred_cardinality": q_pred_cardinality,
         "q_entity_summary": q_entity_summary,
         "q_gopher_rules": q_gopher_rules,
+        "q_c4_clean": q_c4_clean,
     }
 
 
@@ -7316,6 +7331,32 @@ def oracle_sql() -> dict[str, str]:
          AND (n_ell_end * 10 <= n_lines * 3)
          AND (n_alpha * 5 >= n * 4)
          AND (n_stops >= 2)) AS keep
+      FROM m
+    """
+
+    # C4 line-clean replay: identical line synthesis, the same string
+    # predicates per line, same doc gate
+    o["q_c4_clean"] = """
+      WITH base AS (
+        SELECT doc_id,
+               replace(coalesce(text, ''), ' the ', '.' || chr(10)) AS t
+        FROM documents
+      ),
+      m AS (
+        SELECT doc_id, t,
+          string_split(t, chr(10)) AS lines,
+          list_filter(string_split(t, chr(10)),
+            l -> (ends_with(l, '.') OR ends_with(l, '!')
+                  OR ends_with(l, '?') OR ends_with(l, '"'))
+                 AND len(string_split(l, ' ')) >= 5
+                 AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM base
+      )
+      SELECT doc_id, len(lines)::BIGINT AS n_lines,
+             len(kept)::BIGINT AS n_kept,
+             coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+             (contains(lower(t), 'lorem ipsum') OR contains(t, '{')
+              OR len(kept) < 3) AS doc_dropped
       FROM m
     """
 

@@ -1524,3 +1524,53 @@ def gopher_rules(
             & ok_stops
         ).alias("keep"),
     )
+
+
+def c4_line_clean(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2), one row per
+    doc: ``(doc_id, n_lines, n_kept, kept_text, doc_dropped)`` — the
+    line gate of the C4 pipeline: a line survives only if it ends in
+    terminal punctuation (``. ! ? \"``), has ≥ ``min_line_words``
+    whitespace words, and does not mention "javascript"
+    (case-insensitive); the DOC is dropped when it contains
+    "lorem ipsum" or a ``{`` (code page), or keeps fewer than
+    ``min_kept_lines`` lines.  Pairs with gopher_rules (document-level
+    thresholds) the way the two appear together in every public
+    curation stack.
+
+    Pure string predicates — no float anywhere, so both engines agree
+    exactly.  Map-only: one projection, the line filter is a
+    higher-order function whose lambda touches only its own line
+    variable (no computed-array capture).  kept_text re-joins with
+    ``\\n`` so the downstream stage consumes the cleaned page
+    directly.
+    """
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    lines = F.split(F.col("text"), "\n")
+    term = (
+        lambda l: l.endswith(".")
+        | l.endswith("!")
+        | l.endswith("?")
+        | l.endswith('"')
+    )
+    kept = F.filter(
+        lines,
+        lambda l: term(l)
+        & (F.size(F.split(l, " ")) >= min_line_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    bad_doc = (
+        F.lower(F.col("text")).contains("lorem ipsum")
+        | F.col("text").contains("{")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        (bad_doc | (F.size(kept) < min_kept_lines)).alias("doc_dropped"),
+    )

@@ -777,3 +777,33 @@ def test_gopher_rules_each_rule_fails_independently(spark):
         fails = [c for c in out[d].asDict()
                  if c.startswith("ok_") and not out[d][c]]
         assert fails == [rule], (d, fails)
+
+
+def test_c4_line_clean_rules(spark):
+    """Line gates: terminal punctuation, min words, javascript; doc
+    gates: lorem ipsum, brace, min kept lines."""
+    keepable = 'alpha beta gamma delta epsilon.'
+    rows = [
+        # 3 good lines -> kept, doc survives
+        (1, "\n".join([keepable] * 3)),
+        # good lines but one has javascript -> 2 kept -> doc dropped
+        (2, "\n".join([keepable, "run JavaScript now quickly please.",
+                       keepable])),
+        # no terminal punctuation -> nothing kept
+        (3, "alpha beta gamma delta epsilon"),
+        # short line (4 words) dropped even with punctuation
+        (4, "\n".join([keepable] * 3 + ["alpha beta gamma delta."])),
+        # lorem ipsum kills the doc even with 3 good lines
+        (5, "\n".join([keepable] * 3 + ["Lorem Ipsum dolor sit amet."])),
+        # brace kills the doc
+        (6, "\n".join([keepable] * 3 + ["var x = {a} b c d e."])),
+    ]
+    out = {r["doc_id"]: r for r in
+           textstats.c4_line_clean(_docs(spark, rows)).collect()}
+    assert out[1]["n_kept"] == 3 and not out[1]["doc_dropped"]
+    assert out[1]["kept_text"] == "\n".join([keepable] * 3)
+    assert out[2]["n_kept"] == 2 and out[2]["doc_dropped"]
+    assert out[3]["n_kept"] == 0 and out[3]["doc_dropped"]
+    assert out[4]["n_kept"] == 3  # the 4-word line is filtered
+    assert out[5]["n_kept"] == 4 and out[5]["doc_dropped"]
+    assert out[6]["doc_dropped"]
