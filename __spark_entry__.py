@@ -1694,6 +1694,26 @@ def q_bfs(spark, sf):
     return bfs_distances(edges, seeds, max_depth=3, stage_dir=_scratch("q_bfs_"))
 
 
+def q_betweenness(spark, sf):
+    """Sampled Brandes betweenness (k-betweenness, depth ≤ 3) from the
+    'hash%' seed set over the undirected KG edge set: level-synchronous
+    multi-source σ counting + backward dependency folding, each level a
+    frontier-proportional join (operators/graph.py betweenness_sampled);
+    oracle = bounded walk enumeration (σ = count of min-dist walks) +
+    a fixed 3-level unroll of the dependency recursion."""
+    from ddaugner_spark.operators.graph import betweenness_sampled
+
+    t = triples.triples_df(_docs(spark, sf))
+    edges = t.select(F.col("subj").alias("a"), F.col("obj").alias("b")).distinct()
+    nodes = edges.select(F.col("a").alias("node")).union(
+        edges.select(F.col("b").alias("node"))
+    ).distinct()
+    seeds = nodes.filter(F.col("node").startswith("hash"))
+    return betweenness_sampled(
+        edges, seeds, max_depth=3, stage_dir=_scratch("q_bc_")
+    )
+
+
 def _link_pages(d: DataFrame, anchor_tag) -> DataFrame:
     """(url, html binary) pages with 1 + doc_id%3 synthetic ``<a>`` tags
     appended to the body — ``anchor_tag(j)`` builds one tag Column for
@@ -5936,6 +5956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_entity_summary": q_entity_summary,
         "q_gopher_rules": q_gopher_rules,
         "q_c4_clean": q_c4_clean,
+        "q_betweenness": q_betweenness,
     }
 
 
@@ -7754,6 +7775,68 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, min(dist) AS dist FROM walk GROUP BY node
       )
       SELECT node, dist::INT AS dist FROM rr
+    """
+
+    # betweenness replay: walks of length ≤ 3 enumerated by a UNION ALL
+    # recursion (σ = count of walks at min dist — every min-length walk
+    # IS a shortest path), then the Brandes dependency recursion
+    # unrolled over the three levels; same σ-ratio divisions, same
+    # per-(src,v) float sums, leaves coalesced to δ = 0
+    o["q_betweenness"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      e0 AS (SELECT DISTINCT subj AS a, obj AS b FROM tri),
+      edges AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+      seeds AS (SELECT DISTINCT a AS node FROM edges WHERE a LIKE 'hash%'),
+      walk(src, node, dist) AS (
+        SELECT node, node, 0 FROM seeds
+        UNION ALL
+        SELECT w.src, e.b, w.dist + 1
+        FROM walk w JOIN edges e ON e.a = w.node
+        WHERE w.dist < 3
+      ),
+      dmin AS (SELECT src, node, min(dist) AS dist FROM walk GROUP BY 1, 2),
+      sig AS (
+        SELECT w.src, w.node, d.dist, count(*)::BIGINT AS sigma
+        FROM walk w JOIN dmin d
+          ON w.src = d.src AND w.node = d.node AND w.dist = d.dist
+        GROUP BY 1, 2, 3
+      ),
+      l1 AS (SELECT src, node, sigma FROM sig WHERE dist = 1),
+      l2 AS (SELECT src, node, sigma FROM sig WHERE dist = 2),
+      l3 AS (SELECT src, node, sigma FROM sig WHERE dist = 3),
+      c2 AS (
+        SELECT l2.src, l2.node,
+               sum(l2.sigma::DOUBLE / l3.sigma::DOUBLE * (1.0 + 0.0))
+                 AS delta
+        FROM l2 JOIN edges e ON e.a = l2.node
+        JOIN l3 ON l3.src = l2.src AND l3.node = e.b
+        GROUP BY 1, 2
+      ),
+      d2 AS (
+        SELECT l2.src, l2.node, l2.sigma,
+               coalesce(c2.delta, 0.0) AS delta
+        FROM l2 LEFT JOIN c2 ON c2.src = l2.src AND c2.node = l2.node
+      ),
+      c1 AS (
+        SELECT l1.src, l1.node,
+               sum(l1.sigma::DOUBLE / d2.sigma::DOUBLE * (1.0 + d2.delta))
+                 AS delta
+        FROM l1 JOIN edges e ON e.a = l1.node
+        JOIN d2 ON d2.src = l1.src AND d2.node = e.b
+        GROUP BY 1, 2
+      ),
+      d1 AS (
+        SELECT l1.src, l1.node, coalesce(c1.delta, 0.0) AS delta
+        FROM l1 LEFT JOIN c1 ON c1.src = l1.src AND c1.node = l1.node
+      ),
+      allparts AS (
+        SELECT src, node, 0.0 AS delta FROM l3
+        UNION ALL SELECT src, node, delta FROM d2
+        UNION ALL SELECT src, node, delta FROM d1
+      )
+      SELECT node, round(sum(delta), 6) AS bc FROM allparts GROUP BY node
     """
 
     # link-graph replay: same deterministic anchor injection into the

@@ -2158,3 +2158,124 @@ def jp_coloring(
             F.col("node").alias("entity"), F.lit(0).cast("long").alias("color")
         ).limit(0)
     return colored.select(F.col("node").alias("entity"), "color")
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 3,
+    ndigits: int = 6,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """(node, bc) — Brandes (2001) betweenness dependency accumulated
+    from the ``sources`` sample over the undirected graph, truncated at
+    ``max_depth`` hops (the k-betweenness of Pfeffer & Carley): for
+    each source s, the forward sweep counts shortest paths σ_s(v)
+    level-synchronously, the backward sweep folds dependencies
+    δ_s(v) = Σ_{w: v→w, d(w)=d(v)+1} σ_s(v)/σ_s(w) · (1+δ_s(w)) from
+    the deepest level up, and bc(v) = Σ_s δ_s(v).  Sampling sources
+    (Brandes–Pich) is THE scalable form — exact betweenness is
+    all-pairs and dead at crawl scale; bounded depth keeps both the
+    frontier fan-out and the SQL-twin unroll finite.
+
+    Shape at scale: each forward level joins ONLY the (src, frontier)
+    rows against the symmetric edge table — work proportional to edges
+    incident to the frontier, multi-source batched in one job (src is
+    just a key column); each backward level is one join + one
+    (src, v)-keyed sum.  Levels parquet-round-trip (constant plan
+    depth, the BFS/CC idiom).  The only floats are the σ-ratio
+    divisions of exact longs and the per-level dependency sums,
+    rounded at render.
+
+    Output: every node discovered at depth ≥ 1 from some source (plus
+    sampled sources discovered by other sources), with bc = 0.0 for
+    pure leaves.  Nodes beyond ``max_depth`` of every source are
+    absent.
+    """
+    spark = edges.sparkSession
+    own_dir = stage_dir is None
+    if own_dir:
+        import atexit
+
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_bc_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
+    lvl0 = sources.select("node").distinct().select(
+        F.col("node").alias("src"),
+        F.col("node"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    levels = [_roundtrip(lvl0, "lvl_0")]
+    visited = levels[0].select("src", "node")
+    for depth in range(1, max_depth + 1):
+        fr = levels[-1]
+        nxt = (
+            sym.join(fr, sym.a == fr.node)
+            .groupBy("src", F.col("b").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(visited, ["src", "node"], "left_anti")
+        )
+        nxt = _roundtrip(nxt, f"lvl_{depth}")
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = _roundtrip(
+            visited.unionByName(nxt.select("src", "node")),
+            f"visited_{depth % 2}",
+        )
+    # backward dependency accumulation, deepest level first
+    deepest = levels[-1].select(
+        "src", "node", "sigma", F.lit(0.0).alias("delta")
+    )
+    parts = []
+    if len(levels) > 1:
+        parts.append(deepest.select("src", "node", "delta"))
+    w_tbl = deepest
+    for d in range(len(levels) - 1, 0, -1):
+        v_tbl = levels[d - 1]
+        contrib = (
+            w_tbl.alias("w")
+            .join(sym.alias("e"), F.col("w.node") == F.col("e.b"))
+            .join(
+                v_tbl.alias("v"),
+                (F.col("v.src") == F.col("w.src"))
+                & (F.col("v.node") == F.col("e.a")),
+            )
+            .groupBy(F.col("v.src").alias("src"), F.col("v.node").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("v.sigma").cast("double")
+                    / F.col("w.sigma").cast("double")
+                    * (F.lit(1.0) + F.col("w.delta"))
+                ).alias("delta")
+            )
+        )
+        # leaves of this level (no shortest-path successor) keep δ = 0
+        lvl_delta = (
+            v_tbl.join(contrib, ["src", "node"], "left")
+            .select(
+                "src",
+                "node",
+                v_tbl["sigma"],
+                F.coalesce("delta", F.lit(0.0)).alias("delta"),
+            )
+        )
+        # one file per level: the parts list holds lazy readers of every
+        # delta table, so names must never be reused (no A/B churn)
+        lvl_delta = _roundtrip(lvl_delta, f"delta_{d}")
+        if d > 1:
+            parts.append(lvl_delta.select("src", "node", "delta"))
+        w_tbl = lvl_delta
+    if not parts:
+        return spark.createDataFrame([], "node string, bc double")
+    from functools import reduce
+
+    allparts = reduce(DataFrame.unionByName, parts)
+    return allparts.groupBy("node").agg(
+        F.round(F.sum("delta"), ndigits).alias("bc")
+    )

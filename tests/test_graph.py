@@ -934,3 +934,31 @@ def test_jp_coloring_proper_complete_and_replay(spark, tmp_path):
         unc -= win
         c += 1
     assert got == want
+
+
+def test_betweenness_path_and_diamond(spark):
+    from ddaugner_spark.operators.graph import betweenness_sampled
+
+    def run(edge_rows, seed_rows, **kw):
+        e = spark.createDataFrame(edge_rows, "a string, b string")
+        s = spark.createDataFrame([(x,) for x in seed_rows], "node string")
+        return {
+            r["node"]: r["bc"]
+            for r in betweenness_sampled(e, s, **kw).collect()
+        }
+
+    # path a-b-c-d, single source a: delta(b)=2, delta(c)=1, delta(d)=0
+    got = run([("a", "b"), ("b", "c"), ("c", "d")], ["a"])
+    assert got == {"b": 2.0, "c": 1.0, "d": 0.0}
+
+    # both endpoints as sources: b and c each get 2+1 = 3
+    got = run([("a", "b"), ("b", "c"), ("c", "d")], ["a", "d"])
+    assert got == {"a": 0.0, "b": 3.0, "c": 3.0, "d": 0.0}
+
+    # diamond a-b-d, a-c-d: sigma(d)=2 so b and c split the dependency
+    got = run([("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], ["a"])
+    assert got == {"b": 0.5, "c": 0.5, "d": 0.0}
+
+    # depth truncation: path a-b-c-d with max_depth=2 stops at c
+    got = run([("a", "b"), ("b", "c"), ("c", "d")], ["a"], max_depth=2)
+    assert got == {"b": 1.0, "c": 0.0}
