@@ -5591,7 +5591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family: q_neighborhood_fn, q_eff_diameter, q_suffix_array,
     q_lcp_array, q_repeat_coverage, q_distinct_substrings,
     q_snm_pairs, q_skyline, and the session-16 additions: q_msf,
-    q_single_link, q_densest, q_silhouette; rotate in next round) —
+    q_single_link, q_densest, q_silhouette, plus the session-17
+    additions: q_ht_estimate, q_sprt, q_chi2_independence,
+    q_page_hinkley, q_pred_cardinality, q_entity_summary,
+    q_gopher_rules, q_c4_clean, q_betweenness; rotate in next round) —
     stays covered by
     tools/parity_check.py locally (full 317-query gate ALL OK at
     sf0.01 this session, plus per-query runs at sf0.001 + sf0.01 for
