@@ -5571,6 +5571,92 @@ def q_page_hinkley(spark, sf):
     return evops.page_hinkley(ev, delta=0.5, lam=50.0)
 
 
+def q_anova(spark, sf):
+    """One-way ANOVA of document length (n_chars) across languages —
+    the parametric k-sample screen next to q_kruskal_wallis's rank
+    form: exact BIGINT group moments, one division per group term
+    (operators/stats.py anova_oneway)."""
+    return stats.anova_oneway(_docs(spark, sf), "lang", "n_chars")
+
+
+def q_holt(spark, sf):
+    """Holt linear-trend double exponential smoothing of the daily
+    mean event value — the recursion is folded left-to-right over the
+    day-sorted series on BOTH engines (F.aggregate here, a day-indexed
+    recursive CTE in the twin) with identical operation shape, so the
+    floats match bit-for-bit before the render round
+    (operators/events.py holt_linear)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.holt_linear(ev, alpha=0.5, beta=0.5)
+
+
+def q_edit_join(spark, sf):
+    """Edit-distance-≤1 self-join over customer names by FastSS
+    deletion-neighborhood signatures (complete for d=1, verified with
+    levenshtein) — the dirty-ID near-match generator feeding the ER
+    merge; oracle is the naive all-pairs levenshtein on the same
+    bounded name table (operators/er.py deletion_neighborhood_pairs)."""
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    return er.deletion_neighborhood_pairs(cust, name_col="c_name")
+
+
+def q_truth_discovery(spark, sf):
+    """Sums-style truth discovery over conflicting (supplier, part,
+    returnflag) claims: two exact-integer mutual-reinforcement rounds
+    (vote counts -> source trust -> trust-weighted confidence), winner
+    per item by (conf desc, value asc)
+    (operators/er.py truth_discovery_sums)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    claims = li.select(
+        F.col("l_suppkey").alias("source"),
+        F.col("l_partkey").alias("item"),
+        F.col("l_returnflag").alias("value"),
+    )
+    return er.truth_discovery_sums(claims)
+
+
+def q_viterbi(spark, sf):
+    """Viterbi decoding of the fixed-parameter HMM tagger per sentence
+    — exact-integer DP scores so max/argmax is deterministic; the twin
+    replays the identical CASE ladder as a sentence-synchronous
+    recursive CTE carrying per-state (score, path) pairs
+    (operators/hmm.py viterbi_tag)."""
+    from ddaugner_spark.operators import hmm
+
+    return hmm.viterbi_tag(_docs(spark, sf))
+
+
+def q_levene(spark, sf):
+    """Brown–Forsythe Levene test of variance homogeneity of document
+    length across languages — W = ANOVA on |2x − median2_g| (doubled
+    exact group medians keep every moment BIGINT); the companion
+    assumption check to q_anova (operators/stats.py
+    levene_brown_forsythe)."""
+    return stats.levene_brown_forsythe(_docs(spark, sf), "lang", "n_chars")
+
+
+def q_textrank(spark, sf):
+    """TextRank keyword scores: unweighted token co-occurrence edges
+    (window ±2, bounded-fan-out probe join) + the same fixed-step
+    PageRank core as q_pagerank (operators/textstats.py
+    textrank_keywords)."""
+    return textstats.textrank_keywords(
+        _docs(spark, sf), window=2, iters=2, stage_dir=_scratch("q_textrank_")
+    )
+
+
+def q_stump(spark, sf):
+    """Depth-1 CART split of document length against the lang=='en'
+    label: exact cumulative class counts off the distinct-value table,
+    per-candidate Gini score in an identical two-division op shape on
+    both engines, argmax by (score desc, threshold asc)
+    (operators/stats.py decision_stump)."""
+    d = _docs(spark, sf).withColumn(
+        "y", (F.col("lang") == F.lit("en")).cast("long")
+    )
+    return stats.decision_stump(d, "n_chars", "y")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -5960,6 +6046,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_gopher_rules": q_gopher_rules,
         "q_c4_clean": q_c4_clean,
         "q_betweenness": q_betweenness,
+        "q_anova": q_anova,
+        "q_holt": q_holt,
+        "q_edit_join": q_edit_join,
+        "q_truth_discovery": q_truth_discovery,
+        "q_viterbi": q_viterbi,
+        "q_levene": q_levene,
+        "q_textrank": q_textrank,
+        "q_stump": q_stump,
     }
 
 
@@ -15236,6 +15330,357 @@ sents AS (
                         ELSE r - 1 + (thr - prev) / (nf_est - prev)
                    END, 6) AS eff_diameter
       FROM c
+    """
+
+    # one-way ANOVA replay: exact BIGINT group moments (n_g, Σx, Σx²),
+    # one long→double division per group term; the Σ over the k group
+    # terms is the only order-divergent float sum (k = |langs|,
+    # absorbed by the 1e-6 render like q_chi2_independence)
+    o["q_anova"] = """
+      WITH base AS (
+        SELECT lang::VARCHAR AS g, n_chars::BIGINT AS x FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      ),
+      groups AS (
+        SELECT g, count(*)::BIGINT AS n_g, sum(x)::BIGINT AS s_g,
+               sum(x * x)::BIGINT AS q_g
+        FROM base GROUP BY g
+      ),
+      folded AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+               sum(s_g)::BIGINT AS s, sum(q_g)::BIGINT AS q,
+               sum((s_g * s_g)::DOUBLE / n_g::DOUBLE) AS between_raw
+        FROM groups
+      )
+      SELECT k, n, (k - 1)::BIGINT AS dof_between,
+             (n - k)::BIGINT AS dof_within,
+             round(between_raw - (s * s)::DOUBLE / n::DOUBLE, 6) AS ssb,
+             round(q::DOUBLE - between_raw, 6) AS ssw,
+             round(CASE WHEN k - 1 > 0 THEN
+               (between_raw - (s * s)::DOUBLE / n::DOUBLE)
+                 / (k - 1)::DOUBLE END, 6) AS msb,
+             round(CASE WHEN n - k > 0 THEN
+               (q::DOUBLE - between_raw) / (n - k)::DOUBLE END, 6) AS msw,
+             round(CASE WHEN k - 1 > 0 AND n - k > 0
+                         AND q::DOUBLE - between_raw > 0 THEN
+               ((between_raw - (s * s)::DOUBLE / n::DOUBLE)
+                  / (k - 1)::DOUBLE)
+               / ((q::DOUBLE - between_raw) / (n - k)::DOUBLE)
+             END, 6) AS f_stat
+      FROM folded
+    """
+
+    # Holt replay: the same exact-integer daily collapse as
+    # q_page_hinkley, then the recursion runs as a day-indexed
+    # recursive CTE whose arithmetic is written in the identical
+    # operation shape as the F.aggregate fold (α = β = 0.5 exact
+    # binary fractions) — bit-identical floats before the render
+    o["q_holt"] = """
+      WITH RECURSIVE daily AS (
+        SELECT ts::DATE AS dd,
+               sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1
+      ),
+      idx AS (
+        -- x/lvl/tr/fitted must be DOUBLE: a recursive CTE takes its
+        -- column types from the ANCHOR, and a DECIMAL anchor (0.0 is
+        -- DECIMAL(2,1) in DuckDB) silently rounds the trend to one
+        -- decimal on every iteration
+        SELECT strftime(dd, '%Y-%m-%d') AS d,
+               cents::DOUBLE / 100.0 / cnt AS x,
+               row_number() OVER (ORDER BY dd)::BIGINT AS i
+        FROM daily
+      ),
+      rec AS (
+        SELECT i, d, x, x AS lvl, 0.0::DOUBLE AS tr, x AS fitted
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT nx.i, nx.d, nx.x,
+               0.5 * nx.x + 0.5 * (r.lvl + r.tr) AS lvl,
+               0.5 * ((0.5 * nx.x + 0.5 * (r.lvl + r.tr)) - r.lvl)
+                 + 0.5 * r.tr AS tr,
+               r.lvl + r.tr AS fitted
+        FROM rec r JOIN idx nx ON nx.i = r.i + 1
+      )
+      SELECT d, round(x, 6) AS x, round(lvl, 6) AS level,
+             round(tr, 6) AS trend, round(fitted, 6) AS fitted
+      FROM rec
+    """
+
+    # deletion-neighborhood edit join oracle: the NAIVE all-pairs
+    # levenshtein over the distinct-name table (bounded at gate sf),
+    # which the signature join must reproduce exactly (FastSS is
+    # complete for d=1; verification removes false candidates)
+    o["q_edit_join"] = """
+      WITH names AS (
+        SELECT DISTINCT c_name AS name FROM customer
+        WHERE c_name IS NOT NULL
+      )
+      SELECT a.name AS name_a, b.name AS name_b,
+             levenshtein(a.name, b.name)::BIGINT AS dist
+      FROM names a, names b
+      WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 1
+    """
+
+    # Sums truth discovery replay: every iterate is an exact BIGINT
+    # (vote counts -> source trust -> trust-weighted confidence); the
+    # only float is the final per-item share division
+    o["q_truth_discovery"] = """
+      WITH c AS (
+        SELECT DISTINCT l_suppkey::VARCHAR AS s, l_partkey::VARCHAR AS i,
+                        l_returnflag::VARCHAR AS v
+        FROM lineitem
+        WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+              AND l_returnflag IS NOT NULL
+      ),
+      conf1 AS (
+        SELECT i, v, count(*)::BIGINT AS support FROM c GROUP BY i, v
+      ),
+      trust AS (
+        SELECT c.s, sum(conf1.support)::BIGINT AS trust
+        FROM c JOIN conf1 USING (i, v) GROUP BY c.s
+      ),
+      conf2 AS (
+        SELECT c.i, c.v, sum(trust.trust)::BIGINT AS conf
+        FROM c JOIN trust USING (s) GROUP BY c.i, c.v
+      ),
+      scored AS (
+        SELECT conf1.i, conf1.v, conf1.support, conf2.conf
+        FROM conf1 JOIN conf2 USING (i, v)
+      )
+      SELECT i AS item, v AS value, support, conf,
+             round(conf::DOUBLE /
+                   (sum(conf) OVER (PARTITION BY i))::DOUBLE, 6) AS share,
+             (row_number() OVER (PARTITION BY i
+                                 ORDER BY conf DESC, v ASC) = 1)
+               AS is_winner
+      FROM scored
+    """
+
+    # Viterbi replay: the identical exact-integer DP — per-sentence
+    # token index, emission scores from the same config word lists,
+    # then a sentence-synchronous recursive CTE carrying the 3
+    # (score, path) pairs with the same >=-ladder tiebreaks (lower
+    # state index wins) as hmm._best_pred; the winning path string is
+    # re-rowed by its 1-based split index
+    o["q_viterbi"] = f"""
+      WITH RECURSIVE {_TOKS}, {_SENTID},
+      st AS (
+        SELECT t.doc_id, s.sent_id, t.pos, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id, s.sent_id
+                                  ORDER BY t.pos)::BIGINT AS i
+        FROM toks t JOIN sentid s
+          ON t.doc_id = s.doc_id AND t.pos = s.pos
+      ),
+      em AS (
+        SELECT doc_id, sent_id, i, pos, tok,
+               (2 * stp + 4 * (1 - cap) + 1)::BIGINT AS e_o,
+               (10 * perw + 3 * cap - 4 * stp)::BIGINT AS e_per,
+               (10 * locw + 3 * cap - 4 * stp)::BIGINT AS e_loc
+        FROM (
+          SELECT *,
+                 (ascii(substr(tok, 1, 1)) BETWEEN 65 AND 90)::BIGINT
+                   AS cap,
+                 (tok IN ({_STOP}))::BIGINT AS stp,
+                 (tok IN ({_PER}))::BIGINT AS perw,
+                 (tok IN ({_LOC}))::BIGINT AS locw
+          FROM st
+        )
+      ),
+      rec AS (
+        SELECT doc_id, sent_id, i,
+               (2 + e_o)::BIGINT AS s0, '0' AS p0,
+               e_per::BIGINT AS s1, '1' AS p1,
+               e_loc::BIGINT AS s2, '2' AS p2
+        FROM em WHERE i = 1
+        UNION ALL
+        SELECT n.doc_id, n.sent_id, n.i,
+               (greatest(r.s0 + 3, r.s1 + 1, r.s2 + 1) + n.e_o)::BIGINT
+                 AS s0,
+               (CASE WHEN r.s0 + 3 >= r.s1 + 1 AND r.s0 + 3 >= r.s2 + 1
+                       THEN r.p0
+                     WHEN r.s1 + 1 >= r.s2 + 1 THEN r.p1
+                     ELSE r.p2 END) || ',0' AS p0,
+               (greatest(r.s0, r.s1 + 4, r.s2 - 2) + n.e_per)::BIGINT
+                 AS s1,
+               (CASE WHEN r.s0 >= r.s1 + 4 AND r.s0 >= r.s2 - 2
+                       THEN r.p0
+                     WHEN r.s1 + 4 >= r.s2 - 2 THEN r.p1
+                     ELSE r.p2 END) || ',1' AS p1,
+               (greatest(r.s0, r.s1 - 2, r.s2 + 4) + n.e_loc)::BIGINT
+                 AS s2,
+               (CASE WHEN r.s0 >= r.s1 - 2 AND r.s0 >= r.s2 + 4
+                       THEN r.p0
+                     WHEN r.s1 - 2 >= r.s2 + 4 THEN r.p1
+                     ELSE r.p2 END) || ',2' AS p2
+        FROM rec r JOIN em n
+          ON n.doc_id = r.doc_id AND n.sent_id = r.sent_id
+         AND n.i = r.i + 1
+      ),
+      slen AS (
+        SELECT doc_id, sent_id, max(i)::BIGINT AS n
+        FROM em GROUP BY doc_id, sent_id
+      ),
+      fin AS (
+        SELECT r.doc_id, r.sent_id,
+               string_split(
+                 CASE WHEN r.s0 >= r.s1 AND r.s0 >= r.s2 THEN r.p0
+                      WHEN r.s1 >= r.s2 THEN r.p1
+                      ELSE r.p2 END, ',') AS ps
+        FROM rec r JOIN slen l
+          ON r.doc_id = l.doc_id AND r.sent_id = l.sent_id
+         AND r.i = l.n
+      ),
+      pathrows AS (
+        SELECT doc_id, sent_id, i, ps[i] AS sid
+        FROM fin, unnest(range(1, len(ps) + 1)) AS u(i)
+      )
+      SELECT e.doc_id, e.sent_id, e.pos::BIGINT AS pos, e.tok,
+             CASE p.sid WHEN '0' THEN 'O' WHEN '1' THEN 'PER'
+                        ELSE 'LOC' END AS state
+      FROM pathrows p JOIN em e
+        ON e.doc_id = p.doc_id AND e.sent_id = p.sent_id AND e.i = p.i
+    """
+
+    # Brown–Forsythe Levene replay: doubled exact group medians off
+    # the cumulative value-frequency table, then the q_anova identity
+    # chain on z2 = |2x − median2_g| (every moment BIGINT; the Σ over
+    # k group terms is the only order-divergent float sum)
+    o["q_levene"] = """
+      WITH base AS (
+        SELECT lang::VARCHAR AS g, n_chars::BIGINT AS x FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      ),
+      freq AS (
+        SELECT g, x, count(*)::BIGINT AS f FROM base GROUP BY g, x
+      ),
+      cum AS (
+        SELECT g, x,
+               sum(f) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum
+        FROM freq
+      ),
+      ng AS (SELECT g, count(*)::BIGINT AS n_g FROM base GROUP BY g),
+      med AS (
+        SELECT c.g,
+               (min(CASE WHEN c.cum >= (n.n_g + 1) // 2 THEN c.x END)
+                + min(CASE WHEN c.cum >= (n.n_g + 2) // 2 THEN c.x END)
+               )::BIGINT AS median2
+        FROM cum c JOIN ng n USING (g) GROUP BY c.g
+      ),
+      z AS (
+        SELECT b.g, abs(2 * b.x - m.median2)::BIGINT AS z2
+        FROM base b JOIN med m USING (g)
+      ),
+      groups AS (
+        SELECT g, count(*)::BIGINT AS n_g, sum(z2)::BIGINT AS s_g,
+               sum(z2 * z2)::BIGINT AS q_g
+        FROM z GROUP BY g
+      ),
+      folded AS (
+        SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+               sum(s_g)::BIGINT AS s, sum(q_g)::BIGINT AS q,
+               sum((s_g * s_g)::DOUBLE / n_g::DOUBLE) AS between_raw
+        FROM groups
+      )
+      SELECT k, n, (k - 1)::BIGINT AS dof_between,
+             (n - k)::BIGINT AS dof_within,
+             round(between_raw - (s * s)::DOUBLE / n::DOUBLE, 6) AS ssb,
+             round(q::DOUBLE - between_raw, 6) AS ssw,
+             round(CASE WHEN k - 1 > 0 AND n - k > 0
+                         AND q::DOUBLE - between_raw > 0 THEN
+               ((between_raw - (s * s)::DOUBLE / n::DOUBLE)
+                  / (k - 1)::DOUBLE)
+               / ((q::DOUBLE - between_raw) / (n - k)::DOUBLE)
+             END, 6) AS w_stat
+      FROM folded
+    """
+
+    # TextRank replay: token co-occurrence edges (distance ≤ 2 within
+    # a document, self-pairs dropped, least/greatest dedup) feeding
+    # the SAME two unrolled PageRank steps as the q_pagerank twin
+    o["q_textrank"] = f"""
+      WITH {_TOKS},
+      edges AS (
+        SELECT DISTINCT least(a.tok, b.tok) AS a,
+                        greatest(a.tok, b.tok) AS b
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos
+         AND b.pos <= a.pos + 2
+        WHERE a.tok != b.tok
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      deg AS (SELECT a AS node, count(*)::DOUBLE AS deg
+              FROM sym GROUP BY a),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+      r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank
+             FROM deg),
+      c1 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r0 r ON s.a = r.node GROUP BY s.b),
+      r1 AS (SELECT r.node, r.deg,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r0 r LEFT JOIN c1 c USING (node)),
+      c2 AS (SELECT s.b AS node, sum(r.rank / r.deg) AS in_mass
+             FROM sym s JOIN r1 r ON s.a = r.node GROUP BY s.b),
+      r2 AS (SELECT r.node, r.deg,
+                    0.15 / (SELECT n FROM nn)
+                      + 0.85 * coalesce(c.in_mass, 0) AS rank
+             FROM r1 r LEFT JOIN c2 c USING (node))
+      SELECT node AS token, round(rank, 6) AS rank FROM r2
+    """
+
+    # decision-stump replay: cumulative class counts off the
+    # distinct-value table; each candidate's m is the identical
+    # two-division op shape, argmax by (m DESC, threshold ASC)
+    o["q_stump"] = """
+      WITH base AS (
+        SELECT n_chars::BIGINT AS x, (lang = 'en')::BIGINT AS y
+        FROM documents
+        WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+      ),
+      freq AS (
+        SELECT x, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+        FROM base GROUP BY x
+      ),
+      cum AS (
+        SELECT x, sum(cnt) OVER (ORDER BY x)::BIGINT AS n_l,
+               sum(pos) OVER (ORDER BY x)::BIGINT AS pos_l
+        FROM freq
+      ),
+      tot AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS pos_t
+              FROM freq),
+      scored AS (
+        SELECT x, n_l, pos_l, n, pos_t,
+               (n - n_l)::BIGINT AS n_r,
+               (pos_t - pos_l)::BIGINT AS pos_r,
+               ((pos_l * pos_l)::DOUBLE
+                  + ((n_l - pos_l) * (n_l - pos_l))::DOUBLE)
+                 / n_l::DOUBLE
+               + (((pos_t - pos_l) * (pos_t - pos_l))::DOUBLE
+                  + (((n - n_l) - (pos_t - pos_l))
+                     * ((n - n_l) - (pos_t - pos_l)))::DOUBLE)
+                 / (n - n_l)::DOUBLE AS m,
+               1.0 - ((pos_l * pos_l)::DOUBLE
+                      + ((n_l - pos_l) * (n_l - pos_l))::DOUBLE)
+                     / ((n_l * n_l)::DOUBLE) AS gini_left,
+               1.0 - (((pos_t - pos_l) * (pos_t - pos_l))::DOUBLE
+                      + (((n - n_l) - (pos_t - pos_l))
+                         * ((n - n_l) - (pos_t - pos_l)))::DOUBLE)
+                     / (((n - n_l) * (n - n_l))::DOUBLE) AS gini_right
+        FROM cum, tot WHERE n_l < n
+      ),
+      best AS (SELECT * FROM scored ORDER BY m DESC, x ASC LIMIT 1)
+      SELECT x AS threshold, n_l AS n_left, n_r AS n_right,
+             pos_l AS pos_left, pos_r AS pos_right,
+             round(gini_left, 6) AS gini_left,
+             round(gini_right, 6) AS gini_right,
+             round((n::DOUBLE - m) / n::DOUBLE, 6) AS weighted_gini,
+             round((1.0 - ((pos_t * pos_t)::DOUBLE
+                           + ((n - pos_t) * (n - pos_t))::DOUBLE)
+                          / ((n * n)::DOUBLE))
+                   - (n::DOUBLE - m) / n::DOUBLE, 6) AS gain
+      FROM best
     """
 
     return o

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -581,4 +581,148 @@ def sorted_neighborhood_pairs(
             dist.cast("long").alias("dist"),
             (dist <= max_dist).alias("is_match"),
         )
+    )
+
+
+def deletion_neighborhood_pairs(
+    names: DataFrame, name_col: str = "name", max_dist: int = 1
+) -> DataFrame:
+    """Edit-distance-≤1 similarity self-join by DELETION-NEIGHBORHOOD
+    signatures (FastSS, Bocek et al. 2007; the SymSpell scheme) — the
+    third blocking strategy next to :func:`er_candidate_pairs`
+    (equality blocks) and :func:`sorted_neighborhood_pairs` (SNM):
+    unlike both, it is COMPLETE for distance 1 — two strings are
+    within one edit iff they share a signature in ``{s} ∪ {s minus
+    one character}`` (equal → s itself; substitution at i → both drop
+    i; insert/delete → the longer's deletion equals the shorter) —
+    so no true pair can be missed by block boundaries.  Sharing a
+    signature is NOT sufficient (``ab``/``ba`` share ``a`` at distance
+    2), so survivors are verified with the real ``levenshtein``.
+
+    Output: ``(name_a, name_b, dist)`` with ``name_a < name_b`` and
+    ``dist ≤ max_dist`` (default 1; the signature scheme itself is the
+    d=1 instance — for d=2 explode 2-deletion neighborhoods, same
+    plan).
+
+    Scale shape: runs on the DISTINCT-NAME table (vocabulary-sized);
+    each name explodes to ``len+1`` signatures (index 0 = the name
+    itself), ONE hash equi-join on the signature, pair-level
+    ``distinct`` before the O(len²) verify so each pair is scored
+    once.  Hot signatures (very frequent short names) bound block
+    size; production splits them with a length key, same shape.
+    Engine-portable: DuckDB's ``levenshtein`` is the identical
+    standard edit distance.
+    """
+    base = (
+        names.select(F.col(name_col).cast("string").alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    # i = 0 keeps the name; i >= 1 deletes character i (1-based)
+    sig = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.length("name")),
+            lambda i: F.when(i == 0, F.col("name")).otherwise(
+                F.concat(
+                    F.col("name").substr(F.lit(1), i - 1),
+                    F.col("name").substr(
+                        i + 1, F.length("name") - i
+                    ),
+                )
+            ),
+        )
+    )
+    sigs = base.select("name", sig.alias("sig"))
+    left = sigs.select(F.col("name").alias("name_a"), "sig")
+    right = sigs.select(F.col("name").alias("name_b"), "sig")
+    cand = (
+        left.join(right, "sig")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        cand.select("name_a", "name_b", dist.cast("long").alias("dist"))
+        .where(F.col("dist") <= max_dist)
+    )
+
+
+def truth_discovery_sums(
+    claims: DataFrame,
+    source_col: str = "source",
+    item_col: str = "item",
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sums-style truth discovery (Pasternack & Roth COLING'10, the
+    HITS-shaped member of the TruthFinder family): conflicting claims
+    ``(source, item, value)`` — e.g. different pages asserting
+    different object values for the same (subject, predicate) — are
+    scored by two mutual-reinforcement rounds with NO mid-iteration
+    normalization, so every iterate stays an EXACT BIGINT:
+
+      conf₁(item,value) = #sources asserting it        (vote count)
+      trust(source)     = Σ conf₁ over its claims      (exact long)
+      conf₂(item,value) = Σ trust over asserting sources
+
+    Output per distinct (item, value): ``(item, value, support,
+    conf, share, is_winner)`` where ``support`` = conf₁, ``conf`` =
+    conf₂, ``share`` = conf₂ / Σ_value conf₂ within the item (the ONE
+    float division, rendered at ``ndigits``), and ``is_winner`` marks
+    the row a consumer materializes into the KG (ties broken by value
+    ascending — deterministic).  Sources that habitually agree with
+    well-supported values are up-weighted, which is exactly how the
+    vote beats plain majority: a value backed by two high-trust pages
+    outranks one backed by three drive-by mirrors.
+
+    Scale shape: claims are deduped once (one shuffle on the claim
+    key); the two reinforcement rounds are hash joins + map-side-
+    combined sums ON THE CLAIM TABLE (vocabulary-of-claims-sized, far
+    below the corpus); the winner window runs per-item on the
+    value-level table.  conf₂ ≤ (claims per item)·(claims per
+    source)·(sources per value) — far inside BIGINT at any real skew.
+    """
+    c = (
+        claims.select(
+            F.col(source_col).cast("string").alias("s"),
+            F.col(item_col).cast("string").alias("i"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        .where(
+            F.col("s").isNotNull()
+            & F.col("i").isNotNull()
+            & F.col("v").isNotNull()
+        )
+        .distinct()
+    )
+    conf1 = c.groupBy("i", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    trust = (
+        c.join(conf1, ["i", "v"])
+        .groupBy("s")
+        .agg(F.sum("support").cast("long").alias("trust"))
+    )
+    conf2 = (
+        c.join(trust, "s")
+        .groupBy("i", "v")
+        .agg(F.sum("trust").cast("long").alias("conf"))
+    )
+    scored = conf1.join(conf2, ["i", "v"])
+    w = Window.partitionBy("i").orderBy(
+        F.col("conf").desc(), F.col("v").asc()
+    )
+    tot = Window.partitionBy("i")
+    return scored.select(
+        F.col("i").alias("item"),
+        F.col("v").alias("value"),
+        "support",
+        "conf",
+        F.round(
+            F.col("conf").cast("double")
+            / F.sum("conf").over(tot).cast("double"),
+            ndigits,
+        ).alias("share"),
+        (F.row_number().over(w) == 1).alias("is_winner"),
     )

@@ -1032,3 +1032,108 @@ def page_hinkley(
         (F.col("ph") > F.lit(lam)).alias("alarm"),
     )
 
+
+
+def holt_linear(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Holt (1957) linear-trend double exponential smoothing of the
+    daily mean of ``value_col``: per day ``(d, x, level, trend,
+    fitted)`` under the textbook recursion ``l_t = α·x_t +
+    (1−α)(l_{t−1}+b_{t−1})``, ``b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}``,
+    one-step-ahead ``fitted_t = l_{t−1}+b_{t−1}`` — the trend-aware
+    forecaster next to the trendless EWMA and the seasonal-naive
+    baseline, initialized ``l_0 = x_0, b_0 = 0`` (documented so both
+    engines replay the identical recurrence).
+
+    Determinism: the stream collapses to one exact-integer (cents) row
+    per day FIRST; each ``x_t`` is ONE division of exact longs.  The
+    recursion is NOT prefix-sum expressible (each level multiplies the
+    previous state), so it runs as a LEFT-TO-RIGHT FOLD over the
+    day-sorted series — ``F.aggregate`` over a ``sort_array``-ordered
+    struct array here, a day-indexed recursive CTE in the SQL twin —
+    with the arithmetic written in the identical operation shape on
+    both sides (α and β are exact binary fractions by default), so
+    every output bit matches before the render round.  The fold lambda
+    inlines ``l_t`` into the ``b_t`` expression (an O(1) scalar
+    recompute per step, not the banned computed-array-in-lambda
+    pattern — see docs/PLANS.md).
+
+    Scale shape: map-side-combinable (day) aggregate, then the fold
+    runs on the DIMENSION-SIZED day series (≤ a few thousand entries
+    for years of data) in a single task — the corpus is touched once;
+    the collected state is one small array, never row-sized data.
+    """
+    a = float(alpha)
+    b = float(beta)
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col(value_col) * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    xrows = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        (F.col("cents") / F.lit(100.0) / F.col("cnt")).alias("x"),
+    )
+    packed = xrows.agg(
+        F.sort_array(F.collect_list(F.struct("d", "x"))).alias("series")
+    )
+    row_t = (
+        "array<struct<d:string,x:double,level:double,"
+        "trend:double,fitted:double>>"
+    )
+    init = F.struct(
+        F.lit(0.0).alias("lvl"),
+        F.lit(0.0).alias("tr"),
+        F.array().cast(row_t).alias("rows"),
+    )
+
+    def step(acc, e):
+        first = F.size(acc["rows"]) == 0
+        prev_f = acc["lvl"] + acc["tr"]
+        lvl = F.when(first, e["x"]).otherwise(
+            F.lit(a) * e["x"] + F.lit(1.0 - a) * (acc["lvl"] + acc["tr"])
+        )
+        # b_t inlines l_t (scalar O(1) recompute, same shape as the
+        # SQL twin's expression)
+        tr = F.when(first, F.lit(0.0)).otherwise(
+            F.lit(b)
+            * (
+                (
+                    F.lit(a) * e["x"]
+                    + F.lit(1.0 - a) * (acc["lvl"] + acc["tr"])
+                )
+                - acc["lvl"]
+            )
+            + F.lit(1.0 - b) * acc["tr"]
+        )
+        fitted = F.when(first, e["x"]).otherwise(prev_f)
+        new_row = F.struct(
+            e["d"].alias("d"),
+            e["x"].alias("x"),
+            lvl.alias("level"),
+            tr.alias("trend"),
+            fitted.alias("fitted"),
+        )
+        return F.struct(
+            lvl.alias("lvl"),
+            tr.alias("tr"),
+            F.concat(acc["rows"], F.array(new_row)).alias("rows"),
+        )
+
+    folded = packed.select(
+        F.aggregate("series", init, step)["rows"].alias("rows")
+    )
+    r = F.col("r")
+    return folded.select(F.explode("rows").alias("r")).select(
+        r["d"].alias("d"),
+        F.round(r["x"], ndigits).alias("x"),
+        F.round(r["level"], ndigits).alias("level"),
+        F.round(r["trend"], ndigits).alias("trend"),
+        F.round(r["fitted"], ndigits).alias("fitted"),
+    )

@@ -1376,3 +1376,233 @@ def chi2_independence(
         ).alias("chi2"),
         F.round(v, ndigits).alias("cramers_v"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, ndigits: int = 6
+) -> DataFrame:
+    """One-way ANOVA (Fisher) F statistic of integer-valued
+    ``value_col`` across ``group_col`` levels, one output row:
+    ``(k, n, dof_between, dof_within, ssb, ssw, msb, msw, f_stat)`` —
+    the parametric k-sample location screen next to its rank analogue
+    (:func:`kruskal_wallis`): does mean document length differ by
+    language?  does mean order value differ by priority class?
+
+    Exactness: the corpus collapses to ONE map-side-combined group
+    aggregate of exact BIGINT moments ``(n_g, S_g = Σx, Q_g = Σx²)``;
+    totals are BIGINT sums of the k group rows.  The sum-of-squares
+    identities are evaluated with ONE long→double division per term:
+    ``ssb = Σ_g S_g²/n_g − S²/n`` and ``ssw = Q − Σ_g S_g²/n_g``
+    (S_g² is exact while ``(Σ|x|)² < 2⁶³`` — to ~3·10⁹ rows of 10³-
+    scale values; beyond that cast the moments to DECIMAL(38,0), same
+    plan).  The only cross-engine order-divergent float op is the Σ
+    over the k per-group terms (k = |levels|, dimension-sized), which
+    the ``ndigits`` render absorbs — the same discipline as
+    :func:`chi2_independence`.  Degenerate inputs (k < 2 or n ≤ k or
+    ssw = 0) yield NULL f_stat rather than a division by zero.
+
+    Scale shape: one hash aggregate over the corpus (k rows out), one
+    k-row fold — the corpus is touched exactly once, nothing is
+    sorted, no join.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("g").isNotNull() & F.col("x").isNotNull())
+    groups = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_g"),
+    )
+    term = (
+        (F.col("s_g") * F.col("s_g")).cast("double")
+        / F.col("n_g").cast("double")
+    )
+    folded = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("q_g").cast("long").alias("q"),
+        F.sum(term).alias("between_raw"),
+    )
+    grand = (
+        (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double")
+    )
+    ssb = F.col("between_raw") - grand
+    ssw = F.col("q").cast("double") - F.col("between_raw")
+    dof1 = (F.col("k") - 1).cast("long")
+    dof2 = (F.col("n") - F.col("k")).cast("long")
+    msb = F.when(dof1 > 0, ssb / dof1.cast("double"))
+    msw = F.when(dof2 > 0, ssw / dof2.cast("double"))
+    f_stat = F.when(
+        (dof1 > 0) & (dof2 > 0) & (ssw > 0), msb / msw
+    )
+    return folded.select(
+        "k",
+        "n",
+        dof1.alias("dof_between"),
+        dof2.alias("dof_within"),
+        F.round(ssb, ndigits).alias("ssb"),
+        F.round(ssw, ndigits).alias("ssw"),
+        F.round(msb, ndigits).alias("msb"),
+        F.round(msw, ndigits).alias("msw"),
+        F.round(f_stat, ndigits).alias("f_stat"),
+    )
+
+
+def levene_brown_forsythe(
+    df: DataFrame, group_col: str, value_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Brown–Forsythe (1974) robust Levene test of variance
+    homogeneity across ``group_col`` levels — the gatekeeper ANOVA's
+    equal-variance assumption is checked with: W = the one-way ANOVA
+    F statistic computed on ``z = |x − median_g|``.  Because F is
+    scale-invariant, W is computed on ``z2 = |2·x − median2_g|``
+    (``median2_g`` = os(⌈n/2⌉)+os(⌈(n+1)/2⌉), the doubled exact group
+    median that stays an INTEGER for even groups) — so every moment
+    entering the ANOVA identities is an exact BIGINT and the whole
+    statistic shares :func:`anova_oneway`'s one-division-per-term
+    float discipline.  ssb/ssw are reported on the doubled-z scale
+    (4× the z scale; W itself is unaffected, documented for the twin).
+
+    Scale shape: one (group, value) frequency aggregate (map-side
+    combined), the cumulative window on the VALUE-FREQUENCY table
+    (distinct-value-sized per group), a broadcast join of the
+    group-median dimension back onto the corpus, then the single
+    corpus-touch ANOVA aggregate — two corpus passes total, no sort
+    of row-sized data.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("g").isNotNull() & F.col("x").isNotNull())
+    freq = base.groupBy("g", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    w = Window.partitionBy("g").orderBy("x")
+    cum = freq.select("g", "x", F.sum("f").over(w).alias("cum"))
+    n = base.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    j = cum.join(F.broadcast(n), "g").select(
+        "g",
+        "x",
+        "cum",
+        F.expr("(n_g + 1) DIV 2").alias("k1"),
+        F.expr("(n_g + 2) DIV 2").alias("k2"),
+    )
+    med = j.groupBy("g").agg(
+        (
+            F.min(F.when(F.col("cum") >= F.col("k1"), F.col("x")))
+            + F.min(F.when(F.col("cum") >= F.col("k2"), F.col("x")))
+        )
+        .cast("long")
+        .alias("median2")
+    )
+    z = base.join(F.broadcast(med), "g").select(
+        "g",
+        F.abs(F.lit(2) * F.col("x") - F.col("median2"))
+        .cast("long")
+        .alias("z2"),
+    )
+    out = anova_oneway(z, "g", "z2", ndigits=ndigits)
+    return out.select(
+        "k",
+        "n",
+        "dof_between",
+        "dof_within",
+        "ssb",
+        "ssw",
+        F.col("f_stat").alias("w_stat"),
+    )
+
+
+def decision_stump(
+    df: DataFrame, feature_col: str, label_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Best single-threshold split (a depth-1 CART node, the weak
+    learner under every boosted-tree stack) of integer ``feature_col``
+    against binary ``label_col``: one output row ``(threshold, n_left,
+    n_right, pos_left, pos_right, gini_left, gini_right,
+    weighted_gini, gain)`` where left = ``x ≤ threshold`` and the
+    winning threshold maximizes the Gini gain.
+
+    Exactness: the corpus collapses to ONE (value → count, positives)
+    frequency aggregate; cumulative counts come from a window over the
+    DISTINCT-VALUE table.  The argmax ranks by ``m = (posL²+negL²)/nL
+    + (posR²+negR²)/nR`` (maximizing m ⇔ minimizing weighted Gini,
+    the n−m identity) — each candidate's m is TWO long→double
+    divisions and one add, the identical op shape on both engines, so
+    equal candidates compare equal and the (m DESC, threshold ASC)
+    order is engine-reproducible without any float-sum ordering risk.
+    Degenerate inputs (one distinct value, or n = 0) yield an empty
+    result rather than a divide-by-zero.
+
+    Scale shape: map-side-combined frequency aggregate (distinct-
+    value-sized output), windows and the final pick on that dimension
+    table; the corpus is touched exactly once.
+    """
+    base = df.select(
+        F.col(feature_col).cast("long").alias("x"),
+        F.col(label_col).cast("long").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    freq = base.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = freq.select(
+        "x",
+        F.sum("cnt").over(w).cast("long").alias("n_l"),
+        F.sum("pos").over(w).cast("long").alias("pos_l"),
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos_t"),
+    )
+    cand = cum.crossJoin(F.broadcast(tot)).where(F.col("n_l") < F.col("n"))
+    neg_l = F.col("n_l") - F.col("pos_l")
+    n_r = F.col("n") - F.col("n_l")
+    pos_r = F.col("pos_t") - F.col("pos_l")
+    neg_r = n_r - pos_r
+    sq = lambda c: (c * c).cast("double")  # noqa: E731
+    m = (sq(F.col("pos_l")) + sq(neg_l)) / F.col("n_l").cast("double") + (
+        sq(pos_r) + sq(neg_r)
+    ) / n_r.cast("double")
+    scored = cand.select(
+        "x",
+        "n_l",
+        "pos_l",
+        "n",
+        "pos_t",
+        n_r.alias("n_r"),
+        pos_r.alias("pos_r"),
+        m.alias("m"),
+        (
+            F.lit(1.0)
+            - (sq(F.col("pos_l")) + sq(neg_l))
+            / sq(F.col("n_l"))
+        ).alias("gini_left"),
+        (F.lit(1.0) - (sq(pos_r) + sq(neg_r)) / sq(n_r)).alias(
+            "gini_right"
+        ),
+    )
+    pick = Window.orderBy(F.col("m").desc(), F.col("x").asc())
+    best = scored.withColumn("rn", F.row_number().over(pick)).where(
+        F.col("rn") == 1
+    )
+    parent = F.lit(1.0) - (
+        sq(F.col("pos_t")) + sq(F.col("n") - F.col("pos_t"))
+    ) / sq(F.col("n"))
+    wg = (F.col("n").cast("double") - F.col("m")) / F.col("n").cast(
+        "double"
+    )
+    return best.select(
+        F.col("x").alias("threshold"),
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+        F.col("pos_l").alias("pos_left"),
+        F.col("pos_r").alias("pos_right"),
+        F.round("gini_left", ndigits).alias("gini_left"),
+        F.round("gini_right", ndigits).alias("gini_right"),
+        F.round(wg, ndigits).alias("weighted_gini"),
+        F.round(parent - wg, ndigits).alias("gain"),
+    )

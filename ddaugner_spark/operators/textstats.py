@@ -1574,3 +1574,53 @@ def c4_line_clean(
         F.array_join(kept, "\n").alias("kept_text"),
         (bad_doc | (F.size(kept) < min_kept_lines)).alias("doc_dropped"),
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    window: int = 2,
+    damping: float = 0.85,
+    iters: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): tokens are
+    nodes, UNWEIGHTED undirected edges connect tokens co-occurring
+    within ``window`` positions in a document (the paper's keyword
+    setting), and the score is PageRank on that graph — reusing
+    :func:`~ddaugner_spark.operators.graph.pagerank` verbatim (fixed
+    ``iters`` power steps so the SQL twin unrolls the identical
+    join+groupBy chain as q_pagerank, just over a different edge CTE).
+
+    Scale shape: the pair generation is the bounded-fan-out explode
+    (each token emits ``window`` probe keys, ONE hash equi-join on
+    (doc_id, pos)) — never a per-document token² join; edges dedupe to
+    the vocabulary-pair table (vocab²-bounded, co-occurrence-sparse in
+    practice), and the PageRank iterations run on that dimension-sized
+    graph with the broadcast-ranks fast path.
+    """
+    from .graph import pagerank
+    from .sentences import tokens_long
+
+    toks = tokens_long(docs).select("doc_id", "pos", "tok")
+    probes = toks.select(
+        "doc_id",
+        F.col("tok").alias("ta"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + window)
+        ).alias("pos"),
+    )
+    pairs = probes.join(toks, ["doc_id", "pos"]).where(
+        F.col("ta") != F.col("tok")
+    )
+    edges = pairs.select(
+        F.least("ta", "tok").alias("a"),
+        F.greatest("ta", "tok").alias("b"),
+    ).distinct()
+    pr = pagerank(
+        edges, damping=damping, max_iter=iters, tol=None, stage_dir=stage_dir
+    )
+    return pr.select(
+        F.col("entity").alias("token"),
+        F.round("rank", ndigits).alias("rank"),
+    )
