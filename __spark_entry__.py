@@ -5657,6 +5657,34 @@ def q_stump(spark, sf):
     return stats.decision_stump(d, "n_chars", "y")
 
 
+def q_allen(spark, sf):
+    """Allen's 13 interval relations over per-(user, event-type)
+    activity intervals — the temporal-KG fact-validity primitive;
+    one hash aggregate + a bounded-fan-out self-join, the identical
+    mutually-exclusive CASE ladder on both engines
+    (operators/temporal.py allen_relations)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.allen_relations(ev)
+
+
+def q_cuped(spark, sf):
+    """CUPED variance-reduced A/B readout: pre-period event count as
+    the covariate, θ = cov/var from exact BIGINT moments (doubles cast
+    BEFORE the n·ΣXY products), per-arm adjusted means + the rho²
+    variance-reduction share (operators/events.py cuped_adjusted)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.cuped_adjusted(ev)
+
+
+def q_bh_fdr(spark, sf):
+    """Benjamini–Hochberg FDR token selection over exact df=2 χ²
+    p-values (p = exp(−χ²/2), closed form — no gamma approximation);
+    rank and step-up comparisons micro-quantized at round(·, 9)
+    against libm exp ulp skew (operators/textstats.py
+    chi2_bh_select)."""
+    return textstats.chi2_bh_select(_docs(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -6054,6 +6082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_levene": q_levene,
         "q_textrank": q_textrank,
         "q_stump": q_stump,
+        "q_allen": q_allen,
+        "q_cuped": q_cuped,
+        "q_bh_fdr": q_bh_fdr,
     }
 
 
@@ -15681,6 +15712,139 @@ sents AS (
                           / ((n * n)::DOUBLE))
                    - (n::DOUBLE - m) / n::DOUBLE, 6) AS gain
       FROM best
+    """
+
+    # Allen replay: the identical mutually-exclusive CASE ladder over
+    # the same (user, type) min/max intervals — order matters, each
+    # branch assumes every earlier one failed
+    o["q_allen"] = """
+      WITH iv AS (
+        SELECT user_id, event_type, min(ts) AS s, max(ts) AS e
+        FROM events GROUP BY 1, 2
+      )
+      SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+             CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+                  WHEN a.e < b.s THEN 'before'
+                  WHEN b.e < a.s THEN 'after'
+                  WHEN a.e = b.s THEN 'meets'
+                  WHEN b.e = a.s THEN 'met_by'
+                  WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+                  WHEN a.s = b.s AND a.e > b.e THEN 'started_by'
+                  WHEN a.e = b.e AND a.s > b.s THEN 'finishes'
+                  WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+                  WHEN a.s > b.s AND a.e < b.e THEN 'during'
+                  WHEN a.s < b.s AND a.e > b.e THEN 'contains'
+                  WHEN a.s < b.s AND b.s < a.e AND a.e < b.e THEN 'overlaps'
+                  ELSE 'overlapped_by' END AS relation
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    """
+
+    # CUPED replay: exact BIGINT moments, every moment cast ::DOUBLE
+    # BEFORE the n·ΣXY-style products (int64-wrap stance), theta and
+    # rho2 as the same fixed-order chains
+    o["q_cuped"] = """
+      WITH pu AS (
+        SELECT user_id,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT AS x,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM events GROUP BY 1
+      ),
+      mom AS (
+        SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+               sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+               sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        FROM pu
+      ),
+      g AS (
+        SELECT
+          CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0.0
+                AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+               THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+               ELSE 0.0 END AS theta,
+          CASE WHEN (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) > 0.0
+                AND (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE) > 0.0
+               THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                    / (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+               ELSE 0.0 END AS rho2,
+          sx::DOUBLE / n::DOUBLE AS xbar
+        FROM mom
+      ),
+      arms AS (
+        SELECT (user_id % 2)::BIGINT AS variant, count(*)::BIGINT AS nv,
+               sum(x)::BIGINT AS sxv, sum(y)::BIGINT AS syv
+        FROM pu GROUP BY 1
+      )
+      SELECT variant, nv AS n,
+             round(syv::DOUBLE / nv::DOUBLE, 6) AS mean_y,
+             round(syv::DOUBLE / nv::DOUBLE
+                   - theta * (sxv::DOUBLE / nv::DOUBLE - xbar), 6) AS mean_cuped,
+             round(theta, 6) AS theta, round(rho2, 6) AS rho2
+      FROM arms, g ORDER BY variant
+    """
+
+    # BH replay: the exact df=2 survival p = exp(−χ²/2); every
+    # p-decision (rank order, step-up comparison) micro-quantized at
+    # round(·, 9) because libm exp is the one non-correctly-rounded
+    # call in the chain
+    o["q_bh_fdr"] = """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 'en'
+                    WHEN lang = 'zh' THEN 'zh'
+                    ELSE 'other' END AS g,
+               text
+        FROM documents WHERE coalesce(text, '') != ''
+      ),
+      toks AS (
+        SELECT g, u.tok
+        FROM base, unnest(list_distinct(string_split(text, ' '))) AS u(tok)
+      ),
+      pt AS (
+        SELECT tok,
+               sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS a1,
+               sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END)::BIGINT AS a2,
+               sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END)::BIGINT AS a3
+        FROM toks GROUP BY tok
+      ),
+      tot AS (
+        SELECT sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS n1,
+               sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n2,
+               sum(CASE WHEN g = 'other' THEN 1 ELSE 0 END)::BIGINT AS n3,
+               count(*)::BIGINT AS nn
+        FROM base
+      ),
+      cells AS (SELECT * FROM pt, tot WHERE a1 + a2 + a3 >= 5),
+      chi AS (
+        SELECT tok,
+          CASE WHEN (a1 + a2 + a3) = 0 OR (a1 + a2 + a3) = nn
+                 OR n1 = 0 OR n2 = 0 OR n3 = 0
+               THEN 0.0::DOUBLE
+               ELSE (((a1::DOUBLE - (a1 + a2 + a3)::DOUBLE * n1::DOUBLE / nn::DOUBLE) * (a1::DOUBLE - (a1 + a2 + a3)::DOUBLE * n1::DOUBLE / nn::DOUBLE) / ((a1 + a2 + a3)::DOUBLE * n1::DOUBLE / nn::DOUBLE) + ((n1 - a1)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n1::DOUBLE / nn::DOUBLE) * ((n1 - a1)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n1::DOUBLE / nn::DOUBLE) / ((nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n1::DOUBLE / nn::DOUBLE)) + ((a2::DOUBLE - (a1 + a2 + a3)::DOUBLE * n2::DOUBLE / nn::DOUBLE) * (a2::DOUBLE - (a1 + a2 + a3)::DOUBLE * n2::DOUBLE / nn::DOUBLE) / ((a1 + a2 + a3)::DOUBLE * n2::DOUBLE / nn::DOUBLE) + ((n2 - a2)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n2::DOUBLE / nn::DOUBLE) * ((n2 - a2)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n2::DOUBLE / nn::DOUBLE) / ((nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n2::DOUBLE / nn::DOUBLE))) + ((a3::DOUBLE - (a1 + a2 + a3)::DOUBLE * n3::DOUBLE / nn::DOUBLE) * (a3::DOUBLE - (a1 + a2 + a3)::DOUBLE * n3::DOUBLE / nn::DOUBLE) / ((a1 + a2 + a3)::DOUBLE * n3::DOUBLE / nn::DOUBLE) + ((n3 - a3)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n3::DOUBLE / nn::DOUBLE) * ((n3 - a3)::DOUBLE - (nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n3::DOUBLE / nn::DOUBLE) / ((nn::DOUBLE - (a1 + a2 + a3)::DOUBLE) * n3::DOUBLE / nn::DOUBLE))
+               END AS chi2
+        FROM cells
+      ),
+      scored AS (SELECT tok, chi2, exp(-chi2 / 2.0::DOUBLE) AS p FROM chi),
+      ranked AS (
+        SELECT tok, chi2, p, round(p, 9) AS p9,
+               row_number() OVER (ORDER BY round(p, 9) ASC, tok ASC)::BIGINT
+                 AS bh_rank,
+               count(*) OVER ()::BIGINT AS m
+        FROM scored
+      ),
+      kstar AS (
+        SELECT coalesce(
+                 max(CASE WHEN p9 <= round(0.05::DOUBLE * bh_rank::DOUBLE
+                                           / m::DOUBLE, 9)
+                          THEN bh_rank END), 0)::BIGINT AS k
+        FROM ranked
+      )
+      SELECT tok, round(chi2, 6) AS chi2, round(p, 6) AS p, bh_rank,
+             bh_rank <= (SELECT k FROM kstar) AS rejected
+      FROM ranked
     """
 
     return o

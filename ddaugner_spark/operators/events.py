@@ -1137,3 +1137,81 @@ def holt_linear(
         F.round(r["trend"], ndigits).alias("trend"),
         F.round(r["fitted"], ndigits).alias("fitted"),
     )
+
+
+def cuped_adjusted(
+    events: DataFrame, split_day: str = "2024-01-16", ndigits: int = 6
+) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. WSDM'13):
+    per user, X = pre-period event count (covariate), Y = post-period
+    event count (metric); the adjustment Y′ = Y − θ(X − X̄) with
+    θ = cov(X, Y)/var(X) removes the between-user variance X explains.
+    One row per deterministic ``user_id % 2`` arm (the q_ab_test
+    split): ``(variant, n, mean_y, mean_cuped, theta, rho2)`` where
+    rho2 is the squared X–Y correlation = the fraction of metric
+    variance CUPED removes.
+
+    Exactness: per-user X/Y are exact BIGINTs; the five global moments
+    (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact BIGINT sums; every moment is
+    cast to double BEFORE the n·ΣXY-style products (the q_kruskal
+    int64-wrap lesson) and θ/rho2/means are fixed-order float chains
+    mirrored term-for-term in the twin.  var(X) = 0 (or a singleton
+    corpus) sets the 0.0 sentinel for θ/rho2 and mean_cuped = mean_y.
+
+    Scale shape: one user-keyed hash aggregate (map-side combined)
+    reduces the event stream to a user-sized table; the global moments
+    and the two arm aggregates are single-pass partial aggregates over
+    it; the θ scalar rides a broadcast crossJoin.  Nothing shuffles
+    except user-sized rows.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.sum((F.col("ts") < F.lit(split_day).cast("timestamp")).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("ts") >= F.lit(split_day).cast("timestamp")).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    ok = (varx_n > 0.0) & (vary_n > 0.0)
+    g = mom.select(
+        F.when(ok, cov_n / varx_n).otherwise(F.lit(0.0)).alias("theta"),
+        F.when(ok, cov_n * cov_n / varx_n / vary_n)
+        .otherwise(F.lit(0.0))
+        .alias("rho2"),
+        (sx / n).alias("xbar"),
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum("x").cast("long").alias("sxv"),
+        F.sum("y").cast("long").alias("syv"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    mean_y = F.col("syv").cast("double") / F.col("nv").cast("double")
+    mean_x = F.col("sxv").cast("double") / F.col("nv").cast("double")
+    return j.select(
+        "variant",
+        F.col("nv").alias("n"),
+        F.round(mean_y, ndigits).alias("mean_y"),
+        F.round(
+            mean_y - F.col("theta") * (mean_x - F.col("xbar")), ndigits
+        ).alias("mean_cuped"),
+        F.round("theta", ndigits).alias("theta"),
+        F.round("rho2", ndigits).alias("rho2"),
+    ).orderBy("variant")

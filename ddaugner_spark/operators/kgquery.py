@@ -478,3 +478,4 @@ def entity_fact_summary(triples: DataFrame, k: int = 3) -> DataFrame:
         )
         .where(F.col("rank") <= k)
     )
+

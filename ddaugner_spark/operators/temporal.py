@@ -876,3 +876,63 @@ def lateness_audit(
         .alias("n_dropped"),
         F.expr("max(late_us) DIV 1000000").alias("max_lateness_s"),
     )
+
+
+def allen_relations(events: DataFrame) -> DataFrame:
+    """Allen's interval algebra (Allen CACM'83) over per-(user,
+    event-type) activity intervals: each pair of intervals of the same
+    user is classified into exactly one of the 13 relations —
+    ``before/after``, ``meets/met_by``, ``overlaps/overlapped_by``,
+    ``starts/started_by``, ``during/contains``, ``finishes/
+    finished_by``, ``equals`` — the temporal-KG primitive for fact
+    validity reasoning ("was X's role DURING Y's tenure?").
+
+    Intervals are [min ts, max ts] per (user_id, event_type); pairs
+    are ordered ``type_a < type_b`` so each unordered pair appears
+    once but BOTH directions of every asymmetric relation still occur.
+    The CASE ladder tests the two equality relations first, then the
+    four disjoint/touching cases, then containment — mutually
+    exclusive and total, same ladder in the SQL twin.
+
+    Scale shape: one (user, type) hash aggregate reduces the raw
+    events to a user×type-sized table, then a self-equi-join on
+    user_id with bounded fan-out (≤ C(|types|, 2) pairs per user —
+    the type vocabulary is small by construction).  No window, no
+    global sort; microsecond timestamps make boundary-equality exact
+    on both engines.
+    """
+    iv = events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    p = a.join(b, "user_id").filter(F.col("type_a") < F.col("type_b"))
+    sa, ea, sb, eb = (F.col(c) for c in ("sa", "ea", "sb", "eb"))
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equals")
+        .when(ea < sb, "before")
+        .when(eb < sa, "after")
+        .when(ea == sb, "meets")
+        .when(eb == sa, "met_by")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb) & (ea > eb), "started_by")
+        .when((ea == eb) & (sa > sb), "finishes")
+        .when((ea == eb) & (sa < sb), "finished_by")
+        .when((sa > sb) & (ea < eb), "during")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when((sa < sb) & (sb < ea) & (ea < eb), "overlaps")
+        .otherwise("overlapped_by")
+    )
+    return p.select(
+        "user_id", "type_a", "type_b", rel.alias("relation")
+    )

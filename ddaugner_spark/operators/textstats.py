@@ -1624,3 +1624,131 @@ def textrank_keywords(
         F.col("entity").alias("token"),
         F.round("rank", ndigits).alias("rank"),
     )
+
+
+def chi2_bh_select(
+    docs: DataFrame,
+    lang_a: str = "en",
+    lang_b: str = "zh",
+    min_df: int = 5,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR-controlled token selection (Benjamini &
+    Hochberg JRSS-B'95) over EXACT per-token p-values: each token's
+    document-presence is tested against the 3-level language grouping
+    {lang_a, lang_b, other} with a 2×3 Pearson χ² — df = 2, so the
+    survival function is closed-form, p = exp(−χ²/2), no incomplete-
+    gamma approximation — then the BH step-up rule rejects the largest
+    prefix i ≤ k* of the p-sorted tokens with p_(i) ≤ α·i/m.  The
+    multiple-testing-safe version of the q_chi2_tokens screen: with
+    m ≈ vocab tests, per-test α would flood the selection with false
+    positives.
+
+    Exactness: all six observed cells are exact BIGINTs; expected
+    counts and the six (O−E)²/E terms are a FIXED left-to-right float
+    chain, so χ² (pure +−×÷, correctly rounded IEEE on both engines)
+    is bit-identical.  ``exp`` is the one libm call and is NOT
+    guaranteed identically rounded across engines, so every decision
+    made on p — the sort rank and the p ≤ α·i/m comparison — uses the
+    micro-quantized round(p, 9) (ulp noise sits at the 17th decimal;
+    the q_kg_completion integer-quantized-MRR stance).  Ties break by
+    token.  Degenerate margins (token in no/every doc, empty group)
+    pin χ² = 0, p = 1.
+
+    Scale shape: distinct-token explode → one token hash aggregate
+    with three conditional presence sums → broadcast scalar totals →
+    ONE vocab-sized global sort for the BH ranks (the vocabulary is
+    corpus-sublinear; the ranked table then joins nothing).  k* is a
+    single max aggregate broadcast back.  Output: (tok, chi2, p,
+    bh_rank, rejected), rejected = the BH-selected tokens.
+    """
+    base = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
+        "doc_id",
+        F.when(F.col("lang") == lang_a, lang_a)
+        .when(F.col("lang") == lang_b, lang_b)
+        .otherwise("other")
+        .alias("g"),
+        "text",
+    )
+    toks = base.select(
+        "g", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    is_a, is_b = F.col("g") == lang_a, F.col("g") == lang_b
+    per_tok = toks.groupBy("tok").agg(
+        F.sum(is_a.cast("long")).cast("long").alias("a1"),
+        F.sum(is_b.cast("long")).cast("long").alias("a2"),
+        F.sum((~is_a & ~is_b).cast("long")).cast("long").alias("a3"),
+    )
+    tot = base.agg(
+        F.sum(is_a.cast("long")).cast("long").alias("n1"),
+        F.sum(is_b.cast("long")).cast("long").alias("n2"),
+        F.sum((~is_a & ~is_b).cast("long")).cast("long").alias("n3"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    j = per_tok.filter(
+        F.col("a1") + F.col("a2") + F.col("a3") >= min_df
+    ).crossJoin(F.broadcast(tot))
+    t = (F.col("a1") + F.col("a2") + F.col("a3")).cast("double")
+    nn = F.col("nn").cast("double")
+
+    def term(o, ng):
+        e1 = t * ng.cast("double") / nn
+        e0 = (nn - t) * ng.cast("double") / nn
+        o1 = o.cast("double")
+        o0 = (ng - o).cast("double")
+        return (o1 - e1) * (o1 - e1) / e1 + (o0 - e0) * (o0 - e0) / e0
+
+    chi2 = (
+        term(F.col("a1"), F.col("n1"))
+        + term(F.col("a2"), F.col("n2"))
+        + term(F.col("a3"), F.col("n3"))
+    )
+    degen = (
+        (t == 0.0)
+        | (t == nn)
+        | (F.col("n1") == 0)
+        | (F.col("n2") == 0)
+        | (F.col("n3") == 0)
+    )
+    chi2 = F.when(degen, F.lit(0.0)).otherwise(chi2)
+    scored = j.select(
+        "tok", chi2.alias("chi2"), F.exp(-chi2 / F.lit(2.0)).alias("p")
+    )
+    p9 = F.round(F.col("p"), 9)
+    w = Window.orderBy(p9.asc(), F.col("tok").asc())
+    ranked = scored.select(
+        "tok",
+        "chi2",
+        "p",
+        p9.alias("p9"),
+        F.row_number().over(w).cast("long").alias("bh_rank"),
+    )
+    m = ranked.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ranked = ranked.crossJoin(F.broadcast(m)).withColumn(
+        "pass_",
+        F.col("p9")
+        <= F.round(
+            F.lit(alpha)
+            * F.col("bh_rank").cast("double")
+            / F.col("m").cast("double"),
+            9,
+        ),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("pass_"), F.col("bh_rank"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            "tok",
+            F.round("chi2", ndigits).alias("chi2"),
+            F.round("p", ndigits).alias("p"),
+            "bh_rank",
+            (F.col("bh_rank") <= F.col("kstar")).alias("rejected"),
+        )
+    )
