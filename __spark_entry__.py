@@ -1807,6 +1807,73 @@ def q_anchor_text(spark, sf):
     return crawl.anchor_summary(crawl.extract_anchors(pages))
 
 
+def _host_edges(spark, sf):
+    """DIRECTED (src, dst) host edges of the synthetic link crawl —
+    the q_link_graph/q_hits build, shared by the Katz/SimRank
+    centrality queries so every structural-signal oracle replays ONE
+    edge derivation."""
+    pages = _link_pages(_docs(spark, sf), _src_anchor_tag)
+    g = crawl.host_graph(crawl.extract_links(pages))
+    return g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+
+
+def q_katz(spark, sf):
+    """Katz centrality (Katz, Psychometrika 1953) over the directed
+    host web graph, series truncated at walk length 3, β = 1/4 — the
+    endorsement-prestige prior PageRank's out-degree split can't
+    express (a host cited by heavily-cited hosts scores high even when
+    its citers also cite everywhere).  Walk counts are integers, so
+    the whole series runs in exact BIGINT over the common denominator
+    4³ and divides ONCE at the end (the HITS integer device — no
+    float-summation-order hazard); per level one broadcast edge⋈count
+    join + partial-aggregable groupBy (operators/graph.py katz).
+    Oracle = the three walk-count levels unrolled as integer CTEs."""
+    return graph.katz(_host_edges(spark, sf), depth=3, beta_denom=4)
+
+
+def q_simrank(spark, sf):
+    """SimRank (Jeh & Widom, KDD 2002) over the directed host graph,
+    2 iterations, C = 4/5: hosts are similar when the SAME KIND of
+    hosts point at them — the structural-context similarity that
+    complements content MinHash/SimHash for host-level canonicalization
+    (mirror detection: mirrors share in-linkers, not necessarily
+    bytes).  Fixed-point BIGINT scores (scale 10^12): each iteration
+    sums exact longs over in-neighbor pairs and applies one integer
+    floor division, so both engines match bit-for-bit; only nonzero
+    pairs are carried, diagonal rides as literals.  Pair-quadratic by
+    nature ⇒ declared bounded-vertex-set scope (host graphs / entity
+    blocks), like sampled betweenness (operators/graph.py simrank).
+    Oracle = the two iterations unrolled with identical BIGINT // ops."""
+    return graph.simrank(_host_edges(spark, sf), iters=2)
+
+
+def q_soundex_block(spark, sf):
+    """Phonetic ER blocking — American Soundex over the corpus's
+    distinct alphabetic token vocabulary: (code, n_forms, forms) with
+    member forms '|'-joined sorted (serialized, not an array column —
+    the q_media_decode driver-canonicalizer lesson).  Multi-form
+    blocks are the candidate buckets that refine er_candidate_pairs's
+    (tag, first-char) blocks when a hot first letter overloads them —
+    the classical record-linkage key (US Census coding; Fellegi–Sunter
+    era blocking).  The code ladder (upper → translate with h/w-
+    transparent deletion → per-digit run collapse → vowel-marker strip
+    → first-letter code strip → pad) is scalar string ops on both
+    engines — deliberately NOT the builtin soundex, which disagrees
+    across implementations on the h/w rule (operators/er.py
+    soundex_expr; textbook codes pinned in test_simrank_katz_soundex).
+    One map stage + one dimension-sized hash aggregate."""
+    toks = (
+        _docs(spark, sf)
+        .select(
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token").rlike("^[A-Za-z]{2,}$"))
+    )
+    return er.soundex_blocks(toks)
+
+
 def q_redirects(spark, sf):
     """Redirect-chain resolution by POINTER JUMPING: the synthetic
     redirect table chains url(i) → url(i-1) within blocks of 8
@@ -6085,6 +6152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_allen": q_allen,
         "q_cuped": q_cuped,
         "q_bh_fdr": q_bh_fdr,
+        "q_katz": q_katz,
+        "q_simrank": q_simrank,
+        "q_soundex_block": q_soundex_block,
     }
 
 
@@ -8037,6 +8107,114 @@ def oracle_sql() -> dict[str, str]:
              round(h2.h / (SELECT th FROM tot), 6) AS hub,
              round(a2.a / (SELECT ta FROM tota), 6) AS authority
       FROM nodes n JOIN h2 USING (node) JOIN a2 USING (node)
+    """
+
+    # directed host edges + node set of the synthetic link crawl —
+    # shared by the Katz/SimRank twins (mirrors the q_hits CTEs; the
+    # engine side shares _host_edges the same way)
+    _host_edges_cte = f"""{_link_pages_sql(_SRC_TAG_SQL)},
+      links AS (
+        SELECT source || '.example.com' AS src_host,
+               unnest(regexp_extract_all(h, 'href="([^"]*)"', 1)) AS target_url
+        FROM html2
+      ),
+      edges AS (
+        SELECT DISTINCT src_host AS src,
+               lower(regexp_extract(target_url, '://([^/?#:]*)', 1)) AS dst
+        FROM links
+      ),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+    # Katz centrality: the three walk-count levels are exact BIGINT
+    # aggregates; the series collapses over the common denominator 4^3
+    # with ONE final IEEE division per node (engine: graph.katz)
+    o["q_katz"] = f"""
+      WITH {_host_edges_cte},
+      w1 AS (SELECT dst AS node, count(*)::BIGINT AS w FROM edges GROUP BY dst),
+      w2 AS (SELECT e.dst AS node, sum(w1.w)::BIGINT AS w
+             FROM edges e JOIN w1 ON e.src = w1.node GROUP BY e.dst),
+      w3 AS (SELECT e.dst AS node, sum(w2.w)::BIGINT AS w
+             FROM edges e JOIN w2 ON e.src = w2.node GROUP BY e.dst)
+      SELECT n.node,
+             round((coalesce(a.w, 0) * 16 + coalesce(b.w, 0) * 4
+                    + coalesce(c.w, 0))::DOUBLE / 64.0, 9) AS katz
+      FROM nodes n LEFT JOIN w1 a USING (node) LEFT JOIN w2 b USING (node)
+                   LEFT JOIN w3 c USING (node)
+    """
+
+    # SimRank, 2 iterations unrolled: fixed-point BIGINT scores
+    # (scale 10^12), each iteration one exact integer sum over
+    # in-neighbor pairs + one integer floor division — the identical
+    # ops the engine replays (graph.simrank), so values match
+    # bit-for-bit; s0 = diagonal, only nonzero pairs carried
+    o["q_simrank"] = f"""
+      WITH {_host_edges_cte},
+      indeg AS (SELECT dst AS node, count(*)::BIGINT AS deg FROM edges GROUP BY dst),
+      diag AS (SELECT node AS x, node AS y, 1000000000000::BIGINT AS s FROM nodes),
+      r1 AS (SELECT ea.dst AS a, eb.dst AS b, sum(sf.s)::BIGINT AS num
+             FROM diag sf JOIN edges ea ON sf.x = ea.src
+                          JOIN edges eb ON sf.y = eb.src
+             WHERE ea.dst <> eb.dst GROUP BY 1, 2),
+      o1 AS (SELECT * FROM (
+               SELECT r1.a AS x, r1.b AS y,
+                      ((4 * num) // (5 * da.deg * db.deg))::BIGINT AS s
+               FROM r1 JOIN indeg da ON r1.a = da.node
+                       JOIN indeg db ON r1.b = db.node)
+             WHERE s > 0),
+      s1 AS (SELECT * FROM diag UNION ALL SELECT * FROM o1),
+      r2 AS (SELECT ea.dst AS a, eb.dst AS b, sum(sf.s)::BIGINT AS num
+             FROM s1 sf JOIN edges ea ON sf.x = ea.src
+                        JOIN edges eb ON sf.y = eb.src
+             WHERE ea.dst <> eb.dst GROUP BY 1, 2),
+      o2 AS (SELECT * FROM (
+               SELECT r2.a AS x, r2.b AS y,
+                      ((4 * num) // (5 * da.deg * db.deg))::BIGINT AS s
+               FROM r2 JOIN indeg da ON r2.a = da.node
+                       JOIN indeg db ON r2.b = db.node)
+             WHERE s > 0)
+      SELECT x AS node_a, y AS node_b, round(s::DOUBLE / 1e12, 9) AS simrank
+      FROM o2 WHERE x < y
+    """
+
+    # American Soundex blocking: the identical ladder (upper →
+    # translate with h/w deletion → per-digit run collapse → vowel
+    # strip → first-letter code strip → pad) as er.soundex_expr;
+    # regexp_replace needs the 'g' flag here (DuckDB replaces first
+    # match by default, Spark replaces all)
+    o["q_soundex_block"] = """
+      WITH toks AS (
+        SELECT DISTINCT t AS form FROM (
+          SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+          FROM documents)
+        WHERE regexp_matches(t, '^[A-Za-z]{2,}$')
+      ),
+      c1 AS (SELECT form, upper(form) AS u FROM toks),
+      c2 AS (SELECT form, substr(u, 1, 1) AS first,
+             translate(u, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                       '000000111122222222334556') AS code
+             FROM c1),
+      c3 AS (SELECT form, first,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(code,
+               '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+               '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+               '66+', '6', 'g') AS coll
+             FROM c2),
+      c4 AS (SELECT form, first,
+             regexp_replace(coll, '0', '', 'g') AS nozero,
+             translate(first, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                       '000000111122222222334556') AS fcode
+             FROM c3),
+      c5 AS (SELECT form,
+             first || rpad(substr(
+               CASE WHEN fcode IN ('1','2','3','4','5','6')
+                         AND substr(nozero, 1, 1) = fcode
+                    THEN substr(nozero, 2) ELSE nozero END,
+               1, 3), 3, '0') AS sdx
+             FROM c4)
+      SELECT sdx AS code, count(*)::BIGINT AS n_forms,
+             string_agg(form, '|' ORDER BY form) AS forms
+      FROM c5 GROUP BY sdx
     """
 
     # anchor-TEXT extraction: same html build device with varying

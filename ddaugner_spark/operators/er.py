@@ -726,3 +726,67 @@ def truth_discovery_sums(
         ).alias("share"),
         (F.row_number().over(w) == 1).alias("is_winner"),
     )
+
+
+# American Soundex letter→code map (translate semantics: chars beyond
+# len(_SDX_TO) — H, W — are DELETED, which IS the h/w-transparency rule:
+# same-code letters separated only by h/w become adjacent and collapse,
+# while vowels stay as '0' separators so they code twice).
+_SDX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNRHW"
+_SDX_TO = "000000111122222222334556"
+
+
+def soundex_expr(col):
+    """American Soundex code of an alphabetic string as a pure COLUMN
+    expression — the phonetic blocking key classic record linkage
+    (Fellegi–Sunter era, US Census/National Archives coding) uses to
+    bucket name variants that spell differently but sound alike
+    (ROBERT/RUPERT → R163, ASHCRAFT/ASHCROFT → A261).
+
+    Deliberately NOT Spark's builtin ``F.soundex`` — the ladder below
+    (upper → translate → per-digit run collapse → vowel-marker removal
+    → first-letter code strip → pad) is replayed verbatim by the
+    DuckDB oracle twin, so both engines compute the identical variant
+    (builtin soundex implementations disagree on the h/w rule).  All
+    steps are scalar string ops: map-only, codegen'd, no UDF.
+    """
+    u = F.upper(col)
+    first = F.substring(u, 1, 1)
+    code = F.translate(u, _SDX_FROM, _SDX_TO)
+    coll = code
+    for d in "0123456":
+        coll = F.regexp_replace(coll, f"{d}{d}+", d)
+    nozero = F.regexp_replace(coll, "0", "")
+    fcode = F.translate(first, _SDX_FROM, _SDX_TO)
+    stripped = F.when(
+        fcode.isin(*list("123456")) & (F.substring(nozero, 1, 1) == fcode),
+        F.substring(nozero, 2, 1_000_000),
+    ).otherwise(nozero)
+    return F.concat(first, F.rpad(F.substring(stripped, 1, 3), 3, "0"))
+
+
+def soundex_blocks(
+    tokens: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """(code, n_forms, forms) — phonetic blocking over a DISTINCT
+    surface-form vocabulary: every form keyed by :func:`soundex_expr`,
+    one row per code with the member forms '|'-joined in sorted order
+    (serialized, not an array column — driver canonicalizers hash
+    scalars).  Multi-form blocks (n_forms ≥ 2) are the ER candidate
+    blocks that split the ``(tag, first char)`` blocks of
+    :func:`er_candidate_pairs` when a hot first letter overloads them —
+    same plan shape, finer key.
+
+    Scale shape: the input is the vocabulary (distinct surfaces), so
+    the groupBy is dimension-sized; one explode-free map stage for the
+    coding + one partial-aggregable hash aggregate.  Block membership
+    lists are bounded by phonetic-code selectivity (26 letters × 7³
+    codes); production callers cap pathological blocks the same way
+    the LSH bucket cap does, with logged drops.
+    """
+    t = tokens.select(F.col(token_col).alias("form")).distinct()
+    coded = t.select("form", soundex_expr(F.col("form")).alias("code"))
+    return coded.groupBy("code").agg(
+        F.count("*").cast("long").alias("n_forms"),
+        F.array_join(F.array_sort(F.collect_list("form")), "|").alias("forms"),
+    )

@@ -2279,3 +2279,167 @@ def betweenness_sampled(
     return allparts.groupBy("node").agg(
         F.round(F.sum("delta"), ndigits).alias("bc")
     )
+
+
+def katz(
+    edges: DataFrame,
+    depth: int = 3,
+    beta_denom: int = 4,
+    ndigits: int = 9,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """(node, katz) — Katz centrality (Katz, Psychometrika 1953)
+    truncated at walk length ``depth``: katz(v) = Σ_{k=1..depth}
+    β^k · |walks of length k ending at v| with β = 1/``beta_denom``.
+    The prestige score PageRank's degree normalization can't express —
+    a node pointed at by well-pointed-at nodes scores high even when
+    those pointers also point everywhere else (no out-degree split),
+    the classic citation/endorsement semantics for entity-page priors.
+
+    Determinism design: walk COUNTS are integers, so the whole series
+    is computed in exact BIGINT arithmetic over the common denominator
+    β^depth — katz_int(v) = Σ_k walks_k(v) · beta_denom^(depth−k) —
+    and divided by beta_denom^depth exactly once at the end (the HITS
+    integer-power-iteration device: both engines sum the same longs
+    and perform one IEEE division per node, so output is reproducible
+    bit-for-bit at any depth).
+
+    Scale shape: per level ONE equi-join of the edge table with the
+    O(|V|) count table on the walk frontier + one partial-aggregable
+    groupBy on the destination; with ``broadcast_counts`` (hosts-sized
+    graphs) the count table broadcasts and the edge table is scanned
+    map-side, never exchanged.  Fixed ``depth`` keeps the lazy plan
+    bounded.  Overflow bound: walks_k ≤ (max indeg)^k must stay under
+    2^63/beta_denom^depth — at depth 3 / denom 4 that allows indeg up
+    to ~5·10^5; truncate hot in-degrees or lower depth past that.
+    """
+    if depth < 1:
+        raise ValueError("katz: depth must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # walks_1(v) = indeg(v); level k: walks_k(v) = Σ_{u→v} walks_{k-1}(u)
+    acc = None  # (node, katz_int)
+    w = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("w")
+    )
+    for k in range(1, depth + 1):
+        coef = beta_denom ** (depth - k)
+        term = w.select("node", (F.col("w") * F.lit(coef)).cast("long").alias("ki"))
+        acc = (
+            term
+            if acc is None
+            else acc.unionByName(term)
+            .groupBy("node")
+            .agg(F.sum("ki").cast("long").alias("ki"))
+        )
+        if k < depth:
+            wb = F.broadcast(w) if broadcast_counts else w
+            w = (
+                e.join(wb, e.src == wb.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("w").cast("long").alias("w"))
+            )
+    scale = float(beta_denom**depth)
+    out = nodes.join(acc, "node", "left").select(
+        "node",
+        F.round(
+            F.coalesce(F.col("ki"), F.lit(0)).cast("double") / F.lit(scale), ndigits
+        ).alias("katz"),
+    )
+    return out
+
+
+def simrank(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 10**12,
+    c_num: int = 4,
+    c_den: int = 5,
+    ndigits: int = 9,
+) -> DataFrame:
+    """(node_a, node_b, simrank) with node_a < node_b — SimRank (Jeh &
+    Widom, KDD 2002): two nodes are similar when their IN-neighbors are
+    similar — s(a,b) = C/(|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j),
+    s(v,v) = 1, C = ``c_num/c_den`` — the structural-context twin of
+    the co-mention similarity (two hosts/entities are alike because the
+    same kind of places point at them, not because they share text).
+
+    Determinism design: fixed-point BIGINT arithmetic — scores are
+    integers scaled by ``scale``; each iteration sums exact longs over
+    in-neighbor pairs and applies ONE integer floor division
+    (c_num·Σ) div (c_den·|I(a)|·|I(b)|).  Both engines replay the
+    identical integer ops in the identical dataflow, so results match
+    bit-for-bit (no float-summation-order hazard); per-op quantization
+    error is ≤ 1/scale.  Overflow bound: |I(a)|·|I(b)|·scale·c_num
+    must stay under 2^63 — at scale 10^12 that allows in-degree
+    products to ~2·10^6; SimRank is inherently pair-quadratic, so the
+    operator is for BOUNDED vertex sets (host graphs, entity blocks —
+    the declared scope, like sampled betweenness), not raw crawls.
+
+    Scale shape per iteration: the sparse score table joins the edge
+    table twice (i→a on i, j→b on j) — two shuffles on node keys — then
+    one partial-aggregable groupBy(a,b); only nonzero pairs are carried
+    (SimRank mass is sparse at small iteration counts).  Diagonal pairs
+    ride as literals, never materialized beyond |V| rows.
+    """
+    if iters < 1:
+        raise ValueError("simrank: iters must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    diag = nodes.select(
+        F.col("node").alias("x"), F.col("node").alias("y"), F.lit(scale).cast("long").alias("s")
+    )
+    # s_0 = diagonal only; off-diagonal table starts empty
+    off = None  # (x, y, s) with x != y, both orientations carried
+    for _ in range(iters):
+        s_full = diag if off is None else diag.unionByName(off)
+        # Σ_{i∈I(a), j∈I(b)} s(i,j): pair (i,j) scores fan out through
+        # the two in-edge joins (i→a), (j→b)
+        ea = e.select(F.col("src").alias("i"), F.col("dst").alias("a"))
+        eb = e.select(F.col("src").alias("j"), F.col("dst").alias("b"))
+        raw = (
+            s_full.join(ea, s_full.x == ea.i)
+            .join(eb, s_full.y == eb.j)
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("s").cast("long").alias("num"))
+        )
+        da = indeg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+        db = indeg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+        off = (
+            raw.join(F.broadcast(da), "a")
+            .join(F.broadcast(db), "b")
+            .select(
+                F.col("a").alias("x"),
+                F.col("b").alias("y"),
+                F.expr(f"CAST({c_num} * num AS BIGINT) DIV CAST({c_den} * da * db AS BIGINT)")
+                .cast("long")
+                .alias("s"),
+            )
+            .filter(F.col("s") > 0)
+        )
+    if off is None:
+        return edges.sparkSession.createDataFrame(
+            [], "node_a string, node_b string, simrank double"
+        )
+    return (
+        off.filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.round(F.col("s").cast("double") / F.lit(float(scale)), ndigits).alias(
+                "simrank"
+            ),
+        )
+    )
