@@ -5752,6 +5752,65 @@ def q_bh_fdr(spark, sf):
     return textstats.chi2_bh_select(_docs(spark, sf))
 
 
+def q_welch_t(spark, sf):
+    """Welch's unequal-variance t test of document length (n_chars)
+    between the two largest languages (en vs zh) — the parametric
+    2-sample screen completing the family (Mann–Whitney's rank form,
+    ANOVA's k-sample form), plus Welch–Satterthwaite dof and Cohen's d
+    effect size.  Six exact BIGINT moments in one aggregate pass, then
+    a fixed float chain — no order-divergent Σ anywhere
+    (operators/stats.py welch_t)."""
+    return stats.welch_t(_docs(spark, sf), "lang", "n_chars", "en", "zh")
+
+
+def q_mcnemar(spark, sf):
+    """McNemar's continuity-corrected test on paired per-doc outcomes
+    of the two rule gates — does the C4 line gate pass a different SET
+    of documents than the Gopher document gate?  Concordant pairs
+    carry no information, so the discordant counts (b, c) isolate
+    exactly where the filters disagree; four conditional BIGINT counts
+    + one fixed float chain (operators/stats.py mcnemar_paired over
+    textstats.gopher_rules ⋈ textstats.c4_line_clean)."""
+    docs = _docs(spark, sf)
+    g = textstats.gopher_rules(docs).select("doc_id", F.col("keep").alias("a"))
+    d = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" the "), F.lit(".\n"))
+    )
+    c = textstats.c4_line_clean(d, min_line_words=5, min_kept_lines=3).select(
+        "doc_id", (~F.col("doc_dropped")).alias("b")
+    )
+    return stats.mcnemar_paired(g.join(c, "doc_id"), "a", "b")
+
+
+def q_dag_layers(spark, sf):
+    """Longest-path layering (critical-path depth) of the 200-node
+    type DAG with redundant shortcuts (the q_transitive_reduction
+    graph): layer(v) = longest directed path ending at v — with the
+    child→parent edge orientation this is each type's HEIGHT (longest
+    descendant chain), the level a bottom-up aggregation schedules it
+    at.  Eight rounds of max-plus
+    relaxation, exact integer layers, layer table broadcast both ways
+    so the edge table never shuffles (operators/graph.py dag_layers).
+    Oracle = depth-capped recursive walk enumeration + max."""
+    d = (
+        _docs(spark, sf)
+        .select((F.col("doc_id") % 200).alias("i"))
+        .distinct()
+        .filter(F.col("i") >= 1)
+    )
+    t = F.concat(F.lit("t"), F.col("i").cast("string"))
+    parent = F.expr("(i - 1) DIV 3")
+    tree = d.select(
+        t.alias("src"),
+        F.concat(F.lit("t"), parent.cast("string")).alias("dst"),
+    )
+    gp = F.expr("((i - 1) DIV 3 - 1) DIV 3")
+    short = d.filter((F.col("i") % 4 == 0) & (parent >= 1)).select(
+        t.alias("src"), F.concat(F.lit("t"), gp.cast("string")).alias("dst")
+    )
+    return graph.dag_layers(tree.unionByName(short), iters=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is LOAD-BEARING: the driver's correctness gate
     samples the FIRST 50 entries.  Round-5 rotation (VERDICT r4 #5 —
@@ -6155,6 +6214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_katz": q_katz,
         "q_simrank": q_simrank,
         "q_soundex_block": q_soundex_block,
+        "q_welch_t": q_welch_t,
+        "q_mcnemar": q_mcnemar,
+        "q_dag_layers": q_dag_layers,
     }
 
 
@@ -16023,6 +16085,152 @@ sents AS (
       SELECT tok, round(chi2, 6) AS chi2, round(p, 6) AS p, bh_rank,
              bh_rank <= (SELECT k FROM kstar) AS rejected
       FROM ranked
+    """
+
+    # Welch t replay: the same six exact BIGINT moments, the same
+    # fixed float chain (variance via (n·Q − S²)/(n·(n−1)), Welch–
+    # Satterthwaite dof, pooled-SD Cohen's d)
+    o["q_welch_t"] = """
+      WITH base AS (
+        SELECT lang AS g, n_chars::BIGINT AS x FROM documents
+        WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL
+      ),
+      m AS (
+        SELECT
+          sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          sum(CASE WHEN g = 'en' THEN x ELSE 0 END)::BIGINT AS s_a,
+          sum(CASE WHEN g = 'en' THEN x * x ELSE 0 END)::BIGINT AS q_a,
+          sum(CASE WHEN g <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          sum(CASE WHEN g <> 'en' THEN x ELSE 0 END)::BIGINT AS s_b,
+          sum(CASE WHEN g <> 'en' THEN x * x ELSE 0 END)::BIGINT AS q_b
+        FROM base
+      ),
+      c AS (
+        SELECT n_a, n_b,
+          s_a::DOUBLE / n_a::DOUBLE AS mean_a,
+          s_b::DOUBLE / n_b::DOUBLE AS mean_b,
+          (n_a * q_a - s_a * s_a)::DOUBLE / (n_a * (n_a - 1))::DOUBLE AS var_a,
+          (n_b * q_b - s_b * s_b)::DOUBLE / (n_b * (n_b - 1))::DOUBLE AS var_b
+        FROM m
+      ),
+      s AS (
+        SELECT *, var_a / n_a::DOUBLE AS se_a, var_b / n_b::DOUBLE AS se_b,
+          var_a / n_a::DOUBLE + var_b / n_b::DOUBLE AS se2,
+          ((n_a - 1)::DOUBLE * var_a + (n_b - 1)::DOUBLE * var_b)
+            / (n_a + n_b - 2)::DOUBLE AS pooled,
+          (n_a >= 2 AND n_b >= 2
+           AND var_a / n_a::DOUBLE + var_b / n_b::DOUBLE > 0) AS ok
+        FROM c
+      )
+      SELECT n_a, n_b,
+        round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        round(var_a, 6) AS var_a, round(var_b, 6) AS var_b,
+        round(CASE WHEN ok THEN (mean_a - mean_b) / sqrt(se2) END, 6)
+          AS t_stat,
+        round(CASE WHEN ok THEN (se2 * se2)
+               / (se_a * se_a / (n_a - 1)::DOUBLE
+                  + se_b * se_b / (n_b - 1)::DOUBLE) END, 6) AS dof,
+        round(CASE WHEN ok AND pooled > 0
+               THEN (mean_a - mean_b) / sqrt(pooled) END, 6) AS cohens_d
+      FROM s
+    """
+
+    # McNemar replay: Gopher keep ⋈ C4 NOT doc_dropped per doc (both
+    # gate derivations inlined, identical to their standalone oracles),
+    # four conditional BIGINT counts, Edwards continuity correction
+    o["q_mcnemar"] = f"""
+      WITH gbase AS (
+        SELECT doc_id, coalesce(text, '') AS t FROM documents
+      ),
+      gm AS (
+        SELECT doc_id,
+          len(string_split(t, ' '))::BIGINT AS n,
+          len(string_split(t, chr(10)))::BIGINT AS n_lines,
+          (length(t) - (len(string_split(t, ' ')) - 1))::BIGINT
+            AS chars_in_words,
+          (length(t) - length(replace(t, '#', '')))::BIGINT AS n_hash,
+          ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT
+            AS n_ellipsis,
+          len(list_filter(string_split(t, chr(10)),
+              l -> starts_with(l, '- ') OR starts_with(l, '* ')))::BIGINT
+            AS n_bullet,
+          len(list_filter(string_split(t, chr(10)),
+              l -> ends_with(l, '...')))::BIGINT AS n_ell_end,
+          len(list_filter(string_split(t, ' '),
+              x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha,
+          len(list_intersect(list_distinct(string_split(t, ' ')),
+              [{_gstops}]))::BIGINT AS n_stops
+        FROM gbase
+      ),
+      gk AS (
+        SELECT doc_id,
+          ((n >= 50 AND n <= 100000)
+           AND (chars_in_words >= 3 * n AND chars_in_words <= 10 * n)
+           AND ((n_hash + n_ellipsis) * 10 <= n)
+           AND (n_bullet * 10 <= n_lines * 9)
+           AND (n_ell_end * 10 <= n_lines * 3)
+           AND (n_alpha * 5 >= n * 4)
+           AND (n_stops >= 2)) AS a
+        FROM gm
+      ),
+      cbase AS (
+        SELECT doc_id,
+               replace(coalesce(text, ''), ' the ', '.' || chr(10)) AS t
+        FROM documents
+      ),
+      ck AS (
+        SELECT doc_id,
+          NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{{')
+               OR len(list_filter(string_split(t, chr(10)),
+                 l -> (ends_with(l, '.') OR ends_with(l, '!')
+                       OR ends_with(l, '?') OR ends_with(l, '"'))
+                      AND len(string_split(l, ' ')) >= 5
+                      AND NOT contains(lower(l), 'javascript'))) < 3) AS b
+        FROM cbase
+      ),
+      pairs AS (SELECT a, b FROM gk JOIN ck USING (doc_id)),
+      agg AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+          sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+            AS n_neither,
+          sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n_a_only,
+          sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n_b_only
+        FROM pairs
+      )
+      SELECT n, n_both, n_neither, n_a_only, n_b_only,
+        round(CASE WHEN n_a_only + n_b_only > 0 THEN
+          (abs(n_a_only - n_b_only)::DOUBLE - 1.0)
+          * (abs(n_a_only - n_b_only)::DOUBLE - 1.0)
+          / (n_a_only + n_b_only)::DOUBLE END, 6) AS chi2_cc
+      FROM agg
+    """
+
+    # DAG layering replay: the q_transitive_reduction edge build, then
+    # depth-capped (≤ 8 edges, matching the engine's 8 relaxation
+    # rounds) recursive walk enumeration + max per node — exact
+    # integer layers
+    o["q_dag_layers"] = """
+      WITH d AS (SELECT DISTINCT (doc_id % 200)::BIGINT AS i
+                 FROM documents WHERE doc_id % 200 >= 1),
+      tree AS (SELECT 't' || i::VARCHAR AS src,
+                      't' || ((i - 1) // 3)::VARCHAR AS dst FROM d),
+      short AS (SELECT 't' || i::VARCHAR AS src,
+                       't' || (((i - 1) // 3 - 1) // 3)::VARCHAR AS dst
+                FROM d WHERE i % 4 = 0 AND (i - 1) // 3 >= 1),
+      e AS (SELECT DISTINCT src, dst FROM
+            (SELECT * FROM tree UNION ALL SELECT * FROM short)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      lp AS (
+        WITH RECURSIVE w AS (
+          SELECT node, 0 AS dep FROM nodes
+          UNION ALL
+          SELECT e.dst AS node, w.dep + 1 FROM w JOIN e ON e.src = w.node
+          WHERE w.dep < 8
+        )
+        SELECT node, max(dep)::BIGINT AS layer FROM w GROUP BY node
+      )
+      SELECT node, layer FROM lp
     """
 
     return o

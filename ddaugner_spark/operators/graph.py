@@ -2443,3 +2443,59 @@ def simrank(
             ),
         )
     )
+
+
+def dag_layers(
+    edges: DataFrame,
+    iters: int = 8,
+    broadcast_layers: bool = True,
+) -> DataFrame:
+    """(node, layer) — longest-path layering of a DAG: ``layer(v)`` =
+    length of the longest directed path ending at v (sources = 0), the
+    critical-path / topological-level assignment.  This is the level
+    schedule of every dependency hierarchy — type-subsumption depth in
+    the KG (how specific is a type?), build/lineage stage depth,
+    condensation-DAG rank — and the static analogue of the pointer-
+    jumping depth the CC/redirect operators measure dynamically.
+
+    Level-synchronous relaxation, ``iters`` rounds (Bellman–Ford on
+    −1 weights, but max-plus): layer ← max(in-neighbor layer + 1),
+    monotone non-decreasing, converges after ``depth(DAG)`` rounds, so
+    ``iters`` need only bound the hierarchy depth (hierarchies are
+    shallow — 8 covers 3^8 ≈ 6.5k-leaf ternary trees; pass the known
+    bound).  Layers are exact integers — no float anywhere, both
+    engines agree bit-for-bit.  On a cyclic input the cycle nodes keep
+    climbing and the result equals the ``iters``-bounded relaxation
+    (the oracle twin replays the same bounded recursion, so parity
+    holds regardless; callers wanting a cycle GUARD compose with the
+    SCC operator first and layer the condensation).
+
+    Scale shape per round: one equi-join of the edge table with the
+    O(|V|) layer table + one partial-aggregable groupBy(dst) + one
+    left join back to nodes; with ``broadcast_layers`` (dimension-
+    sized hierarchies) the layer table broadcasts both times and the
+    edge table is never exchanged.  Fixed ``iters`` keeps the lazy
+    plan bounded, same device as :func:`katz`.
+    """
+    if iters < 1:
+        raise ValueError("dag_layers: iters must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cur = nodes.select("node", F.lit(0).cast("long").alias("layer"))
+    for _ in range(iters):
+        cb = F.broadcast(cur) if broadcast_layers else cur
+        step = (
+            e.join(cb, e.src == cb.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("layer") + F.lit(1)).cast("long").alias("inl"))
+        )
+        sb = F.broadcast(step) if broadcast_layers else step
+        cur = nodes.join(sb, "node", "left").select(
+            "node",
+            F.coalesce(F.col("inl"), F.lit(0)).cast("long").alias("layer"),
+        )
+    return cur

@@ -1606,3 +1606,151 @@ def decision_stump(
         F.round(wg, ndigits).alias("weighted_gini"),
         F.round(parent - wg, ndigits).alias("gain"),
     )
+
+
+def welch_t(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t test (Welch, Biometrika
+    1947) of integer-valued ``value_col`` between ``group_a`` and
+    ``group_b``, one output row: ``(n_a, n_b, mean_a, mean_b, var_a,
+    var_b, t_stat, dof, cohens_d)`` — the parametric 2-sample location
+    screen next to :func:`mann_whitney_u`'s rank form and
+    :func:`anova_oneway`'s k-sample form; Welch because corpus strata
+    (languages, sources, event types) never share a variance.
+    ``dof`` is the Welch–Satterthwaite effective degrees of freedom;
+    ``cohens_d`` is the pooled-SD standardized effect size (the
+    practical readout — a huge corpus makes any difference
+    "significant").
+
+    Exactness: one map-side-combined aggregate of exact BIGINT moments
+    ``(n, S = Σx, Q = Σx²)`` per group (conditional sums, single corpus
+    pass); every downstream quantity is a FIXED float chain over those
+    six longs — sample variance as ``(n·Q − S²) / (n·(n−1))`` with the
+    numerator exact while ``n·Q < 2⁶³`` — so both engines replay
+    identical IEEE ops in identical order (the :func:`anova_oneway`
+    discipline, with no order-divergent Σ at all).  Degenerate inputs
+    (either n < 2, or both variances 0) yield NULL variance/t_stat/dof
+    — every division sits in a lazy When branch so ANSI mode never
+    evaluates a zero divisor.
+
+    Scale shape: one hash aggregate producing a single row; nothing is
+    sorted, no join, no shuffle beyond the 1-row combine.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("g").isin(group_a, group_b) & F.col("x").isNotNull())
+    is_a = F.col("g") == group_a
+
+    def mom(cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0)).cast("long"),
+        ]
+
+    na, sa, qa = mom(is_a)
+    nb, sb, qb = mom(~is_a)
+    agg = base.agg(
+        na.alias("n_a"), sa.alias("s_a"), qa.alias("q_a"),
+        nb.alias("n_b"), sb.alias("s_b"), qb.alias("q_b"),
+    )
+
+    def var(n, s, q):
+        # guarded (lazy When branch) so ANSI mode never sees a zero
+        # divisor on a degenerate group
+        return F.when(
+            n >= 2,
+            (n * q - s * s).cast("double")
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+
+    n_a, s_a, q_a = F.col("n_a"), F.col("s_a"), F.col("q_a")
+    n_b, s_b, q_b = F.col("n_b"), F.col("s_b"), F.col("q_b")
+    mean_a = F.when(n_a >= 1, s_a.cast("double") / n_a.cast("double"))
+    mean_b = F.when(n_b >= 1, s_b.cast("double") / n_b.cast("double"))
+    var_a = var(n_a, s_a, q_a)
+    var_b = var(n_b, s_b, q_b)
+    both = (n_a >= 2) & (n_b >= 2)
+    se_a = F.when(both, var_a / n_a.cast("double"))
+    se_b = F.when(both, var_b / n_b.cast("double"))
+    se2 = F.when(both, se_a + se_b)
+    ok = both & (se2 > 0)  # NULL se2 → NULL cond → falls through to NULL
+    t_stat = F.when(ok, (mean_a - mean_b) / F.sqrt(se2))
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / (
+            se_a * se_a / (n_a - F.lit(1)).cast("double")
+            + se_b * se_b / (n_b - F.lit(1)).cast("double")
+        ),
+    )
+    pooled = F.when(
+        both,
+        ((n_a - F.lit(1)).cast("double") * var_a
+         + (n_b - F.lit(1)).cast("double") * var_b)
+        / (n_a + n_b - F.lit(2)).cast("double"),
+    )
+    cohens_d = F.when(both & (pooled > 0), (mean_a - mean_b) / F.sqrt(pooled))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, ndigits).alias("mean_a"),
+        F.round(mean_b, ndigits).alias("mean_b"),
+        F.round(var_a, ndigits).alias("var_a"),
+        F.round(var_b, ndigits).alias("var_b"),
+        F.round(t_stat, ndigits).alias("t_stat"),
+        F.round(dof, ndigits).alias("dof"),
+        F.round(cohens_d, ndigits).alias("cohens_d"),
+    )
+
+
+def mcnemar_paired(
+    flags: DataFrame, a_col: str, b_col: str, ndigits: int = 6
+) -> DataFrame:
+    """McNemar's test (Psychometrika 1947) on paired binary outcomes —
+    one row per subject with boolean columns ``a_col`` / ``b_col``
+    (same items judged by two gates / models / annotators), one output
+    row ``(n, n_both, n_neither, n_a_only, n_b_only, chi2_cc)`` with
+    the Edwards continuity-corrected statistic
+    ``(|b − c| − 1)² / (b + c)`` over the discordant counts
+    b = ``n_a_only``, c = ``n_b_only``.  The canonical "did the new
+    filter change which documents pass?" screen: concordant pairs
+    carry no information, so corpus size doesn't drown the comparison
+    the way a two-proportion z on overlapping samples does.
+
+    Exactness: four conditional BIGINT counts in one aggregate pass +
+    one fixed float chain; NULL chi2_cc when b + c = 0 (no discordant
+    pairs — the gates agree everywhere).  Map-only into a 1-row
+    combine, same shape as :func:`welch_t`.
+    """
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(a & b).alias("n_both"),
+        cnt(~a & ~b).alias("n_neither"),
+        cnt(a & ~b).alias("n_a_only"),
+        cnt(~a & b).alias("n_b_only"),
+    )
+    bb, cc = F.col("n_a_only"), F.col("n_b_only")
+    diff = F.abs(bb - cc).cast("double")
+    denom = (bb + cc).cast("double")
+    chi2 = F.when(
+        bb + cc > 0,
+        (diff - F.lit(1.0)) * (diff - F.lit(1.0)) / denom,
+    )
+    return agg.select(
+        "n", "n_both", "n_neither", "n_a_only", "n_b_only",
+        F.round(chi2, ndigits).alias("chi2_cc"),
+    )
