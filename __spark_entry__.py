@@ -1874,6 +1874,64 @@ def q_soundex_block(spark, sf):
     return er.soundex_blocks(toks)
 
 
+def q_jw_pairs(spark, sf):
+    """Jaro-Winkler name matching inside Soundex blocks over the
+    corpus's distinct alphabetic token vocabulary — the classical
+    Census record-linkage stack (phonetic block key + Winkler
+    comparator).  The corpus vocabulary is unioned with a
+    deterministic second-character-deletion variant of every ≥5-char
+    form (the OCR-noise stand-in; same device as the dedup corpus
+    amplifiers) so the blocks contain true near-matches — some
+    variants keep their original's Soundex code and pair, some drift
+    to another block, the classic blocking-recall story.  Blocks
+    capped at 64 lexicographic forms; scoring in Arrow batches with
+    the EXACT variant DuckDB's builtin implements (validated
+    bit-identical on 15k random pairs), so the oracle calls
+    jaro_winkler_similarity directly (operators/er.py
+    jw_block_pairs)."""
+    toks = (
+        _docs(spark, sf)
+        .select(
+            F.explode(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token").rlike("^[A-Za-z]{2,}$"))
+    )
+    noised = toks.filter(F.length("token") >= 5).select(
+        F.concat(
+            F.substring("token", 1, 1), F.expr("substring(token, 3)")
+        ).alias("token")
+    )
+    return er.jw_block_pairs(
+        toks.unionByName(noised), threshold=0.87, block_cap=64
+    )
+
+
+def q_matching(spark, sf):
+    """Greedy maximal matching of the directed host graph's undirected
+    view by parallel local-min edge selection (Israeli–Itai; the
+    coarsening step of METIS-style multilevel partitioners and the
+    one-merge-per-node guard of pairwise host dedup).  Unique
+    md5-extended edge ranks, 8 rounds, live edges parquet-round-
+    tripped per round so the plan stays flat (operators/graph.py
+    greedy_matching).  Oracle = the same 8 rounds unrolled."""
+    return graph.greedy_matching(
+        _host_edges(spark, sf), rounds=8, stage_dir=_scratch("q_matching_")
+    )
+
+
+def q_resource_alloc(spark, sf):
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009)
+    over the undirected host graph: for non-adjacent pairs,
+    ra = Σ 1/deg(common neighbor) — hub intermediaries count for
+    little; the "which hosts should be linked but aren't?" screen
+    feeding KG completion.  Exact BIGINT shares (scale 10^12 floor
+    division), one wedge self-join + anti-join vs adjacency + hash
+    aggregate (operators/graph.py resource_allocation)."""
+    return graph.resource_allocation(_host_edges(spark, sf))
+
+
 def q_redirects(spark, sf):
     """Redirect-chain resolution by POINTER JUMPING: the synthetic
     redirect table chains url(i) → url(i-1) within blocks of 8
@@ -6217,6 +6275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_welch_t": q_welch_t,
         "q_mcnemar": q_mcnemar,
         "q_dag_layers": q_dag_layers,
+        "q_jw_pairs": q_jw_pairs,
+        "q_matching": q_matching,
+        "q_resource_alloc": q_resource_alloc,
     }
 
 
@@ -16231,6 +16292,139 @@ sents AS (
         SELECT node, max(dep)::BIGINT AS layer FROM w GROUP BY node
       )
       SELECT node, layer FROM lp
+    """
+
+    # Jaro-Winkler block pairs: the q_soundex_block ladder reproduced,
+    # per-block lexicographic cap, within-block self-join, then the
+    # BUILTIN jaro_winkler_similarity — the engine's Arrow-batch kernel
+    # is validated bit-identical to it, which is the whole design
+    o["q_jw_pairs"] = """
+      WITH rawt AS (
+        SELECT DISTINCT t AS form FROM (
+          SELECT unnest(string_split(coalesce(text, ''), ' ')) AS t
+          FROM documents)
+        WHERE regexp_matches(t, '^[A-Za-z]{2,}$')
+      ),
+      toks AS (
+        SELECT form FROM rawt
+        UNION
+        SELECT substr(form, 1, 1) || substr(form, 3) AS form
+        FROM rawt WHERE length(form) >= 5
+      ),
+      c1 AS (SELECT form, upper(form) AS u FROM toks),
+      c2 AS (SELECT form, substr(u, 1, 1) AS first,
+             translate(u, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                       '000000111122222222334556') AS code
+             FROM c1),
+      c3 AS (SELECT form, first,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(code,
+               '00+', '0', 'g'), '11+', '1', 'g'), '22+', '2', 'g'),
+               '33+', '3', 'g'), '44+', '4', 'g'), '55+', '5', 'g'),
+               '66+', '6', 'g') AS coll
+             FROM c2),
+      c4 AS (SELECT form, first,
+             regexp_replace(coll, '0', '', 'g') AS nozero,
+             translate(first, 'AEIOUYBFPVCGJKQSXZDTLMNRHW',
+                       '000000111122222222334556') AS fcode
+             FROM c3),
+      coded AS (SELECT form,
+             first || rpad(substr(
+               CASE WHEN fcode IN ('1','2','3','4','5','6')
+                         AND substr(nozero, 1, 1) = fcode
+                    THEN substr(nozero, 2) ELSE nozero END,
+               1, 3), 3, '0') AS code
+             FROM c4),
+      capped AS (
+        SELECT code, form FROM (
+          SELECT code, form,
+                 row_number() OVER (PARTITION BY code ORDER BY form) AS rn
+          FROM coded)
+        WHERE rn <= 64
+      ),
+      pairs AS (
+        SELECT a.form AS form_a, b.form AS form_b
+        FROM capped a JOIN capped b ON a.code = b.code
+        WHERE a.form < b.form
+      )
+      SELECT form_a, form_b,
+             round(jaro_winkler_similarity(form_a, form_b), 6) AS jw
+      FROM pairs
+      WHERE jaro_winkler_similarity(form_a, form_b) >= 0.87
+    """
+
+    # Greedy matching: the engine's 8 local-min rounds unrolled —
+    # identical unique md5-extended ranks, identical round-start reads
+    # every round CTE is MATERIALIZED: each references its predecessor
+    # several times, and DuckDB's default CTE inlining would re-evaluate
+    # the whole chain exponentially (observed as an fd blowup)
+    _match_rounds = []
+    _match_sels = []
+    _prev = "e0"
+    for _k in range(8):
+        _match_rounds.append(f"""
+      mn{_k} AS MATERIALIZED (
+        SELECT node, min(r) AS mr FROM (
+          SELECT u AS node, r FROM {_prev}
+          UNION ALL SELECT v, r FROM {_prev}) GROUP BY node),
+      sel{_k} AS MATERIALIZED (
+        SELECT t.u, t.v FROM {_prev} t
+        JOIN mn{_k} a ON t.u = a.node AND t.r = a.mr
+        JOIN mn{_k} b ON t.v = b.node AND t.r = b.mr),
+      mnode{_k} AS MATERIALIZED (
+        SELECT u AS node FROM sel{_k} UNION SELECT v FROM sel{_k}),
+      e{_k + 1} AS MATERIALIZED (
+        SELECT * FROM {_prev}
+        WHERE u NOT IN (SELECT node FROM mnode{_k})
+          AND v NOT IN (SELECT node FROM mnode{_k}))""")
+        _match_sels.append(f"SELECT u, v FROM sel{_k}")
+        _prev = f"e{_k + 1}"
+    o["q_matching"] = f"""
+      WITH {_host_edges_cte},
+      und AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst
+      ),
+      e0 AS MATERIALIZED (
+        SELECT u, v,
+               md5(concat_ws('|', u, v)) || '|' || u || '|' || v AS r
+        FROM und
+      ),{",".join(_match_rounds)}
+      SELECT u AS src, v AS dst FROM ({" UNION ALL ".join(_match_sels)})
+    """
+
+    # Resource-Allocation link prediction: symmetrized distinct edges,
+    # exact BIGINT floor-division shares per common neighbor, absent
+    # pairs only (LEFT JOIN NULL anti form)
+    o["q_resource_alloc"] = f"""
+      WITH {_host_edges_cte},
+      und AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM edges
+          UNION ALL SELECT dst AS src, src AS dst FROM edges)
+        WHERE src <> dst
+      ),
+      deg AS (SELECT src AS w, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+      wed AS (
+        SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+        FROM und e1 JOIN und e2 ON e1.src = e2.src
+        WHERE e1.dst < e2.dst
+      ),
+      adj AS (SELECT src AS u, dst AS v FROM und WHERE src < dst),
+      openw AS (
+        SELECT wed.w, wed.u, wed.v
+        FROM wed LEFT JOIN adj ON wed.u = adj.u AND wed.v = adj.v
+        WHERE adj.u IS NULL
+      ),
+      agg AS (
+        SELECT u, v,
+               sum(1000000000000::BIGINT // deg)::BIGINT AS ra_int
+        FROM openw JOIN deg ON openw.w = deg.w
+        GROUP BY u, v
+      )
+      SELECT u AS node_a, v AS node_b,
+             round(ra_int::DOUBLE / 1e12, 9) AS ra
+      FROM agg WHERE ra_int >= 1
     """
 
     return o

@@ -38,6 +38,7 @@ Scale design:
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 import time
@@ -2499,3 +2500,146 @@ def dag_layers(
             F.coalesce(F.col("inl"), F.lit(0)).cast("long").alias("layer"),
         )
     return cur
+
+
+def greedy_matching(
+    edges: DataFrame,
+    rounds: int = 8,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """(src, dst) — maximal matching by deterministic parallel
+    local-min edge selection (the edge analogue of Luby's MIS, the
+    Israeli–Itai device): per round, an edge joins the matching iff
+    its rank is the strict minimum among ALL edges incident to either
+    endpoint; matched endpoints and their incident edges leave the
+    graph; repeat.  Matchings are the coarsening step of multilevel
+    graph partitioners (METIS-style) and the one-merge-per-node guard
+    an ER pipeline uses when collapsing near-duplicate hosts pairwise.
+
+    Determinism: the rank is ``md5(src|dst)`` extended with the edge
+    key itself (strictly unique, so two incident edges can never tie
+    and double-match a node) — a pure function of edge identity,
+    identically computable as a string in both engines; each round
+    every local-min decision reads only the round-start edge set, so
+    the result is independent of partitioning.  ``rounds`` is FIXED
+    (each round kills an expected constant fraction of live edges —
+    8 covers the test graphs; the SQL twin unrolls the same count, so
+    parity holds by construction and the semantics are
+    "``rounds``-round greedy matching").
+
+    Scale shape per round: one endpoint-keyed partial-aggregable
+    min (|E|→|V| rows), two |V|-sized equi-joins back to the live
+    edges, two anti-joins to drop matched endpoints — all shuffles on
+    node keys, nothing quadratic, live-edge set shrinks geometrically.
+    The live-edge frame is referenced four times per round, so it is
+    materialized once per round via a parquet round-trip (the CC
+    device — measured faster than localCheckpoint here); the plan
+    stays flat instead of growing 4^rounds.
+    """
+    if rounds < 1:
+        raise ValueError("greedy_matching: rounds must be >= 1")
+    if stage_dir is None:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_match_")
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .withColumn(
+            "r",
+            F.concat_ws(
+                "|", F.md5(F.concat_ws("|", "u", "v")), F.col("u"), F.col("v")
+            ),
+        )
+    )
+    picked = None
+    for k in range(rounds):
+        path = f"{stage_dir}/live_{k}"
+        e.write.mode("overwrite").parquet(path)
+        e = spark.read.parquet(path)
+        if e.isEmpty():  # remaining rounds select nothing; same result
+            break
+        inc = e.select(F.col("u").alias("node"), "r").unionByName(
+            e.select(F.col("v").alias("node"), "r")
+        )
+        mn = inc.groupBy("node").agg(F.min("r").alias("mr"))
+        sel = (
+            e.join(
+                mn.select(F.col("node").alias("u"), F.col("mr").alias("ra")), "u"
+            )
+            .join(
+                mn.select(F.col("node").alias("v"), F.col("mr").alias("rb")), "v"
+            )
+            .filter((F.col("r") == F.col("ra")) & (F.col("r") == F.col("rb")))
+            .select("u", "v", "r")
+        )
+        picked = sel if picked is None else picked.unionByName(sel)
+        mnodes = sel.select(F.col("u").alias("node")).union(
+            sel.select(F.col("v").alias("node"))
+        ).distinct()
+        e = e.join(
+            mnodes.withColumnRenamed("node", "u"), "u", "left_anti"
+        ).join(mnodes.withColumnRenamed("node", "v"), "v", "left_anti")
+    if picked is None:
+        return spark.createDataFrame([], "src string, dst string")
+    return picked.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+
+
+def resource_allocation(
+    edges: DataFrame,
+    scale: int = 10**12,
+    min_score: int = 1,
+    ndigits: int = 9,
+) -> DataFrame:
+    """(node_a, node_b, ra) with node_a < node_b — Resource Allocation
+    link prediction (Zhou, Lü & Zhang, Eur. Phys. J. B 2009) over the
+    undirected view of the graph: for each NON-adjacent pair sharing
+    neighbors, ``ra(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w)`` — each common
+    neighbor forwards a unit of resource split evenly among its
+    links, so hub intermediaries count for little (the same punishment
+    Adamic–Adar applies with 1/ln·deg; RA is chosen as the family
+    representative because 1/deg has an EXACT integer form —
+    ``Σ scale // deg(w)`` — while 1/ln would ride on cross-engine libm
+    bits).  The classic "which hosts/entities should be linked but
+    aren't?" screen feeding KG completion.
+
+    Plan: symmetrize + distinct, degree aggregate (|V| rows,
+    broadcast), wedge enumeration as ONE self-join of the edge table
+    on the center ``w`` with ``u < v``, anti-join against existing
+    edges (predict ABSENT links only), then a partial-aggregable
+    (u,v) sum of exact BIGINT shares.  Wedge count is Σ deg(w)² —
+    the triangle-counting bound; production caps hot centers the way
+    betweenness samples pivots (documented, not silently).
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("w")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    e1 = und.select(F.col("src").alias("w"), F.col("dst").alias("u"))
+    e2 = und.select(F.col("src").alias("w"), F.col("dst").alias("v"))
+    wedges = e1.join(e2, "w").filter(F.col("u") < F.col("v"))
+    adj = und.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    open_w = wedges.join(adj, ["u", "v"], "left_anti")
+    shared = open_w.join(F.broadcast(deg), "w").select(
+        "u", "v", F.expr(f"CAST({scale} AS BIGINT) DIV deg").alias("share")
+    )
+    agg = shared.groupBy("u", "v").agg(
+        F.sum("share").cast("long").alias("ra_int")
+    )
+    return agg.filter(F.col("ra_int") >= min_score).select(
+        F.col("u").alias("node_a"),
+        F.col("v").alias("node_b"),
+        F.round(F.col("ra_int").cast("double") / F.lit(float(scale)), ndigits).alias(
+            "ra"
+        ),
+    )
