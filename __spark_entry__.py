@@ -4900,6 +4900,30 @@ def q_b3_eval(spark, sf):
     )
 
 
+def q_muc_eval(spark, sf):
+    """MUC link-based cluster evaluation of the ER resolution (Vilain
+    et al. 1995): recall = Σ_g(|g|−p(g))/Σ_g(|g|−1) off the same
+    contingency cells as q_b3_eval — the minimum-link-edit lens that
+    ignores singletons, reported next to the record-averaged B³
+    (operators/er.py muc_cluster_eval)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.muc_cluster_eval(
+        er.distinct_surfaces(m), max_dist=2, stage_dir=_scratch("q_muc_")
+    )
+
+
+def q_ari_eval(spark, sf):
+    """Adjusted Rand Index of the ER resolution (Hubert & Arabie
+    1985): chance-corrected pair-counting agreement over the shared
+    contingency cells, every binomial an exact bigint (operators/er.py
+    ari_cluster_eval) — the third cluster-evaluation lens after B³ and
+    MUC."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.ari_cluster_eval(
+        er.distinct_surfaces(m), max_dist=2, stage_dir=_scratch("q_ari_")
+    )
+
+
 def q_ewma(spark, sf):
     """Truncated exponentially weighted moving average (α = ½, 16
     terms) of hourly event counts per type: integer numerator
@@ -6278,6 +6302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jw_pairs": q_jw_pairs,
         "q_matching": q_matching,
         "q_resource_alloc": q_resource_alloc,
+        "q_muc_eval": q_muc_eval,
+        "q_ari_eval": q_ari_eval,
     }
 
 
@@ -7960,10 +7986,11 @@ def oracle_sql() -> dict[str, str]:
       FROM r a JOIN r b ON b.idx BETWEEN a.idx + 1 AND a.idx + 3
     """
 
-    # B³ replay: gold = recursive CC over the origin↔variant truth
-    # edges, predicted = recursive CC over the candidate-pair graph,
-    # cell identity with per-cell micro-quantized contributions
-    o["q_b3_eval"] = f"""
+    # Shared contingency cells for the cluster-eval family (B³ / MUC /
+    # ARI): gold = recursive CC over the origin↔variant truth edges,
+    # predicted = recursive CC over the candidate-pair graph, records
+    # in neither graph are singletons of themselves.
+    _ER_CELLS = f"""
       WITH {_ER_SURF},
       rec AS (SELECT tag || '|' || surface AS rid FROM surf),
       tv AS (
@@ -7998,7 +8025,12 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN grr g ON g.node = rec.rid
         LEFT JOIN prr pp ON pp.node = rec.rid
       ),
-      cells AS (SELECT p, g, count(*)::BIGINT AS i FROM r GROUP BY 1, 2),
+      cells AS (SELECT p, g, count(*)::BIGINT AS i FROM r GROUP BY 1, 2)"""
+
+    # B³ replay: cell identity with per-cell micro-quantized
+    # contributions over the shared cells
+    o["q_b3_eval"] = f"""
+      {_ER_CELLS},
       psz AS (SELECT p, sum(i)::BIGINT AS pc FROM cells GROUP BY p),
       gsz AS (SELECT g, sum(i)::BIGINT AS gc FROM cells GROUP BY g),
       cont AS (
@@ -8021,6 +8053,80 @@ def oracle_sql() -> dict[str, str]:
                       + (rqs::DOUBLE / n::DOUBLE / 1000000.0)),
                    6) AS b3_f1
       FROM tot
+    """
+
+    # MUC replay: link-based P/R off the shared cells — per gold
+    # cluster its size and distinct-pred-cell count (Vilain 1995),
+    # every term an exact bigint
+    o["q_muc_eval"] = f"""
+      {_ER_CELLS},
+      gfold AS (
+        SELECT g, sum(i)::BIGINT AS sz, count(*)::BIGINT AS parts
+        FROM cells GROUP BY g
+      ),
+      pfold AS (
+        SELECT p, sum(i)::BIGINT AS sz, count(*)::BIGINT AS parts
+        FROM cells GROUP BY p
+      ),
+      gt AS (
+        SELECT sum(sz - parts)::BIGINT AS rn, sum(sz - 1)::BIGINT AS rd,
+               sum(sz)::BIGINT AS n
+        FROM gfold
+      ),
+      pt AS (
+        SELECT sum(sz - parts)::BIGINT AS pn, sum(sz - 1)::BIGINT AS pd
+        FROM pfold
+      )
+      SELECT n AS n_records,
+             round(CASE WHEN pd > 0 THEN pn::DOUBLE / pd::DOUBLE END, 6)
+               AS muc_precision,
+             round(CASE WHEN rd > 0 THEN rn::DOUBLE / rd::DOUBLE END, 6)
+               AS muc_recall,
+             round(CASE WHEN rd > 0 AND pd > 0
+                         AND pn::DOUBLE / pd::DOUBLE
+                             + rn::DOUBLE / rd::DOUBLE > 0
+                        THEN 2.0 * (pn::DOUBLE / pd::DOUBLE)
+                             * (rn::DOUBLE / rd::DOUBLE)
+                             / (pn::DOUBLE / pd::DOUBLE
+                                + rn::DOUBLE / rd::DOUBLE)
+                   END, 6) AS muc_f1
+      FROM gt, pt
+    """
+
+    # ARI replay: chance-corrected pair counting off the shared cells
+    # (Hubert & Arabie 1985) — binomials exact (x·(x−1) is even so
+    # DIV 2 is lossless), expectation and ratio float
+    o["q_ari_eval"] = f"""
+      {_ER_CELLS},
+      cc AS (
+        SELECT sum((i * (i - 1)) // 2)::BIGINT AS sij,
+               sum(i)::BIGINT AS n
+        FROM cells
+      ),
+      pa AS (
+        SELECT sum((sz * (sz - 1)) // 2)::BIGINT AS sa
+        FROM (SELECT p, sum(i)::BIGINT AS sz FROM cells GROUP BY p)
+      ),
+      gb AS (
+        SELECT sum((sz * (sz - 1)) // 2)::BIGINT AS sb
+        FROM (SELECT g, sum(i)::BIGINT AS sz FROM cells GROUP BY g)
+      ),
+      t AS (
+        SELECT cc.sij, cc.n, pa.sa, gb.sb,
+               ((cc.n * (cc.n - 1)) // 2)::BIGINT AS n2
+        FROM cc, pa, gb
+      )
+      SELECT n AS n_records, sij AS sum_cell_c2, sa AS sum_pred_c2,
+             sb AS sum_gold_c2,
+             round(CASE WHEN n2 > 0
+                         AND (sa + sb) / 2.0
+                             - sa::DOUBLE * sb::DOUBLE / n2::DOUBLE != 0
+                        THEN (sij::DOUBLE
+                              - sa::DOUBLE * sb::DOUBLE / n2::DOUBLE)
+                             / ((sa + sb) / 2.0
+                                - sa::DOUBLE * sb::DOUBLE / n2::DOUBLE)
+                   END, 6) AS ari
+      FROM t
     """
 
     # recursive reachability-min over the tag-prefixed pair graph (the

@@ -408,33 +408,20 @@ def er_incremental(
     return unaffected.select("entity", "component").unionByName(redone)
 
 
-def b3_cluster_eval(
+def _er_eval_cells(
     surfaces: DataFrame,
-    max_dist: int = 2,
-    stage_dir: str | None = None,
-    ndigits: int = 6,
+    max_dist: int,
+    stage_dir: str | None,
+    prefix: str,
 ) -> DataFrame:
-    """B-cubed cluster evaluation of the ER resolution (Bagga & Baldwin
-    1998; the record-level metric Amigó et al. 2009 showed is the one
-    that satisfies all four clustering-eval constraints) — the CLUSTER
-    complement to the PAIRWISE ``blocking_quality``: one row
-    ``(n_records, b3_precision, b3_recall, b3_f1)``.
-
-    Gold clusters = connected components of the amplifier's
-    CONSTRUCTION-TRUTH edges (origin ↔ delete-second-char variant, the
-    same truth set blocking_quality scores against); predicted
-    clusters = components of the blocked candidate-pair graph; records
-    in neither graph are singletons of themselves.  Per record r,
-    P(r) = |C(r) ∩ G(r)| / |C(r)| and R(r) swaps G for C; averaging
-    uses the cell identity  Σ_r P(r) = Σ_{(p,g)} I²/|C_p|  so the work
-    is CELL-sized, with each cell's contribution micro-quantized ONCE
-    to an integer (the repo's no-float-accumulation device) and
-    integer-summed; P, R, F1 are a fixed float tree over those sums.
-
-    Scale shape: two pair-graph-sized CC runs (the production
-    canonicalization operator, exercised twice like hub_robustness),
-    two record-sized hash joins onto the label maps, then everything
-    lives on the (pred, gold) CELL table.
+    """Shared (pred p, gold g, count i) CONTINGENCY CELLS of the ER
+    resolution against the amplifier's construction truth — the one
+    joint-assignment derivation every cluster-evaluation metric
+    (:func:`b3_cluster_eval`, :func:`muc_cluster_eval`,
+    :func:`ari_cluster_eval`) folds differently.  Gold clusters = CC of
+    the origin↔variant truth edges; predicted = CC of the blocked
+    candidate-pair graph; records in neither graph are singletons of
+    themselves.
     """
     amp = with_typo_surfaces(surfaces)
     rec = amp.select(F.concat_ws("|", "tag", "surface").alias("rid"))
@@ -463,7 +450,7 @@ def b3_cluster_eval(
         import atexit
         import shutil
 
-        stage_dir = tempfile.mkdtemp(prefix="ddaugner_b3_")
+        stage_dir = tempfile.mkdtemp(prefix=prefix)
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     gold_cc = connected_components(truth_edges, stage_dir=f"{stage_dir}/gold")
     pred_cc = connected_components(pred_edges, stage_dir=f"{stage_dir}/pred")
@@ -484,7 +471,38 @@ def b3_cluster_eval(
             F.coalesce("p", F.col("rid")).alias("p"),
         )
     )
-    cells = r.groupBy("p", "g").agg(F.count(F.lit(1)).cast("long").alias("i"))
+    return r.groupBy("p", "g").agg(F.count(F.lit(1)).cast("long").alias("i"))
+
+
+def b3_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """B-cubed cluster evaluation of the ER resolution (Bagga & Baldwin
+    1998; the record-level metric Amigó et al. 2009 showed is the one
+    that satisfies all four clustering-eval constraints) — the CLUSTER
+    complement to the PAIRWISE ``blocking_quality``: one row
+    ``(n_records, b3_precision, b3_recall, b3_f1)``.
+
+    Gold clusters = connected components of the amplifier's
+    CONSTRUCTION-TRUTH edges (origin ↔ delete-second-char variant, the
+    same truth set blocking_quality scores against); predicted
+    clusters = components of the blocked candidate-pair graph; records
+    in neither graph are singletons of themselves.  Per record r,
+    P(r) = |C(r) ∩ G(r)| / |C(r)| and R(r) swaps G for C; averaging
+    uses the cell identity  Σ_r P(r) = Σ_{(p,g)} I²/|C_p|  so the work
+    is CELL-sized, with each cell's contribution micro-quantized ONCE
+    to an integer (the repo's no-float-accumulation device) and
+    integer-summed; P, R, F1 are a fixed float tree over those sums.
+
+    Scale shape: two pair-graph-sized CC runs (the production
+    canonicalization operator, exercised twice like hub_robustness),
+    two record-sized hash joins onto the label maps, then everything
+    lives on the (pred, gold) CELL table.
+    """
+    cells = _er_eval_cells(surfaces, max_dist, stage_dir, "ddaugner_b3_")
     psz = cells.groupBy("p").agg(F.sum("i").cast("long").alias("pc"))
     gsz = cells.groupBy("g").agg(F.sum("i").cast("long").alias("gc"))
     j = cells.join(psz, "p").join(gsz, "g")
@@ -907,4 +925,126 @@ def jw_block_pairs(
     scored = pairs.select("form_a", "form_b").mapInPandas(run, schema)
     return scored.filter(F.col("jw") >= threshold).select(
         "form_a", "form_b", F.round("jw", ndigits).alias("jw")
+    )
+
+
+def muc_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """MUC link-based cluster evaluation (Vilain et al., MUC-6 1995) of
+    the ER resolution against the amplifier's construction truth — one
+    row ``(n_records, muc_precision, muc_recall, muc_f1)``, the
+    minimum-link-edit metric next to the record-averaged
+    :func:`b3_cluster_eval`: recall = Σ_g (|g| − p(g)) / Σ_g (|g| − 1)
+    where p(g) = how many predicted clusters gold cluster g is
+    shattered across (the links a corrector must add), precision the
+    mirror with pred/gold swapped.  MUC ignores singletons entirely
+    (size-1 clusters contribute 0/0 to neither sum) — the known
+    complementary bias to B³, which is why both are reported.
+
+    Every term is an EXACT BIGINT count straight off the shared
+    contingency cells (per gold cluster: its size and its distinct-
+    pred-cell count; symmetric for pred): two dimension-sized folds +
+    one fixed float chain, no quantization step needed at all.
+    """
+    cells = _er_eval_cells(surfaces, max_dist, stage_dir, "ddaugner_muc_")
+    gfold = cells.groupBy("g").agg(
+        F.sum("i").cast("long").alias("sz"),
+        F.count(F.lit(1)).cast("long").alias("parts"),
+    )
+    pfold = cells.groupBy("p").agg(
+        F.sum("i").cast("long").alias("sz"),
+        F.count(F.lit(1)).cast("long").alias("parts"),
+    )
+
+    def fold(df, num_col, den_col):
+        return df.agg(
+            F.sum(F.col("sz") - F.col("parts")).cast("long").alias(num_col),
+            F.sum(F.col("sz") - F.lit(1)).cast("long").alias(den_col),
+            F.sum("sz").cast("long").alias("n"),
+        )
+
+    g = fold(gfold, "rn", "rd")
+    p = fold(pfold, "pn", "pd").drop("n")
+    tot = g.crossJoin(p)
+    r_expr = F.when(
+        F.col("rd") > 0, F.col("rn").cast("double") / F.col("rd").cast("double")
+    )
+    p_expr = F.when(
+        F.col("pd") > 0, F.col("pn").cast("double") / F.col("pd").cast("double")
+    )
+    f_expr = F.when(
+        (F.col("rd") > 0) & (F.col("pd") > 0) & (p_expr + r_expr > 0),
+        F.lit(2.0) * p_expr * r_expr / (p_expr + r_expr),
+    )
+    return tot.select(
+        F.col("n").alias("n_records"),
+        F.round(p_expr, ndigits).alias("muc_precision"),
+        F.round(r_expr, ndigits).alias("muc_recall"),
+        F.round(f_expr, ndigits).alias("muc_f1"),
+    )
+
+
+def ari_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) of the ER resolution
+    against the construction truth — one row ``(n_records,
+    sum_cell_c2, sum_pred_c2, sum_gold_c2, ari)``: the chance-corrected
+    pair-counting agreement, the third lens after B³ (record-averaged)
+    and MUC (link-based).  ARI = (Σ_ij C(n_ij,2) − exp) /
+    (½(Σ_i C(a_i,2) + Σ_j C(b_j,2)) − exp) with
+    exp = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2).
+
+    Every binomial is an EXACT BIGINT off the shared contingency cells
+    (``x·(x−1) DIV 2``); only the expectation and the final ratio are
+    float — a fixed chain over four longs (the product rides in DOUBLE:
+    Σ C(a,2)·Σ C(b,2) overflows int64 past ~10⁵ records, and one
+    rounding at the end absorbs it).  NULL when n < 2 or the
+    denominator is 0 (both partitions all-singletons or one giant
+    cluster in both — agreement is undefined, not 1.0).
+    """
+    cells = _er_eval_cells(surfaces, max_dist, stage_dir, "ddaugner_ari_")
+
+    def c2(col):
+        return (col * (col - F.lit(1)) / F.lit(2)).cast("long")
+
+    cell_c2 = cells.agg(
+        F.sum(c2(F.col("i"))).cast("long").alias("sij"),
+        F.sum("i").cast("long").alias("n"),
+    )
+    pa = (
+        cells.groupBy("p")
+        .agg(F.sum("i").cast("long").alias("sz"))
+        .agg(F.sum(c2(F.col("sz"))).cast("long").alias("sa"))
+    )
+    gb = (
+        cells.groupBy("g")
+        .agg(F.sum("i").cast("long").alias("sz"))
+        .agg(F.sum(c2(F.col("sz"))).cast("long").alias("sb"))
+    )
+    tot = cell_c2.crossJoin(pa).crossJoin(gb)
+    n2 = c2(F.col("n"))
+    exp = F.when(
+        n2 > 0,
+        F.col("sa").cast("double") * F.col("sb").cast("double")
+        / n2.cast("double"),
+    )
+    mean_ab = (F.col("sa") + F.col("sb")).cast("double") / F.lit(2.0)
+    ari = F.when(
+        (n2 > 0) & (mean_ab - exp != 0),
+        (F.col("sij").cast("double") - exp) / (mean_ab - exp),
+    )
+    return tot.select(
+        F.col("n").alias("n_records"),
+        F.col("sij").alias("sum_cell_c2"),
+        F.col("sa").alias("sum_pred_c2"),
+        F.col("sb").alias("sum_gold_c2"),
+        F.round(ari, ndigits).alias("ari"),
     )

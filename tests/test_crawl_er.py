@@ -379,19 +379,11 @@ class TestFrontierSchedule:
         assert {r.priority for r in out.collect()} == {9, 8, 7}
 
 
-def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
-    """B³ P/R/F1 == eager union-find reference (same truth edges, same
-    candidate graph, same per-cell micro-quantization)."""
-    from ddaugner_spark.operators import er as er_mod
-    from ddaugner_spark.operators import mentions as mentions_mod
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
-    row = (
-        er_mod.b3_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "b3"))
-        .collect()[0]
-        .asDict()
-    )
+def _eager_er_cells(er_mod, surf):
+    """Eager union-find replay of ``_er_eval_cells``: the (pred, gold)
+    → count contingency cells every cluster-eval metric folds, built
+    with plain Python dict union-find on collected surfaces."""
+    from collections import defaultdict
 
     surfaces = [(r["surface"], r["tag"]) for r in surf.collect()]
     amp_pairs = [
@@ -404,7 +396,6 @@ def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
         {f"{t}|{s}" for s, t in surfaces}
         | {f"{t}|{s[0]}{s[2:]}" for s, t in surfaces if len(s) >= 4}
     )
-    parent = {}
 
     def find(x, p):
         while p.setdefault(x, x) != x:
@@ -431,12 +422,29 @@ def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
             comp[find(x, p)].append(x)
         return {x: min(members) for members in comp.values() for x in members}
 
-    from collections import defaultdict
-
     gl, pl = labels(gp), labels(pp)
     cells = defaultdict(int)
     for x in recs:
         cells[(pl[x], gl[x])] += 1
+    return recs, dict(cells)
+
+
+def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
+    """B³ P/R/F1 == eager union-find reference (same truth edges, same
+    candidate graph, same per-cell micro-quantization)."""
+    from collections import defaultdict
+
+    from ddaugner_spark.operators import er as er_mod
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
+    row = (
+        er_mod.b3_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "b3"))
+        .collect()[0]
+        .asDict()
+    )
+    recs, cells = _eager_er_cells(er_mod, surf)
     pc, gc = defaultdict(int), defaultdict(int)
     for (p, g), i in cells.items():
         pc[p] += i
@@ -451,6 +459,97 @@ def test_b3_cluster_eval_matches_python(spark, sf_dir, tmp_path):
     assert row["b3_recall"] == round(R, 6)
     assert row["b3_f1"] == round(2.0 * P * R / (P + R), 6)
     assert 0.0 < row["b3_f1"] <= 1.0
+
+
+def test_muc_and_ari_match_python(spark, sf_dir, tmp_path):
+    """MUC link-based P/R/F1 and the Adjusted Rand Index == the eager
+    folds of the same union-find contingency cells B³ is pinned
+    against — three metrics, one shared cell derivation."""
+    from collections import defaultdict
+
+    from ddaugner_spark.operators import er as er_mod
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
+    recs, cells = _eager_er_cells(er_mod, surf)
+    n = len(recs)
+
+    # --- MUC: per-cluster (size, shatter count) folds
+    gsz, gparts = defaultdict(int), defaultdict(int)
+    psz, pparts = defaultdict(int), defaultdict(int)
+    for (p, g), i in cells.items():
+        gsz[g] += i
+        gparts[g] += 1
+        psz[p] += i
+        pparts[p] += 1
+    rn = sum(gsz[g] - gparts[g] for g in gsz)
+    rd = sum(gsz[g] - 1 for g in gsz)
+    pn = sum(psz[p] - pparts[p] for p in psz)
+    pd = sum(psz[p] - 1 for p in psz)
+    row = (
+        er_mod.muc_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "muc"))
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_records"] == n
+    P_muc = pn / pd if pd > 0 else None
+    R_muc = rn / rd if rd > 0 else None
+    assert row["muc_precision"] == (round(P_muc, 6) if P_muc is not None else None)
+    assert row["muc_recall"] == (round(R_muc, 6) if R_muc is not None else None)
+    if P_muc and R_muc:
+        assert row["muc_f1"] == round(2 * P_muc * R_muc / (P_muc + R_muc), 6)
+        # the amplifier guarantees real clusters on both sides
+        assert 0.0 < row["muc_f1"] <= 1.0
+
+    # --- ARI: exact binomial sums + chance correction
+    c2 = lambda x: x * (x - 1) // 2
+    sij = sum(c2(i) for i in cells.values())
+    sa = sum(c2(s) for s in psz.values())
+    sb = sum(c2(s) for s in gsz.values())
+    n2 = c2(n)
+    exp = sa * sb / n2
+    ari = (sij - exp) / ((sa + sb) / 2.0 - exp)
+    row = (
+        er_mod.ari_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "ari"))
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_records"] == n
+    assert row["sum_cell_c2"] == sij
+    assert row["sum_pred_c2"] == sa
+    assert row["sum_gold_c2"] == sb
+    assert row["ari"] == round(ari, 6)
+    assert -0.5 <= row["ari"] <= 1.0
+
+
+def test_ari_degenerate_null(spark, tmp_path):
+    """All-singleton surfaces (< 4 chars -> no truth variants, no
+    candidate pairs): both partitions are all singletons, the ARI
+    denominator is 0 and the metric must be NULL, not 1.0."""
+    from ddaugner_spark.operators import er as er_mod
+
+    surf = spark.createDataFrame(
+        [("ab", "PER", 1), ("cd", "PER", 1), ("ef", "LOC", 1)],
+        "surface string, tag string, n_mentions long",
+    )
+    row = (
+        er_mod.ari_cluster_eval(surf, stage_dir=str(tmp_path / "ari0"))
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_records"] == 3
+    assert row["sum_cell_c2"] == 0 and row["sum_pred_c2"] == 0
+    assert row["ari"] is None
+    muc = (
+        er_mod.muc_cluster_eval(surf, stage_dir=str(tmp_path / "muc0"))
+        .collect()[0]
+        .asDict()
+    )
+    # MUC ignores singletons: both denominators 0 -> all three NULL
+    assert muc["muc_precision"] is None
+    assert muc["muc_recall"] is None
+    assert muc["muc_f1"] is None
 
 
 class TestSortedNeighborhood:
