@@ -5864,6 +5864,23 @@ def q_mcnemar(spark, sf):
     return stats.mcnemar_paired(g.join(c, "doc_id"), "a", "b")
 
 
+def q_cmh(spark, sf):
+    """Cochran–Mantel–Haenszel stratified 2×2 test — is the long-doc
+    rate (n_chars ≥ 300) associated with the even/odd source-index
+    split AFTER controlling for language (the Simpson's-paradox-proof
+    complement to the marginal q_chi2_independence)?  Per-lang exact
+    BIGINT 2×2 cells, per-stratum E/V/odds terms micro-quantized at
+    10⁶ and integer-summed, plus the Mantel–Haenszel common odds ratio
+    (operators/stats.py cmh_test)."""
+    d = _docs(spark, sf)
+    flags = d.select(
+        "lang",
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).alias("x"),
+        (F.col("n_chars") >= 300).alias("y"),
+    )
+    return stats.cmh_test(flags, "lang", "x", "y")
+
+
 def q_dag_layers(spark, sf):
     """Longest-path layering (critical-path depth) of the 200-node
     type DAG with redundant shortcuts (the q_transitive_reduction
@@ -6304,6 +6321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resource_alloc": q_resource_alloc,
         "q_muc_eval": q_muc_eval,
         "q_ari_eval": q_ari_eval,
+        "q_cmh": q_cmh,
     }
 
 
@@ -16371,6 +16389,61 @@ sents AS (
           * (abs(n_a_only - n_b_only)::DOUBLE - 1.0)
           / (n_a_only + n_b_only)::DOUBLE END, 6) AS chi2_cc
       FROM agg
+    """
+
+    # CMH replay: per-lang exact 2×2 BIGINT cells (even source index ×
+    # long doc), the identical per-stratum E/V/odds float chains
+    # micro-quantized at 10⁶ (the B³ device) so the only cross-engine
+    # order-divergent Σ is an exact integer sum, then the fixed final
+    # float tree
+    o["q_cmh"] = """
+      WITH cells AS (
+        SELECT lang AS k,
+          sum(CASE WHEN x AND y THEN 1 ELSE 0 END)::BIGINT AS a,
+          sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS b,
+          sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)::BIGINT AS c,
+          sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS d
+        FROM (
+          SELECT lang,
+                 substr(source, 4)::INTEGER % 2 = 0 AS x,
+                 n_chars >= 300 AS y
+          FROM documents
+          WHERE lang IS NOT NULL AND source IS NOT NULL
+            AND n_chars IS NOT NULL
+        )
+        GROUP BY lang
+        HAVING a + b + c + d >= 2
+      ),
+      per AS (
+        SELECT a, (a + b + c + d)::BIGINT AS nk,
+          round(1000000.0 * (a + b)::DOUBLE * (a + c)::DOUBLE
+                / (a + b + c + d)::DOUBLE, 0)::BIGINT AS eq,
+          round(1000000.0
+                * ((a + b)::DOUBLE * (c + d)::DOUBLE)
+                * ((a + c)::DOUBLE * (b + d)::DOUBLE)
+                / (((a + b + c + d)::DOUBLE * (a + b + c + d)::DOUBLE)
+                   * (a + b + c + d - 1)::DOUBLE), 0)::BIGINT AS vq,
+          round(1000000.0 * (a * d)::DOUBLE
+                / (a + b + c + d)::DOUBLE, 0)::BIGINT AS rq,
+          round(1000000.0 * (b * c)::DOUBLE
+                / (a + b + c + d)::DOUBLE, 0)::BIGINT AS sq
+        FROM cells
+      ),
+      tot AS (
+        SELECT count(*)::BIGINT AS n_strata, sum(nk)::BIGINT AS n,
+               sum(a)::BIGINT AS sum_a, sum(eq)::BIGINT AS eqs,
+               sum(vq)::BIGINT AS vqs, sum(rq)::BIGINT AS rqs,
+               sum(sq)::BIGINT AS sqs
+        FROM per
+      )
+      SELECT n_strata, n, sum_a,
+        round(CASE WHEN vqs::DOUBLE / 1000000.0 > 0 THEN
+          (sum_a::DOUBLE - eqs::DOUBLE / 1000000.0)
+          * (sum_a::DOUBLE - eqs::DOUBLE / 1000000.0)
+          / (vqs::DOUBLE / 1000000.0) END, 6) AS cmh_chi2,
+        round(CASE WHEN sqs > 0
+          THEN rqs::DOUBLE / sqs::DOUBLE END, 6) AS or_mh
+      FROM tot
     """
 
     # DAG layering replay: the q_transitive_reduction edge build, then

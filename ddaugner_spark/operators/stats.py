@@ -1754,3 +1754,111 @@ def mcnemar_paired(
         "n", "n_both", "n_neither", "n_a_only", "n_b_only",
         F.round(chi2, ndigits).alias("chi2_cc"),
     )
+
+
+def cmh_test(
+    flags: DataFrame,
+    stratum_col: str,
+    exposed_col: str,
+    outcome_col: str,
+    correction: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 association test
+    (Cochran, Biometrics 1954; Mantel & Haenszel, JNCI 1959) — does a
+    binary exposure associate with a binary outcome AFTER controlling
+    for a confounding stratum (the Simpson's-paradox guard the
+    marginal :func:`chi2_independence` lacks)?  One output row
+    ``(n_strata, n, sum_a, cmh_chi2, or_mh)`` over per-stratum tables
+    (a=x∧y, b=x∧¬y, c=¬x∧y, d=¬x∧¬y): CMH = (Σa − ΣE)²/ΣV with
+    E_k=(a+b)(a+c)/n_k and V_k=(a+b)(c+d)(a+c)(b+d)/(n_k²(n_k−1)),
+    plus the Mantel–Haenszel common odds ratio
+    Σ(a_k·d_k/n_k)/Σ(b_k·c_k/n_k).  ``correction`` applies the
+    Mantel continuity correction (|Σa−ΣE|−½, floored at 0).
+
+    Exactness: the corpus collapses to ONE hash aggregate of four
+    conditional BIGINT counts per stratum (the :func:`welch_t` moment
+    discipline); each stratum's E, V, a·d/n, b·c/n are a fixed float
+    chain over those longs, micro-quantized ONCE to an integer at 10⁶
+    (the B³ device — the only cross-engine order-divergent op, the Σ
+    over strata, becomes an exact integer sum), and the statistic is a
+    fixed float tree over five longs.  Strata with n_k < 2 are
+    excluded (V undefined; a−E is identically 0 there anyway); NULL
+    cmh_chi2 when ΣV = 0, NULL or_mh when Σb·c/n = 0.
+
+    Scale shape: map-side-combined aggregate → strata-count rows → one
+    1-row fold.  The corpus is touched exactly once, nothing sorted.
+    """
+    base = flags.select(
+        F.col(stratum_col).cast("string").alias("k"),
+        F.col(exposed_col).cast("boolean").alias("x"),
+        F.col(outcome_col).cast("boolean").alias("y"),
+    ).where(
+        F.col("k").isNotNull()
+        & F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+    )
+    x, y = F.col("x"), F.col("y")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    cells = (
+        base.groupBy("k")
+        .agg(
+            cnt(x & y).alias("a"),
+            cnt(x & ~y).alias("b"),
+            cnt(~x & y).alias("c"),
+            cnt(~x & ~y).alias("d"),
+        )
+        .where(F.col("a") + F.col("b") + F.col("c") + F.col("d") >= 2)
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("long")
+    nd = n.cast("double")
+    ab = (a + b).cast("double")
+    cd_ = (c + d).cast("double")
+    ac = (a + c).cast("double")
+    bd = (b + d).cast("double")
+    q = F.lit(1000000.0)
+
+    def quant(expr):
+        return F.round(expr, 0).cast("long")
+
+    per = cells.select(
+        a.alias("a"),
+        n.alias("nk"),
+        quant(q * ab * ac / nd).alias("eq"),
+        quant(
+            q * (ab * cd_) * (ac * bd)
+            / ((nd * nd) * (n - F.lit(1)).cast("double"))
+        ).alias("vq"),
+        quant(q * (a * d).cast("double") / nd).alias("rq"),
+        quant(q * (b * c).cast("double") / nd).alias("sq"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("eq").cast("long").alias("eqs"),
+        F.sum("vq").cast("long").alias("vqs"),
+        F.sum("rq").cast("long").alias("rqs"),
+        F.sum("sq").cast("long").alias("sqs"),
+    )
+    e_tot = F.col("eqs").cast("double") / q
+    v_tot = F.col("vqs").cast("double") / q
+    diff = F.col("sum_a").cast("double") - e_tot
+    if correction:
+        diff = F.greatest(F.abs(diff) - F.lit(0.5), F.lit(0.0))
+    cmh = F.when(v_tot > 0, diff * diff / v_tot)
+    or_mh = F.when(
+        F.col("sqs") > 0,
+        F.col("rqs").cast("double") / F.col("sqs").cast("double"),
+    )
+    return tot.select(
+        "n_strata",
+        "n",
+        "sum_a",
+        F.round(cmh, ndigits).alias("cmh_chi2"),
+        F.round(or_mh, ndigits).alias("or_mh"),
+    )

@@ -113,3 +113,83 @@ def test_dag_layers_rejects_bad_iters(spark):
     e = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         dag_layers(e, iters=0)
+
+
+# ----------------------------------------------------- CMH stratified
+
+def _cmh_rows(strata):
+    """Expand {stratum: (a, b, c, d)} into (k, x, y) rows."""
+    rows = []
+    for k, (a, b, c, d) in strata.items():
+        rows += [(k, True, True)] * a + [(k, True, False)] * b
+        rows += [(k, False, True)] * c + [(k, False, False)] * d
+    return rows
+
+
+def _cmh_expected(strata):
+    """Eager replay of cmh_test's quantized fold."""
+    sum_a = eqs = vqs = rqs = sqs = n = 0
+    for a, b, c, d in strata.values():
+        nk = a + b + c + d
+        if nk < 2:
+            continue
+        n += nk
+        sum_a += a
+        eqs += round(1e6 * (a + b) * (a + c) / nk)
+        vqs += round(
+            1e6 * ((a + b) * (c + d)) * ((a + c) * (b + d))
+            / ((nk * nk) * (nk - 1))
+        )
+        rqs += round(1e6 * a * d / nk)
+        sqs += round(1e6 * b * c / nk)
+    e, v = eqs / 1e6, vqs / 1e6
+    cmh = (sum_a - e) ** 2 / v if v > 0 else None
+    or_mh = rqs / sqs if sqs > 0 else None
+    return n, sum_a, cmh, or_mh
+
+
+def test_cmh_two_strata_hand_fold(spark):
+    from ddaugner_spark.operators.stats import cmh_test
+
+    strata = {"s1": (10, 5, 3, 12), "s2": (4, 8, 9, 2)}
+    df = spark.createDataFrame(_cmh_rows(strata), ["k", "x", "y"])
+    got = cmh_test(df, "k", "x", "y").collect()[0]
+    n, sum_a, cmh, or_mh = _cmh_expected(strata)
+    assert (got.n_strata, got.n, got.sum_a) == (2, n, sum_a)
+    assert got.cmh_chi2 == pytest.approx(cmh, abs=1e-6)
+    assert got.or_mh == pytest.approx(or_mh, abs=1e-6)
+
+
+def test_cmh_degenerate_margins_null(spark):
+    """One stratum, everyone exposed: V = 0 and b·c = 0, so both the
+    statistic and the common OR must be NULL; a 1-row stratum is
+    dropped entirely."""
+    from ddaugner_spark.operators.stats import cmh_test
+
+    strata = {"s1": (3, 2, 0, 0), "tiny": (1, 0, 0, 0)}
+    df = spark.createDataFrame(_cmh_rows(strata), ["k", "x", "y"])
+    got = cmh_test(df, "k", "x", "y").collect()[0]
+    assert got.n_strata == 1 and got.n == 5
+    assert got.cmh_chi2 is None and got.or_mh is None
+
+
+def test_cmh_continuity_correction(spark):
+    from ddaugner_spark.operators.stats import cmh_test
+
+    strata = {"s1": (10, 5, 3, 12), "s2": (4, 8, 9, 2)}
+    df = spark.createDataFrame(_cmh_rows(strata), ["k", "x", "y"])
+    got = cmh_test(df, "k", "x", "y", correction=True).collect()[0]
+    n, sum_a, _, _ = _cmh_expected(strata)
+    eqs = sum(
+        round(1e6 * (a + b) * (a + c) / (a + b + c + d))
+        for a, b, c, d in strata.values()
+    )
+    vqs = sum(
+        round(
+            1e6 * ((a + b) * (c + d)) * ((a + c) * (b + d))
+            / (((a + b + c + d) ** 2) * (a + b + c + d - 1))
+        )
+        for a, b, c, d in strata.values()
+    )
+    diff = max(abs(sum_a - eqs / 1e6) - 0.5, 0.0)
+    assert got.cmh_chi2 == pytest.approx(diff * diff / (vqs / 1e6), abs=1e-6)
