@@ -5881,6 +5881,82 @@ def q_cmh(spark, sf):
     return stats.cmh_test(flags, "lang", "x", "y")
 
 
+def q_kendall_tau(spark, sf):
+    """Kendall's τ-b rank correlation between document length and word
+    count, both bucketed to a bounded ordinal scale (chars DIV 100 ×
+    least(words DIV 10, 9)) so the pair counting runs over CONTINGENCY
+    CELL pairs, never row pairs — exact BIGINT concordant/discordant/
+    tie counts, one fixed 3-op float tree (operators/stats.py
+    kendall_tau_b; the tie-corrected ordinal complement to
+    q_spearman's global-rank form)."""
+    d = _docs(spark, sf).where(F.col("n_chars").isNotNull())
+    b = d.select(
+        F.expr("n_chars DIV 100").alias("x"),
+        F.least(
+            (F.size(textstats.safe_tokens()) / 10).cast("long"), F.lit(9)
+        ).alias("y"),
+    )
+    return stats.kendall_tau_b(b, "x", "y")
+
+
+def q_cronbach(spark, sf):
+    """Cronbach's α internal consistency of four binary document
+    quality gates (length ≥ 300 chars, ≥ 50 words, contains ' the ',
+    terminal punctuation) — do the gates measure one construct?  The
+    shared (n·Q − S²) variance form cancels the common denominator, so
+    α is two float divisions over 2k+3 exact BIGINT moments from one
+    corpus pass (operators/stats.py cronbach_alpha)."""
+    d = _docs(spark, sf)
+    t = F.coalesce(F.col("text"), F.lit(""))
+    flags = d.select(
+        (F.coalesce(F.col("n_chars"), F.lit(0)) >= 300).alias("i0"),
+        (F.size(textstats.safe_tokens()) >= 50).alias("i1"),
+        t.contains(" the ").alias("i2"),
+        (t.endswith(".") | t.endswith("?") | t.endswith("!")).alias("i3"),
+    )
+    return stats.cronbach_alpha(flags, ["i0", "i1", "i2", "i3"])
+
+
+def q_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test for randomness of the daily
+    above/below-mean revenue sequence: each day dichotomized by the
+    EXACT integer cross-multiplication day_cents·N > total_cents·n_day
+    (no float mean anywhere), runs counted by one lag window over the
+    30 day rows, closed-form normal z (operators/stats.py runs_test —
+    the randomness screen next to q_mann_kendall's trend test and
+    q_page_hinkley's drift alarm)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    daily = (
+        ev.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("cents").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("dn"),
+        )
+    )
+    tot = daily.agg(
+        F.sum("dc").cast("long").alias("tc"),
+        F.sum("dn").cast("long").alias("tn"),
+    )
+    flagged = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("dc") * F.col("tn") > F.col("tc") * F.col("dn")).alias("above")
+    )
+    return stats.runs_test(flagged, "d", "above")
+
+
+def q_jsd_drift(spark, sf):
+    """Per-source Jensen–Shannon divergence from the corpus token
+    distribution — the bounded symmetric drift score a crawl dashboard
+    ranks sources by; the absent-token tail folds closed-form into
+    ½·ln2·(N−Σc)/N so only source-present tokens materialize
+    (operators/textstats.py jsd_by_group; the distributional
+    complement to q_entropy and q_psi_drift)."""
+    return textstats.jsd_by_group(_docs(spark, sf), "source")
+
+
 def q_dag_layers(spark, sf):
     """Longest-path layering (critical-path depth) of the 200-node
     type DAG with redundant shortcuts (the q_transitive_reduction
@@ -6322,6 +6398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_muc_eval": q_muc_eval,
         "q_ari_eval": q_ari_eval,
         "q_cmh": q_cmh,
+        "q_kendall_tau": q_kendall_tau,
+        "q_cronbach": q_cronbach,
+        "q_runs_test": q_runs_test,
+        "q_jsd_drift": q_jsd_drift,
     }
 
 
@@ -16444,6 +16524,159 @@ sents AS (
         round(CASE WHEN sqs > 0
           THEN rqs::DOUBLE / sqs::DOUBLE END, 6) AS or_mh
       FROM tot
+    """
+
+    # Kendall τ-b replay: identical bucket derivation, contingency
+    # cells, cell-pair concordance join, exact binomial tie terms
+    o["q_kendall_tau"] = """
+      WITH base AS (
+        SELECT n_chars // 100 AS x,
+               least(len(CASE WHEN coalesce(text, '') = ''
+                             THEN []::VARCHAR[]
+                             ELSE string_split(text, ' ') END) // 10,
+                     9)::BIGINT AS y
+        FROM documents
+        WHERE n_chars IS NOT NULL
+      ),
+      cells AS (SELECT x, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+      xm AS (SELECT x, sum(c)::BIGINT AS t FROM cells GROUP BY x),
+      ym AS (SELECT y, sum(c)::BIGINT AS t FROM cells GROUP BY y),
+      tx AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS ties_x FROM xm),
+      ty AS (SELECT sum((t * (t - 1)) // 2)::BIGINT AS ties_y FROM ym),
+      tot AS (SELECT sum(c)::BIGINT AS n FROM cells),
+      pairs AS (
+        SELECT
+          sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END)::BIGINT
+            AS concordant,
+          sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END)::BIGINT
+            AS discordant
+        FROM cells a JOIN cells b ON a.x < b.x
+      )
+      SELECT n, ((n * (n - 1)) // 2)::BIGINT AS n_pairs,
+        concordant, discordant, ties_x, ties_y,
+        round(CASE WHEN ((n * (n - 1)) // 2 - ties_x) > 0
+                    AND ((n * (n - 1)) // 2 - ties_y) > 0
+          THEN (concordant - discordant)::DOUBLE
+               / sqrt(((n * (n - 1)) // 2 - ties_x)::DOUBLE
+                      * ((n * (n - 1)) // 2 - ties_y)::DOUBLE)
+          END, 6) AS tau_b
+      FROM tot, tx, ty, pairs
+    """
+
+    # Cronbach replay: the four gate items, 2k+3 exact BIGINT moments,
+    # the cancelled-denominator variance ratio
+    o["q_cronbach"] = """
+      WITH f AS (
+        SELECT
+          CASE WHEN coalesce(n_chars, 0) >= 300 THEN 1 ELSE 0 END AS i0,
+          CASE WHEN len(CASE WHEN coalesce(text, '') = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split(text, ' ') END) >= 50
+               THEN 1 ELSE 0 END AS i1,
+          CASE WHEN contains(coalesce(text, ''), ' the ')
+               THEN 1 ELSE 0 END AS i2,
+          CASE WHEN ends_with(coalesce(text, ''), '.')
+                 OR ends_with(coalesce(text, ''), '?')
+                 OR ends_with(coalesce(text, ''), '!')
+               THEN 1 ELSE 0 END AS i3
+        FROM documents
+      ),
+      g AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(i0)::BIGINT AS s0, sum(i0 * i0)::BIGINT AS q0,
+          sum(i1)::BIGINT AS s1, sum(i1 * i1)::BIGINT AS q1,
+          sum(i2)::BIGINT AS s2, sum(i2 * i2)::BIGINT AS q2,
+          sum(i3)::BIGINT AS s3, sum(i3 * i3)::BIGINT AS q3,
+          sum(i0 + i1 + i2 + i3)::BIGINT AS sx,
+          sum((i0 + i1 + i2 + i3) * (i0 + i1 + i2 + i3))::BIGINT AS qx
+        FROM f
+      )
+      SELECT n, 4::BIGINT AS k,
+        ((n * q0 - s0 * s0) + (n * q1 - s1 * s1) + (n * q2 - s2 * s2)
+         + (n * q3 - s3 * s3))::BIGINT AS items_var_num,
+        (n * qx - sx * sx)::BIGINT AS total_var_num,
+        round(CASE WHEN n >= 2 AND n * qx - sx * sx > 0 THEN
+          (4.0 / 3.0)
+          * (1.0 - ((n * q0 - s0 * s0) + (n * q1 - s1 * s1)
+                    + (n * q2 - s2 * s2) + (n * q3 - s3 * s3))::DOUBLE
+                   / (n * qx - sx * sx)::DOUBLE)
+          END, 6) AS alpha
+      FROM g
+    """
+
+    # Runs-test replay: exact cents per day, integer cross-multiplied
+    # above-mean dichotomy, lag window over the day rows, closed-form z
+    o["q_runs_test"] = """
+      WITH daily AS (
+        SELECT ts::DATE AS d,
+               sum(round(value * 100, 0)::BIGINT)::BIGINT AS dc,
+               count(*)::BIGINT AS dn
+        FROM events GROUP BY 1
+      ),
+      tot AS (SELECT sum(dc)::BIGINT AS tc, sum(dn)::BIGINT AS tn FROM daily),
+      flags AS (SELECT d, dc * tn > tc * dn AS f FROM daily, tot),
+      stepped AS (SELECT f, lag(f) OVER (ORDER BY d) AS prev FROM flags),
+      agg AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS n_true,
+          sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS n_false,
+          (1 + sum(CASE WHEN prev IS NOT NULL AND f != prev
+                        THEN 1 ELSE 0 END))::BIGINT AS runs
+        FROM stepped
+      ),
+      s AS (
+        SELECT n, n_true, n_false, runs,
+          2.0 * n_true::DOUBLE * n_false::DOUBLE AS p2
+        FROM agg
+      )
+      SELECT n, n_true, n_false,
+        CASE WHEN n > 0 THEN runs ELSE 0 END AS runs,
+        round(CASE WHEN n_true > 0 AND n_false > 0 AND n >= 2
+                    AND p2 * (p2 - n::DOUBLE)
+                        / ((n::DOUBLE * n::DOUBLE) * (n - 1)::DOUBLE) > 0
+          THEN (runs::DOUBLE - (p2 / n::DOUBLE + 1.0))
+               / sqrt(p2 * (p2 - n::DOUBLE)
+                      / ((n::DOUBLE * n::DOUBLE) * (n - 1)::DOUBLE))
+          END, 6) AS z
+      FROM s
+    """
+
+    # JSD replay: identical (group, token) / corpus-margin counts, the
+    # same per-present-token float chain, closed-form absent-token tail
+    o["q_jsd_drift"] = """
+      WITH tw AS (
+        SELECT source AS grp,
+               unnest(CASE WHEN coalesce(text, '') = ''
+                          THEN []::VARCHAR[]
+                          ELSE string_split(text, ' ') END) AS w
+        FROM documents
+      ),
+      cw AS (SELECT grp, w, count(*)::BIGINT AS cg FROM tw GROUP BY 1, 2),
+      corpus AS (SELECT w, sum(cg)::BIGINT AS cc FROM cw GROUP BY w),
+      totals AS (SELECT grp, sum(cg)::BIGINT AS ng FROM cw GROUP BY grp),
+      nt AS (SELECT sum(cc)::BIGINT AS nn FROM corpus),
+      j AS (
+        SELECT cw.grp, cw.cg, corpus.cc, totals.ng, nt.nn
+        FROM cw JOIN corpus USING (w) JOIN totals USING (grp), nt
+      ),
+      g AS (
+        SELECT grp, max(ng)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+          sum(0.5 * ((cg::DOUBLE / ng::DOUBLE)
+                     * ln((cg::DOUBLE / ng::DOUBLE)
+                          / ((cg::DOUBLE / ng::DOUBLE
+                              + cc::DOUBLE / nn::DOUBLE) / 2.0))
+                     + (cc::DOUBLE / nn::DOUBLE)
+                     * ln((cc::DOUBLE / nn::DOUBLE)
+                          / ((cg::DOUBLE / ng::DOUBLE
+                              + cc::DOUBLE / nn::DOUBLE) / 2.0))))
+            AS s_present,
+          sum(cc)::BIGINT AS csum, max(nn)::BIGINT AS nn
+        FROM j GROUP BY grp
+      )
+      SELECT grp AS source, n_tokens, vocab,
+        round(s_present
+              + 0.5 * ln(2.0) * (nn - csum)::DOUBLE / nn::DOUBLE, 6) AS jsd
+      FROM g
     """
 
     # DAG layering replay: the q_transitive_reduction edge build, then

@@ -1862,3 +1862,205 @@ def cmh_test(
         F.round(cmh, ndigits).alias("cmh_chi2"),
         F.round(or_mh, ndigits).alias("or_mh"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame, x_col: str, y_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Kendall's τ-b rank correlation (Kendall, Biometrika 1938; the
+    tie-corrected τ-b form) between two ORDINAL integer columns, one
+    output row ``(n, n_pairs, concordant, discordant, ties_x, ties_y,
+    tau_b)`` — the ordinal complement to :func:`spearman_corr` (which
+    needs global ranks) and the association direction
+    :func:`chi2_independence` is blind to.
+
+    Exactness + scale: the corpus collapses to the (x, y) CONTINGENCY
+    CELL table in one hash aggregate, and every pair count is a fold
+    over CELL PAIRS, not row pairs — concordant/discordant by a
+    cells×cells self-join on x₁ < x₂ (levels² work, corpus-sized never
+    squared), tie terms from the two margin tables via the exact
+    binomial ``t·(t−1) DIV 2``, within-cell pairs joint ties.  All
+    counts exact BIGINT; τ-b = (C−D)/√((n₀−Tx)(n₀−Ty)) is a fixed
+    3-op float tree (the two factors cast to double BEFORE the product
+    — n₀ ≈ n²/2 overflows int64 squared past n ≈ 3·10⁹).  NULL when
+    either factor is 0 (a constant column has no rank order).
+
+    Callers bucket continuous inputs first (deciles etc.) — τ-b on a
+    bounded ordinal scale keeps the cell table dimension-sized at any
+    corpus size.
+    """
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    cells = base.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def c2(col):
+        return (col * (col - F.lit(1)) / F.lit(2)).cast("long")
+
+    xm = cells.groupBy("x").agg(F.sum("c").cast("long").alias("t"))
+    ym = cells.groupBy("y").agg(F.sum("c").cast("long").alias("t"))
+    tx = xm.agg(F.sum(c2(F.col("t"))).cast("long").alias("ties_x"))
+    ty = ym.agg(F.sum(c2(F.col("t"))).cast("long").alias("ties_y"))
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(c2(F.col("c"))).cast("long").alias("joint"),
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    prod = (F.col("a.c") * F.col("b.c")).cast("long")
+    pairs = (
+        a.join(b, F.col("a.x") < F.col("b.x"))
+        .agg(
+            F.sum(F.when(F.col("a.y") < F.col("b.y"), prod).otherwise(0))
+            .cast("long")
+            .alias("concordant"),
+            F.sum(F.when(F.col("a.y") > F.col("b.y"), prod).otherwise(0))
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    j = tot.crossJoin(tx).crossJoin(ty).crossJoin(pairs)
+    n0 = c2(F.col("n"))
+    fx = (n0 - F.col("ties_x")).cast("double")
+    fy = (n0 - F.col("ties_y")).cast("double")
+    tau = F.when(
+        (fx > 0) & (fy > 0),
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / F.sqrt(fx * fy),
+    )
+    return j.select(
+        "n",
+        n0.alias("n_pairs"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(tau, ndigits).alias("tau_b"),
+    )
+
+
+def cronbach_alpha(
+    flags: DataFrame, item_cols: list[str], ndigits: int = 6
+) -> DataFrame:
+    """Cronbach's α internal-consistency coefficient (Cronbach,
+    Psychometrika 1951) over k 0/1 item columns per row (do the k
+    quality gates measure one underlying construct?), one output row
+    ``(n, k, items_var_num, total_var_num, alpha)``.
+
+    Exactness: α = k/(k−1) · (1 − Σᵢσ²ᵢ / σ²_X) with X = Σᵢ itemᵢ; all
+    variances share the ``(n·Q − S²) / (n·(n−1))`` form, so the common
+    denominator CANCELS and the ratio is a division of two EXACT
+    BIGINT numerators — ``items_var_num = Σᵢ(n·Qᵢ − Sᵢ²)`` and
+    ``total_var_num = n·Q_X − S_X²`` — from ONE map-side-combined
+    aggregate pass (the :func:`welch_t` moment discipline; 2k+3 longs
+    total).  The whole statistic is two float divisions.  NULL when
+    n < 2 or the total variance is 0 (every row has the same score).
+
+    Scale shape: map-only into a 1-row combine; the corpus is touched
+    exactly once, nothing is shuffled but the single combine row.
+    """
+    if len(item_cols) < 2:
+        raise ValueError("cronbach_alpha needs >= 2 items")
+    k = len(item_cols)
+    items = [F.col(c).cast("boolean").cast("long") for c in item_cols]
+    xsum = items[0]
+    for it in items[1:]:
+        xsum = xsum + it
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, it in enumerate(items):
+        aggs.append(F.sum(it).cast("long").alias(f"s{i}"))
+        aggs.append(F.sum(it * it).cast("long").alias(f"q{i}"))
+    aggs.append(F.sum(xsum).cast("long").alias("sx"))
+    aggs.append(F.sum(xsum * xsum).cast("long").alias("qx"))
+    agg = flags.agg(*aggs)
+    n = F.col("n")
+    item_num = None
+    for i in range(k):
+        t = n * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        item_num = t if item_num is None else item_num + t
+    total_num = n * F.col("qx") - F.col("sx") * F.col("sx")
+    out = agg.select(
+        "n",
+        F.lit(k).cast("long").alias("k"),
+        item_num.cast("long").alias("items_var_num"),
+        total_num.cast("long").alias("total_var_num"),
+    )
+    alpha = F.when(
+        (F.col("n") >= 2) & (F.col("total_var_num") > 0),
+        F.lit(k / (k - 1.0))
+        * (
+            F.lit(1.0)
+            - F.col("items_var_num").cast("double")
+            / F.col("total_var_num").cast("double")
+        ),
+    )
+    return out.select(
+        "n", "k", "items_var_num", "total_var_num",
+        F.round(alpha, ndigits).alias("alpha"),
+    )
+
+
+def runs_test(
+    seq: DataFrame, order_col: str, flag_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Wald–Wolfowitz runs test (Ann. Math. Stat. 1940) for randomness
+    of a dichotomized sequence ordered by ``order_col``, one output row
+    ``(n, n_true, n_false, runs, z)``: too few runs ⇒ clumping/trend,
+    too many ⇒ alternation.  z = (R − μ)/σ with μ = 2·n₁·n₂/n + 1 and
+    σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n−1)).
+
+    The run count is a lag-window sort of the ALREADY-AGGREGATED
+    sequence (callers pass day/bucket rows, not the raw corpus — the
+    single-partition global sort is deliberate and dimension-sized,
+    the :func:`~ddaugner_spark.operators.events.page_hinkley`
+    discipline); counts exact BIGINT, z a fixed float chain with every
+    product cast to double BEFORE multiplication.  NULL z when either
+    side is empty or n < 2 (σ = 0).
+    """
+    from pyspark.sql import Window
+
+    base = seq.select(
+        F.col(order_col).alias("o"),
+        F.col(flag_col).cast("boolean").alias("f"),
+    ).where(F.col("o").isNotNull() & F.col("f").isNotNull())
+    w = Window.orderBy("o")
+    stepped = base.select(
+        "f", F.lag("f").over(w).alias("prev")
+    )
+    agg = stepped.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("f"), 1).otherwise(0)).cast("long").alias("n_true"),
+        F.sum(F.when(~F.col("f"), 1).otherwise(0)).cast("long").alias("n_false"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("f") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    p2 = F.lit(2.0) * F.col("n_true").cast("double") * F.col("n_false").cast("double")
+    mu = p2 / n + F.lit(1.0)
+    var = (
+        p2 * (p2 - n)
+        / ((n * n) * (F.col("n") - F.lit(1)).cast("double"))
+    )
+    z = F.when(
+        (F.col("n_true") > 0) & (F.col("n_false") > 0) & (F.col("n") >= 2)
+        & (var > 0),
+        (F.col("runs").cast("double") - mu) / F.sqrt(var),
+    )
+    return agg.select(
+        "n", "n_true", "n_false",
+        F.when(F.col("n") > 0, F.col("runs")).otherwise(0).alias("runs"),
+        F.round(z, ndigits).alias("z"),
+    )

@@ -1752,3 +1752,67 @@ def chi2_bh_select(
             (F.col("bh_rank") <= F.col("kstar")).alias("rejected"),
         )
     )
+
+
+def jsd_by_group(
+    docs: DataFrame, group_col: str = "source", ndigits: int = 6
+) -> DataFrame:
+    """Per-group Jensen–Shannon divergence (Lin, IEEE-IT 1991) between
+    the group's token distribution P and the CORPUS distribution Q —
+    the symmetric, bounded (≤ ln 2) drift score a crawl dashboard ranks
+    sources by (the distributional complement to :func:`token_entropy`,
+    which scores each source only against itself): one row per group
+    ``(group, n_tokens, vocab, jsd)``.
+
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M) with M = (P+Q)/2.  Corpus tokens the
+    group never uses contribute q·ln(q/(q/2)) = q·ln 2 each, so the
+    whole absent-token tail folds CLOSED-FORM into
+    ½·ln 2·(N − Σ_present c_corpus)/N — an exact integer ratio — and
+    only group-present tokens are ever materialized.
+
+    Exactness: integer counts everywhere; each present token's
+    ½(p·ln(p/m) + q·ln(q/m)) is a fixed float chain and the per-group
+    Σ is the only reordered float reduction (vocabulary-sized, ~1e-15
+    relative reorder error, far under the ``ndigits`` grain — the
+    :func:`token_entropy` / pagerank device).
+
+    Scale shape: one (group, token) hash aggregate, one token-keyed
+    re-aggregate for the corpus margin joined back on token (shuffle
+    reuse on the prefix key), one broadcast 1-row total, one
+    group-sized fold.  Nothing is ever all-pairs.
+    """
+    tw = docs.select(
+        F.col(group_col).alias("grp"), F.explode(safe_tokens()).alias("w")
+    )
+    cw = tw.groupBy("grp", "w").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    corpus = cw.groupBy("w").agg(F.sum("cg").cast("long").alias("cc"))
+    totals = cw.groupBy("grp").agg(F.sum("cg").cast("long").alias("ng"))
+    nn = corpus.agg(F.sum("cc").cast("long").alias("nn"))
+    j = (
+        cw.join(corpus, "w")
+        .join(F.broadcast(totals), "grp")
+        .crossJoin(F.broadcast(nn))
+    )
+    p = F.col("cg").cast("double") / F.col("ng").cast("double")
+    q = F.col("cc").cast("double") / F.col("nn").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    g = j.groupBy("grp").agg(
+        F.max("ng").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(term).alias("s_present"),
+        F.sum("cc").cast("long").alias("csum"),
+        F.max("nn").cast("long").alias("nn"),
+    )
+    closing = (
+        F.lit(0.5)
+        * F.log(F.lit(2.0))
+        * (F.col("nn") - F.col("csum")).cast("double")
+        / F.col("nn").cast("double")
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        F.round(F.col("s_present") + closing, ndigits).alias("jsd"),
+    )

@@ -1,0 +1,202 @@
+"""Kendall τ-b, Cronbach's α, Wald–Wolfowitz runs test
+(operators/stats.py), per-group Jensen–Shannon drift
+(operators/textstats.py jsd_by_group).
+
+The sf gate replays each against its SQL twin; the discriminating
+numerics are pinned here against brute-force pure-Python replays
+(row-pair τ-b enumeration, textbook α, hand-counted runs, a full
+two-distribution JSD including the absent-token tail).
+"""
+
+import math
+
+import pytest
+
+from ddaugner_spark.operators.stats import (
+    cronbach_alpha,
+    kendall_tau_b,
+    runs_test,
+)
+from ddaugner_spark.operators.textstats import jsd_by_group
+
+
+# --------------------------------------------------------- Kendall τ-b
+
+def _brute_tau_b(xs, ys):
+    n = len(xs)
+    C = D = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx, dy = xs[i] - xs[j], ys[i] - ys[j]
+            if dx == 0 and dy == 0:
+                tx += 1
+                ty += 1
+            elif dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif dx * dy > 0:
+                C += 1
+            else:
+                D += 1
+    n0 = n * (n - 1) // 2
+    denom = math.sqrt((n0 - (tx)) * (n0 - (ty)))
+    return C, D, (C - D) / denom if denom else None
+
+
+def test_tau_b_matches_row_pair_enumeration(spark):
+    xs = [1, 2, 3, 4, 5, 2, 3, 1]
+    ys = [3, 1, 4, 2, 5, 1, 4, 3]
+    df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+    got = kendall_tau_b(df, "x", "y").collect()[0]
+    # brute force counts ties per PAIR; the operator reports binomial
+    # margin ties (pairs tied on x / on y, joint ties in both)
+    C, D, tau = _brute_tau_b(xs, ys)
+    assert (got.concordant, got.discordant) == (C, D)
+    assert got.n == len(xs) and got.n_pairs == len(xs) * (len(xs) - 1) // 2
+    # margin-tie identity: ties_x counts pairs equal on x (incl. joint)
+    tx = sum(
+        1
+        for i in range(len(xs))
+        for j in range(i + 1, len(xs))
+        if xs[i] == xs[j]
+    )
+    ty = sum(
+        1
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+        if ys[i] == ys[j]
+    )
+    assert (got.ties_x, got.ties_y) == (tx, ty)
+    want = (C - D) / math.sqrt(
+        (got.n_pairs - tx) * (got.n_pairs - ty)
+    )
+    assert got.tau_b == pytest.approx(want, abs=1e-6)
+
+
+def test_tau_b_perfect_and_constant(spark):
+    df = spark.createDataFrame([(i, i * 2) for i in range(6)], ["x", "y"])
+    assert kendall_tau_b(df, "x", "y").collect()[0].tau_b == 1.0
+    const = spark.createDataFrame([(i, 7) for i in range(6)], ["x", "y"])
+    assert const.transform(
+        lambda d: kendall_tau_b(d, "x", "y")
+    ).collect()[0].tau_b is None
+
+
+# --------------------------------------------------------- Cronbach α
+
+def test_cronbach_matches_textbook_formula(spark):
+    rows = [
+        (1, 1, 1, 0),
+        (1, 1, 0, 0),
+        (1, 0, 0, 0),
+        (1, 1, 1, 1),
+        (0, 0, 0, 0),
+        (1, 1, 1, 1),
+        (0, 1, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = cronbach_alpha(df, ["a", "b", "c", "d"]).collect()[0]
+    n, k = len(rows), 4
+    items_num = 0
+    for i in range(k):
+        s = sum(r[i] for r in rows)
+        q = sum(r[i] * r[i] for r in rows)
+        items_num += n * q - s * s
+    sx = sum(sum(r) for r in rows)
+    qx = sum(sum(r) ** 2 for r in rows)
+    total_num = n * qx - sx * sx
+    assert (got.items_var_num, got.total_var_num) == (items_num, total_num)
+    want = k / (k - 1) * (1 - items_num / total_num)
+    assert got.alpha == pytest.approx(want, abs=1e-6)
+    # cross-check against the classic sample-variance form
+    import statistics
+
+    var_items = sum(
+        statistics.variance([r[i] for r in rows]) for i in range(k)
+    )
+    var_total = statistics.variance([sum(r) for r in rows])
+    assert got.alpha == pytest.approx(
+        k / (k - 1) * (1 - var_items / var_total), abs=1e-6
+    )
+
+
+def test_cronbach_degenerate_null(spark):
+    same = spark.createDataFrame([(1, 1), (1, 1)], ["a", "b"])
+    assert cronbach_alpha(same, ["a", "b"]).collect()[0].alpha is None
+    with pytest.raises(ValueError):
+        cronbach_alpha(same, ["a"])
+
+
+# ----------------------------------------------------------- runs test
+
+def test_runs_hand_counted(spark):
+    # T T F T F F F T T F  -> runs: TT|F|T|FFF|TT|F = 6
+    flags = [True, True, False, True, False, False, False, True, True, False]
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(flags)], ["o", "f"]
+    )
+    got = runs_test(df, "o", "f").collect()[0]
+    n1, n2, n = 5, 5, 10
+    assert (got.n, got.n_true, got.n_false, got.runs) == (n, n1, n2, 6)
+    p2 = 2.0 * n1 * n2
+    mu = p2 / n + 1.0
+    var = p2 * (p2 - n) / (n * n * (n - 1))
+    assert got.z == pytest.approx((6 - mu) / math.sqrt(var), abs=1e-6)
+
+
+def test_runs_one_sided_null(spark):
+    df = spark.createDataFrame([(i, True) for i in range(5)], ["o", "f"])
+    got = runs_test(df, "o", "f").collect()[0]
+    assert got.runs == 1 and got.z is None
+
+
+# ------------------------------------------------------------- JSD
+
+def _brute_jsd(p_counts, corpus_counts):
+    np_, nq = sum(p_counts.values()), sum(corpus_counts.values())
+    jsd = 0.0
+    for w in corpus_counts:
+        p = p_counts.get(w, 0) / np_
+        q = corpus_counts[w] / nq
+        m = (p + q) / 2
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+    return jsd
+
+
+def test_jsd_matches_full_two_distribution_replay(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b c", "s1"),
+            (2, "a b b d", "s1"),
+            (3, "x x y a", "s2"),
+            (4, "x y y z", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in jsd_by_group(docs, "source").collect()}
+    corpus: dict = {}
+    groups: dict = {"s1": {}, "s2": {}}
+    for _, text, src in docs.collect():
+        for w in text.split(" "):
+            corpus[w] = corpus.get(w, 0) + 1
+            groups[src][w] = groups[src].get(w, 0) + 1
+    for src in ("s1", "s2"):
+        want = _brute_jsd(groups[src], corpus)
+        assert rows[src].jsd == pytest.approx(want, abs=1e-6)
+        assert 0.0 <= rows[src].jsd <= math.log(2.0) + 1e-9
+        assert rows[src].n_tokens == sum(groups[src].values())
+        assert rows[src].vocab == len(groups[src])
+
+
+def test_jsd_identical_distribution_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    for r in jsd_by_group(docs, "source").collect():
+        # each source IS half the corpus with the same distribution
+        assert r.jsd == pytest.approx(0.0, abs=1e-9)
