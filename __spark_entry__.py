@@ -1291,6 +1291,58 @@ def q_latest_capture(spark, sf):
     )
 
 
+def q_scd2(spark, sf):
+    """Slowly-changing-dimension type-2 history off the recrawl
+    stream: the q_latest_capture amplifier with text revisions keyed
+    cap DIV 2 — so 2-capture urls recrawl UNCHANGED (collapsed by the
+    consecutive-dup filter) while 4-capture urls flip A→B→A→B in
+    timestamp order (each flip is a real version) — folded into
+    half-open (valid_from, valid_to] intervals with is_current on the
+    newest (operators/crawl.py scd2_intervals; one shuffle, two stacked
+    same-key windows)."""
+    pages = synthesize_pages(_docs(spark, sf)).drop("html")
+    amp = (
+        pages.withColumn(
+            "cap", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4))
+        )
+        .withColumn(
+            "warc_ts",
+            F.col("warc_ts")
+            + F.make_dt_interval(
+                F.lit(0), F.lit(0), (F.col("cap") * 3) % 7, F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "text",
+            F.concat(
+                "text", F.lit(" (rev "), F.expr("cap DIV 2"), F.lit(")")
+            ),
+        )
+        .drop("doc_id", "lang")
+    )
+    return crawl.scd2_intervals(amp)
+
+
+def q_cliffs_delta(spark, sf):
+    """Cliff's δ ordinal effect size of document length between en and
+    zh — the interpretable [−1,1] dominance readout next to
+    q_mann_whitney's U (δ = 2U/(n_a·n_b) − 1) and q_welch_t's Cohen's
+    d; pair counting entirely on distinct-VALUE cell pairs (the
+    q_kendall_tau device), exact BIGINT counts, one division
+    (operators/stats.py cliffs_delta)."""
+    return stats.cliffs_delta(_docs(spark, sf), "lang", "n_chars", "en", "zh")
+
+
+def q_mrr(spark, sf):
+    """Reciprocal rank of the first relevant result in the exact
+    cosine retriever's top-10 (label-match relevance, the q_ndcg
+    protocol) — the known-item-lookup metric next to nDCG's
+    whole-ranking grade; integer-quantized dots so every rank is
+    exact, rr = one 1/long division
+    (operators/similarity.py mrr_at_k)."""
+    return similarity.mrr_at_k(_emb(spark, sf), QUERY_IDS, k=10)
+
+
 def q_host_skew(spark, sf):
     """Heavy-key (hub-host) skew profile: the synthesized crawl is
     amplified so every doc_id ≡ 0 (mod 20) page gets 8 copies — the
@@ -6402,6 +6454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cronbach": q_cronbach,
         "q_runs_test": q_runs_test,
         "q_jsd_drift": q_jsd_drift,
+        "q_scd2": q_scd2,
+        "q_cliffs_delta": q_cliffs_delta,
+        "q_mrr": q_mrr,
     }
 
 
@@ -7272,6 +7327,45 @@ def oracle_sql() -> dict[str, str]:
       FROM amp
       QUALIFY row_number() OVER (PARTITION BY url
                 ORDER BY warc_ts DESC, md5(text) DESC) = 1
+    """
+
+    # SCD2 replay: the latest-capture amplifier with cap DIV 2 text
+    # revisions, consecutive-dup collapse by lag, half-open validity
+    # intervals by lead over the surviving revisions
+    o["q_scd2"] = """
+      WITH pages AS (
+        SELECT doc_id, text,
+               'https://' || source || '.example.com/doc/'
+                 || doc_id::VARCHAR AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+                 AS warc_ts
+        FROM documents
+      ),
+      amp AS (
+        SELECT url, warc_ts + to_minutes((cap * 3) % 7) AS warc_ts,
+               text || ' (rev ' || (cap // 2)::VARCHAR || ')' AS text
+        FROM pages, unnest(range(0, (doc_id % 4) + 1)) AS u(cap)
+      ),
+      changed AS (
+        SELECT url, warc_ts, text
+        FROM (
+          SELECT url, warc_ts, text,
+                 lag(text) OVER (PARTITION BY url ORDER BY warc_ts)
+                   AS prev
+          FROM amp
+        )
+        WHERE prev IS NULL OR text != prev
+      )
+      SELECT url,
+        row_number() OVER (PARTITION BY url ORDER BY warc_ts)::BIGINT
+          AS version,
+        warc_ts AS valid_from,
+        coalesce(lead(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts),
+                 TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        lead(warc_ts) OVER (PARTITION BY url ORDER BY warc_ts) IS NULL
+          AS is_current,
+        md5(text) AS payload_hash
+      FROM changed
     """
 
     # hub-host skew replay: doc_id % 20 == 0 selects exactly one source
@@ -14561,6 +14655,39 @@ sents AS (
       FROM nrel n JOIN dcg d USING (query_id) JOIN idcg i USING (query_id)
     """
 
+    # MRR replay: the q_ndcg ranking head, min relevant rank in the
+    # top 10, one reciprocal
+    o["q_mrr"] = f"""
+      WITH el AS MATERIALIZED (
+        SELECT vec_id, label, u.i,
+               round(embedding[u.i]::DOUBLE * 1000)::BIGINT AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      ),
+      dots AS (
+        SELECT qe.vec_id AS query_id,
+               CASE WHEN c.label = qe.label THEN 1 ELSE 0 END::BIGINT AS rel,
+               c.vec_id, sum(c.q * qe.q)::BIGINT AS dot
+        FROM el c JOIN el qe ON c.i = qe.i
+        WHERE qe.vec_id IN ({_QIDS}) AND c.vec_id != qe.vec_id
+        GROUP BY 1, 2, 3
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY dot DESC, vec_id ASC) AS rn
+        FROM dots
+      ),
+      agg AS (
+        SELECT query_id, sum(rel)::BIGINT AS n_rel,
+               coalesce(min(CASE WHEN rel = 1 AND rn <= 10 THEN rn END),
+                        0)::BIGINT AS first_rel_rank
+        FROM ranked GROUP BY 1
+      )
+      SELECT query_id, n_rel, first_rel_rank,
+        CASE WHEN first_rel_rank > 0
+          THEN round(1.0 / first_rel_rank::DOUBLE, 6) ELSE 0.0 END AS rr
+      FROM agg
+    """
+
     # literal Q9 form: 5-table WHERE-list join, profit with the
     # 0.6·retailprice·qty supplycost proxy (no partsupp in this corpus)
     o["q_product_profit"] = """
@@ -16677,6 +16804,35 @@ sents AS (
         round(s_present
               + 0.5 * ln(2.0) * (nn - csum)::DOUBLE / nn::DOUBLE, 6) AS jsd
       FROM g
+    """
+
+    # Cliff's δ replay: distinct-value cells per group, cell-pair
+    # dominance counting, one division
+    o["q_cliffs_delta"] = """
+      WITH base AS (
+        SELECT lang AS g, n_chars::BIGINT AS v FROM documents
+        WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+      ),
+      cells AS (SELECT g, v, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+      ca AS (SELECT v AS va, c AS cnt_a FROM cells WHERE g = 'en'),
+      cb AS (SELECT v AS vb, c AS cnt_b FROM cells WHERE g = 'zh'),
+      pairs AS (
+        SELECT
+          sum(CASE WHEN va > vb THEN cnt_a * cnt_b ELSE 0 END)::BIGINT
+            AS n_gt,
+          sum(CASE WHEN va < vb THEN cnt_a * cnt_b ELSE 0 END)::BIGINT
+            AS n_lt,
+          sum(CASE WHEN va = vb THEN cnt_a * cnt_b ELSE 0 END)::BIGINT
+            AS n_eq
+        FROM ca, cb
+      ),
+      na AS (SELECT sum(cnt_a)::BIGINT AS n_a FROM ca),
+      nb AS (SELECT sum(cnt_b)::BIGINT AS n_b FROM cb)
+      SELECT n_a, n_b, n_gt, n_lt, n_eq,
+        round(CASE WHEN n_a > 0 AND n_b > 0
+          THEN (n_gt - n_lt)::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)
+          END, 6) AS delta
+      FROM na, nb, pairs
     """
 
     # DAG layering replay: the q_transitive_reduction edge build, then

@@ -711,3 +711,54 @@ def link_audit(pages: DataFrame, links: DataFrame) -> DataFrame:
         .select(F.lit("orphan_page").alias("kind"), "n")
     )
     return linkrows.unionByName(orphans)
+
+
+def scd2_intervals(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+    end_of_time: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history (Kimball's SCD2) from a
+    raw capture stream: per key, collapse consecutive recrawls whose
+    payload did NOT change, then emit one validity interval per real
+    revision — ``(key, version, valid_from, valid_to, is_current,
+    payload_hash)`` with ``valid_to`` = the next revision's
+    ``valid_from`` (half-open intervals; the newest row carries the
+    Kimball high-date sentinel ``end_of_time`` + is_current — a
+    sentinel, not NULL, both per warehouse convention and because the
+    gate's pandas canonicalizer coerces nullable columns).  The
+    warehouse-history complement to
+    :func:`latest_captures` (which keeps only the winner) and
+    :func:`snapshot_diff` (which compares two fixed snapshots).
+
+    Two stacked lag/lead windows per key — both partition on the SAME
+    key, so Catalyst plans ONE shuffle and sorts once; capture counts
+    per key are crawl-bounded (revisit policies cap them), so the
+    per-partition sort never blows up regardless of corpus size.
+    Determinism: callers must guarantee distinct ``ts_col`` per key
+    (true for WARC capture streams; the synthetic amplifier uses
+    distinct minute offsets).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    changed = (
+        captures.withColumn("_prev", F.lag(payload_col).over(w))
+        .where(
+            F.col("_prev").isNull()
+            | (F.col(payload_col) != F.col("_prev"))
+        )
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col)
+    return changed.select(
+        F.col(key_col),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(
+            F.lead(ts_col).over(w2),
+            F.lit(end_of_time).cast("timestamp"),
+        ).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        F.md5(F.col(payload_col)).alias("payload_hash"),
+    )

@@ -866,3 +866,80 @@ def kcenter_select(
     return spark.createDataFrame(
         out, "rank long, vec_id long, dist double"
     ).select("rank", "vec_id", F.round("dist", 6).alias("dist"))
+
+
+def mrr_at_k(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    scale: int = 1000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """(query_id, n_rel, first_rel_rank, rr) — reciprocal rank of the
+    FIRST relevant result within the top ``k`` of the exact cosine
+    retriever (label-match relevance, the :func:`ndcg_at_k` protocol —
+    nDCG grades the whole ranking, MRR grades time-to-first-hit, the
+    metric for known-item lookup).  ``rr`` = 1/first_rel_rank;
+    ``first_rel_rank`` = 0 and rr = 0.0 when no relevant result lands
+    in the top k (a sentinel, not NULL — the gate's pandas
+    canonicalizer coerces nullable int columns to float64+NaN).
+
+    Scale + parity shape identical to :func:`ndcg_at_k`: query set
+    inlined as a literal struct array, map-only explode (zero corpus
+    shuffle), one |Q|-partition top-k window; ranks are exact integers
+    (quantized dots, vec_id tie-break), rr is a single 1/long division.
+    """
+    base = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda x: F.round(x * scale).cast("long")).alias(
+            "q"
+        ),
+    )
+    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).alias("qid"),
+                F.lit(int(r["label"])).alias("qlabel"),
+                F.array(*[F.lit(int(v)) for v in r["q"]]).alias("qv"),
+            )
+            for r in sorted(qrows, key=lambda r: r["vec_id"])
+        ]
+    )
+    pairs = (
+        base.select("vec_id", "label", "q", F.explode(qlit).alias("qs"))
+        .filter(F.col("vec_id") != F.col("qs.qid"))
+        .select(
+            F.col("qs.qid").alias("query_id"),
+            (F.col("label") == F.col("qs.qlabel")).cast("long").alias("rel"),
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("qs.qv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("rn") <= k), F.col("rn")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("first_rel_rank"),
+    )
+    rr = F.when(
+        F.col("first_rel_rank") > 0,
+        F.round(F.lit(1.0) / F.col("first_rel_rank").cast("double"), ndigits),
+    ).otherwise(F.lit(0.0))
+    return agg.select("query_id", "n_rel", "first_rel_rank", rr.alias("rr"))

@@ -2064,3 +2064,65 @@ def runs_test(
         F.when(F.col("n") > 0, F.col("runs")).otherwise(0).alias("runs"),
         F.round(z, ndigits).alias("z"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cliff's δ ordinal effect size (Cliff, Psych. Bulletin 1993) —
+    δ = (#(a>b) − #(a<b)) / (n_a·n_b) over all cross-group pairs, the
+    distribution-free "how often does group a dominate" readout that
+    belongs next to the Mann–Whitney U it is a linear function of
+    (δ = 2U/(n_a·n_b) − 1) but reports as an interpretable [−1, 1]
+    effect instead of a test statistic.  One output row ``(n_a, n_b,
+    n_gt, n_lt, n_eq, delta)``.
+
+    Exactness + scale: the :func:`kendall_tau_b` device — each group
+    collapses to its distinct-VALUE count table in one hash aggregate,
+    and the pair counting is a value-cells×value-cells join (levels²
+    work), never a row-pair join; all counts exact BIGINT, δ is one
+    division with the denominator cast to double BEFORE the product.
+    Callers bucket genuinely continuous inputs first.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull() & F.col("g").isin(group_a, group_b))
+    cells = base.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ca = cells.where(F.col("g") == group_a).select(
+        F.col("v").alias("va"), F.col("c").alias("cnt_a")
+    )
+    cb = cells.where(F.col("g") == group_b).select(
+        F.col("v").alias("vb"), F.col("c").alias("cnt_b")
+    )
+    prod = (F.col("cnt_a") * F.col("cnt_b")).cast("long")
+    pairs = ca.crossJoin(cb).agg(
+        F.sum(F.when(F.col("va") > F.col("vb"), prod).otherwise(0))
+        .cast("long")
+        .alias("n_gt"),
+        F.sum(F.when(F.col("va") < F.col("vb"), prod).otherwise(0))
+        .cast("long")
+        .alias("n_lt"),
+        F.sum(F.when(F.col("va") == F.col("vb"), prod).otherwise(0))
+        .cast("long")
+        .alias("n_eq"),
+    )
+    na = ca.agg(F.sum("cnt_a").cast("long").alias("n_a"))
+    nb = cb.agg(F.sum("cnt_b").cast("long").alias("n_b"))
+    j = na.crossJoin(nb).crossJoin(pairs)
+    delta = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("n_gt") - F.col("n_lt")).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    )
+    return j.select(
+        "n_a", "n_b", "n_gt", "n_lt", "n_eq",
+        F.round(delta, ndigits).alias("delta"),
+    )
