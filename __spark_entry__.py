@@ -566,6 +566,30 @@ def q_label_prop(spark, sf):
     )
 
 
+def q_louvain(spark, sf):
+    """Parallel Louvain local-move communities on the co-mention graph
+    (2 synchronous rounds, the PLM variant) — the modularity-aware
+    upgrade of q_label_prop: every per-round move is an EXACT BIGINT
+    argmax of 2m·k_{i,c} − k_i·Σtot'_c with min-community tie-break,
+    so the parallel moves are bit-deterministic and the SQL twin
+    unrolls them verbatim (operators/graph.py louvain_rounds)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.louvain_rounds(
+        canonical.co_mention_edges(m),
+        rounds=2,
+        stage_dir=_scratch("q_louvain_"),
+    )
+
+
+def q_vocab_richness(spark, sf):
+    """Bias-corrected Chao1 richness estimate + Good–Turing unseen
+    mass of the corpus vocabulary — the crawl-saturation planning
+    numbers next to q_vocab_growth's curve; exact BIGINT
+    vocab/singleton/doubleton folds, one division each
+    (operators/textstats.py vocab_richness)."""
+    return textstats.vocab_richness(_docs(spark, sf))
+
+
 def q_pmi_edges(spark, sf):
     """PMI-weighted co-mention edges — association strength over
     sentence co-occurrence (edge-pruning signal ahead of CC/PageRank);
@@ -6457,6 +6481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": q_scd2,
         "q_cliffs_delta": q_cliffs_delta,
         "q_mrr": q_mrr,
+        "q_louvain": q_louvain,
+        "q_vocab_richness": q_vocab_richness,
     }
 
 
@@ -9204,6 +9230,107 @@ def oracle_sql() -> dict[str, str]:
           FROM counts2) WHERE rn = 1
       )
       SELECT node AS entity, label AS community FROM labels2
+    """
+
+    # 2 synchronous parallel-Louvain rounds unrolled: per node the
+    # EXACT BIGINT gain 2m·k_ic − k_i·(tot_c − [c=own]·k_i) over its
+    # neighbor communities + its own (kic 0 row keeps staying
+    # beatable), argmax by (gain DESC, community ASC) — the identical
+    # integers the engine folds (graph.louvain_rounds)
+    o["q_louvain"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      deg AS (SELECT a AS node, count(*)::BIGINT AS k FROM sym GROUP BY a),
+      mm AS (SELECT count(*)::BIGINT AS m FROM edges),
+      l0 AS (SELECT node, node AS community FROM deg),
+      t1 AS (SELECT community, sum(k)::BIGINT AS tot
+             FROM l0 JOIN deg USING (node) GROUP BY community),
+      c1 AS (
+        SELECT node, community, sum(kic)::BIGINT AS kic FROM (
+          SELECT s.a AS node, l.community, 1 AS kic
+          FROM sym s JOIN l0 l ON l.node = s.b
+          UNION ALL SELECT node, community, 0 FROM l0
+        ) GROUP BY 1, 2
+      ),
+      g1 AS (
+        SELECT c.node, c.community,
+               2 * mm.m * c.kic
+               - d.k * (t.tot - CASE WHEN c.community = o.community
+                                     THEN d.k ELSE 0 END) AS gain
+        FROM c1 c
+        JOIN deg d USING (node)
+        JOIN l0 o USING (node)
+        JOIN t1 t ON t.community = c.community
+        CROSS JOIN mm
+      ),
+      l1 AS (
+        SELECT node, community FROM (
+          SELECT node, community,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY gain DESC, community ASC) AS rn
+          FROM g1) WHERE rn = 1
+      ),
+      t2 AS (SELECT community, sum(k)::BIGINT AS tot
+             FROM l1 JOIN deg USING (node) GROUP BY community),
+      c2 AS (
+        SELECT node, community, sum(kic)::BIGINT AS kic FROM (
+          SELECT s.a AS node, l.community, 1 AS kic
+          FROM sym s JOIN l1 l ON l.node = s.b
+          UNION ALL SELECT node, community, 0 FROM l1
+        ) GROUP BY 1, 2
+      ),
+      g2 AS (
+        SELECT c.node, c.community,
+               2 * mm.m * c.kic
+               - d.k * (t.tot - CASE WHEN c.community = o.community
+                                     THEN d.k ELSE 0 END) AS gain
+        FROM c2 c
+        JOIN deg d USING (node)
+        JOIN l1 o USING (node)
+        JOIN t2 t ON t.community = c.community
+        CROSS JOIN mm
+      ),
+      l2 AS (
+        SELECT node, community FROM (
+          SELECT node, community,
+                 row_number() OVER (PARTITION BY node
+                                    ORDER BY gain DESC, community ASC) AS rn
+          FROM g2) WHERE rn = 1
+      )
+      SELECT node AS entity, community FROM l2
+    """
+
+    # Chao1 / Good–Turing replay: token counts, exact folds, the two
+    # fixed divisions
+    o["q_vocab_richness"] = """
+      WITH wc AS (
+        SELECT w, count(*)::BIGINT AS c FROM (
+          SELECT unnest(CASE WHEN coalesce(text, '') = ''
+                            THEN []::VARCHAR[]
+                            ELSE string_split(text, ' ') END) AS w
+          FROM documents
+        ) GROUP BY w
+      ),
+      g AS (
+        SELECT count(*)::BIGINT AS vocab, sum(c)::BIGINT AS n_tokens,
+          sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons,
+          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_doubletons
+        FROM wc
+      )
+      SELECT vocab, n_tokens, n_singletons, n_doubletons,
+        round(vocab::DOUBLE
+              + (n_singletons * (n_singletons - 1))::DOUBLE
+                / (2 * (n_doubletons + 1))::DOUBLE, 6) AS chao1,
+        round(CASE WHEN n_tokens > 0
+          THEN n_singletons::DOUBLE / n_tokens::DOUBLE
+          ELSE 0.0 END, 6) AS gt_unseen_mass
+      FROM g
     """
 
     o["q_pmi_edges"] = f"""

@@ -2643,3 +2643,125 @@ def resource_allocation(
             "ra"
         ),
     )
+
+
+def louvain_rounds(
+    edges: DataFrame,
+    rounds: int = 2,
+    stage_dir: str | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(entity, community) — parallel Louvain local-move phase
+    (Blondel et al. 2008; the synchronous parallel-move variant of
+    Staudt & Meyerhenke's PLM, TPDS 2016): each round EVERY node moves
+    to the candidate community (its neighbors' communities plus its
+    own) with the largest modularity gain, ties on the smallest
+    community id.  The modularity-aware upgrade of
+    :func:`label_propagation` — LPA counts votes, this weighs them by
+    how over-represented the connection is versus the communities'
+    total degree.
+
+    Exactness: for a one-node move the gain ordering over candidates c
+    is the ordering of  2m·k_{i,c} − k_i·Σtot'_c  (Σtot'_c = community
+    total degree with node i removed from its OWN community — the
+    standard apples-to-apples correction), an EXACT BIGINT — the whole
+    round is integer argmax, no floats anywhere, so synchronous
+    parallel moves + the fixed round count are bit-deterministic and
+    SQL-replayable.  (Caller beware: 2m·k must fit int64 — fine to
+    ~10⁹ edges with hub degree 10⁹; community ids are initial node
+    ids.)
+
+    Scale shape per round: the LPA iteration shape — one edge⋈label
+    join (labels broadcast under BROADCAST_AUTO_THRESHOLD, else a
+    node-id shuffle), one (node, community) count aggregate, one
+    community-degree aggregate (community-sized), one
+    min(struct(-gain, c)) hash-aggregate argmax; the label table
+    parquet-round-trips so plan depth stays constant.  No vertex ever
+    sees more work than its degree.
+    """
+    spark = edges.sparkSession
+    if stats is None:
+        stats = {}
+    own_dir = stage_dir is None
+    if own_dir:
+        stage_dir = tempfile.mkdtemp(prefix="ddaugner_louvain_")
+        import atexit
+
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+
+    def _roundtrip(df: DataFrame, name: str) -> DataFrame:
+        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
+        return spark.read.parquet(f"{stage_dir}/{name}")
+
+    e = edges.select("a", "b").distinct()
+    m_edges = e.count()
+    stats["m"] = m_edges
+    sym = _roundtrip(symmetrize(e).repartition("a"), "sym")
+    deg = _roundtrip(
+        sym.groupBy(F.col("a").alias("node")).agg(
+            F.count("*").cast("long").alias("k")
+        ),
+        "deg",
+    )
+    n_nodes = deg.count()
+    broadcast_labels = n_nodes <= BROADCAST_AUTO_THRESHOLD
+    stats["n_nodes"] = n_nodes
+    labels = _roundtrip(
+        deg.select("node", F.col("node").alias("community")), "labels_init"
+    )
+    for _round in range(1, rounds + 1):
+        lbl = F.broadcast(labels) if broadcast_labels else labels
+        tot = (
+            labels.join(deg, "node")
+            .groupBy("community")
+            .agg(F.sum("k").cast("long").alias("tot"))
+        )
+        # k_{i,c}: edges from each node into each neighbor community;
+        # the own community rides in with weight 0 so it is always a
+        # candidate (staying must be beatable, not forfeited)
+        nbr = sym.join(
+            lbl.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "community")
+        cand = (
+            nbr.groupBy("node", "community")
+            .agg(F.count("*").cast("long").alias("kic"))
+            .unionByName(
+                labels.select("node", "community", F.lit(0).cast("long").alias("kic"))
+            )
+            .groupBy("node", "community")
+            .agg(F.sum("kic").cast("long").alias("kic"))
+        )
+        own = labels.select("node", F.col("community").alias("own"))
+        g = (
+            cand.join(deg, "node")
+            .join(F.broadcast(own) if broadcast_labels else own, "node")
+            .join(F.broadcast(tot), "community")
+            .select(
+                "node",
+                "community",
+                (
+                    F.lit(2 * m_edges) * F.col("kic")
+                    - F.col("k")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("community") == F.col("own"), F.col("k")
+                        ).otherwise(F.lit(0))
+                    )
+                )
+                .cast("long")
+                .alias("gain"),
+            )
+        )
+        picked = g.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("gain")).alias("neg"), F.col("community"))
+            ).alias("best")
+        )
+        labels = _roundtrip(
+            picked.select("node", F.col("best.community").alias("community")),
+            f"labels_{_round % 2}",
+        )
+    return labels.select(
+        F.col("node").alias("entity"), "community"
+    )

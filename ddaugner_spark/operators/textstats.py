@@ -1816,3 +1816,50 @@ def jsd_by_group(
         "vocab",
         F.round(F.col("s_present") + closing, ndigits).alias("jsd"),
     )
+
+
+def vocab_richness(docs: DataFrame, ndigits: int = 6) -> DataFrame:
+    """One-row vocabulary-richness / crawl-saturation readout:
+    ``(vocab, n_tokens, n_singletons, n_doubletons, chao1,
+    gt_unseen_mass)`` — the bias-corrected Chao1 richness estimator
+    (Chao, Scand. J. Stat. 1984):  V + N₁(N₁−1)/(2(N₂+1)), the
+    lower-bound estimate of how many token types EXIST given how many
+    were seen once/twice, and the Good–Turing unseen-probability mass
+    N₁/N (Good, Biometrika 1953) — together the "is another crawl
+    round worth it" planning numbers ([[q_vocab_growth]] draws the
+    curve, this prices its asymptote).
+
+    Exactness: two hash aggregates (token counts, then one row of
+    exact BIGINT folds); chao1 and the GT mass are one fixed division
+    each — the bias-corrected Chao1 form is used precisely because its
+    (N₂+1) denominator never vanishes.  Scale: the corpus collapses to
+    the vocabulary in one map-side-combined count; nothing else.
+    """
+    counts = (
+        docs.select(F.explode(safe_tokens()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    g = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singletons"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_doubletons"),
+    )
+    n1, n2 = F.col("n_singletons"), F.col("n_doubletons")
+    chao1 = F.col("vocab").cast("double") + (n1 * (n1 - F.lit(1))).cast(
+        "double"
+    ) / (F.lit(2) * (n2 + F.lit(1))).cast("double")
+    gt = F.when(
+        F.col("n_tokens") > 0,
+        n1.cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "vocab", "n_tokens", "n_singletons", "n_doubletons",
+        F.round(chao1, ndigits).alias("chao1"),
+        F.round(gt, ndigits).alias("gt_unseen_mass"),
+    )

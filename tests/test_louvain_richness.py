@@ -1,0 +1,118 @@
+"""Parallel Louvain local moves (operators/graph.py louvain_rounds),
+Chao1/Good–Turing vocabulary richness (operators/textstats.py
+vocab_richness).
+
+The sf gate replays both against SQL twins on the corpus; pinned here:
+a two-clique barbell whose communities Louvain must find (and LPA's
+vote counting alone can get wrong), a brute-force Python replay of the
+integer gain argmax, and hand-counted richness folds.
+"""
+
+import pytest
+
+from ddaugner_spark.operators.graph import louvain_rounds, modularity
+from ddaugner_spark.operators.textstats import vocab_richness
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a string, b string")
+
+
+def _brute_louvain(pairs, rounds=2):
+    """Eager replay: synchronous integer-gain moves, min-id ties."""
+    sym = {}
+    und = set()
+    for a, b in pairs:
+        und.add((min(a, b), max(a, b)))
+    for a, b in und:
+        sym.setdefault(a, []).append(b)
+        sym.setdefault(b, []).append(a)
+    m = len(und)
+    k = {n: len(v) for n, v in sym.items()}
+    lab = {n: n for n in sym}
+    for _ in range(rounds):
+        tot = {}
+        for n in sym:
+            tot[lab[n]] = tot.get(lab[n], 0) + k[n]
+        new = {}
+        for n in sym:
+            kic = {lab[n]: 0}
+            for nb in sym[n]:
+                kic[lab[nb]] = kic.get(lab[nb], 0) + 1
+            best = None
+            for c, kc in kic.items():
+                own_corr = k[n] if c == lab[n] else 0
+                gain = 2 * m * kc - k[n] * (tot[c] - own_corr)
+                cand = (-gain, c)
+                if best is None or cand < best:
+                    best = cand
+            new[n] = best[1]
+        lab = new
+    return lab
+
+
+class TestLouvain:
+    BARBELL = [
+        # clique 1: a1 a2 a3 a4; clique 2: b1 b2 b3 b4; one bridge
+        ("a1", "a2"), ("a1", "a3"), ("a1", "a4"),
+        ("a2", "a3"), ("a2", "a4"), ("a3", "a4"),
+        ("b1", "b2"), ("b1", "b3"), ("b1", "b4"),
+        ("b2", "b3"), ("b2", "b4"), ("b3", "b4"),
+        ("a4", "b1"),
+    ]
+
+    def test_barbell_two_communities(self, spark, tmp_path):
+        out = {
+            r.entity: r.community
+            for r in louvain_rounds(
+                _edges(spark, self.BARBELL),
+                rounds=2,
+                stage_dir=str(tmp_path / "lv"),
+            ).collect()
+        }
+        a = {out[f"a{i}"] for i in range(1, 5)}
+        b = {out[f"b{i}"] for i in range(1, 5)}
+        assert len(a) == 1 and len(b) == 1 and a != b
+
+    def test_matches_integer_gain_replay(self, spark, tmp_path):
+        # an asymmetric graph exercising ties, hubs and the own-
+        # community degree correction
+        pairs = self.BARBELL + [("b4", "c1"), ("c1", "c2"), ("c2", "a1")]
+        got = {
+            r.entity: r.community
+            for r in louvain_rounds(
+                _edges(spark, pairs), rounds=2,
+                stage_dir=str(tmp_path / "lv2"),
+            ).collect()
+        }
+        assert got == _brute_louvain(pairs, rounds=2)
+
+    def test_beats_or_ties_singletons_on_modularity(self, spark, tmp_path):
+        e = _edges(spark, self.BARBELL)
+        labels = louvain_rounds(e, rounds=2, stage_dir=str(tmp_path / "lv3"))
+        q = sum(
+            r.contrib for r in modularity(e, labels).collect()
+        )
+        # barbell ground truth: 2 clique communities, Q ≈ 0.3787
+        assert q == pytest.approx(2 * (6 / 13 - (13 / 26) ** 2), abs=1e-6)
+
+
+class TestVocabRichness:
+    def test_hand_counted(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a a b c"), (2, "b d e"), (3, "")],
+            ["doc_id", "text"],
+        )
+        r = vocab_richness(docs).collect()[0]
+        # counts: a=2, b=2, c=1, d=1, e=1  (empty doc contributes [])
+        assert (r.vocab, r.n_tokens) == (5, 7)
+        assert (r.n_singletons, r.n_doubletons) == (3, 2)
+        assert r.chao1 == pytest.approx(5 + 3 * 2 / (2 * 3), abs=1e-6)
+        assert r.gt_unseen_mass == pytest.approx(3 / 7, abs=1e-6)
+
+    def test_no_doubletons_chao1_finite(self, spark):
+        docs = spark.createDataFrame([(1, "x y z")], ["doc_id", "text"])
+        r = vocab_richness(docs).collect()[0]
+        assert r.n_doubletons == 0
+        # bias-corrected form: V + N1(N1-1)/2
+        assert r.chao1 == pytest.approx(3 + 3 * 2 / 2, abs=1e-6)
