@@ -1354,7 +1354,10 @@ def q_cliffs_delta(spark, sf):
     d; pair counting entirely on distinct-VALUE cell pairs (the
     q_kendall_tau device), exact BIGINT counts, one division
     (operators/stats.py cliffs_delta)."""
-    return stats.cliffs_delta(_docs(spark, sf), "lang", "n_chars", "en", "zh")
+    return stats.cliffs_delta(
+        _docs(spark, sf), "lang", "n_chars", "en", "zh",
+        stage_dir=_scratch("q_cliffs_"),
+    )
 
 
 def q_mrr(spark, sf):
@@ -5972,7 +5975,7 @@ def q_kendall_tau(spark, sf):
             (F.size(textstats.safe_tokens()) / 10).cast("long"), F.lit(9)
         ).alias("y"),
     )
-    return stats.kendall_tau_b(b, "x", "y")
+    return stats.kendall_tau_b(b, "x", "y", stage_dir=_scratch("q_tau_"))
 
 
 def q_cronbach(spark, sf):
@@ -6030,7 +6033,9 @@ def q_jsd_drift(spark, sf):
     ½·ln2·(N−Σc)/N so only source-present tokens materialize
     (operators/textstats.py jsd_by_group; the distributional
     complement to q_entropy and q_psi_drift)."""
-    return textstats.jsd_by_group(_docs(spark, sf), "source")
+    return textstats.jsd_by_group(
+        _docs(spark, sf), "source", stage_dir=_scratch("q_jsd_")
+    )
 
 
 def q_dag_layers(spark, sf):

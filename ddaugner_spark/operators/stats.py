@@ -1865,7 +1865,11 @@ def cmh_test(
 
 
 def kendall_tau_b(
-    df: DataFrame, x_col: str, y_col: str, ndigits: int = 6
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
 ) -> DataFrame:
     """Kendall's τ-b rank correlation (Kendall, Biometrika 1938; the
     tie-corrected τ-b form) between two ORDINAL integer columns, one
@@ -1893,8 +1897,16 @@ def kendall_tau_b(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
-    cells = base.groupBy("x", "y").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    # the cell table fans out over four branches (margins, total, the
+    # self-join) — round-trip it so the corpus is scanned exactly ONCE
+    cells = roundtrip_small(
+        base.groupBy("x", "y").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        stage_dir,
+        "ddaugner_tau_",
     )
 
     def c2(col):
@@ -2072,6 +2084,7 @@ def cliffs_delta(
     value_col: str,
     group_a: str,
     group_b: str,
+    stage_dir: str | None = None,
     ndigits: int = 6,
 ) -> DataFrame:
     """Cliff's δ ordinal effect size (Cliff, Psych. Bulletin 1993) —
@@ -2093,8 +2106,16 @@ def cliffs_delta(
         F.col(group_col).cast("string").alias("g"),
         F.col(value_col).cast("long").alias("v"),
     ).where(F.col("v").isNotNull() & F.col("g").isin(group_a, group_b))
-    cells = base.groupBy("g", "v").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    # four downstream branches (two sides × pair join + totals) —
+    # round-trip the value-cell table so the corpus is scanned ONCE
+    cells = roundtrip_small(
+        base.groupBy("g", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        ),
+        stage_dir,
+        "ddaugner_cliffs_",
     )
     ca = cells.where(F.col("g") == group_a).select(
         F.col("v").alias("va"), F.col("c").alias("cnt_a")

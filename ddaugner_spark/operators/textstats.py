@@ -1755,7 +1755,10 @@ def chi2_bh_select(
 
 
 def jsd_by_group(
-    docs: DataFrame, group_col: str = "source", ndigits: int = 6
+    docs: DataFrame,
+    group_col: str = "source",
+    stage_dir: str | None = None,
+    ndigits: int = 6,
 ) -> DataFrame:
     """Per-group Jensen–Shannon divergence (Lin, IEEE-IT 1991) between
     the group's token distribution P and the CORPUS distribution Q —
@@ -1781,10 +1784,21 @@ def jsd_by_group(
     reuse on the prefix key), one broadcast 1-row total, one
     group-sized fold.  Nothing is ever all-pairs.
     """
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
     tw = docs.select(
         F.col(group_col).alias("grp"), F.explode(safe_tokens()).alias("w")
     )
-    cw = tw.groupBy("grp", "w").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    # (group, token) counts fan out over three branches (corpus margin,
+    # group totals, the join) — round-trip so the corpus explode+count
+    # runs exactly ONCE
+    cw = roundtrip_small(
+        tw.groupBy("grp", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("cg")
+        ),
+        stage_dir,
+        "ddaugner_jsd_",
+    )
     corpus = cw.groupBy("w").agg(F.sum("cg").cast("long").alias("cc"))
     totals = cw.groupBy("grp").agg(F.sum("cg").cast("long").alias("ng"))
     nn = corpus.agg(F.sum("cc").cast("long").alias("nn"))

@@ -58,3 +58,25 @@ def materialize(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.write.mode(mode).partitionBy(*partition_cols).parquet(target)
     return "parquet"
+
+
+def roundtrip_small(
+    df: DataFrame, stage_dir: Optional[str], prefix: str
+) -> DataFrame:
+    """Parquet round-trip a SMALL derived table (contingency cells,
+    per-group counts) that downstream fans out over several branches:
+    without it Catalyst re-runs the corpus-touching scan+aggregate once
+    PER BRANCH (a 4-branch fold = 4 corpus passes at 100 TB); after it
+    every branch re-reads the dimension-sized parquet.  Round-trips,
+    not localCheckpoint, per the repo's measured rule (docs/PLANS.md).
+    Owns and atexit-cleans a temp dir when ``stage_dir`` is None.
+    """
+    if stage_dir is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        stage_dir = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
+    df.write.mode("overwrite").parquet(f"{stage_dir}/t")
+    return df.sparkSession.read.parquet(f"{stage_dir}/t")
