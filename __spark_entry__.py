@@ -6038,6 +6038,43 @@ def q_jsd_drift(spark, sf):
     )
 
 
+def q_tost(spark, sf):
+    """TOST equivalence analysis (Schuirmann two one-sided tests) of
+    document length en vs de under a ±25-char margin — the "prove NO
+    regression" mirror of q_welch_t: both one-sided t statistics +
+    Welch dof reported, the critical-value verdict left to the client
+    (the engine ships statistics, not quantile tables)
+    (operators/stats.py tost_equivalence)."""
+    return stats.tost_equivalence(
+        _docs(spark, sf), "lang", "n_chars", "en", "de", margin=25.0
+    )
+
+
+def q_wasserstein(spark, sf):
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the en
+    and zh document-length distributions — ∫|F_a−F_b| integrated over
+    the distinct-value grid as an EXACT BIGINT numerator
+    Σ|cumA·n_b − cumB·n_a|·gap with ONE final division; the
+    distribution-drift companion to q_ks_test's max-gap and
+    q_cliffs_delta's dominance (operators/stats.py wasserstein_1d)."""
+    return stats.wasserstein_1d(
+        _docs(spark, sf), "lang", "n_chars", "en", "zh",
+        stage_dir=_scratch("q_w1_"),
+    )
+
+
+def q_brier(spark, sf):
+    """Brier score + Murphy decomposition (reliability − resolution +
+    uncertainty) of the capped-length quality score vs the lang=='en'
+    label over the q_calibration bin spine — the score-level companion
+    to ECE; the corpus-sized Σ(p−y)² is the exact BIGINT Σ(cap−500y)²,
+    per-bin terms fixed float chains over exact bin moments
+    (operators/traindata.py brier_decomposition)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.brier_decomposition(_docs(spark, sf), n_bins=10)
+
+
 def q_dag_layers(spark, sf):
     """Longest-path layering (critical-path depth) of the 200-node
     type DAG with redundant shortcuts (the q_transitive_reduction
@@ -6488,6 +6525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mrr": q_mrr,
         "q_louvain": q_louvain,
         "q_vocab_richness": q_vocab_richness,
+        "q_tost": q_tost,
+        "q_wasserstein": q_wasserstein,
+        "q_brier": q_brier,
     }
 
 
@@ -16657,6 +16697,126 @@ sents AS (
         round(CASE WHEN ok AND pooled > 0
                THEN (mean_a - mean_b) / sqrt(pooled) END, 6) AS cohens_d
       FROM s
+    """
+
+    # TOST replay: the welch moment chain with the ±margin one-sided
+    # statistics
+    o["q_tost"] = """
+      WITH base AS (
+        SELECT lang AS g, n_chars::BIGINT AS x FROM documents
+        WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL
+      ),
+      m AS (
+        SELECT
+          sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+          sum(CASE WHEN g = 'en' THEN x ELSE 0 END)::BIGINT AS s_a,
+          sum(CASE WHEN g = 'en' THEN x * x ELSE 0 END)::BIGINT AS q_a,
+          sum(CASE WHEN g <> 'en' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+          sum(CASE WHEN g <> 'en' THEN x ELSE 0 END)::BIGINT AS s_b,
+          sum(CASE WHEN g <> 'en' THEN x * x ELSE 0 END)::BIGINT AS q_b
+        FROM base
+      ),
+      c AS (
+        SELECT n_a, n_b,
+          s_a::DOUBLE / n_a::DOUBLE AS mean_a,
+          s_b::DOUBLE / n_b::DOUBLE AS mean_b,
+          (n_a * q_a - s_a * s_a)::DOUBLE / (n_a * (n_a - 1))::DOUBLE AS var_a,
+          (n_b * q_b - s_b * s_b)::DOUBLE / (n_b * (n_b - 1))::DOUBLE AS var_b
+        FROM m
+      ),
+      s AS (
+        SELECT *, var_a / n_a::DOUBLE AS se_a, var_b / n_b::DOUBLE AS se_b,
+          var_a / n_a::DOUBLE + var_b / n_b::DOUBLE AS se2,
+          (n_a >= 2 AND n_b >= 2
+           AND var_a / n_a::DOUBLE + var_b / n_b::DOUBLE > 0) AS ok
+        FROM c
+      )
+      SELECT n_a, n_b,
+        round(mean_a - mean_b, 6) AS mean_diff,
+        round(CASE WHEN ok THEN sqrt(se2) END, 6) AS se,
+        round(CASE WHEN ok THEN (se2 * se2)
+               / (se_a * se_a / (n_a - 1)::DOUBLE
+                  + se_b * se_b / (n_b - 1)::DOUBLE) END, 6) AS dof,
+        round(CASE WHEN ok
+               THEN (mean_a - mean_b + 25.0) / sqrt(se2) END, 6) AS t_lower,
+        round(CASE WHEN ok
+               THEN (mean_a - mean_b - 25.0) / sqrt(se2) END, 6) AS t_upper
+      FROM s
+    """
+
+    # Wasserstein-1 replay: distinct-value grid, cumulative cross-
+    # multiplied CDF gaps, exact integer numerator, one division
+    o["q_wasserstein"] = """
+      WITH base AS (
+        SELECT lang AS g, n_chars::BIGINT AS v FROM documents
+        WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')
+      ),
+      cells AS (
+        SELECT v,
+          sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS ca,
+          sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END)::BIGINT AS cb
+        FROM base GROUP BY v
+      ),
+      tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+              FROM cells),
+      stepped AS (
+        SELECT v,
+          sum(ca) OVER (ORDER BY v)::BIGINT AS cuma,
+          sum(cb) OVER (ORDER BY v)::BIGINT AS cumb,
+          lead(v) OVER (ORDER BY v) - v AS gap
+        FROM cells
+        QUALIFY lead(v) OVER (ORDER BY v) IS NOT NULL
+      ),
+      num AS (
+        SELECT sum(abs(cuma * t.n_b - cumb * t.n_a) * gap)::BIGINT
+                 AS w1_num
+        FROM stepped, tot t
+      )
+      SELECT t.n_a, t.n_b,
+        coalesce(w1_num, 0)::BIGINT AS w1_num,
+        round(coalesce(CASE WHEN t.n_a > 0 AND t.n_b > 0
+          THEN w1_num::DOUBLE / (t.n_a::DOUBLE * t.n_b::DOUBLE) END,
+          0.0), 6) AS w1
+      FROM tot t, num
+    """
+
+    # Brier replay: exact BIGINT Σ(cap−500y)² for the score, per-bin
+    # REL/RES fixed float chains over exact bin moments
+    o["q_brier"] = """
+      WITH d AS (
+        SELECT least(least(n_chars, 500) // 50, 9)::BIGINT AS bin,
+               least(n_chars, 500)::BIGINT AS cap,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM documents
+      ),
+      bins AS (
+        SELECT bin, count(*)::BIGINT AS nb, sum(cap)::BIGINT AS sb,
+               sum(y)::BIGINT AS pb,
+               sum((cap - 500 * y) * (cap - 500 * y))::BIGINT AS sq
+        FROM d GROUP BY bin
+      ),
+      tot AS (
+        SELECT sum(nb)::BIGINT AS n, sum(pb)::BIGINT AS p,
+               sum(sq)::BIGINT AS sq_tot
+        FROM bins
+      ),
+      g AS (
+        SELECT max(t.n)::BIGINT AS n, max(t.p)::BIGINT AS p,
+          max(t.sq_tot)::BIGINT AS sq_tot,
+          sum((sb - 500 * pb)::DOUBLE * (sb - 500 * pb)::DOUBLE
+              / nb::DOUBLE) AS rel_num,
+          sum((pb * t.n - nb * t.p)::DOUBLE * (pb * t.n - nb * t.p)::DOUBLE
+              / nb::DOUBLE) AS res_num
+        FROM bins, tot t
+      )
+      SELECT n,
+        round(sq_tot::DOUBLE / (250000.0 * n::DOUBLE), 6) AS brier,
+        round(rel_num / (250000.0 * n::DOUBLE), 6) AS reliability,
+        round(res_num / ((n::DOUBLE * n::DOUBLE) * n::DOUBLE), 6)
+          AS resolution,
+        round(p::DOUBLE * (n - p)::DOUBLE / (n::DOUBLE * n::DOUBLE), 6)
+          AS uncertainty
+      FROM g
     """
 
     # McNemar replay: Gopher keep ⋈ C4 NOT doc_dropped per doc (both

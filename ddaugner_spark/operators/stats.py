@@ -2147,3 +2147,164 @@ def cliffs_delta(
         "n_a", "n_b", "n_gt", "n_lt", "n_eq",
         F.round(delta, ndigits).alias("delta"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    margin: float,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Two-one-sided-tests equivalence analysis (Schuirmann, J. Pharma-
+    cokinet. 1987) — the "prove NO regression" mirror of
+    :func:`welch_t`: a difference test failing to reject says nothing;
+    TOST rejects ``|μ_a − μ_b| ≥ margin`` when BOTH one-sided t's
+    clear their critical value.  One row ``(n_a, n_b, mean_diff, se,
+    dof, t_lower, t_upper)`` with t_lower = (Δ + margin)/se (tests
+    Δ ≤ −margin), t_upper = (Δ − margin)/se (tests Δ ≥ +margin),
+    Welch–Satterthwaite dof; the caller compares against its t
+    critical value (kept out of the engine — quantiles are a client
+    decision, the repo ships statistics, not verdicts).
+
+    Exactness + scale: the :func:`welch_t` discipline verbatim — six
+    exact BIGINT moments in one map-side-combined pass, then a fixed
+    float chain; NULLs when either group has n < 2 or se = 0.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("g").isin(group_a, group_b) & F.col("x").isNotNull())
+    is_a = F.col("g") == group_a
+
+    def mom(cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("x")).otherwise(0)).cast("long"),
+            F.sum(F.when(cond, F.col("x") * F.col("x")).otherwise(0)).cast("long"),
+        ]
+
+    na_, sa_, qa_ = mom(is_a)
+    nb_, sb_, qb_ = mom(~is_a)
+    agg = base.agg(
+        na_.alias("n_a"), sa_.alias("s_a"), qa_.alias("q_a"),
+        nb_.alias("n_b"), sb_.alias("s_b"), qb_.alias("q_b"),
+    )
+    n_a, s_a, q_a = F.col("n_a"), F.col("s_a"), F.col("q_a")
+    n_b, s_b, q_b = F.col("n_b"), F.col("s_b"), F.col("q_b")
+
+    def var(n, s, q):
+        return F.when(
+            n >= 2,
+            (n * q - s * s).cast("double")
+            / (n * (n - F.lit(1))).cast("double"),
+        )
+
+    mean_a = F.when(n_a >= 1, s_a.cast("double") / n_a.cast("double"))
+    mean_b = F.when(n_b >= 1, s_b.cast("double") / n_b.cast("double"))
+    both = (n_a >= 2) & (n_b >= 2)
+    se_a = F.when(both, var(n_a, s_a, q_a) / n_a.cast("double"))
+    se_b = F.when(both, var(n_b, s_b, q_b) / n_b.cast("double"))
+    se2 = F.when(both, se_a + se_b)
+    ok = both & (se2 > 0)
+    se = F.when(ok, F.sqrt(se2))
+    diff = mean_a - mean_b
+    dof = F.when(
+        ok,
+        (se2 * se2)
+        / (
+            se_a * se_a / (n_a - F.lit(1)).cast("double")
+            + se_b * se_b / (n_b - F.lit(1)).cast("double")
+        ),
+    )
+    m = F.lit(float(margin))
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(diff, ndigits).alias("mean_diff"),
+        F.round(se, ndigits).alias("se"),
+        F.round(dof, ndigits).alias("dof"),
+        F.round(F.when(ok, (diff + m) / se), ndigits).alias("t_lower"),
+        F.round(F.when(ok, (diff - m) / se), ndigits).alias("t_upper"),
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    groups' INTEGER value distributions — W₁ = ∫|F_a − F_b| over the
+    value axis, the "how much mass moved how far" drift metric that
+    sees what :func:`~ddaugner_spark.operators.events` KS misses (KS
+    takes the max CDF gap, W₁ integrates all of them).  One row
+    ``(n_a, n_b, w1_num, w1)``.
+
+    Exactness: on the distinct-value grid the integral is the EXACT
+    BIGINT sum  Σ_v |cumA(v)·n_b − cumB(v)·n_a| · gap(v)  over
+    consecutive grid values, divided ONCE by n_a·n_b — no float enters
+    until the final division (cum counts ≤ n, the cross products ≤
+    n_a·n_b ≤ int64 to n ≈ 3·10⁹; gap multiplies within the value
+    range — document your scale).  The cell/cumulative machinery is
+    the :func:`kendall_tau_b` shape: corpus → distinct-value cells in
+    ONE pass (round-tripped), then one dimension-sized window.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("v"),
+    ).where(F.col("v").isNotNull() & F.col("g").isin(group_a, group_b))
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    cells = roundtrip_small(
+        base.groupBy("v").agg(
+            F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("g") == group_b, 1).otherwise(0))
+            .cast("long")
+            .alias("cb"),
+        ),
+        stage_dir,
+        "ddaugner_w1_",
+    )
+    w = Window.orderBy("v")
+    stepped = cells.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        (F.lead("v").over(w) - F.col("v")).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    num = stepped.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(
+                F.col("cuma") * F.col("n_b") - F.col("cumb") * F.col("n_a")
+            )
+            * F.col("gap")
+        )
+        .cast("long")
+        .alias("w1_num"),
+    )
+    # tot carries n_a/n_b even when the grid has a single value and
+    # `stepped` is empty (w1_num NULL → 0 below) — no NULLs escape
+    folded = tot.crossJoin(F.broadcast(num))
+    w1 = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("w1_num").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    )
+    return folded.select(
+        "n_a", "n_b",
+        F.coalesce("w1_num", F.lit(0)).cast("long").alias("w1_num"),
+        F.round(F.coalesce(w1, F.lit(0.0)), ndigits).alias("w1"),
+    )

@@ -734,3 +734,75 @@ def greedy_coverage(
     return spark.createDataFrame(
         picks, "rank long, doc_id long, gain long"
     )
+
+
+def brier_decomposition(docs: DataFrame, n_bins: int = 10, ndigits: int = 6) -> DataFrame:
+    """Brier score + Murphy (1973) decomposition of the capped-length
+    quality score against the lang=='en' label, over the SAME
+    :func:`_score_bins` spine as :func:`calibration_bins` — one row
+    ``(n, brier, reliability, resolution, uncertainty)``: REL (how far
+    bin forecasts sit from bin outcomes — lower better), RES (how much
+    the bins separate outcomes — higher better), UNC = ȳ(1−ȳ) (the
+    no-skill floor).  BS = REL − RES + UNC holds exactly when
+    forecasts are constant within bins (pinned in tests); with the
+    raw 1/500-grained score the within-bin forecast variance wedges
+    the identity open — all four terms are reported so the wedge is
+    visible, the reliability-diagram companion to calibration_bins'
+    ECE.
+
+    Exactness: p = cap/500 makes every row's (p−y)² the exact BIGINT
+    (cap − 500·y)²; the corpus-sized Σ is INTEGER (brier = one final
+    division by 250000·N).  Per-bin REL/RES terms are fixed float
+    chains over exact BIGINT bin moments (diffs fit int64, squared
+    after ONE long→double cast); the only reordered float Σ is over
+    ≤ n_bins terms (rounding grain absorbs it — the token_entropy
+    device).  One corpus pass, bin-sized everything after.
+    """
+    d = _score_bins(docs, n_bins)
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("cap").cast("long").alias("sb"),
+        F.sum("y").cast("long").alias("pb"),
+        F.sum((F.col("cap") - 500 * F.col("y")) * (F.col("cap") - 500 * F.col("y")))
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = bins.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("pb").cast("long").alias("p"),
+        F.sum("sq").cast("long").alias("sq_tot"),
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    rel_t = (
+        (F.col("sb") - 500 * F.col("pb")).cast("double")
+        * (F.col("sb") - 500 * F.col("pb")).cast("double")
+        / F.col("nb").cast("double")
+    )
+    res_t = (
+        (F.col("pb") * F.col("n") - F.col("nb") * F.col("p")).cast("double")
+        * (F.col("pb") * F.col("n") - F.col("nb") * F.col("p")).cast("double")
+        / F.col("nb").cast("double")
+    )
+    g = j.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+        F.max("sq_tot").alias("sq_tot"),
+        F.sum(rel_t).alias("rel_num"),
+        F.sum(res_t).alias("res_num"),
+    )
+    nd = F.col("n").cast("double")
+    brier = F.col("sq_tot").cast("double") / (F.lit(250000.0) * nd)
+    rel = F.col("rel_num") / (F.lit(250000.0) * nd)
+    res = F.col("res_num") / ((nd * nd) * nd)
+    unc = (
+        F.col("p").cast("double")
+        * (F.col("n") - F.col("p")).cast("double")
+        / (nd * nd)
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(brier, ndigits).alias("brier"),
+        F.round(rel, ndigits).alias("reliability"),
+        F.round(res, ndigits).alias("resolution"),
+        F.round(unc, ndigits).alias("uncertainty"),
+    )
