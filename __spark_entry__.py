@@ -5593,6 +5593,19 @@ def q_item_recs(spark, sf):
     return evops.item_recs(ev, k_top=3)
 
 
+def q_slope_one(spark, sf):
+    """Weighted Slope One CF (Lemire 2005) over (user, event_type)
+    mean-cents ratings, evaluated in-sample as per-type MAE — the
+    baseline every fancier recommender must beat (q_item_recs is the
+    cosine top-k next to it).  Integer end-to-end: fixed-point DIV
+    ratings, exact BIGINT deviation numerators, the weighted
+    prediction collapsed to one integer/integer division, per-row
+    errors micro-quantized before the Σ
+    (operators/events.py slope_one_eval)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.slope_one_eval(ev)
+
+
 def q_pct_rank(spark, sf):
     """Per-event-type mean-rank percentile normalization of values —
     doubled tie-averaged ranks off the value-frequency table, one
@@ -6528,6 +6541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tost": q_tost,
         "q_wasserstein": q_wasserstein,
         "q_brier": q_brier,
+        "q_slope_one": q_slope_one,
     }
 
 
@@ -16943,6 +16957,43 @@ sents AS (
         round(CASE WHEN sqs > 0
           THEN rqs::DOUBLE / sqs::DOUBLE END, 6) AS or_mh
       FROM tot
+    """
+
+    # Slope One replay: fixed-point DIV ratings, pair deviations,
+    # the collapsed integer prediction, micro-quantized errors
+    o["q_slope_one"] = """
+      WITH ratings AS (
+        SELECT user_id, event_type AS item,
+               (sum(round(value * 100, 0)::BIGINT) * 1000)
+                 // count(*) AS r
+        FROM events GROUP BY 1, 2
+      ),
+      dev AS (
+        SELECT a.item AS j, b.item AS i,
+               sum(a.r - b.r)::BIGINT AS devnum, count(*)::BIGINT AS c
+        FROM ratings a JOIN ratings b
+          ON a.user_id = b.user_id AND a.item != b.item
+        GROUP BY 1, 2
+      ),
+      pred AS (
+        SELECT rr.user_id, d.j AS item,
+               sum(d.devnum + rr.r * d.c)::BIGINT AS num,
+               sum(d.c)::BIGINT AS den
+        FROM ratings rr JOIN dev d ON d.i = rr.item
+        GROUP BY 1, 2
+      ),
+      scored AS (
+        SELECT p.item,
+               round(1000000.0
+                     * abs(p.num::DOUBLE / p.den::DOUBLE - r.r::DOUBLE)
+                     / 1000.0 / 100.0, 0)::BIGINT AS err_q
+        FROM pred p JOIN ratings r
+          ON r.user_id = p.user_id AND r.item = p.item
+      )
+      SELECT item AS event_type, count(*)::BIGINT AS n_pred,
+             round(sum(err_q)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+               AS mae
+      FROM scored GROUP BY 1
     """
 
     # Kendall τ-b replay: identical bucket derivation, contingency

@@ -1215,3 +1215,104 @@ def cuped_adjusted(
         F.round("theta", ndigits).alias("theta"),
         F.round("rho2", ndigits).alias("rho2"),
     ).orderBy("variant")
+
+
+def slope_one_eval(
+    events: DataFrame, scale: int = 1000, ndigits: int = 6
+) -> DataFrame:
+    """Weighted Slope One collaborative filtering (Lemire & Maclachlan,
+    SDM 2005) over (user, event_type) mean-value ratings, evaluated
+    in-sample: predict every user's rating of each type from their
+    OTHER types through the per-pair average deviation, report per
+    type ``(event_type, n_pred, mae)`` — the "is a fancier recommender
+    even worth it" baseline every CF system is judged against
+    (complements :func:`item_recs`' cosine top-k).
+
+    Exactness end-to-end INTEGER: ratings are fixed-point
+    ``(Σcents·scale) DIV n`` (the quality_classifier device); each
+    pair deviation keeps its EXACT BIGINT numerator Σ_u(r_uj − r_ui)
+    and co-count; the weighted prediction collapses algebraically to
+    ``Σ_i (devnum_ji + r_ui·c_ji) / Σ_i c_ji`` — exact integer
+    numerator and denominator, ONE division per (user, type); per-row
+    absolute errors are micro-quantized once (the B³ device) so the
+    per-type MAE Σ is an integer sum.
+
+    Scale shape: one map-side-combined (user, type) aggregate; the
+    deviation table is a types²-cell fold of the user-keyed self-join
+    (|types| bounded — the corpus is touched once); predictions are a
+    ratings⋈dev broadcast join, user×types-sized.  No user×user or
+    row-pair work anywhere.
+    """
+    ratings = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("item"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "item")
+        .agg(
+            F.sum("cents").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "user_id",
+            "item",
+            # exact integral division (values are non-negative, so
+            # Spark's truncating DIV == DuckDB's flooring //)
+            F.expr(f"(s * {scale}) DIV n").cast("long").alias("r"),
+        )
+    )
+    a = ratings.select("user_id", F.col("item").alias("j"), F.col("r").alias("rj"))
+    b = ratings.select("user_id", F.col("item").alias("i"), F.col("r").alias("ri"))
+    dev = (
+        a.join(b, "user_id")
+        .where(F.col("j") != F.col("i"))
+        .groupBy("j", "i")
+        .agg(
+            F.sum(F.col("rj") - F.col("ri")).cast("long").alias("devnum"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    pred = (
+        ratings.select("user_id", F.col("item").alias("i"), F.col("r").alias("ri"))
+        .join(F.broadcast(dev), "i")
+        .groupBy("user_id", F.col("j").alias("item"))
+        .agg(
+            F.sum(F.col("devnum") + F.col("ri") * F.col("c"))
+            .cast("long")
+            .alias("num"),
+            F.sum("c").cast("long").alias("den"),
+        )
+    )
+    scored = pred.join(ratings, ["user_id", "item"]).select(
+        "item",
+        F.round(
+            F.lit(1000000.0)
+            * F.abs(
+                F.col("num").cast("double") / F.col("den").cast("double")
+                - F.col("r").cast("double")
+            )
+            / F.lit(float(scale))
+            / F.lit(100.0),
+            0,
+        )
+        .cast("long")
+        .alias("err_q"),
+    )
+    return (
+        scored.groupBy(F.col("item").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pred"),
+            F.sum("err_q").cast("long").alias("eq"),
+        )
+        .select(
+            "event_type",
+            "n_pred",
+            F.round(
+                F.col("eq").cast("double")
+                / F.col("n_pred").cast("double")
+                / F.lit(1000000.0),
+                ndigits,
+            ).alias("mae"),
+        )
+    )
