@@ -1896,6 +1896,16 @@ def _host_edges(spark, sf):
     return g.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
 
 
+def q_salsa(spark, sf):
+    """SALSA hub/authority scores over the directed host graph
+    (Lempel–Moran 2000, the degree-normalized walk that fixes HITS'
+    TKC mega-hub capture — the who-to-follow core): fixed-point 10¹²
+    scores with exact integral floor division per edge term (the
+    simrank device), 2 iterations, one IEEE normalization at the end
+    (operators/graph.py salsa)."""
+    return graph.salsa(_host_edges(spark, sf), iters=2)
+
+
 def q_katz(spark, sf):
     """Katz centrality (Katz, Psychometrika 1953) over the directed
     host web graph, series truncated at walk length 3, β = 1/4 — the
@@ -6542,6 +6552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wasserstein": q_wasserstein,
         "q_brier": q_brier,
         "q_slope_one": q_slope_one,
+        "q_salsa": q_salsa,
     }
 
 
@@ -8630,6 +8641,56 @@ def oracle_sql() -> dict[str, str]:
         FROM links
       ),
       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)"""
+
+    # SALSA, 2 iterations unrolled: fixed-point 10^12 scores, exact
+    # integral floor division per edge term (h // outdeg, a // indeg),
+    # identical integers both engines, one final normalization
+    o["q_salsa"] = f"""
+      WITH {_host_edges_cte},
+      outd AS (SELECT src AS node, count(*)::BIGINT AS od
+               FROM edges GROUP BY src),
+      ind AS (SELECT dst AS node, count(*)::BIGINT AS indeg
+              FROM edges GROUP BY dst),
+      h0 AS (SELECT node, 1000000000000::BIGINT AS h FROM nodes),
+      a1r AS (
+        SELECT e.dst AS node, sum(h.h // o.od)::BIGINT AS a
+        FROM edges e JOIN h0 h ON h.node = e.src
+                     JOIN outd o ON o.node = e.src
+        GROUP BY e.dst
+      ),
+      a1 AS (SELECT n.node, coalesce(r.a, 0)::BIGINT AS a
+             FROM nodes n LEFT JOIN a1r r USING (node)),
+      h1r AS (
+        SELECT e.src AS node, sum(a.a // i.indeg)::BIGINT AS h
+        FROM edges e JOIN a1 a ON a.node = e.dst
+                     JOIN ind i ON i.node = e.dst
+        GROUP BY e.src
+      ),
+      h1 AS (SELECT n.node, coalesce(r.h, 0)::BIGINT AS h
+             FROM nodes n LEFT JOIN h1r r USING (node)),
+      a2r AS (
+        SELECT e.dst AS node, sum(h.h // o.od)::BIGINT AS a
+        FROM edges e JOIN h1 h ON h.node = e.src
+                     JOIN outd o ON o.node = e.src
+        GROUP BY e.dst
+      ),
+      a2 AS (SELECT n.node, coalesce(r.a, 0)::BIGINT AS a
+             FROM nodes n LEFT JOIN a2r r USING (node)),
+      h2r AS (
+        SELECT e.src AS node, sum(a.a // i.indeg)::BIGINT AS h
+        FROM edges e JOIN a2 a ON a.node = e.dst
+                     JOIN ind i ON i.node = e.dst
+        GROUP BY e.src
+      ),
+      h2 AS (SELECT n.node, coalesce(r.h, 0)::BIGINT AS h
+             FROM nodes n LEFT JOIN h2r r USING (node)),
+      j AS (SELECT h2.node, h2.h, a2.a FROM h2 JOIN a2 USING (node)),
+      tot AS (SELECT sum(h)::DOUBLE AS th, sum(a)::DOUBLE AS ta FROM j)
+      SELECT node,
+        round(CASE WHEN th > 0 THEN h / th ELSE 0.0 END, 6) AS hub,
+        round(CASE WHEN ta > 0 THEN a / ta ELSE 0.0 END, 6) AS authority
+      FROM j, tot
+    """
 
     # Katz centrality: the three walk-count levels are exact BIGINT
     # aggregates; the series collapses over the common denominator 4^3

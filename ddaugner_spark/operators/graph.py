@@ -2765,3 +2765,96 @@ def louvain_rounds(
     return labels.select(
         F.col("node").alias("entity"), "community"
     )
+
+
+def salsa(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = 10**12,
+    ndigits: int = 6,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """(node, hub, authority) — SALSA (Lempel & Moran, WWW 2000; the
+    link-analysis core of production who-to-follow systems) over the
+    directed host graph: HITS with the mutual-reinforcement replaced by
+    a DEGREE-NORMALIZED random walk, so one mega-hub can no longer
+    drag its whole neighborhood up (the TKC effect HITS suffers).
+
+    a(v) = Σ_{u→v} h(u)/outdeg(u),  h(u) = Σ_{u→v} a(v)/indeg(v).
+
+    Determinism: the per-step divisions make the :func:`hits` pure-
+    integer trick unavailable, so scores run in FIXED POINT at
+    ``scale`` with exact integral floor division per edge term (the
+    simrank device) — both engines fold identical integers at every
+    step, any iteration count; ONE IEEE division each at the final
+    sum-normalization.  Floor loss is ≤ outdeg per term at scale
+    10¹², i.e. below the rounding grain by ~5 orders.
+
+    Scale shape identical to :func:`hits`: per half-step one edge⋈
+    score equi-join (score+degree tables broadcast under the usual
+    threshold) + one partial-aggregable groupBy on the opposite
+    endpoint; fixed ``iters`` bounds the plan.
+    """
+    if iters < 1:
+        raise ValueError("salsa: iters must be >= 1")
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("od")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("indeg")
+    )
+    h = nodes.withColumn("h", F.lit(scale).cast("long"))
+    a = None
+
+    def bc(df):
+        return F.broadcast(df) if broadcast_scores else df
+
+    for _ in range(iters):
+        a_raw = (
+            e.join(bc(h.withColumnRenamed("node", "src")), "src")
+            .join(bc(outd.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst"), F.expr("h DIV od").alias("t"))
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("t").cast("long").alias("a"))
+        )
+        a = nodes.join(a_raw, nodes.node == a_raw.node2, "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+        )
+        h_raw = (
+            e.join(bc(a.withColumnRenamed("node", "dst")), "dst")
+            .join(bc(ind.withColumnRenamed("node", "dst")), "dst")
+            .select(F.col("src"), F.expr("a DIV indeg").alias("t"))
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.sum("t").cast("long").alias("h"))
+        )
+        h = nodes.join(h_raw, nodes.node == h_raw.node2, "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+        )
+    j = h.join(a, "node")
+    totals = F.broadcast(
+        j.agg(
+            F.sum("h").cast("double").alias("_th"),
+            F.sum("a").cast("double").alias("_ta"),
+        )
+    )
+    return j.crossJoin(totals).select(
+        "node",
+        F.round(
+            F.when(F.col("_th") > 0, F.col("h") / F.col("_th")).otherwise(
+                F.lit(0.0)
+            ),
+            ndigits,
+        ).alias("hub"),
+        F.round(
+            F.when(F.col("_ta") > 0, F.col("a") / F.col("_ta")).otherwise(
+                F.lit(0.0)
+            ),
+            ndigits,
+        ).alias("authority"),
+    )

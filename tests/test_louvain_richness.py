@@ -116,3 +116,47 @@ class TestVocabRichness:
         assert r.n_doubletons == 0
         # bias-corrected form: V + N1(N1-1)/2
         assert r.chao1 == pytest.approx(3 + 3 * 2 / 2, abs=1e-6)
+
+
+class TestSalsa:
+    def _e(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src string, dst string")
+
+    def test_degree_normalized_fixed_point(self, spark):
+        # star-capture fixture: hub h points at a1..a3; h2 points only
+        # at a1.  HITS would give a1..a3 equal authority from h; SALSA
+        # splits h's mass 1/3 each so a1 (also endorsed by the focused
+        # h2) must dominate.
+        pairs = [("h", "a1"), ("h", "a2"), ("h", "a3"), ("h2", "a1")]
+        from ddaugner_spark.operators.graph import salsa
+
+        out = {r.node: r for r in salsa(self._e(spark, pairs), iters=2).collect()}
+        assert out["a1"].authority > out["a2"].authority == out["a3"].authority
+        # brute fixed-point replay, 2 iterations
+        S = 10**12
+        nodes = {"h", "h2", "a1", "a2", "a3"}
+        e = pairs
+        od = {"h": 3, "h2": 1}
+        ind = {"a1": 2, "a2": 1, "a3": 1}
+        h = {n: S for n in nodes}
+        for _ in range(2):
+            a = {n: 0 for n in nodes}
+            for s, d in e:
+                a[d] += h[s] // od[s]
+            h = {n: 0 for n in nodes}
+            for s, d in e:
+                h[s] += a[d] // ind[d]
+        th, ta = sum(h.values()), sum(a.values())
+        for n in nodes:
+            assert out[n].hub == round(h[n] / th, 6)
+            assert out[n].authority == round(a[n] / ta, 6)
+
+    def test_sinks_and_sources(self, spark):
+        from ddaugner_spark.operators.graph import salsa
+
+        out = {
+            r.node: r
+            for r in salsa(self._e(spark, [("s", "t")]), iters=2).collect()
+        }
+        assert out["t"].hub == 0.0 and out["s"].authority == 0.0
+        assert out["s"].hub == 1.0 and out["t"].authority == 1.0
