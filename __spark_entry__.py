@@ -407,6 +407,20 @@ def q_kg_completion(spark, sf):
     return kgquery.kg_completion_eval(triples.triples_df(_docs(spark, sf)))
 
 
+def q_pra_features(spark, sf):
+    """Path-Ranking-Algorithm random-walk features over the
+    constructed KG (Lao & Cohen 2010; the relation-path features under
+    Knowledge Vault's fusion layer): per (subj, typed path ≤2, obj)
+    the uniform-walk landing probability, on the support-pruned
+    fanout-capped edge set (the q_two_hop hub guard, degrees
+    recomputed on the capped set) — every mid term the exact integral
+    qscale DIV (d1·d2), integer-summed, ONE final division
+    (operators/kgquery.py pra_path_features)."""
+    from ddaugner_spark.operators import kgquery
+
+    return kgquery.pra_path_features(triples.triples_df(_docs(spark, sf)))
+
+
 def q_entity_link(spark, sf):
     return linking.link_scores(
         mentions.mentions_df(_docs(spark, sf)), gazetteer_df(spark)
@@ -6553,6 +6567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brier": q_brier,
         "q_slope_one": q_slope_one,
         "q_salsa": q_salsa,
+        "q_pra_features": q_pra_features,
     }
 
 
@@ -9057,6 +9072,54 @@ def oracle_sql() -> dict[str, str]:
              least(support1, support2) AS path_support
       FROM h1 JOIN h2 USING (mid)
       WHERE entity_a != entity_c
+    """
+
+    # PRA replay: support-pruned capped edge set (the q_two_hop h1/h2
+    # windows), degrees recomputed on the capped sets, exact integral
+    # per-mid quantization, integer path sums
+    o["q_pra_features"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      preds AS (SELECT doc_id, pos, tok FROM toks WHERE tok IN ({_PREDW})),
+      tri AS ({_TRI_SELECT}),
+      edges AS (
+        SELECT subj, pred, obj, count(*)::BIGINT AS support
+        FROM tri GROUP BY subj, pred, obj HAVING count(*) >= 2
+      ),
+      h1 AS (
+        SELECT subj, pred, obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY obj
+                                    ORDER BY support DESC, pred, subj) AS r
+          FROM edges) WHERE r <= 5
+      ),
+      h2 AS (
+        SELECT subj, pred, obj FROM (
+          SELECT subj, pred, obj,
+                 row_number() OVER (PARTITION BY subj
+                                    ORDER BY support DESC, pred, obj) AS r
+          FROM edges) WHERE r <= 5
+      ),
+      dc1 AS (SELECT subj, pred, count(*)::BIGINT AS d1 FROM h1 GROUP BY 1, 2),
+      dc2 AS (SELECT subj, pred, count(*)::BIGINT AS d2 FROM h2 GROUP BY 1, 2),
+      dd AS (SELECT subj, pred, count(*)::BIGINT AS d FROM edges GROUP BY 1, 2),
+      f1 AS (
+        SELECT e.subj, e.pred AS path, e.obj,
+               (1000000000000 // d.d)::BIGINT AS prob_q
+        FROM edges e JOIN dd d USING (subj, pred)
+      ),
+      f2 AS (
+        SELECT l.subj, l.pred || '/' || r.pred AS path, r.obj,
+               sum(1000000000000 // (ld.d1 * rd.d2))::BIGINT AS prob_q
+        FROM h1 l
+        JOIN dc1 ld ON ld.subj = l.subj AND ld.pred = l.pred
+        JOIN h2 r ON r.subj = l.obj
+        JOIN dc2 rd ON rd.subj = r.subj AND rd.pred = r.pred
+        GROUP BY 1, 2, 3
+      ),
+      u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+      SELECT subj, path, obj, prob_q,
+             round(prob_q::DOUBLE / 1000000000000.0, 9) AS prob
+      FROM u
     """
 
     o["q_entity_link"] = f"""

@@ -479,3 +479,100 @@ def entity_fact_summary(triples: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rank") <= k)
     )
 
+
+
+def pra_path_features(
+    triples: DataFrame,
+    min_support: int = 2,
+    fanout_cap: int = 5,
+    qscale: int = 10**12,
+    ndigits: int = 9,
+) -> DataFrame:
+    """(subj, path, obj, prob_q, prob) — Path-Ranking-Algorithm random-
+    walk features (Lao & Cohen, ECML 2010; the relation-path feature
+    extractor under Knowledge Vault's fusion layer): for every typed
+    path of length 1 (``p``) or 2 (``p1/p2``) between two entities,
+    the probability that a walker leaving ``subj`` and following the
+    path's relation types uniformly lands on ``obj``.  These rows ARE
+    the feature matrix a downstream per-relation classifier trains on
+    — the engine ships the corpus-scale feature extraction, the model
+    is a client concern (the q_kg_completion division of labor).
+
+    Graph contract: support-weighted edges with ``support ≥
+    min_support``, each mid capped to its ``fanout_cap`` best-attested
+    in/out edges (the :func:`~ddaugner_spark.operators.graph.
+    two_hop_paths` hub guard, same deterministic tie-break) — walk
+    degrees are RECOMPUTED on the capped set so every per-(node, pred)
+    step stays a proper distribution over retained edges.
+
+    Exactness: step probabilities are 1/d rationals; each length-2
+    mid term is quantized ONCE as the exact integral
+    ``qscale DIV (d1·d2)`` and the per-(subj, path, obj) Σ over mids
+    is an INTEGER sum (the B³ device — no float walk math anywhere);
+    ``prob`` is one final division.  Scale: everything after the edge
+    aggregation is edge-table-sized; the mid join emits ≤ cap² rows
+    per mid by construction.
+    """
+    edges = (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    w_in = Window.partitionBy("obj").orderBy(F.desc("support"), "pred", "subj")
+    w_out = Window.partitionBy("subj").orderBy(F.desc("support"), "pred", "obj")
+    h1 = (
+        edges.withColumn("r", F.row_number().over(w_in))
+        .filter(F.col("r") <= fanout_cap)
+        .select("subj", "pred", "obj")
+    )
+    h2 = (
+        edges.withColumn("r", F.row_number().over(w_out))
+        .filter(F.col("r") <= fanout_cap)
+        .select("subj", "pred", "obj")
+    )
+    d1 = h1.groupBy("subj", "pred").agg(F.count("*").cast("long").alias("d1"))
+    d2 = h2.groupBy("subj", "pred").agg(F.count("*").cast("long").alias("d2"))
+    # length-1 features off the support-pruned edge set (uncapped —
+    # the direct edge IS the candidate fact, never hub-fanned)
+    dd = edges.groupBy("subj", "pred").agg(
+        F.count("*").cast("long").alias("d")
+    )
+    f1 = edges.join(dd, ["subj", "pred"]).select(
+        "subj",
+        F.col("pred").alias("path"),
+        "obj",
+        F.expr(f"CAST({qscale} DIV d AS LONG)").alias("prob_q"),
+    )
+    left = h1.join(d1, ["subj", "pred"]).select(
+        "subj",
+        F.col("pred").alias("p1"),
+        F.col("obj").alias("mid"),
+        "d1",
+    )
+    right = h2.join(d2, ["subj", "pred"]).select(
+        F.col("subj").alias("mid"),
+        F.col("pred").alias("p2"),
+        F.col("obj").alias("obj2"),
+        "d2",
+    )
+    f2 = (
+        left.join(right, "mid")
+        .select(
+            "subj",
+            F.concat_ws("/", "p1", "p2").alias("path"),
+            F.col("obj2").alias("obj"),
+            F.expr(f"CAST({qscale} DIV (d1 * d2) AS LONG)").alias("t"),
+        )
+        .groupBy("subj", "path", "obj")
+        .agg(F.sum("t").cast("long").alias("prob_q"))
+    )
+    out = f1.unionByName(f2)
+    return out.select(
+        "subj",
+        "path",
+        "obj",
+        "prob_q",
+        F.round(
+            F.col("prob_q").cast("double") / F.lit(float(qscale)), ndigits
+        ).alias("prob"),
+    )

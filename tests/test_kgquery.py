@@ -229,3 +229,65 @@ def test_entity_fact_summary_rarest_first_and_cap(spark):
     assert by_e == [(1, "rare", "r1"), (2, "common", "c1")]
     assert all(r["rank"] <= 2 for r in out)
     assert [r for r in out if r["subj"] == "f"][0]["rank"] == 1
+
+
+class TestPraFeatures:
+    def _tri(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "subj string, pred string, obj string"
+        )
+
+    def test_walk_probabilities_hand_computed(self, spark):
+        from ddaugner_spark.operators.kgquery import pra_path_features
+
+        # a -p-> {b, c} (support 2 each); b -q-> d; c -q-> d, c -q-> e
+        rows = []
+        for _ in range(2):
+            rows += [
+                ("a", "p", "b"), ("a", "p", "c"),
+                ("b", "q", "d"), ("c", "q", "d"), ("c", "q", "e"),
+            ]
+        out = {
+            (r.subj, r.path, r.obj): r.prob
+            for r in pra_path_features(self._tri(spark, rows)).collect()
+        }
+        # length-1: P(b | a, p) = 1/2
+        assert out[("a", "p", "b")] == 0.5
+        assert out[("b", "q", "d")] == 1.0
+        # length-2 p/q walks from a: via b (1/2 · 1/1) + via c (1/2 · 1/2)
+        assert out[("a", "p/q", "d")] == pytest.approx(0.75, abs=1e-9)
+        assert out[("a", "p/q", "e")] == pytest.approx(0.25, abs=1e-9)
+        # walk mass conservation per (subj, path)
+        assert (
+            out[("a", "p/q", "d")] + out[("a", "p/q", "e")]
+            == pytest.approx(1.0, abs=1e-9)
+        )
+
+    def test_support_filter_and_cap(self, spark):
+        from ddaugner_spark.operators.kgquery import pra_path_features
+
+        # support-1 edge must vanish entirely
+        rows = [("a", "p", "b")] + [("a", "p", "c")] * 2
+        out = pra_path_features(self._tri(spark, rows)).collect()
+        assert {(r.subj, r.path, r.obj) for r in out} == {("a", "p", "c")}
+        assert out[0].prob == 1.0
+
+    def test_hub_mid_capped(self, spark):
+        from ddaugner_spark.operators.kgquery import pra_path_features
+
+        # 8 spokes point at hub; hub points at 8 targets — cap 2 keeps
+        # <= 2 in-edges and <= 2 out-edges of the hub, so <= 4 paths
+        rows = []
+        for i in range(8):
+            rows += [(f"s{i}", "p", "hub")] * 2 + [("hub", "q", f"t{i}")] * 2
+        out = [
+            r
+            for r in pra_path_features(
+                self._tri(spark, rows), fanout_cap=2
+            ).collect()
+            if "/" in r.path
+        ]
+        assert 0 < len(out) <= 4
+        # degrees recomputed on the capped set: each surviving path is
+        # (1/d1)·(1/2) with d1 the spoke's capped out-degree (=1)
+        assert all(r.prob == 0.5 for r in out)
