@@ -5406,6 +5406,38 @@ def q_kaplan_meier(spark, sf):
     return evops.kaplan_meier(ev, death_type="purchase", min_value=400.0)
 
 
+def q_nelson_aalen(spark, sf):
+    """Nelson–Aalen cumulative hazard over the SAME at-risk table as
+    q_kaplan_meier (shared _km_risk_table derivation) — hazards add
+    across competing risks where survival products can't; per-time
+    terms one exact-BIGINT division each, cumulative Σ in the fixed
+    ORDER BY t frame (operators/events.py nelson_aalen)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.nelson_aalen(ev, death_type="purchase", min_value=400.0)
+
+
+def q_powerlaw(spark, sf):
+    """Power-law exponent MLE of the co-mention degree distribution
+    (Clauset–Shalizi–Newman): α̂ = 1 + n/Σln(d/d_min) with each
+    distinct degree's ln micro-quantized once (the zipf device) and
+    count-weighted — the Σ is an exact integer sum; the scale-free
+    heaviness readout next to q_degree_dist's histogram
+    (operators/graph.py powerlaw_alpha)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.powerlaw_alpha(canonical.co_mention_edges(m), d_min=2)
+
+
+def q_lift(spark, sf):
+    """Cumulative-gains / lift table of the capped-length quality
+    score vs the lang=='en' label, best-bin-first — gain and lift one
+    exact BIGINT cross-product division each, integer cumulative
+    window sums over the bin spine shared with q_calibration/q_brier
+    (operators/traindata.py lift_table)."""
+    from ddaugner_spark.operators import traindata
+
+    return traindata.lift_table(_docs(spark, sf), n_bins=10)
+
+
 def q_skew_report(spark, sf):
     """Pre-flight shuffle-skew diagnostic for user_id as a join key: 32
     virtual reducers off the md5 device, per-bucket row/key counts and
@@ -6568,6 +6600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_slope_one": q_slope_one,
         "q_salsa": q_salsa,
         "q_pra_features": q_pra_features,
+        "q_nelson_aalen": q_nelson_aalen,
+        "q_powerlaw": q_powerlaw,
+        "q_lift": q_lift,
     }
 
 
@@ -15381,6 +15416,102 @@ sents AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS survival
       FROM km
+    """
+
+    # Nelson–Aalen replay: the KM at-risk CTE, per-time divisions,
+    # cumulative sums in the same fixed frame
+    o["q_nelson_aalen"] = """
+      WITH per AS (
+        SELECT user_id, min(ts) AS fst, max(ts) AS lst,
+               min(CASE WHEN event_type = 'purchase' AND value >= 400.0
+                        THEN ts END) AS dth
+        FROM events GROUP BY 1
+      ),
+      per2 AS (
+        SELECT (epoch_us(coalesce(dth, lst)) - epoch_us(fst))
+                 // 3600000000 AS t_h,
+               (dth IS NOT NULL) AS obs
+        FROM per
+      ),
+      tbl AS (SELECT t_h, sum(obs::BIGINT)::BIGINT AS d,
+                     sum((NOT obs)::BIGINT)::BIGINT AS c
+              FROM per2 GROUP BY 1),
+      nt AS (SELECT count(*)::BIGINT AS n_users FROM per2),
+      km AS (
+        SELECT t_h, d, c,
+               (n_users - coalesce(sum(d + c) OVER (ORDER BY t_h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+                 ::BIGINT AS n_risk
+        FROM tbl, nt
+      )
+      SELECT t_h, n_risk, d, c,
+        round(sum(d::DOUBLE / n_risk::DOUBLE) OVER (ORDER BY t_h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+          AS cum_hazard,
+        round(sqrt(sum(d::DOUBLE / (n_risk::DOUBLE * n_risk::DOUBLE))
+          OVER (ORDER BY t_h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS se
+      FROM km
+    """
+
+    # power-law MLE replay: co-mention degrees, micro-quantized lns
+    # count-weighted into an exact integer sum
+    o["q_powerlaw"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      degs AS (SELECT a AS node, count(*)::BIGINT AS deg FROM sym GROUP BY a),
+      cells AS (SELECT deg, count(*)::BIGINT AS cnt FROM degs
+                WHERE deg >= 2 GROUP BY deg),
+      g AS (
+        SELECT sum(cnt)::BIGINT AS n_tail,
+               sum(cnt * round(ln(deg::DOUBLE / 2.0) * 1000000.0, 0)
+                   ::BIGINT)::BIGINT AS lq
+        FROM cells
+      )
+      SELECT coalesce(n_tail, 0)::BIGINT AS n_tail, 2::BIGINT AS d_min,
+        round(coalesce(CASE WHEN lq > 0
+          THEN 1.0 + n_tail::DOUBLE / (lq::DOUBLE / 1000000.0) END,
+          0.0), 6) AS alpha,
+        round(coalesce(CASE WHEN lq > 0 AND n_tail > 0
+          THEN (1.0 + n_tail::DOUBLE / (lq::DOUBLE / 1000000.0) - 1.0)
+               / sqrt(n_tail::DOUBLE) END, 0.0), 6) AS se
+      FROM g
+    """
+
+    # lift replay: the q_brier bin spine, integer cumulative window
+    # sums best-bin-first, exact cross-product divisions
+    o["q_lift"] = """
+      WITH d AS (
+        SELECT least(least(n_chars, 500) // 50, 9)::BIGINT AS bin,
+               (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
+        FROM documents
+      ),
+      bins AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos
+               FROM d GROUP BY bin),
+      tot AS (SELECT sum(n)::BIGINT AS nn, sum(n_pos)::BIGINT AS p
+              FROM bins),
+      j AS (
+        SELECT bin, n, n_pos,
+          sum(n) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW)::BIGINT AS cum_n,
+          sum(n_pos) OVER (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos,
+          nn, p
+        FROM bins, tot
+      )
+      SELECT bin, n, n_pos, cum_n, cum_pos,
+        round(CASE WHEN p > 0 THEN cum_pos::DOUBLE / p::DOUBLE
+              ELSE 0.0 END, 6) AS gain,
+        round(CASE WHEN p > 0 AND cum_n > 0
+              THEN (cum_pos * nn)::DOUBLE / (cum_n * p)::DOUBLE
+              ELSE 0.0 END, 6) AS lift
+      FROM j
     """
 
     # skew-report replay: same md5 virtual-reducer buckets

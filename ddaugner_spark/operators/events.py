@@ -389,6 +389,28 @@ def kaplan_meier(
     — runs on the DISTINCT-DURATION table.  N broadcasts back as a
     1-row literal.
     """
+    j = _km_risk_table(events, death_type, min_value)
+    w = Window.orderBy("t_h")
+    factor = F.lit(1.0) - F.col("d") / F.col("n_risk")
+    surv = F.product(factor).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "t_h",
+        "n_risk",
+        "d",
+        "c",
+        F.round(surv, ndigits).alias("survival"),
+    )
+
+
+def _km_risk_table(
+    events: DataFrame, death_type: str, min_value: float
+) -> DataFrame:
+    """Shared (t_h, d, c, n_risk) at-risk table of the survival family
+    — ONE derivation of durations, deaths, censorings and the at-risk
+    counts that :func:`kaplan_meier` (product-limit) and
+    :func:`nelson_aalen` (cumulative hazard) fold differently."""
     cond = (F.col("event_type") == death_type) & (
         F.col("value") >= min_value
     )
@@ -418,19 +440,45 @@ def kaplan_meier(
         ),
         F.lit(0),
     )
-    j = tbl.crossJoin(F.broadcast(n)).withColumn(
+    return tbl.crossJoin(F.broadcast(n)).withColumn(
         "n_risk", (F.col("n_users") - prior).cast("long")
     )
-    factor = F.lit(1.0) - F.col("d") / F.col("n_risk")
-    surv = F.product(factor).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def nelson_aalen(
+    events: DataFrame,
+    death_type: str = "purchase",
+    min_value: float = 400.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over the SAME at-risk
+    table as :func:`kaplan_meier` — ``(t_h, n_risk, d, c, cum_hazard,
+    se)`` with H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ and the standard variance
+    Σ dᵢ/nᵢ²; the hazard-scale companion the KM curve can't give you
+    (hazards ADD across competing risks, survival products don't), and
+    the better small-risk-set estimator (no 1−d/n collapse at n=d).
+
+    Per-time terms are one division each of exact BIGINTs; the
+    cumulative Σ runs in the same fixed ORDER BY t frame on both
+    engines (the KM windowed-product device).  Same scale shape as KM:
+    everything after the user-keyed aggregate lives on the
+    distinct-duration table.
+    """
+    j = _km_risk_table(events, death_type, min_value)
+    w = Window.orderBy("t_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    term = F.col("d").cast("double") / F.col("n_risk").cast("double")
+    vterm = F.col("d").cast("double") / (
+        F.col("n_risk").cast("double") * F.col("n_risk").cast("double")
     )
     return j.select(
         "t_h",
         "n_risk",
         "d",
         "c",
-        F.round(surv, ndigits).alias("survival"),
+        F.round(F.sum(term).over(w), ndigits).alias("cum_hazard"),
+        F.round(F.sqrt(F.sum(vterm).over(w)), ndigits).alias("se"),
     )
 
 

@@ -2858,3 +2858,52 @@ def salsa(
             ndigits,
         ).alias("authority"),
     )
+
+
+def powerlaw_alpha(
+    edges: DataFrame, d_min: int = 2, ndigits: int = 6
+) -> DataFrame:
+    """Discrete power-law exponent MLE over the undirected degree
+    distribution (Clauset, Shalizi & Newman, SIAM Rev. 2009, the
+    continuous-MLE approximation): one row ``(n_tail, d_min, alpha,
+    se)`` with α̂ = 1 + n/Σln(dᵢ/d_min) over nodes of degree ≥ d_min
+    and se = (α̂−1)/√n — the "is this graph scale-free and how heavy"
+    readout that prices every hub-skew mitigation decision
+    ([[q_degree_dist]] draws the histogram, this fits it).
+
+    Determinism: the Σln runs on the (degree, node_count) table with
+    each distinct degree's ln micro-quantized ONCE at 10⁶ (the zipf
+    device) and count-weighted — the cross-degree Σ is an EXACT
+    integer sum; α̂ and se are a fixed float chain.  Scale: degrees =
+    one hash aggregate; everything after is distinct-degree-sized.
+    """
+    deg = degrees(edges.select("a", "b").distinct())
+    cells = (
+        deg.filter(F.col("deg") >= d_min)
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = F.round(
+        F.log(F.col("deg").cast("double") / F.lit(float(d_min))) * F.lit(1e6),
+        0,
+    ).cast("long")
+    g = cells.agg(
+        F.sum("cnt").cast("long").alias("n_tail"),
+        F.sum(F.col("cnt") * q).cast("long").alias("lq"),
+    )
+    alpha = F.when(
+        F.col("lq") > 0,
+        F.lit(1.0)
+        + F.col("n_tail").cast("double")
+        / (F.col("lq").cast("double") / F.lit(1e6)),
+    )
+    se = F.when(
+        (F.col("lq") > 0) & (F.col("n_tail") > 0),
+        (alpha - F.lit(1.0)) / F.sqrt(F.col("n_tail").cast("double")),
+    )
+    return g.select(
+        F.coalesce("n_tail", F.lit(0)).cast("long").alias("n_tail"),
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.round(F.coalesce(alpha, F.lit(0.0)), ndigits).alias("alpha"),
+        F.round(F.coalesce(se, F.lit(0.0)), ndigits).alias("se"),
+    )

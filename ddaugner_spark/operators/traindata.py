@@ -806,3 +806,55 @@ def brier_decomposition(docs: DataFrame, n_bins: int = 10, ndigits: int = 6) -> 
         F.round(res, ndigits).alias("resolution"),
         F.round(unc, ndigits).alias("uncertainty"),
     )
+
+
+def lift_table(docs: DataFrame, n_bins: int = 10, ndigits: int = 6) -> DataFrame:
+    """Cumulative-gains / lift table of the capped-length quality score
+    against the lang=='en' label over the :func:`_score_bins` spine,
+    scored-best-first: per bin (descending score) ``(bin, n, n_pos,
+    cum_n, cum_pos, gain, lift)`` — gain = share of all positives
+    captured by targeting down to this bin, lift = that share over the
+    share of corpus targeted (the campaign-targeting readout next to
+    [[q_auc]]'s rank view and [[q_calibration]]'s probability view).
+
+    Exactness: cumulative counts are INTEGER window sums over the
+    bin-sized table in a fixed ORDER BY bin DESC frame; gain and lift
+    are one division each of exact BIGINT cross-products
+    (cum_pos·N)/(cum_n·P).  One corpus pass, bin-sized everything
+    after.
+    """
+    d = _score_bins(docs, n_bins)
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("n_pos").cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("long").alias("cum_pos"),
+        "nn",
+        "p",
+    )
+    gain = F.when(
+        F.col("p") > 0,
+        F.col("cum_pos").cast("double") / F.col("p").cast("double"),
+    ).otherwise(F.lit(0.0))
+    lift = F.when(
+        (F.col("p") > 0) & (F.col("cum_n") > 0),
+        (F.col("cum_pos") * F.col("nn")).cast("double")
+        / (F.col("cum_n") * F.col("p")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "bin", "n", "n_pos", "cum_n", "cum_pos",
+        F.round(gain, ndigits).alias("gain"),
+        F.round(lift, ndigits).alias("lift"),
+    )

@@ -1,0 +1,101 @@
+"""Nelson–Aalen cumulative hazard (operators/events.py nelson_aalen),
+power-law MLE (operators/graph.py powerlaw_alpha), cumulative-gains
+lift table (operators/traindata.py lift_table) — pinned against
+hand-computed hazards on a tiny cohort, the closed-form Clauset MLE on
+a constructed degree sequence, and a fully hand-folded lift table.
+"""
+
+import datetime
+import math
+
+import pytest
+
+from ddaugner_spark.operators.events import nelson_aalen
+from ddaugner_spark.operators.graph import powerlaw_alpha
+from ddaugner_spark.operators.traindata import lift_table
+
+
+def _ev(spark, rows):
+    # (user, hour, type, value)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                datetime.datetime(2024, 1, 1, 0) + datetime.timedelta(hours=h),
+                u,
+                t,
+                float(v),
+                "{}",
+            )
+            for i, (u, h, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_nelson_aalen_hand_cohort(spark):
+    # u1 dies at t=2, u2 dies at t=5, u3 censored at t=5
+    rows = [
+        ("u1", 0, "view", 1), ("u1", 2, "purchase", 500),
+        ("u2", 0, "view", 1), ("u2", 5, "purchase", 500),
+        ("u3", 0, "view", 1), ("u3", 5, "view", 1),
+    ]
+    got = {r.t_h: r for r in nelson_aalen(_ev(spark, rows)).collect()}
+    assert set(got) == {2, 5}
+    # t=2: n_risk 3, d 1 -> H = 1/3; t=5: n_risk 2, d 1, c 1 -> H = 1/3 + 1/2
+    assert got[2].n_risk == 3 and got[2].d == 1
+    assert got[2].cum_hazard == pytest.approx(1 / 3, abs=1e-6)
+    assert got[5].n_risk == 2 and got[5].d == 1 and got[5].c == 1
+    assert got[5].cum_hazard == pytest.approx(1 / 3 + 1 / 2, abs=1e-6)
+    assert got[5].se == pytest.approx(
+        math.sqrt(1 / 9 + 1 / 4), abs=1e-6
+    )
+
+
+def test_nelson_aalen_monotone_and_exceeds_neglog_km(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sorted(nelson_aalen(ev).collect(), key=lambda r: r.t_h)
+    hazards = [r.cum_hazard for r in rows]
+    assert hazards == sorted(hazards)
+    from ddaugner_spark.operators.events import kaplan_meier
+
+    km = {r.t_h: r.survival for r in kaplan_meier(ev).collect()}
+    # classic inequality: H_NA(t) <= -ln(S_KM(t)) wherever S > 0
+    for r in rows:
+        if km[r.t_h] > 0:
+            assert r.cum_hazard <= -math.log(km[r.t_h]) + 1e-9
+
+
+def test_powerlaw_closed_form(spark):
+    # degree sequence built from a star forest: hubs of degree 2,4,8
+    edges = []
+    for hub, d in (("h2", 2), ("h4", 4), ("h8", 8)):
+        edges += [(hub, f"{hub}_leaf{i}") for i in range(d)]
+    df = spark.createDataFrame(edges, "a string, b string")
+    got = powerlaw_alpha(df, d_min=2).collect()[0]
+    # tail = the three hubs (leaves have degree 1 < d_min)
+    assert got.n_tail == 3 and got.d_min == 2
+    # quantized-ln replay
+    lq = sum(round(math.log(d / 2.0) * 1e6) for d in (2, 4, 8))
+    alpha = 1.0 + 3 / (lq / 1e6)
+    assert got.alpha == pytest.approx(alpha, abs=1e-6)
+    assert got.se == pytest.approx((alpha - 1) / math.sqrt(3), abs=1e-6)
+
+
+def test_lift_hand_folded(spark):
+    # bins 9 (cap 450+) and 0 (cap < 50): top decile captures both
+    # positives in a corpus where 2/6 docs are positive
+    rows = [(470, "en"), (460, "en"), (30, "de"), (20, "de"), (10, "de"),
+            (5, "de")]
+    docs = spark.createDataFrame(
+        [(i, c, l) for i, (c, l) in enumerate(rows)],
+        "doc_id long, n_chars long, lang string",
+    )
+    got = {r.bin: r for r in lift_table(docs, n_bins=10).collect()}
+    assert got[9].cum_n == 2 and got[9].cum_pos == 2
+    assert got[9].gain == 1.0
+    # lift@top = (2*6)/(2*2) = 3.0 (= 1/base-rate since gain is 1)
+    assert got[9].lift == pytest.approx(3.0, abs=1e-6)
+    assert got[0].cum_n == 6 and got[0].gain == 1.0
+    assert got[0].lift == pytest.approx(1.0, abs=1e-6)
