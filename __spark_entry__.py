@@ -1338,8 +1338,15 @@ def q_scd2(spark, sf):
     half-open (valid_from, valid_to] intervals with is_current on the
     newest (operators/crawl.py scd2_intervals; one shuffle, two stacked
     same-key windows)."""
+    return crawl.scd2_intervals(_recrawl_amp(spark, sf))
+
+
+def _recrawl_amp(spark, sf):
+    """Shared recrawl amplifier of q_scd2 / q_change_rate: the
+    q_latest_capture capture stream with text revisions keyed
+    cap DIV 2 (so no-op recrawls AND real flips both occur)."""
     pages = synthesize_pages(_docs(spark, sf)).drop("html")
-    amp = (
+    return (
         pages.withColumn(
             "cap", F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4))
         )
@@ -1358,7 +1365,29 @@ def q_scd2(spark, sf):
         )
         .drop("doc_id", "lang")
     )
-    return crawl.scd2_intervals(amp)
+
+
+def q_change_rate(spark, sf):
+    """Per-url page change-rate estimate off the recrawl stream (Cho &
+    Garcia-Molina's Poisson-change freshness model — the λ̂ a recrawl
+    scheduler sorts by): actual-change counts from the SCD2 collapse
+    logic, exact integer μs spans, one division to changes/day;
+    single-capture urls report the 0 cold-start sentinel
+    (operators/crawl.py change_rate)."""
+    return crawl.change_rate(_recrawl_amp(spark, sf))
+
+
+def q_vi_eval(spark, sf):
+    """Variation of Information of the ER resolution vs construction
+    truth (Meilă 2007 — the true METRIC on partitions), closing the
+    cluster-eval family over the SAME contingency cells as
+    q_b3_eval/q_muc_eval/q_ari_eval; every entropy/MI term
+    micro-quantized at 10⁹ so all cross-engine Σs are integer sums
+    (operators/er.py vi_cluster_eval)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.vi_cluster_eval(
+        er.distinct_surfaces(m), max_dist=2, stage_dir=_scratch("q_vi_")
+    )
 
 
 def q_cliffs_delta(spark, sf):
@@ -6603,6 +6632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nelson_aalen": q_nelson_aalen,
         "q_powerlaw": q_powerlaw,
         "q_lift": q_lift,
+        "q_vi_eval": q_vi_eval,
+        "q_change_rate": q_change_rate,
     }
 
 
@@ -7514,6 +7545,45 @@ def oracle_sql() -> dict[str, str]:
       FROM changed
     """
 
+    # change-rate replay: the same amplifier, lag-detected changes,
+    # exact integer minute spans, one division to changes/day
+    o["q_change_rate"] = """
+      WITH pages AS (
+        SELECT doc_id, text,
+               'https://' || source || '.example.com/doc/'
+                 || doc_id::VARCHAR AS url,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id)
+                 AS warc_ts
+        FROM documents
+      ),
+      amp AS (
+        SELECT url, warc_ts + to_minutes((cap * 3) % 7) AS warc_ts,
+               text || ' (rev ' || (cap // 2)::VARCHAR || ')' AS text
+        FROM pages, unnest(range(0, (doc_id % 4) + 1)) AS u(cap)
+      ),
+      stepped AS (
+        SELECT url, warc_ts,
+          (CASE WHEN lag(text) OVER (PARTITION BY url ORDER BY warc_ts)
+                     IS NOT NULL
+                 AND text != lag(text) OVER (PARTITION BY url
+                                             ORDER BY warc_ts)
+                THEN 1 ELSE 0 END)::BIGINT AS chg
+        FROM amp
+      ),
+      per AS (
+        SELECT url, count(*)::BIGINT AS n_captures,
+               sum(chg)::BIGINT AS n_changes,
+               ((epoch_us(max(warc_ts)) - epoch_us(min(warc_ts)))
+                  // 60000000)::BIGINT AS span_min
+        FROM stepped GROUP BY url
+      )
+      SELECT url, n_captures, n_changes, span_min,
+        round(CASE WHEN span_min > 0
+          THEN n_changes::DOUBLE / (span_min::DOUBLE / 1440.0)
+          ELSE 0.0 END, 6) AS change_rate
+      FROM per
+    """
+
     # hub-host skew replay: doc_id % 20 == 0 selects exactly one source
     # (the doc_id->source stride is 20), 8 copies for it, 1 otherwise
     o["q_host_skew"] = """
@@ -8391,6 +8461,40 @@ def oracle_sql() -> dict[str, str]:
                       + (rqs::DOUBLE / n::DOUBLE / 1000000.0)),
                    6) AS b3_f1
       FROM tot
+    """
+
+    # VI replay: entropies and MI off the shared cells, every term
+    # micro-quantized at 10^9 into exact integer sums
+    o["q_vi_eval"] = f"""
+      {_ER_CELLS},
+      psz AS (SELECT p, sum(i)::BIGINT AS s FROM cells GROUP BY p),
+      gsz AS (SELECT g, sum(i)::BIGINT AS s FROM cells GROUP BY g),
+      nt AS (SELECT sum(i)::BIGINT AS n FROM cells),
+      hp AS (
+        SELECT sum(round(1000000000.0 * (s::DOUBLE / n::DOUBLE)
+                   * ln(s::DOUBLE / n::DOUBLE), 0)::BIGINT)::BIGINT AS hpq
+        FROM psz, nt
+      ),
+      hg AS (
+        SELECT sum(round(1000000000.0 * (s::DOUBLE / n::DOUBLE)
+                   * ln(s::DOUBLE / n::DOUBLE), 0)::BIGINT)::BIGINT AS hgq
+        FROM gsz, nt
+      ),
+      mi AS (
+        SELECT sum(round(1000000000.0 * (c.i::DOUBLE / nt.n::DOUBLE)
+                   * ln((c.i::DOUBLE * nt.n::DOUBLE)
+                        / (pp.s::DOUBLE * gg.s::DOUBLE)), 0)
+                   ::BIGINT)::BIGINT AS miq
+        FROM cells c JOIN psz pp USING (p) JOIN gsz gg USING (g), nt
+      )
+      SELECT nt.n AS n_records,
+        round(-(hpq::DOUBLE / 1000000000.0), 6) AS h_pred,
+        round(-(hgq::DOUBLE / 1000000000.0), 6) AS h_gold,
+        round(miq::DOUBLE / 1000000000.0, 6) AS mi,
+        round(-(hpq::DOUBLE / 1000000000.0)
+              + -(hgq::DOUBLE / 1000000000.0)
+              - 2.0 * (miq::DOUBLE / 1000000000.0), 6) AS vi
+      FROM nt, hp, hg, mi
     """
 
     # MUC replay: link-based P/R off the shared cells — per gold

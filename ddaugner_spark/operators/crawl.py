@@ -762,3 +762,62 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
         F.md5(F.col(payload_col)).alias("payload_hash"),
     )
+
+
+def change_rate(
+    captures: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key page change-rate estimate from a recrawl stream (Cho &
+    Garcia-Molina, TOIT 2003 — the Poisson-change model behind every
+    freshness-driven recrawl scheduler): ``(key, n_captures, n_changes,
+    span_min, change_rate)`` where ``n_changes`` counts consecutive
+    recrawls whose payload actually changed (the :func:`scd2_intervals`
+    collapse, version count − 1), ``span_min`` is the exact integer
+    observation window in minutes, and ``change_rate`` = changes per
+    DAY — the λ̂ a scheduler sorts descending to spend its recrawl
+    budget where content moves.  Single-capture keys report rate 0
+    (a sentinel — unobservable, not "never changes"; schedulers treat
+    them as cold-start).
+
+    Exactness: change counts and spans are exact integers (μs
+    arithmetic, no float time); the rate is one division.  Scale: one
+    per-key window (ONE shuffle, the SCD2 plan) + one per-key
+    aggregate on the same key — AQE reuses the exchange.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    stepped = captures.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        (
+            F.lag(payload_col).over(w).isNotNull()
+            & (F.col(payload_col) != F.lag(payload_col).over(w))
+        )
+        .cast("long")
+        .alias("chg"),
+    )
+    per = stepped.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.sum("chg").cast("long").alias("n_changes"),
+        F.expr(
+            "(unix_micros(cast(max(ts) as timestamp))"
+            " - unix_micros(cast(min(ts) as timestamp))) DIV 60000000"
+        )
+        .cast("long")
+        .alias("span_min"),
+    )
+    rate = F.when(
+        F.col("span_min") > 0,
+        F.col("n_changes").cast("double")
+        / (F.col("span_min").cast("double") / F.lit(1440.0)),
+    ).otherwise(F.lit(0.0))
+    return per.select(
+        F.col("k").alias(key_col),
+        "n_captures",
+        "n_changes",
+        "span_min",
+        F.round(rate, ndigits).alias("change_rate"),
+    )

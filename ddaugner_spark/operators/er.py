@@ -1048,3 +1048,70 @@ def ari_cluster_eval(
         F.col("sb").alias("sum_gold_c2"),
         F.round(ari, ndigits).alias("ari"),
     )
+
+
+def vi_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Variation of Information (Meilă, JMVA 2007) of the ER resolution
+    against the construction truth — one row ``(n_records, h_pred,
+    h_gold, mi, vi)`` with VI = H(P) + H(G) − 2·I(P;G): the METRIC
+    lens (VI is a true metric on partitions, triangle inequality and
+    all) closing the cluster-evaluation family after
+    :func:`b3_cluster_eval` (record-averaged), :func:`muc_cluster_eval`
+    (link-based) and :func:`ari_cluster_eval` (pair-counting) — all
+    four fold the SAME :func:`_er_eval_cells` contingency cells.
+
+    Exactness: every entropy/MI term is a fixed float chain over exact
+    BIGINT cell/marginal counts, micro-quantized ONCE at 10⁹ (the B³
+    device) so the only cross-engine order-divergent op — the Σ over
+    cells/marginals — is an exact integer sum; VI is a 3-term float
+    tree over the quantized folds.  0 ≤ VI ≤ ln n.
+    """
+    cells = _er_eval_cells(surfaces, max_dist, stage_dir, "ddaugner_vi_")
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    cells = roundtrip_small(cells, stage_dir, "ddaugner_vi_cells_")
+    psz = cells.groupBy("p").agg(F.sum("i").cast("long").alias("s"))
+    gsz = cells.groupBy("g").agg(F.sum("i").cast("long").alias("s"))
+    n_row = cells.agg(F.sum("i").cast("long").alias("n"))
+    q = F.lit(1000000000.0)
+
+    def ent_fold(df, out):
+        # Σ round(1e9 · (s/n)·ln(s/n)) — negated at the end
+        frac = F.col("s").cast("double") / F.col("n").cast("double")
+        return (
+            df.crossJoin(F.broadcast(n_row))
+            .select(
+                F.round(q * frac * F.log(frac), 0).cast("long").alias("t")
+            )
+            .agg(F.sum("t").cast("long").alias(out))
+        )
+    hp = ent_fold(psz, "hpq")
+    hg = ent_fold(gsz, "hgq")
+    mi_cells = (
+        cells.join(psz.withColumnRenamed("s", "sp"), "p")
+        .join(gsz.withColumnRenamed("s", "sg"), "g")
+        .crossJoin(F.broadcast(n_row))
+    )
+    ifrac = F.col("i").cast("double") / F.col("n").cast("double")
+    ratio = (F.col("i").cast("double") * F.col("n").cast("double")) / (
+        F.col("sp").cast("double") * F.col("sg").cast("double")
+    )
+    mi = mi_cells.select(
+        F.round(q * ifrac * F.log(ratio), 0).cast("long").alias("t")
+    ).agg(F.sum("t").cast("long").alias("miq"))
+    j = n_row.crossJoin(hp).crossJoin(hg).crossJoin(mi)
+    h_pred = -(F.col("hpq").cast("double") / q)
+    h_gold = -(F.col("hgq").cast("double") / q)
+    mi_d = F.col("miq").cast("double") / q
+    return j.select(
+        F.col("n").alias("n_records"),
+        F.round(h_pred, ndigits).alias("h_pred"),
+        F.round(h_gold, ndigits).alias("h_gold"),
+        F.round(mi_d, ndigits).alias("mi"),
+        F.round(h_pred + h_gold - F.lit(2.0) * mi_d, ndigits).alias("vi"),
+    )

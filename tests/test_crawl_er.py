@@ -609,3 +609,73 @@ class TestSortedNeighborhood:
             ).collect()
         }
         assert got == want
+
+
+def test_vi_cluster_eval_matches_quantized_replay(spark, sf_dir, tmp_path):
+    """VI == the eager quantized entropy/MI folds of the same shared
+    union-find contingency cells (fourth lens of the family)."""
+    import math
+    from collections import defaultdict
+
+    from ddaugner_spark.operators import er as er_mod
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
+    recs, cells = _eager_er_cells(er_mod, surf)
+    n = len(recs)
+    psz, gsz = defaultdict(int), defaultdict(int)
+    for (p, g), i in cells.items():
+        psz[p] += i
+        gsz[g] += i
+
+    def entq(sizes):
+        return sum(
+            round(1e9 * (s / n) * math.log(s / n)) for s in sizes.values()
+        )
+
+    hpq, hgq = entq(psz), entq(gsz)
+    miq = sum(
+        round(1e9 * (i / n) * math.log((i * n) / (psz[p] * gsz[g])))
+        for (p, g), i in cells.items()
+    )
+    row = (
+        er_mod.vi_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "vi"))
+        .collect()[0]
+        .asDict()
+    )
+    h_pred, h_gold, mi = -hpq / 1e9, -hgq / 1e9, miq / 1e9
+    assert row["n_records"] == n
+    assert row["h_pred"] == round(h_pred, 6)
+    assert row["h_gold"] == round(h_gold, 6)
+    assert row["mi"] == round(mi, 6)
+    assert row["vi"] == round(h_pred + h_gold - 2.0 * mi, 6)
+    # VI is a metric: non-negative, bounded by ln n
+    assert -1e-9 <= row["vi"] <= math.log(n) + 1e-9
+
+
+def test_change_rate_hand_captures(spark):
+    import datetime as dt
+
+    from ddaugner_spark.operators.crawl import change_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: A A B over 10 minutes -> 1 change, 144/day
+        ("u1", t0, "A"),
+        ("u1", t0 + dt.timedelta(minutes=4), "A"),
+        ("u1", t0 + dt.timedelta(minutes=10), "B"),
+        # u2: single capture -> cold-start sentinel
+        ("u2", t0, "Z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string"
+    )
+    got = {r.url: r for r in change_rate(df).collect()}
+    assert (got["u1"].n_captures, got["u1"].n_changes, got["u1"].span_min) == (
+        3, 1, 10,
+    )
+    assert got["u1"].change_rate == 144.0
+    assert (got["u2"].n_changes, got["u2"].span_min, got["u2"].change_rate) == (
+        0, 0, 0.0,
+    )
