@@ -6227,9 +6227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_page_hinkley, q_pred_cardinality, q_entity_summary,
     q_gopher_rules, q_c4_clean, q_betweenness; rotate in next round) —
     stays covered by
-    tools/parity_check.py locally (full 317-query gate ALL OK at
-    sf0.01 this session, plus per-query runs at sf0.001 + sf0.01 for
-    every query added after that gate snapshot)."""
+    tools/parity_check.py locally (full 363-query gate ALL OK at
+    sf0.01 in session 19, plus per-query runs at sf0.001 + sf0.01 for
+    every query added after that gate snapshot — 386 registered, all
+    with oracle twins)."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
