@@ -5435,6 +5435,23 @@ def q_kaplan_meier(spark, sf):
     return evops.kaplan_meier(ev, death_type="purchase", min_value=400.0)
 
 
+def q_shapley(spark, sf):
+    """Data-driven (Shapley-value) channel attribution over
+    (click, view, signup) → big-purchase conversion — the
+    game-theoretic credit split replacing q_attribution's U-shaped
+    heuristic: coalition value = conversion rate of each EXACT
+    touched-channel set, credits = average marginal contributions on a
+    k·2^(k−1)-row literal spine, each weighted marginal micro-
+    quantized at 10⁹ so the per-channel Σ is an integer sum;
+    efficiency Σφ = v(full) − v(∅) pinned in tests
+    (operators/events.py shapley_attribution)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.shapley_attribution(
+        ev, conv_type="purchase", channels=("click", "view", "signup"),
+        min_value=400.0,
+    )
+
+
 def q_nelson_aalen(spark, sf):
     """Nelson–Aalen cumulative hazard over the SAME at-risk table as
     q_kaplan_meier (shared _km_risk_table derivation) — hazards add
@@ -6635,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lift": q_lift,
         "q_vi_eval": q_vi_eval,
         "q_change_rate": q_change_rate,
+        "q_shapley": q_shapley,
     }
 
 
@@ -15521,6 +15539,71 @@ sents AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS survival
       FROM km
+    """
+
+    # Shapley replay: identical per-user flags, exact-set coalition
+    # stats, the SAME factorial-weight spine generated by the same
+    # Python computation the engine uses, micro-quantized marginals
+    import math as _math
+    from itertools import combinations as _combos
+
+    _shap_ch = ("click", "view", "signup")
+
+    def _shap_bm(s):
+        return "".join("1" if i in s else "0" for i in range(3))
+
+    _shap_rows = []
+    for _ci in range(3):
+        for _r in range(3):
+            for _sub in _combos([i for i in range(3) if i != _ci], _r):
+                _w = (
+                    _math.factorial(_r) * _math.factorial(3 - _r - 1)
+                    / _math.factorial(3)
+                )
+                _shap_rows.append(
+                    f"('{_shap_ch[_ci]}', '{_shap_bm(set(_sub))}',"
+                    f" '{_shap_bm(set(_sub) | {_ci})}', {_w!r})"
+                )
+    o["q_shapley"] = f"""
+      WITH per AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' AND value >= 400.0
+                   THEN 1 ELSE 0 END)::BIGINT AS conv,
+          max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            ::BIGINT AS f0,
+          max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            ::BIGINT AS f1,
+          max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            ::BIGINT AS f2
+        FROM events GROUP BY user_id
+      ),
+      sets AS (
+        SELECT f0::VARCHAR || f1::VARCHAR || f2::VARCHAR AS s,
+               count(*)::BIGINT AS n, sum(conv)::BIGINT AS cv
+        FROM per GROUP BY 1
+      ),
+      spine(channel, s_without, s_with, w) AS (
+        VALUES {", ".join(_shap_rows)}
+      ),
+      terms AS (
+        SELECT sp.channel,
+          round(1000000000.0 * sp.w
+                * (coalesce(v1.cv::DOUBLE / v1.n::DOUBLE, 0.0)
+                   - coalesce(v0.cv::DOUBLE / v0.n::DOUBLE, 0.0)), 0)
+            ::BIGINT AS tq
+        FROM spine sp
+        LEFT JOIN sets v0 ON v0.s = sp.s_without
+        LEFT JOIN sets v1 ON v1.s = sp.s_with
+      ),
+      exposed AS (
+        SELECT 'click' AS channel, sum(f0)::BIGINT AS n_exposed FROM per
+        UNION ALL SELECT 'view', sum(f1)::BIGINT FROM per
+        UNION ALL SELECT 'signup', sum(f2)::BIGINT FROM per
+      )
+      SELECT t.channel, e.n_exposed,
+             round(sum(t.tq)::DOUBLE / 1000000000.0, 6) AS shapley
+      FROM terms t JOIN exposed e USING (channel)
+      GROUP BY t.channel, e.n_exposed
     """
 
     # Nelson–Aalen replay: the KM at-risk CTE, per-time divisions,
