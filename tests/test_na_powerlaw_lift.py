@@ -99,3 +99,59 @@ def test_lift_hand_folded(spark):
     assert got[9].lift == pytest.approx(3.0, abs=1e-6)
     assert got[0].cum_n == 6 and got[0].gain == 1.0
     assert got[0].lift == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------------ Shapley
+
+def test_shapley_efficiency_and_hand_values(spark):
+    from ddaugner_spark.operators.events import shapley_attribution
+
+    # users: {click} converts 1/2; {click,view} converts 1/1;
+    # {view} converts 0/1; nobody touches signup
+    rows = []
+    rows += [("u1", "click", 0.0), ("u1", "purchase", 10.0)]
+    rows += [("u2", "click", 0.0)]
+    rows += [("u3", "click", 0.0), ("u3", "view", 0.0),
+             ("u3", "purchase", 10.0)]
+    rows += [("u4", "view", 0.0)]
+    df = spark.createDataFrame(
+        [
+            (i, __import__("datetime").datetime(2024, 1, 1), u, t, v, "{}")
+            for i, (u, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.channel: r
+        for r in shapley_attribution(
+            df, conv_type="purchase",
+            channels=("click", "view", "signup"), min_value=0.0,
+        ).collect()
+    }
+    assert got["click"].n_exposed == 3 and got["view"].n_exposed == 2
+    assert got["signup"].n_exposed == 0
+    # eager Shapley replay over v(S) = conv_rate of the EXACT set
+    import math
+    from itertools import combinations
+
+    v = {"100": 0.5, "110": 1.0, "010": 0.0}
+
+    def val(s):
+        return v.get("".join("1" if i in s else "0" for i in range(3)), 0.0)
+
+    for ci, name in enumerate(("click", "view", "signup")):
+        phi = 0.0
+        others = [i for i in range(3) if i != ci]
+        for r in range(3):
+            for sub in combinations(others, r):
+                w = math.factorial(r) * math.factorial(2 - r) / 6
+                phi += round(
+                    1e9 * w * (val(set(sub) | {ci}) - val(set(sub)))
+                ) / 1e9
+        assert got[name].shapley == pytest.approx(phi, abs=1e-6)
+    # efficiency: sum of credits == v(full) - v(empty) = 0 - 0 here
+    # (the full set {c,v,s} never occurs -> v = 0, and v(∅) = 0), so
+    # check the identity on the quantized values instead
+    total = sum(r.shapley for r in got.values())
+    assert total == pytest.approx(val({0, 1, 2}) - val(set()), abs=1e-5)
