@@ -5435,6 +5435,21 @@ def q_kaplan_meier(spark, sf):
     return evops.kaplan_meier(ev, death_type="purchase", min_value=400.0)
 
 
+def q_burrows_delta(spark, sf):
+    """Burrows' Delta stylometric distance between sources — z-scored
+    top-30 word frequencies, Δ = mean |z_a − z_b| per unordered source
+    pair: the authorship/template-farm forensic next to q_jsd_drift
+    (Delta weights marker words equally so STYLE dominates; JSD
+    weights by mass so topic does).  Frequencies micro-quantized at
+    10⁹ so cross-group moments are exact BIGINTs; per-pair terms
+    quantized at 10⁶ and integer-summed
+    (operators/textstats.py burrows_delta)."""
+    return textstats.burrows_delta(
+        _docs(spark, sf), "source", top_n=30,
+        stage_dir=_scratch("q_delta_"),
+    )
+
+
 def q_shapley(spark, sf):
     """Data-driven (Shapley-value) channel attribution over
     (click, view, signup) → big-purchase conversion — the
@@ -6653,6 +6668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vi_eval": q_vi_eval,
         "q_change_rate": q_change_rate,
         "q_shapley": q_shapley,
+        "q_burrows_delta": q_burrows_delta,
     }
 
 
@@ -15539,6 +15555,58 @@ sents AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS survival
       FROM km
+    """
+
+    # Burrows' Delta replay: identical quantized frequencies, exact
+    # BIGINT cross-group moments, quantized per-word pair terms
+    o["q_burrows_delta"] = """
+      WITH tw AS (
+        SELECT source AS grp,
+               unnest(CASE WHEN coalesce(text, '') = ''
+                          THEN []::VARCHAR[]
+                          ELSE string_split(text, ' ') END) AS w
+        FROM documents
+      ),
+      cw AS (SELECT grp, w, count(*)::BIGINT AS cg FROM tw GROUP BY 1, 2),
+      totals AS (SELECT grp, sum(cg)::BIGINT AS ng FROM cw GROUP BY grp),
+      top AS (
+        SELECT w FROM (
+          SELECT w,
+                 row_number() OVER (ORDER BY sum(cg) DESC, w ASC) AS r
+          FROM cw GROUP BY w) WHERE r <= 30
+      ),
+      freq AS (
+        SELECT t.grp, tp.w,
+          round(1000000000.0 * coalesce(c.cg, 0)::DOUBLE / t.ng::DOUBLE,
+                0)::BIGINT AS fq
+        FROM totals t CROSS JOIN top tp
+        LEFT JOIN cw c ON c.grp = t.grp AND c.w = tp.w
+      ),
+      mom AS (
+        SELECT w, count(*)::BIGINT AS s, sum(fq)::BIGINT AS sf,
+               sum(fq * fq)::BIGINT AS qf
+        FROM freq GROUP BY w
+      ),
+      zs AS (
+        SELECT f.grp, f.w,
+          CASE WHEN (m.s * m.qf - m.sf * m.sf)::DOUBLE
+                    / (m.s * (m.s - 1))::DOUBLE > 0
+            THEN (f.fq::DOUBLE - m.sf::DOUBLE / m.s::DOUBLE)
+                 / sqrt((m.s * m.qf - m.sf * m.sf)::DOUBLE
+                        / (m.s * (m.s - 1))::DOUBLE)
+            ELSE 0.0 END AS z
+        FROM freq f JOIN mom m USING (w)
+      ),
+      pairs AS (
+        SELECT a.grp AS source_a, b.grp AS source_b,
+          sum(round(1000000.0 * abs(a.z - b.z), 0)::BIGINT)::BIGINT AS sq,
+          count(*)::BIGINT AS nw
+        FROM zs a JOIN zs b ON a.w = b.w AND a.grp < b.grp
+        GROUP BY 1, 2
+      )
+      SELECT source_a, source_b,
+        round(sq::DOUBLE / nw::DOUBLE / 1000000.0, 6) AS delta
+      FROM pairs
     """
 
     # Shapley replay: identical per-user flags, exact-set coalition

@@ -1877,3 +1877,129 @@ def vocab_richness(docs: DataFrame, ndigits: int = 6) -> DataFrame:
         F.round(chao1, ndigits).alias("chao1"),
         F.round(gt, ndigits).alias("gt_unseen_mass"),
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    group_col: str = "source",
+    top_n: int = 30,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between groups (Burrows,
+    LLC 2002; the standard authorship-attribution measure): z-score
+    each group's relative frequency of the corpus's ``top_n`` most
+    frequent words across groups, then Δ(a,b) = mean_w |z_aw − z_bw| —
+    one row per unordered group pair ``(source_a, source_b, delta)``.
+    The "same template farm / same author?" forensic signal next to
+    [[q_jsd_drift]]'s distributional drift (Delta weights every marker
+    word equally, so function-word style dominates; JSD weights by
+    mass, so topic dominates).
+
+    Exactness: relative frequencies are micro-quantized ONCE at 10⁹
+    (``round(10⁹·c/n)`` — integers from there on), so the cross-group
+    moments Σf, Σf² are EXACT BIGINTs and every z is a fixed float
+    chain over five integers; per-pair |z_a − z_b| terms are quantized
+    at 10⁶ and integer-summed (the B³ device) — no order-divergent
+    float Σ anywhere.  The (group × word) grid is COMPLETED (missing
+    word ⇒ frequency 0) so z-scores are over all groups, per the
+    standard Delta definition.
+
+    Scale: corpus → (group, word) counts in ONE pass (round-tripped);
+    the top-``top_n`` cut is a vocabulary-sized sort; everything
+    downstream — grid, moments, the pair join — is
+    (groups·top_n)-sized.  Group count is assumed bounded (sources,
+    authors); the pair join is groups², documented.
+    """
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    tw = docs.select(
+        F.col(group_col).alias("grp"), F.explode(safe_tokens()).alias("w")
+    )
+    # two staged tables -> distinct subdirs (roundtrip_small writes a
+    # fixed name inside the dir it is given)
+    cw = roundtrip_small(
+        tw.groupBy("grp", "w").agg(
+            F.count(F.lit(1)).cast("long").alias("cg")
+        ),
+        None if stage_dir is None else f"{stage_dir}/cw",
+        "ddaugner_delta_",
+    )
+    totals = cw.groupBy("grp").agg(F.sum("cg").cast("long").alias("ng"))
+    top = (
+        cw.groupBy("w")
+        .agg(F.sum("cg").cast("long").alias("cc"))
+        .orderBy(F.desc("cc"), F.asc("w"))
+        .limit(top_n)
+        .select("w")
+    )
+    grid = totals.crossJoin(F.broadcast(top))
+    freq = (
+        grid.join(cw, ["grp", "w"], "left")
+        .select(
+            "grp",
+            "w",
+            F.round(
+                F.lit(1000000000.0)
+                * F.coalesce("cg", F.lit(0)).cast("double")
+                / F.col("ng").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    freq = roundtrip_small(
+        freq, None if stage_dir is None else f"{stage_dir}/fq",
+        "ddaugner_delta_fq_",
+    )
+    mom = freq.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("fq").cast("long").alias("sf"),
+        F.sum(F.col("fq") * F.col("fq")).cast("long").alias("qf"),
+    )
+    var = (
+        (F.col("s") * F.col("qf") - F.col("sf") * F.col("sf")).cast("double")
+        / (F.col("s") * (F.col("s") - F.lit(1))).cast("double")
+    )
+    z = F.when(
+        var > 0,
+        (
+            F.col("fq").cast("double")
+            - F.col("sf").cast("double") / F.col("s").cast("double")
+        )
+        / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    zs = freq.join(F.broadcast(mom), "w").select("grp", "w", z.alias("z"))
+    a = zs.select(
+        F.col("grp").alias("source_a"), "w", F.col("z").alias("za")
+    )
+    b = zs.select(
+        F.col("grp").alias("source_b"), "w", F.col("z").alias("zb")
+    )
+    pairs = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.lit(1000000.0) * F.abs(F.col("za") - F.col("zb")), 0)
+            .cast("long")
+            .alias("tq"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("tq").cast("long").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("nw"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(
+            F.col("sq").cast("double")
+            / F.col("nw").cast("double")
+            / F.lit(1000000.0),
+            ndigits,
+        ).alias("delta"),
+    )

@@ -200,3 +200,69 @@ def test_jsd_identical_distribution_is_zero(spark):
     for r in jsd_by_group(docs, "source").collect():
         # each source IS half the corpus with the same distribution
         assert r.jsd == pytest.approx(0.0, abs=1e-9)
+
+
+# ------------------------------------------------------- Burrows Delta
+
+def _delta_brute(rows, top_n=30):
+    """Eager quantized replay of burrows_delta on (source, text)."""
+    from collections import Counter, defaultdict
+
+    cw = defaultdict(Counter)
+    corpus = Counter()
+    for src, text in rows:
+        for w in (text.split(" ") if text else []):
+            cw[src][w] += 1
+            corpus[w] += 1
+    top = [
+        w for w, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))
+    ][:top_n]
+    ng = {s: sum(c.values()) for s, c in cw.items()}
+    fq = {
+        (s, w): round(1e9 * cw[s][w] / ng[s]) for s in cw for w in top
+    }
+    groups = sorted(cw)
+    z = {}
+    for w in top:
+        vals = [fq[(s, w)] for s in groups]
+        S, sf, qf = len(vals), sum(vals), sum(v * v for v in vals)
+        var = (S * qf - sf * sf) / (S * (S - 1))
+        for s in groups:
+            z[(s, w)] = (
+                (fq[(s, w)] - sf / S) / var**0.5 if var > 0 else 0.0
+            )
+    out = {}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            sq = sum(round(1e6 * abs(z[(a, w)] - z[(b, w)])) for w in top)
+            out[(a, b)] = round(sq / len(top) / 1e6, 6)
+    return out
+
+
+def test_burrows_delta_matches_replay_and_separates_styles(spark):
+    from ddaugner_spark.operators.textstats import burrows_delta
+
+    # s1/s2 share function-word style; s3 writes differently
+    rows = [
+        ("s1", "the cat sat on the mat and the dog sat too"),
+        ("s1", "the bird and the fish sat on the log"),
+        ("s2", "the fox sat on the box and the hen sat still"),
+        ("s3", "quantum flux meson decay entropy gradient vector"),
+        ("s3", "meson entropy flux vector decay quantum gradient"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r.source_a, r.source_b): r.delta
+        for r in burrows_delta(docs, "source", top_n=10).collect()
+    }
+    want = _delta_brute(rows, top_n=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-6)
+    # style separation: the two the-style sources are closer to each
+    # other than either is to the jargon source
+    assert got[("s1", "s2")] < got[("s1", "s3")]
+    assert got[("s1", "s2")] < got[("s2", "s3")]
