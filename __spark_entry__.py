@@ -5435,6 +5435,18 @@ def q_kaplan_meier(spark, sf):
     return evops.kaplan_meier(ev, death_type="purchase", min_value=400.0)
 
 
+def q_sax(spark, sf):
+    """SAX symbolization of each event type's daily-mean revenue
+    series (PAA over 3-day segments, per-type z-normalization,
+    Gaussian-quartile breakpoints → 4-letter alphabet) — the
+    discretization under motif/anomaly mining, at 1/3 the data rate;
+    fixed-point DIV means so the z moments are exact BIGINTs,
+    breakpoints are literals never computed quantiles
+    (operators/events.py sax_symbols)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.sax_symbols(ev, window_days=3)
+
+
 def q_burrows_delta(spark, sf):
     """Burrows' Delta stylometric distance between sources — z-scored
     top-30 word frequencies, Δ = mean |z_a − z_b| per unordered source
@@ -6669,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_change_rate": q_change_rate,
         "q_shapley": q_shapley,
         "q_burrows_delta": q_burrows_delta,
+        "q_sax": q_sax,
     }
 
 
@@ -15555,6 +15568,46 @@ sents AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS survival
       FROM km
+    """
+
+    # SAX replay: fixed-point daily/PAA means, exact z moments,
+    # literal breakpoints on the ROUNDED z
+    o["q_sax"] = """
+      WITH daily AS (
+        SELECT event_type AS t, ts::DATE AS d,
+               sum(round(value * 100, 0)::BIGINT)::BIGINT AS dc,
+               count(*)::BIGINT AS dn
+        FROM events GROUP BY 1, 2
+      ),
+      dm AS (SELECT t, d, (dc * 1000) // dn AS mv FROM daily),
+      d0 AS (SELECT min(d) AS d0 FROM dm),
+      seg AS (
+        SELECT t, date_diff('day', d0, d) // 3 AS seg, mv FROM dm, d0
+      ),
+      paa AS (
+        SELECT t, seg, (sum(mv) // count(*))::BIGINT AS paa_q
+        FROM seg GROUP BY 1, 2
+      ),
+      mom AS (
+        SELECT t, count(*)::BIGINT AS s, sum(paa_q)::BIGINT AS sp,
+               sum(paa_q * paa_q)::BIGINT AS qp
+        FROM paa GROUP BY t
+      ),
+      zz AS (
+        SELECT p.t AS event_type, p.seg, p.paa_q,
+          round(CASE WHEN m.s >= 2
+                      AND (m.s * m.qp - m.sp * m.sp)::DOUBLE
+                          / (m.s * (m.s - 1))::DOUBLE > 0
+            THEN (p.paa_q::DOUBLE - m.sp::DOUBLE / m.s::DOUBLE)
+                 / sqrt((m.s * m.qp - m.sp * m.sp)::DOUBLE
+                        / (m.s * (m.s - 1))::DOUBLE)
+            ELSE 0.0 END, 6) AS z
+        FROM paa p JOIN mom m USING (t)
+      )
+      SELECT event_type, seg, paa_q, z,
+        CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+             WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      FROM zz
     """
 
     # Burrows' Delta replay: identical quantized frequencies, exact

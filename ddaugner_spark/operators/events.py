@@ -1489,3 +1489,88 @@ def shapley_attribution(
             F.col("sq").cast("double") / F.lit(float(qscale)), ndigits
         ).alias("shapley"),
     )
+
+
+def sax_symbols(
+    events: DataFrame,
+    window_days: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """SAX symbolization (Lin/Keogh et al., DMKD 2007) of each event
+    type's daily-mean series: PAA-average the fixed-point daily means
+    over ``window_days`` segments, z-normalize per type, map through
+    the Gaussian-quartile breakpoints (−0.6745, 0, 0.6745) to a 4-
+    letter alphabet — ``(event_type, seg, paa_q, z, symbol)``.  The
+    discretization under every motif/anomaly-mining pipeline: two
+    series behave alike iff their SAX strings match, at 1/window the
+    data rate.
+
+    Determinism: daily means and PAA segment means are FIXED-POINT
+    integral divisions (daily cents·10³ DIV n; the PAA mean divides
+    the already-scaled mv so its square stays far inside int64), so
+    the per-type z moments are exact BIGINTs; z is one fixed float
+    chain and the breakpoint CASE compares identical doubles on both
+    engines (breakpoints are literals, not computed quantiles).  Types
+    with < 2 segments or zero variance emit z = 0 → symbol 'c' (flat
+    series — no information, not an error).
+
+    Scale: the stream collapses to |types|·|days| rows in one
+    map-side-combined aggregate; everything after is segment-sized.
+    """
+    daily = (
+        events.select(
+            F.col("event_type").alias("t"),
+            F.to_date("ts").alias("d"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("t", "d")
+        .agg(
+            F.sum("cents").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("dn"),
+        )
+        .select(
+            "t", "d", F.expr("(dc * 1000) DIV dn").cast("long").alias("mv")
+        )
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    seg = daily.crossJoin(F.broadcast(d0)).select(
+        "t",
+        F.expr(f"datediff(d, d0) DIV {window_days}").cast("long").alias("seg"),
+        "mv",
+    )
+    paa = seg.groupBy("t", "seg").agg(
+        F.expr("sum(mv) DIV count(*)").cast("long").alias("paa_q")
+    )
+    mom = paa.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.sum("paa_q").cast("long").alias("sp"),
+        F.sum(F.col("paa_q") * F.col("paa_q")).cast("long").alias("qp"),
+    )
+    var = (
+        (F.col("s") * F.col("qp") - F.col("sp") * F.col("sp")).cast("double")
+        / (F.col("s") * (F.col("s") - F.lit(1))).cast("double")
+    )
+    z = F.when(
+        (F.col("s") >= 2) & (var > 0),
+        (
+            F.col("paa_q").cast("double")
+            - F.col("sp").cast("double") / F.col("s").cast("double")
+        )
+        / F.sqrt(var),
+    ).otherwise(F.lit(0.0))
+    sym = (
+        F.when(F.col("z") < -0.6745, F.lit("a"))
+        .when(F.col("z") < 0.0, F.lit("b"))
+        .when(F.col("z") < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+    )
+    return (
+        paa.join(F.broadcast(mom), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "seg",
+            "paa_q",
+            F.round(z, ndigits).alias("z"),
+        )
+        .withColumn("symbol", sym)
+    )

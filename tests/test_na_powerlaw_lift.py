@@ -155,3 +155,52 @@ def test_shapley_efficiency_and_hand_values(spark):
     # check the identity on the quantized values instead
     total = sum(r.shapley for r in got.values())
     assert total == pytest.approx(val({0, 1, 2}) - val(set()), abs=1e-5)
+
+
+# --------------------------------------------------------------- SAX
+
+def test_sax_symbols_hand_series(spark):
+    import datetime
+
+    from ddaugner_spark.operators.events import sax_symbols
+
+    # one event per day, type 'm': low low low, mid mid mid, hi hi hi
+    vals = [1.0] * 3 + [5.0] * 3 + [9.0] * 3
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         "u", "m", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    got = {r.seg: r for r in sax_symbols(df, window_days=3).collect()}
+    assert [got[s].paa_q for s in (0, 1, 2)] == [100000, 500000, 900000]
+    # z over (1,5,9)-shaped segments: (x-5)/4 -> -1, 0, 1
+    assert got[0].z == pytest.approx(-1.0, abs=1e-6)
+    assert got[1].z == pytest.approx(0.0, abs=1e-6)
+    assert got[2].z == pytest.approx(1.0, abs=1e-6)
+    # symbols: -1 < -0.6745 -> 'a'; 0 -> 'c' (z < 0 is 'b', 0 is not);
+    # 1 >= 0.6745 -> 'd'
+    assert (got[0].symbol, got[1].symbol, got[2].symbol) == ("a", "c", "d")
+
+
+def test_sax_flat_series_neutral(spark):
+    import datetime
+
+    from ddaugner_spark.operators.events import sax_symbols
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         "u", "m", 3.0, "{}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    out = sax_symbols(df, window_days=3).collect()
+    assert all(r.z == 0.0 and r.symbol == "c" for r in out)
