@@ -5545,6 +5545,30 @@ def q_fs_weights(spark, sf):
     )
 
 
+def q_fs_em(spark, sf):
+    """UNSUPERVISED Fellegi–Sunter parameter learning by EM (Winkler
+    1988) over the SAME candidate pairs and features as q_fs_weights —
+    but with the typo-generator label withheld: m/u/prevalence learned
+    from the agreement-pattern distribution alone, 2
+    conditional-independence EM steps, every M-step Σ micro-quantized
+    into integer sums so both engines iterate identical states
+    (operators/er.py fs_em_weights)."""
+    d = _docs(spark, sf)
+    surf = er.with_typo_surfaces(
+        er.distinct_surfaces(mentions.mentions_df(d))
+    )
+    pairs = (
+        er.er_candidate_pairs(surf, max_dist=2)
+        .withColumn("dist1", F.col("dist") <= 1)
+        .withColumn("same_last", F.expr("right(a, 1) = right(b, 1)"))
+        .withColumn("len_eq", F.length("a") == F.length("b"))
+    )
+    return er.fs_em_weights(
+        pairs, ["dist1", "same_last", "len_eq"], iters=2,
+        stage_dir=_scratch("q_fsem_"),
+    )
+
+
 def q_kleene_path(spark, sf):
     """Bounded SPARQL property path ?a filter/group*/order ?b over the
     constructed KG (star ≤ 3): unrolled frontier extensions with a
@@ -6682,6 +6706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_shapley": q_shapley,
         "q_burrows_delta": q_burrows_delta,
         "q_sax": q_sax,
+        "q_fs_em": q_fs_em,
     }
 
 
@@ -15906,6 +15931,109 @@ sents AS (
         FROM lab
       )
 {_fs_rows}
+    """
+
+    # FS-EM replay: the q_fs_weights pair build (label withheld),
+    # pattern counts, then the EM iterations UNROLLED as generated
+    # CTEs — E-step in the engine's pinned multiply order, M-step Σs
+    # quantized at 10^12 into integer sums
+    _fsem_feats = [
+        ("dist1", "(dist <= 1)"),
+        ("same_last", "(right(a, 1) = right(b, 1))"),
+        ("len_eq", "(len(a) = len(b))"),
+    ]
+    _fsem_q = "1000000000000.0"
+
+    def _fsem_iter(t):
+        names = [n for n, _ in _fsem_feats]
+        pm = " * ".join(
+            f"(CASE WHEN {n} THEN s.m{i} ELSE 1.0 - s.m{i} END)"
+            for i, n in enumerate(names)
+        )
+        pu = " * ".join(
+            f"(CASE WHEN {n} THEN s.u{i} ELSE 1.0 - s.u{i} END)"
+            for i, n in enumerate(names)
+        )
+        sums = [
+            "sum(c)::BIGINT AS n",
+            f"sum(round({_fsem_q} * c::DOUBLE * w, 0)::BIGINT)::BIGINT"
+            " AS swq",
+            f"sum(round({_fsem_q} * c::DOUBLE * (1.0 - w), 0)::BIGINT)"
+            "::BIGINT AS sw1q",
+        ]
+        for i, n in enumerate(names):
+            sums.append(
+                f"sum(CASE WHEN {n} THEN round({_fsem_q} * c::DOUBLE * w,"
+                f" 0)::BIGINT ELSE 0 END)::BIGINT AS smq{i}"
+            )
+            sums.append(
+                f"sum(CASE WHEN {n} THEN round({_fsem_q} * c::DOUBLE *"
+                f" (1.0 - w), 0)::BIGINT ELSE 0 END)::BIGINT AS suq{i}"
+            )
+        def _clamp(num, den):
+            # the engine's Winkler boundary clamp, identical literals
+            return (
+                "least(greatest(CASE WHEN " + den + " > 0 THEN "
+                + num + "::DOUBLE / (" + den + ")::DOUBLE ELSE 0.0 END,"
+                " 1e-6), 1.0 - 1e-6)"
+            )
+
+        st = [
+            f"{_clamp(f'smq{i}', 'swq')} AS m{i}" for i in range(3)
+        ] + [
+            f"{_clamp(f'suq{i}', 'sw1q')} AS u{i}" for i in range(3)
+        ] + [f"{_clamp('swq', f'{_fsem_q} * n::DOUBLE')} AS p"]
+        return f"""
+      w{t} AS (
+        SELECT pats.*,
+               (s.p * ({pm}))
+               / ((s.p * ({pm})) + (1.0 - s.p) * ({pu})) AS w
+        FROM pats, state{t - 1} s
+      ),
+      f{t} AS (SELECT {", ".join(sums)} FROM w{t}),
+      state{t} AS (SELECT {", ".join(st)} FROM f{t})"""
+
+    _fsem_out = "\nUNION ALL\n".join(
+        f"""
+      SELECT '{n}' AS feature, round(m{i}, 6) AS m, round(u{i}, 6) AS u,
+             round(p, 6) AS p, round(log2(m{i} / u{i}), 6) AS w_agree,
+             round(log2((1.0 - m{i}) / (1.0 - u{i})), 6) AS w_disagree
+      FROM state2"""
+        for i, (n, _) in enumerate(_fsem_feats)
+    )
+    o["q_fs_em"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      surf AS (SELECT surface, tag, count(*)::BIGINT AS n_mentions
+               FROM mentsent GROUP BY 1, 2),
+      var AS (SELECT substring(surface, 1, 1) || substring(surface, 3)
+                       AS surface, tag, 1::BIGINT AS n_mentions
+              FROM surf WHERE len(surface) >= 4),
+      amp AS (SELECT surface, tag FROM
+              (SELECT surface, tag FROM surf
+               UNION ALL SELECT surface, tag FROM var)
+              GROUP BY 1, 2),
+      cand AS (
+        SELECT l.tag, l.surface AS a, r.surface AS b,
+               levenshtein(l.surface, r.surface) AS dist
+        FROM amp l JOIN amp r
+          ON l.tag = r.tag
+         AND lower(substring(l.surface, 1, 1))
+               = lower(substring(r.surface, 1, 1))
+         AND l.surface < r.surface
+         AND abs(len(l.surface) - len(r.surface)) <= 2
+         AND levenshtein(l.surface, r.surface) <= 2
+      ),
+      pats AS (
+        SELECT {", ".join(f"{e} AS {n}" for n, e in _fsem_feats)},
+               count(*)::BIGINT AS c
+        FROM cand GROUP BY 1, 2, 3
+      ),
+      state0 AS (
+        SELECT 0.9::DOUBLE AS m0, 0.9::DOUBLE AS m1, 0.9::DOUBLE AS m2,
+               0.1::DOUBLE AS u0, 0.1::DOUBLE AS u1, 0.1::DOUBLE AS u2,
+               0.1::DOUBLE AS p
+      ),{_fsem_iter(1)},{_fsem_iter(2)}
+{_fsem_out}
     """
 
     # Kleene-path replay: recursive star frontier with SET semantics

@@ -1115,3 +1115,146 @@ def vi_cluster_eval(
         F.round(mi_d, ndigits).alias("mi"),
         F.round(h_pred + h_gold - F.lit(2.0) * mi_d, ndigits).alias("vi"),
     )
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    features: list[str],
+    iters: int = 2,
+    qscale: int = 10**12,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.1,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation by EM (Winkler
+    1988; the production record-linkage estimator — real crawl pairs
+    have no labels, so :func:`fellegi_sunter_weights`' supervised
+    m/u estimates are a luxury): learn per-feature m = P(agree|match),
+    u = P(agree|non-match) and the match prevalence p from the binary
+    AGREEMENT-PATTERN distribution alone.  One row per feature
+    ``(feature, m, u, p, w_agree, w_disagree)`` after ``iters``
+    conditional-independence EM steps from the standard
+    (0.9, 0.1, 0.1) start.
+
+    Determinism + parity: the pair table collapses ONCE to ≤ 2^K
+    pattern counts (exact BIGINTs, round-tripped); every EM iteration
+    stays ENGINE-SIDE as a crossJoin of the pattern table with the
+    1-row state — E-step responsibilities are a fixed float chain in a
+    pinned multiply order, and every M-step Σ over patterns is
+    micro-quantized at ``qscale`` into an INTEGER sum (the B³ device),
+    so the next state is a ratio of identical longs on both engines;
+    the SQL twin unrolls the same iterations as generated CTEs.  No
+    collect, no randomness, no order-divergent float anywhere.
+
+    Scale: the corpus-sized work is one hash aggregate; EM runs on
+    2^K rows × iters crossJoins of 1-row broadcasts.
+    """
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    k = len(features)
+    pat = roundtrip_small(
+        pairs.groupBy(
+            *[F.col(f).cast("boolean").alias(f) for f in features]
+        ).agg(F.count(F.lit(1)).cast("long").alias("c")),
+        stage_dir,
+        "ddaugner_fsem_",
+    )
+    spark = pairs.sparkSession
+    state = spark.range(1).select(
+        *[F.lit(float(init_m)).alias(f"m{i}") for i in range(k)],
+        *[F.lit(float(init_u)).alias(f"u{i}") for i in range(k)],
+        F.lit(float(init_p)).alias("p"),
+    )
+    q = F.lit(float(qscale))
+    for _ in range(iters):
+        j = pat.crossJoin(F.broadcast(state))
+        prod_m = None
+        prod_u = None
+        for i, f in enumerate(features):
+            tm = F.when(F.col(f), F.col(f"m{i}")).otherwise(
+                F.lit(1.0) - F.col(f"m{i}")
+            )
+            tu = F.when(F.col(f), F.col(f"u{i}")).otherwise(
+                F.lit(1.0) - F.col(f"u{i}")
+            )
+            prod_m = tm if prod_m is None else prod_m * tm
+            prod_u = tu if prod_u is None else prod_u * tu
+        num = F.col("p") * prod_m
+        den = num + (F.lit(1.0) - F.col("p")) * prod_u
+        w = num / den
+        cq = F.col("c").cast("double")
+        aggs = [
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.round(q * cq * w, 0).cast("long"))
+            .cast("long")
+            .alias("swq"),
+            F.sum(F.round(q * cq * (F.lit(1.0) - w), 0).cast("long"))
+            .cast("long")
+            .alias("sw1q"),
+        ]
+        for i, f in enumerate(features):
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(f), F.round(q * cq * w, 0).cast("long")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"smq{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(f),
+                        F.round(q * cq * (F.lit(1.0) - w), 0).cast("long"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"suq{i}")
+            )
+        fold = j.agg(*aggs)
+
+        # Winkler's boundary clamp: EM on peaked likelihoods drives
+        # m/u/p to exactly 0 or 1 within an iteration (ANSI division
+        # by zero next round, log2(0) at output) — clamp into
+        # [1e-6, 1 - 1e-6], lazily so ANSI never sees a 0 divisor
+        def clamp(num, den):
+            r = F.when(
+                den > 0, num.cast("double") / den.cast("double")
+            ).otherwise(F.lit(0.0))
+            return F.least(
+                F.greatest(r, F.lit(1e-6)), F.lit(1.0 - 1e-6)
+            )
+
+        state = fold.select(
+            *[
+                clamp(F.col(f"smq{i}"), F.col("swq")).alias(f"m{i}")
+                for i in range(k)
+            ],
+            *[
+                clamp(F.col(f"suq{i}"), F.col("sw1q")).alias(f"u{i}")
+                for i in range(k)
+            ],
+            clamp(
+                F.col("swq"), q * F.col("n").cast("double")
+            ).alias("p"),
+        )
+    structs = []
+    for i, f in enumerate(features):
+        m = F.col(f"m{i}")
+        u = F.col(f"u{i}")
+        structs.append(
+            F.struct(
+                F.lit(f).alias("feature"),
+                F.round(m, ndigits).alias("m"),
+                F.round(u, ndigits).alias("u"),
+                F.round(F.col("p"), ndigits).alias("p"),
+                F.round(F.log2(m / u), ndigits).alias("w_agree"),
+                F.round(
+                    F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), ndigits
+                ).alias("w_disagree"),
+            )
+        )
+    return state.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -679,3 +679,75 @@ def test_change_rate_hand_captures(spark):
     assert (got["u2"].n_changes, got["u2"].span_min, got["u2"].change_rate) == (
         0, 0, 0.0,
     )
+
+
+def test_fs_em_matches_eager_replay(spark, tmp_path):
+    """Unsupervised FS-EM == the eager quantized EM replay, and on a
+    mixture where one feature separates two pair populations the
+    learned m must exceed u for it."""
+    from ddaugner_spark.operators.er import fs_em_weights
+
+    # 60 "match-ish" pairs agree on f0+f1; 140 noise pairs agree on
+    # nothing or f1 only
+    rows = (
+        [(True, True, False)] * 60
+        + [(False, True, False)] * 40
+        + [(False, False, False)] * 100
+        + [(True, False, True)] * 5
+    )
+    df = spark.createDataFrame(rows, "f0 boolean, f1 boolean, f2 boolean")
+    got = {
+        r.feature: r
+        for r in fs_em_weights(
+            df, ["f0", "f1", "f2"], iters=2,
+            stage_dir=str(tmp_path / "fsem"),
+        ).collect()
+    }
+
+    # eager replay
+    from collections import Counter
+
+    pats = Counter(rows)
+    Q = 10**12
+    m = [0.9] * 3
+    u = [0.1] * 3
+    p = 0.1
+
+    def clamp(num, den):
+        r = num / den if den > 0 else 0.0
+        return min(max(r, 1e-6), 1.0 - 1e-6)
+
+    for _ in range(2):
+        n = swq = sw1q = 0
+        smq = [0] * 3
+        suq = [0] * 3
+        for pat, c in pats.items():
+            pm = pu = 1.0
+            for i in range(3):
+                pm *= m[i] if pat[i] else 1.0 - m[i]
+                pu *= u[i] if pat[i] else 1.0 - u[i]
+            w = (p * pm) / ((p * pm) + (1.0 - p) * pu)
+            n += c
+            wq = round(Q * c * w)
+            w1q = round(Q * c * (1.0 - w))
+            swq += wq
+            sw1q += w1q
+            for i in range(3):
+                if pat[i]:
+                    smq[i] += wq
+                    suq[i] += w1q
+        m = [clamp(smq[i], swq) for i in range(3)]
+        u = [clamp(suq[i], sw1q) for i in range(3)]
+        p = clamp(swq, Q * n)
+    import math
+
+    for i, f in enumerate(("f0", "f1", "f2")):
+        assert got[f].m == pytest.approx(round(m[i], 6), abs=1e-6)
+        assert got[f].u == pytest.approx(round(u[i], 6), abs=1e-6)
+        assert got[f].p == pytest.approx(round(p, 6), abs=1e-6)
+        assert got[f].w_agree == pytest.approx(
+            round(math.log2(m[i] / u[i]), 6), abs=1e-6
+        )
+    # the separating feature is learned: agreeing on f0 is evidence FOR
+    # a match, so m0 > u0 and the agreement weight is positive
+    assert got["f0"].m > got["f0"].u and got["f0"].w_agree > 0
