@@ -5204,6 +5204,19 @@ def q_acf(spark, sf):
     return temporal.autocorrelation(ev, bucket_s=3600, max_lag=6)
 
 
+def q_pacf(spark, sf):
+    """Partial autocorrelation at lags 1..6 by the Durbin–Levinson
+    recursion UNROLLED over the pivoted q_acf output — the AR-order
+    identification companion to q_acf (ACF: how much memory; PACF: how
+    many AR terms); inputs are the rounded r's so both engines run an
+    identical fixed float chain, SQL twin generated with the same
+    associativity (operators/temporal.py pacf_from_acf)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.pacf_from_acf(
+        temporal.autocorrelation(ev, bucket_s=3600, max_lag=6), max_lag=6
+    )
+
+
 def q_t_closeness(spark, sf):
     """t-closeness audit (ordered-EMD form) of per-event-type value
     distributions vs the table-wide marginal — one (type, bucket) hash
@@ -6707,6 +6720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_burrows_delta": q_burrows_delta,
         "q_sax": q_sax,
         "q_fs_em": q_fs_em,
+        "q_pacf": q_pacf,
     }
 
 
@@ -15054,6 +15068,49 @@ sents AS (
       JOIN dev d2 ON d2.b = d1.b + l.lag
       CROSS JOIN den CROSS JOIN m
       GROUP BY l.lag, m.n
+    """
+
+    # PACF replay: the q_acf subquery pivoted to one row, then the
+    # Durbin–Levinson levels generated with the engine's exact
+    # associativity (φ_kk recomputed inline per update, same both
+    # sides)
+    def _pacf_levels(max_lag):
+        ctes = [
+            "base AS (SELECT "
+            + ", ".join(
+                f"max(CASE WHEN lag = {k} THEN r END) AS r{k}"
+                for k in range(1, max_lag + 1)
+            )
+            + " FROM acf)",
+            "l1 AS (SELECT *, r1 AS p1_1 FROM base)",
+        ]
+        for k in range(2, max_lag + 1):
+            num = f"r{k} - (" + " + ".join(
+                f"p{k-1}_{j} * r{k-j}" for j in range(1, k)
+            ) + ")"
+            den = "1.0 - (" + " + ".join(
+                f"p{k-1}_{j} * r{j}" for j in range(1, k)
+            ) + ")"
+            phi = (
+                f"CASE WHEN ({den}) != 0 THEN ({num}) / ({den})"
+                " ELSE 0.0 END"
+            )
+            cols = [f"({phi}) AS p{k}_{k}"] + [
+                f"p{k-1}_{j} - ({phi}) * p{k-1}_{k-j} AS p{k}_{j}"
+                for j in range(1, k)
+            ]
+            ctes.append(
+                f"l{k} AS (SELECT *, {', '.join(cols)} FROM l{k-1})"
+            )
+        return ",\n      ".join(ctes)
+
+    o["q_pacf"] = f"""
+      WITH acf AS (SELECT lag, r FROM ({o["q_acf"]})),
+      {_pacf_levels(6)}
+      {" UNION ALL ".join(
+          f"SELECT {k}::BIGINT AS lag, round(p{k}_{k}, 6) AS pacf FROM l6"
+          for k in range(1, 7)
+      )}
     """
 
     # t-closeness replay: same fixed-width buckets, spine, and ordered

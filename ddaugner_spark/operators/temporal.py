@@ -936,3 +936,57 @@ def allen_relations(events: DataFrame) -> DataFrame:
     return p.select(
         "user_id", "type_a", "type_b", rel.alias("relation")
     )
+
+
+def pacf_from_acf(
+    acf: DataFrame, max_lag: int = 6, ndigits: int = 6
+) -> DataFrame:
+    """(lag, pacf) — partial autocorrelation function by the Durbin–
+    Levinson recursion (Box & Jenkins' AR-order identification tool:
+    the ACF says "how much memory", the PACF says "how many AR terms")
+    over an :func:`autocorrelation` output ``(lag, r)``.
+
+    The recursion φ_kk = (r_k − Σ_j φ_{k−1,j}·r_{k−j}) /
+    (1 − Σ_j φ_{k−1,j}·r_j), φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j} is
+    UNROLLED over the fixed ``max_lag`` as one column-expression chain
+    on the 1-row pivoted ACF — no iteration state, no UDF; the inputs
+    are the ROUNDED r's (identical doubles on both engines by the ACF
+    contract), every level is a fixed float tree in pinned
+    left-associated order, and the SQL twin generates the same chain
+    textually.  Degenerate 1 − Σφr = 0 denominators yield φ_kk = 0
+    lazily (ANSI-safe).  Everything is dimension-sized (one row wide,
+    ``max_lag`` columns deep).
+    """
+    row = acf.groupBy().agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    cur = row.select("*", F.col("r1").alias("p1_1"))
+    for k in range(2, max_lag + 1):
+        num = None
+        den = None
+        for j in range(1, k):
+            tn = F.col(f"p{k-1}_{j}") * F.col(f"r{k-j}")
+            td = F.col(f"p{k-1}_{j}") * F.col(f"r{j}")
+            num = tn if num is None else num + tn
+            den = td if den is None else den + td
+        num = F.col(f"r{k}") - num
+        den = F.lit(1.0) - den
+        phi = F.when(den != 0, num / den).otherwise(F.lit(0.0))
+        new = [phi.alias(f"p{k}_{k}")]
+        for j in range(1, k):
+            new.append(
+                (F.col(f"p{k-1}_{j}") - phi * F.col(f"p{k-1}_{k-j}"))
+                .alias(f"p{k}_{j}")
+            )
+        cur = cur.select("*", *new)
+    structs = [
+        F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.round(F.col(f"p{k}_{k}"), ndigits).alias("pacf"),
+        )
+        for k in range(1, max_lag + 1)
+    ]
+    return cur.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -204,3 +204,46 @@ def test_sax_flat_series_neutral(spark):
     )
     out = sax_symbols(df, window_days=3).collect()
     assert all(r.z == 0.0 and r.symbol == "c" for r in out)
+
+
+# -------------------------------------------------------------- PACF
+
+def test_pacf_matches_statsmodels_style_dl(spark):
+    """Durbin–Levinson replay on a constructed ACF: feed known r's and
+    compare against a pure-Python DL recursion (the statsmodels
+    pacf(method='ld') contract)."""
+    from ddaugner_spark.operators.temporal import pacf_from_acf
+
+    rs = [0.8, 0.55, 0.3, 0.12, 0.02, -0.05]
+    acf = spark.createDataFrame(
+        [(k + 1, 10, r) for k, r in enumerate(rs)],
+        "lag long, n_buckets long, r double",
+    )
+    got = {r.lag: r.pacf for r in pacf_from_acf(acf, max_lag=6).collect()}
+
+    phi = {1: {1: rs[0]}}
+    for k in range(2, 7):
+        num = rs[k - 1] - sum(
+            phi[k - 1][j] * rs[k - j - 1] for j in range(1, k)
+        )
+        den = 1.0 - sum(phi[k - 1][j] * rs[j - 1] for j in range(1, k))
+        pkk = num / den if den != 0 else 0.0
+        phi[k] = {k: pkk}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - pkk * phi[k - 1][k - j]
+    for k in range(1, 7):
+        assert got[k] == pytest.approx(round(phi[k][k], 6), abs=1e-6)
+    # AR(1)-ish input: lag-1 PACF equals r1; deeper lags shrink
+    assert got[1] == pytest.approx(0.8, abs=1e-9)
+    assert abs(got[6]) < abs(got[1])
+
+
+def test_pacf_white_noise_zeroish(spark):
+    from ddaugner_spark.operators.temporal import pacf_from_acf
+
+    acf = spark.createDataFrame(
+        [(k, 10, 0.0) for k in range(1, 7)],
+        "lag long, n_buckets long, r double",
+    )
+    out = pacf_from_acf(acf, max_lag=6).collect()
+    assert all(r.pacf == 0.0 for r in out)
