@@ -5217,6 +5217,28 @@ def q_pacf(spark, sf):
     )
 
 
+def q_ljung_box(spark, sf):
+    """Ljung–Box portmanteau Q over the q_acf lags — the white-noise
+    diagnostic closing the Box–Jenkins triple (q_acf identifies,
+    q_pacf orders, this tests); per-lag r²/(n−k) terms quantized at
+    10⁹ and integer-summed, Q one final multiply
+    (operators/temporal.py ljung_box)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.ljung_box(
+        temporal.autocorrelation(ev, bucket_s=3600, max_lag=6)
+    )
+
+
+def q_theil(spark, sf):
+    """Theil-T inequality of document length with the exact
+    between/within source decomposition (the additively-decomposable
+    index Gini is not): per-source rows + a __total__ row carrying
+    T_total/T_between; every ln term micro-quantized at 10⁹ so all
+    folds are integer sums (operators/stats.py theil_decomposition —
+    the concentration diagnosis next to q_gini and q_host_skew)."""
+    return stats.theil_decomposition(_docs(spark, sf), "source", "n_chars")
+
+
 def q_t_closeness(spark, sf):
     """t-closeness audit (ordered-EMD form) of per-event-type value
     distributions vs the table-wide marginal — one (type, bucket) hash
@@ -6721,6 +6743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sax": q_sax,
         "q_fs_em": q_fs_em,
         "q_pacf": q_pacf,
+        "q_ljung_box": q_ljung_box,
+        "q_theil": q_theil,
     }
 
 
@@ -15111,6 +15135,70 @@ sents AS (
           f"SELECT {k}::BIGINT AS lag, round(p{k}_{k}, 6) AS pacf FROM l6"
           for k in range(1, 7)
       )}
+    """
+
+    # Ljung–Box replay: the q_acf subquery, quantized per-lag terms
+    o["q_ljung_box"] = f"""
+      WITH acf AS (SELECT lag, n_buckets, r FROM ({o["q_acf"]})),
+      j AS (
+        SELECT n_buckets::BIGINT AS n, lag,
+          round(1000000000.0 * (r * r)
+                / (n_buckets - lag)::DOUBLE, 0)::BIGINT AS tq
+        FROM acf WHERE n_buckets > lag
+      ),
+      g AS (SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS df,
+                   sum(tq)::BIGINT AS sq FROM j)
+      SELECT n, df,
+        round(n::DOUBLE * (n + 2)::DOUBLE
+              * (sq::DOUBLE / 1000000000.0), 6) AS q_stat
+      FROM g
+    """
+
+    # Theil replay: identical quantized ln terms at every fold level
+    o["q_theil"] = """
+      WITH base AS (
+        SELECT source AS g, n_chars::BIGINT AS x FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+          AND source IS NOT NULL
+      ),
+      gstat AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+                FROM base GROUP BY g),
+      tot AS (SELECT sum(n)::BIGINT AS nn, sum(sx)::BIGINT AS xx
+              FROM gstat),
+      tw AS (
+        SELECT b.g,
+          sum(round(1000000000.0
+                    * (b.x::DOUBLE / gs.sx::DOUBLE)
+                    * ln(b.x::DOUBLE * gs.n::DOUBLE / gs.sx::DOUBLE),
+                    0)::BIGINT)::BIGINT AS twq
+        FROM base b JOIN gstat gs USING (g) GROUP BY b.g
+      ),
+      g2 AS (SELECT gs.g, gs.n, gs.sx, tw.twq, t.nn, t.xx
+             FROM gstat gs JOIN tw USING (g), tot t),
+      per AS (
+        SELECT g, n, sx,
+          round(sx::DOUBLE / xx::DOUBLE, 6) AS share,
+          round(twq::DOUBLE / 1000000000.0, 6) AS t_within,
+          round((sx::DOUBLE / xx::DOUBLE)
+                * (twq::DOUBLE / 1000000000.0), 6) AS contrib,
+          round(1000000000.0 * (sx::DOUBLE / xx::DOUBLE)
+                * ln(sx::DOUBLE * nn::DOUBLE
+                     / (n::DOUBLE * xx::DOUBLE)), 0)::BIGINT AS btq,
+          round(1000000000.0 * (sx::DOUBLE / xx::DOUBLE)
+                * (twq::DOUBLE / 1000000000.0), 0)::BIGINT AS ctq
+        FROM g2
+      ),
+      trow AS (
+        SELECT '__total__' AS g, sum(n)::BIGINT AS n,
+               sum(sx)::BIGINT AS sx, 1.0 AS share,
+               round((sum(btq) + sum(ctq))::DOUBLE / 1000000000.0, 6)
+                 AS t_within,
+               round(sum(btq)::DOUBLE / 1000000000.0, 6) AS contrib
+        FROM per
+      )
+      SELECT g AS source, n, sx, share, t_within, contrib FROM per
+      UNION ALL
+      SELECT g AS source, n, sx, share, t_within, contrib FROM trow
     """
 
     # t-closeness replay: same fixed-width buckets, spine, and ordered

@@ -2308,3 +2308,100 @@ def wasserstein_1d(
         F.coalesce("w1_num", F.lit(0)).cast("long").alias("w1_num"),
         F.round(F.coalesce(w1, F.lit(0.0)), ndigits).alias("w1"),
     )
+
+
+def theil_decomposition(
+    df: DataFrame, group_col: str, value_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Theil-T inequality index with exact between/within decomposition
+    (Theil 1967; the additively-decomposable inequality measure Gini
+    is not): T = Σᵢ (xᵢ/X)·ln(xᵢ/μ) over positive values, split as
+    T = T_between + Σ_g s_g·T_g with s_g the group's value share — one
+    row per group ``(group, n, sum_x, share, t_within, contrib)`` plus
+    the ``__total__`` row carrying ``(t_total, t_between)`` in the
+    same two columns.  The "is corpus mass concentrated WITHIN sources
+    or ACROSS them" diagnosis [[q_gini]]'s single number can't give.
+
+    Exactness: integer values; each row's (xᵢ/X_g)·ln(xᵢ/μ_g) term is
+    micro-quantized at 10⁹ and integer-summed per group (the B³
+    device), the between/total folds reuse the same quantized device
+    over group/corpus rows — no unquantized corpus-sized float Σ
+    anywhere.  Scale: one corpus pass per fold level (value terms →
+    group rows → one total row), all map-side-combinable aggregates.
+    """
+    base = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(value_col).cast("long").alias("x"),
+    ).where(F.col("x").isNotNull() & (F.col("x") > 0) & F.col("g").isNotNull())
+    gstat = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    tot = gstat.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("sx").cast("long").alias("xx"),
+    )
+    q = F.lit(1000000000.0)
+    # within-group terms: (x/sx_g)·ln(x·n_g/sx_g), quantized per row
+    jg = base.join(F.broadcast(gstat), "g")
+    tw = jg.select(
+        "g",
+        F.round(
+            q
+            * (F.col("x").cast("double") / F.col("sx").cast("double"))
+            * F.log(
+                F.col("x").cast("double")
+                * F.col("n").cast("double")
+                / F.col("sx").cast("double")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("tq"),
+    ).groupBy("g").agg(F.sum("tq").cast("long").alias("twq"))
+    g2 = gstat.join(tw, "g").crossJoin(F.broadcast(tot))
+    share = F.col("sx").cast("double") / F.col("xx").cast("double")
+    t_within = F.col("twq").cast("double") / q
+    # between: Σ_g s_g·ln(μ_g/μ) = Σ_g s_g·ln(sx_g·nn/(n_g·xx))
+    btq = F.round(
+        q
+        * share
+        * F.log(
+            F.col("sx").cast("double")
+            * F.col("nn").cast("double")
+            / (F.col("n").cast("double") * F.col("xx").cast("double"))
+        ),
+        0,
+    ).cast("long")
+    ctq = F.round(q * share * t_within, 0).cast("long")
+    per = g2.select(
+        "g",
+        "n",
+        "sx",
+        F.round(share, ndigits).alias("share"),
+        F.round(t_within, ndigits).alias("t_within"),
+        F.round(share * t_within, ndigits).alias("contrib"),
+        btq.alias("_btq"),
+        ctq.alias("_ctq"),
+    )
+    trow = per.groupBy().agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").cast("long").alias("sx"),
+        F.sum("_btq").cast("long").alias("bq"),
+        F.sum("_ctq").cast("long").alias("cq"),
+    ).select(
+        F.lit("__total__").alias("g"),
+        "n",
+        "sx",
+        F.lit(1.0).alias("share"),
+        # t_within column carries T_TOTAL = between + Σ contrib
+        F.round(
+            (F.col("bq") + F.col("cq")).cast("double") / q, ndigits
+        ).alias("t_within"),
+        # contrib column carries T_BETWEEN
+        F.round(F.col("bq").cast("double") / q, ndigits).alias("contrib"),
+    )
+    return per.drop("_btq", "_ctq").unionByName(trow).select(
+        F.col("g").alias(group_col), "n", "sx", "share", "t_within",
+        "contrib",
+    )

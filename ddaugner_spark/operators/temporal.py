@@ -990,3 +990,42 @@ def pacf_from_acf(
         for k in range(1, max_lag + 1)
     ]
     return cur.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def ljung_box(
+    acf: DataFrame, n_obs_col: str = "n_buckets", ndigits: int = 6
+) -> DataFrame:
+    """One-row Ljung–Box portmanteau statistic (Ljung & Box,
+    Biometrika 1978) over an :func:`autocorrelation` output:
+    Q = n(n+2)·Σ_k r_k²/(n−k), df = max lag — the "is anything left in
+    the residuals" white-noise diagnostic that closes the Box–Jenkins
+    triple (q_acf identifies, q_pacf orders, this one tests).
+
+    Each lag's r_k²/(n−k) term is a fixed float chain over the ROUNDED
+    r (identical doubles both engines) micro-quantized at 10⁹ and
+    integer-summed (the B³ device); Q is one final multiply of exact
+    factors.  Output ``(n, df, q_stat)``; NULL when n ≤ max lag.
+    """
+    j = acf.select(
+        F.col(n_obs_col).cast("long").alias("n"),
+        "lag",
+        F.round(
+            F.lit(1000000000.0)
+            * (F.col("r") * F.col("r"))
+            / (F.col(n_obs_col) - F.col("lag")).cast("double"),
+            0,
+        )
+        .cast("long")
+        .alias("tq"),
+    ).where(F.col("n") > F.col("lag"))
+    g = j.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tq").cast("long").alias("sq"),
+    )
+    q = (
+        F.col("n").cast("double")
+        * (F.col("n") + F.lit(2)).cast("double")
+        * (F.col("sq").cast("double") / F.lit(1000000000.0))
+    )
+    return g.select("n", "df", F.round(q, ndigits).alias("q_stat"))

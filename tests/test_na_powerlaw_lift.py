@@ -247,3 +247,51 @@ def test_pacf_white_noise_zeroish(spark):
     )
     out = pacf_from_acf(acf, max_lag=6).collect()
     assert all(r.pacf == 0.0 for r in out)
+
+
+# ----------------------------------------------------- Ljung-Box/Theil
+
+def test_ljung_box_closed_form(spark):
+    from ddaugner_spark.operators.temporal import ljung_box
+
+    rs = [0.5, -0.2, 0.1]
+    acf = spark.createDataFrame(
+        [(k + 1, 50, r) for k, r in enumerate(rs)],
+        "lag long, n_buckets long, r double",
+    )
+    got = ljung_box(acf).collect()[0]
+    n = 50
+    want = sum(round(1e9 * r * r / (n - k - 1)) for k, r in enumerate(rs))
+    assert (got.n, got.df) == (50, 3)
+    assert got.q_stat == pytest.approx(n * (n + 2) * want / 1e9, abs=1e-5)
+
+
+def test_theil_decomposition_identity(spark):
+    import math
+
+    from ddaugner_spark.operators.stats import theil_decomposition
+
+    rows = (
+        [("a", 100)] * 3 + [("a", 400)]
+        + [("b", 50)] * 4
+        + [("c", 900), ("c", 100)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in theil_decomposition(df, "g", "x").collect()}
+    tot = out["__total__"]
+    # decomposition identity: T_total = T_between + Σ share·T_within
+    parts = tot.contrib + sum(
+        out[g].contrib for g in ("a", "b", "c")
+    )
+    assert tot.t_within == pytest.approx(parts, abs=5e-6)
+    # equal group ('b') has zero within-inequality
+    assert out["b"].t_within == 0.0
+    # eager replay of the overall Theil T on the raw values
+    xs = [x for _, x in rows]
+    mu = sum(xs) / len(xs)
+    t_eager = sum((x / sum(xs)) * math.log(x / mu) for x in xs)
+    assert tot.t_within == pytest.approx(t_eager, abs=5e-6)
+    # shares sum to 1
+    assert sum(out[g].share for g in ("a", "b", "c")) == pytest.approx(
+        1.0, abs=1e-6
+    )
