@@ -5217,6 +5217,42 @@ def q_pacf(spark, sf):
     )
 
 
+def q_lorenz(spark, sf):
+    """Lorenz-curve decile readout of document length — the
+    concentration profile behind q_gini's single number ("the bottom
+    d/10 of documents hold this share of the bytes"); integer window
+    sums over the round-tripped distinct-value grid, decile cutoffs by
+    exact cross-multiplication, one division per row
+    (operators/stats.py lorenz_deciles)."""
+    return stats.lorenz_deciles(
+        _docs(spark, sf), "n_chars", stage_dir=_scratch("q_lorenz_")
+    )
+
+
+def q_spam_mass(spark, sf):
+    """Spam-mass estimation (Gyöngyi VLDB'04): the fraction of each
+    entity's PageRank NOT attributable to the trusted seed set —
+    sm = (PR − TR)/PR with TR = the q_ppr seed-personalized rank and
+    PR = q_pagerank, composed from their ROUNDED outputs so the
+    composition inherits both queries' bit parity; high spam mass =
+    rank earned from nowhere trustworthy, the classic link-farm
+    flag."""
+    pr = q_pagerank(spark, sf).select(
+        "entity", F.col("rank").alias("pr")
+    )
+    tr = q_ppr(spark, sf).select("entity", F.col("rank").alias("tr"))
+    j = pr.join(tr, "entity", "left").select(
+        "entity",
+        "pr",
+        F.coalesce("tr", F.lit(0.0)).alias("tr"),
+    )
+    sm = F.when(
+        F.col("pr") > 0,
+        (F.col("pr") - F.col("tr")) / F.col("pr"),
+    ).otherwise(F.lit(0.0))
+    return j.withColumn("spam_mass", F.round(sm, 6))
+
+
 def q_ljung_box(spark, sf):
     """Ljung–Box portmanteau Q over the q_acf lags — the white-noise
     diagnostic closing the Box–Jenkins triple (q_acf identifies,
@@ -6745,6 +6781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pacf": q_pacf,
         "q_ljung_box": q_ljung_box,
         "q_theil": q_theil,
+        "q_lorenz": q_lorenz,
+        "q_spam_mass": q_spam_mass,
     }
 
 
@@ -15135,6 +15173,48 @@ sents AS (
           f"SELECT {k}::BIGINT AS lag, round(p{k}_{k}, 6) AS pacf FROM l6"
           for k in range(1, 7)
       )}
+    """
+
+    # Lorenz replay: distinct-value grid, integer cumulative sums,
+    # cross-multiplied decile cutoffs
+    o["q_lorenz"] = """
+      WITH base AS (
+        SELECT n_chars::BIGINT AS v FROM documents
+        WHERE n_chars IS NOT NULL
+      ),
+      cells AS (SELECT v, count(*)::BIGINT AS c FROM base GROUP BY v),
+      cum AS (
+        SELECT v,
+          sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)::BIGINT AS cum_rows,
+          sum(v * c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW)::BIGINT AS cum_mass
+        FROM cells
+      ),
+      tot AS (SELECT sum(c)::BIGINT AS nn, sum(v * c)::BIGINT AS mm
+              FROM cells),
+      deciles AS (SELECT unnest(range(1, 11))::BIGINT AS decile)
+      SELECT d.decile,
+        min(cum.v)::BIGINT AS cutoff,
+        min_by(cum.cum_rows, cum.v)::BIGINT AS cum_rows,
+        min_by(cum.cum_mass, cum.v)::BIGINT AS cum_mass,
+        round(min_by(cum.cum_mass, cum.v)::DOUBLE / max(t.mm)::DOUBLE, 6)
+          AS mass_share
+      FROM deciles d CROSS JOIN cum CROSS JOIN tot t
+      WHERE cum.cum_rows * 10 >= d.decile * t.nn
+      GROUP BY d.decile
+    """
+
+    # spam-mass replay: the q_pagerank and q_ppr subqueries joined on
+    # their ROUNDED ranks
+    o["q_spam_mass"] = f"""
+      WITH pr AS (SELECT entity, rank AS pr FROM ({o["q_pagerank"]})),
+      tr AS (SELECT entity, rank AS tr FROM ({o["q_ppr"]}))
+      SELECT pr.entity, pr.pr, coalesce(tr.tr, 0.0) AS tr,
+        round(CASE WHEN pr.pr > 0
+          THEN (pr.pr - coalesce(tr.tr, 0.0)) / pr.pr
+          ELSE 0.0 END, 6) AS spam_mass
+      FROM pr LEFT JOIN tr USING (entity)
     """
 
     # Ljung–Box replay: the q_acf subquery, quantized per-lag terms

@@ -2405,3 +2405,77 @@ def theil_decomposition(
         F.col("g").alias(group_col), "n", "sx", "share", "t_within",
         "contrib",
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col: str,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lorenz-curve decile readout (the curve behind [[q_gini]]'s
+    single number): for each population decile d = 1..10 (ordered by
+    value ascending), the value cutoff and the cumulative share of
+    total mass held by the bottom d/10 of rows — ``(decile, cutoff,
+    cum_rows, cum_mass, mass_share)``.  The concentration profile a
+    capacity planner reads ("the bottom 80%% of documents carry 54%%
+    of the bytes").
+
+    Exactness: the corpus collapses to the distinct-VALUE cell table
+    (one pass, round-tripped — the :func:`kendall_tau_b` shape);
+    cumulative rows/mass are INTEGER window sums over the
+    dimension-sized value grid; the decile cutoff is chosen by the
+    exact integer cross-multiplication ``cum_rows·10 ≥ d·N`` (no float
+    quantile), and ``mass_share`` is one division.
+    """
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    base = df.select(F.col(value_col).cast("long").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    cells = roundtrip_small(
+        base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c")),
+        stage_dir,
+        "ddaugner_lorenz_",
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "v",
+        F.sum("c").over(w).cast("long").alias("cum_rows"),
+        F.sum(F.col("v") * F.col("c")).over(w).cast("long").alias("cum_mass"),
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("mm"),
+    )
+    deciles = df.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("decile")
+    )
+    j = (
+        deciles.crossJoin(cum)
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cum_rows") * 10 >= F.col("decile") * F.col("nn"))
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("v").alias("cutoff"),
+                    F.col("cum_rows").alias("cum_rows"),
+                    F.col("cum_mass").alias("cum_mass"),
+                    F.col("mm").alias("mm"),
+                )
+            ).alias("b")
+        )
+    )
+    return j.select(
+        "decile",
+        F.col("b.cutoff").alias("cutoff"),
+        F.col("b.cum_rows").alias("cum_rows"),
+        F.col("b.cum_mass").alias("cum_mass"),
+        F.round(
+            F.col("b.cum_mass").cast("double") / F.col("b.mm").cast("double"),
+            ndigits,
+        ).alias("mass_share"),
+    )

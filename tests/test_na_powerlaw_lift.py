@@ -295,3 +295,53 @@ def test_theil_decomposition_identity(spark):
     assert sum(out[g].share for g in ("a", "b", "c")) == pytest.approx(
         1.0, abs=1e-6
     )
+
+
+# ------------------------------------------------- Lorenz / spam mass
+
+def test_lorenz_hand_deciles(spark, tmp_path):
+    from ddaugner_spark.operators.stats import lorenz_deciles
+
+    # distinct values 1..20: decile d cuts exactly at value 2d
+    rows = [(v,) for v in range(1, 21)]
+    df = spark.createDataFrame(rows, "v long")
+    got = {
+        r.decile: r
+        for r in lorenz_deciles(
+            df, "v", stage_dir=str(tmp_path / "lz")
+        ).collect()
+    }
+    total = sum(range(1, 21))
+    for d in range(1, 11):
+        assert got[d].cutoff == 2 * d and got[d].cum_rows == 2 * d
+        want = sum(range(1, 2 * d + 1)) / total
+        assert got[d].mass_share == pytest.approx(want, abs=1e-6)
+    # Lorenz properties on exact quantiles: monotone, below diagonal
+    shares = [got[d].mass_share for d in range(1, 11)]
+    assert shares == sorted(shares)
+    for d in range(1, 10):
+        assert got[d].mass_share <= d / 10 + 1e-9
+    assert got[10].mass_share == 1.0
+
+
+def test_spam_mass_flags_unendorsed_rank(spark, sf_dir):
+    import importlib
+
+    m = importlib.import_module("__spark_entry__")
+    out = m.queries()["q_spam_mass"](spark, str(sf_dir)).collect()
+    assert len(out) > 0
+    for r in out:
+        # <= 1 always; NEGATIVE is legitimate for trusted pages (their
+        # personalized rank exceeds their global rank — Gyöngyi §4)
+        assert r.spam_mass <= 1.0 + 1e-9
+        # identity on the rounded inputs
+        if r.pr > 0:
+            assert r.spam_mass == pytest.approx(
+                round((r.pr - r.tr) / r.pr, 6), abs=1e-6
+            )
+    # seeds ('hash…' surfaces) hold trusted rank: their spam mass must
+    # be below the max
+    seeded = [r for r in out if r.entity.startswith("hash")]
+    if seeded:
+        mx = max(r.spam_mass for r in out)
+        assert min(r.spam_mass for r in seeded) < mx
