@@ -5265,6 +5265,18 @@ def q_ljung_box(spark, sf):
     )
 
 
+def q_hurst(spark, sf):
+    """Hurst exponent by rescaled-range analysis of the daily-mean
+    revenue series (windows 5/10/15/30 days): within-window R/S is
+    EXACT-integer-cored (n·cumdev and n²S² are BIGINTs, one sqrt per
+    window), per-size means quantized at 10⁹, and the log-log fit a
+    ratio of exact micro-log moments — the long-memory persistence
+    readout next to q_acf/q_mann_kendall
+    (operators/temporal.py hurst_rs)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.hurst_rs(ev)
+
+
 def q_theil(spark, sf):
     """Theil-T inequality of document length with the exact
     between/within source decomposition (the additively-decomposable
@@ -6783,6 +6795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_theil": q_theil,
         "q_lorenz": q_lorenz,
         "q_spam_mass": q_spam_mass,
+        "q_hurst": q_hurst,
     }
 
 
@@ -15231,6 +15244,75 @@ sents AS (
       SELECT n, df,
         round(n::DOUBLE * (n + 2)::DOUBLE
               * (sq::DOUBLE / 1000000000.0), 6) AS q_stat
+      FROM g
+    """
+
+    # Hurst replay: fixed-point day means, exact-integer cumdev/range,
+    # guarded per-window R/S quantization, micro-log OLS slope
+    o["q_hurst"] = """
+      WITH daily AS (
+        SELECT ts::DATE AS d,
+               sum(round(value * 100, 0)::BIGINT)::BIGINT AS dc,
+               count(*)::BIGINT AS dn
+        FROM events GROUP BY 1
+      ),
+      dm AS (SELECT d, (dc * 1000) // dn AS x FROM daily),
+      d0 AS (SELECT min(d) AS d0 FROM dm),
+      idx AS (SELECT date_diff('day', d0, d)::BIGINT AS i, x FROM dm, d0),
+      ns AS (SELECT unnest([5, 10, 15, 30])::BIGINT AS n),
+      rws AS (SELECT n, i // n AS chunk, i % n AS j, x FROM idx, ns),
+      sums AS (
+        SELECT n, chunk, count(*)::BIGINT AS cnt, sum(x)::BIGINT AS sx,
+               sum(x * x)::BIGINT AS sxx
+        FROM rws GROUP BY 1, 2 HAVING count(*) = n
+      ),
+      cum AS (
+        SELECT n, chunk, j,
+          sum(x) OVER (PARTITION BY n, chunk ORDER BY j
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cum
+        FROM rws
+      ),
+      dev AS (
+        SELECT c.n, c.chunk, s.sx, s.sxx,
+               (c.n * c.cum - (c.j + 1) * s.sx)::BIGINT AS cd
+        FROM cum c JOIN sums s ON s.n = c.n AND s.chunk = c.chunk
+      ),
+      per_chunk AS (
+        SELECT n, chunk, max(sx)::BIGINT AS sx, max(sxx)::BIGINT AS sxx,
+               (max(cd) - min(cd))::BIGINT AS rn
+        FROM dev GROUP BY 1, 2
+      ),
+      rsq AS (
+        SELECT n, (n * sxx - sx * sx)::BIGINT AS dd,
+          (CASE WHEN n * sxx - sx * sx > 0
+            THEN round(1000000000.0 * rn::DOUBLE
+                       / sqrt((n * sxx - sx * sx)::DOUBLE), 0)
+            ELSE 0.0 END)::BIGINT AS rsq
+        FROM per_chunk
+      ),
+      per_n AS (
+        SELECT n, count(*)::BIGINT AS cnt, sum(rsq)::BIGINT AS srs
+        FROM rsq WHERE dd > 0 GROUP BY n
+      ),
+      pts AS (
+        SELECT n, cnt,
+          round(ln(n::DOUBLE) * 1e6, 0)::BIGINT AS xq,
+          round(ln(srs::DOUBLE / (cnt::DOUBLE * 1000000000.0)) * 1e6,
+                0)::BIGINT AS yq
+        FROM per_n
+      ),
+      g AS (
+        SELECT count(*)::BIGINT AS k, sum(cnt)::BIGINT AS n_windows,
+               sum(xq)::BIGINT AS sxp, sum(yq)::BIGINT AS syp,
+               sum(xq * xq)::BIGINT AS sxxp, sum(xq * yq)::BIGINT AS sxyp
+        FROM pts
+      )
+      SELECT k AS n_sizes, coalesce(n_windows, 0)::BIGINT AS n_windows,
+        round(CASE WHEN k * sxxp - sxp * sxp != 0
+          THEN (k * sxyp - sxp * syp)::DOUBLE
+               / (k * sxxp - sxp * sxp)::DOUBLE
+          ELSE 0.0 END, 6) AS hurst
       FROM g
     """
 

@@ -1029,3 +1029,146 @@ def ljung_box(
         * (F.col("sq").cast("double") / F.lit(1000000000.0))
     )
     return g.select("n", "df", F.round(q, ndigits).alias("q_stat"))
+
+
+def hurst_rs(
+    events: DataFrame,
+    window_sizes: tuple[int, ...] = (5, 10, 15, 30),
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    & Wallis 1969) of the daily-mean series: split the day series into
+    full windows of each size n, compute each window's R/S (range of
+    cumulative mean-deviations over the population std), average per
+    n, and fit ln(R/S) on ln(n) — one row ``(n_sizes, n_windows,
+    hurst)``.  H ≈ 0.5 = random walk, > 0.5 = persistent trends, < 0.5
+    = mean-reverting; the long-memory readout [[q_acf]]'s short lags
+    can't see.
+
+    Exactness: daily means are fixed-point integers (the sax_symbols
+    device); within a window, n·cumdev_j = n·Σ_{k≤j}x − (j+1)·Σx is
+    EXACT BIGINT, so R·n = max−min of integers, and n²·S² = n·Σx² −
+    (Σx)² is one exact integer — R/S = Rn/√D with ONE sqrt of an
+    integer per window.  Per-n means quantize each window's R/S at 10⁹
+    (integer Σ); the final log-log fit micro-quantizes ln's (the zipf
+    device) so the OLS slope is a ratio of exact integer moments.
+    Constant windows (D = 0) are dropped, documented.
+
+    Scale: the stream collapses to the day table once; everything
+    after runs on days × |window_sizes| rows.
+    """
+    spark = events.sparkSession
+    daily = (
+        events.select(
+            F.to_date("ts").alias("d"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("cents").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("dn"),
+        )
+        .select("d", F.expr("(dc * 1000) DIV dn").cast("long").alias("x"))
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.expr("datediff(d, d0)").cast("long").alias("i"), "x"
+    )
+    ns = spark.createDataFrame(
+        [(int(n),) for n in window_sizes], "n long"
+    )
+    rows = idx.crossJoin(F.broadcast(ns)).select(
+        "n",
+        F.expr("i DIV n").cast("long").alias("chunk"),
+        (F.col("i") % F.col("n")).alias("j"),
+        "x",
+    )
+    sums = rows.groupBy("n", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    ).where(F.col("cnt") == F.col("n"))
+    w = Window.partitionBy("n", "chunk").orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rows.select(
+        "n", "chunk", "j", F.sum("x").over(w).cast("long").alias("cum")
+    )
+    dev = cum.join(sums, ["n", "chunk"]).select(
+        "n",
+        "chunk",
+        "sx",
+        "sxx",
+        (F.col("n") * F.col("cum") - (F.col("j") + 1) * F.col("sx"))
+        .cast("long")
+        .alias("cd"),
+    )
+    per_chunk = dev.groupBy("n", "chunk").agg(
+        F.max("sx").alias("sx"),
+        F.max("sxx").alias("sxx"),
+        (F.max("cd") - F.min("cd")).cast("long").alias("rn"),
+    )
+    dcol = (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("long")
+    # lazy guard INSIDE the projection: the filter below is not
+    # guaranteed to evaluate first, and a constant window (D = 0)
+    # would push NaN/Inf into the ANSI long cast
+    rs_q = per_chunk.select(
+        "n",
+        dcol.alias("dd"),
+        F.when(
+            dcol > 0,
+            F.round(
+                F.lit(1000000000.0)
+                * F.col("rn").cast("double")
+                / F.sqrt(dcol.cast("double")),
+                0,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("long")
+        .alias("rsq"),
+    ).where(F.col("dd") > 0)
+    per_n = rs_q.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("rsq").cast("long").alias("srs"),
+    )
+    pts = per_n.select(
+        "n",
+        "cnt",
+        F.round(F.log(F.col("n").cast("double")) * F.lit(1e6), 0)
+        .cast("long")
+        .alias("xq"),
+        F.round(
+            F.log(
+                F.col("srs").cast("double")
+                / (F.col("cnt").cast("double") * F.lit(1000000000.0))
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("yq"),
+    )
+    g = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum("xq").cast("long").alias("sxp"),
+        F.sum("yq").cast("long").alias("syp"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxxp"),
+        F.sum(F.col("xq") * F.col("yq")).cast("long").alias("sxyp"),
+    )
+    den = F.col("k") * F.col("sxxp") - F.col("sxp") * F.col("sxp")
+    num = F.col("k") * F.col("sxyp") - F.col("sxp") * F.col("syp")
+    hurst = F.when(
+        den != 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("k").alias("n_sizes"),
+        # coalesce: an all-constant series yields zero points and a
+        # NULL sum — the output contract is NULL-free (pandas gate)
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.round(hurst, ndigits).alias("hurst"),
+    )

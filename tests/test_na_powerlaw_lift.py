@@ -345,3 +345,44 @@ def test_spam_mass_flags_unendorsed_rank(spark, sf_dir):
     if seeded:
         mx = max(r.spam_mass for r in out)
         assert min(r.spam_mass for r in seeded) < mx
+
+
+# -------------------------------------------------------------- Hurst
+
+def _hurst_events(spark, values):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         "u", "m", float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_hurst_trending_beats_alternating(spark):
+    """A persistent (monotone) series must score a higher H than an
+    anti-persistent (alternating) one — the discriminating property of
+    R/S analysis (H > 0.5 trend, H < 0.5 mean-reversion)."""
+    from ddaugner_spark.operators.temporal import hurst_rs
+
+    trend = [float(10 + 3 * i) for i in range(30)]
+    alt = [10.0 + (5.0 if i % 2 == 0 else -5.0) for i in range(30)]
+    h_trend = hurst_rs(_hurst_events(spark, trend)).collect()[0]
+    h_alt = hurst_rs(_hurst_events(spark, alt)).collect()[0]
+    assert h_trend.n_sizes == 4 and h_trend.n_windows > 0
+    assert h_trend.hurst > 0.9            # near-1 for a straight line
+    assert h_alt.hurst < 0.35             # strongly anti-persistent
+    assert h_trend.hurst > h_alt.hurst
+
+
+def test_hurst_constant_windows_dropped(spark):
+    from ddaugner_spark.operators.temporal import hurst_rs
+
+    got = hurst_rs(_hurst_events(spark, [7.0] * 30)).collect()[0]
+    # every window constant -> D = 0 everywhere -> no points, slope 0
+    assert got.n_windows == 0 and got.hurst == 0.0
