@@ -5265,6 +5265,19 @@ def q_ljung_box(spark, sf):
     )
 
 
+def q_croston(spark, sf):
+    """Croston's intermittent-demand forecast of big purchases
+    (value ≥ 200 — a few demand days in the month): separate SES of
+    nonzero demand sizes and exact-integer inter-demand intervals,
+    forecast = z/p updated only on demand days; α=½ exact binary, the
+    holt fold device with a recursive-CTE twin
+    (operators/events.py croston_forecast)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.croston_forecast(
+        ev, demand_type="purchase", min_value=200.0
+    )
+
+
 def q_hurst(spark, sf):
     """Hurst exponent by rescaled-range analysis of the daily-mean
     revenue series (windows 5/10/15/30 days): within-window R/S is
@@ -6796,6 +6809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lorenz": q_lorenz,
         "q_spam_mass": q_spam_mass,
         "q_hurst": q_hurst,
+        "q_croston": q_croston,
     }
 
 
@@ -15245,6 +15259,65 @@ sents AS (
         round(n::DOUBLE * (n + 2)::DOUBLE
               * (sq::DOUBLE / 1000000000.0), 6) AS q_stat
       FROM g
+    """
+
+    # Croston replay: zero-filled day spine, the fold as a recursive
+    # CTE with the new z/p inlined into the forecast (the holt device)
+    o["q_croston"] = """
+      WITH RECURSIVE daily AS (
+        SELECT ts::DATE AS dd, count(*)::BIGINT AS dmd
+        FROM events
+        WHERE event_type = 'purchase' AND value >= 200.0
+        GROUP BY 1
+      ),
+      rng AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi
+              FROM events),
+      spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE
+          AS dd
+        FROM rng
+      ),
+      idx AS (
+        SELECT strftime(s.dd, '%Y-%m-%d') AS d,
+               coalesce(da.dmd, 0)::BIGINT AS dmd,
+               row_number() OVER (ORDER BY s.dd)::BIGINT AS i
+        FROM spine s LEFT JOIN daily da USING (dd)
+      ),
+      rec AS (
+        SELECT i, d, dmd,
+          CASE WHEN dmd > 0 THEN dmd::DOUBLE ELSE 0.0 END::DOUBLE AS z,
+          CASE WHEN dmd > 0 THEN 1.0 ELSE 0.0 END::DOUBLE AS p,
+          (CASE WHEN dmd > 0 THEN 0 ELSE 1 END)::BIGINT AS q,
+          (dmd > 0) AS started,
+          CASE WHEN dmd > 0 THEN dmd::DOUBLE / 1.0 ELSE 0.0 END
+            ::DOUBLE AS forecast
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT nx.i, nx.d, nx.dmd,
+          CASE WHEN nx.dmd > 0 AND NOT r.started THEN nx.dmd::DOUBLE
+               WHEN nx.dmd > 0 THEN 0.5 * nx.dmd::DOUBLE + 0.5 * r.z
+               ELSE r.z END AS z,
+          CASE WHEN nx.dmd > 0 AND NOT r.started
+                 THEN (r.q + 1)::DOUBLE
+               WHEN nx.dmd > 0 THEN 0.5 * (r.q + 1)::DOUBLE + 0.5 * r.p
+               ELSE r.p END AS p,
+          (CASE WHEN nx.dmd > 0 THEN 0 ELSE r.q + 1 END)::BIGINT AS q,
+          (r.started OR nx.dmd > 0) AS started,
+          CASE WHEN r.started OR nx.dmd > 0 THEN
+            (CASE WHEN nx.dmd > 0 AND NOT r.started THEN nx.dmd::DOUBLE
+                  WHEN nx.dmd > 0 THEN 0.5 * nx.dmd::DOUBLE + 0.5 * r.z
+                  ELSE r.z END)
+            / (CASE WHEN nx.dmd > 0 AND NOT r.started
+                      THEN (r.q + 1)::DOUBLE
+                    WHEN nx.dmd > 0
+                      THEN 0.5 * (r.q + 1)::DOUBLE + 0.5 * r.p
+                    ELSE r.p END)
+          ELSE 0.0 END AS forecast
+        FROM rec r JOIN idx nx ON nx.i = r.i + 1
+      )
+      SELECT d, dmd AS demand, round(z, 6) AS z, round(p, 6) AS p,
+             round(forecast, 6) AS forecast
+      FROM rec
     """
 
     # Hurst replay: fixed-point day means, exact-integer cumdev/range,

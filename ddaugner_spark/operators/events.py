@@ -1574,3 +1574,104 @@ def sax_symbols(
         )
         .withColumn("symbol", sym)
     )
+
+
+def croston_forecast(
+    events: DataFrame,
+    demand_type: str = "purchase",
+    min_value: float = 0.0,
+    alpha: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Croston's method (Croston, Oper. Res. Q. 1972) for INTERMITTENT
+    demand — the forecaster for series that are mostly zeros, where
+    plain SES chases the gaps: per day ``(d, demand, z, p, forecast)``
+    with separate exponential smoothing of nonzero demand SIZES (z)
+    and inter-demand INTERVALS (p), forecast = z/p, both updated only
+    on demand days.  The spare-parts/long-tail-sku standard next to
+    [[q_ewma]] (trendless), [[q_holt]] (trend) and
+    [[q_seasonal_naive]].
+
+    Determinism: the day spine zero-fills gaps (the autocorrelation
+    device) so intervals are exact integer day counts; α = ½ keeps
+    every smoothing coefficient an exact binary fraction, and the
+    recursion runs as the :func:`holt_linear` LEFT-TO-RIGHT FOLD over
+    the day-sorted series (recursive-CTE twin) — identical operation
+    shape both engines, p ≥ 1 whenever started so the forecast
+    division is never 0/0.  Days before the first demand report
+    z = p = forecast = 0 (cold start, not NULL).
+    """
+    a = float(alpha)
+    daily = (
+        events.where(
+            (F.col("event_type") == demand_type)
+            & (F.col("value") >= F.lit(float(min_value)))
+        )
+        .groupBy(F.to_date("ts").alias("dd"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dmd"))
+    )
+    rng = events.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = rng.select(F.explode(F.sequence("lo", "hi")).alias("dd"))
+    filled = spine.join(daily, "dd", "left").select(
+        F.date_format("dd", "yyyy-MM-dd").alias("d"),
+        F.coalesce("dmd", F.lit(0)).cast("long").alias("dmd"),
+    )
+    packed = filled.agg(
+        F.sort_array(F.collect_list(F.struct("d", "dmd"))).alias("series")
+    )
+    row_t = (
+        "array<struct<d:string,demand:bigint,z:double,p:double,"
+        "forecast:double>>"
+    )
+    init = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        F.lit(0).cast("long").alias("q"),
+        F.lit(False).alias("started"),
+        F.array().cast(row_t).alias("rows"),
+    )
+
+    def step(acc, e):
+        qq = acc["q"] + 1
+        is_d = e["dmd"] > 0
+        z = F.when(
+            is_d & ~acc["started"], e["dmd"].cast("double")
+        ).when(
+            is_d,
+            F.lit(a) * e["dmd"].cast("double") + F.lit(1.0 - a) * acc["z"],
+        ).otherwise(acc["z"])
+        p = F.when(
+            is_d & ~acc["started"], qq.cast("double")
+        ).when(
+            is_d, F.lit(a) * qq.cast("double") + F.lit(1.0 - a) * acc["p"]
+        ).otherwise(acc["p"])
+        started = acc["started"] | is_d
+        fc = F.when(started, z / p).otherwise(F.lit(0.0))
+        new_row = F.struct(
+            e["d"].alias("d"),
+            e["dmd"].alias("demand"),
+            z.alias("z"),
+            p.alias("p"),
+            fc.alias("forecast"),
+        )
+        return F.struct(
+            z.alias("z"),
+            p.alias("p"),
+            F.when(is_d, F.lit(0).cast("long")).otherwise(qq).alias("q"),
+            started.alias("started"),
+            F.concat(acc["rows"], F.array(new_row)).alias("rows"),
+        )
+
+    folded = packed.select(
+        F.aggregate("series", init, step)["rows"].alias("rows")
+    )
+    r = F.col("r")
+    return folded.select(F.explode("rows").alias("r")).select(
+        r["d"].alias("d"),
+        r["demand"].alias("demand"),
+        F.round(r["z"], ndigits).alias("z"),
+        F.round(r["p"], ndigits).alias("p"),
+        F.round(r["forecast"], ndigits).alias("forecast"),
+    )

@@ -386,3 +386,55 @@ def test_hurst_constant_windows_dropped(spark):
     got = hurst_rs(_hurst_events(spark, [7.0] * 30)).collect()[0]
     # every window constant -> D = 0 everywhere -> no points, slope 0
     assert got.n_windows == 0 and got.hurst == 0.0
+
+
+# ------------------------------------------------------------ Croston
+
+def test_croston_hand_recursion(spark):
+    from ddaugner_spark.operators.events import croston_forecast
+
+    # demand days at t=1 (2 units) and t=4 (4 units) over 6 days
+    rows = []
+    mk = lambda day, n: [(day, "purchase", 300.0)] * n
+    sched = {1: 2, 4: 4}
+    for day in range(6):
+        rows += mk(day, sched.get(day, 0))
+        rows += [(day, "view", 1.0)]  # keeps the spine spanning 0..5
+    ev = spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1)
+             + datetime.timedelta(days=day), "u", t, v, "{}")
+            for i, (day, t, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r.d: r
+        for r in croston_forecast(
+            ev, demand_type="purchase", min_value=200.0
+        ).collect()
+    }
+    days = sorted(got)
+    # day0: cold start
+    assert got[days[0]].forecast == 0.0 and got[days[0]].z == 0.0
+    # day1: first demand 2 after interval 2 (q counts day0 and day1)
+    assert got[days[1]].demand == 2
+    assert got[days[1]].z == 2.0 and got[days[1]].p == 2.0
+    assert got[days[1]].forecast == pytest.approx(1.0, abs=1e-6)
+    # days 2-3: state frozen
+    assert got[days[3]].z == 2.0 and got[days[3]].p == 2.0
+    # day4: demand 4 after interval 3 -> z = .5·4+.5·2 = 3, p = .5·3+.5·2 = 2.5
+    assert got[days[4]].z == 3.0 and got[days[4]].p == 2.5
+    assert got[days[4]].forecast == pytest.approx(1.2, abs=1e-6)
+    # day5: frozen again
+    assert got[days[5]].forecast == pytest.approx(1.2, abs=1e-6)
+
+
+def test_croston_no_demand_all_zero(spark):
+    from ddaugner_spark.operators.events import croston_forecast
+
+    ev = _hurst_events(spark, [1.0] * 5)  # views only, no purchases
+    out = croston_forecast(ev, demand_type="purchase").collect()
+    assert len(out) == 5
+    assert all(r.forecast == 0.0 and r.z == 0.0 for r in out)
