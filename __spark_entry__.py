@@ -5253,6 +5253,28 @@ def q_spam_mass(spark, sf):
     return j.withColumn("spam_mass", F.round(sm, 6))
 
 
+def q_ar2(spark, sf):
+    """Closed-form Yule–Walker AR(2) fit from the q_acf lags — the
+    two-parameter memory model q_pacf's order check lands on, with the
+    residual-variance ratio 1 − φ₁r₁ − φ₂r₂; fixed float tree over the
+    rounded r's, no iterative estimation
+    (operators/temporal.py yule_walker_ar2)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return temporal.yule_walker_ar2(
+        temporal.autocorrelation(ev, bucket_s=3600, max_lag=6)
+    )
+
+
+def q_capture_recapture(spark, sf):
+    """Chapman-corrected Lincoln–Petersen capture–recapture estimate
+    of corpus size from two independent deterministic 50%% crawl
+    samples (md5-of-identity membership — the repo's determinism
+    device): the "how much web are we NOT seeing" coverage estimator,
+    with true_n reported so the estimator's error IS the readout
+    (operators/crawl.py capture_recapture)."""
+    return crawl.capture_recapture(_docs(spark, sf))
+
+
 def q_ljung_box(spark, sf):
     """Ljung–Box portmanteau Q over the q_acf lags — the white-noise
     diagnostic closing the Box–Jenkins triple (q_acf identifies,
@@ -6810,6 +6832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spam_mass": q_spam_mass,
         "q_hurst": q_hurst,
         "q_croston": q_croston,
+        "q_ar2": q_ar2,
+        "q_capture_recapture": q_capture_recapture,
     }
 
 
@@ -15242,6 +15266,51 @@ sents AS (
           THEN (pr.pr - coalesce(tr.tr, 0.0)) / pr.pr
           ELSE 0.0 END, 6) AS spam_mass
       FROM pr LEFT JOIN tr USING (entity)
+    """
+
+    # AR(2) replay: the q_acf subquery pivoted, the closed-form fit
+    # with phi expressions inlined into the variance ratio
+    o["q_ar2"] = f"""
+      WITH acf AS (SELECT lag, r FROM ({o["q_acf"]})),
+      rr AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+                    max(CASE WHEN lag = 2 THEN r END) AS r2 FROM acf)
+      SELECT
+        round(CASE WHEN 1.0 - r1 * r1 != 0
+          THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) ELSE 0.0 END, 6)
+          AS phi1,
+        round(CASE WHEN 1.0 - r1 * r1 != 0
+          THEN (r2 - r1 * r1) / (1.0 - r1 * r1) ELSE 0.0 END, 6)
+          AS phi2,
+        round(1.0
+          - (CASE WHEN 1.0 - r1 * r1 != 0
+              THEN r1 * (1.0 - r2) / (1.0 - r1 * r1) ELSE 0.0 END) * r1
+          - (CASE WHEN 1.0 - r1 * r1 != 0
+              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) ELSE 0.0 END) * r2,
+          6) AS resid_var_ratio
+      FROM rr
+    """
+
+    # capture–recapture replay: the md5 membership device, four
+    # conditional counts, the Chapman-corrected estimate
+    o["q_capture_recapture"] = """
+      WITH g AS (
+        SELECT count(*)::BIGINT AS true_n,
+          sum((('0x' || substr(md5(doc_id::VARCHAR || '|cap_a'), 1, 4))
+               ::UBIGINT % 100 < 50)::BIGINT)::BIGINT AS n1,
+          sum((('0x' || substr(md5(doc_id::VARCHAR || '|cap_b'), 1, 4))
+               ::UBIGINT % 100 < 50)::BIGINT)::BIGINT AS n2,
+          sum(((('0x' || substr(md5(doc_id::VARCHAR || '|cap_a'), 1, 4))
+                ::UBIGINT % 100 < 50)
+               AND (('0x' || substr(md5(doc_id::VARCHAR || '|cap_b'),
+                     1, 4))::UBIGINT % 100 < 50))::BIGINT)::BIGINT
+            AS overlap
+        FROM documents
+      )
+      SELECT n1, n2, overlap,
+        round((n1 + 1)::DOUBLE * (n2 + 1)::DOUBLE
+              / (overlap + 1)::DOUBLE - 1.0, 6) AS n_hat,
+        true_n
+      FROM g
     """
 
     # Ljung–Box replay: the q_acf subquery, quantized per-lag terms

@@ -821,3 +821,52 @@ def change_rate(
         "span_min",
         F.round(rate, ndigits).alias("change_rate"),
     )
+
+
+def capture_recapture(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    sample_pct: int = 50,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chapman-corrected Lincoln–Petersen capture–recapture estimate
+    of the TOTAL population from two independent deterministic crawl
+    samples (Chapman 1951; the "how big is the web we are not seeing"
+    coverage estimator — two crawls that overlap a lot have seen most
+    of it, two that barely overlap imply a large unseen mass):
+    N̂ = (n₁+1)(n₂+1)/(m+1) − 1 over sample membership derived from
+    md5(id‖salt) — a pure function of row identity (the repo's
+    determinism rule), so both "captures" are independent
+    ``sample_pct``%% Bernoulli draws and the estimate is reproducible
+    under repartition.  One row ``(n1, n2, overlap, n_hat, true_n)``
+    (``true_n`` reported because the gate corpus knows it — the
+    estimator's error IS the readout).
+
+    One corpus pass, four conditional BIGINT counts, one float chain.
+    """
+    def member(salt):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4), 16, 10)
+            .cast("long")
+            % 100
+            < sample_pct
+        )
+
+    a, b = member("|cap_a"), member("|cap_b")
+    g = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("true_n"),
+        F.sum(a.cast("long")).cast("long").alias("n1"),
+        F.sum(b.cast("long")).cast("long").alias("n2"),
+        F.sum((a & b).cast("long")).cast("long").alias("overlap"),
+    )
+    n_hat = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("overlap") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return g.select(
+        "n1", "n2", "overlap",
+        F.round(n_hat, ndigits).alias("n_hat"),
+        "true_n",
+    )

@@ -1172,3 +1172,37 @@ def hurst_rs(
         F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
         F.round(hurst, ndigits).alias("hurst"),
     )
+
+
+def yule_walker_ar2(acf: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Closed-form Yule–Walker AR(2) fit from an
+    :func:`autocorrelation` output — one row ``(phi1, phi2,
+    resid_var_ratio)`` with φ₁ = r₁(1−r₂)/(1−r₁²),
+    φ₂ = (r₂−r₁²)/(1−r₁²) and the residual-variance ratio
+    σ²/γ₀ = 1 − φ₁r₁ − φ₂r₂ — the two-parameter memory model the
+    [[q_pacf]] order check usually lands on (PACF says "2 AR terms",
+    this fits them without any iterative estimation).
+
+    Inputs are the ROUNDED r₁, r₂ (identical doubles both engines);
+    the whole fit is a fixed float tree, NULL-free: a degenerate
+    1−r₁² = 0 (perfect lag-1 correlation) yields zeros lazily.
+    """
+    row = acf.groupBy().agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+    )
+    den = F.lit(1.0) - F.col("r1") * F.col("r1")
+    phi1 = F.when(
+        den != 0,
+        F.col("r1") * (F.lit(1.0) - F.col("r2")) / den,
+    ).otherwise(F.lit(0.0))
+    phi2 = F.when(
+        den != 0,
+        (F.col("r2") - F.col("r1") * F.col("r1")) / den,
+    ).otherwise(F.lit(0.0))
+    rvr = F.lit(1.0) - phi1 * F.col("r1") - phi2 * F.col("r2")
+    return row.select(
+        F.round(phi1, ndigits).alias("phi1"),
+        F.round(phi2, ndigits).alias("phi2"),
+        F.round(rvr, ndigits).alias("resid_var_ratio"),
+    )

@@ -438,3 +438,39 @@ def test_croston_no_demand_all_zero(spark):
     out = croston_forecast(ev, demand_type="purchase").collect()
     assert len(out) == 5
     assert all(r.forecast == 0.0 and r.z == 0.0 for r in out)
+
+
+# -------------------------------------------- AR(2) / capture-recapture
+
+def test_ar2_recovers_known_process_acf(spark):
+    from ddaugner_spark.operators.temporal import yule_walker_ar2
+
+    # theoretical ACF of AR(2) with phi1=.5, phi2=.3:
+    # r1 = phi1/(1-phi2) = 5/7; r2 = phi1·r1 + phi2
+    phi1, phi2 = 0.5, 0.3
+    r1 = phi1 / (1 - phi2)
+    r2 = phi1 * r1 + phi2
+    acf = spark.createDataFrame(
+        [(1, 100, round(r1, 6)), (2, 100, round(r2, 6))],
+        "lag long, n_buckets long, r double",
+    )
+    got = yule_walker_ar2(acf).collect()[0]
+    assert got.phi1 == pytest.approx(phi1, abs=1e-4)
+    assert got.phi2 == pytest.approx(phi2, abs=1e-4)
+    assert got.resid_var_ratio == pytest.approx(
+        1 - got.phi1 * round(r1, 6) - got.phi2 * round(r2, 6), abs=1e-5
+    )
+
+
+def test_capture_recapture_near_truth(spark, sf_dir):
+    from ddaugner_spark.operators.crawl import capture_recapture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = capture_recapture(docs).collect()[0]
+    # ~50% samples of 500 docs; Chapman estimate within 20% of truth
+    assert 0.4 * got.true_n < got.n1 < 0.6 * got.true_n
+    assert abs(got.n_hat - got.true_n) < 0.2 * got.true_n
+    # identity on the counts
+    assert got.n_hat == pytest.approx(
+        (got.n1 + 1) * (got.n2 + 1) / (got.overlap + 1) - 1, abs=1e-5
+    )
