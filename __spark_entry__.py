@@ -5565,6 +5565,18 @@ def q_sax(spark, sf):
     return evops.sax_symbols(ev, window_days=3)
 
 
+def q_fightin_words(spark, sf):
+    """Monroe "Fightin' Words" token log-odds en-vs-zh with the
+    corpus-frequency Dirichlet prior, z-scored — the statistically
+    grounded corpus comparison (shrinks exactly the rare words raw
+    log-odds overweight), token-level companion to q_burrows_delta;
+    per-token fixed float chains, NO cross-token reduction anywhere
+    (operators/textstats.py fightin_words)."""
+    return textstats.fightin_words(
+        _docs(spark, sf), "lang", "en", "zh", alpha0=100.0, min_count=5
+    )
+
+
 def q_burrows_delta(spark, sf):
     """Burrows' Delta stylometric distance between sources — z-scored
     top-30 word frequencies, Δ = mean |z_a − z_b| per unordered source
@@ -6834,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_croston": q_croston,
         "q_ar2": q_ar2,
         "q_capture_recapture": q_capture_recapture,
+        "q_fightin_words": q_fightin_words,
     }
 
 
@@ -16082,6 +16095,43 @@ sents AS (
         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
       FROM zz
+    """
+
+    # Fightin' Words replay: identical per-token fixed chains
+    o["q_fightin_words"] = """
+      WITH tw AS (
+        SELECT lang AS grp,
+               unnest(CASE WHEN coalesce(text, '') = ''
+                          THEN []::VARCHAR[]
+                          ELSE string_split(text, ' ') END) AS w
+        FROM documents WHERE lang IN ('en', 'zh')
+      ),
+      cw AS (
+        SELECT w,
+          sum(CASE WHEN grp = 'en' THEN 1 ELSE 0 END)::BIGINT AS ya,
+          sum(CASE WHEN grp = 'zh' THEN 1 ELSE 0 END)::BIGINT AS yb
+        FROM tw GROUP BY w
+      ),
+      tot AS (SELECT sum(ya)::BIGINT AS na, sum(yb)::BIGINT AS nb,
+                     sum(ya + yb)::BIGINT AS nn FROM cw),
+      j AS (
+        SELECT cw.w, cw.ya, cw.yb, t.na, t.nb,
+               100.0 * (cw.ya + cw.yb)::DOUBLE / t.nn::DOUBLE AS aw
+        FROM cw, tot t WHERE cw.ya + cw.yb >= 5
+      )
+      SELECT w AS token, ya AS cnt_a, yb AS cnt_b,
+        round(ln((ya::DOUBLE + aw)
+                 / (na::DOUBLE + 100.0 - ya::DOUBLE - aw))
+              - ln((yb::DOUBLE + aw)
+                   / (nb::DOUBLE + 100.0 - yb::DOUBLE - aw)), 6)
+          AS delta,
+        round((ln((ya::DOUBLE + aw)
+                  / (na::DOUBLE + 100.0 - ya::DOUBLE - aw))
+               - ln((yb::DOUBLE + aw)
+                    / (nb::DOUBLE + 100.0 - yb::DOUBLE - aw)))
+              / sqrt(1.0 / (ya::DOUBLE + aw)
+                     + 1.0 / (yb::DOUBLE + aw)), 6) AS z
+      FROM j
     """
 
     # Burrows' Delta replay: identical quantized frequencies, exact

@@ -2003,3 +2003,74 @@ def burrows_delta(
             ndigits,
         ).alias("delta"),
     )
+
+
+def fightin_words(
+    docs: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    alpha0: float = 100.0,
+    min_count: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Monroe/Colaresi/Quinn "Fightin' Words" (Political Analysis
+    2008): per-token log-odds-ratio between two groups with an
+    INFORMATIVE Dirichlet prior proportional to corpus frequency,
+    z-scored by the delta variance — the statistically grounded corpus
+    comparison (raw log-odds overweight rare words; the prior shrinks
+    exactly them), the token-level companion to
+    :func:`burrows_delta`'s document-level distance.  One row per
+    token with combined count ≥ ``min_count``: ``(token, cnt_a, cnt_b,
+    delta, z)``.
+
+      δ_w = ln((y_aw+α_w)/(n_a+α₀−y_aw−α_w))
+          − ln((y_bw+α_w)/(n_b+α₀−y_bw−α_w)),
+      σ²_w ≈ 1/(y_aw+α_w) + 1/(y_bw+α_w),   z = δ/σ,
+      α_w = α₀·c_w/N.
+
+    Determinism: counts exact BIGINTs; each token's δ and z are a
+    FIXED float chain over its own five numbers — there is NO
+    cross-token float reduction anywhere, so no quantization is even
+    needed (rounding at ``ndigits`` is pure render).  Scale: one
+    (group, token) aggregate + one token-keyed corpus margin join —
+    the :func:`jsd_by_group` shape.
+    """
+    tw = docs.select(
+        F.col(group_col).alias("grp"), F.explode(safe_tokens()).alias("w")
+    ).where(F.col("grp").isin(group_a, group_b))
+    cw = tw.groupBy("w").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("ya"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("yb"),
+    )
+    tot = cw.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).cast("long").alias("nn"),
+    )
+    j = cw.where(F.col("ya") + F.col("yb") >= min_count).crossJoin(
+        F.broadcast(tot)
+    )
+    a0 = F.lit(float(alpha0))
+    aw = (
+        a0
+        * (F.col("ya") + F.col("yb")).cast("double")
+        / F.col("nn").cast("double")
+    )
+    ya, yb = F.col("ya").cast("double"), F.col("yb").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    delta = F.log(
+        (ya + aw) / (na + a0 - ya - aw)
+    ) - F.log((yb + aw) / (nb + a0 - yb - aw))
+    var = F.lit(1.0) / (ya + aw) + F.lit(1.0) / (yb + aw)
+    return j.select(
+        F.col("w").alias("token"),
+        F.col("ya").alias("cnt_a"),
+        F.col("yb").alias("cnt_b"),
+        F.round(delta, ndigits).alias("delta"),
+        F.round(delta / F.sqrt(var), ndigits).alias("z"),
+    )

@@ -266,3 +266,42 @@ def test_burrows_delta_matches_replay_and_separates_styles(spark):
     # other than either is to the jargon source
     assert got[("s1", "s2")] < got[("s1", "s3")]
     assert got[("s1", "s2")] < got[("s2", "s3")]
+
+
+# ---------------------------------------------------- Fightin' Words
+
+def test_fightin_words_direction_and_replay(spark):
+    import math
+
+    from ddaugner_spark.operators.textstats import fightin_words
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha shared shared", "en"),
+            (2, "alpha shared shared shared", "en"),
+            (3, "beta beta beta shared shared", "zh"),
+            (4, "beta shared shared shared", "zh"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r.token: r
+        for r in fightin_words(
+            docs, "source", "en", "zh", alpha0=10.0, min_count=2
+        ).collect()
+    }
+    # direction: 'alpha' is en-marked (z > 0), 'beta' zh-marked (z < 0),
+    # 'shared' near zero; symmetric corpus -> antisymmetric scores
+    assert got["alpha"].z > 0 > got["beta"].z
+    assert abs(got["shared"].z) < abs(got["alpha"].z)
+    assert got["alpha"].z == pytest.approx(-got["beta"].z, abs=1e-6)
+
+    # eager replay for one token
+    ya, yb, na, nb, nn = 4, 0, 9, 9, 18
+    aw = 10.0 * (ya + yb) / nn
+    delta = math.log((ya + aw) / (na + 10.0 - ya - aw)) - math.log(
+        (yb + aw) / (nb + 10.0 - yb - aw)
+    )
+    z = delta / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
+    assert got["alpha"].delta == pytest.approx(delta, abs=1e-6)
+    assert got["alpha"].z == pytest.approx(z, abs=1e-6)
