@@ -1949,6 +1949,22 @@ def q_salsa(spark, sf):
     return graph.salsa(_host_edges(spark, sf), iters=2)
 
 
+def q_rbo(spark, sf):
+    """Rank-Biased Overlap@20 (Webber TOIS'10, p=0.9) between the
+    Katz and SALSA-authority host rankings — the top-weighted "do my
+    two rankers agree where it matters" readout, composed from the two
+    queries' ROUNDED outputs (the q_spam_mass device) with
+    (score DESC, node ASC) ties; depth terms on a literal (d, p^{d−1})
+    spine whose powers are Python-computed ONCE for both engines —
+    libm pow parity is not gambled on — and micro-quantized into an
+    integer Σ (operators/retrieval.py rbo_truncated)."""
+    a = q_katz(spark, sf).select("node", F.col("katz").alias("score"))
+    b = q_salsa(spark, sf).select(
+        "node", F.col("authority").alias("score")
+    )
+    return retrieval.rbo_truncated(a, b, "node", "score", k=20, p=0.9)
+
+
 def q_katz(spark, sf):
     """Katz centrality (Katz, Psychometrika 1953) over the directed
     host web graph, series truncated at walk length 3, β = 1/4 — the
@@ -6425,10 +6441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_page_hinkley, q_pred_cardinality, q_entity_summary,
     q_gopher_rules, q_c4_clean, q_betweenness; rotate in next round) —
     stays covered by
-    tools/parity_check.py locally (full 363-query gate ALL OK at
-    sf0.01 in session 19, plus per-query runs at sf0.001 + sf0.01 for
-    every query added after that gate snapshot — 386 registered, all
-    with oracle twins)."""
+    tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
+    session 19 — 363-query and 386-query snapshots — plus per-query
+    runs at sf0.001 + sf0.01 for every query added after the last
+    snapshot; 400 registered, all with oracle twins)."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
@@ -6847,6 +6863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ar2": q_ar2,
         "q_capture_recapture": q_capture_recapture,
         "q_fightin_words": q_fightin_words,
+        "q_rbo": q_rbo,
     }
 
 
@@ -15279,6 +15296,47 @@ sents AS (
           THEN (pr.pr - coalesce(tr.tr, 0.0)) / pr.pr
           ELSE 0.0 END, 6) AS spam_mass
       FROM pr LEFT JOIN tr USING (entity)
+    """
+
+    # RBO replay: the katz/salsa subqueries, identical rank windows,
+    # the same Python-computed p-power spine, quantized depth terms
+    _rbo_spine = ", ".join(
+        f"({d}, {0.9 ** (d - 1)!r})" for d in range(1, 21)
+    )
+    o["q_rbo"] = f"""
+      WITH ka AS (SELECT node, katz AS score FROM ({o["q_katz"]})),
+      sa AS (SELECT node, authority AS score FROM ({o["q_salsa"]})),
+      ra AS (
+        SELECT x, ra FROM (
+          SELECT node AS x,
+                 row_number() OVER (ORDER BY score DESC, node ASC)
+                   ::BIGINT AS ra
+          FROM ka) WHERE ra <= 20
+      ),
+      rb AS (
+        SELECT x, rb FROM (
+          SELECT node AS x,
+                 row_number() OVER (ORDER BY score DESC, node ASC)
+                   ::BIGINT AS rb
+          FROM sa) WHERE rb <= 20
+      ),
+      mx AS (SELECT greatest(ra.ra, rb.rb)::BIGINT AS m
+             FROM ra JOIN rb USING (x)),
+      spine(d, pw) AS (VALUES {_rbo_spine}),
+      terms AS (
+        SELECT round(1000000000.0 * s.pw
+                     * (count(m.m)::DOUBLE / s.d::DOUBLE), 0)::BIGINT
+          AS tq
+        FROM spine s LEFT JOIN mx m ON m.m <= s.d
+        GROUP BY s.d, s.pw
+      ),
+      ni AS (SELECT count(*)::BIGINT AS n_items
+             FROM (SELECT coalesce(ra.x, rb.x) AS x
+                   FROM ra FULL JOIN rb ON ra.x = rb.x)),
+      f AS (SELECT sum(tq)::BIGINT AS sq FROM terms)
+      SELECT 20::BIGINT AS depth, ni.n_items,
+        round((1.0 - 0.9) * (f.sq::DOUBLE / 1000000000.0), 6) AS rbo
+      FROM ni, f
     """
 
     # AR(2) replay: the q_acf subquery pivoted, the closed-form fit

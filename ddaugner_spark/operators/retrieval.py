@@ -387,3 +387,86 @@ def ql_dirichlet(
         .where(F.col("rank") <= k)
         .select("rank", "doc_id", "score")
     )
+
+
+def rbo_truncated(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    score_col: str,
+    k: int = 20,
+    p: float = 0.9,
+    qscale: int = 10**9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS
+    2010) between two rankings of the same items — the top-weighted
+    ranking-similarity measure built for INDEFINITE rankings (Kendall
+    τ weighs every swap equally; RBO geometrically discounts depth,
+    which is how humans read result lists): one row ``(depth, n_items,
+    rbo)`` with RBO@k = (1−p)·Σ_{d≤k} p^{d−1}·|A_d ∩ B_d|/d.
+
+    Items rank by ``(score DESC, key ASC)`` — the deterministic
+    tie-break both engines share.  An item entering both prefixes at
+    depth max(r_a, r_b) contributes to every deeper agreement, so the
+    overlap-at-depth table folds from ONE max-rank aggregate joined to
+    a ``(d, p^{d−1})`` LITERAL spine whose powers are computed ONCE in
+    Python and inlined on BOTH engines (libm ``pow`` parity is not a
+    thing to gamble on); each depth term is micro-quantized and the Σ
+    over ≤k terms is an integer sum.  Rankings are driver-free: two
+    global row_number windows over ALREADY-AGGREGATED score tables
+    (node-sized by contract).
+    """
+    spark = a.sparkSession
+    wa = Window.orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+    ra = a.select(
+        F.col(key_col).alias("x"),
+        F.row_number().over(wa).cast("long").alias("ra"),
+    ).where(F.col("ra") <= k)
+    rb = b.select(
+        F.col(key_col).alias("x"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        )
+        .cast("long")
+        .alias("rb"),
+    ).where(F.col("rb") <= k)
+    mx = ra.join(rb, "x").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    spine = spark.createDataFrame(
+        [(d, float(p) ** (d - 1)) for d in range(1, k + 1)],
+        "d long, pw double",
+    )
+    terms = (
+        spine.join(mx, F.col("m") <= F.col("d"), "left")
+        .groupBy("d", "pw")
+        .agg(F.count(F.col("m")).cast("long").alias("cd"))
+        .select(
+            F.round(
+                F.lit(float(qscale))
+                * F.col("pw")
+                * (F.col("cd").cast("double") / F.col("d").cast("double")),
+                0,
+            )
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    n_items = ra.join(rb, "x", "full").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items")
+    )
+    folded = terms.agg(F.sum("tq").cast("long").alias("sq"))
+    return (
+        n_items.crossJoin(F.broadcast(folded))
+        .select(
+            F.lit(k).cast("long").alias("depth"),
+            "n_items",
+            F.round(
+                F.lit(1.0 - float(p))
+                * (F.col("sq").cast("double") / F.lit(float(qscale))),
+                ndigits,
+            ).alias("rbo"),
+        )
+    )

@@ -474,3 +474,42 @@ def test_capture_recapture_near_truth(spark, sf_dir):
     assert got.n_hat == pytest.approx(
         (got.n1 + 1) * (got.n2 + 1) / (got.overlap + 1) - 1, abs=1e-5
     )
+
+
+# ---------------------------------------------------------------- RBO
+
+def test_rbo_identical_and_disjoint(spark):
+    from ddaugner_spark.operators.retrieval import rbo_truncated
+
+    a = spark.createDataFrame(
+        [(f"n{i}", float(100 - i)) for i in range(20)], "node string, s double"
+    )
+    # identical rankings -> truncated RBO = (1-p)·Σ p^(d-1) (A_d = 1)
+    got = rbo_truncated(a, a, "node", "s", k=20, p=0.9).collect()[0]
+    want = 0.1 * sum(0.9 ** (d - 1) for d in range(1, 21))
+    assert got.n_items == 20
+    assert got.rbo == pytest.approx(want, abs=1e-5)
+    # disjoint rankings -> 0
+    b = spark.createDataFrame(
+        [(f"m{i}", float(100 - i)) for i in range(20)], "node string, s double"
+    )
+    got2 = rbo_truncated(a, b, "node", "s", k=20, p=0.9).collect()[0]
+    assert got2.rbo == 0.0 and got2.n_items == 40
+
+
+def test_rbo_top_weighted(spark):
+    """Agreement at the TOP is worth more than the same agreement at
+    the bottom — the defining RBO property Kendall τ lacks."""
+    from ddaugner_spark.operators.retrieval import rbo_truncated
+
+    base = [(f"n{i}", float(100 - i)) for i in range(10)]
+    a = spark.createDataFrame(base, "node string, s double")
+    # swap ranks 1&2 vs swap ranks 9&10
+    def swapped(i, j):
+        rows = list(base)
+        rows[i], rows[j] = (rows[i][0], rows[j][1]), (rows[j][0], rows[i][1])
+        return spark.createDataFrame(rows, "node string, s double")
+
+    top_swap = rbo_truncated(a, swapped(0, 1), "node", "s", k=10).collect()[0]
+    bot_swap = rbo_truncated(a, swapped(8, 9), "node", "s", k=10).collect()[0]
+    assert top_swap.rbo < bot_swap.rbo
