@@ -6444,7 +6444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 400 registered, all with oracle twins)."""
+    snapshot; 401 registered, all with oracle twins)."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
