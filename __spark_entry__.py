@@ -6225,6 +6225,26 @@ def q_bh_fdr(spark, sf):
     return textstats.chi2_bh_select(_docs(spark, sf))
 
 
+def q_holm(spark, sf):
+    """Holm–Bonferroni step-DOWN token selection over the SAME exact
+    χ² p-values as q_bh_fdr — the familywise-error sibling: reject
+    while p_(i) ≤ α/(m−i+1), STOP at the first failure; running both
+    rules on one p table is the standard FWER-vs-FDR cost comparison
+    (operators/textstats.py chi2_holm_select, sharing
+    _chi2_token_ranked with BH)."""
+    return textstats.chi2_holm_select(_docs(spark, sf))
+
+
+def q_srm(spark, sf):
+    """Sample-ratio-mismatch guardrail on the user_id % 2 assignment —
+    the first experimentation-platform diagnostic (a broken split
+    invalidates q_ab_test/q_cuped/q_did wholesale): z = (n_a−n_b)/√N,
+    χ² = z², |z| > 3 red flag; one distinct-user aggregate, exact
+    BIGINTs, two float ops (operators/events.py srm_check)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.srm_check(ev)
+
+
 def q_welch_t(spark, sf):
     """Welch's unequal-variance t test of document length (n_chars)
     between the two largest languages (en vs zh) — the parametric
@@ -6864,6 +6884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_capture_recapture": q_capture_recapture,
         "q_fightin_words": q_fightin_words,
         "q_rbo": q_rbo,
+        "q_holm": q_holm,
+        "q_srm": q_srm,
     }
 
 
@@ -17912,6 +17934,52 @@ sents AS (
       SELECT tok, round(chi2, 6) AS chi2, round(p, 6) AS p, bh_rank,
              bh_rank <= (SELECT k FROM kstar) AS rejected
       FROM ranked
+    """
+
+    # Holm replay: the BH oracle's shared prefix (everything through
+    # `ranked`) + the step-down rule.  Split on the kstar CTE marker —
+    # if the marker ever disappears the SQL is malformed and the gate
+    # fails LOUDLY (not the silent-no-op failure mode ADVICE r4
+    # flagged for string surgery).
+    _chi2_ranked_prefix = o["q_bh_fdr"].split("      kstar AS (")[0]
+    o["q_holm"] = _chi2_ranked_prefix + """      ff AS (
+        SELECT coalesce(
+                 min(CASE WHEN p9 > round(0.05::DOUBLE
+                                          / (m - bh_rank + 1)::DOUBLE, 9)
+                          THEN bh_rank END),
+                 max(m) + 1)::BIGINT AS ff
+        FROM ranked
+      )
+      SELECT tok, round(chi2, 6) AS chi2, round(p, 6) AS p,
+             bh_rank AS rank,
+             bh_rank < (SELECT ff FROM ff) AS rejected
+      FROM ranked
+    """
+
+    # SRM replay: distinct users, the parity split, two float ops
+    o["q_srm"] = """
+      WITH per AS (SELECT DISTINCT user_id FROM events),
+      g AS (
+        SELECT count(*)::BIGINT AS n,
+          sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_a,
+          sum(CASE WHEN user_id % 2 != 0 THEN 1 ELSE 0 END)::BIGINT
+            AS n_b
+        FROM per
+      )
+      SELECT n, n_a, n_b,
+        round(CASE WHEN n > 0
+          THEN (n_a - n_b)::DOUBLE / sqrt(n::DOUBLE)
+          ELSE 0.0 END, 6) AS z,
+        round((CASE WHEN n > 0
+          THEN (n_a - n_b)::DOUBLE / sqrt(n::DOUBLE) ELSE 0.0 END)
+          * (CASE WHEN n > 0
+             THEN (n_a - n_b)::DOUBLE / sqrt(n::DOUBLE)
+             ELSE 0.0 END), 6) AS chi2,
+        (abs(CASE WHEN n > 0
+             THEN (n_a - n_b)::DOUBLE / sqrt(n::DOUBLE)
+             ELSE 0.0 END) > 3.0) AS srm_flag
+      FROM g
     """
 
     # Welch t replay: the same six exact BIGINT moments, the same

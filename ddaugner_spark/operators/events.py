@@ -1675,3 +1675,42 @@ def croston_forecast(
         F.round(r["p"], ndigits).alias("p"),
         F.round(r["forecast"], ndigits).alias("forecast"),
     )
+
+
+def srm_check(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first check every
+    experimentation platform runs — Fabijan et al., KDD 2019 call SRM
+    "the most useful A/B test diagnostic"): users assign to two arms
+    by the deterministic ``user_id % 2`` split; under a healthy 50/50
+    ramp the arm-count gap is a random walk of ±1 steps, so
+    z = (n_a − n_b)/√N and χ² = z² (df 1).  One row ``(n, n_a, n_b, z,
+    chi2, srm_flag)`` with the |z| > 3 red flag — an SRM means the
+    ASSIGNMENT is broken and every downstream metric (q_ab_test,
+    q_cuped, q_did) is garbage, which is why this ships next to them.
+
+    One user-level aggregate (map-side combined), three exact BIGINTs,
+    a two-op float chain.
+    """
+    per = events.select("user_id").distinct()
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    z = F.when(
+        F.col("n") > 0,
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        / F.sqrt(F.col("n").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "n",
+        "n_a",
+        "n_b",
+        F.round(z, ndigits).alias("z"),
+        F.round(z * z, ndigits).alias("chi2"),
+        (F.abs(z) > 3.0).alias("srm_flag"),
+    )

@@ -1626,43 +1626,14 @@ def textrank_keywords(
     )
 
 
-def chi2_bh_select(
-    docs: DataFrame,
-    lang_a: str = "en",
-    lang_b: str = "zh",
-    min_df: int = 5,
-    alpha: float = 0.05,
-    ndigits: int = 6,
+def _chi2_token_ranked(
+    docs: DataFrame, lang_a: str, lang_b: str, min_df: int
 ) -> DataFrame:
-    """Benjamini–Hochberg FDR-controlled token selection (Benjamini &
-    Hochberg JRSS-B'95) over EXACT per-token p-values: each token's
-    document-presence is tested against the 3-level language grouping
-    {lang_a, lang_b, other} with a 2×3 Pearson χ² — df = 2, so the
-    survival function is closed-form, p = exp(−χ²/2), no incomplete-
-    gamma approximation — then the BH step-up rule rejects the largest
-    prefix i ≤ k* of the p-sorted tokens with p_(i) ≤ α·i/m.  The
-    multiple-testing-safe version of the q_chi2_tokens screen: with
-    m ≈ vocab tests, per-test α would flood the selection with false
-    positives.
-
-    Exactness: all six observed cells are exact BIGINTs; expected
-    counts and the six (O−E)²/E terms are a FIXED left-to-right float
-    chain, so χ² (pure +−×÷, correctly rounded IEEE on both engines)
-    is bit-identical.  ``exp`` is the one libm call and is NOT
-    guaranteed identically rounded across engines, so every decision
-    made on p — the sort rank and the p ≤ α·i/m comparison — uses the
-    micro-quantized round(p, 9) (ulp noise sits at the 17th decimal;
-    the q_kg_completion integer-quantized-MRR stance).  Ties break by
-    token.  Degenerate margins (token in no/every doc, empty group)
-    pin χ² = 0, p = 1.
-
-    Scale shape: distinct-token explode → one token hash aggregate
-    with three conditional presence sums → broadcast scalar totals →
-    ONE vocab-sized global sort for the BH ranks (the vocabulary is
-    corpus-sublinear; the ranked table then joins nothing).  k* is a
-    single max aggregate broadcast back.  Output: (tok, chi2, p,
-    bh_rank, rejected), rejected = the BH-selected tokens.
-    """
+    """Shared p-value engine of :func:`chi2_bh_select` (step-up BH)
+    and :func:`chi2_holm_select` (step-down Holm): per-token exact
+    df=2 chi-square against {lang_a, lang_b, other} document presence,
+    closed-form p = exp(−χ²/2), micro-quantized p9 rank order and the
+    test count m — ONE derivation, two rejection rules."""
     base = docs.filter(F.coalesce(F.col("text"), F.lit("")) != "").select(
         "doc_id",
         F.when(F.col("lang") == lang_a, lang_a)
@@ -1725,7 +1696,48 @@ def chi2_bh_select(
         F.row_number().over(w).cast("long").alias("bh_rank"),
     )
     m = ranked.agg(F.count(F.lit(1)).cast("long").alias("m"))
-    ranked = ranked.crossJoin(F.broadcast(m)).withColumn(
+    return ranked.crossJoin(F.broadcast(m))
+
+
+def chi2_bh_select(
+    docs: DataFrame,
+    lang_a: str = "en",
+    lang_b: str = "zh",
+    min_df: int = 5,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR-controlled token selection (Benjamini &
+    Hochberg JRSS-B'95) over EXACT per-token p-values: each token's
+    document-presence is tested against the 3-level language grouping
+    {lang_a, lang_b, other} with a 2×3 Pearson χ² — df = 2, so the
+    survival function is closed-form, p = exp(−χ²/2), no incomplete-
+    gamma approximation — then the BH step-up rule rejects the largest
+    prefix i ≤ k* of the p-sorted tokens with p_(i) ≤ α·i/m.  The
+    multiple-testing-safe version of the q_chi2_tokens screen: with
+    m ≈ vocab tests, per-test α would flood the selection with false
+    positives.
+
+    Exactness: all six observed cells are exact BIGINTs; expected
+    counts and the six (O−E)²/E terms are a FIXED left-to-right float
+    chain, so χ² (pure +−×÷, correctly rounded IEEE on both engines)
+    is bit-identical.  ``exp`` is the one libm call and is NOT
+    guaranteed identically rounded across engines, so every decision
+    made on p — the sort rank and the p ≤ α·i/m comparison — uses the
+    micro-quantized round(p, 9) (ulp noise sits at the 17th decimal;
+    the q_kg_completion integer-quantized-MRR stance).  Ties break by
+    token.  Degenerate margins (token in no/every doc, empty group)
+    pin χ² = 0, p = 1.
+
+    Scale shape: distinct-token explode → one token hash aggregate
+    with three conditional presence sums → broadcast scalar totals →
+    ONE vocab-sized global sort for the BH ranks (the vocabulary is
+    corpus-sublinear; the ranked table then joins nothing).  k* is a
+    single max aggregate broadcast back.  Output: (tok, chi2, p,
+    bh_rank, rejected), rejected = the BH-selected tokens.
+    """
+    ranked = _chi2_token_ranked(docs, lang_a, lang_b, min_df)
+    ranked = ranked.withColumn(
         "pass_",
         F.col("p9")
         <= F.round(
@@ -2073,4 +2085,54 @@ def fightin_words(
         F.col("yb").alias("cnt_b"),
         F.round(delta, ndigits).alias("delta"),
         F.round(delta / F.sqrt(var), ndigits).alias("z"),
+    )
+
+
+def chi2_holm_select(
+    docs: DataFrame,
+    lang_a: str = "en",
+    lang_b: str = "zh",
+    min_df: int = 5,
+    alpha: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Holm–Bonferroni step-DOWN token selection (Holm, Scand. J.
+    Stat. 1979) over the SAME exact χ² p-values as
+    :func:`chi2_bh_select` — the familywise-error-rate sibling of BH's
+    FDR: reject p-sorted tokens while p_(i) ≤ α/(m−i+1) and STOP at
+    the first failure (rejections after a failure are forbidden, the
+    defining step-down property; BH's step-up scans from the other
+    end).  Output ``(tok, chi2, p, rank, rejected)`` — running both
+    rules on one p table is the standard "how much do I pay for FWER
+    over FDR" comparison.
+
+    Same determinism posture: every decision uses the micro-quantized
+    round(·, 9) values (libm exp ulp skew), the threshold itself
+    quantized identically; the stop-at-first-failure is ONE min
+    aggregate over failing ranks broadcast back — no sequential scan.
+    """
+    ranked = _chi2_token_ranked(docs, lang_a, lang_b, min_df)
+    thresh = F.round(
+        F.lit(alpha)
+        / (F.col("m") - F.col("bh_rank") + F.lit(1)).cast("double"),
+        9,
+    )
+    flagged = ranked.withColumn("pass_", F.col("p9") <= thresh)
+    first_fail = flagged.agg(
+        F.coalesce(
+            F.min(F.when(~F.col("pass_"), F.col("bh_rank"))),
+            F.max("m") + 1,
+        )
+        .cast("long")
+        .alias("ff")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first_fail))
+        .select(
+            "tok",
+            F.round("chi2", ndigits).alias("chi2"),
+            F.round("p", ndigits).alias("p"),
+            F.col("bh_rank").alias("rank"),
+            (F.col("bh_rank") < F.col("ff")).alias("rejected"),
+        )
     )

@@ -305,3 +305,51 @@ def test_fightin_words_direction_and_replay(spark):
     z = delta / math.sqrt(1.0 / (ya + aw) + 1.0 / (yb + aw))
     assert got["alpha"].delta == pytest.approx(delta, abs=1e-6)
     assert got["alpha"].z == pytest.approx(z, abs=1e-6)
+
+
+# ------------------------------------------------------- Holm / SRM
+
+def test_holm_stops_at_first_failure(spark, sf_dir):
+    """Holm rejects a PREFIX of the p-sorted tokens (no rejections
+    after the first failure) and is never more permissive than BH on
+    the same p table."""
+    from ddaugner_spark.operators.textstats import (
+        chi2_bh_select,
+        chi2_holm_select,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    holm = sorted(chi2_holm_select(docs).collect(), key=lambda r: r.rank)
+    bh = {r.tok: r.rejected for r in chi2_bh_select(docs).collect()}
+    flags = [r.rejected for r in holm]
+    # prefix property: once False, always False
+    if False in flags:
+        first_false = flags.index(False)
+        assert not any(flags[first_false:])
+    # FWER <= FDR permissiveness: holm-rejected is a subset of BH's
+    for r in holm:
+        if r.rejected:
+            assert bh[r.tok]
+
+
+def test_srm_balanced_and_broken(spark):
+    import datetime
+
+    from ddaugner_spark.operators.events import srm_check
+
+    def ev(users):
+        return spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, 1), u, "view", 1.0, "{}")
+                for i, u in enumerate(users)
+            ],
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        )
+
+    ok = srm_check(ev(list(range(100)))).collect()[0]
+    assert (ok.n, ok.n_a, ok.n_b) == (100, 50, 50)
+    assert ok.z == 0.0 and not ok.srm_flag
+    broken = srm_check(ev([2 * i for i in range(100)])).collect()[0]
+    assert broken.n_b == 0 and broken.srm_flag
+    assert broken.z == pytest.approx(100 / 10, abs=1e-6)
