@@ -580,6 +580,18 @@ def q_label_prop(spark, sf):
     )
 
 
+def q_burt(spark, sf):
+    """Burt's network constraint on the co-mention graph (structural
+    holes: low constraint = the entity brokers between otherwise-
+    disconnected groups — the brokerage lens the centrality family
+    misses); every walk weight an exact integral qscale DIV (d_i·d_q),
+    common-neighbor Σ an integer sum, each c_ij quantized once before
+    the neighbor fold; neighbor-restricted Σ (the igraph convention)
+    (operators/graph.py burt_constraint)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.burt_constraint(canonical.co_mention_edges(m))
+
+
 def q_louvain(spark, sf):
     """Parallel Louvain local-move communities on the co-mention graph
     (2 synchronous rounds, the PLM variant) — the modularity-aware
@@ -6886,6 +6898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rbo": q_rbo,
         "q_holm": q_holm,
         "q_srm": q_srm,
+        "q_burt": q_burt,
     }
 
 
@@ -9804,6 +9817,47 @@ def oracle_sql() -> dict[str, str]:
           FROM counts2) WHERE rn = 1
       )
       SELECT node AS entity, label AS community FROM labels2
+    """
+
+    # Burt constraint replay: identical integral walk weights,
+    # integer common-neighbor sums, quantized c_ij
+    o["q_burt"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      edges AS (
+        SELECT DISTINCT a.surface AS a, b.surface AS b
+        FROM mentsent a JOIN mentsent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id
+         AND a.surface < b.surface
+      ),
+      sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      degs AS (SELECT a AS node, count(*)::BIGINT AS d FROM sym GROUP BY a),
+      two AS (
+        SELECT l.a AS i, r.b AS j,
+               sum(1000000000000 // (dl.d * dr.d))::BIGINT AS s2
+        FROM sym l
+        JOIN degs dl ON dl.node = l.a
+        JOIN sym r ON r.a = l.b
+        JOIN degs dr ON dr.node = r.a
+        WHERE l.a != r.b
+        GROUP BY 1, 2
+      ),
+      cij AS (
+        SELECT s.a AS i,
+          round(1000000000.0
+                * (((1000000000000 // dd.d)
+                    + coalesce(t.s2, 0))::DOUBLE / 1000000000000.0)
+                * (((1000000000000 // dd.d)
+                    + coalesce(t.s2, 0))::DOUBLE / 1000000000000.0),
+                0)::BIGINT AS cq
+        FROM sym s
+        JOIN degs dd ON dd.node = s.a
+        LEFT JOIN two t ON t.i = s.a AND t.j = s.b
+      ),
+      per AS (SELECT i AS entity, sum(cq)::BIGINT AS sq
+              FROM cij GROUP BY i)
+      SELECT p.entity, d.d AS degree,
+             round(p.sq::DOUBLE / 1000000000.0, 6) AS constraint
+      FROM per p JOIN degs d ON d.node = p.entity
     """
 
     # 2 synchronous parallel-Louvain rounds unrolled: per node the

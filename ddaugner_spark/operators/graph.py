@@ -2907,3 +2907,97 @@ def powerlaw_alpha(
         F.round(F.coalesce(alpha, F.lit(0.0)), ndigits).alias("alpha"),
         F.round(F.coalesce(se, F.lit(0.0)), ndigits).alias("se"),
     )
+
+
+def burt_constraint(
+    edges: DataFrame, qscale: int = 10**12, ndigits: int = 6
+) -> DataFrame:
+    """Burt's network constraint (Burt, "Structural Holes", 1992) per
+    node over the undirected graph: C_i = Σ_{j∈N(i)} (p_ij +
+    Σ_{q∈N(i)∩N(j)} p_iq·p_qj)² with p_ij = 1/deg(i) — LOW constraint
+    = the node brokers between otherwise-disconnected groups (the
+    structural-hole entrepreneur), HIGH = locked inside one dense
+    cluster; the brokerage lens the centrality family (degree/
+    betweenness/PageRank) doesn't give.  One row ``(entity, degree,
+    constraint)``.
+
+    Exactness: all walk weights are 1/deg rationals, so every indirect
+    term is the exact integral ``qscale DIV (d_i·d_q)`` and the Σ over
+    common neighbors is an INTEGER sum; the direct term adds
+    ``qscale DIV d_i`` (still integer), only the final square and
+    per-node Σ are floats — each c_ij quantized once at 10⁹ before the
+    neighbor fold (the B³ device).  Scale: triangles-style 2-path
+    enumeration (edge⋈edge on the shared middle, degree tables
+    broadcast) — Σ_q deg(q)² work, the standard common-neighbor cost;
+    prune hubs first on graphs where that bites (the two_hop cap).
+    """
+    e = symmetrize(edges.select("a", "b").distinct())
+    deg = e.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("d", "da")
+    )
+    # 2-paths i -> q -> j (i != j), term = qscale DIV (d_i * d_q)
+    left = ed.select(
+        F.col("a").alias("i"), F.col("b").alias("q"), F.col("da").alias("di")
+    )
+    right = (
+        e.join(
+            deg.withColumnRenamed("node", "a").withColumnRenamed("d", "dq"),
+            "a",
+        )
+        .select(F.col("a").alias("q"), F.col("b").alias("j"), "dq")
+    )
+    two = (
+        left.join(right, "q")
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "j",
+            F.expr(f"CAST({qscale} DIV (di * dq) AS LONG)").alias("t"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("t").cast("long").alias("s2"))
+    )
+    direct = ed.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), F.col("da").alias("di")
+    )
+    cij = (
+        direct.join(two, ["i", "j"], "left")
+        .select(
+            "i",
+            (
+                F.expr(f"CAST({qscale} DIV di AS LONG)")
+                + F.coalesce("s2", F.lit(0))
+            )
+            .cast("long")
+            .alias("inner_q"),
+        )
+        .select(
+            "i",
+            F.round(
+                F.lit(1000000000.0)
+                * (
+                    F.col("inner_q").cast("double") / F.lit(float(qscale))
+                )
+                * (
+                    F.col("inner_q").cast("double") / F.lit(float(qscale))
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    per = cij.groupBy(F.col("i").alias("entity")).agg(
+        F.sum("cq").cast("long").alias("sq")
+    )
+    return per.join(deg.withColumnRenamed("node", "entity"), "entity").select(
+        "entity",
+        F.col("d").alias("degree"),
+        F.round(
+            F.col("sq").cast("double") / F.lit(1000000000.0), ndigits
+        ).alias("constraint"),
+    )

@@ -160,3 +160,32 @@ class TestSalsa:
         }
         assert out["t"].hub == 0.0 and out["s"].authority == 0.0
         assert out["s"].hub == 1.0 and out["t"].authority == 1.0
+
+
+class TestBurtConstraint:
+    def test_star_vs_clique(self, spark):
+        """The star CENTER brokers (no ties among its contacts) ->
+        minimal constraint; clique members are maximally embedded ->
+        high constraint; igraph-textbook values pinned."""
+        from ddaugner_spark.operators.graph import burt_constraint
+
+        star = _edges(spark, [("c", f"l{i}") for i in range(4)])
+        got = {r.entity: r for r in burt_constraint(star).collect()}
+        # center: p = 1/4 per leaf, no indirect paths -> C = 4·(1/16)
+        assert got["c"].constraint == pytest.approx(0.25, abs=1e-6)
+        # leaf: single contact -> C = 1
+        assert got["l0"].degree == 1
+        assert got["l0"].constraint == pytest.approx(1.0, abs=1e-6)
+
+        k4 = _edges(
+            spark,
+            [("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d")],
+        )
+        k = {r.entity: r.constraint for r in burt_constraint(k4).collect()}
+        # K4: per contact (1/3 + 2·(1/9))² = (5/9)²; C = 3·25/81
+        want = 3 * (5 / 9) ** 2
+        for v in k.values():
+            assert v == pytest.approx(want, abs=1e-5)
+        # the broker is less constrained than the clique member
+        assert got["c"].constraint < min(k.values())
