@@ -6476,7 +6476,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 401 registered, all with oracle twins)."""
+    snapshot; 404 registered, all with oracle twins).  Session-19 tail
+    additions (each individually gated at both SFs): the cluster-eval
+    family closure (q_muc_eval, q_ari_eval, q_vi_eval), q_cmh,
+    q_kendall_tau, q_cronbach, q_runs_test, q_jsd_drift, q_scd2,
+    q_cliffs_delta, q_mrr, q_louvain, q_vocab_richness, q_tost,
+    q_wasserstein, q_brier, q_slope_one, q_salsa, q_pra_features,
+    q_nelson_aalen, q_powerlaw, q_lift, q_shapley, q_change_rate,
+    q_burrows_delta, q_sax, q_fs_em, q_pacf, q_ljung_box, q_theil,
+    q_lorenz, q_spam_mass, q_hurst, q_croston, q_ar2,
+    q_capture_recapture, q_fightin_words, q_rbo, q_holm, q_srm,
+    q_burt."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
