@@ -592,6 +592,16 @@ def q_burt(spark, sf):
     return graph.burt_constraint(canonical.co_mention_edges(m))
 
 
+def q_npmi(spark, sf):
+    """Normalized PMI co-mention edges (Bouma 2009) — PMI mapped onto
+    [−1, 1] so collocation strength is comparable ACROSS frequencies
+    (rare pairs max out raw PMI; npmi corrects exactly that); shares
+    the q_pmi_edges pair derivation, the c_ab = N corner pins 1.0
+    lazily (operators/graph.py npmi_edges)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return graph.npmi_edges(m)
+
+
 def q_louvain(spark, sf):
     """Parallel Louvain local-move communities on the co-mention graph
     (2 synchronous rounds, the PLM variant) — the modularity-aware
@@ -6909,6 +6919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_holm": q_holm,
         "q_srm": q_srm,
         "q_burt": q_burt,
+        "q_npmi": q_npmi,
     }
 
 
@@ -9985,6 +9996,31 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT p.a, p.b, p.c_ab,
              round(ln(nn.n_sents * p.c_ab / (ca.c * cb.c)), 6) AS pmi
+      FROM pairs p
+      JOIN c_ent ca ON ca.surface = p.a
+      JOIN c_ent cb ON cb.surface = p.b, nn
+    """
+
+    # NPMI replay: the pmi pair derivation + the normalized measure,
+    # c_ab = N corner pinned to 1.0 like the engine
+    o["q_npmi"] = f"""
+      WITH {_TOKS}, {_SENTID}, {_MENT},
+      sent_ent AS (SELECT DISTINCT doc_id, sent_id, surface FROM mentsent),
+      c_ent AS (SELECT surface, count(*)::BIGINT AS c FROM sent_ent GROUP BY surface),
+      nn AS (SELECT count(*)::DOUBLE AS n_sents
+             FROM (SELECT DISTINCT doc_id, sent_id FROM sent_ent)),
+      pairs AS (
+        SELECT a.surface AS a, b.surface AS b, count(*)::BIGINT AS c_ab
+        FROM sent_ent a JOIN sent_ent b
+          ON a.doc_id = b.doc_id AND a.sent_id = b.sent_id AND a.surface < b.surface
+        GROUP BY a.surface, b.surface
+      )
+      SELECT p.a, p.b, p.c_ab,
+             round(ln(nn.n_sents * p.c_ab / (ca.c * cb.c)), 6) AS pmi,
+             round(CASE WHEN -ln(p.c_ab / nn.n_sents) > 0
+               THEN ln(nn.n_sents * p.c_ab / (ca.c * cb.c))
+                    / (-ln(p.c_ab / nn.n_sents))
+               ELSE 1.0 END, 6) AS npmi
       FROM pairs p
       JOIN c_ent ca ON ca.surface = p.a
       JOIN c_ent cb ON cb.surface = p.b, nn

@@ -435,6 +435,26 @@ def pmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
     the pair table twice (a-side, b-side); N rides as a broadcast 1-row
     scalar — no driver-side count.
     """
+    return _pmi_pair_table(mentions).select(
+        "a",
+        "b",
+        "c_ab",
+        F.round(
+            F.log(
+                F.col("n_sents")
+                * F.col("c_ab")
+                / (F.col("c_a") * F.col("c_b"))
+            ),
+            ndigits,
+        ).alias("pmi"),
+    )
+
+
+def _pmi_pair_table(mentions: DataFrame) -> DataFrame:
+    """Shared co-occurrence table of :func:`pmi_edges` /
+    :func:`npmi_edges`: (a, b, c_ab, c_a, c_b, n_sents) over the
+    distinct (doc, sent, surface) sample space — one derivation, two
+    association measures."""
     sent_ent = mentions.select("doc_id", "sent_id", "surface").distinct()
     c_ent = sent_ent.groupBy("surface").agg(F.count("*").alias("c"))
     n = (
@@ -454,19 +474,34 @@ def pmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
         pairs.join(F.broadcast(c_ent.select(F.col("surface").alias("a"), F.col("c").alias("c_a"))), "a")
         .join(F.broadcast(c_ent.select(F.col("surface").alias("b"), F.col("c").alias("c_b"))), "b")
         .crossJoin(F.broadcast(n))
-        .select(
-            "a",
-            "b",
-            "c_ab",
-            F.round(
-                F.log(
-                    F.col("n_sents")
-                    * F.col("c_ab")
-                    / (F.col("c_a") * F.col("c_b"))
-                ),
-                ndigits,
-            ).alias("pmi"),
-        )
+    )
+
+
+def npmi_edges(mentions: DataFrame, ndigits: int = 6) -> DataFrame:
+    """(a, b, c_ab, pmi, npmi) — NORMALIZED pointwise mutual
+    information (Bouma, GSCL 2009): npmi = pmi / (−ln p(a,b)), mapping
+    PMI's unbounded scale onto [−1, 1] (1 = the pair only ever occurs
+    together, 0 = independence, −1 = never together) — the
+    comparable-across-frequency collocation score PMI itself is not
+    (rare pairs max out raw PMI; npmi corrects exactly that).  Shares
+    :func:`_pmi_pair_table` with :func:`pmi_edges`.
+
+    Both ln's evaluate the same double expressions on both engines;
+    the c_ab = N corner (every sentence contains the pair — −ln p = 0)
+    pins npmi = 1.0 lazily, per the limit.
+    """
+    t = _pmi_pair_table(mentions)
+    pmi = F.log(
+        F.col("n_sents") * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))
+    )
+    neg_ln_pab = -F.log(F.col("c_ab") / F.col("n_sents"))
+    npmi = F.when(neg_ln_pab > 0, pmi / neg_ln_pab).otherwise(F.lit(1.0))
+    return t.select(
+        "a",
+        "b",
+        "c_ab",
+        F.round(pmi, ndigits).alias("pmi"),
+        F.round(npmi, ndigits).alias("npmi"),
     )
 
 

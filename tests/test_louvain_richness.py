@@ -189,3 +189,51 @@ class TestBurtConstraint:
             assert v == pytest.approx(want, abs=1e-5)
         # the broker is less constrained than the clique member
         assert got["c"].constraint < min(k.values())
+
+
+class TestNpmi:
+    def _m(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, sent_id long, surface string"
+        )
+
+    def test_bounds_and_corners(self, spark):
+        import math
+
+        from ddaugner_spark.operators.graph import npmi_edges
+
+        rows = [
+            # s1: A B always together (2 sentences), C alone once
+            (1, 1, "A"), (1, 1, "B"),
+            (1, 2, "A"), (1, 2, "B"),
+            (1, 3, "C"),
+            # one mixed sentence: A with C
+            (1, 4, "A"), (1, 4, "C"),
+        ]
+        out = {(r.a, r.b): r for r in npmi_edges(self._m(spark, rows)).collect()}
+        ab = out[("A", "B")]
+        # eager replay: N=4 sentences; c(A)=3, c(B)=2, c(AB)=2
+        pmi = math.log(4 * 2 / (3 * 2))
+        npmi = pmi / (-math.log(2 / 4))
+        assert ab.pmi == pytest.approx(pmi, abs=1e-6)
+        assert ab.npmi == pytest.approx(npmi, abs=1e-6)
+        assert all(-1 - 1e-9 <= r.npmi <= 1 + 1e-9 for r in out.values())
+        # perfect-co-occurrence corner: a pair in EVERY sentence
+        solo = [(1, i, s) for i in range(3) for s in ("X", "Y")]
+        corner = npmi_edges(self._m(spark, solo)).collect()[0]
+        assert corner.npmi == 1.0
+
+    def test_npmi_ranks_dedicated_pair_over_hub_pair(self, spark):
+        """A always-together rare pair must out-rank a hub pair with
+        the same raw count — the frequency correction npmi exists for."""
+        from ddaugner_spark.operators.graph import npmi_edges
+
+        rows = []
+        # hub H appears in 6 sentences, with P in 2 of them
+        for i in range(6):
+            rows.append((1, i, "H"))
+        rows += [(1, 0, "P"), (1, 1, "P")]
+        # dedicated pair D1 D2: 2 sentences, always together
+        rows += [(1, 10, "D1"), (1, 10, "D2"), (1, 11, "D1"), (1, 11, "D2")]
+        out = {(r.a, r.b): r.npmi for r in npmi_edges(self._m(spark, rows)).collect()}
+        assert out[("D1", "D2")] > out[("H", "P")]
