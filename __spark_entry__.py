@@ -1399,6 +1399,18 @@ def q_change_rate(spark, sf):
     return crawl.change_rate(_recrawl_amp(spark, sf))
 
 
+def q_fm_eval(spark, sf):
+    """Fowlkes–Mallows index of the ER resolution — geometric mean of
+    pair precision/recall over the SAME contingency cells as
+    B³/MUC/ARI/VI (fifth lens, the pair score that stays meaningful
+    when one partition is much finer than the other); exact binomial
+    BIGINTs, one sqrt (operators/er.py fm_cluster_eval)."""
+    m = mentions.mentions_df(_docs(spark, sf))
+    return er.fm_cluster_eval(
+        er.distinct_surfaces(m), max_dist=2, stage_dir=_scratch("q_fm_")
+    )
+
+
 def q_vi_eval(spark, sf):
     """Variation of Information of the ER resolution vs construction
     truth (Meilă 2007 — the true METRIC on partitions), closing the
@@ -6486,7 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 404 registered, all with oracle twins).  Session-19 tail
+    snapshot; 406 registered, all with oracle twins).  Session-19 tail
     additions (each individually gated at both SFs): the cluster-eval
     family closure (q_muc_eval, q_ari_eval, q_vi_eval), q_cmh,
     q_kendall_tau, q_cronbach, q_runs_test, q_jsd_drift, q_scd2,
@@ -6496,7 +6508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_burrows_delta, q_sax, q_fs_em, q_pacf, q_ljung_box, q_theil,
     q_lorenz, q_spam_mass, q_hurst, q_croston, q_ar2,
     q_capture_recapture, q_fightin_words, q_rbo, q_holm, q_srm,
-    q_burt."""
+    q_burt, q_npmi, q_fm_eval."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
@@ -6920,6 +6932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_srm": q_srm,
         "q_burt": q_burt,
         "q_npmi": q_npmi,
+        "q_fm_eval": q_fm_eval,
     }
 
 
@@ -8747,6 +8760,31 @@ def oracle_sql() -> dict[str, str]:
                       + (rqs::DOUBLE / n::DOUBLE / 1000000.0)),
                    6) AS b3_f1
       FROM tot
+    """
+
+    # FM replay: exact binomial folds off the shared cells
+    o["q_fm_eval"] = f"""
+      {_ER_CELLS},
+      tp_n AS (
+        SELECT sum((i * (i - 1)) // 2)::BIGINT AS tp,
+               sum(i)::BIGINT AS n
+        FROM cells
+      ),
+      pa AS (
+        SELECT sum((s * (s - 1)) // 2)::BIGINT AS tpfp
+        FROM (SELECT p, sum(i)::BIGINT AS s FROM cells GROUP BY p)
+      ),
+      gb AS (
+        SELECT sum((s * (s - 1)) // 2)::BIGINT AS tpfn
+        FROM (SELECT g, sum(i)::BIGINT AS s FROM cells GROUP BY g)
+      )
+      SELECT t.n AS n_records, t.tp,
+        (pa.tpfp - t.tp)::BIGINT AS fp,
+        (gb.tpfn - t.tp)::BIGINT AS fn,
+        round(coalesce(CASE WHEN pa.tpfp > 0 AND gb.tpfn > 0
+          THEN t.tp::DOUBLE / sqrt(pa.tpfp::DOUBLE * gb.tpfn::DOUBLE)
+          END, 0.0), 6) AS fm
+      FROM tp_n t, pa, gb
     """
 
     # VI replay: entropies and MI off the shared cells, every term

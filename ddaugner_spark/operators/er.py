@@ -1258,3 +1258,60 @@ def fs_em_weights(
             )
         )
     return state.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def fm_cluster_eval(
+    surfaces: DataFrame,
+    max_dist: int = 2,
+    stage_dir: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fowlkes–Mallows index (JASA 1983) of the ER resolution — the
+    geometric mean of pair precision and recall, FM = TP/√((TP+FP)·
+    (TP+FN)) over the SAME :func:`_er_eval_cells` contingency cells as
+    B³/MUC/ARI/VI (fifth and final lens: FM is the pair-counting score
+    that, unlike ARI, stays meaningful when one partition is much
+    finer).  One row ``(n_records, tp, fp, fn, fm)``.
+
+    Every pair count is the exact binomial BIGINT: TP = Σ C(n_ij,2),
+    TP+FP = Σ C(a_i,2) (pred marginals), TP+FN = Σ C(b_j,2) (gold);
+    FM is one sqrt over a product of longs cast to double BEFORE
+    multiplying.  NULL when either marginal sum is 0.
+    """
+    cells = _er_eval_cells(surfaces, max_dist, stage_dir, "ddaugner_fm_")
+    from ddaugner_spark.plans.materialize import roundtrip_small
+
+    cells = roundtrip_small(cells, stage_dir, "ddaugner_fm_cells_")
+
+    def c2(col):
+        return (col * (col - F.lit(1)) / F.lit(2)).cast("long")
+
+    tp_n = cells.agg(
+        F.sum(c2(F.col("i"))).cast("long").alias("tp"),
+        F.sum("i").cast("long").alias("n"),
+    )
+    pa = (
+        cells.groupBy("p")
+        .agg(F.sum("i").cast("long").alias("s"))
+        .agg(F.sum(c2(F.col("s"))).cast("long").alias("tpfp"))
+    )
+    gb = (
+        cells.groupBy("g")
+        .agg(F.sum("i").cast("long").alias("s"))
+        .agg(F.sum(c2(F.col("s"))).cast("long").alias("tpfn"))
+    )
+    j = tp_n.crossJoin(pa).crossJoin(gb)
+    fm = F.when(
+        (F.col("tpfp") > 0) & (F.col("tpfn") > 0),
+        F.col("tp").cast("double")
+        / F.sqrt(
+            F.col("tpfp").cast("double") * F.col("tpfn").cast("double")
+        ),
+    )
+    return j.select(
+        F.col("n").alias("n_records"),
+        "tp",
+        (F.col("tpfp") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("tpfn") - F.col("tp")).cast("long").alias("fn"),
+        F.round(F.coalesce(fm, F.lit(0.0)), ndigits).alias("fm"),
+    )

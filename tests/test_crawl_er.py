@@ -751,3 +751,37 @@ def test_fs_em_matches_eager_replay(spark, tmp_path):
     # the separating feature is learned: agreeing on f0 is evidence FOR
     # a match, so m0 > u0 and the agreement weight is positive
     assert got["f0"].m > got["f0"].u and got["f0"].w_agree > 0
+
+
+def test_fm_matches_cell_replay_and_ari_consistency(spark, sf_dir, tmp_path):
+    """FM == eager binomial folds of the shared cells; consistency with
+    ARI's pair counts (same TP/TP+FP/TP+FN base quantities)."""
+    import math
+    from collections import defaultdict
+
+    from ddaugner_spark.operators import er as er_mod
+    from ddaugner_spark.operators import mentions as mentions_mod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    surf = er_mod.distinct_surfaces(mentions_mod.mentions_df(docs))
+    recs, cells = _eager_er_cells(er_mod, surf)
+    c2 = lambda x: x * (x - 1) // 2
+    tp = sum(c2(i) for i in cells.values())
+    psz, gsz = defaultdict(int), defaultdict(int)
+    for (p, g), i in cells.items():
+        psz[p] += i
+        gsz[g] += i
+    tpfp = sum(c2(s) for s in psz.values())
+    tpfn = sum(c2(s) for s in gsz.values())
+    row = (
+        er_mod.fm_cluster_eval(surf, max_dist=2, stage_dir=str(tmp_path / "fm"))
+        .collect()[0]
+        .asDict()
+    )
+    assert row["n_records"] == len(recs)
+    assert (row["tp"], row["fp"], row["fn"]) == (tp, tpfp - tp, tpfn - tp)
+    assert row["fm"] == round(tp / math.sqrt(tpfp * tpfn), 6)
+    # FM is the geometric mean of pair precision and recall
+    prec, rec = tp / tpfp, tp / tpfn
+    assert row["fm"] == pytest.approx(math.sqrt(prec * rec), abs=1e-6)
+    assert 0.0 < row["fm"] <= 1.0
