@@ -5362,6 +5362,16 @@ def q_hurst(spark, sf):
     return temporal.hurst_rs(ev)
 
 
+def q_hhi(spark, sf):
+    """Herfindahl–Hirschman concentration of documents across sources
+    + the Laakso–Taagepera effective source count 1/HHI — "how many
+    sources is this corpus REALLY drawing from"; HHI·N² = Σc² is an
+    exact BIGINT, one division, no float sums
+    (operators/stats.py hhi_concentration — the single-number screen
+    next to q_theil/q_lorenz/q_host_skew)."""
+    return stats.hhi_concentration(_docs(spark, sf), "source")
+
+
 def q_theil(spark, sf):
     """Theil-T inequality of document length with the exact
     between/within source decomposition (the additively-decomposable
@@ -6933,6 +6943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_burt": q_burt,
         "q_npmi": q_npmi,
         "q_fm_eval": q_fm_eval,
+        "q_hhi": q_hhi,
     }
 
 
@@ -15687,6 +15698,27 @@ sents AS (
                / (k * sxxp - sxp * sxp)::DOUBLE
           ELSE 0.0 END, 6) AS hurst
       FROM g
+    """
+
+    # HHI replay: exact integer Σc², one division
+    o["q_hhi"] = """
+      WITH g AS (
+        SELECT source AS grp, count(*)::BIGINT AS c FROM documents
+        WHERE source IS NOT NULL GROUP BY source
+      ),
+      tot AS (
+        SELECT count(*)::BIGINT AS n_groups, sum(c)::BIGINT AS n_rows,
+               sum(c * c)::BIGINT AS sq
+        FROM g
+      )
+      SELECT n_groups, n_rows,
+        round(CASE WHEN n_rows > 0
+          THEN sq::DOUBLE / (n_rows::DOUBLE * n_rows::DOUBLE)
+          ELSE 0.0 END, 6) AS hhi,
+        round(CASE WHEN n_rows > 0 AND sq > 0
+          THEN 1.0 / (sq::DOUBLE / (n_rows::DOUBLE * n_rows::DOUBLE))
+          ELSE 0.0 END, 6) AS effective_groups
+      FROM tot
     """
 
     # Theil replay: identical quantized ln terms at every fold level

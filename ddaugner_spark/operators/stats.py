@@ -2479,3 +2479,40 @@ def lorenz_deciles(
             ndigits,
         ).alias("mass_share"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame, group_col: str, ndigits: int = 6
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of row mass across
+    groups — HHI = Σ sᵢ² on the 0..1 share scale (1/k = perfectly
+    even over k groups, 1 = monopoly), plus the effective number of
+    groups 1/HHI (Laakso–Taagepera): one row ``(n_groups, n_rows, hhi,
+    effective_groups)`` — the single-number concentration screen next
+    to the [[q_theil]] decomposition and [[q_lorenz]] profile (and the
+    antitrust-style crawl question: "how many sources is this corpus
+    REALLY drawing from?").
+
+    Exactness: HHI·N² = Σ cᵢ² is an EXACT BIGINT (one group-count
+    aggregate + one fold), so hhi = one division; no float ever sums.
+    """
+    g = df.where(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sq"),
+    )
+    hhi = F.when(
+        F.col("n_rows") > 0,
+        F.col("sq").cast("double")
+        / (F.col("n_rows").cast("double") * F.col("n_rows").cast("double")),
+    ).otherwise(F.lit(0.0))
+    eff = F.when(hhi > 0, F.lit(1.0) / hhi).otherwise(F.lit(0.0))
+    return tot.select(
+        "n_groups",
+        "n_rows",
+        F.round(hhi, ndigits).alias("hhi"),
+        F.round(eff, ndigits).alias("effective_groups"),
+    )

@@ -513,3 +513,26 @@ def test_rbo_top_weighted(spark):
     top_swap = rbo_truncated(a, swapped(0, 1), "node", "s", k=10).collect()[0]
     bot_swap = rbo_truncated(a, swapped(8, 9), "node", "s", k=10).collect()[0]
     assert top_swap.rbo < bot_swap.rbo
+
+
+# ---------------------------------------------------------------- HHI
+
+def test_hhi_even_and_monopoly(spark):
+    from ddaugner_spark.operators.stats import hhi_concentration
+
+    even = spark.createDataFrame(
+        [(f"s{i % 4}",) for i in range(40)], "g string"
+    )
+    r = hhi_concentration(even, "g").collect()[0]
+    assert r.hhi == pytest.approx(0.25, abs=1e-6)
+    assert r.effective_groups == pytest.approx(4.0, abs=1e-6)
+    mono = spark.createDataFrame([("only",)] * 10, "g string")
+    r2 = hhi_concentration(mono, "g").collect()[0]
+    assert r2.hhi == 1.0 and r2.effective_groups == 1.0
+    # skewed: shares (0.7, 0.1, 0.1, 0.1) -> HHI .52, eff < 2
+    skew = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] + [("c",)] + [("d",)], "g string"
+    )
+    r3 = hhi_concentration(skew, "g").collect()[0]
+    assert r3.hhi == pytest.approx(0.52, abs=1e-6)
+    assert r3.effective_groups < 2.0
