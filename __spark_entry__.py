@@ -5362,6 +5362,19 @@ def q_hurst(spark, sf):
     return temporal.hurst_rs(ev)
 
 
+def q_sbg(spark, sf):
+    """Shifted-beta-geometric retention projection (Fader–Hardie 2007)
+    fit closed-form on the earliest cohort's first two retention
+    ratios and VALIDATED against the observed weeks 3-4 the fit never
+    saw — the heterogeneity-aware churn model whose rising retention
+    ratios naive geometric extrapolation misses; censoring handled by
+    construction (only the fully-observed first cohort enters)
+    (operators/events.py sbg_retention — next to q_retention's raw
+    cohort table and q_kaplan_meier's nonparametric curve)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.sbg_retention(ev)
+
+
 def q_hhi(spark, sf):
     """Herfindahl–Hirschman concentration of documents across sources
     + the Laakso–Taagepera effective source count 1/HHI — "how many
@@ -6508,7 +6521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 406 registered, all with oracle twins).  Session-19 tail
+    snapshot; 408 registered, all with oracle twins).  Session-19 tail
     additions (each individually gated at both SFs): the cluster-eval
     family closure (q_muc_eval, q_ari_eval, q_vi_eval), q_cmh,
     q_kendall_tau, q_cronbach, q_runs_test, q_jsd_drift, q_scd2,
@@ -6518,7 +6531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_burrows_delta, q_sax, q_fs_em, q_pacf, q_ljung_box, q_theil,
     q_lorenz, q_spam_mass, q_hurst, q_croston, q_ar2,
     q_capture_recapture, q_fightin_words, q_rbo, q_holm, q_srm,
-    q_burt, q_npmi, q_fm_eval."""
+    q_burt, q_npmi, q_fm_eval, q_hhi, q_sbg."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
@@ -6944,6 +6957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_npmi": q_npmi,
         "q_fm_eval": q_fm_eval,
         "q_hhi": q_hhi,
+        "q_sbg": q_sbg,
     }
 
 
@@ -15697,6 +15711,66 @@ sents AS (
           THEN (k * sxyp - sxp * syp)::DOUBLE
                / (k * sxxp - sxp * sxp)::DOUBLE
           ELSE 0.0 END, 6) AS hurst
+      FROM g
+    """
+
+    # sBG replay: first-cohort offsets, the closed-form fit with all
+    # sub-expressions inlined in the engine's exact operation order
+    _sbg_r = {
+        t: f"(CASE WHEN n0 > 0 THEN n{t}::DOUBLE / n0::DOUBLE"
+           " ELSE 0.0 END)"
+        for t in (1, 2, 3, 4)
+    }
+    _sbg_den = f"({_sbg_r[1]} * {_sbg_r[1]} - {_sbg_r[2]})"
+    _sbg_ok = f"(n0 > 0 AND {_sbg_den} != 0 AND {_sbg_r[1]} > 0)"
+    _sbg_beta = (
+        f"(CASE WHEN {_sbg_ok} THEN ({_sbg_r[2]} - {_sbg_r[1]})"
+        f" * {_sbg_r[1]} / {_sbg_den} ELSE 0.0 END)"
+    )
+    _sbg_alpha = (
+        f"(CASE WHEN {_sbg_ok} THEN {_sbg_beta} * (1.0 - {_sbg_r[1]})"
+        f" / {_sbg_r[1]} ELSE 0.0 END)"
+    )
+    _sbg_r3p = (
+        f"(CASE WHEN {_sbg_ok} THEN {_sbg_r[2]} * ({_sbg_beta} + 2.0)"
+        f" / ({_sbg_alpha} + {_sbg_beta} + 2.0) ELSE 0.0 END)"
+    )
+    _sbg_r4p = (
+        f"(CASE WHEN {_sbg_ok} THEN {_sbg_r[2]} * ({_sbg_beta} + 2.0)"
+        f" / ({_sbg_alpha} + {_sbg_beta} + 2.0) * ({_sbg_beta} + 3.0)"
+        f" / ({_sbg_alpha} + {_sbg_beta} + 3.0) ELSE 0.0 END)"
+    )
+    o["q_sbg"] = f"""
+      WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+      ),
+      w0 AS (SELECT min(week) AS w0 FROM active),
+      cohort AS (
+        SELECT user_id FROM (
+          SELECT user_id, min(week) AS cw FROM active GROUP BY 1), w0
+        WHERE cw = w0.w0
+      ),
+      offs AS (
+        SELECT (date_diff('day', w0.w0, a.week) // 7)::BIGINT AS t,
+               count(DISTINCT a.user_id)::BIGINT AS n
+        FROM active a JOIN cohort USING (user_id), w0
+        GROUP BY 1
+      ),
+      g AS (
+        SELECT
+          {", ".join(
+            f"coalesce(max(CASE WHEN t = {t} THEN n END), 0)::BIGINT"
+            f" AS n{t}"
+            for t in range(5)
+          )}
+        FROM offs
+      )
+      SELECT n0,
+        round({_sbg_r[1]}, 6) AS r1, round({_sbg_r[2]}, 6) AS r2,
+        round({_sbg_alpha}, 6) AS alpha, round({_sbg_beta}, 6) AS beta,
+        round({_sbg_r[3]}, 6) AS r3_obs, round({_sbg_r3p}, 6) AS r3_proj,
+        round({_sbg_r[4]}, 6) AS r4_obs, round({_sbg_r4p}, 6) AS r4_proj
       FROM g
     """
 

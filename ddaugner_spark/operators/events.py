@@ -1714,3 +1714,93 @@ def srm_check(events: DataFrame, ndigits: int = 6) -> DataFrame:
         F.round(z * z, ndigits).alias("chi2"),
         (F.abs(z) > 3.0).alias("srm_flag"),
     )
+
+
+def sbg_retention(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Shifted-beta-geometric retention projection (Fader & Hardie,
+    "How to Project Customer Retention", J. Interactive Marketing
+    2007) fit CLOSED-FORM on the first two retention ratios of the
+    earliest weekly cohort, validated against the observed weeks the
+    fit never saw: one row ``(n0, r1, r2, alpha, beta, r3_obs,
+    r3_proj, r4_obs, r4_proj)``.  The sBG's defining property —
+    retention RATIOS rise over time as the flaky users wash out —
+    is exactly what naive geometric churn extrapolation misses.
+
+    From r₁ = β/(α+β), r₂/r₁ = (β+1)/(α+β+1):
+    β = (r₂−r₁)·r₁/(r₁²−r₂), α = β(1−r₁)/r₁, and the projection
+    recursion r_t = r_{t−1}·(β+t−1)/(α+β+t−1).
+
+    Censoring is handled by CONSTRUCTION: only the earliest cohort
+    (first-week users, fully observed across the window) enters, so
+    every rate is an exact count ratio.  Fixed float chains over four
+    BIGINTs; degenerate fits (r₁² = r₂, r₁ = 0) report zero
+    projections lazily.
+    """
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    active = events.select("user_id", wk.alias("week")).distinct()
+    w0 = active.agg(F.min("week").alias("w0"))
+    cohort = (
+        active.groupBy("user_id")
+        .agg(F.min("week").alias("cw"))
+        .crossJoin(F.broadcast(w0))
+        .where(F.col("cw") == F.col("w0"))
+        .select("user_id")
+    )
+    offs = (
+        active.join(cohort, "user_id")
+        .crossJoin(F.broadcast(w0))
+        .select(
+            (F.datediff(F.col("week"), F.col("w0")) / 7)
+            .cast("long")
+            .alias("t"),
+            "user_id",
+        )
+        .groupBy("t")
+        .agg(F.count_distinct("user_id").cast("long").alias("n"))
+    )
+    g = offs.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("t") == t, F.col("n"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n{t}")
+            for t in range(5)
+        ]
+    )
+    n0 = F.col("n0").cast("double")
+    r = {
+        t: F.when(
+            F.col("n0") > 0, F.col(f"n{t}").cast("double") / n0
+        ).otherwise(F.lit(0.0))
+        for t in (1, 2, 3, 4)
+    }
+    den = r[1] * r[1] - r[2]
+    ok = (F.col("n0") > 0) & (den != 0) & (r[1] > 0)
+    beta = F.when(ok, (r[2] - r[1]) * r[1] / den).otherwise(F.lit(0.0))
+    alpha = F.when(
+        ok, beta * (F.lit(1.0) - r[1]) / r[1]
+    ).otherwise(F.lit(0.0))
+    r3p = F.when(
+        ok,
+        r[2] * (beta + F.lit(2.0)) / (alpha + beta + F.lit(2.0)),
+    ).otherwise(F.lit(0.0))
+    r4p = F.when(
+        ok,
+        r[2]
+        * (beta + F.lit(2.0))
+        / (alpha + beta + F.lit(2.0))
+        * (beta + F.lit(3.0))
+        / (alpha + beta + F.lit(3.0)),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        F.col("n0").alias("n0"),
+        F.round(r[1], ndigits).alias("r1"),
+        F.round(r[2], ndigits).alias("r2"),
+        F.round(alpha, ndigits).alias("alpha"),
+        F.round(beta, ndigits).alias("beta"),
+        F.round(r[3], ndigits).alias("r3_obs"),
+        F.round(r3p, ndigits).alias("r3_proj"),
+        F.round(r[4], ndigits).alias("r4_obs"),
+        F.round(r4p, ndigits).alias("r4_proj"),
+    )

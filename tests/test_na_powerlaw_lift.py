@@ -536,3 +536,50 @@ def test_hhi_even_and_monopoly(spark):
     r3 = hhi_concentration(skew, "g").collect()[0]
     assert r3.hhi == pytest.approx(0.52, abs=1e-6)
     assert r3.effective_groups < 2.0
+
+
+# ---------------------------------------------------------------- sBG
+
+def test_sbg_recovers_exact_sbg_cohort(spark):
+    """A cohort whose survival follows an exact sBG(α=1, β=2) — S(t) =
+    B(1, 2+t)/B(1, 2) = 2/(2+t): the closed-form fit must recover the
+    parameters and the week-3/4 projections must match the observed
+    holdout exactly."""
+    import datetime
+
+    from ddaugner_spark.operators.events import sbg_retention
+
+    # S: 1, 2/3, 2/4, 2/5, 2/6 -> of 60 users: 60, 40, 30, 24, 20
+    survivors = [60, 40, 30, 24, 20]
+    rows = []
+    eid = 0
+    for week, n_alive in enumerate(survivors):
+        for u in range(n_alive):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(weeks=week),
+                    u,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = sbg_retention(ev).collect()[0]
+    assert got.n0 == 60
+    assert got.r1 == pytest.approx(2 / 3, abs=1e-6)
+    assert got.r2 == pytest.approx(1 / 2, abs=1e-6)
+    assert got.alpha == pytest.approx(1.0, abs=1e-4)
+    assert got.beta == pytest.approx(2.0, abs=1e-4)
+    # holdout: projections equal the observed sBG tail
+    assert got.r3_proj == pytest.approx(got.r3_obs, abs=1e-4)
+    assert got.r4_proj == pytest.approx(got.r4_obs, abs=1e-4)
+    # the defining sBG property: retention ratios RISE
+    assert got.r2 / got.r1 < got.r3_obs / got.r2 < got.r4_obs / got.r3_obs
