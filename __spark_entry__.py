@@ -5362,6 +5362,16 @@ def q_hurst(spark, sf):
     return temporal.hurst_rs(ev)
 
 
+def q_ltv(spark, sf):
+    """Weekly-cohort cumulative lifetime value — the money-side
+    companion to q_retention (who came back) and q_sbg (who will):
+    exact integer cents per (cohort, offset) cell, INTEGER cumulative
+    window sums, one division to dollars-per-member
+    (operators/events.py cohort_ltv)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.cohort_ltv(ev)
+
+
 def q_sbg(spark, sf):
     """Shifted-beta-geometric retention projection (Fader–Hardie 2007)
     fit closed-form on the earliest cohort's first two retention
@@ -6958,6 +6968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fm_eval": q_fm_eval,
         "q_hhi": q_hhi,
         "q_sbg": q_sbg,
+        "q_ltv": q_ltv,
     }
 
 
@@ -15712,6 +15723,38 @@ sents AS (
                / (k * sxxp - sxp * sxp)::DOUBLE
           ELSE 0.0 END, 6) AS hurst
       FROM g
+    """
+
+    # LTV replay: integer cents cells, integer cumulative sums
+    o["q_ltv"] = """
+      WITH ev AS (
+        SELECT user_id, date_trunc('week', ts) AS week,
+               round(value * 100, 0)::BIGINT AS cents
+        FROM events
+      ),
+      cohort AS (SELECT user_id, min(week) AS cw FROM ev GROUP BY 1),
+      sizes AS (SELECT cw, count(*)::BIGINT AS cohort_size
+                FROM cohort GROUP BY cw),
+      cells AS (
+        SELECT c.cw,
+               (date_diff('day', c.cw, e.week) // 7)::BIGINT
+                 AS week_offset,
+               sum(e.cents)::BIGINT AS c
+        FROM ev e JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+      ),
+      cum AS (
+        SELECT cw, week_offset,
+          sum(c) OVER (PARTITION BY cw ORDER BY week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+            AS cum_cents
+        FROM cells
+      )
+      SELECT strftime(cum.cw, '%Y-%m-%d') AS cohort_week,
+             cum.week_offset, s.cohort_size, cum.cum_cents,
+             round(cum.cum_cents::DOUBLE / 100.0
+                   / s.cohort_size::DOUBLE, 6) AS ltv
+      FROM cum JOIN sizes s USING (cw)
     """
 
     # sBG replay: first-cohort offsets, the closed-form fit with all

@@ -1804,3 +1804,60 @@ def sbg_retention(events: DataFrame, ndigits: int = 6) -> DataFrame:
         F.round(r[4], ndigits).alias("r4_obs"),
         F.round(r4p, ndigits).alias("r4_proj"),
     )
+
+
+def cohort_ltv(events: DataFrame, ndigits: int = 6) -> DataFrame:
+    """Weekly-cohort cumulative lifetime value: ``(cohort_week,
+    week_offset, cohort_size, cum_cents, ltv)`` — cumulative revenue
+    per cohort member at each week offset, the money-side companion to
+    :func:`retention_cohorts` (retention says who came back, LTV says
+    what they were worth) and the payback-period readout every
+    acquisition budget is judged by.
+
+    Exactness: revenue is exact integer cents per (cohort, offset)
+    cell; the cumulative Σ is an INTEGER window sum in a fixed
+    per-cohort ORDER BY offset frame; ltv is one division (dollars).
+    Cohort week is emitted as an ISO string (the retention_cohorts
+    canonicalizer lesson).  One corpus pass; everything after is
+    cohort×offset-sized.
+    """
+    wk = F.date_trunc("week", F.col("ts").cast("timestamp"))
+    ev = events.select(
+        "user_id",
+        wk.alias("week"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cw"))
+    sizes = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            (F.datediff(F.col("week"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("cents").cast("long").alias("c"))
+    )
+    w = Window.partitionBy("cw").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select(
+        "cw",
+        "week_offset",
+        F.sum("c").over(w).cast("long").alias("cum_cents"),
+    )
+    return cum.join(sizes, "cw").select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "cohort_size",
+        "cum_cents",
+        F.round(
+            F.col("cum_cents").cast("double")
+            / F.lit(100.0)
+            / F.col("cohort_size").cast("double"),
+            ndigits,
+        ).alias("ltv"),
+    )

@@ -583,3 +583,38 @@ def test_sbg_recovers_exact_sbg_cohort(spark):
     assert got.r4_proj == pytest.approx(got.r4_obs, abs=1e-4)
     # the defining sBG property: retention ratios RISE
     assert got.r2 / got.r1 < got.r3_obs / got.r2 < got.r4_obs / got.r3_obs
+
+
+# ---------------------------------------------------------------- LTV
+
+def test_ltv_hand_cohort(spark):
+    import datetime
+
+    from ddaugner_spark.operators.events import cohort_ltv
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # cohort week 0: u1, u2; u1 spends 10 then 5 next week
+        (0, base, 1, "purchase", 10.0),
+        (1, base, 2, "view", 0.0),
+        (2, base + datetime.timedelta(weeks=1), 1, "purchase", 5.0),
+        # cohort week 1: u3 spends 7
+        (3, base + datetime.timedelta(weeks=1), 3, "purchase", 7.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, v, "{}") for i, ts, u, t, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r for r in cohort_ltv(ev).collect()
+    }
+    c0 = base.strftime("%Y-%m-%d")
+    c1 = (base + datetime.timedelta(weeks=1)).strftime("%Y-%m-%d")
+    assert got[(c0, 0)].cohort_size == 2
+    assert got[(c0, 0)].ltv == pytest.approx(5.0, abs=1e-6)   # 10/2
+    assert got[(c0, 1)].ltv == pytest.approx(7.5, abs=1e-6)   # 15/2
+    assert got[(c1, 0)].cohort_size == 1
+    assert got[(c1, 0)].ltv == pytest.approx(7.0, abs=1e-6)
+    # LTV curves are monotone within a cohort
+    assert got[(c0, 1)].cum_cents >= got[(c0, 0)].cum_cents
