@@ -5337,6 +5337,19 @@ def q_ljung_box(spark, sf):
     )
 
 
+def q_holt_winters(spark, sf):
+    """Holt–Winters additive triple smoothing of the daily-mean
+    revenue series, weekly season — the level+trend+seasonality
+    forecaster completing the family (q_ewma trendless, q_holt
+    seasonless, q_seasonal_naive season-only): exact fixed-point
+    warm-up init, the holt fold device with SEVEN explicit positional
+    seasonal slots (no lambda-with-index anywhere — the recursive-CTE
+    twin replays the slot CASEs verbatim)
+    (operators/events.py holt_winters)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.holt_winters(ev, season=7)
+
+
 def q_croston(spark, sf):
     """Croston's intermittent-demand forecast of big purchases
     (value ≥ 200 — a few demand days in the month): separate SES of
@@ -6531,7 +6544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 408 registered, all with oracle twins).  Session-19 tail
+    snapshot; 411 registered, all with oracle twins).  Session-19 tail
     additions (each individually gated at both SFs): the cluster-eval
     family closure (q_muc_eval, q_ari_eval, q_vi_eval), q_cmh,
     q_kendall_tau, q_cronbach, q_runs_test, q_jsd_drift, q_scd2,
@@ -6541,7 +6554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_burrows_delta, q_sax, q_fs_em, q_pacf, q_ljung_box, q_theil,
     q_lorenz, q_spam_mass, q_hurst, q_croston, q_ar2,
     q_capture_recapture, q_fightin_words, q_rbo, q_holm, q_srm,
-    q_burt, q_npmi, q_fm_eval, q_hhi, q_sbg."""
+    q_burt, q_npmi, q_fm_eval, q_hhi, q_sbg, q_ltv,
+    q_holt_winters."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
@@ -6969,6 +6983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hhi": q_hhi,
         "q_sbg": q_sbg,
         "q_ltv": q_ltv,
+        "q_holt_winters": q_holt_winters,
     }
 
 
@@ -15595,6 +15610,63 @@ sents AS (
         round(n::DOUBLE * (n + 2)::DOUBLE
               * (sq::DOUBLE / 1000000000.0), 6) AS q_stat
       FROM g
+    """
+
+    # Holt–Winters replay: fixed-point warm-up init, the recursion as
+    # a recursive CTE with seven positional seasonal slots, l_t
+    # inlined into b_t/s_t exactly as the engine writes them
+    _hw_sp = "r.s[((nx.i - 1) % 7) + 1]"
+    _hw_l = f"0.5 * (nx.x::DOUBLE - {_hw_sp}) + 0.5 * (r.l + r.b)"
+    _hw_b = f"0.5 * (({_hw_l}) - r.l) + 0.5 * r.b"
+    _hw_snew = f"0.5 * (nx.x::DOUBLE - ({_hw_l})) + 0.5 * {_hw_sp}"
+    _hw_fit = f"r.l + r.b + {_hw_sp}"
+    _hw_slist = "[" + ", ".join(
+        f"CASE WHEN {j} = (nx.i - 1) % 7 THEN ({_hw_snew})"
+        f" ELSE r.s[{j + 1}] END"
+        for j in range(7)
+    ) + "]"
+    _hw_cols = (
+        f"{_hw_l} AS l, {_hw_b} AS b, {_hw_slist} AS s,"
+        f" ((nx.i - 1) % 7)::BIGINT AS season_idx,"
+        f" {_hw_snew} AS seasonal, {_hw_fit} AS fitted"
+    )
+    _hw_l0 = "sx::DOUBLE / 7.0"
+    _hw_s0 = "[" + ", ".join(
+        f"wk[{j + 1}]::DOUBLE - {_hw_l0}" for j in range(7)
+    ) + "]"
+    o["q_holt_winters"] = f"""
+      WITH RECURSIVE daily0 AS (
+        SELECT ts::DATE AS dd,
+               sum(round(value * 100, 0)::BIGINT)::BIGINT AS dc,
+               count(*)::BIGINT AS dn
+        FROM events GROUP BY 1
+      ),
+      idx AS (
+        SELECT strftime(dd, '%Y-%m-%d') AS d,
+               ((dc * 1000) // dn)::BIGINT AS x,
+               row_number() OVER (ORDER BY strftime(dd, '%Y-%m-%d'))
+                 ::BIGINT AS i
+        FROM daily0
+      ),
+      init AS (
+        SELECT sum(x)::BIGINT AS sx, list(x ORDER BY i) AS wk
+        FROM idx WHERE i <= 7
+      ),
+      st AS (
+        SELECT {_hw_l0} AS l, 0.0::DOUBLE AS b, {_hw_s0} AS s
+        FROM init
+      ),
+      rec AS (
+        SELECT nx.i, nx.d, nx.x, {_hw_cols}
+        FROM idx nx, st r WHERE nx.i = 8
+        UNION ALL
+        SELECT nx.i, nx.d, nx.x, {_hw_cols}
+        FROM rec r JOIN idx nx ON nx.i = r.i + 1
+      )
+      SELECT d, x, round(l, 6) AS level, round(b, 6) AS trend,
+             season_idx, round(seasonal, 6) AS seasonal,
+             round(fitted, 6) AS fitted
+      FROM rec
     """
 
     # Croston replay: zero-filled day spine, the fold as a recursive

@@ -1861,3 +1861,153 @@ def cohort_ltv(events: DataFrame, ndigits: int = 6) -> DataFrame:
             ndigits,
         ).alias("ltv"),
     )
+
+
+def holt_winters(
+    events: DataFrame,
+    season: int = 7,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+    value_col: str = "value",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing (Winters,
+    Mgmt. Sci. 1960) of the daily series with a ``season``-day cycle —
+    the level+trend+seasonality forecaster that completes the family
+    (:func:`~ddaugner_spark.operators.events.holt_linear` has no
+    season, [[q_seasonal_naive]] has nothing BUT the season): per
+    post-warmup day ``(d, x, level, trend, season_idx, seasonal,
+    fitted)`` under
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1}+b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t)    + (1−γ)s_{t−m}
+        fitted_t = l_{t−1} + b_{t−1} + s_{t−m}.
+
+    Initialization (documented contract): the first ``season`` days
+    are warm-up — l₀ = their EXACT-integer fixed-point mean (x is
+    cents·10³ DIV n like sax_symbols, so the Σ is integer), b₀ = 0,
+    s₀ᵢ = xᵢ − l₀; warm-up days emit no row.  α=β=γ=½ keep every
+    coefficient an exact binary fraction; the recursion is the
+    :func:`holt_linear` LEFT-TO-RIGHT FOLD with the seasonal state as
+    SEVEN EXPLICIT array slots rebuilt per step (no lambda-with-index
+    anywhere — the positional CASE form is what the recursive-CTE twin
+    replays verbatim).  l_t inlines into b_t and s_t exactly as the
+    twin writes them.
+    """
+    a, b, g = float(alpha), float(beta), float(gamma)
+    m = int(season)
+    daily = (
+        events.select(
+            F.to_date("ts").alias("dd"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dd")
+        .agg(
+            F.sum("cents").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("dn"),
+        )
+        .select(
+            F.date_format("dd", "yyyy-MM-dd").alias("d"),
+            F.expr("(dc * 1000) DIV dn").cast("long").alias("x"),
+        )
+    )
+    w = Window.orderBy("d")
+    idx = daily.select(
+        "d", "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    init = idx.where(F.col("i") <= m).agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sort_array(F.collect_list(F.struct("i", "x"))).alias("wk"),
+    )
+    l0 = F.col("sx").cast("double") / F.lit(float(m))
+    init_state = init.select(
+        l0.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array(
+            *[
+                F.col("wk")[j]["x"].cast("double") - l0
+                for j in range(m)
+            ]
+        ).alias("s"),
+    )
+    row_t = (
+        "array<struct<d:string,x:bigint,level:double,trend:double,"
+        "season_idx:bigint,seasonal:double,fitted:double>>"
+    )
+    packed = (
+        idx.where(F.col("i") > m)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("i", "d", "x"))).alias(
+                "series"
+            )
+        )
+        .crossJoin(F.broadcast(init_state))
+    )
+    init_acc = F.struct(
+        F.col("l").alias("l"),
+        F.col("b").alias("b"),
+        F.col("s").alias("s"),
+        F.array().cast(row_t).alias("rows"),
+    )
+
+    def step(acc, e):
+        pos = ((e["i"] - 1) % m).cast("int")  # 0-based season slot
+        s_prev = F.element_at(acc["s"], pos + 1)
+        xd = e["x"].cast("double")
+        lvl = F.lit(a) * (xd - s_prev) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        tr = F.lit(b) * (
+            (
+                F.lit(a) * (xd - s_prev)
+                + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            )
+            - acc["l"]
+        ) + F.lit(1.0 - b) * acc["b"]
+        snew = F.lit(g) * (
+            xd
+            - (
+                F.lit(a) * (xd - s_prev)
+                + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+            )
+        ) + F.lit(1.0 - g) * s_prev
+        fitted = acc["l"] + acc["b"] + s_prev
+        new_s = F.array(
+            *[
+                F.when(F.lit(j) == pos, snew).otherwise(
+                    F.element_at(acc["s"], j + 1)
+                )
+                for j in range(m)
+            ]
+        )
+        new_row = F.struct(
+            e["d"].alias("d"),
+            e["x"].alias("x"),
+            lvl.alias("level"),
+            tr.alias("trend"),
+            pos.cast("long").alias("season_idx"),
+            snew.alias("seasonal"),
+            fitted.alias("fitted"),
+        )
+        return F.struct(
+            lvl.alias("l"),
+            tr.alias("b"),
+            new_s.alias("s"),
+            F.concat(acc["rows"], F.array(new_row)).alias("rows"),
+        )
+
+    folded = packed.select(
+        F.aggregate("series", init_acc, step)["rows"].alias("rows")
+    )
+    r = F.col("r")
+    return folded.select(F.explode("rows").alias("r")).select(
+        r["d"].alias("d"),
+        r["x"].alias("x"),
+        F.round(r["level"], ndigits).alias("level"),
+        F.round(r["trend"], ndigits).alias("trend"),
+        r["season_idx"].alias("season_idx"),
+        F.round(r["seasonal"], ndigits).alias("seasonal"),
+        F.round(r["fitted"], ndigits).alias("fitted"),
+    )

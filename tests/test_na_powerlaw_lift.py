@@ -618,3 +618,65 @@ def test_ltv_hand_cohort(spark):
     assert got[(c1, 0)].ltv == pytest.approx(7.0, abs=1e-6)
     # LTV curves are monotone within a cohort
     assert got[(c0, 1)].cum_cents >= got[(c0, 0)].cum_cents
+
+
+# -------------------------------------------------------- Holt-Winters
+
+def _hw_events(spark, values):
+    import datetime
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i),
+         "u", "m", float(v), "{}")
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_hw_perfect_seasonal_fit(spark):
+    """x_t = 10 + pattern[t mod 7] with a zero-sum pattern: the warm-up
+    init recovers level and seasonals exactly, and every post-warmup
+    fitted value equals x (trend stays 0) — the defining fixed point
+    of additive Holt-Winters."""
+    from ddaugner_spark.operators.events import holt_winters
+
+    pattern = [3, -2, 1, 0, -1, 2, -3]
+    vals = [10 + pattern[i % 7] for i in range(21)]
+    out = holt_winters(_hw_events(spark, vals)).collect()
+    assert len(out) == 14  # 21 days minus 7 warm-up
+    for r in out:
+        assert r.trend == pytest.approx(0.0, abs=1e-9)
+        assert r.level == pytest.approx(10.0 * 100000, abs=1e-6)
+        assert r.fitted == pytest.approx(float(r.x), abs=1e-6)
+
+
+def test_hw_matches_eager_recursion(spark):
+    from ddaugner_spark.operators.events import holt_winters
+
+    vals = [12, 9, 14, 11, 10, 15, 8, 13, 10, 16, 9, 12, 14, 11, 17, 10]
+    out = sorted(
+        holt_winters(_hw_events(spark, vals)).collect(), key=lambda r: r.d
+    )
+    xs = [v * 100 * 1000 // 1 for v in vals]  # mv fixed-point (1 event/day)
+    l = sum(xs[:7]) / 7.0
+    b = 0.0
+    s = [x - l for x in xs[:7]]
+    for k, r in enumerate(out):
+        i = 8 + k
+        pos = (i - 1) % 7
+        sp = s[pos]
+        x = xs[i - 1]
+        fitted = l + b + sp
+        l_new = 0.5 * (x - sp) + 0.5 * (l + b)
+        b = 0.5 * (l_new - l) + 0.5 * b
+        s[pos] = 0.5 * (x - l_new) + 0.5 * sp
+        l = l_new
+        assert r.fitted == pytest.approx(fitted, abs=1e-4)
+        assert r.level == pytest.approx(l, abs=1e-4)
+        assert r.trend == pytest.approx(b, abs=1e-4)
+        assert r.seasonal == pytest.approx(s[pos], abs=1e-4)
+        assert r.season_idx == pos
