@@ -5375,6 +5375,16 @@ def q_hurst(spark, sf):
     return temporal.hurst_rs(ev)
 
 
+def q_rate_test(spark, sf):
+    """Conditional two-sample Poisson rate test of the error-event
+    rate across the mid-month split — k₁|K ~ Bin(K, ½) under equal
+    exposure, z = (k₁−k₂)/√K: two exact BIGINT counts, one sqrt, the
+    nuisance baseline conditioned away entirely
+    (operators/events.py poisson_rate_test)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return evops.poisson_rate_test(ev, "error", "2024-01-16")
+
+
 def q_ltv(spark, sf):
     """Weekly-cohort cumulative lifetime value — the money-side
     companion to q_retention (who came back) and q_sbg (who will):
@@ -6544,7 +6554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/parity_check.py locally (two full gates ALL OK at sf0.01 in
     session 19 — 363-query and 386-query snapshots — plus per-query
     runs at sf0.001 + sf0.01 for every query added after the last
-    snapshot; 411 registered, all with oracle twins).  Session-19 tail
+    snapshot; 412 registered, all with oracle twins).  Session-19 tail
     additions (each individually gated at both SFs): the cluster-eval
     family closure (q_muc_eval, q_ari_eval, q_vi_eval), q_cmh,
     q_kendall_tau, q_cronbach, q_runs_test, q_jsd_drift, q_scd2,
@@ -6555,7 +6565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_lorenz, q_spam_mass, q_hurst, q_croston, q_ar2,
     q_capture_recapture, q_fightin_words, q_rbo, q_holm, q_srm,
     q_burt, q_npmi, q_fm_eval, q_hhi, q_sbg, q_ltv,
-    q_holt_winters."""
+    q_holt_winters, q_rate_test."""
     return {
         # --- rotated back in: no driver row in round 4 (green in r3) ---
         "q_text_extract": q_text_extract,
@@ -6984,6 +6994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sbg": q_sbg,
         "q_ltv": q_ltv,
         "q_holt_winters": q_holt_winters,
+        "q_rate_test": q_rate_test,
     }
 
 
@@ -15794,6 +15805,29 @@ sents AS (
           THEN (k * sxyp - sxp * syp)::DOUBLE
                / (k * sxxp - sxp * sxp)::DOUBLE
           ELSE 0.0 END, 6) AS hurst
+      FROM g
+    """
+
+    # rate-test replay: two conditional counts, one sqrt
+    o["q_rate_test"] = """
+      WITH g AS (
+        SELECT
+          sum((event_type = 'error'
+               AND ts < TIMESTAMP '2024-01-16')::BIGINT)::BIGINT
+            AS k_before,
+          sum((event_type = 'error'
+               AND ts >= TIMESTAMP '2024-01-16')::BIGINT)::BIGINT
+            AS k_after
+        FROM events
+      )
+      SELECT k_before, k_after,
+        round(CASE WHEN k_before + k_after > 0
+          THEN (k_before - k_after)::DOUBLE
+               / sqrt((k_before + k_after)::DOUBLE)
+          ELSE 0.0 END, 6) AS z,
+        round(CASE WHEN k_after > 0
+          THEN k_before::DOUBLE / k_after::DOUBLE
+          ELSE 0.0 END, 6) AS rate_ratio
       FROM g
     """
 

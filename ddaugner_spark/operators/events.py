@@ -2011,3 +2011,46 @@ def holt_winters(
         F.round(r["seasonal"], ndigits).alias("seasonal"),
         F.round(r["fitted"], ndigits).alias("fitted"),
     )
+
+
+def poisson_rate_test(
+    events: DataFrame,
+    event_type: str = "error",
+    split_ts: str = "2024-01-16",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Conditional two-sample Poisson rate test (Przyborowski &
+    Wilenski, Biometrika 1940 — the exact-conditioning trick): did the
+    ``event_type`` rate change across ``split_ts``?  Under H₀ (equal
+    rates, equal exposure windows) k₁ | k₁+k₂ is Binomial(K, ½), so
+    z = (k₁ − k₂)/√K — the incident-rate regression check next to
+    [[q_wow_anomaly]]'s day-over-day ratios and [[q_page_hinkley]]'s
+    sequential alarm.  One row ``(k_before, k_after, z, rate_ratio)``.
+
+    Two conditional BIGINT counts, one sqrt, one division — the
+    conditioning removes the nuisance baseline entirely (no variance
+    estimate, no float mean).  Callers must split the window into
+    EQUAL exposures (documented; the gate corpus spans Jan 1-30 and
+    splits at the 16th: 15 days each).
+    """
+    cond = F.col("event_type") == event_type
+    before = cond & (F.col("ts") < F.lit(split_ts).cast("timestamp"))
+    after = cond & (F.col("ts") >= F.lit(split_ts).cast("timestamp"))
+    g = events.agg(
+        F.sum(before.cast("long")).cast("long").alias("k_before"),
+        F.sum(after.cast("long")).cast("long").alias("k_after"),
+    )
+    kk = (F.col("k_before") + F.col("k_after")).cast("double")
+    z = F.when(
+        kk > 0,
+        (F.col("k_before") - F.col("k_after")).cast("double") / F.sqrt(kk),
+    ).otherwise(F.lit(0.0))
+    rr = F.when(
+        F.col("k_after") > 0,
+        F.col("k_before").cast("double") / F.col("k_after").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "k_before", "k_after",
+        F.round(z, ndigits).alias("z"),
+        F.round(rr, ndigits).alias("rate_ratio"),
+    )

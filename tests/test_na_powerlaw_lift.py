@@ -680,3 +680,30 @@ def test_hw_matches_eager_recursion(spark):
         assert r.trend == pytest.approx(b, abs=1e-4)
         assert r.seasonal == pytest.approx(s[pos], abs=1e-4)
         assert r.season_idx == pos
+
+
+# ------------------------------------------------------ Poisson rates
+
+def test_poisson_rate_test_hand_counts(spark):
+    import datetime
+    import math
+
+    from ddaugner_spark.operators.events import poisson_rate_test
+
+    rows = []
+    eid = 0
+    # 9 errors before the split, 4 after, plus noise of other types
+    for k in range(9):
+        rows.append((eid, datetime.datetime(2024, 1, 10), "u", "error", 1.0, "{}")); eid += 1
+    for k in range(4):
+        rows.append((eid, datetime.datetime(2024, 1, 20), "u", "error", 1.0, "{}")); eid += 1
+    rows.append((eid, datetime.datetime(2024, 1, 20), "u", "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    got = poisson_rate_test(ev, "error", "2024-01-16").collect()[0]
+    assert (got.k_before, got.k_after) == (9, 4)
+    assert got.z == pytest.approx(5 / math.sqrt(13), abs=1e-6)
+    assert got.rate_ratio == pytest.approx(2.25, abs=1e-6)
