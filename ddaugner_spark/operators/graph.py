@@ -1754,14 +1754,18 @@ def minimum_spanning_forest(
     live edges (broadcast while the component table is small, shuffle
     above :data:`~ddaugner_spark.operators.canonical.
     BROADCAST_AUTO_THRESHOLD` — the honest big-graph path).  The live
-    table parquet-round-trips once per round (lineage truncation —
-    self-join chains double the LOGICAL plan per step even under
-    persist, measured as a driver treeString OOM without the cut; the
-    live set also shrinks geometrically, so total write volume ≤ 2×
-    the input) and the doubling chain is parquet-cut every 4 jumps for
-    the same reason; the per-round pick table and doubling steps are
-    otherwise memory-persisted, materialized by the counts the loop
-    needs anyway.  Output: the forest's original ``(a, b, w)`` edges.
+    table parquet-round-trips once per round: the FULL lineage cut is
+    what keeps per-round planning cost constant (measured A/B: a lazy
+    live chain, even with linear plan growth and every intermediate
+    persisted, doubled the round walls by round 4 from planning/
+    canonicalization cost alone; self-join chains additionally double
+    the LOGICAL plan per jump — a driver treeString OOM without any
+    cut).  The live set shrinks geometrically, so total write volume
+    ≤ 2× the input.  Each materialized doubling step composes TWO
+    pointer jumps (4× chain compression per convergence count — the
+    count job, not the join, is the per-step cost at bench scale),
+    parquet-cut every 3 steps for deep chains.
+    Output: the forest's original ``(a, b, w)`` edges.
 
     The Borůvka FIXPOINT itself is not SQL-replayable (union-find
     state), but the RESULT is: under a strict total edge order,
@@ -1804,10 +1808,12 @@ def minimum_spanning_forest(
     keep: list[DataFrame] = [live]
     rounds = []
     for r in range(1, max_rounds + 1):
+        _t0 = time.time()
         n_live = live.count()
         if n_live == 0:
             break
-        round_stat = {"round": r, "n_live": n_live}
+        round_stat = {"round": r, "n_live": n_live,
+                      "live_count_sec": round(time.time() - _t0, 3)}
         rounds.append(round_stat)
         both = live.select("ca", "cb", "w", "a", "b").unionByName(
             live.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"),
@@ -1825,16 +1831,24 @@ def minimum_spanning_forest(
             )
             .persist(lvl)
         )
+        _t0 = time.time()
         n_comp = pick.count()
         round_stat["n_comp"] = n_comp
+        round_stat["pick_sec"] = round(time.time() - _t0, 3)
         keep.append(pick)
         picks.append(pick.select("a", "b", "w").distinct())
 
         # parent pointers (node=component, par=partner component);
-        # re-root each mutual-min 2-cycle at its smaller member
+        # re-root each mutual-min 2-cycle at its smaller member.
+        # All pointer-table joins below broadcast the lookup side while
+        # the component table is executor-memory-sized (n_comp is known
+        # exactly — a non-broadcast tiny self-join costs two exchanges
+        # + AQE stage scheduling per step, measured ~3× the step wall)
+        bcast = n_comp <= BROADCAST_AUTO_THRESHOLD
+        _bc = F.broadcast if bcast else (lambda df: df)
         par = pick.select(F.col("ca").alias("node"), "par")
-        gpar = par.select(F.col("node").alias("par"),
-                          F.col("par").alias("gpar"))
+        gpar = _bc(par.select(F.col("node").alias("par"),
+                              F.col("par").alias("gpar")))
         cur = par.join(gpar, "par").select(
             "node",
             F.when(
@@ -1843,16 +1857,25 @@ def minimum_spanning_forest(
                 F.col("node"),
             ).otherwise(F.col("par")).alias("par"),
         )
-        # pointer doubling: par(v) ← par(par(v)) until fixpoint; the
-        # self-join doubles the logical plan per jump, so cut it with a
-        # parquet round-trip every 4 jumps (rarely reached — random
-        # pseudotree chains are short)
+
+        def _hop(f: DataFrame) -> DataFrame:
+            """par(v) ← par(par(v)) — one pointer jump."""
+            g = _bc(f.select(F.col("node").alias("par"),
+                             F.col("par").alias("g")))
+            return f.join(g, "par").select("node", F.col("g").alias("par"))
+
+        # pointer doubling, two jumps per materialized step (4× chain
+        # compression per convergence count); the self-join doubles the
+        # logical plan per jump, so parquet-cut every 3 steps (rarely
+        # reached — random pseudotree chains are short)
         jumps = 0
+        _t0 = time.time()
         while True:
-            hop = cur.select(F.col("node").alias("par"),
-                             F.col("par").alias("g"))
+            mid = _hop(cur)
+            g2 = _bc(mid.select(F.col("node").alias("par"),
+                                F.col("par").alias("g")))
             nxt = (
-                cur.join(hop, "par")
+                mid.join(g2, "par")
                 .select(
                     "node", F.col("g").alias("par"),
                     (F.col("g") != F.col("par")).alias("chg"),
@@ -1865,11 +1888,17 @@ def minimum_spanning_forest(
             jumps += 1
             if n_chg == 0:
                 break
-            if jumps % 4 == 0:
+            if jumps % 3 == 0:
                 cur = _rt(cur, f"jump_{r}")
         round_stat["n_jumps"] = jumps
+        round_stat["jump_sec"] = round(time.time() - _t0, 3)
+        _t0 = time.time()
 
-        # compose: relabel live endpoints through the contraction map.
+        # compose: relabel live endpoints through the contraction map,
+        # then parquet-cut the live table — the full truncation resets
+        # every plan the next round builds on (measured: letting the
+        # live chain grow lazily, even linearly, doubled the round
+        # walls by round 4 from planning/canonicalization cost alone).
         # Broadcast while the component table is executor-memory-sized
         # (same threshold + rationale as canonical.connected_components)
         lab = cur
@@ -1894,6 +1923,7 @@ def minimum_spanning_forest(
             .filter(F.col("ca") != F.col("cb")),
             f"live_{r}",
         )
+        round_stat["relabel_sec"] = round(time.time() - _t0, 3)
     if stats is not None:
         stats["rounds"] = rounds
     if not picks:
