@@ -168,8 +168,18 @@ def connected_components(
         return spark.read.parquet(f"{stage_dir}/{name}")
 
     t0 = time.time()
+    from pyspark import StorageLevel
+
+    # the symmetric edge table is loop-INVARIANT: persist it instead of
+    # the round-5 parquet round-trip (round 6; guide §1.2 — same shape,
+    # one write job fewer; its plan is shallow so no lineage hazard, and
+    # MEMORY_AND_DISK spills rather than drops, so every iteration reads
+    # the same materialized snapshot).  Iteration checkpoints below stay
+    # parquet — the label self-joins quadruple the logical plan per
+    # iteration, which only a real lineage cut resets.
     sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = _roundtrip(sym.repartition("a"), "sym")
+    sym = sym.repartition("a").persist(StorageLevel.MEMORY_AND_DISK)
+    sym.count()
     stats["sym_sec"] = round(time.time() - t0, 3)
 
     if max_iter < 1:
@@ -186,24 +196,22 @@ def connected_components(
 
     # iteration 1 fused into init: with label(v)=v, the first hash-min
     # step is label(v) ← min(v, min neighbor id) — ONE aggregate over
-    # the symmetric edge table, no join (saves a full join round)
+    # the symmetric edge table, no join (saves a full join round).
+    # Persisted, not parquet (round 6): the one count below both
+    # materializes it and decides the policies — one job total.
     t0 = time.time()
-    labels = _roundtrip(
+    labels = (
         sym.groupBy(F.col("a").alias("node")).agg(
             # min("a") is the group key itself (constant per group)
             F.least(F.min("a"), F.min("b")).alias("label")
-        ),
-        "labels_init",
-    )
-    if checkpoint_every is None or broadcast_labels is None:
-        # the init table is already parquet-backed, so the count is a
-        # metadata-cheap scan; both policies decided once per run
-        n_nodes = labels.count()
-        stats["n_nodes"] = n_nodes
-        if checkpoint_every is None:
-            checkpoint_every = checkpoint_policy(n_nodes)
-        if broadcast_labels is None:
-            broadcast_labels = n_nodes <= BROADCAST_AUTO_THRESHOLD
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_nodes = labels.count()
+    stats["n_nodes"] = n_nodes
+    if checkpoint_every is None:
+        checkpoint_every = checkpoint_policy(n_nodes)
+    if broadcast_labels is None:
+        broadcast_labels = n_nodes <= BROADCAST_AUTO_THRESHOLD
     checkpoint_every = max(1, checkpoint_every)
     stats["checkpoint_every"] = checkpoint_every
     stats["broadcast_labels"] = bool(broadcast_labels)

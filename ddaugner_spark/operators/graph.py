@@ -244,10 +244,20 @@ def pagerank(
         return spark.read.parquet(f"{stage_dir}/{name}")
 
     t0 = time.time()
-    sym = _roundtrip(symmetrize(edges).repartition("a"), "sym")
-    deg = _roundtrip(
-        sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg")), "deg"
+    from pyspark import StorageLevel
+
+    # loop-invariant tables persist instead of parquet round-tripping
+    # (round 6; one deg.count() materializes both caches — two write
+    # jobs fewer per call; shallow plans, so no lineage hazard).  The
+    # per-iteration rank checkpoint below stays parquet: the rank table
+    # feeds both sides of the contribution join, so its plan would
+    # otherwise double per iteration.
+    sym = symmetrize(edges).repartition("a").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    deg = (
+        sym.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("deg"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     n_nodes = deg.count()
     stats["n_nodes"] = n_nodes
     if broadcast_ranks is None:
