@@ -641,8 +641,19 @@ def minhash_estimate_error(
 
 def minhash_near_duplicates(corpus: DataFrame) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → band → candidates →
-    verified (a, b, jaccard)."""
-    sh = shingles(corpus)
+    verified (a, b, jaccard).
+
+    The shingle table feeds FOUR plan branches (signatures, pair sizes,
+    both intersection sides); per-branch projections differ, so Spark's
+    static exchange reuse never fires and the scan+explode+distinct ran
+    once per branch (round-5 plan: 36 parquet scans, 16 Generates, 0
+    ReusedExchange).  Persisting it computes the shingles once and
+    every branch reads the snapshot (round 6; guide §2.4 — share one
+    exchange instead of four; recompute-on-eviction is deterministic,
+    so this is reuse, not a correctness freeze)."""
+    from pyspark import StorageLevel
+
+    sh = shingles(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures(sh)
     cands = lsh_candidate_pairs(lsh_bands(sigs))
     return jaccard_verify(cands, sh)
@@ -791,16 +802,22 @@ def exact_substring_pairs(
         )
 
     wins_arr = F.element_at(F.transform(z, per), 1)
+    from pyspark import StorageLevel
+
+    # the window-hash table feeds three branches (df filter + both join
+    # sides) whose projections differ, so exchange reuse never fires —
+    # persist so the O(n·w) per-window md5 explode runs once (round 6;
+    # same rationale as minhash_near_duplicates)
     wins = corpus.select(
         "doc_id", F.posexplode(wins_arr).alias("pos", "wh")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     shared = (
         wins.groupBy("wh")
         .agg(F.count_distinct("doc_id").alias("ndocs"))
         .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= max_doc_freq))
         .select("wh")
     )
-    hits = wins.join(shared, "wh")
+    hits = wins.join(shared, "wh").persist(StorageLevel.MEMORY_AND_DISK)
     a = hits.select(
         F.col("wh"), F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )
