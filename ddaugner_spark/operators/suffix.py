@@ -67,6 +67,18 @@ from pyspark.sql import functions as F
 #: driver-created table keeps the expression tree bounded.
 _OFFSET_MAP_MAX = 1024
 
+#: prefix-doubling fanout: each round ranks by the FANOUT-tuple
+#: (rank[p], rank[p+g], ..., rank[p+(FANOUT-1)·g]), multiplying the
+#: resolved prefix length by FANOUT per round instead of 2 —
+#: ⌈log_FANOUT L⌉ rounds instead of ⌈log₂ L⌉ (round 6: the per-round
+#: job, not its data volume, is the wall at bench scale, so fewer
+#: rounds shorten the ladder; the LCP walk compensates by using each
+#: level up to FANOUT−1 times — base-FANOUT digit decomposition).
+#: Measured on the sf0.1 bench corpus (warm, min-of-2): FANOUT 2 →
+#: 6.17 s, 3 → 5.58 s, 4 → 6.62 s (the extra walk passes outgrow the
+#: saved rounds past 3).  2 restores the classic Manber–Myers ladder.
+FANOUT = 3
+
 
 def global_dense_rank(
     df: DataFrame,
@@ -195,22 +207,30 @@ def suffix_array(
     for r in range(1, max_rounds + 1):
         # fixed point: all suffixes totally ordered, OR the distinct-
         # rank count stopped growing — equal ranks then agree on every
-        # doubled extension too (equal suffixes, e.g. across docs), so
-        # no further round can separate anything.  The counts come from
+        # extension too (equal suffixes, e.g. across docs), so no
+        # further round can separate anything.  The counts come from
         # the round's own offsets aggregate — no extra pass.
         if n_ranks == n_total or n_ranks == prev_ranks:
             break
         prev_ranks = n_ranks
-        paired = cur.withColumn(
-            "r2", F.coalesce(F.lead("rank", gap).over(byte_pos), F.lit(0))
-        )
+        # FANOUT-tuple lookahead: ranks at pos + j·gap for j = 1..F−1,
+        # rank 0 standing in past doc end (shorter sorts first) — one
+        # per-doc window pass computes all the leads
+        paired = cur
+        rcols = []
+        for j in range(1, FANOUT):
+            paired = paired.withColumn(
+                f"r{j + 1}",
+                F.coalesce(F.lead("rank", j * gap).over(byte_pos), F.lit(0)),
+            )
+            rcols.append(f"r{j + 1}")
         counts = {}
         cur = global_dense_rank(
-            paired, ["rank", "r2"], out="nr",
+            paired, ["rank"] + rcols, out="nr",
             stage_path=_stage(f"sa_{r}"), io=io, counts_out=counts,
         ).select("doc_id", "pos", F.col("nr").alias("rank"))
         n_ranks = counts["n_ranks"]
-        gap *= 2
+        gap *= FANOUT
         if _levels is not None:
             _levels.append((gap, cur))
 
@@ -303,9 +323,15 @@ def lcp_array(
     # the LAST level's classes equal the final ranks on both exit paths
     # (fixed point: count stopped growing; all-distinct: nothing equal),
     # so its pass can never add — skip it.  Open pairs then have
-    # lcp ≤ (top remaining resolution)·2 − 1, exactly representable by
-    # the remaining binary ladder.
-    walk = list(reversed(levels[:-1]))
+    # lcp < (last resolution) = FANOUT · (top remaining resolution),
+    # exactly representable by the remaining base-FANOUT ladder with
+    # up to FANOUT−1 passes per level (digit decomposition: Σ (F−1)·Fʲ
+    # over the remaining levels = F^top − 1).
+    walk = [
+        (res, lvl)
+        for (res, lvl) in reversed(levels[:-1])
+        for _pass in range(FANOUT - 1)
+    ]
     for i, (res, lvl) in enumerate(walk):
         ra_k = lvl.select(
             F.col("doc_id").alias("doc_id"),
