@@ -1841,20 +1841,19 @@ def minimum_spanning_forest(
             )
             .persist(lvl)
         )
-        _t0 = time.time()
-        n_comp = pick.count()
-        round_stat["n_comp"] = n_comp
-        round_stat["pick_sec"] = round(time.time() - _t0, 3)
         keep.append(pick)
         picks.append(pick.select("a", "b", "w").distinct())
 
         # parent pointers (node=component, par=partner component);
         # re-root each mutual-min 2-cycle at its smaller member.
-        # All pointer-table joins below broadcast the lookup side while
-        # the component table is executor-memory-sized (n_comp is known
-        # exactly — a non-broadcast tiny self-join costs two exchanges
-        # + AQE stage scheduling per step, measured ~3× the step wall)
-        bcast = n_comp <= BROADCAST_AUTO_THRESHOLD
+        # pick is NOT counted separately — the first doubling step's
+        # convergence count materializes it en route (one job fewer per
+        # round).  All pointer-table joins below broadcast the lookup
+        # side while the component table is executor-memory-sized
+        # (|pick| ≤ 2·n_live, so n_live bounds it — a non-broadcast
+        # tiny self-join costs two exchanges + AQE stage scheduling per
+        # step, measured ~3× the step wall)
+        bcast = n_live <= BROADCAST_AUTO_THRESHOLD
         _bc = F.broadcast if bcast else (lambda df: df)
         par = pick.select(F.col("ca").alias("node"), "par")
         gpar = _bc(par.select(F.col("node").alias("par"),
@@ -1912,7 +1911,7 @@ def minimum_spanning_forest(
         # Broadcast while the component table is executor-memory-sized
         # (same threshold + rationale as canonical.connected_components)
         lab = cur
-        if n_comp <= BROADCAST_AUTO_THRESHOLD:
+        if bcast:
             lab = F.broadcast(lab)
         live = _rt(
             live.join(
