@@ -33,6 +33,14 @@ def iceberg_available(spark) -> bool:
         return False
 
 
+def select_branch(table: Optional[str], available: bool) -> str:
+    """The materialize() sink decision, factored pure so both branches
+    are pinnable in a sandbox without the Iceberg runtime (VERDICT r5
+    #8): Iceberg iff a table name is given AND the runtime is present;
+    bare-path or runtime-less writes take the parquet fallback."""
+    return "iceberg" if (table and available) else "parquet"
+
+
 def materialize(
     df: DataFrame,
     target: str,
@@ -48,7 +56,7 @@ def materialize(
     overwrite (idempotent per-partition rewrites → safe resume).
     Returns the branch taken ('iceberg' | 'parquet')."""
     spark = df.sparkSession
-    if table and iceberg_available(spark):
+    if select_branch(table, iceberg_available(spark)) == "iceberg":
         from pyspark.sql.functions import col
 
         writer = df.writeTo(table).partitionedBy(*[col(c) for c in partition_cols])
