@@ -212,13 +212,18 @@ def jaccard_pairs_inverted(
     At 100 TB the max_doc_freq cap is the load-bearing guard: web text
     has power-law shingle frequencies, and the cap bounds any single
     shingle's pair fan-out exactly like LSH's bucket cap."""
-    sh = shingles(corpus, k)
+    from pyspark import StorageLevel
+
+    # shingle table feeds three branches, the df-kept postings two —
+    # persist so the explode/distinct runs once (round 6; same
+    # rationale as minhash_near_duplicates)
+    sh = shingles(corpus, k).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = sh.join(
         df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
         "shingle",
         "left_semi",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("a"), "shingle")
     b = kept.select(F.col("doc_id").alias("b"), "shingle")
@@ -272,14 +277,18 @@ def all_pairs_jaccard_prefix(
     before the exact verification join, which is sized by surviving
     candidates, not corpus².
     """
-    sh = shingles(corpus, k)
+    from pyspark import StorageLevel
+
+    # sh feeds two branches, keyed three, the prefix postings two —
+    # persist each so the heavy stages run once (round 6)
+    sh = shingles(corpus, k).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     keyed = sh.join(dfreq, "shingle").select(
         "doc_id",
         F.concat(
             F.lpad(F.col("df").cast("string"), 10, "0"), F.lit("#"), F.col("shingle")
         ).alias("skey"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = keyed.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     w = Window.partitionBy("doc_id").orderBy(F.col("skey").asc())
     # plain join, NOT broadcast: sizes is doc-count-sized (billions of
@@ -288,7 +297,7 @@ def all_pairs_jaccard_prefix(
     ranked = keyed.withColumn("r", F.row_number().over(w)).join(sizes, "doc_id")
     prefix = ranked.filter(
         F.col("r") <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = prefix.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "skey")
     b = prefix.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "skey")
     cand = (
@@ -389,13 +398,16 @@ def containment_pairs(
     intersection count with their own denominators — no second join.
     The df-cap is the same load-bearing fan-out guard (empty drop set
     at gate scale, pinned like LSH's bucket cap)."""
-    sh = shingles(corpus, k)
+    from pyspark import StorageLevel
+
+    # same multi-branch reuse as jaccard_pairs_inverted (round 6)
+    sh = shingles(corpus, k).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     kept = sh.join(
         df_counts.filter(F.col("df") <= max_doc_freq).select("shingle"),
         "shingle",
         "left_semi",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = kept.select(F.col("doc_id").alias("a"), "shingle")
     b = kept.select(F.col("doc_id").alias("b"), "shingle")
