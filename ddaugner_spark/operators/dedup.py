@@ -613,9 +613,18 @@ def minhash_estimate_error(
     collision) drop out of both sides identically."""
     from functools import reduce
 
-    sh = shingles(corpus, k)
-    sigs = minhash_signatures(sh, perms)
-    cand = lsh_candidate_pairs(lsh_bands(sigs, bands, perms))
+    from pyspark import StorageLevel
+
+    # sh feeds four branches (signatures, sizes, both intersection
+    # sides), sigs three (both signature sides + banding), cand two
+    # (estimate join + exact-intersection join) — persist each so the
+    # heavy stages run once (round 6; same rationale as
+    # minhash_near_duplicates)
+    sh = shingles(corpus, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(sh, perms).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(lsh_bands(sigs, bands, perms)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sa = sigs.select(
         F.col("doc_id").alias("a"), *[F.col(f"mh_{j}").alias(f"_a{j}") for j in range(perms)]
     )
