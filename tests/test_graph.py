@@ -706,6 +706,42 @@ def test_msf_ties_match_kruskal_total_order(spark, tmp_path):
     assert got == _kruskal(pairs)
 
 
+def test_compress_pointers_kernel_unit():
+    """Round-6 contraction kernel: chains/trees compress to their
+    self-loop roots; a 2-cycle (impossible after re-rooting) raises
+    instead of spinning."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"node": ["a", "b", "c", "x", "y"], "par": ["a", "a", "b", "x", "a"]}
+    )
+    (out,) = list(graph._compress_pointers(iter([df])))
+    assert dict(zip(out["node"], out["par"])) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "a"}
+
+    cyc = pd.DataFrame({"node": ["a", "b"], "par": ["b", "a"]})
+    with pytest.raises(ValueError, match="pointer cycle"):
+        list(graph._compress_pointers(iter([cyc])))
+
+
+def test_msf_nonbroadcast_branch_matches_kernel(spark, tmp_path, monkeypatch):
+    """Pin that the >threshold pointer-doubling contraction (the honest
+    big-graph path) and the executor-memory-sized single-task kernel
+    yield the same forest (both == Kruskal)."""
+    rng = random.Random(23)
+    nodes = [f"p{i:02d}" for i in range(30)]
+    seen = set()
+    while len(seen) < 70:
+        a, b = rng.sample(nodes, 2)
+        seen.add((min(a, b), max(a, b)))
+    ws = rng.sample(range(1, 9999), len(seen))
+    pairs = [(a, b, float(w)) for (a, b), w in zip(sorted(seen), ws)]
+    kernel = _msf(spark, pairs, tmp_path / "k")
+    monkeypatch.setattr(graph, "BROADCAST_AUTO_THRESHOLD", 0)
+    doubling = _msf(spark, pairs, tmp_path / "d")
+    assert doubling == kernel == _kruskal(pairs)
+
+
 def _uf_components(pairs):
     """Union-find CC over (a, b) pairs → {node: min-member label}."""
     parent = {}
